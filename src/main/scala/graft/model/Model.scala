@@ -1,0 +1,31 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** The universal transcript record — the Spark-native analog of the
+  * reference's `beat.Event` (libbeat/beat/event.go:34-39). Where Beats
+  * carries a dynamic nested `MapStr`, we pin the known transcript schema
+  * statically (Catalyst needs static types) and carry parse-extracted
+  * keys in a `MAP<STRING,STRING>` column (`parsed`), mirroring dissect's
+  * always-map-of-strings output (libbeat/processors/dissect/dissect.go:23).
+  */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: java.sql.Timestamp
+)
+
+object Turn {
+  /** Exactly the BASELINE.json input_hint shape. */
+  val schema: StructType = StructType(Seq(
+    StructField("conv_id", StringType, nullable = false),
+    StructField("turn_idx", IntegerType, nullable = false),
+    StructField("role", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("tool", StringType, nullable = true),
+    StructField("ts", TimestampType, nullable = false)
+  ))
+}

@@ -1,0 +1,224 @@
+package graft.parse
+
+import scala.collection.mutable
+import scala.util.matching.Regex
+
+/** From-scratch Scala implementation of the dissect tokenizer semantics
+  * (reference: libbeat/processors/dissect/ — dissect.go:71-126 extract,
+  * :129-139 resolve; field.go:26-224 field kinds; parser.go:40-98 compile;
+  * const.go:32 suffix grammar). Behavior is specified by the reference's
+  * public golden corpus (testdata/dissect_tests.json); the code below is a
+  * new implementation of that specification.
+  *
+  * Grammar: a tokenizer string alternates literal delimiters and
+  * `%{...}` field references:
+  *   - `%{key}`      normal field
+  *   - `%{}`         skip (value discarded)
+  *   - `%{?key}`     named skip (referenced by indirects, not emitted)
+  *   - `%{*key}`     pointer (referenced by indirects, not emitted)
+  *   - `%{&key}`     indirect — emitted under the *value* of the
+  *                   like-named pointer/named-skip key
+  *   - `%{+key}`, `%{+key/N}` append — parts concatenated in ordinal
+  *                   order, joined by each part's preceding delimiter
+  *                   (or a single space when that delimiter is empty)
+  *   - any field may carry a greedy suffix `->` which consumes repeated
+  *     occurrences of the *following* delimiter (padding).
+  *
+  * Extraction: the first delimiter must match at offset 0; each field's
+  * value spans from the current offset to the next occurrence of the
+  * following delimiter; a trailing field takes the string remainder.
+  * A missing delimiter is a parse failure.
+  */
+object Dissector {
+
+  sealed trait Kind extends Serializable
+  case object Normal extends Kind
+  case object Skip extends Kind // %{}
+  case object NamedSkip extends Kind // %{?key}
+  case object Pointer extends Kind // %{*key}
+  case object Indirect extends Kind // %{&key}
+  case object Append extends Kind // %{+key} / %{+key/N}
+
+  final case class Field(
+      id: Int, // appearance index == position index
+      key: String,
+      kind: Kind,
+      ordinal: Int,
+      greedy: Boolean,
+      prevDelim: String // delimiter immediately preceding this field
+  ) extends Serializable {
+    def saveable: Boolean = kind match {
+      case Normal | Indirect | Append => true
+      case _                          => false
+    }
+  }
+
+  // (?s) so `.` crosses newlines (stack traces span lines)
+  private val TokenRe: Regex = "(?s)(.*?)%\\{([^}]*?)\\}".r
+  private val SuffixRe: Regex = "(?s)^(.+?)(?:/(\\d{1,2}))?(->)?$".r
+
+  final case class CompileError(msg: String) extends Exception(msg)
+
+  def compile(tokenizer: String): Dissector = {
+    val ms = TokenRe.findAllMatchIn(tokenizer).toVector
+    if (ms.isEmpty) throw CompileError(s"invalid dissect tokenizer: $tokenizer")
+
+    val delims = mutable.ArrayBuffer.empty[String]
+    val fields = mutable.ArrayBuffer.empty[Field]
+
+    ms.zipWithIndex.foreach { case (m, id) =>
+      val delim = m.group(1)
+      val rawKey = m.group(2)
+      delims += delim
+      fields += parseField(id, rawKey, delim)
+    }
+    val tail = tokenizer.substring(ms.last.end)
+    if (tail.nonEmpty) delims += tail
+
+    // greedy lives on the delimiter *preceding* the greedy field: during
+    // extraction it widens the search for the *next* delimiter.
+    val greedy = Array.fill(delims.length)(false)
+    fields.foreach(f => if (f.greedy) greedy(f.id) = true)
+
+    // stable sort by ordinal so append parts join left-to-right
+    val sorted = fields.toArray.sortBy(_.ordinal)
+
+    validate(fields.toVector)
+    new Dissector(tokenizer, delims.toArray, greedy, fields.toArray, sorted)
+  }
+
+  private def parseField(id: Int, rawKey: String, prevDelim: String): Field = {
+    if (rawKey.isEmpty) return Field(id, "", Skip, 0, greedy = false, prevDelim)
+    val m = SuffixRe
+      .findFirstMatchIn(rawKey)
+      .getOrElse(throw CompileError(s"bad field: %{$rawKey}"))
+    val base = m.group(1)
+    val ordinal = Option(m.group(2)).map(_.toInt).getOrElse(0)
+    val greedy = m.group(3) != null
+    if (base.startsWith("+&") || base.startsWith("&+"))
+      throw CompileError(s"mixed prefix in %{$rawKey}")
+    val (kind, key) = base.charAt(0) match {
+      case '?' => (NamedSkip, base.substring(1))
+      case '*' => (Pointer, base.substring(1))
+      case '+' => (Append, base.substring(1))
+      case '&' => (Indirect, base.substring(1))
+      case _   => (Normal, base)
+    }
+    if (key.isEmpty) throw CompileError(s"empty key in %{$rawKey}")
+    Field(id, key, kind, ordinal, greedy, prevDelim)
+  }
+
+  private def validate(fields: Vector[Field]): Unit = {
+    if (!fields.exists(_.saveable))
+      throw CompileError("tokenizer defines no saveable field")
+    val refs = fields.collect { case f if f.kind == Pointer || f.kind == NamedSkip => f.key }.toSet
+    fields.filter(_.kind == Indirect).foreach { f =>
+      if (!refs.contains(f.key))
+        throw CompileError(s"indirect field %{&${f.key}} has no matching pointer/named-skip")
+    }
+  }
+}
+
+final class Dissector private (
+    val tokenizer: String,
+    delims: Array[String],
+    greedy: Array[Boolean],
+    fieldsInOrder: Array[Dissector.Field],
+    sortedFields: Array[Dissector.Field]
+) extends Serializable {
+  import Dissector._
+
+  /** Returns Right(extracted key→value map) or Left(error). */
+  def dissect(s: String): Either[String, Map[String, String]] = {
+    if (s == null || s.isEmpty) Left("empty string provided")
+    else
+      extract(s) match {
+        case None      => Left("parsing failure")
+        case Some(pos) => Right(resolve(s, pos))
+      }
+  }
+
+  /** Find (start, end) spans for each field, by appearance index. */
+  private def extract(s: String): Option[Array[Long]] = {
+    val n = fieldsInOrder.length
+    val pos = new Array[Long](n) // packed (start<<32)|end, default (0,0)
+    val first = delims(0)
+    if (s.indexOf(first) != 0) return None
+    var offset = first.length
+    var i = 0
+    var di = 0
+    while (di + 1 < delims.length) {
+      val next = delims(di + 1)
+      val start = offset
+      val end = s.indexOf(next, offset)
+      if (end < 0) return None
+      offset = end
+      if (greedy(di)) {
+        // consume repeated occurrences of the following delimiter (padding)
+        var cont = true
+        while (cont) {
+          val lookahead = s.indexOf(next, offset + 1)
+          if (lookahead != offset + 1) cont = false else offset = lookahead
+        }
+      }
+      pos(i) = (start.toLong << 32) | (end.toLong & 0xffffffffL)
+      offset += next.length
+      i += 1
+      di += 1
+    }
+    // trailing field takes the remainder
+    if (offset < s.length && i < n)
+      pos(i) = (offset.toLong << 32) | (s.length.toLong & 0xffffffffL)
+    Some(pos)
+  }
+
+  private def resolve(s: String, pos: Array[Long]): Map[String, String] = {
+    val m = mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    while (i < sortedFields.length) {
+      val f = sortedFields(i)
+      val p = pos(f.id)
+      val v = s.substring((p >> 32).toInt, (p & 0xffffffffL).toInt)
+      f.kind match {
+        case Normal | NamedSkip | Pointer => m(f.key) = v
+        case Skip                         => ()
+        case Indirect =>
+          m.get(f.key).foreach(target => m(target) = v)
+        case Append =>
+          m.get(f.key) match {
+            case Some(prev) =>
+              val join = if (f.prevDelim.isEmpty) " " else f.prevDelim
+              m(f.key) = prev + join + v
+            case None => m(f.key) = v
+          }
+      }
+      i += 1
+    }
+    // reference fields (pointer / named-skip) are not emitted
+    fieldsInOrder.foreach { f =>
+      if (!f.saveable && f.key.nonEmpty && f.kind != Skip) m.remove(f.key)
+    }
+    m.toMap
+  }
+}
+
+/** Spark-facing dissect column functions. */
+object DissectFunctions {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** `dissect(tokenizer)(textCol)` → STRUCT<fields: MAP<STRING,STRING>, error: STRING>.
+    * The tokenizer is compiled once on the driver and shipped in the UDF
+    * closure (mirrors Beats' compile-at-startup, dissect.go:143-154).
+    */
+  def dissect(tokenizer: String): Column => Column = {
+    val d = Dissector.compile(tokenizer)
+    val f = udf { (s: String) =>
+      d.dissect(s) match {
+        case Right(m)  => (m, null: String)
+        case Left(err) => (null: Map[String, String], err)
+      }
+    }
+    (c: Column) => f(c).cast("struct<fields:map<string,string>,error:string>")
+  }
+}

@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.parse.DissectFunctions
+
+/** Manual smoke driver: exercises the library end-to-end over the
+  * driver-provided testdata. `sbt "runMain graft.tools.Smoke"`.
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-smoke")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    // Build a log-line-shaped column, then dissect it back apart.
+    val lines = events.select(
+      concat(lit("type="), col("event_type"), lit(" id="), col("event_id"),
+        lit(" user="), col("user_id")).as("line"))
+    val parsed = lines.select(
+      col("line"),
+      DissectFunctions.dissect("type=%{type} id=%{id} user=%{user}")(col("line")).as("d"))
+    parsed.select(col("d.fields")("type").as("type"), col("d.fields")("id"), col("d.error")).show(5, false)
+
+    val failures = lines
+      .withColumn("line", regexp_replace(col("line"), "^type=", "CORRUPT|"))
+      .select(DissectFunctions.dissect("type=%{type} id=%{id} user=%{user}")(col("line")).as("d"))
+      .where(col("d.error").isNotNull)
+    println(s"rows=${lines.count()} forced-corrupt-failures=${failures.count()}")
+    spark.stop()
+  }
+}

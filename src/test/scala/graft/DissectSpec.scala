@@ -1,0 +1,156 @@
+package graft
+
+import graft.parse.Dissector
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden corpus ported from the reference's public Apache-2.0 test
+  * vectors (libbeat/processors/dissect/testdata/dissect_tests.json) plus
+  * seeded round-trip properties (SURVEY.md §5.2).
+  */
+class DissectSpec extends AnyFunSuite {
+
+  private def ok(tok: String, msg: String, expected: Map[String, String]): Unit = {
+    val got = Dissector.compile(tok).dissect(msg)
+    assert(got == Right(expected), s"tok=`$tok` msg=`$msg` got=$got")
+  }
+  private def fails(tok: String, msg: String): Unit = {
+    val got = Dissector.compile(tok).dissect(msg)
+    assert(got.isLeft, s"tok=`$tok` msg=`$msg` expected failure, got=$got")
+  }
+
+  test("remaining data after all fields captured") {
+    ok(
+      "level=%{level} ts=%{timestamp} caller=%{caller} msg=\"%{message}\"",
+      "level=info ts=2018-06-27T17:19:13.036579993Z caller=main.go:222 msg=\"Starting OK\" version=\"(version=2.3.1, branch=HEAD, revision=188ca45bd85ce843071e768d855722a9d9dabe03)\"}",
+      Map(
+        "level" -> "info",
+        "timestamp" -> "2018-06-27T17:19:13.036579993Z",
+        "caller" -> "main.go:222",
+        "message" -> "Starting OK"
+      )
+    )
+  }
+
+  test("complex multi-line stack trace: trailing key takes remainder") {
+    val trace = "Error parsing HTTP request header\n Note: further occurrences will be logged at DEBUG level.\n java.lang.IllegalArgumentException: Invalid character\n    at org.apache.coyote.http11.Http11InputBuffer.parseRequestLine(Http11InputBuffer.java:426)\n    at java.lang.Thread.run(Thread.java:748)"
+    ok(
+      "%{day}-%{month}-%{year} %{hour} %{severity} [%{thread_id}] %{origin} %{message}",
+      s"18-Apr-2018 06:53:20.411 INFO [http-nio-8080-exec-1] org.apache.coyote.http11.Http11Processor.service $trace",
+      Map(
+        "day" -> "18", "month" -> "Apr", "year" -> "2018",
+        "hour" -> "06:53:20.411", "severity" -> "INFO",
+        "thread_id" -> "http-nio-8080-exec-1",
+        "origin" -> "org.apache.coyote.http11.Http11Processor.service",
+        "message" -> trace
+      )
+    )
+  }
+
+  test("fails when delimiter not found at beginning") {
+    fails("/var/log/%{key}.log", "foobar")
+  }
+  test("fails when delimiter not found after key") {
+    fails("/var/log/%{key}.log", "/var/log/foobar")
+  }
+  test("simple dissect") { ok("%{key}", "foobar", Map("key" -> "foobar")) }
+  test("two fields") {
+    ok("%{key1} %{key2}", "foo bar", Map("key1" -> "foo", "key2" -> "bar"))
+  }
+  test("one level not end of string") {
+    ok("/var/%{key}/log", "/var/foobar/log", Map("key" -> "foobar"))
+  }
+  test("trailing key takes rest") {
+    ok("/var/%{key}", "/var/foobar/log", Map("key" -> "foobar/log"))
+  }
+  test("multiple keys end of string") {
+    ok("/var/%{key}/log/%{key1}", "/var/foobar/log/apache", Map("key" -> "foobar", "key1" -> "apache"))
+  }
+  test("multiple keys not end of string") {
+    ok("/var/%{key}/log/%{key1}.log", "/var/foobar/log/apache.log", Map("key" -> "foobar", "key1" -> "apache"))
+  }
+  test("append ordered by ordinal") {
+    ok("%{+key/3} %{+key/1} %{+key/2}", "1 2 3", Map("key" -> "2 3 1"))
+  }
+  test("simple append joins with preceding delimiter") {
+    ok("%{key}-%{+key}-%{+key}", "1-2-3", Map("key" -> "1-2-3"))
+  }
+  test("named skip with indirect") {
+    ok("%{?key} %{&key}", "hello world", Map("hello" -> "world"))
+  }
+  test("skip field") { ok("%{} %{key}", "hello world", Map("key" -> "world")) }
+  test("pointer with indirect") {
+    ok("%{*key} %{&key}", "hello world", Map("hello" -> "world"))
+  }
+  test("missing (empty) fields between delimiters") {
+    ok(
+      "%{name},%{addr1},%{addr2},%{addr3},%{city},%{zip}",
+      "Jane Doe,4321 Fifth Avenue,,,New York,87432",
+      Map(
+        "name" -> "Jane Doe", "addr1" -> "4321 Fifth Avenue",
+        "addr2" -> "", "addr3" -> "", "city" -> "New York", "zip" -> "87432"
+      )
+    )
+  }
+  test("ignore right padding") {
+    ok(
+      "%{id} %{function->} %{server}",
+      "00000043 ViewReceive     machine-321",
+      Map("id" -> "00000043", "function" -> "ViewReceive", "server" -> "machine-321")
+    )
+  }
+  test("padding on the last key needs a delimiter") {
+    ok(
+      "%{id} %{function} %{server->} ",
+      "00000043 ViewReceive machine-321    ",
+      Map("id" -> "00000043", "function" -> "ViewReceive", "server" -> "machine-321")
+    )
+  }
+  test("ignore left padding") {
+    ok(
+      "%{id->} %{function} %{server}",
+      "00000043    ViewReceive machine-321",
+      Map("id" -> "00000043", "function" -> "ViewReceive", "server" -> "machine-321")
+    )
+  }
+  test("delimiters containing { and }") {
+    ok("{%{a}}{%{b}} %{rest}", "{c}{d} anything", Map("a" -> "c", "b" -> "d", "rest" -> "anything"))
+  }
+
+  test("empty input is an error") {
+    assert(Dissector.compile("%{key}").dissect("").isLeft)
+  }
+
+  test("the transcript envelope tokenizer") {
+    ok(
+      "%{level} [%{component}] %{body}",
+      "ERROR [comp-3] evt=error id=42",
+      Map("level" -> "ERROR", "component" -> "comp-3", "body" -> "evt=error id=42")
+    )
+    fails("%{level} [%{component}] %{body}", "CORRUPT|no envelope here")
+  }
+
+  // --- seeded round-trip properties -----------------------------------
+
+  test("property: render(fields) round-trips through dissect (200 seeded cases)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(6)
+      // values must not contain the delimiter for a clean round-trip
+      val words = (1 to n).map(_ => (1 + rnd.nextInt(10)).toString + rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString)
+      val keys = words.indices.map(i => s"k$i")
+      val tok = keys.map(k => s"%{$k}").mkString("|")
+      val msg = words.mkString("|")
+      val expected = keys.zip(words).toMap
+      assert(Dissector.compile(tok).dissect(msg) == Right(expected), s"tok=$tok msg=$msg")
+    }
+  }
+
+  test("property: parse failure when first delimiter missing (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val d = Dissector.compile("PREFIX-%{k}")
+    (1 to 100).foreach { _ =>
+      val w = rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString
+      assert(d.dissect(w).isLeft != w.startsWith("PREFIX-"))
+    }
+  }
+}
