@@ -1,0 +1,50 @@
+package graft.agg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's aggregation surface (SURVEY.md §2.8), as Spark
+  * aggregations. These are the exact-match targets of the north rule:
+  * per-sink routed-row counts and aggregate totals.
+  */
+object Aggregates {
+
+  /** Pipeline monitoring counters — per-sink routed-row counts
+    * (libbeat/publisher/pipeline/monitoring.go:81-97). Map-side partial
+    * aggregation makes this shuffle tiny (|sinks| rows).
+    */
+  def perSinkCounts(df: DataFrame): DataFrame =
+    df.groupBy("sink").agg(count(lit(1)).as("rows"))
+      .orderBy("sink")
+
+  /** Metricbeat-style periodic counters: tumbling window per (sink, role)
+    * (mb/module/wrapper.go:204-220 — gauges fetched every `period`).
+    */
+  def windowedCounters(df: DataFrame, period: String = "1 hour"): DataFrame =
+    df.groupBy(
+        col("sink"),
+        window(col("ts"), period).getField("start").as("window_start"),
+        col("role"))
+      .agg(
+        count(lit(1)).as("rows"),
+        countDistinct(col("conv_id")).as("convs"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"))
+
+  /** Packetbeat-flows analog: tumbling report windows, default 10s
+    * (packetbeat/flows/flows.go:40-41).
+    */
+  def flowCounters(df: DataFrame, keyCol: String, period: String = "10 seconds"): DataFrame =
+    df.groupBy(window(col("ts"), period).getField("start").as("window_start"), col(keyCol))
+      .agg(count(lit(1)).as("rows"))
+
+  /** Registrar state fold: per-source max-offset merge — mergeStates keeps
+    * max Offset and the row at that offset (filebeat/registrar/registrar.go:203-239).
+    * Our "file" is the conversation; "offset" is turn_idx.
+    */
+  def registrarFold(df: DataFrame): DataFrame =
+    df.groupBy("conv_id").agg(
+      max(col("turn_idx")).as("offset"),
+      max_by(col("ts"), col("turn_idx")).as("last_ts"),
+      count(lit(1)).as("turns"))
+}

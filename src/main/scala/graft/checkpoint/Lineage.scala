@@ -1,0 +1,118 @@
+package graft.checkpoint
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets
+
+/** Per-partition lineage checkpoint — the registrar rebuilt for Spark
+  * (SURVEY.md §2.15; filebeat/registrar/registrar.go).
+  *
+  * The unit of work is a *bucket* (hash bucket of conv_id). One commit
+  * record per completed bucket, written atomically (serialize to a temp
+  * file, fsync-equivalent, rename — mirroring registrar.writeRegistry,
+  * registrar.go:373-425). Resume = the set difference between all buckets
+  * and committed buckets; data writes are idempotent per-(sink,bucket)
+  * dynamic-partition overwrites, so re-running an uncommitted bucket is
+  * safe: Beats' at-least-once upgrades to effective exactly-once.
+  *
+  * Uses the Hadoop FileSystem API so the same code runs on HDFS/S3A on a
+  * real cluster (rename is atomic on HDFS; on S3A substitute a manifest
+  * commit — the layout keeps that swap local to this file).
+  */
+final case class LineageRecord(
+    runId: String,
+    bucket: Int,
+    inputFingerprint: String,
+    rowCount: Long,
+    perSinkCounts: Map[String, Long],
+    parseErrors: Long,
+    committedAt: String
+)
+
+final class Lineage(spark: SparkSession, outDir: String) {
+  private val dir = new Path(outDir, "_lineage")
+  private def fs: FileSystem = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def commitPath(bucket: Int) = new Path(dir, f"bucket-$bucket%05d.json")
+
+  def committedBuckets(): Set[Int] = {
+    if (!fs.exists(dir)) return Set.empty
+    fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("bucket-") && n.endsWith(".json") =>
+        n.stripPrefix("bucket-").stripSuffix(".json").toInt
+      }
+      .toSet
+  }
+
+  /** Atomic per-bucket commit: write tmp, rename into place. */
+  def commit(rec: LineageRecord): Unit = {
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-bucket-${rec.bucket}-${rec.runId}")
+    val out = fs.create(tmp, true)
+    try out.write(toJson(rec).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val target = commitPath(rec.bucket)
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"lineage commit rename failed for bucket ${rec.bucket}")
+  }
+
+  def readAll(): Seq[LineageRecord] = {
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .filter(s => s.getPath.getName.startsWith("bucket-"))
+      .sortBy(_.getPath.getName)
+      .map { s =>
+        val in = fs.open(s.getPath)
+        val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
+        fromJson(new String(bytes, StandardCharsets.UTF_8))
+      }
+  }
+
+  /** registrar.resetStates analog: drop all commits (forces full re-run). */
+  def reset(): Unit = if (fs.exists(dir)) fs.delete(dir, true)
+
+  /** Drop a specific bucket's commit (test hook for crash simulation). */
+  def invalidate(bucket: Int): Unit = {
+    val p = commitPath(bucket)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  // minimal hand-rolled JSON (keys are controlled; values escaped)
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  private def toJson(r: LineageRecord): String = {
+    val sinks = r.perSinkCounts.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    s"""{"run_id":${q(r.runId)},"bucket":${r.bucket},"input_fingerprint":${q(r.inputFingerprint)},""" +
+      s""""row_count":${r.rowCount},"per_sink_counts":$sinks,"parse_errors":${r.parseErrors},""" +
+      s""""committed_at":${q(r.committedAt)}}"""
+  }
+
+  private def fromJson(s: String): LineageRecord = {
+    def str(key: String): String = {
+      val m = ("\"" + key + "\":\"([^\"]*)\"").r.findFirstMatchIn(s)
+      m.map(_.group(1)).getOrElse("")
+    }
+    def num(key: String): Long = {
+      val m = ("\"" + key + "\":(-?\\d+)").r.findFirstMatchIn(s)
+      m.map(_.group(1).toLong).getOrElse(0L)
+    }
+    val sinksRe = "\"per_sink_counts\":\\{([^}]*)\\}".r
+    val sinks = sinksRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("") match {
+      case "" => Map.empty[String, Long]
+      case body =>
+        body.split(",").iterator.map { kv =>
+          val Array(k, v) = kv.split(":", 2)
+          k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
+        }.toMap
+    }
+    LineageRecord(str("run_id"), num("bucket").toInt, str("input_fingerprint"),
+      num("row_count"), sinks, num("parse_errors"), str("committed_at"))
+  }
+}

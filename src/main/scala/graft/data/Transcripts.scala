@@ -1,0 +1,127 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic transcript synthesis (FIXTURES.md §1).
+  *
+  * Two sources of the `(conv_id, turn_idx, role, text, tool, ts)` table:
+  *
+  *  - `synthesize(n, seed)` — fully distributed generation from
+  *    `spark.range(n)`: every column is a pure function of (id, seed), so
+  *    any parallelism level produces identical rows (the precondition for
+  *    the two-parallelism scaling run and byte-equality checks). One hot
+  *    conversation (`conv-hot`) owns ~2% of all rows to exercise the
+  *    salting/bucketing path; ~1% of rows violate the text envelope to
+  *    exercise the dissect-failure path
+  *    (libbeat/processors/dissect/processor.go:30,64-74).
+  *
+  *  - `fromEvents(dir)` — derives the same shape from the driver-provided
+  *    `events` parquet with transforms that are expressible 1:1 in ANSI
+  *    SQL, so the DuckDB oracle can reproduce it exactly (the driver's
+  *    correctness gate).
+  */
+object Transcripts {
+
+  /** Turns per conversation block. */
+  val TurnsPerConv = 25
+  /** Every Nth conversation block is folded into the hot conversation. */
+  val HotEvery = 50
+
+  def synthesize(spark: SparkSession, n: Long, seed: Long = 42L, corruptPct: Int = 1): DataFrame = {
+    val df = spark.range(n)
+    val id = col("id")
+    def h(salt: String) = xxhash64(id, lit(seed), lit(salt))
+    val blockSeq = (id / TurnsPerConv).cast("long")
+    val posInBlock = (id % TurnsPerConv).cast("int")
+    val isHot = blockSeq % HotEvery === 0
+
+    val convId = when(isHot, lit("conv-hot"))
+      .otherwise(concat(lit("conv-"), lpad(blockSeq.cast("string"), 7, "0")))
+    // dense 0-based turn index, also inside the hot conversation
+    val turnIdx = when(isHot, ((blockSeq / HotEvery) * TurnsPerConv).cast("int") + posInBlock)
+      .otherwise(posInBlock)
+
+    val roleIdx = pmod(h("role"), lit(10))
+    val role = when(roleIdx < 4, "user")
+      .when(roleIdx < 8, "assistant")
+      .when(roleIdx < 9, "system")
+      .otherwise("tool")
+    val tool = when(role === "tool", concat(lit("tool-"), pmod(h("tool"), lit(12)).cast("string")))
+      .otherwise(lit(null).cast("string"))
+
+    val levelH = pmod(h("level"), lit(100))
+    val level = when(levelH < 5, "ERROR").when(levelH < 20, "WARN").otherwise("INFO")
+    val component = concat(lit("comp-"), pmod(h("comp"), lit(5)).cast("string"))
+    val body = concat(
+      lit("evt="), convId, lit(" turn="), turnIdx.cast("string"),
+      lit(" msg="), hex(h("msg")))
+    val corrupt = pmod(h("corrupt"), lit(100)) < corruptPct
+    val text = when(corrupt, concat(lit("CORRUPT|"), body))
+      .otherwise(concat(level, lit(" ["), component, lit("] "), body))
+
+    // base 2025-01-01T00:00:00Z + conv-seq minutes + turn seconds
+    val baseEpoch = 1735689600L
+    val ts = timestamp_seconds(lit(baseEpoch) + blockSeq * 60 + posInBlock)
+
+    df.select(
+      convId.as("conv_id"),
+      turnIdx.as("turn_idx"),
+      role.as("role"),
+      text.as("text"),
+      tool.as("tool"),
+      ts.as("ts"))
+  }
+
+  /** Spark half of the events→transcripts derivation; `oracleSqlView`
+    * below is its DuckDB twin. Keep the two in lockstep.
+    */
+  def fromEvents(spark: SparkSession, dir: String): DataFrame = {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    fromEventsDf(events)
+  }
+
+  def fromEventsDf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val role = when(col("event_type") === "click", "user")
+      .when(col("event_type") === "view", "assistant")
+      .when(col("event_type") === "signup", "system")
+      .otherwise(lit("tool"))
+    val level = when(col("event_type") === "error", "ERROR")
+      .when(col("event_type") === "signup", "WARN")
+      .otherwise(lit("INFO"))
+    val component = concat(lit("comp-"), (col("user_id") % 5).cast("string"))
+    val body = concat(
+      lit("evt="), col("event_type"),
+      lit(" id="), col("event_id").cast("string"),
+      lit(" k="), regexp_extract(col("props"), "[0-9]+", 0))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    events.select(
+      concat(lit("conv-"), col("user_id").cast("string")).as("conv_id"),
+      (row_number().over(w) - 1).cast("int").as("turn_idx"),
+      role.as("role"),
+      when(col("event_id") % 97 === 0, concat(lit("CORRUPT|"), body))
+        .otherwise(concat(level, lit(" ["), component, lit("] "), body)).as("text"),
+      when(role === "tool", concat(lit("tool-"), (col("event_id") % 12).cast("string")))
+        .otherwise(lit(null).cast("string")).as("tool"),
+      col("ts").as("ts"))
+  }
+
+  /** DuckDB CTE body equivalent to fromEvents — splice into oracle SQL as
+    * `WITH transcripts AS (<this>) SELECT ...`.
+    */
+  val oracleSqlView: String =
+    """SELECT
+      |  'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INTEGER) AS turn_idx,
+      |  CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'assistant' WHEN 'signup' THEN 'system' ELSE 'tool' END AS role,
+      |  CASE WHEN event_id % 97 = 0
+      |    THEN 'CORRUPT|' || 'evt=' || event_type || ' id=' || CAST(event_id AS VARCHAR) || ' k=' || regexp_extract(props, '[0-9]+')
+      |    ELSE (CASE event_type WHEN 'error' THEN 'ERROR' WHEN 'signup' THEN 'WARN' ELSE 'INFO' END)
+      |      || ' [comp-' || CAST(user_id % 5 AS VARCHAR) || '] '
+      |      || 'evt=' || event_type || ' id=' || CAST(event_id AS VARCHAR) || ' k=' || regexp_extract(props, '[0-9]+')
+      |  END AS text,
+      |  CASE WHEN event_type IN ('purchase','error') THEN 'tool-' || CAST(event_id % 12 AS VARCHAR) END AS tool,
+      |  ts AS ts
+      |FROM events""".stripMargin
+}

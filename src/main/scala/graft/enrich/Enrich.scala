@@ -1,0 +1,70 @@
+package graft.enrich
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Enrichment stage: the Spark rendering of Beats' add-metadata
+  * processors. Every reference enrich is a bounded-size lookup against
+  * cached side data (add_docker_metadata.go:120-236, dns/cache.go,
+  * outil mapSelector translate tables) — i.e. a broadcast hash join /
+  * literal-map lookup; never a shuffle (SURVEY.md §2.9).
+  */
+object Enrich {
+
+  /** Broadcast lookup join — the `add_docker_metadata` template: left
+    * outer so a failed cache lookup leaves the event unenriched (nulls).
+    */
+  def lookupJoin(df: DataFrame, lookup: DataFrame, key: String): DataFrame =
+    df.join(broadcast(lookup), Seq(key), "left")
+
+  /** `add_fields` / global `fields:` — constant columns merged into every
+    * event (publisher/pipeline/processor.go:263-291). Existing columns are
+    * NOT overwritten (union-without-overwrite, processor.go:220-231).
+    */
+  def addFields(df: DataFrame, fields: Map[String, Any]): DataFrame =
+    fields.foldLeft(df) { case (d, (name, value)) =>
+      if (d.columns.contains(name)) d else d.withColumn(name, lit(value))
+    }
+
+  /** `add_tags` — append to a string-array column, deduplicating like
+    * AddTagsWithKey (libbeat/common/mapstr.go:307-342).
+    */
+  def addTags(df: DataFrame, tags: Seq[String], tagsCol: String = "tags"): DataFrame = {
+    val t = typedLit(tags)
+    if (df.columns.contains(tagsCol))
+      df.withColumn(tagsCol, array_union(coalesce(col(tagsCol), typedLit(Seq.empty[String])), t))
+    else df.withColumn(tagsCol, t)
+  }
+
+  /** translate via a small literal map (outil mapSelector) — ANSI-safe. */
+  def translate(keyCol: Column, table: Map[String, String], default: Option[String] = None): Column = {
+    val looked = try_element_at(typedLit(table), keyCol.cast("string"))
+    default.map(d => coalesce(looked, lit(d))).getOrElse(looked)
+  }
+
+  // --- the fixture lookup tables (FIXTURES.md §2) -----------------------
+
+  /** role → (role_kind, billable); 4 rows, broadcast side. */
+  def roleMeta(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("user", "human", true),
+      ("assistant", "model", true),
+      ("system", "control", false),
+      ("tool", "machine", false)
+    ).toDF("role", "role_kind", "billable")
+  }
+
+  /** tool → (tool_family, is_sandboxed); ~12 rows, broadcast side. */
+  def toolMeta(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until 12).map { i =>
+      val family = i % 3 match {
+        case 0 => "search"
+        case 1 => "exec"
+        case _ => "io"
+      }
+      (s"tool-$i", family, i % 2 == 0)
+    }.toDF("tool", "tool_family", "is_sandboxed")
+  }
+}

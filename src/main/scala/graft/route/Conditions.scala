@@ -1,0 +1,100 @@
+package graft.route
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Condition AST mirroring the reference's `conditions` package
+  * (libbeat/conditions/conditions.go:30-97). Key Beats semantic, kept
+  * exactly: a missing field makes every *leaf* condition false (each leaf
+  * returns false on GetValue error) — combinators then compose over those
+  * booleans, so `not(contains(missing))` is true. Spark nulls would
+  * propagate differently, so every leaf is wrapped in
+  * `coalesce(expr, false)` (SURVEY.md §7.4.2).
+  */
+sealed trait Cond extends Serializable
+
+object Cond {
+  /** equals: typed equality per field (conditions/equals.go:30-103). */
+  final case class Equals(field: String, value: Any) extends Cond
+  /** contains: substring match (conditions/matcher.go:39-107). */
+  final case class Contains(field: String, value: String) extends Cond
+  /** regexp: compiled regex match (conditions/matcher.go). */
+  final case class Regexp(field: String, pattern: String) extends Cond
+  /** range: gte/gt/lte/lt, float-coerced (conditions/range.go:28-150). */
+  final case class Range(
+      field: String,
+      gte: Option[Double] = None,
+      gt: Option[Double] = None,
+      lte: Option[Double] = None,
+      lt: Option[Double] = None
+  ) extends Cond
+  /** has_fields: all listed fields present (conditions/has_fields.go:27-43). */
+  final case class HasFields(fields: Seq[String]) extends Cond
+  final case class And(cs: Seq[Cond]) extends Cond
+  final case class Or(cs: Seq[Cond]) extends Cond
+  final case class Not(c: Cond) extends Cond
+}
+
+object Conditions {
+  import Cond._
+
+  /** Resolve a Beats-style dotted field path against a DataFrame: a
+    * top-level column, or `col.key` reaching into a struct field / map key
+    * (the `parsed` map produced by dissect). Missing ⇒ None ⇒ leaf false.
+    */
+  def resolver(df: DataFrame): String => Option[Column] = {
+    val cols = df.columns.toSet
+    (path: String) =>
+      if (cols.contains(path)) Some(col(path))
+      else {
+        val i = path.indexOf('.')
+        if (i > 0 && cols.contains(path.substring(0, i)))
+          Some(col(path.substring(0, i))(path.substring(i + 1)))
+        else None
+      }
+  }
+
+  def toColumn(cond: Cond, resolve: String => Option[Column]): Column = {
+    def leaf(field: String)(f: Column => Column): Column =
+      resolve(field) match {
+        case Some(c) => coalesce(f(c), lit(false))
+        case None    => lit(false)
+      }
+    cond match {
+      case Equals(field, value) =>
+        value match {
+          case n: Int     => leaf(field)(c => try_cast(c, "long") === lit(n.toLong))
+          case n: Long    => leaf(field)(c => try_cast(c, "long") === lit(n))
+          case b: Boolean => leaf(field)(c => try_cast(c, "boolean") === lit(b))
+          case s: String  => leaf(field)(c => c.cast("string") === lit(s))
+          case other      => leaf(field)(c => c === lit(other))
+        }
+      case Contains(field, v) => leaf(field)(c => c.cast("string").contains(v))
+      case Regexp(field, p)   => leaf(field)(c => c.cast("string").rlike(p))
+      case Range(field, gte, gt, lte, lt) =>
+        leaf(field) { c =>
+          val d = try_cast(c, "double")
+          val checks = Seq(
+            gte.map(v => d >= v), gt.map(v => d > v),
+            lte.map(v => d <= v), lt.map(v => d < v)
+          ).flatten
+          require(checks.nonEmpty, s"empty range condition on $field")
+          checks.reduce(_ && _)
+        }
+      case HasFields(fields) =>
+        fields
+          .map(f => resolve(f).map(_.isNotNull).getOrElse(lit(false)))
+          .reduceOption(_ && _)
+          .getOrElse(lit(true))
+      case And(cs) => cs.map(toColumn(_, resolve)).reduceOption(_ && _).getOrElse(lit(true))
+      case Or(cs)  => cs.map(toColumn(_, resolve)).reduceOption(_ || _).getOrElse(lit(false))
+      case Not(c)  => !toColumn(c, resolve)
+    }
+  }
+
+  /** Convenience: condition over a concrete DataFrame. */
+  def toColumn(cond: Cond, df: DataFrame): Column = toColumn(cond, resolver(df))
+
+  /** `try_cast` helper usable on arbitrary columns (ANSI-safe). */
+  private def try_cast(c: Column, to: String): Column = c.try_cast(to)
+}

@@ -1,0 +1,75 @@
+package graft.route
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import scala.util.matching.Regex
+
+/** Event format strings — the `%{[field.path]}` interpolation language of
+  * `fmtstr.EventFormatString` (libbeat/common/fmtstr/formatevents.go:40-44,
+  * formatstring.go). Supported token forms:
+  *
+  *   - `%{[field.path]}`          field access (missing ⇒ whole string null,
+  *                                which a selector treats as "no match")
+  *   - `%{[field.path]:default}`  with default when field missing/null
+  *   - `%{+PATTERN}`              event-timestamp formatting (the daily-index
+  *                                `%{+yyyy.MM.dd}` suffix of
+  *                                elasticsearch/client.go:456-459)
+  *
+  * Compiled once into a `concat(...)` Column; constant strings fold to a
+  * literal (Catalyst ConstantFolding = fmtstr's IsConst pre-evaluation).
+  */
+object FormatStr {
+  private val TokenRe: Regex = "%\\{([^}]*)\\}".r
+
+  /** True when the format string references no fields. */
+  def isConst(fmt: String): Boolean = TokenRe.findFirstIn(fmt).isEmpty
+
+  /** Compile to a Column. `resolve` maps field paths to columns (see
+    * Conditions.resolver); `tsCol` feeds `%{+...}` timestamp tokens.
+    */
+  def column(
+      fmt: String,
+      resolve: String => Option[Column],
+      tsCol: Column = col("ts")
+  ): Column = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var last = 0
+    TokenRe.findAllMatchIn(fmt).foreach { m =>
+      if (m.start > last) parts += lit(fmt.substring(last, m.start))
+      val tok = m.group(1)
+      parts += compileToken(tok, resolve, tsCol)
+      last = m.end
+    }
+    if (last < fmt.length) parts += lit(fmt.substring(last))
+    if (parts.isEmpty) lit("")
+    else if (parts.length == 1) parts.head.cast("string")
+    else concat(parts.toSeq: _*)
+  }
+
+  private def compileToken(
+      tok: String,
+      resolve: String => Option[Column],
+      tsCol: Column
+  ): Column = {
+    if (tok.startsWith("+")) {
+      date_format(tsCol, tok.substring(1))
+    } else {
+      // [field.path] or [field.path]:default  (default may be empty)
+      val (ref, default) = {
+        val close = tok.indexOf(']')
+        if (tok.startsWith("[") && close > 0) {
+          val rest = tok.substring(close + 1)
+          val d = if (rest.startsWith(":")) Some(rest.substring(1)) else None
+          (tok.substring(1, close), d)
+        } else (tok, None) // bare %{field} tolerated
+      }
+      val c = resolve(ref).map(_.cast("string"))
+      (c, default) match {
+        case (Some(cc), Some(d)) => coalesce(cc, lit(d))
+        case (Some(cc), None)    => cc
+        case (None, Some(d))     => lit(d)
+        case (None, None)        => lit(null).cast("string")
+      }
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.route
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The output router — Spark rendering of `outil.Selector`
+  * (libbeat/outputs/outil/select.go): an ordered list of rules, each an
+  * optional condition gate + a format-string target + an optional
+  * value-translation table; the first rule producing a non-empty value
+  * wins; otherwise the default; otherwise null (the output drops the
+  * event, elasticsearch/client.go:366-389).
+  *
+  * First-non-empty-match-wins compiles to a single `coalesce` over
+  * null-gated candidates — one narrow projection, no shuffle.
+  */
+final case class Mappings(
+    table: Map[String, String], // mapSelector translate (select.go:369-387)
+    default: Option[String] = None // mappings `default:` (select.go:246-253)
+)
+
+final case class Rule(
+    target: String, // format string, e.g. "errors" or "sink-%{[role]}"
+    when: Option[Cond] = None, // condition gate (select.go:255-274)
+    mappings: Option[Mappings] = None
+)
+
+final case class RouterConfig(
+    rules: Seq[Rule],
+    default: Option[String] = None // single default rule (select.go:111-184)
+)
+
+object Router {
+
+  /** Compile the router to the `sink` Column for this DataFrame. */
+  def sinkColumn(cfg: RouterConfig, df: DataFrame): Column = {
+    val resolve = Conditions.resolver(df)
+
+    def ruleValue(r: Rule): Column = {
+      val raw = FormatStr.column(r.target, resolve)
+      val value = r.mappings match {
+        case Some(m) =>
+          // translate through the (small, driver-side) table; ANSI-safe
+          val mcol = try_element_at(typedLit(m.table), raw)
+          m.default match {
+            case Some(d) => when(raw.isNotNull, coalesce(mcol, lit(d)))
+            case None    => mcol
+          }
+        case None => raw
+      }
+      val gated = r.when match {
+        case Some(c) => when(Conditions.toColumn(c, resolve), value)
+        case None    => value
+      }
+      // empty string = "selector yielded nothing" ⇒ fall through
+      when(gated.isNotNull && gated =!= lit(""), gated)
+    }
+
+    val candidates = cfg.rules.map(ruleValue)
+    val withDefault = cfg.default match {
+      case Some(d) => candidates :+ nullif(FormatStr.column(d, resolve), lit(""))
+      case None    => candidates
+    }
+    withDefault.reduceOption(coalesce(_, _)).getOrElse(lit(null).cast("string"))
+  }
+
+  /** Route: append the `sink` column; rows with null sink are dropped
+    * (Beats: events whose selector yields empty are dropped by the output).
+    */
+  def route(cfg: RouterConfig, df: DataFrame, sinkCol: String = "sink"): DataFrame =
+    df.withColumn(sinkCol, sinkColumn(cfg, df)).where(col(sinkCol).isNotNull)
+}

@@ -1,0 +1,50 @@
+package graft.run
+
+import graft.data.Transcripts
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry for the north-star pipeline.
+  *
+  *   spark-submit --class graft.run.Main beatsspark.jar \
+  *     --out /data/out --n 10000000 --buckets 256 --waves 8 [--input <parquet>]
+  *
+  * Re-running with the same --out resumes past committed buckets
+  * (kill-resume semantics, SURVEY.md §2.15).
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val out = opts.getOrElse("--out", sys.error("--out required"))
+    val n = opts.getOrElse("--n", "1000000").toLong
+    val buckets = opts.getOrElse("--buckets", "32").toInt
+    val waves = opts.getOrElse("--waves", "4").toInt
+    val cores = opts.getOrElse("--cores", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val input = opts.get("--input")
+
+    val spark = SparkSession.builder()
+      .master(sys.props.getOrElse("spark.master", s"local[$cores]"))
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val df = input match {
+      case Some(path) => spark.read.parquet(path)
+      case None       => Transcripts.synthesize(spark, n)
+    }
+    val cfg = PipelineConfig(
+      buckets = buckets, waves = waves,
+      runId = s"run-${System.currentTimeMillis()}")
+    val t0 = System.nanoTime()
+    val res = Pipeline.run(spark, df, out, cfg,
+      inputFingerprint = input.getOrElse(s"synth(n=$n,seed=42)"))
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"run_id=${res.runId} rows=${res.totalRows} parse_errors=${res.parseErrors}")
+    println(s"per_sink=${res.perSinkCounts.toSeq.sortBy(_._1).mkString(", ")}")
+    println(s"buckets_run=${res.bucketsRun.size} buckets_resumed_past=${res.bucketsSkipped.size}")
+    println(f"seconds=$sec%.2f turns_per_sec=${res.totalRows / math.max(sec, 1e-9)}%.0f")
+    spark.stop()
+  }
+}

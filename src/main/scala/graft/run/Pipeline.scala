@@ -1,0 +1,183 @@
+package graft.run
+
+import graft.checkpoint.{Lineage, LineageRecord}
+import graft.enrich.Enrich
+import graft.parse.DissectFunctions
+import graft.route.{Cond, Router, RouterConfig, Rule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The north-star job: parse → enrich → route → aggregate over the
+  * transcript table, with salted conv_id bucketing, stable
+  * (conv_id, turn_idx) ordering, fan-out sink writes, and resumable
+  * per-bucket lineage (SURVEY.md §4 physical plan).
+  *
+  * Plan shape (one data shuffle):
+  *   Scan → dissect/enrich/route projections [narrow, codegen + 2 broadcast
+  *   joins] → Exchange on bucket = pmod(xxhash64(conv_id), B) → sort within
+  *   partitions (sink, bucket, conv_id, turn_idx) → single partitionBy
+  *   (sink, bucket) parquet write (fan-out in one pass) → footer-only
+  *   count read-back + tiny windowed-agg shuffle → lineage commit.
+  */
+final case class PipelineConfig(
+    tokenizer: String = "%{level} [%{component}] %{body}",
+    router: RouterConfig = Pipeline.defaultRouter,
+    buckets: Int = 32, // conv_id hash buckets (the salt space)
+    waves: Int = 4, // commit granularity: buckets processed in this many groups
+    windowPeriod: String = "1 hour",
+    hotConvs: Seq[String] = Seq("conv-hot"), // keys salted across sub-buckets
+    hotSaltChunk: Int = 1000, // contiguous turns per salted chunk
+    runId: String = "run-0"
+)
+
+final case class RunResult(
+    runId: String,
+    totalRows: Long,
+    perSinkCounts: Map[String, Long],
+    parseErrors: Long,
+    bucketsRun: Seq[Int],
+    bucketsSkipped: Seq[Int]
+)
+
+object Pipeline {
+
+  /** FIXTURES.md §3 router: ordered first-match rules. */
+  val defaultRouter: RouterConfig = RouterConfig(
+    rules = Seq(
+      Rule("errors", when = Some(Cond.Regexp("parsed.level", "ERR.*"))),
+      Rule("tool_calls", when = Some(Cond.Equals("role", "tool"))),
+      Rule("assistant", when = Some(Cond.And(Seq(
+        Cond.Equals("role", "assistant"),
+        Cond.Range("turn_idx", gte = Some(1.0))))))
+    ),
+    default = Some("events")
+  )
+
+  /** Parse stage: dissect the text envelope into `parsed`; on failure tag
+    * `flags: [dissect_parsing_error]` and leave the row intact
+    * (libbeat/processors/dissect/processor.go:64-74).
+    */
+  def parse(df: DataFrame, tokenizer: String): DataFrame = {
+    val d = DissectFunctions.dissect(tokenizer)(col("text"))
+    df.withColumn("_d", d)
+      .withColumn("parsed", col("_d.fields"))
+      .withColumn("flags",
+        when(col("_d.error").isNotNull, array(lit("dissect_parsing_error")))
+          .otherwise(array().cast("array<string>")))
+      .drop("_d")
+  }
+
+  /** Enrich stage: two broadcast lookup joins (role, tool metadata). */
+  def enrich(spark: SparkSession, df: DataFrame): DataFrame = {
+    val withRole = Enrich.lookupJoin(df, Enrich.roleMeta(spark), "role")
+    Enrich.lookupJoin(withRole, Enrich.toolMeta(spark), "tool")
+  }
+
+  /** Route stage: first-match sink column. */
+  def route(df: DataFrame, router: RouterConfig): DataFrame =
+    Router.route(router, df)
+
+  /** Salt/bucket on conv_id — mirrors Kafka's makeFieldsHashPartitioner
+    * (libbeat/outputs/kafka/partition.go:214-262): bucket =
+    * pmod(xxhash64(conv_id), B). Configured hot conversations are
+    * additionally salted by contiguous turn ranges so one huge
+    * conversation cannot serialize a task, while each chunk stays
+    * internally ordered by (conv_id, turn_idx).
+    */
+  def bucketed(df: DataFrame, cfg: PipelineConfig): DataFrame = {
+    val base = xxhash64(col("conv_id"))
+    val salted =
+      if (cfg.hotConvs.isEmpty) base
+      else when(col("conv_id").isin(cfg.hotConvs: _*),
+        base + (col("turn_idx").cast("long") / cfg.hotSaltChunk).cast("long"))
+        .otherwise(base)
+    df.withColumn("bucket", pmod(salted, lit(cfg.buckets.toLong)).cast("int"))
+  }
+
+  /** The full transform, no writes: what the streaming port would reuse.
+    * Bucket is computed first (it needs only conv_id/turn_idx) so a
+    * per-wave bucket filter prunes rows *before* the dissect UDF runs.
+    */
+  def transform(spark: SparkSession, input: DataFrame, cfg: PipelineConfig): DataFrame =
+    route(enrich(spark, parse(bucketed(input, cfg), cfg.tokenizer)), cfg.router)
+
+  /** Execute with per-bucket lineage; resumes past committed buckets. */
+  def run(
+      spark: SparkSession,
+      input: DataFrame,
+      outDir: String,
+      cfg: PipelineConfig,
+      inputFingerprint: String = ""
+  ): RunResult = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val lineage = new Lineage(spark, outDir)
+    val all = (0 until cfg.buckets).toSet
+    val committed = lineage.committedBuckets().intersect(all)
+    val pending = (all -- committed).toSeq.sorted
+
+    val transformed = transform(spark, input, cfg)
+    val dataDir = s"$outDir/data"
+    val aggDir = s"$outDir/agg_partial"
+
+    val waves = if (pending.isEmpty) Seq.empty
+      else pending.grouped(math.max(1, math.ceil(pending.size.toDouble / cfg.waves).toInt)).toSeq
+
+    waves.foreach { wave =>
+      val subset = transformed
+        .where(col("bucket").isin(wave: _*))
+        .repartition(cfg.buckets, col("bucket"))
+        .sortWithinPartitions("sink", "bucket", "conv_id", "turn_idx")
+      // fan-out to all sinks in ONE pass; ordering satisfies the writer's
+      // required (sink, bucket) prefix so no extra sort is inserted.
+      subset.write
+        .mode("overwrite")
+        .partitionBy("sink", "bucket")
+        .parquet(dataDir)
+
+      // Counts come from the *written* data: parquet footer reads only —
+      // this both produces the lineage metrics and validates the write.
+      val written = spark.read.parquet(dataDir).where(col("bucket").isin(wave: _*))
+      val counts = written.groupBy("bucket", "sink").count().collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      val errs = written
+        .where(array_contains(col("flags"), "dissect_parsing_error"))
+        .groupBy("bucket").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+      // windowed counters, partial per bucket (additive ⇒ resumable)
+      val partial = written
+        .groupBy(col("bucket"), col("sink"),
+          window(col("ts"), cfg.windowPeriod).getField("start").as("window_start"),
+          col("role"))
+        .agg(count(lit(1)).as("rows"), countDistinct(col("conv_id")).as("convs"))
+      partial.write.mode("overwrite").partitionBy("bucket").parquet(aggDir)
+
+      val now = java.time.Instant.now().toString
+      wave.foreach { b =>
+        val sinkCounts = counts.collect { case (`b`, sink, n) => sink -> n }.toMap
+        lineage.commit(LineageRecord(
+          cfg.runId, b, inputFingerprint,
+          sinkCounts.values.sum, sinkCounts, errs.getOrElse(b, 0L), now))
+      }
+    }
+
+    // merge partial aggregates into the final metrics table
+    if (pending.nonEmpty || committed.nonEmpty) {
+      val partials = spark.read.parquet(aggDir)
+      partials.groupBy("sink", "window_start", "role")
+        .agg(sum("rows").as("rows"), sum("convs").as("convs"))
+        .write.mode("overwrite").parquet(s"$outDir/metrics")
+    }
+
+    val records = lineage.readAll().filter(r => all.contains(r.bucket))
+    val perSink = records.flatMap(_.perSinkCounts.toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    RunResult(
+      cfg.runId,
+      records.map(_.rowCount).sum,
+      perSink,
+      records.map(_.parseErrors).sum,
+      pending,
+      committed.toSeq.sorted)
+  }
+}

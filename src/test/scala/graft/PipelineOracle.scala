@@ -1,0 +1,63 @@
+package graft
+
+import java.util.regex.Pattern
+
+/** Independent single-threaded reference interpreter mirroring Beats
+  * semantics (SURVEY.md §5.2): envelope parse (dissect semantics for the
+  * fixed tokenizer, done with plain string ops — NOT the production
+  * Dissector), missing-field-false conditions, first-match routing,
+  * per-sink counts, hourly windowed counters. The correctness oracle for
+  * PipelineSpec/ResumeSpec.
+  */
+object PipelineOracle {
+  final case class Row(
+      convId: String, turnIdx: Int, role: String, text: String,
+      tool: String, tsMillis: Long)
+
+  final case class Routed(row: Row, level: Option[String], sink: String, parseError: Boolean)
+
+  private val errRe = Pattern.compile("ERR.*")
+
+  /** dissect("%{level} [%{component}] %{body}") by hand. */
+  def parseText(t: String): Option[(String, String, String)] = {
+    val i = t.indexOf(" [")
+    if (i < 0) None
+    else {
+      val j = t.indexOf("] ", i + 2)
+      if (j < 0) None
+      else Some((t.substring(0, i), t.substring(i + 2, j), t.substring(j + 2)))
+    }
+  }
+
+  /** FIXTURES.md §3 rules, first match wins; regexp is unanchored find. */
+  def route(r: Row): Routed = {
+    val parsed = parseText(r.text)
+    val level = parsed.map(_._1)
+    val sink =
+      if (level.exists(l => errRe.matcher(l).find())) "errors"
+      else if (r.role == "tool") "tool_calls"
+      else if (r.role == "assistant" && r.turnIdx >= 1) "assistant"
+      else "events"
+    Routed(r, level, sink, parsed.isEmpty)
+  }
+
+  def perSinkCounts(rows: Seq[Row]): Map[String, Long] =
+    rows.map(route).groupBy(_.sink).map { case (k, v) => k -> v.size.toLong }
+
+  def parseErrors(rows: Seq[Row]): Long = rows.map(route).count(_.parseError).toLong
+
+  /** (sink, hour-window-start-millis, role) → (rows, distinct convs). */
+  def windowedCounters(rows: Seq[Row]): Map[(String, Long, String), (Long, Long)] =
+    rows.map(route).groupBy { rt =>
+      val hour = rt.row.tsMillis - java.lang.Math.floorMod(rt.row.tsMillis, 3600000L)
+      (rt.sink, hour, rt.row.role)
+    }.map { case (k, v) =>
+      k -> (v.size.toLong, v.map(_.row.convId).distinct.size.toLong)
+    }
+
+  /** rows of one sink in stable (conv_id, turn_idx) order. */
+  def sinkText(rows: Seq[Row], sink: String): Seq[(String, Int, String)] =
+    rows.map(route).filter(_.sink == sink)
+      .map(rt => (rt.row.convId, rt.row.turnIdx, rt.row.text))
+      .sortBy(t => (t._1, t._2))
+}

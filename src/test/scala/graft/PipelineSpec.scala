@@ -1,0 +1,109 @@
+package graft
+
+import graft.data.Transcripts
+import graft.run.{Pipeline, PipelineConfig}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end correctness vs the fold oracle (SURVEY.md §5.2): per-sink
+  * routed-row counts, aggregate totals, parse-error counts, windowed
+  * counters, and byte-equal text under stable (conv_id, turn_idx) order.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val N = 5000L
+  private lazy val input = Transcripts.synthesize(spark, N)
+  private lazy val oracleRows: Seq[PipelineOracle.Row] =
+    input.collect().toSeq.map { r =>
+      PipelineOracle.Row(
+        r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getTimestamp(5).getTime)
+    }
+
+  private lazy val out = TestSpark.tmpDir("pipe")
+  private lazy val result = Pipeline.run(
+    spark, input, out, PipelineConfig(buckets = 16, waves = 2, runId = "t1"))
+
+  test("synthesizer: deterministic, dense turn_idx, hot conversation present") {
+    val again = Transcripts.synthesize(spark, N)
+    assert(input.except(again).count() == 0 && again.except(input).count() == 0)
+    val hot = input.where($"conv_id" === "conv-hot").count()
+    assert(hot > N / 100 && hot < N / 10, s"hot rows = $hot")
+    // dense: per conversation, max(turn_idx) == count - 1
+    val gaps = input.groupBy("conv_id")
+      .agg(max("turn_idx").as("m"), count(lit(1)).as("c"))
+      .where($"m" =!= $"c" - 1).count()
+    assert(gaps == 0)
+  }
+
+  test("per-sink routed-row counts match the oracle exactly") {
+    assert(result.totalRows == N)
+    assert(result.perSinkCounts == PipelineOracle.perSinkCounts(oracleRows))
+  }
+
+  test("parse-error count matches the oracle (dissect failure path)") {
+    val expected = PipelineOracle.parseErrors(oracleRows)
+    assert(expected > 0, "fixture should inject parse failures")
+    assert(result.parseErrors == expected)
+  }
+
+  test("written data matches lineage counts (write validation)") {
+    val written = spark.read.parquet(s"$out/data")
+    val got = written.groupBy("sink").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == result.perSinkCounts)
+  }
+
+  test("windowed counters match the oracle") {
+    val metrics = spark.read.parquet(s"$out/metrics")
+    val got = metrics.collect().map { r =>
+      (r.getAs[String]("sink"), r.getAs[java.sql.Timestamp]("window_start").getTime,
+        r.getAs[String]("role")) ->
+        (r.getAs[Long]("rows"), r.getAs[Long]("convs"))
+    }.toMap
+    assert(got == PipelineOracle.windowedCounters(oracleRows))
+  }
+
+  test("per-turn text is byte-equal under stable (conv_id, turn_idx) order") {
+    val written = spark.read.parquet(s"$out/data")
+    for (sink <- result.perSinkCounts.keys) {
+      val got = written.where($"sink" === sink)
+        .select("conv_id", "turn_idx", "text")
+        .orderBy("conv_id", "turn_idx")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+      assert(got == PipelineOracle.sinkText(oracleRows, sink), s"sink=$sink")
+    }
+  }
+
+  test("rows are already (conv_id, turn_idx)-sorted inside each written file") {
+    val written = spark.read.parquet(s"$out/data")
+      .select(input_file_name().as("f"), $"conv_id", $"turn_idx")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    written.groupBy(_._1).foreach { case (f, rows) =>
+      val keys = rows.map(r => (r._2, r._3)).toSeq
+      assert(keys == keys.sorted, s"file $f not internally sorted")
+    }
+  }
+
+  test("hot conversation is salted across multiple buckets") {
+    val hotBuckets = Pipeline.bucketed(
+        input.where($"conv_id" === "conv-hot"),
+        PipelineConfig(buckets = 16, hotSaltChunk = 25))
+      .select("bucket").distinct().count()
+    assert(hotBuckets > 1, s"expected the hot conv to spread over buckets, got $hotBuckets")
+  }
+
+  test("bucket count does not change results (scaling determinism)") {
+    val out2 = TestSpark.tmpDir("pipe2")
+    val r2 = Pipeline.run(spark, input, out2,
+      PipelineConfig(buckets = 7, waves = 3, runId = "t2"))
+    assert(r2.perSinkCounts == result.perSinkCounts)
+    val a = spark.read.parquet(s"$out/data")
+      .select("conv_id", "turn_idx", "text", "sink")
+    val b = spark.read.parquet(s"$out2/data")
+      .select("conv_id", "turn_idx", "text", "sink")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+}

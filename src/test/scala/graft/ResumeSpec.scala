@@ -1,0 +1,56 @@
+package graft
+
+import graft.checkpoint.Lineage
+import graft.data.Transcripts
+import graft.run.{Pipeline, PipelineConfig}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registrar-style resume semantics (SURVEY.md §2.15): a killed run
+  * resumes from per-bucket lineage without reprocessing committed buckets,
+  * and re-running an uncommitted bucket is idempotent.
+  */
+class ResumeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val N = 3000L
+  private lazy val input = Transcripts.synthesize(spark, N)
+  private val cfg = PipelineConfig(buckets = 8, waves = 2, runId = "r1")
+
+  test("kill-resume: invalidated buckets re-run, committed buckets skipped, results identical") {
+    val out = TestSpark.tmpDir("resume")
+    val first = Pipeline.run(spark, input, out, cfg)
+    assert(first.bucketsRun.toSet == (0 until 8).toSet)
+
+    // simulate a crash that lost the lineage commits (but not the data)
+    // for half the buckets — the at-least-once window of registrar.go
+    val lineage = new Lineage(spark, out)
+    val lost = Seq(1, 3, 5, 7)
+    lost.foreach(lineage.invalidate)
+
+    val second = Pipeline.run(spark, input, out, cfg.copy(runId = "r2"))
+    assert(second.bucketsRun == lost, "resume must re-run exactly the uncommitted buckets")
+    assert(second.bucketsSkipped == Seq(0, 2, 4, 6))
+    assert(second.perSinkCounts == first.perSinkCounts, "idempotent re-run: no duplicates")
+    assert(second.totalRows == first.totalRows)
+
+    // written data identical after resume
+    val rows = spark.read.parquet(s"$out/data").count()
+    assert(rows == N)
+  }
+
+  test("fully committed run is a no-op resume") {
+    val out = TestSpark.tmpDir("resume2")
+    val first = Pipeline.run(spark, input, out, cfg)
+    val second = Pipeline.run(spark, input, out, cfg.copy(runId = "r3"))
+    assert(second.bucketsRun.isEmpty)
+    assert(second.perSinkCounts == first.perSinkCounts)
+  }
+
+  test("reset forces a full re-run") {
+    val out = TestSpark.tmpDir("resume3")
+    Pipeline.run(spark, input, out, cfg)
+    new Lineage(spark, out).reset()
+    val again = Pipeline.run(spark, input, out, cfg.copy(runId = "r4"))
+    assert(again.bucketsRun.toSet == (0 until 8).toSet)
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import graft.route._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Conditions + router golden tests (FIXTURES.md §3): ordered
+  * first-match-wins, missing-field ⇒ leaf false, mappings translate,
+  * format-string targets.
+  */
+class RouterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (conv_id, turn_idx, role, text, tool, level) — `parsed` map built below
+  private lazy val df = Seq(
+    ("c1", 0, "user", "INFO [comp-1] hello", null, "INFO"),
+    ("c1", 1, "assistant", "INFO [comp-2] hi", null, "INFO"),
+    ("c2", 0, "assistant", "ERROR [comp-1] boom", null, "ERROR"),
+    ("c2", 1, "tool", "INFO [comp-3] ran", "tool-3", "INFO"),
+    ("c3", 0, "assistant", "WARN [comp-0] meh", null, "WARN"),
+    ("c3", 1, "system", "ERRATA [comp-0] regex-prefix-match", null, "ERRATA"),
+    ("c4", 0, "tool", "ERROR [comp-2] tool err", "tool-7", "ERROR")
+  ).toDF("conv_id", "turn_idx", "role", "text", "tool", "level")
+    .withColumn("parsed", map(lit("level"), col("level")))
+    .withColumn("ts", to_timestamp(lit("2025-01-01 00:00:00")))
+    .drop("level")
+
+  private val cfg = RouterConfig(
+    rules = Seq(
+      Rule("errors", when = Some(Cond.Regexp("parsed.level", "ERR.*"))),
+      Rule("tool_calls", when = Some(Cond.Equals("role", "tool"))),
+      Rule("assistant", when = Some(Cond.And(Seq(
+        Cond.Equals("role", "assistant"),
+        Cond.Range("turn_idx", gte = Some(1.0))))))
+    ),
+    default = Some("events")
+  )
+
+  private def sinks(c: RouterConfig = cfg): Map[(String, Int), String] =
+    Router.route(c, df).select("conv_id", "turn_idx", "sink")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+
+  test("first-match-wins routing with default") {
+    assert(sinks() == Map(
+      ("c1", 0) -> "events", // user → default
+      ("c1", 1) -> "assistant", // assistant, turn_idx>=1
+      ("c2", 0) -> "errors", // ERROR level
+      ("c2", 1) -> "tool_calls",
+      ("c3", 0) -> "events", // WARN → default
+      ("c3", 1) -> "errors", // ERRATA matches ERR.* (unanchored find)
+      ("c4", 0) -> "errors" // ERROR beats tool rule: order sensitivity
+    ))
+  }
+
+  test("rule order matters: swapping puts c4/0 in tool_calls") {
+    val swapped = cfg.copy(rules = Seq(cfg.rules(1), cfg.rules(0), cfg.rules(2)))
+    assert(sinks(swapped)(("c4", 0)) == "tool_calls")
+  }
+
+  test("missing field makes the leaf false (null tool under equals)") {
+    val c = Cond.Equals("tool", "tool-3")
+    val hit = df.where(Conditions.toColumn(c, df)).select("conv_id", "turn_idx")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(hit == Set(("c2", 1)))
+  }
+
+  test("not(contains(missing)) is true — Beats tree composition") {
+    val c = Cond.Not(Cond.Contains("tool", "tool"))
+    val n = df.where(Conditions.toColumn(c, df)).count()
+    assert(n == 5) // all rows with null tool pass
+  }
+
+  test("condition over a completely absent field is false, even under has_fields") {
+    assert(df.where(Conditions.toColumn(Cond.Equals("nope", "x"), df)).count() == 0)
+    assert(df.where(Conditions.toColumn(Cond.HasFields(Seq("role", "nope")), df)).count() == 0)
+    assert(df.where(Conditions.toColumn(Cond.HasFields(Seq("role", "tool")), df)).count() == 2)
+  }
+
+  test("range conditions coerce to double; non-numeric is false") {
+    assert(df.where(Conditions.toColumn(Cond.Range("turn_idx", gte = Some(1.0)), df)).count() == 3)
+    assert(df.where(Conditions.toColumn(Cond.Range("role", gte = Some(1.0)), df)).count() == 0)
+  }
+
+  test("format-string target with field interpolation") {
+    val c = RouterConfig(rules = Seq(Rule("sink-%{[role]}")), default = Some("d"))
+    val got = Router.route(c, df).select("sink").distinct().as[String].collect().toSet
+    assert(got == Set("sink-user", "sink-assistant", "sink-tool", "sink-system"))
+  }
+
+  test("format-string with default and date token") {
+    val c = RouterConfig(rules = Seq(Rule("s-%{[tool]:none}-%{+yyyy.MM.dd}")))
+    val got = Router.route(c, df).select("sink").distinct().as[String].collect().toSet
+    assert(got == Set("s-none-2025.01.01", "s-tool-3-2025.01.01", "s-tool-7-2025.01.01"))
+  }
+
+  test("mappings translate with default — the mapSelector") {
+    val c = RouterConfig(rules = Seq(
+      Rule("%{[role]}", mappings = Some(Mappings(
+        Map("tool" -> "machines", "assistant" -> "models"),
+        default = Some("other"))))))
+    val got = Router.route(c, df).groupBy("sink").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("machines" -> 2, "models" -> 3, "other" -> 2))
+  }
+
+  test("mappings without default falls through to the next rule") {
+    val c = RouterConfig(
+      rules = Seq(
+        Rule("%{[role]}", mappings = Some(Mappings(Map("tool" -> "machines")))),
+        Rule("fallback")),
+      default = None)
+    val got = Router.route(c, df).groupBy("sink").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("machines" -> 2, "fallback" -> 5))
+  }
+
+  test("no matching rule and no default drops the row") {
+    val c = RouterConfig(rules = Seq(
+      Rule("errors", when = Some(Cond.Equals("role", "nobody")))))
+    assert(Router.route(c, df).count() == 0)
+  }
+}
