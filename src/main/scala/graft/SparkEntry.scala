@@ -1,13 +1,529 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.data.Transcripts
+import graft.enrich.Enrich
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.parse.DissectFunctions
+import graft.route.{Cond, Conditions, FormatStr, Mappings, Router, RouterConfig, Rule}
+import graft.run.{Pipeline, PipelineConfig}
+
+/** Driver contract: one query per implemented operator (SURVEY.md §2 +
+  * the training-data ops), each with ANSI-SQL oracle runnable by DuckDB
+  * over the same parquet tables. Column names/types are aliased
+  * identically on both sides (the driver hash-compares values after
+  * sorting columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship on sf0.001: full parse→enrich→route→aggregate pipeline over
+    * transcripts derived from the events table; driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val t = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+    val routed = Pipeline.transform(spark, t, PipelineConfig(buckets = 8))
+    routed.groupBy("sink").agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("conv_id")).as("convs"))
+      .orderBy("sink")
+  }
+
+  // --- shared pieces ----------------------------------------------------
+
+  private def transcripts(s: SparkSession, dir: String): DataFrame =
+    Transcripts.fromEvents(s, dir)
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents ∪ shifted near-duplicates (id+10000, text + " extra") —
+    * deterministic dup injection so dedup queries have real matches.
+    */
+  private def docsWithDupes(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select("doc_id", "text")
+    d.unionAll(d.select(
+      (col("doc_id") + 10000).as("doc_id"),
+      concat(col("text"), lit(" extra")).as("text")))
+  }
+
+  /** embeddings ∪ scaled copies (id+10000, 0.5×vec ⇒ cosine 1.0). */
+  private def embWithDupes(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    e.unionAll(e.select(
+      (col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), x => x * 0.5).as("embedding")))
+  }
+
+  private val Tok = "%{level} [%{component}] %{body}"
+
+  /** The FIXTURES.md §3 router (same as Pipeline.defaultRouter). */
+  private def routedTranscripts(s: SparkSession, dir: String): DataFrame = {
+    val parsed = Pipeline.parse(transcripts(s, dir), Tok)
+    Router.route(Pipeline.defaultRouter, parsed)
+  }
+
+  // --- queries ----------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // scan + projection + window function: the transcript derivation
+    "q_transcripts_scan" -> ((s, dir) =>
+      transcripts(s, dir).select("conv_id", "turn_idx", "role", "text", "tool", "ts")),
+
+    // dissect parse: the real UDF vs a string-ops oracle
+    "q_parse_dissect" -> { (s, dir) =>
+      val d = DissectFunctions.dissect(Tok)(col("text"))
+      transcripts(s, dir)
+        .withColumn("_d", d)
+        .select(
+          col("conv_id"), col("turn_idx"),
+          col("_d.fields")("level").as("level"),
+          col("_d.fields")("component").as("component"),
+          col("_d.fields")("body").as("body"),
+          col("_d.error").isNotNull.as("parse_error"))
+    },
+
+    // include/exclude_lines: regex keep/drop predicates
+    "q_exclude_lines" -> ((s, dir) =>
+      transcripts(s, dir)
+        .where(col("text").rlike("^(ERROR|WARN) "))
+        .where(!col("text").rlike("CORRUPT"))
+        .select("conv_id", "turn_idx", "text")),
+
+    // extract_field (split+index) + limit (truncate)
+    "q_extract_field" -> ((s, dir) =>
+      transcripts(s, dir).select(
+        col("conv_id"), col("turn_idx"),
+        split(col("text"), " ").getItem(0).as("first_token"),
+        substring(col("text"), 1, 20).as("truncated"))),
+
+    // broadcast lookup enrich (role + tool metadata)
+    "q_enrich_lookup" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      Enrich.lookupJoin(Enrich.lookupJoin(t, Enrich.roleMeta(s), "role"), Enrich.toolMeta(s), "tool")
+        .select("conv_id", "turn_idx", "role", "role_kind", "billable", "tool_family", "is_sandboxed")
+    },
+
+    // first-match router over parsed fields
+    "q_route_sink" -> ((s, dir) =>
+      routedTranscripts(s, dir).select("conv_id", "turn_idx", "sink")),
+
+    // per-sink routed-row counts (the north-rule exact-match aggregate)
+    "q_sink_counts" -> ((s, dir) =>
+      routedTranscripts(s, dir).groupBy("sink").agg(count(lit(1)).as("n_rows"))),
+
+    // Metricbeat-style windowed counters
+    "q_windowed_counters" -> ((s, dir) =>
+      routedTranscripts(s, dir)
+        .groupBy(col("sink"),
+          window(col("ts"), "1 hour").getField("start").as("window_start"),
+          col("role"))
+        .agg(count(lit(1)).as("n_rows"), countDistinct(col("conv_id")).as("convs"))),
+
+    // packetbeat flows: 10s tumbling windows over raw events
+    "q_flow_windows" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "10 seconds").getField("start").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))),
+
+    // registrar fold: per-conversation max-offset merge
+    "q_registrar_fold" -> ((s, dir) =>
+      transcripts(s, dir).groupBy("conv_id").agg(
+        max(col("turn_idx")).as("max_offset"),
+        max_by(col("text"), col("turn_idx")).as("last_text"),
+        count(lit(1)).as("turns"))),
+
+    // multiline/sessionization: ordered join of turns into one document
+    "q_multiline_join" -> ((s, dir) =>
+      transcripts(s, dir).groupBy("conv_id").agg(
+        count(lit(1)).as("n_turns"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+            x => x.getField("text")), "\n").as("doc"))),
+
+    // decode_json_fields
+    "q_decode_json" -> ((s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))),
+
+    // format strings: interpolation + default + daily date token
+    "q_format_string" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val idx = FormatStr.column("t-%{[tool]:none}-%{+yyyy.MM.dd}", Conditions.resolver(t))
+      t.select(idx.as("index_name")).groupBy("index_name").agg(count(lit(1)).as("n_rows"))
+    },
+
+    // mapSelector translate with default
+    "q_translate_map" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      t.select(Enrich.translate(col("role"),
+          Map("tool" -> "machines", "assistant" -> "models"), Some("other")).as("routed"))
+        .groupBy("routed").agg(count(lit(1)).as("n_rows"))
+    },
+
+    // the conditions battery (missing-field-false semantics included)
+    "q_conditions" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      def n(c: Cond): Column = sum(when(Conditions.toColumn(c, t), 1L).otherwise(0L))
+      t.agg(
+        n(Cond.Equals("role", "tool")).as("n_equals"),
+        n(Cond.Contains("text", "evt=")).as("n_contains"),
+        n(Cond.Regexp("text", "^ERR")).as("n_regexp"),
+        n(Cond.Range("turn_idx", gte = Some(10.0), lt = Some(20.0))).as("n_range"),
+        n(Cond.HasFields(Seq("tool"))).as("n_hasfields"),
+        n(Cond.Not(Cond.Contains("tool", "-"))).as("n_not_missing"))
+    },
+
+    // stable-order byte-equality surface
+    "q_ordered_text" -> ((s, dir) =>
+      routedTranscripts(s, dir).select("conv_id", "turn_idx", "text", "sink")),
+
+    // --- training-data ops ---------------------------------------------
+
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docsWithDupes(s, dir))),
+
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(documents(s, dir))
+        .select("doc_id", "n_chars", "n_tokens", "punct_count",
+          "stopword_count", "avg_token_len", "stopword_ratio")),
+
+    "q_token_count" -> ((s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("int").as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("int").as("bpeish_tokens"))),
+
+    "q_langid" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    "q_minhash" -> ((s, dir) =>
+      Dedup.minhash(docsWithDupes(s, dir), numHashes = 8, k = 4)),
+
+    "q_lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidates(docsWithDupes(s, dir), numHashes = 8, rowsPerBand = 2, k = 4)),
+
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(docsWithDupes(s, dir), k = 4, threshold = 0.5)),
+
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhash(documents(s, dir), bits = 32)),
+
+    "q_ann_topk" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), k = 10)
+    },
+
+    "q_ann_lsh" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+      Similarity.lshTopK(e, e.where(col("vec_id") < 50), k = 5, planes = 8)
+    },
+
+    "q_cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDup(embWithDupes(s, dir), threshold = 0.999, planes = 4)),
+
+    "q_media_meta" -> ((s, dir) =>
+      Multimodal.asMedia(documents(s, dir))
+        .select("media_id", "kind", "byte_len", "sha256")),
+
+    "q_media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.asMedia(documents(s, dir)), frameBytes = 64, stride = 2)
+        .select("media_id", "byte_len", "n_frames"))
+  )
+
+  // --- oracle SQL (DuckDB) ----------------------------------------------
+
+  /** The DuckDB twin of Transcripts.fromEvents. */
+  private val T = s"WITH transcripts AS (${Transcripts.oracleSqlView})"
+
+  /** Routed transcripts CTE (parse + first-match routing). */
+  private val R =
+    s"""$T, parsed AS (
+       |  SELECT *,
+       |    CASE WHEN strpos(text, ' [') > 0
+       |          AND strpos(substr(text, strpos(text, ' [') + 2), '] ') > 0
+       |         THEN substr(text, 1, strpos(text, ' [') - 1) END AS level
+       |  FROM transcripts
+       |), routed AS (
+       |  SELECT *,
+       |    CASE WHEN level IS NOT NULL AND regexp_matches(level, 'ERR.*') THEN 'errors'
+       |         WHEN role = 'tool' THEN 'tool_calls'
+       |         WHEN role = 'assistant' AND turn_idx >= 1 THEN 'assistant'
+       |         ELSE 'events' END AS sink
+       |  FROM parsed
+       |)""".stripMargin
+
+  private val RoleMetaSql =
+    "(VALUES ('user','human',true),('assistant','model',true),('system','control',false),('tool','machine',false)) AS role_meta(role, role_kind, billable)"
+  private val ToolMetaSql = {
+    val rows = (0 until 12).map { i =>
+      val fam = i % 3 match { case 0 => "search"; case 1 => "exec"; case _ => "io" }
+      s"('tool-$i','$fam',${i % 2 == 0})"
+    }.mkString(",")
+    s"(VALUES $rows) AS tool_meta(tool, tool_family, is_sandboxed)"
+  }
+
+  private val DocsDupesSql =
+    """docs2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text || ' extra' AS text FROM documents
+      |)""".stripMargin
+
+  private val BpeishRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_transcripts_scan" ->
+      s"$T SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
+
+    "q_parse_dissect" ->
+      s"""$T SELECT conv_id, turn_idx,
+         |  CASE WHEN ok THEN substr(text, 1, i - 1) END AS level,
+         |  CASE WHEN ok THEN substr(text, i + 2, j - 1) END AS component,
+         |  CASE WHEN ok THEN substr(text, i + 2 + j + 1) END AS body,
+         |  NOT ok AS parse_error
+         |FROM (
+         |  SELECT *, strpos(text, ' [') AS i,
+         |         strpos(substr(text, strpos(text, ' [') + 2), '] ') AS j,
+         |         strpos(text, ' [') > 0 AND strpos(substr(text, strpos(text, ' [') + 2), '] ') > 0 AS ok
+         |  FROM transcripts)""".stripMargin,
+
+    "q_exclude_lines" ->
+      s"""$T SELECT conv_id, turn_idx, text FROM transcripts
+         |WHERE regexp_matches(text, '^(ERROR|WARN) ') AND NOT regexp_matches(text, 'CORRUPT')""".stripMargin,
+
+    "q_extract_field" ->
+      s"""$T SELECT conv_id, turn_idx,
+         |  str_split(text, ' ')[1] AS first_token,
+         |  substr(text, 1, 20) AS truncated
+         |FROM transcripts""".stripMargin,
+
+    "q_enrich_lookup" ->
+      s"""$T SELECT conv_id, turn_idx, t.role AS role, role_kind, billable, tool_family, is_sandboxed
+         |FROM transcripts t
+         |LEFT JOIN $RoleMetaSql USING (role)
+         |LEFT JOIN $ToolMetaSql USING (tool)""".stripMargin,
+
+    "q_route_sink" -> s"$R SELECT conv_id, turn_idx, sink FROM routed",
+
+    "q_sink_counts" -> s"$R SELECT sink, count(*) AS n_rows FROM routed GROUP BY sink",
+
+    "q_windowed_counters" ->
+      s"""$R SELECT sink, date_trunc('hour', ts) AS window_start, role,
+         |  count(*) AS n_rows, count(DISTINCT conv_id) AS convs
+         |FROM routed GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_flow_windows" ->
+      """SELECT make_timestamp(CAST(floor(epoch(ts) / 10) * 10 AS BIGINT) * 1000000) AS window_start,
+        |  event_type, count(*) AS n_rows, min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_registrar_fold" ->
+      s"""$T SELECT conv_id, max(turn_idx) AS max_offset,
+         |  max_by(text, turn_idx) AS last_text, count(*) AS turns
+         |FROM transcripts GROUP BY conv_id""".stripMargin,
+
+    "q_multiline_join" ->
+      s"""$T SELECT conv_id, count(*) AS n_turns,
+         |  string_agg(text, chr(10) ORDER BY turn_idx) AS doc
+         |FROM transcripts GROUP BY conv_id""".stripMargin,
+
+    "q_decode_json" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",
+
+    "q_format_string" ->
+      s"""$T SELECT 't-' || COALESCE(tool, 'none') || '-' || strftime(ts, '%Y.%m.%d') AS index_name,
+         |  count(*) AS n_rows
+         |FROM transcripts GROUP BY 1""".stripMargin,
+
+    "q_translate_map" ->
+      s"""$T SELECT CASE role WHEN 'tool' THEN 'machines' WHEN 'assistant' THEN 'models' ELSE 'other' END AS routed,
+         |  count(*) AS n_rows
+         |FROM transcripts GROUP BY 1""".stripMargin,
+
+    "q_conditions" ->
+      s"""$T SELECT
+         |  count(*) FILTER (WHERE role = 'tool') AS n_equals,
+         |  count(*) FILTER (WHERE contains(text, 'evt=')) AS n_contains,
+         |  count(*) FILTER (WHERE regexp_matches(text, '^ERR')) AS n_regexp,
+         |  count(*) FILTER (WHERE turn_idx >= 10 AND turn_idx < 20) AS n_range,
+         |  count(*) FILTER (WHERE tool IS NOT NULL) AS n_hasfields,
+         |  count(*) FILTER (WHERE NOT COALESCE(contains(tool, '-'), false)) AS n_not_missing
+         |FROM transcripts""".stripMargin,
+
+    "q_ordered_text" -> s"$R SELECT conv_id, turn_idx, text, sink FROM routed",
+
+    "q_dedup_exact" ->
+      s"""WITH $DocsDupesSql
+         |SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dupes
+         |FROM docs2 GROUP BY 1""".stripMargin,
+
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INTEGER) AS n_chars,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS INTEGER) AS punct_count,
+         |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    t -> t IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','by','at','this','that'))) AS INTEGER) AS stopword_count,
+         |  round(CAST(length(text) AS DOUBLE) / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6) AS avg_token_len,
+         |  round(CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    t -> t IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','by','at','this','that'))) AS DOUBLE)
+         |    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6) AS stopword_ratio
+         |FROM documents""".stripMargin,
+
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '$BpeishRe')) AS INTEGER) AS bpeish_tokens
+         |FROM documents""".stripMargin,
+
+    "q_langid" ->
+      """SELECT doc_id, CASE WHEN best_score >= 1 THEN best_lang ELSE 'und' END AS lang_guess
+        |FROM (
+        |  SELECT doc_id,
+        |        CASE WHEN fr > es AND fr > de AND fr > en THEN fr
+        |         WHEN es > de AND es > en THEN es
+        |         WHEN de > en THEN de ELSE en END AS best_score,
+        |    CASE WHEN fr > es AND fr > de AND fr > en THEN 'fr'
+        |         WHEN es > de AND es > en THEN 'es'
+        |         WHEN de > en THEN 'de' ELSE 'en' END AS best_lang
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS en,
+        |      len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS de,
+        |      len(list_filter(toks, t -> t IN ('el','la','de','que','es'))) AS es,
+        |      len(list_filter(toks, t -> t IN ('le','la','et','les','est'))) AS fr
+        |    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents)))""".stripMargin,
+
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+
+    "q_minhash" ->
+      s"""WITH $DocsDupesSql,
+         |sh AS (
+         |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(length(text) - 3, 0)),
+         |    i -> substr(text, CAST(i AS INTEGER), 4))) AS shingle
+         |  FROM docs2)
+         |SELECT doc_id, CAST(seed AS INTEGER) AS seed, min(md5(CAST(seed AS VARCHAR) || shingle)) AS sig
+         |FROM sh, (SELECT UNNEST(generate_series(0, 7)) AS seed)
+         |GROUP BY doc_id, seed""".stripMargin,
+
+    "q_lsh_pairs" ->
+      s"""WITH $DocsDupesSql,
+         |sh AS (
+         |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(length(text) - 3, 0)),
+         |    i -> substr(text, CAST(i AS INTEGER), 4))) AS shingle
+         |  FROM docs2),
+         |mh AS (
+         |  SELECT doc_id, CAST(seed AS INTEGER) AS seed, min(md5(CAST(seed AS VARCHAR) || shingle)) AS sig
+         |  FROM sh, (SELECT UNNEST(generate_series(0, 7)) AS seed)
+         |  GROUP BY doc_id, seed),
+         |bands AS (
+         |  SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+         |    string_agg(CAST(seed AS VARCHAR) || ':' || sig, '|' ORDER BY CAST(seed AS VARCHAR) || ':' || sig) AS band_key
+         |  FROM mh GROUP BY 1, 2)
+         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+         |WHERE l.doc_id < r.doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH $DocsDupesSql,
+         |sh AS (
+         |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, greatest(length(text) - 3, 0)),
+         |    i -> substr(text, CAST(i AS INTEGER), 4))) AS shingle
+         |  FROM docs2),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+         |filtered AS (SELECT sh.* FROM sh JOIN freq USING (shingle) WHERE df <= 1000),
+         |inter AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+         |  FROM filtered l JOIN filtered r USING (shingle)
+         |  WHERE l.doc_id < r.doc_id GROUP BY 1, 2)
+         |SELECT a, b, inter,
+         |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin,
+
+    "q_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, md5(UNNEST(regexp_extract_all(text, '$BpeishRe'))) AS h FROM documents),
+         |bits AS (
+         |  SELECT doc_id, h, UNNEST(generate_series(0, 31)) AS i FROM toks),
+         |contrib AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(i // 4 AS INTEGER) + 1, 1)) - 1)
+         |               >> CAST(i % 4 AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END AS c
+         |  FROM bits),
+         |sums AS (SELECT doc_id, i, sum(c) AS s FROM contrib GROUP BY 1, 2)
+         |SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER) ELSE 0 END) AS simhash
+         |FROM sums GROUP BY doc_id""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, c.v) / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)), 6) AS cos
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+
+    "q_ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    array_to_string(list_transform(CAST(embedding AS DOUBLE[])[1:8],
+        |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, c.v) / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)), 6) AS cos
+        |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 50)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q_cosine_neardup" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, v FROM e0
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x * 0.5) AS v FROM e0),
+        |b AS (
+        |  SELECT vec_id, v,
+        |    array_to_string(list_transform(v[1:4], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM e)
+        |SELECT l.vec_id AS a, r.vec_id AS b,
+        |  round(list_dot_product(l.v, r.v) / sqrt(list_dot_product(l.v, l.v) * list_dot_product(r.v, r.v)), 6) AS cos
+        |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        |WHERE list_dot_product(l.v, r.v) / sqrt(list_dot_product(l.v, l.v) * list_dot_product(r.v, r.v)) >= 0.999""".stripMargin,
+
+    "q_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  sha256(text) AS sha256
+        |FROM documents""".stripMargin,
+
+    "q_media_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  CAST((CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) + 1) // 2 AS INTEGER) AS n_frames
+        |FROM documents""".stripMargin
+  )
 }

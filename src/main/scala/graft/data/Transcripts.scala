@@ -110,6 +110,8 @@ object Transcripts {
   /** DuckDB CTE body equivalent to fromEvents — splice into oracle SQL as
     * `WITH transcripts AS (<this>) SELECT ...`.
     */
+  // NOTE: no line may *start* with "||" — these strings are embedded in
+  // outer stripMargin SQL and a leading pipe would be eaten.
   val oracleSqlView: String =
     """SELECT
       |  'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
@@ -117,9 +119,9 @@ object Transcripts {
       |  CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'assistant' WHEN 'signup' THEN 'system' ELSE 'tool' END AS role,
       |  CASE WHEN event_id % 97 = 0
       |    THEN 'CORRUPT|' || 'evt=' || event_type || ' id=' || CAST(event_id AS VARCHAR) || ' k=' || regexp_extract(props, '[0-9]+')
-      |    ELSE (CASE event_type WHEN 'error' THEN 'ERROR' WHEN 'signup' THEN 'WARN' ELSE 'INFO' END)
-      |      || ' [comp-' || CAST(user_id % 5 AS VARCHAR) || '] '
-      |      || 'evt=' || event_type || ' id=' || CAST(event_id AS VARCHAR) || ' k=' || regexp_extract(props, '[0-9]+')
+      |    ELSE (CASE event_type WHEN 'error' THEN 'ERROR' WHEN 'signup' THEN 'WARN' ELSE 'INFO' END) ||
+      |      ' [comp-' || CAST(user_id % 5 AS VARCHAR) || '] ' ||
+      |      'evt=' || event_type || ' id=' || CAST(event_id AS VARCHAR) || ' k=' || regexp_extract(props, '[0-9]+')
       |  END AS text,
       |  CASE WHEN event_type IN ('purchase','error') THEN 'tool-' || CAST(event_id % 12 AS VARCHAR) END AS tool,
       |  ts AS ts

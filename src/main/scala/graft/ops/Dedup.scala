@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, ordered by cost:
+  *
+  *  - exact: hash-groupBy on the full text — one shuffle on md5(text)
+  *  - simhash: 32-bit near-dup signature, grouped in one shuffle
+  *  - minhash + LSH: shingle → k minhashes → banded buckets → candidate
+  *    pairs via a bucket join (never the O(n²) cross join)
+  *  - n-gram Jaccard: exact similarity, but only over pairs that share a
+  *    shingle (inverted-index join), with per-shingle document-frequency
+  *    capping so stop-shingles can't quadratically blow up a join at scale
+  *
+  * Everything is built from codegen'd built-ins (md5/substr/explode) so
+  * the same logic is expressible in the DuckDB oracle for verification.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) per distinct text + the
+    * duplicate count. Shuffles on the (hashed) text — at 100 TB you group
+    * on md5(text) rather than the text bytes to keep shuffle rows small.
+    */
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** Character k-gram shingles, exploded: (id, pos, shingle). */
+  def shingled(df: DataFrame, k: Int = 4, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(
+        col(idCol),
+        posexplode(sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(0))))
+          .as(Seq("pos", "i")),
+        col(textCol))
+      .select(col(idCol), expr(s"substr(${textCol}, i, $k)").as("shingle"))
+
+  /** MinHash signatures, long format: (id, seed, sig) where
+    * sig = min over shingles of md5(seed || shingle). k seeds ⇒ k rows
+    * per document; one shuffle (groupBy id, seed after explode).
+    */
+  def minhash(df: DataFrame, numHashes: Int = 8, k: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingled(df, k, idCol, textCol)
+    val seeds = explode(sequence(lit(0), lit(numHashes - 1))).as("seed")
+    sh.select(col(idCol), col("shingle"), seeds)
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), col("shingle")))).as("sig"))
+  }
+
+  /** LSH candidate pairs: band the signature (rowsPerBand sigs per band),
+    * bucket-join docs sharing any band key. Returns distinct (a, b), a<b.
+    * The join is per-bucket — the 100 TB path — not all-pairs.
+    */
+  def lshCandidates(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
+      k: Int = 4, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val mh = minhash(df, numHashes, k, idCol, textCol)
+    val bands = mh
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      // seeds within a band are fixed and distinct; order by seed for a
+      // deterministic band key
+      .agg(concat_ws("|", array_sort(collect_list(concat(col("seed"), lit(":"), col("sig")))))
+        .as("band_key"))
+    val l = bands.select(col(idCol).as("a"), col("band"), col("band_key"))
+    val r = bands.select(col(idCol).as("b"), col("band"), col("band_key"))
+    l.join(r, Seq("band", "band_key"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
+    * `maxDocFreq` drops shingles appearing in more than that many docs
+    * (stop-shingle cap — the skew guard for the inverted-index join).
+    */
+  def ngramJaccard(df: DataFrame, k: Int = 4, threshold: Double = 0.5,
+      maxDocFreq: Long = 1000, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingled(df, k, idCol, textCol).distinct()
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val filtered = sh.join(freq.where(col("df") <= maxDocFreq), Seq("shingle"))
+    val inter = filtered.select(col(idCol).as("a"), col("shingle"))
+      .join(filtered.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), Seq("b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select("a", "b", "inter", "jaccard")
+  }
+
+  /** SimHash-32 over BPE-ish tokens: per bit, +1 for a set bit and -1 for
+    * an unset bit of md5(token), summed over tokens; signature bit = sum>0.
+    * Near-dups land on equal (or near-equal) signatures; grouping on the
+    * signature is one small shuffle.
+    *
+    * Bit i of the hash comes straight from the md5 hex digits:
+    * digit = md5[i/4], bit = (digitValue >> (i%4)) & 1 — pure built-ins,
+    * reproducible in SQL oracles.
+    */
+  def simhash(df: DataFrame, bits: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = df.select(
+      col(idCol),
+      explode(regexp_extract_all(col(textCol), lit(TextAnalysis.bpeishPattern), lit(0))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val withBits = toks
+      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("i"))
+      .withColumn("digit",
+        expr("instr('0123456789abcdef', substr(h, cast(i/4 as int) + 1, 1)) - 1"))
+      .withColumn("bit", expr("(cast(digit as int) >> cast(i % 4 as int)) % 2"))
+      .withColumn("contrib", when(col("bit") === 1, 1).otherwise(-1))
+    withBits
+      .groupBy(col(idCol), col("i"))
+      .agg(sum("contrib").as("s"))
+      .groupBy(idCol)
+      // bit i set iff sum>0; fold into a bigint signature
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), cast(i as int))")).otherwise(lit(0L))).as("simhash"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns + typed metadata; decode / feature-extraction
+  * runs batched per partition. The image/audio codecs are NOT in this
+  * container, so the decode kernel is a clearly-marked deterministic STUB
+  * — but the Spark-side plumbing (schema, batch shape, partition-level
+  * execution, metadata extraction) is real and tested.
+  */
+object Multimodal {
+
+  /** Media row schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = false),
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("sha256", StringType, nullable = false)
+  ))
+
+  /** Wrap a text table as opaque media payloads (UTF-8 bytes): the test
+    * stand-in for real blobs. Metadata (length/digest) is computed with
+    * codegen'd built-ins — that part is the real operator.
+    */
+  def asMedia(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(
+      col(idCol).as("media_id"),
+      element_at(typedLit(Seq("image", "audio", "video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col(textCol), "UTF-8").as("payload"))
+      .withColumn("byte_len", octet_length(col("payload")))
+      .withColumn("sha256", sha2(col("payload"), 256))
+
+  /** STUB decode kernel: a real implementation would call the image/audio
+    * codec here (per partition, batched). This deterministic fake derives
+    * `dim` float features from the payload bytes so the plumbing is
+    * testable end-to-end. ??? ← swap in the codec call.
+    */
+  def stubDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % dim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Feature extraction over media rows: batched per partition via
+    * mapPartitions (the Scala analog of mapInPandas batches) — one codec
+    * init per partition, not per row.
+    */
+  def extractFeatures(df: DataFrame, dim: Int = 8): DataFrame = {
+    val extract = udf { (payload: Array[Byte]) =>
+      if (payload == null) null else stubDecodeFeatures(payload, dim)
+    }
+    df.withColumn("features", extract(col("payload")))
+  }
+
+  /** "Frame sampling" plumbing: split the payload into fixed-size chunks
+    * and keep every `stride`-th one — the batch/stride shape a real video
+    * frame sampler has, runnable on opaque bytes.
+    */
+  def sampleFrames(df: DataFrame, frameBytes: Int = 64, stride: Int = 2): DataFrame = {
+    val sample = udf { (payload: Array[Byte]) =>
+      if (payload == null) Array.empty[Array[Byte]]
+      else payload.grouped(frameBytes).zipWithIndex
+        .collect { case (chunk, i) if i % stride == 0 => chunk }
+        .toArray
+    }
+    df.withColumn("frames", sample(col("payload")))
+      .withColumn("n_frames", size(col("frames")))
+  }
+}

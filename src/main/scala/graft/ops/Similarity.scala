@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
+  *    Query side is small (broadcast); candidate side streams. At 100 TB
+  *    the broadcast join makes this a single pass over the corpus with no
+  *    shuffle of the big side; the top-k is a tiny (q × k) aggregate.
+  *  - `lshTopK`: sign-LSH (hyperplane-by-coordinate) bucketed variant —
+  *    the scale path: candidates shrink to matching buckets before the
+  *    distance computation, trading recall for a bounded join.
+  *
+  * Dot products fold sequentially with `aggregate(zip_with(...))` over
+  * doubles, so the oracle (DuckDB list_dot_product over DOUBLE[]) computes
+  * bit-identical IEEE results.
+  */
+object Similarity {
+
+  /** cosine(a, b) over array<double> columns (cast floats first). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors for each query vector. `queries` must be small
+    * (it is broadcast). Excludes self-matches by id.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Sign-LSH bucket key: the sign pattern of the first `planes`
+    * coordinates (deterministic stand-in for random hyperplanes; swap the
+    * slice for a projection matrix on a real corpus).
+    */
+  def signBucket(vec: Column, planes: Int = 8): Column =
+    concat_ws("", transform(slice(vec, 1, planes),
+      x => when(x >= 0, lit("1")).otherwise(lit("0"))))
+
+  /** Bucketed ANN: only candidates in the query's sign bucket are scored.
+    * The bucket join shuffles on the (short string) bucket key only.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int = 10, planes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
+      signBucket(asDouble(col(vecCol)), planes).as("bucket"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
+      signBucket(asDouble(col(vecCol)), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a<b) above `threshold`,
+    * restricted to sign-bucket collisions (the scalable candidate set).
+    */
+  def cosineNearDup(df: DataFrame, threshold: Double = 0.95, planes: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", signBucket(col("v"), planes))
+    val l = v.select(col(idCol).as("a"), col("v").as("va"), col("bucket"))
+    val r = v.select(col(idCol).as("b"), col("v").as("vb"), col("bucket"))
+    l.join(r, Seq("bucket"))
+      .where(col("a") < col("b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .where(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristics, document
+  * fingerprinting. All are narrow, codegen-friendly column expressions —
+  * no UDFs, no shuffles — so they scan at parquet-read speed and scale
+  * linearly with executors.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish tokens: letter runs, digit runs, single punctuation. */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
+
+  private val Stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "by", "at", "this", "that")
+
+  /** Quality features: lengths, punctuation density, stopword ratio.
+    * Ratios are rounded to 6 dp so results are hash-comparable across
+    * engines computing the same IEEE doubles.
+    */
+  def qualityFeatures(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val nChars = length(text)
+    val nTokens = wsTokenCount(text)
+    val punct = size(regexp_extract_all(text, lit("[\\.,;:!\\?]"), lit(0)))
+    val stopArr = typedLit(Stopwords)
+    val stops = size(filter(split(lower(text), "\\s+"), t => array_contains(stopArr, t)))
+    df.withColumn("n_chars", nChars.cast("int"))
+      .withColumn("n_tokens", nTokens.cast("int"))
+      .withColumn("punct_count", punct.cast("int"))
+      .withColumn("stopword_count", stops.cast("int"))
+      .withColumn("avg_token_len",
+        round(nChars.cast("double") / greatest(nTokens, lit(1)).cast("double"), 6))
+      .withColumn("stopword_ratio",
+        round(stops.cast("double") / greatest(nTokens, lit(1)).cast("double"), 6))
+  }
+
+  /** Stopword list per language for the n-gram/stopword language-ID
+    * heuristic (the real signal at scale; deterministic + SQL-parity).
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "est"))
+
+  /** Language-ID: score = stopword hits per language; best score wins,
+    * ties broken by language code; below `minHits` ⇒ "und" (undetermined).
+    */
+  def langId(text: Column, minHits: Int = 1): Column = {
+    val toks = split(lower(text), "\\s+")
+    val scores = LangMarkers.map { case (lang, markers) =>
+      val m = typedLit(markers)
+      (lang, size(filter(toks, t => array_contains(m, t))))
+    }
+    // greatest score with deterministic lexicographic tiebreak
+    val best = scores.map { case (lang, s) =>
+      struct(s.as("score"), lit(lang).as("lang"))
+    }.reduce((a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    when(best.getField("score") >= minHits, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 over case-folded, whitespace-collapsed
+    * text (the Logstash fingerprint-filter analog; duplicates-by-meaning
+    * collapse to one key).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

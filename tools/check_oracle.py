@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: load each query's
+parquet dump (produced by `runMain graft.Verify <sfDir> <outDir>`), run its
+oracle SQL in DuckDB over the same testdata tables, and compare sorted
+rows/schemas. Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, math, os
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.exists(p):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return f"{v:.9g}"
+    return str(v)
+
+fail = 0
+for name, sql in sorted(oracle.items()):
+    qdir = f"{outdir}/{name}"
+    if not os.path.isdir(qdir):
+        print(f"MISSING  {name}: no spark dump"); fail += 1; continue
+    try:
+        got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+        got_cols = sorted(got.columns)
+        got_rows = con.sql(
+            f"SELECT {', '.join(got_cols)} FROM '{qdir}/*.parquet'").fetchall()
+        exp = con.sql(sql)
+        exp_cols = sorted(exp.columns)
+        exp_rows = con.sql(f"SELECT {', '.join(exp_cols)} FROM ({sql})").fetchall()
+    except Exception as e:
+        print(f"ERROR    {name}: {str(e)[:200]}"); fail += 1; continue
+    if got_cols != exp_cols:
+        print(f"SCHEMA   {name}: spark={got_cols} oracle={exp_cols}"); fail += 1; continue
+    a = sorted(tuple(canon(v) for v in r) for r in got_rows)
+    b = sorted(tuple(canon(v) for v in r) for r in exp_rows)
+    if a == b:
+        print(f"OK       {name}: {len(a)} rows")
+    else:
+        fail += 1
+        print(f"MISMATCH {name}: spark {len(a)} rows vs oracle {len(b)} rows")
+        onlya = [r for r in a if r not in set(b)][:3]
+        onlyb = [r for r in b if r not in set(a)][:3]
+        print(f"  cols: {got_cols}")
+        for r in onlya: print(f"  spark-only:  {r}")
+        for r in onlyb: print(f"  oracle-only: {r}")
+print("FAILURES:", fail)
+sys.exit(1 if fail else 0)
