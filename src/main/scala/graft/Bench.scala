@@ -1,24 +1,92 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.data.Transcripts
+import graft.run.{Pipeline, PipelineConfig}
+
+/** Benchmark main. Two sections, one JSON line:
+  *
+  *  1. `queries`: every SparkEntry query timed at local[32] over
+  *     `SPARK_GRAFT_SF_DIR` (driver-facing per-operator numbers).
+  *  2. `scaling`: the north-rule evidence — the SAME end-to-end
+  *     parse→enrich→route→aggregate job (synthesized transcript table,
+  *     fixed row count, fixed bucket layout) run at local[8] and
+  *     local[32]; reports turns/sec at both plus
+  *     efficiency = (tps_32 / tps_8) / (32 / 8), target ≥ 0.8
+  *     (BASELINE.json north_rule; no real cluster in this sandbox).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession
+      .builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def deleteRec(p: java.io.File): Unit = {
+    if (p.isDirectory) p.listFiles().foreach(deleteRec)
+    p.delete(): Unit
+  }
+
+  /** One timed end-to-end pipeline run (synthesis → parse → enrich →
+    * route → bucketed fan-out write → windowed aggregates → lineage).
+    * Fresh output dir per run; bucket count fixed across parallelism
+    * levels so both levels execute the identical job.
+    */
+  private def timedRun(spark: SparkSession, n: Long, runId: String): Double = {
+    val out = java.nio.file.Files.createTempDirectory(s"graft-bench-$runId").toFile
+    try {
+      val cfg = PipelineConfig(buckets = 128, waves = 1, runId = runId)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+      Pipeline.run(spark, Transcripts.synthesize(spark, n), out.toString, cfg)
+      (System.nanoTime() - t0) / 1e9
+    } finally deleteRec(out)
+  }
+
+  /** turns/sec at a parallelism level: one warmup (n/8) + best of 2. */
+  private def tpsAt(cpus: Int, n: Long): Double = {
+    val spark = session(cpus)
+    try {
+      timedRun(spark, n / 8, s"warm-$cpus"): Unit
+      val secs = (1 to 2).map(i => timedRun(spark, n, s"run-$cpus-$i"))
+      n / secs.min
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4000000").toLong
+
+    // --- section 1: per-query timings at local[32] ---
+    val spark = session(32)
+    val results =
+      try
+        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count()
+          catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+      finally spark.stop()
+
+    // --- section 2: north-rule scaling (local[8] vs local[32]) ---
+    val tps8 = tpsAt(8, scaleN)
+    val tps32 = tpsAt(32, scaleN)
+    val eff = (tps32 / tps8) / (32.0 / 8.0)
+
+    def f(d: Double): String = "%.4f".format(d)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val scaling =
+      s"""{"input_turns":$scaleN,"tps_8":${f(tps8)},"tps_32":${f(tps32)},"efficiency":${f(eff)}}"""
+    println(
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"pipeline_turns_per_sec_local32":${f(
+          tps32)},"scaling":$scaling,"sf":"$sfDir"}""")
   }
 }

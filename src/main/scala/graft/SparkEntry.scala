@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.data.Transcripts
 import graft.enrich.Enrich
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multiline, Multimodal, Similarity, TextAnalysis}
 import graft.parse.DissectFunctions
 import graft.route.{Cond, Conditions, FormatStr, Mappings, Router, RouterConfig, Rule}
 import graft.run.{Pipeline, PipelineConfig}
@@ -187,6 +187,52 @@ object SparkEntry {
     "q_ordered_text" -> ((s, dir) =>
       routedTranscripts(s, dir).select("conv_id", "turn_idx", "text", "sink")),
 
+    // rename / drop_fields / include_fields battery (actions/rename.go,
+    // drop_fields.go, include_fields.go): projection with renames
+    "q_project_fields" -> ((s, dir) =>
+      transcripts(s, dir)
+        .withColumnRenamed("conv_id", "conversation")
+        .withColumnRenamed("turn_idx", "offset")
+        .drop("tool", "ts")
+        .select("conversation", "offset", "role", "text")),
+
+    // add_fields + add_tags with a conditional tag (when: wrapper)
+    "q_add_fields_tags" -> { (s, dir) =>
+      val base = Enrich.addTags(
+        Enrich.addFields(transcripts(s, dir), Map("env" -> "prod", "pipeline_version" -> 7)),
+        Seq("ingest", "beta"))
+      base.withColumn("tags",
+          when(col("text").startsWith("CORRUPT|"),
+            array_union(col("tags"), array(lit("parse_error"))))
+            .otherwise(col("tags")))
+        .select(col("conv_id"), col("turn_idx"), col("env"), col("pipeline_version"),
+          array_join(col("tags"), ",").as("tags_csv"))
+    },
+
+    // grok/syslog-style regexp_extract battery (filebeat/input/syslog)
+    "q_grok_extract" -> ((s, dir) =>
+      transcripts(s, dir).select(
+        col("conv_id"), col("turn_idx"),
+        regexp_extract(col("text"), "^(\\w+) \\[", 1).as("level_re"),
+        regexp_extract(col("text"), "\\[(comp-\\d+)\\]", 1).as("component_re"),
+        regexp_extract(col("text"), "evt=(\\w+)", 1).as("evt_type"),
+        regexp_extract(col("text"), "id=(\\d+)", 1).cast("long").as("evt_id"))),
+
+    // the REAL multiline two-state semantics: pattern-joined events
+    // (ERROR/WARN lines continue the previous INFO/CORRUPT event)
+    "q_multiline_pattern" -> ((s, dir) =>
+      Multiline(transcripts(s, dir), pattern = "^(ERROR|WARN)")
+        .select("conv_id", "group_id", "first_turn_idx", "n_lines", "event_text")),
+
+    // Kafka-style hash partitioner distribution (kafka/partition.go:214-262)
+    // via md5 (oracle-reproducible stand-in for xxhash64)
+    "q_salt_bucket" -> ((s, dir) =>
+      transcripts(s, dir)
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("conv_id")), 1, 4), 16, 10).cast("long"), lit(32)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), countDistinct(col("conv_id")).as("convs"))),
+
     // --- training-data ops ---------------------------------------------
 
     "q_dedup_exact" -> ((s, dir) =>
@@ -229,6 +275,11 @@ object SparkEntry {
     "q_ann_lsh" -> { (s, dir) =>
       val e = embeddings(s, dir)
       Similarity.lshTopK(e, e.where(col("vec_id") < 50), k = 5, planes = 8)
+    },
+
+    "q_ann_ivf" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 50), k = 5, centroids = 16)
     },
 
     "q_cosine_neardup" -> ((s, dir) =>
@@ -365,6 +416,52 @@ object SparkEntry {
 
     "q_ordered_text" -> s"$R SELECT conv_id, turn_idx, text, sink FROM routed",
 
+    "q_project_fields" ->
+      s"$T SELECT conv_id AS conversation, turn_idx AS offset, role, text FROM transcripts",
+
+    "q_add_fields_tags" ->
+      s"""$T SELECT conv_id, turn_idx, 'prod' AS env, 7 AS pipeline_version,
+         |  CASE WHEN starts_with(text, 'CORRUPT|') THEN 'ingest,beta,parse_error'
+         |       ELSE 'ingest,beta' END AS tags_csv
+         |FROM transcripts""".stripMargin,
+
+    "q_grok_extract" ->
+      s"""$T SELECT conv_id, turn_idx,
+         |  regexp_extract(text, '^(\\w+) \\[', 1) AS level_re,
+         |  regexp_extract(text, '\\[(comp-[0-9]+)\\]', 1) AS component_re,
+         |  regexp_extract(text, 'evt=(\\w+)', 1) AS evt_type,
+         |  CAST(regexp_extract(text, 'id=([0-9]+)', 1) AS BIGINT) AS evt_id
+         |FROM transcripts""".stripMargin,
+
+    "q_multiline_pattern" ->
+      s"""$T, g AS (
+         |  SELECT *, SUM(CASE WHEN NOT regexp_matches(text, '^(ERROR|WARN)') THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY conv_id ORDER BY turn_idx) AS grp
+         |  FROM transcripts
+         |), g2 AS (
+         |  SELECT *, CAST(grp AS VARCHAR) || '/' ||
+         |    CAST((ROW_NUMBER() OVER (PARTITION BY conv_id, grp ORDER BY turn_idx) - 1) // 500 AS VARCHAR) AS group_id
+         |  FROM g
+         |)
+         |SELECT conv_id, group_id, min(turn_idx) AS first_turn_idx,
+         |  count(*) AS n_lines,
+         |  string_agg(text, chr(10) ORDER BY turn_idx) AS event_text
+         |FROM g2 GROUP BY 1, 2""".stripMargin,
+
+    "q_salt_bucket" ->
+      s"""$T, b AS (
+         |  SELECT conv_id, md5(conv_id) AS h FROM transcripts
+         |), v AS (
+         |  SELECT conv_id,
+         |    ((((strpos('0123456789abcdef', h[1]) - 1) * 16
+         |      + strpos('0123456789abcdef', h[2]) - 1) * 16
+         |      + strpos('0123456789abcdef', h[3]) - 1) * 16
+         |      + strpos('0123456789abcdef', h[4]) - 1) % 32 AS bucket
+         |  FROM b
+         |)
+         |SELECT bucket, count(*) AS n_rows, count(DISTINCT conv_id) AS convs
+         |FROM v GROUP BY bucket""".stripMargin,
+
     "q_dedup_exact" ->
       s"""WITH $DocsDupesSql
          |SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dupes
@@ -467,7 +564,7 @@ object SparkEntry {
          |               >> CAST(i % 4 AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END AS c
          |  FROM bits),
          |sums AS (SELECT doc_id, i, sum(c) AS s FROM contrib GROUP BY 1, 2)
-         |SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER) ELSE 0 END) AS simhash
+         |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER) ELSE 0 END) AS BIGINT) AS simhash
          |FROM sums GROUP BY doc_id""".stripMargin,
 
     "q_ann_topk" ->
@@ -492,6 +589,28 @@ object SparkEntry {
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    round(list_dot_product(q.v, c.v) / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)), 6) AS cos
         |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 50)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, v AS centv FROM e WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT e.vec_id, e.v, c.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_dot_product(e.v, c.centv)
+        |          / sqrt(list_dot_product(e.v, e.v) * list_dot_product(c.centv, c.centv)), 6) DESC,
+        |        c.cent_id) AS rk
+        |    FROM e CROSS JOIN cents c) WHERE rk = 1),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, n.v)
+        |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(n.v, n.v)), 6) AS cos
+        |  FROM assigned q JOIN assigned n ON q.cell = n.cell AND q.vec_id <> n.vec_id
         |  WHERE q.vec_id < 50)
         |SELECT query_id, neighbor_id, cos, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pattern-based multiline joining — the reference's hardest scan-side
+  * operator (libbeat/reader/multiline/multiline.go:42-335): a two-state
+  * machine that glues continuation lines onto the event started by the
+  * previous boundary line, with `negate` and `match: before/after`
+  * semantics and a `max_lines` cap (default 500, multiline.go:59).
+  *
+  * Spark-first re-expression: no state machine. Within each ordered
+  * stream (here: a conversation, ordered by turn_idx — the analog of
+  * Beats' per-file order, SURVEY.md §2.10), a line is a *boundary* iff
+  * the pattern says "start new event"; the running sum of boundary flags
+  * is the event group id; one `groupBy(stream, group)` then rebuilds each
+  * event with an ordered join — all whole-stage-codegen window + agg,
+  * one shuffle on the stream key.
+  *
+  *  - `match: after`  (Beats `pattern` matches ⇒ line *continues* the
+  *    previous event when negate=false): boundary = NOT rlike(pattern).
+  *  - `negate: true` flips the boundary predicate.
+  *  - `match: before` attaches a matching line to the *following* event:
+  *    equivalent to computing the boundary on the *next* line (lead), so
+  *    it shares this implementation with a lead() instead of the flag
+  *    itself. We implement `after` (the common stack-trace case) and
+  *    expose negate.
+  *
+  * At scale: the window + groupBy both key on `streamCol`, so Catalyst
+  * plans a single hash-partition exchange reused by both operators.
+  */
+object Multiline {
+
+  /** Assign each line its multiline group id. Boundary lines start a new
+    * group; a group is also force-split every `maxLines` lines (the
+    * max_lines flush, multiline.go:58,186-195).
+    */
+  def withGroupId(
+      df: DataFrame,
+      pattern: String,
+      negate: Boolean = false,
+      maxLines: Int = 500,
+      streamCol: String = "conv_id",
+      orderCol: String = "turn_idx",
+      textCol: String = "text"): DataFrame = {
+    val matches = col(textCol).rlike(pattern)
+    // match:after, negate=false — matching lines continue the previous
+    // event, so a NON-match starts a new one. negate flips it. The first
+    // line of a stream always starts a group (sum makes that free: group
+    // ids just start at 0 or 1 consistently).
+    val boundary = if (negate) matches else !matches
+    val w = Window.partitionBy(streamCol).orderBy(orderCol)
+    val grouped = df.withColumn("_boundary", boundary.cast("long"))
+      .withColumn("_grp", sum(col("_boundary")).over(w))
+    // max_lines cap: position within the raw group splits it further
+    val wg = Window.partitionBy(col(streamCol), col("_grp")).orderBy(col(orderCol))
+    grouped
+      .withColumn("group_id",
+        concat_ws("/", col("_grp"),
+          floor((row_number().over(wg) - 1) / maxLines)))
+      .drop("_boundary", "_grp")
+  }
+
+  /** Join each group's lines into one event: text joined by \n (the
+    * multiline separator), line count, and the group's first order key
+    * (the event's anchor, like Beats keeping the first line's offset).
+    */
+  def joinGroups(
+      grouped: DataFrame,
+      streamCol: String = "conv_id",
+      orderCol: String = "turn_idx",
+      textCol: String = "text"): DataFrame =
+    grouped
+      .groupBy(col(streamCol), col("group_id"))
+      .agg(
+        min(col(orderCol)).as("first_" + orderCol),
+        count(lit(1)).as("n_lines"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(orderCol), col(textCol)))),
+            x => x.getField(textCol)),
+          "\n").as("event_text"))
+
+  def apply(
+      df: DataFrame,
+      pattern: String,
+      negate: Boolean = false,
+      maxLines: Int = 500,
+      streamCol: String = "conv_id",
+      orderCol: String = "turn_idx",
+      textCol: String = "text"): DataFrame =
+    joinGroups(
+      withGroupId(df, pattern, negate, maxLines, streamCol, orderCol, textCol),
+      streamCol, orderCol, textCol)
+}

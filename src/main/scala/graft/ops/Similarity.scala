@@ -75,6 +75,55 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** IVF-style ANN — the scale path beyond sign-LSH: a coarse quantizer
+    * assigns every vector to its nearest centroid (one cell), queries
+    * probe only their own cell (nprobe=1). Centroids here are the first
+    * `centroids` corpus vectors (deterministic, oracle-reproducible); on
+    * a real corpus they'd come from a k-means sample. The corpus-side
+    * assignment is a broadcast join against the tiny centroid set + a
+    * per-row argmax (no shuffle of the big side); the probe join then
+    * shuffles only on the small cell id.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int = 10, centroids: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Tiny driver-side collect (== `centroids` rows); becomes a literal
+    // array so cell assignment is a NARROW per-row argmax — the big side
+    // is never joined or shuffled to find its cell.
+    val cents: Array[(Long, Seq[Double])] = corpus
+      .where(col(idCol) < centroids)
+      .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val centsLit = array(cents.map { case (id, v) =>
+      struct(lit(id).as("cent_id"), array(v.map(lit): _*).as("centv"))
+    }: _*)
+    // argmax cell: lexicographic array_max over (score, -cent_id) ⇒ best
+    // score, smallest centroid id on ties.
+    def cell(v: Column): Column = {
+      val scored = transform(centsLit, c =>
+        struct(
+          round(cosine(v, c.getField("centv")), 6).as("cs"),
+          (-c.getField("cent_id")).as("neg_id")))
+      -array_max(scored).getField("neg_id")
+    }
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
+      cell(asDouble(col(vecCol))).as("cell"))
+    val q = queries.select(
+      col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
+      cell(asDouble(col(vecCol))).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (a<b) above `threshold`,
     * restricted to sign-bucket collisions (the scalable candidate set).
     */

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.run.{Pipeline, PipelineConfig}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming port of the batch pipeline.
+  *
+  * The batch stages (parse → enrich → route, SURVEY.md §4) are pure
+  * DataFrame→DataFrame functions built from narrow projections and
+  * broadcast joins, so they apply to a streaming DataFrame unchanged —
+  * this object only adds the streaming-specific pieces:
+  *
+  *  - watermarked tumbling-window counters (the streaming rendering of
+  *    Metricbeat periodic counters / packetbeat flow reports,
+  *    packetbeat/flows/flows.go:40-41 — report period = window, inactive
+  *    timeout = watermark delay);
+  *  - a foreachBatch fan-out sink writer: per micro-batch, the same
+  *    (sink, bucket)-partitioned parquet append the batch job uses, which
+  *    keeps per-sink routed-row semantics identical between modes;
+  *  - checkpointing via the engine's offset log (the streaming registrar:
+  *    Beats' post-ACK offset commit maps to Spark's commit log, so a
+  *    killed query resumes without reprocessing — same contract as the
+  *    batch lineage table, SURVEY.md §2.15).
+  */
+object StreamingPipeline {
+
+  /** Identical transform as batch — parse, enrich, route, bucket. */
+  def transform(spark: SparkSession, stream: DataFrame, cfg: PipelineConfig): DataFrame =
+    Pipeline.transform(spark, stream, cfg)
+
+  /** Watermarked per-sink windowed counters. `countDistinct` is not
+    * streamable; `approx_count_distinct` is the scalable stand-in (exact
+    * distincts stay a batch-side verification query).
+    */
+  def windowedCounters(
+      routed: DataFrame,
+      period: String = "1 hour",
+      watermarkDelay: String = "30 seconds"): DataFrame =
+    routed
+      .withWatermark("ts", watermarkDelay)
+      // group on the window STRUCT itself — extracting .start before the
+      // agg would sever the event-time column from the watermark and fail
+      // the append-mode analysis
+      .groupBy(col("sink"), window(col("ts"), period), col("role"))
+      .agg(count(lit(1)).as("rows"), approx_count_distinct("conv_id").as("convs_approx"))
+      .select(col("sink"), col("window").getField("start").as("window_start"),
+        col("role"), col("rows"), col("convs_approx"))
+
+  /** Start the fan-out sink writer: one micro-batch pass computing `sink`,
+    * then a single (sink, bucket)-partitioned append — identical layout to
+    * the batch writer so downstream readers cannot tell the modes apart.
+    */
+  def startSinkWriter(
+      spark: SparkSession,
+      stream: DataFrame,
+      outDir: String,
+      cfg: PipelineConfig,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val routed = transform(spark, stream, cfg)
+    routed.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", s"$outDir/_stream_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write
+          .mode("append")
+          .partitionBy("sink", "bucket")
+          .parquet(s"$outDir/data")
+      }
+      .start()
+  }
+
+  /** Start the windowed-counter aggregation into a parquet metrics table
+    * (append mode: windows finalize once the watermark passes them).
+    */
+  def startCounters(
+      spark: SparkSession,
+      stream: DataFrame,
+      outDir: String,
+      cfg: PipelineConfig,
+      period: String = "1 hour",
+      watermarkDelay: String = "30 seconds",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    windowedCounters(transform(spark, stream, cfg), period, watermarkDelay).writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_counters_checkpoint")
+      .format("parquet")
+      .option("path", s"$outDir/metrics_stream")
+      .start()
+}

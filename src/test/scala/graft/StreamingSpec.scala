@@ -1,0 +1,111 @@
+package graft
+
+import graft.data.Transcripts
+import graft.model.Turn
+import graft.run.{Pipeline, PipelineConfig}
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming port: same transform, same sink layout, resume
+  * from the engine checkpoint (the streaming registrar) without
+  * reprocessing — mirrors ResumeSpec's batch lineage semantics.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val cfg = PipelineConfig(buckets = 8, runId = "stream-test")
+
+  /** Copy every parquet part file of `srcDir` into the watched dir under
+    * a unique prefix (a file-source "new data arrived" event). */
+  private def feed(srcDir: String, watchDir: String, prefix: String): Unit = {
+    val dst = new java.io.File(watchDir)
+    dst.mkdirs()
+    new java.io.File(srcDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .zipWithIndex
+      .foreach { case (f, i) =>
+        java.nio.file.Files.copy(
+          f.toPath, new java.io.File(dst, s"$prefix-$i.parquet").toPath)
+      }
+  }
+
+  test("streaming sink writer matches batch routing and resumes from checkpoint") {
+    val n = 2000L
+    val all = Transcripts.synthesize(spark, n).cache()
+    val first = all.where($"conv_id" =!= "conv-hot")
+    val second = all.where($"conv_id" === "conv-hot")
+
+    val stage = TestSpark.tmpDir("stream-stage")
+    val watch = TestSpark.tmpDir("stream-watch")
+    val out = TestSpark.tmpDir("stream-out")
+    first.write.parquet(s"$stage/b1")
+    second.write.parquet(s"$stage/b2")
+    feed(s"$stage/b1", watch, "batch1")
+
+    def stream = spark.readStream.schema(Turn.schema).parquet(watch)
+
+    // run 1: only the first batch of files exists
+    StreamingPipeline.startSinkWriter(spark, stream, out, cfg).awaitTermination()
+    val afterFirst = spark.read.parquet(s"$out/data").count()
+    assert(afterFirst == first.count())
+
+    // run 2: second batch arrives; checkpoint must skip batch1 files
+    feed(s"$stage/b2", watch, "batch2")
+    StreamingPipeline.startSinkWriter(spark, stream, out, cfg).awaitTermination()
+
+    val written = spark.read.parquet(s"$out/data")
+    assert(written.count() == n, "resume must not duplicate or drop rows")
+    assert(written.select("conv_id", "turn_idx").distinct().count() == n)
+
+    // per-sink routed counts identical to the batch transform
+    val batchCounts = Pipeline.transform(spark, all, cfg)
+      .groupBy("sink").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamCounts = written
+      .groupBy("sink").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamCounts == batchCounts)
+  }
+
+  test("watermarked windowed counters emit closed windows in append mode") {
+    val n = 1000L
+    val base = Transcripts.synthesize(spark, n).cache()
+    // a late "heartbeat" batch far in the future closes every base window
+    val future = base.limit(1).withColumn("ts", col("ts") + expr("INTERVAL 10 DAYS"))
+
+    val stage = TestSpark.tmpDir("cnt-stage")
+    val watch = TestSpark.tmpDir("cnt-watch")
+    val out = TestSpark.tmpDir("cnt-out")
+    base.write.parquet(s"$stage/b1")
+    future.write.parquet(s"$stage/b2")
+    feed(s"$stage/b1", watch, "batch1")
+
+    def stream = spark.readStream.schema(Turn.schema).parquet(watch)
+
+    StreamingPipeline.startCounters(spark, stream, out, cfg).awaitTermination()
+    feed(s"$stage/b2", watch, "batch2")
+    StreamingPipeline.startCounters(spark, stream, out, cfg).awaitTermination()
+
+    val metrics = spark.read.parquet(s"$out/metrics_stream")
+    val got = metrics
+      .groupBy("sink", "window_start", "role").agg(sum("rows").as("rows"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(got.nonEmpty, "closed windows must have been emitted")
+
+    // every emitted window matches the batch computation over base rows
+    val expected = Pipeline.transform(spark, base, cfg)
+      .groupBy(col("sink"),
+        window(col("ts"), "1 hour").getField("start").as("window_start"), col("role"))
+      .agg(count(lit(1)).as("rows"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getString(2)) -> r.getLong(3))
+      .toMap
+    got.foreach { case (k, v) =>
+      assert(expected.get(k).contains(v), s"window $k: got $v, expected ${expected.get(k)}")
+    }
+  }
+}

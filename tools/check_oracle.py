@@ -1,56 +1,75 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's correctness gate: load each query's
-parquet dump (produced by `runMain graft.Verify <sfDir> <outDir>`), run its
-oracle SQL in DuckDB over the same testdata tables, and compare sorted
-rows/schemas. Usage: check_oracle.py <sfDir> <verifyOutDir>
-"""
-import sys, json, math, os
+"""Local pre-check of the driver's correctness gate: run each oracle SQL
+in DuckDB over the same parquet tables, compare with the Spark dump
+(columns sorted by name, rows sorted, values hashed)."""
+import json, sys, glob
 import duckdb
+import pandas as pd
+import numpy as np
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
+verify_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+oracle = json.load(open(f"{verify_dir}/oracle_sql.json"))
 con = duckdb.connect()
-for t in ("region nation customer supplier part orders lineitem events "
-          "documents embeddings").split():
-    p = f"{sfdir}/{t}.parquet"
-    if os.path.exists(p):
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = pd.to_datetime(s, utc=True).dt.tz_localize(None)
+        elif pd.api.types.is_float_dtype(s):
+            # int-valued floats print as ints so int64-vs-hugeint dtypes agree
+            s = s.round(4).map(lambda v: v if pd.isna(v) else (int(v) if v == int(v) else v))
+        elif pd.api.types.is_bool_dtype(s):
+            s = s.astype(object)
+        df[c] = s.map(lambda v: "NULL" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
 
-def canon(v):
-    if isinstance(v, float):
-        if math.isnan(v): return "NaN"
-        return f"{v:.9g}"
-    return str(v)
-
-fail = 0
+fails = []
 for name, sql in sorted(oracle.items()):
-    qdir = f"{outdir}/{name}"
-    if not os.path.isdir(qdir):
-        print(f"MISSING  {name}: no spark dump"); fail += 1; continue
+    path = glob.glob(f"{verify_dir}/{name}") + glob.glob(f"{verify_dir}/{name}.parquet")
+    if not path:
+        fails.append((name, "missing spark dump")); continue
     try:
-        got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
-        got_cols = sorted(got.columns)
-        got_rows = con.sql(
-            f"SELECT {', '.join(got_cols)} FROM '{qdir}/*.parquet'").fetchall()
-        exp = con.sql(sql)
-        exp_cols = sorted(exp.columns)
-        exp_rows = con.sql(f"SELECT {', '.join(exp_cols)} FROM ({sql})").fetchall()
+        spark_df = pd.read_parquet(path[0])
     except Exception as e:
-        print(f"ERROR    {name}: {str(e)[:200]}"); fail += 1; continue
-    if got_cols != exp_cols:
-        print(f"SCHEMA   {name}: spark={got_cols} oracle={exp_cols}"); fail += 1; continue
-    a = sorted(tuple(canon(v) for v in r) for r in got_rows)
-    b = sorted(tuple(canon(v) for v in r) for r in exp_rows)
-    if a == b:
-        print(f"OK       {name}: {len(a)} rows")
-    else:
-        fail += 1
-        print(f"MISMATCH {name}: spark {len(a)} rows vs oracle {len(b)} rows")
-        onlya = [r for r in a if r not in set(b)][:3]
-        onlyb = [r for r in b if r not in set(a)][:3]
-        print(f"  cols: {got_cols}")
-        for r in onlya: print(f"  spark-only:  {r}")
-        for r in onlyb: print(f"  oracle-only: {r}")
-print("FAILURES:", fail)
-sys.exit(1 if fail else 0)
+        fails.append((name, f"spark read fail: {e}")); continue
+    try:
+        duck_df = con.execute(sql).fetchdf()
+    except Exception as e:
+        fails.append((name, f"duckdb fail: {e}")); continue
+    if len(spark_df) != len(duck_df):
+        fails.append((name, f"rowcount {len(spark_df)} vs {len(duck_df)}")); continue
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        fails.append((name, f"cols {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}")); continue
+    a, b = canon(spark_df.copy()), canon(duck_df.copy())
+    try:
+        eq = a.equals(b)
+        if not eq:
+            # find first differing cell
+            diffs = []
+            for c in a.columns:
+                av, bv = a[c].values, b[c].values
+                neq = av != bv
+                try:
+                    neq = neq & ~(pd.isna(av) & pd.isna(bv))
+                except Exception:
+                    pass
+                if neq.any():
+                    i = int(np.argmax(neq))
+                    diffs.append(f"{c}[{i}]: {av[i]!r} vs {bv[i]!r}")
+            fails.append((name, f"value diff ({len(diffs)} cols): " + "; ".join(diffs[:3])))
+            continue
+    except Exception as e:
+        fails.append((name, f"compare error: {e}")); continue
+    print(f"PASS {name} ({len(spark_df)} rows)")
+
+for name, why in fails:
+    print(f"FAIL {name}: {why}")
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} pass")
