@@ -128,6 +128,25 @@ final class Dissector private (
 ) extends Serializable {
   import Dissector._
 
+  /** Output keys when they are value-independent — i.e. the tokenizer has
+    * no indirect (`%{&key}`) fields, whose target keys come from runtime
+    * values. Mirrors `resolve`'s insertion order exactly (re-puts keep the
+    * original position, reference keys are removed at the end).
+    */
+  val staticKeys: Option[Vector[String]] =
+    if (fieldsInOrder.exists(_.kind == Indirect)) None
+    else {
+      val m = mutable.LinkedHashSet.empty[String]
+      sortedFields.foreach { f =>
+        f.kind match {
+          case Normal | NamedSkip | Pointer | Append => m += f.key
+          case _                                     => ()
+        }
+      }
+      fieldsInOrder.foreach(f => if (!f.saveable && f.key.nonEmpty && f.kind != Skip) m -= f.key)
+      Some(m.toVector)
+    }
+
   /** Returns Right(extracted key→value map) or Left(error). */
   def dissect(s: String): Either[String, Map[String, String]] = {
     if (s == null || s.isEmpty) Left("empty string provided")
@@ -220,5 +239,25 @@ object DissectFunctions {
       }
     }
     (c: Column) => f(c).cast("struct<fields:map<string,string>,error:string>")
+  }
+
+  /** Flat variant for tokenizers with static output keys (no indirect
+    * fields): `STRUCT<values: ARRAY<STRING>, error: STRING>` with `values`
+    * aligned to the returned key vector. Skips Catalyst's map encoding in
+    * the hot path — the pipeline then projects each key to a plain string
+    * column, keeping the whole parse stage codegen-friendly.
+    */
+  def dissectFlat(tokenizer: String): (Vector[String], Column => Column) = {
+    val d = Dissector.compile(tokenizer)
+    val keys = d.staticKeys.getOrElse(
+      throw new IllegalArgumentException(
+        s"dissectFlat requires static output keys (no %{&indirect}): $tokenizer"))
+    val f = udf { (s: String) =>
+      d.dissect(s) match {
+        case Right(m)  => (keys.map(k => m.getOrElse(k, null)).toArray, null: String)
+        case Left(err) => (null: Array[String], err)
+      }
+    }
+    (keys, (c: Column) => f(c).cast("struct<values:array<string>,error:string>"))
   }
 }

@@ -27,7 +27,10 @@ final case class PipelineConfig(
     windowPeriod: String = "1 hour",
     hotConvs: Seq[String] = Seq("conv-hot"), // keys salted across sub-buckets
     hotSaltChunk: Int = 1000, // contiguous turns per salted chunk
-    runId: String = "run-0"
+    runId: String = "run-0",
+    // columns derivable from `text` that sinks need not store (e.g. the
+    // dissect remainder `body` duplicates most of the text bytes)
+    dropFromSink: Seq[String] = Seq("body")
 )
 
 final case class RunResult(
@@ -41,10 +44,12 @@ final case class RunResult(
 
 object Pipeline {
 
-  /** FIXTURES.md §3 router: ordered first-match rules. */
+  /** FIXTURES.md §3 router: ordered first-match rules (over the flattened
+    * dissect columns — `level` is a plain string column after parse).
+    */
   val defaultRouter: RouterConfig = RouterConfig(
     rules = Seq(
-      Rule("errors", when = Some(Cond.Regexp("parsed.level", "ERR.*"))),
+      Rule("errors", when = Some(Cond.Regexp("level", "ERR.*"))),
       Rule("tool_calls", when = Some(Cond.Equals("role", "tool"))),
       Rule("assistant", when = Some(Cond.And(Seq(
         Cond.Equals("role", "assistant"),
@@ -53,17 +58,24 @@ object Pipeline {
     default = Some("events")
   )
 
-  /** Parse stage: dissect the text envelope into `parsed`; on failure tag
-    * `flags: [dissect_parsing_error]` and leave the row intact
-    * (libbeat/processors/dissect/processor.go:64-74).
+  /** Parse stage: dissect the text envelope; on failure set `parse_error`
+    * and leave the row intact (libbeat/processors/dissect/processor.go:64-74).
+    *
+    * Hot-path shape: the tokenizer's (static) keys become PLAIN STRING
+    * COLUMNS — no MAP column survives into the shuffle/write, which
+    * roughly halves the written bytes and keeps every downstream stage in
+    * whole-stage codegen. The map-producing `DissectFunctions.dissect`
+    * stays the general operator (dynamic/indirect keys); the flattened
+    * projection is what a column-oriented engine should carry.
     */
   def parse(df: DataFrame, tokenizer: String): DataFrame = {
-    val d = DissectFunctions.dissect(tokenizer)(col("text"))
-    df.withColumn("_d", d)
-      .withColumn("parsed", col("_d.fields"))
-      .withColumn("flags",
-        when(col("_d.error").isNotNull, array(lit("dissect_parsing_error")))
-          .otherwise(array().cast("array<string>")))
+    val (keys, fn) = DissectFunctions.dissectFlat(tokenizer)
+    val withD = df.withColumn("_d", fn(col("text")))
+    val flattened = keys.zipWithIndex.foldLeft(withD) { case (d, (k, i)) =>
+      d.withColumn(k, col("_d").getField("values").getItem(i))
+    }
+    flattened
+      .withColumn("parse_error", col("_d").getField("error").isNotNull)
       .drop("_d")
   }
 
@@ -125,6 +137,7 @@ object Pipeline {
     waves.foreach { wave =>
       val subset = transformed
         .where(col("bucket").isin(wave: _*))
+        .drop(cfg.dropFromSink: _*)
         .repartition(cfg.buckets, col("bucket"))
         .sortWithinPartitions("sink", "bucket", "conv_id", "turn_idx")
       // fan-out to all sinks in ONE pass; ordering satisfies the writer's
@@ -134,15 +147,16 @@ object Pipeline {
         .partitionBy("sink", "bucket")
         .parquet(dataDir)
 
-      // Counts come from the *written* data: parquet footer reads only —
-      // this both produces the lineage metrics and validates the write.
+      // Counts come from the *written* data (one pass, parse_error is the
+      // only non-partition column touched) — this both produces the
+      // lineage metrics and validates the write.
       val written = spark.read.parquet(dataDir).where(col("bucket").isin(wave: _*))
-      val counts = written.groupBy("bucket", "sink").count().collect()
-        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-      val errs = written
-        .where(array_contains(col("flags"), "dissect_parsing_error"))
-        .groupBy("bucket").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val countRows = written.groupBy("bucket", "sink", "parse_error").count().collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
+      val counts = countRows.groupBy(r => (r._1, r._2)).toSeq
+        .map { case ((b, sink), rs) => (b, sink, rs.map(_._4).sum) }
+      val errs = countRows.filter(_._3).groupBy(_._1)
+        .map { case (b, rs) => b -> rs.map(_._4).sum }
 
       // windowed counters, partial per bucket (additive ⇒ resumable)
       val partial = written
@@ -150,7 +164,11 @@ object Pipeline {
           window(col("ts"), cfg.windowPeriod).getField("start").as("window_start"),
           col("role"))
         .agg(count(lit(1)).as("rows"), countDistinct(col("conv_id")).as("convs"))
-      partial.write.mode("overwrite").partitionBy("bucket").parquet(aggDir)
+      // co-locate each bucket's partial rows before the partitioned write:
+      // without this, every shuffle partition writes a file into every
+      // bucket dir (up to partitions × buckets tiny files)
+      partial.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(aggDir)
 
       val now = java.time.Instant.now().toString
       wave.foreach { b =>

@@ -1,0 +1,88 @@
+package graft.tools
+
+import graft.data.Transcripts
+import graft.run.{Pipeline, PipelineConfig}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage-cost profiler: times each pipeline phase in isolation so
+  * optimization effort lands where the time is. Usage:
+  *   runMain graft.tools.Profile [n] [cores]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val cores = args.lift(1).getOrElse("32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (${n / ((System.nanoTime() - t0) / 1e9)}%,.0f rows/s)")
+      r
+    }
+
+    val cfg = PipelineConfig(buckets = 128, waves = 1, runId = "prof")
+    val input = Transcripts.synthesize(spark, n)
+
+    time("synthesize.count")(input.count())
+    time("parse.count")(Pipeline.parse(input, cfg.tokenizer).count())
+    time("parse+enrich.count")(
+      Pipeline.enrich(spark, Pipeline.parse(input, cfg.tokenizer)).count())
+    val transformed = Pipeline.transform(spark, input, cfg)
+    time("full transform.count")(transformed.count())
+    time("transform+repartition+sort") {
+      transformed
+        .repartition(cfg.buckets, col("bucket"))
+        .sortWithinPartitions("sink", "bucket", "conv_id", "turn_idx")
+        .count()
+    }
+    val out = java.nio.file.Files.createTempDirectory("prof").toString
+    time("  + partitioned write") {
+      transformed
+        .repartition(cfg.buckets, col("bucket"))
+        .sortWithinPartitions("sink", "bucket", "conv_id", "turn_idx")
+        .write.mode("overwrite").partitionBy("sink", "bucket").parquet(s"$out/data")
+    }
+    val written = spark.read.parquet(s"$out/data")
+    time("read-back counts")(written.groupBy("bucket", "sink").count().collect())
+    time("read-back parse errors") {
+      written.where(col("parse_error"))
+        .groupBy("bucket").count().collect()
+    }
+    time("windowed agg") {
+      written.groupBy(col("bucket"), col("sink"),
+          window(col("ts"), "1 hour").getField("start").as("ws"), col("role"))
+        .agg(count(lit(1)), countDistinct(col("conv_id")))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$out/agg")
+    }
+    // --- write-strategy variants -------------------------------------
+    val sorted = transformed
+      .repartition(cfg.buckets, col("bucket"))
+      .sortWithinPartitions("sink", "bucket", "conv_id", "turn_idx")
+    time("write plain (no partitionBy)")(
+      sorted.write.mode("overwrite").parquet(s"$out/plain"))
+    time("write partitionBy(sink)")(
+      sorted.write.mode("overwrite").partitionBy("sink").parquet(s"$out/bysink"))
+    time("write pb(sink,bucket) again")(
+      sorted.write.mode("overwrite").partitionBy("sink", "bucket").parquet(s"$out/sb"))
+    time("write plain uncompressed")(
+      sorted.write.mode("overwrite").option("compression", "none").parquet(s"$out/nc"))
+    time("write pb(sink,bucket) zstd")(
+      sorted.write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("sink", "bucket").parquet(s"$out/zstd"))
+    val noBody = sorted.drop("body")
+    time("write pb(s,b) minus body")(
+      noBody.write.mode("overwrite").partitionBy("sink", "bucket").parquet(s"$out/np"))
+
+    val out2 = java.nio.file.Files.createTempDirectory("prof2").toString
+    time("TOTAL Pipeline.run")(Pipeline.run(spark, input, out2, cfg))
+    spark.stop()
+  }
+}
