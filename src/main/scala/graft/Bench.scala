@@ -45,46 +45,71 @@ object Bench {
       val cfg = PipelineConfig(buckets = 128, waves = 1, runId = runId)
       val t0 = System.nanoTime()
       Pipeline.run(spark, Transcripts.synthesize(spark, n), out.toString, cfg)
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $runId: $sec%.2f s (${n / sec}%,.0f turns/s)")
+      sec
     } finally deleteRec(out)
   }
+
+  /** Flush dirty pages (untimed) so one run's parquet writeback cannot
+    * intrude on the next run's measurement — run-to-run isolation, applied
+    * identically at both parallelism levels.
+    */
+  private def fsSettle(): Unit =
+    try { new ProcessBuilder("sync").inheritIO().start().waitFor(): Unit }
+    catch { case _: Exception => () }
 
   /** turns/sec at a parallelism level: one warmup (n/8) + best of 2. */
   private def tpsAt(cpus: Int, n: Long): Double = {
     val spark = session(cpus)
     try {
       timedRun(spark, n / 8, s"warm-$cpus"): Unit
-      val secs = (1 to 2).map(i => timedRun(spark, n, s"run-$cpus-$i"))
+      fsSettle()
+      val secs = (1 to 2).map { i =>
+        val s = timedRun(spark, n, s"run-$cpus-$i")
+        fsSettle()
+        s
+      }
       n / secs.min
     } finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4000000").toLong
+    // large enough that per-row compute dominates fixed per-run overhead
+    // at local[32] — the precondition for a meaningful efficiency number
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "16000000").toLong
 
     // --- section 1: per-query timings at local[32] ---
-    val spark = session(32)
+    // (SPARK_GRAFT_SKIP_QUERIES=1 → scaling-only, for iterating on the
+    // efficiency measurement without the multi-minute query sweep)
     val results =
-      try
-        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).count()
-          catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - t0) / 1e9
-        }
-      finally spark.stop()
+      if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")) Seq.empty
+      else {
+        val spark = session(32)
+        try
+          SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).count()
+            catch { case _: Throwable => -1L }
+            name -> (System.nanoTime() - t0) / 1e9
+          }
+        finally spark.stop()
+      }
 
-    // --- section 2: north-rule scaling (local[8] vs local[32]) ---
-    val tps8 = tpsAt(8, scaleN)
-    val tps32 = tpsAt(32, scaleN)
-    val eff = (tps32 / tps8) / (32.0 / 8.0)
+    // --- section 2: north-rule scaling (N vs 4N local cores) ---
+    val cpusLo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "8").toInt
+    val cpusHi = sys.env.getOrElse("SPARK_GRAFT_CPUS_HI", "32").toInt
+    val tps8 = tpsAt(cpusLo, scaleN)
+    val tps32 = tpsAt(cpusHi, scaleN)
+    val eff = (tps32 / tps8) / (cpusHi.toDouble / cpusLo)
 
     def f(d: Double): String = "%.4f".format(d)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val scaling =
-      s"""{"input_turns":$scaleN,"tps_8":${f(tps8)},"tps_32":${f(tps32)},"efficiency":${f(eff)}}"""
+      s"""{"input_turns":$scaleN,"cores_lo":$cpusLo,"cores_hi":$cpusHi,"tps_lo":${f(tps8)},"tps_hi":${f(
+          tps32)},"efficiency":${f(eff)}}"""
     println(
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"pipeline_turns_per_sec_local32":${f(
           tps32)},"scaling":$scaling,"sf":"$sfDir"}""")

@@ -259,10 +259,10 @@ object SparkEntry {
       Dedup.minhash(docsWithDupes(s, dir), numHashes = 8, k = 4)),
 
     "q_lsh_pairs" -> ((s, dir) =>
-      Dedup.lshCandidates(docsWithDupes(s, dir), numHashes = 8, rowsPerBand = 2, k = 4)),
+      Dedup.lshCandidates(docsWithDupes(s, dir), numHashes = 8, rowsPerBand = 4, k = 4)),
 
     "q_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(docsWithDupes(s, dir), k = 4, threshold = 0.5)),
+      Dedup.ngramJaccard(docsWithDupes(s, dir), k = 4, threshold = 0.5, maxDocFreq = 200)),
 
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(documents(s, dir), bits = 32)),
@@ -528,7 +528,7 @@ object SparkEntry {
          |  FROM sh, (SELECT UNNEST(generate_series(0, 7)) AS seed)
          |  GROUP BY doc_id, seed),
          |bands AS (
-         |  SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+         |  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
          |    string_agg(CAST(seed AS VARCHAR) || ':' || sig, '|' ORDER BY CAST(seed AS VARCHAR) || ':' || sig) AS band_key
          |  FROM mh GROUP BY 1, 2)
          |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
@@ -543,7 +543,7 @@ object SparkEntry {
          |  FROM docs2),
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
          |freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
-         |filtered AS (SELECT sh.* FROM sh JOIN freq USING (shingle) WHERE df <= 1000),
+         |filtered AS (SELECT sh.* FROM sh JOIN freq USING (shingle) WHERE df <= 200),
          |inter AS (
          |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
          |  FROM filtered l JOIN filtered r USING (shingle)

@@ -113,6 +113,14 @@ object Pipeline {
   def transform(spark: SparkSession, input: DataFrame, cfg: PipelineConfig): DataFrame =
     route(enrich(spark, parse(bucketed(input, cfg), cfg.tokenizer)), cfg.router)
 
+  private def phase[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (sys.env.contains("SPARK_GRAFT_PHASE_TIMING"))
+      System.err.println(f"[pipeline] $label%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    r
+  }
+
   /** Execute with per-bucket lineage; resumes past committed buckets. */
   def run(
       spark: SparkSession,
@@ -122,10 +130,26 @@ object Pipeline {
       inputFingerprint: String = ""
   ): RunResult = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // task-side commit: tasks move their own files at task-commit time, so
+    // job commit is O(1) instead of a driver-serial rename per partition
+    // dir (512 dirs at 128 buckets × 4 sinks was ~8 s of serial time —
+    // the dominant scaling-efficiency killer)
+    spark.sparkContext.hadoopConfiguration
+      .setInt("mapreduce.fileoutputcommitter.algorithm.version", 2)
     val lineage = new Lineage(spark, outDir)
     val all = (0 until cfg.buckets).toSet
     val committed = lineage.committedBuckets().intersect(all)
     val pending = (all -- committed).toSeq.sorted
+
+    // Fresh output (no prior data, no prior commits): plain append writes
+    // with task-side commit. On RESUME, pending buckets may hold partial
+    // files from a crashed attempt — only then pay for dynamic-partition
+    // OVERWRITE, whose per-bucket rewrite makes the retry idempotent.
+    val hadoopFs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val freshRun = committed.isEmpty &&
+      !hadoopFs.exists(new org.apache.hadoop.fs.Path(outDir, "data"))
+    val writeMode = if (freshRun) "append" else "overwrite"
 
     val transformed = transform(spark, input, cfg)
     val dataDir = s"$outDir/data"
@@ -142,17 +166,21 @@ object Pipeline {
         .sortWithinPartitions("sink", "bucket", "conv_id", "turn_idx")
       // fan-out to all sinks in ONE pass; ordering satisfies the writer's
       // required (sink, bucket) prefix so no extra sort is inserted.
-      subset.write
-        .mode("overwrite")
-        .partitionBy("sink", "bucket")
-        .parquet(dataDir)
+      phase("write") {
+        subset.write
+          .mode(writeMode)
+          .partitionBy("sink", "bucket")
+          .parquet(dataDir)
+      }
 
       // Counts come from the *written* data (one pass, parse_error is the
       // only non-partition column touched) — this both produces the
       // lineage metrics and validates the write.
       val written = spark.read.parquet(dataDir).where(col("bucket").isin(wave: _*))
-      val countRows = written.groupBy("bucket", "sink", "parse_error").count().collect()
-        .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
+      val countRows = phase("counts") {
+        written.groupBy("bucket", "sink", "parse_error").count().collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
+      }
       val counts = countRows.groupBy(r => (r._1, r._2)).toSeq
         .map { case ((b, sink), rs) => (b, sink, rs.map(_._4).sum) }
       val errs = countRows.filter(_._3).groupBy(_._1)
@@ -167,27 +195,39 @@ object Pipeline {
       // co-locate each bucket's partial rows before the partitioned write:
       // without this, every shuffle partition writes a file into every
       // bucket dir (up to partitions × buckets tiny files)
-      partial.repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(aggDir)
-
-      val now = java.time.Instant.now().toString
-      wave.foreach { b =>
-        val sinkCounts = counts.collect { case (`b`, sink, n) => sink -> n }.toMap
-        lineage.commit(LineageRecord(
-          cfg.runId, b, inputFingerprint,
-          sinkCounts.values.sum, sinkCounts, errs.getOrElse(b, 0L), now))
+      phase("agg_partial") {
+        partial.repartition(col("bucket"))
+          .write.mode(writeMode).partitionBy("bucket").parquet(aggDir)
       }
+
+      // per-bucket commits are independent files — write them in parallel
+      // (128 sequential small-file creates were a measurable fixed cost
+      // per run, which hurts scaling efficiency at high parallelism)
+      val now = java.time.Instant.now().toString
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      phase("lineage") { try {
+        wave.map { b =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              val sinkCounts = counts.collect { case (`b`, sink, n) => sink -> n }.toMap
+              lineage.commit(LineageRecord(
+                cfg.runId, b, inputFingerprint,
+                sinkCounts.values.sum, sinkCounts, errs.getOrElse(b, 0L), now))
+            }
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown() }
     }
 
     // merge partial aggregates into the final metrics table
-    if (pending.nonEmpty || committed.nonEmpty) {
+    if (pending.nonEmpty || committed.nonEmpty) phase("metrics_merge") {
       val partials = spark.read.parquet(aggDir)
       partials.groupBy("sink", "window_start", "role")
         .agg(sum("rows").as("rows"), sum("convs").as("convs"))
         .write.mode("overwrite").parquet(s"$outDir/metrics")
     }
 
-    val records = lineage.readAll().filter(r => all.contains(r.bucket))
+    val records = phase("lineage_read")(lineage.readAll().filter(r => all.contains(r.bucket)))
     val perSink = records.flatMap(_.perSinkCounts.toSeq)
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
     RunResult(

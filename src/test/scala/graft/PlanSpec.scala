@@ -1,0 +1,68 @@
+package graft
+
+import graft.data.Transcripts
+import graft.run.{Pipeline, PipelineConfig}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the scale contract, checked in CI rather
+  * than eyeballed: filters reach the parquet scan, small-dim enrich stays
+  * a broadcast hash join, and the pipeline data path has exactly the one
+  * hash exchange the design calls for (SURVEY.md §4 physical plan).
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("parquet scan: predicate pushdown + column pruning") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .where($"event_type" === "error")
+      .select("event_id")
+    val s = plan(df)
+    assert(s.contains("PushedFilters") && s.contains("EqualTo(event_type,error)"),
+      s"filter not pushed to scan:\n$s")
+    assert(s.contains("ReadSchema") && !s.contains("props"),
+      s"unused columns not pruned from scan:\n$s")
+  }
+
+  test("enrich lookups plan as broadcast hash joins, never shuffle joins") {
+    val t = Transcripts.synthesize(spark, 1000)
+    val s = plan(Pipeline.enrich(spark, Pipeline.parse(t, PipelineConfig().tokenizer)))
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast join:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"enrich must not shuffle the event stream:\n$s")
+  }
+
+  test("pipeline data path: exactly one hash exchange, sort satisfied by it") {
+    val cfg = PipelineConfig(buckets = 16)
+    val sorted = Pipeline.transform(spark, Transcripts.synthesize(spark, 1000), cfg)
+      .repartition(cfg.buckets, col("bucket"))
+      .sortWithinPartitions("sink", "bucket", "conv_id", "turn_idx")
+    val s = plan(sorted)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(shuffles == 1, s"expected exactly 1 data shuffle, found $shuffles:\n$s")
+    // one local sort on top of that exchange, nothing upstream re-sorts
+    val sorts = "(?m)^\\W*[+:]- Sort ".r.findAllIn(s).length
+    assert(sorts == 1, s"expected exactly 1 partition-local sort, found $sorts:\n$s")
+  }
+
+  test("whole-stage codegen covers the parse/enrich/route projections") {
+    val cfg = PipelineConfig(buckets = 16)
+    val df = Pipeline.transform(spark, Transcripts.synthesize(spark, 1000), cfg)
+    df.collect() // finalize the adaptive plan — codegen spans only show then
+    val s = plan(df)
+    assert(s.contains("WholeStageCodegen") || s.contains("*("),
+      s"transform fell out of codegen:\n$s")
+  }
+
+  test("ANN brute-force broadcasts the query side, not the corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val s = plan(graft.ops.Similarity.bruteForceTopK(e, e.where($"vec_id" < 3), k = 5))
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s"corpus must not cartesian-shuffle:\n$s")
+  }
+}
