@@ -98,8 +98,12 @@ object Bench {
       }
 
     // --- section 2: north-rule scaling (N vs 4N local cores) ---
-    val cpusLo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "8").toInt
-    val cpusHi = sys.env.getOrElse("SPARK_GRAFT_CPUS_HI", "32").toInt
+    // Default pair is 2 vs 8: this VM is a Firecracker guest on an
+    // oversubscribed host — above ~8-12 busy vCPUs the guest burns 45-78%
+    // system time (spin under lock-holder preemption) and results invert,
+    // measuring the host rather than the engine. See BASELINE.md.
+    val cpusLo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "2").toInt
+    val cpusHi = sys.env.getOrElse("SPARK_GRAFT_CPUS_HI", "8").toInt
     val tps8 = tpsAt(cpusLo, scaleN)
     val tps32 = tpsAt(cpusHi, scaleN)
     val eff = (tps32 / tps8) / (cpusHi.toDouble / cpusLo)
@@ -111,7 +115,7 @@ object Bench {
       s"""{"input_turns":$scaleN,"cores_lo":$cpusLo,"cores_hi":$cpusHi,"tps_lo":${f(tps8)},"tps_hi":${f(
           tps32)},"efficiency":${f(eff)}}"""
     println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"pipeline_turns_per_sec_local32":${f(
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"pipeline_turns_per_sec":${f(
           tps32)},"scaling":$scaling,"sf":"$sfDir"}""")
   }
 }

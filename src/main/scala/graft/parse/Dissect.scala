@@ -243,21 +243,18 @@ object DissectFunctions {
 
   /** Flat variant for tokenizers with static output keys (no indirect
     * fields): `STRUCT<values: ARRAY<STRING>, error: STRING>` with `values`
-    * aligned to the returned key vector. Skips Catalyst's map encoding in
-    * the hot path — the pipeline then projects each key to a plain string
-    * column, keeping the whole parse stage codegen-friendly.
+    * aligned to the returned key vector. Backed by the native Catalyst
+    * `DissectExpr` (codegen, no ScalaUDF encoder round-trip); the pipeline
+    * projects each key to a plain string column, keeping the whole parse
+    * stage inside whole-stage codegen.
     */
   def dissectFlat(tokenizer: String): (Vector[String], Column => Column) = {
+    import org.apache.spark.sql.GraftColumnBridge
     val d = Dissector.compile(tokenizer)
     val keys = d.staticKeys.getOrElse(
       throw new IllegalArgumentException(
         s"dissectFlat requires static output keys (no %{&indirect}): $tokenizer"))
-    val f = udf { (s: String) =>
-      d.dissect(s) match {
-        case Right(m)  => (keys.map(k => m.getOrElse(k, null)).toArray, null: String)
-        case Left(err) => (null: Array[String], err)
-      }
-    }
-    (keys, (c: Column) => f(c).cast("struct<values:array<string>,error:string>"))
+    (keys, (c: Column) =>
+      GraftColumnBridge.column(DissectExpr(GraftColumnBridge.expression(c), tokenizer)))
   }
 }

@@ -1,0 +1,71 @@
+package graft.parse
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the flat dissect parse —
+  * `dissect_flat(text)` → `STRUCT<values: ARRAY<STRING>, error: STRING>`
+  * with `values` aligned to the tokenizer's static keys.
+  *
+  * Versus the Scala-UDF route, this stays inside whole-stage codegen with
+  * a single virtual call per row and no ScalaUDF encoder round-trip
+  * (no Row boxing, no catalyst↔scala converters): the generated code
+  * calls `eval1` directly on the incoming `UTF8String` and gets back an
+  * `InternalRow` of `UTF8String`s. The compiled `Dissector` is attached
+  * as a codegen reference object — compile-once-at-driver, exactly
+  * Beats' processor-construction model (dissect.go:143-154).
+  */
+final case class DissectExpr(child: Expression, tokenizer: String)
+    extends UnaryExpression {
+
+  @transient private lazy val dissector: Dissector = Dissector.compile(tokenizer)
+  @transient private lazy val keys: Vector[String] =
+    dissector.staticKeys.getOrElse(
+      throw new IllegalArgumentException(
+        s"DissectExpr requires static output keys (no %{&indirect}): $tokenizer"))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dissect_flat requires a string input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("values", ArrayType(StringType, containsNull = true)),
+    StructField("error", StringType, nullable = true)))
+
+  override def nullable: Boolean = child.nullable
+
+  /** Row-level kernel, also invoked from generated code. */
+  def eval1(input: UTF8String): InternalRow =
+    dissector.dissect(input.toString) match {
+      case Right(m) =>
+        val arr = new Array[Any](keys.length)
+        var i = 0
+        while (i < keys.length) {
+          arr(i) = m.get(keys(i)).map(UTF8String.fromString).orNull
+          i += 1
+        }
+        InternalRow(new GenericArrayData(arr), null)
+      case Left(err) =>
+        InternalRow(null, UTF8String.fromString(err))
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    eval1(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dissectExpr", this, classOf[DissectExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.eval1($c);")
+  }
+
+  override def prettyName: String = "dissect_flat"
+
+  override protected def withNewChildInternal(newChild: Expression): DissectExpr =
+    copy(child = newChild)
+}

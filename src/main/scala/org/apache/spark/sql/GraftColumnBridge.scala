@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ↔ Expression bridge for graft's native Catalyst expressions.
+  * Spark 4 routes Column through ColumnNode and keeps the conversion
+  * helpers `private[sql]`; this is the one sanctioned-package shim the
+  * library needs to expose `DissectExpr` as a `Column`.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
