@@ -255,6 +255,15 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       documents(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(documents(s, dir), k = 3)
+        .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
+          col("df").cast("long").as("df"), col("score"), col("rank"))),
+
+    "q_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(documents(s, dir), k = 20)
+        .select(col("term"), col("freq").cast("long").as("freq"), col("rank"))),
+
     "q_minhash" -> ((s, dir) =>
       Dedup.minhash(docsWithDupes(s, dir), numHashes = 8, k = 4)),
 
@@ -506,6 +515,30 @@ object SparkEntry {
 
     "q_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+
+    "q_tfidf" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '$BpeishRe')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         |    round(CAST(tf AS DOUBLE) * CAST(n AS DOUBLE) / CAST(df AS DOUBLE), 6) AS score
+         |  FROM tf JOIN dfreq USING (term), n)
+         |SELECT doc_id, term, tf, df, score, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3""".stripMargin,
+
+    "q_top_terms" ->
+      s"""WITH t AS (
+         |  SELECT UNNEST(regexp_extract_all(lower(text), '$BpeishRe')) AS term FROM documents),
+         |freq AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY 1)
+         |SELECT term, freq, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY freq DESC, term) AS INTEGER) AS rank FROM freq)
+         |WHERE rank <= 20""".stripMargin,
 
     "q_minhash" ->
       s"""WITH $DocsDupesSql,

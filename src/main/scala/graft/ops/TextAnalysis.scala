@@ -77,4 +77,49 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** (id, term) exploded token stream — BPE-ish tokens, case-folded. */
+  def terms(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(
+      col(idCol),
+      explode(regexp_extract_all(lower(col(textCol)), lit(bpeishPattern), lit(0))).as("term"))
+
+  /** Per-document TF-IDF top-k terms. idf is the raw ratio N/df — a
+    * quotient of exact integers, so Spark and any SQL oracle compute the
+    * bit-identical double (no ln(), whose last-ulp differences across
+    * libm implementations would break hash-equality). Two small shuffles:
+    * (id, term) term-frequency agg, then a broadcast of the |vocab|-sized
+    * document-frequency table.
+    */
+  def tfidfTopK(df: DataFrame, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val n = df.count()
+    val t = terms(df, idCol, textCol)
+    val tf = t.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = t.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("score",
+        round(col("tf").cast("double") * lit(n.toDouble) / col("df").cast("double"), 6))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+
+  /** Corpus heavy hitters: global top-k terms by frequency (map-side
+    * combine ⇒ the shuffle is |vocab|-sized; final top-k is a tiny
+    * driver-side sort).
+    */
+  def topTerms(df: DataFrame, k: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = terms(df, idCol, textCol).groupBy("term").agg(count(lit(1)).as("freq"))
+    // orderBy+limit plans as TakeOrderedAndProject (distributed per-
+    // partition top-k, merged at the driver) — never a single-partition
+    // global window over the full vocabulary
+    val top = freq.orderBy(col("freq").desc, col("term")).limit(k)
+    top.withColumn("rank", row_number().over(Window.orderBy(col("freq").desc, col("term"))))
+  }
 }

@@ -121,6 +121,24 @@ object Pipeline {
     r
   }
 
+  /** Snapshot read through the lineage manifest: only buckets with a
+    * commit record are visible — a crashed attempt's partial files (task-
+    * committed but bucket-uncommitted) are filtered out, which is what
+    * makes the append fast-path safe for readers (Iceberg-style
+    * read-through-manifest, SURVEY.md §2.15/§7.4.3). The bucket filter is
+    * partition pruning: uncommitted dirs are never scanned.
+    */
+  def readCommitted(spark: SparkSession, outDir: String): DataFrame = {
+    val committed = new Lineage(spark, outDir).committedBuckets()
+    spark.read.parquet(s"$outDir/data")
+      .where(col("bucket").isin(committed.toSeq: _*))
+  }
+
+  /** Per-sink view over the committed snapshot — what a reference user's
+    * per-index/topic consumer reads. */
+  def readSink(spark: SparkSession, outDir: String, sink: String): DataFrame =
+    readCommitted(spark, outDir).where(col("sink") === sink).drop("sink")
+
   /** Execute with per-bucket lineage; resumes past committed buckets. */
   def run(
       spark: SparkSession,

@@ -53,4 +53,39 @@ class ResumeSpec extends AnyFunSuite {
     val again = Pipeline.run(spark, input, out, cfg.copy(runId = "r4"))
     assert(again.bucketsRun.toSet == (0 until 8).toSet)
   }
+
+  test("crash mid-write: partial uncommitted files are invisible to readers and cleaned on resume") {
+    import org.apache.spark.sql.functions._
+    val out = TestSpark.tmpDir("resume4")
+    Pipeline.run(spark, input, out, cfg)
+    val cleanTotal = spark.read.parquet(s"$out/data").count()
+
+    // simulate a crashed attempt at bucket 2: lineage commit lost AND
+    // stray task-committed files left behind in its partition dirs (the
+    // append fast-path failure mode)
+    val lineage = new Lineage(spark, out)
+    lineage.invalidate(2)
+    val garbage = input.limit(37)
+      .withColumn("level", lit("INFO")).withColumn("component", lit("x"))
+      .withColumn("body", lit("junk")).withColumn("parse_error", lit(false))
+      .withColumn("role_kind", lit("x")).withColumn("billable", lit(false))
+      .withColumn("tool_family", lit(null).cast("string"))
+      .withColumn("is_sandboxed", lit(null).cast("boolean"))
+      .drop("body")
+    garbage.write.mode("append").parquet(s"$out/data/sink=events/bucket=2")
+
+    // manifest read: bucket 2 is uncommitted ⇒ not visible at all
+    val visible = Pipeline.readCommitted(spark, out)
+    assert(visible.where(col("bucket") === 2).count() == 0)
+    assert(visible.count() < cleanTotal)
+    // per-sink view drops the sink column and sees only committed rows
+    assert(Pipeline.readSink(spark, out, "events").columns.toSet.contains("sink") == false)
+
+    // resume: bucket 2 re-runs under dynamic overwrite, garbage replaced
+    val second = Pipeline.run(spark, input, out, cfg.copy(runId = "r5"))
+    assert(second.bucketsRun == Seq(2))
+    assert(spark.read.parquet(s"$out/data").count() == cleanTotal,
+      "resume must replace the crashed bucket's partial files exactly")
+    assert(Pipeline.readCommitted(spark, out).count() == cleanTotal)
+  }
 }
