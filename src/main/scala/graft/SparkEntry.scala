@@ -155,6 +155,22 @@ object SparkEntry {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))),
 
+    // json reader (readjson/json.go): envelope parse + keys_under_root
+    // flatten + add_error_key on malformed input (every 10th event is
+    // corrupted to exercise the error path)
+    "q_json_reader" -> { (s, dir) =>
+      val corrupted = concat(
+        when(pmod(col("event_id"), lit(10)) === 0, lit("x")).otherwise(lit("")),
+        col("props"))
+      events(s, dir)
+        .withColumn("_j", from_json(corrupted, "k INT, _corrupt STRING",
+          Map("columnNameOfCorruptRecord" -> "_corrupt")))
+        .select(
+          col("event_id"),
+          col("_j").getField("k").as("k"),
+          col("_j").getField("_corrupt").isNotNull.as("json_error"))
+    },
+
     // format strings: interpolation + default + daily date token
     "q_format_string" -> { (s, dir) =>
       val t = transcripts(s, dir)
@@ -402,6 +418,12 @@ object SparkEntry {
 
     "q_decode_json" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",
+
+    "q_json_reader" ->
+      """SELECT event_id,
+        |  CASE WHEN json_valid(c) THEN CAST(json_extract_string(c, '$.k') AS INTEGER) END AS k,
+        |  NOT json_valid(c) AS json_error
+        |FROM (SELECT event_id, CASE WHEN event_id % 10 = 0 THEN 'x' ELSE '' END || props AS c FROM events)""".stripMargin,
 
     "q_format_string" ->
       s"""$T SELECT 't-' || COALESCE(tool, 'none') || '-' || strftime(ts, '%Y.%m.%d') AS index_name,

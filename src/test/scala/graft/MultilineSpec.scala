@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.Multiline
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pattern-based multiline joining vs hand-computed groups
+  * (libbeat/reader/multiline/multiline.go two-state machine; match:after
+  * semantics, negate, max_lines cap).
+  */
+class MultilineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def lines(rows: (String, Int, String)*) =
+    rows.toSeq.toDF("conv_id", "turn_idx", "text")
+
+  private def groupsOf(df: org.apache.spark.sql.DataFrame): Map[(String, Int), (Long, String)] =
+    df.collect().map { r =>
+      (r.getAs[String]("conv_id"), r.getAs[Int]("first_turn_idx")) ->
+        (r.getAs[Long]("n_lines"), r.getAs[String]("event_text"))
+    }.toMap
+
+  test("match:after — indented continuation lines join the previous event") {
+    // pattern matches continuations (leading whitespace): stack-trace case
+    val df = lines(
+      ("c1", 0, "Exception in thread main"),
+      ("c1", 1, "  at Foo.bar(Foo.java:1)"),
+      ("c1", 2, "  at Baz.qux(Baz.java:9)"),
+      ("c1", 3, "Next event"),
+      ("c2", 0, "  orphan continuation starts a stream"),
+      ("c2", 1, "Fresh event"))
+    val got = groupsOf(Multiline(df, pattern = "^\\s"))
+    assert(got(("c1", 0)) == (3L, "Exception in thread main\n  at Foo.bar(Foo.java:1)\n  at Baz.qux(Baz.java:9)"))
+    assert(got(("c1", 3)) == (1L, "Next event"))
+    // leading continuation with no prior boundary forms its own group
+    assert(got(("c2", 0)) == (1L, "  orphan continuation starts a stream"))
+    assert(got(("c2", 1)) == (1L, "Fresh event"))
+  }
+
+  test("negate flips the boundary predicate") {
+    // negate=true: lines MATCHING the pattern start new events
+    val df = lines(
+      ("c1", 0, "START a"),
+      ("c1", 1, "data 1"),
+      ("c1", 2, "data 2"),
+      ("c1", 3, "START b"),
+      ("c1", 4, "data 3"))
+    val got = groupsOf(Multiline(df, pattern = "^START", negate = true))
+    assert(got(("c1", 0)) == (3L, "START a\ndata 1\ndata 2"))
+    assert(got(("c1", 3)) == (2L, "START b\ndata 3"))
+  }
+
+  test("max_lines splits an over-long event (multiline.go:58)") {
+    val df = lines(
+      ("c1", 0, "HEAD"),
+      ("c1", 1, " c1"), ("c1", 2, " c2"), ("c1", 3, " c3"), ("c1", 4, " c4"))
+    val got = groupsOf(Multiline(df, pattern = "^\\s", maxLines = 2))
+    assert(got(("c1", 0))._1 == 2L)
+    assert(got(("c1", 2))._1 == 2L)
+    assert(got(("c1", 4))._1 == 1L)
+    assert(got(("c1", 0))._2 == "HEAD\n c1")
+  }
+
+  test("streams are independent (per-conversation state, never crosses)") {
+    val df = lines(
+      ("a", 0, "X"), ("a", 1, " cont"),
+      ("b", 0, " only-continuations"), ("b", 1, " more"))
+    val got = groupsOf(Multiline(df, pattern = "^\\s"))
+    assert(got(("a", 0)) == (2L, "X\n cont"))
+    assert(got(("b", 0)) == (2L, " only-continuations\n more"))
+  }
+}
