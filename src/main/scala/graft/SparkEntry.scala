@@ -126,6 +126,14 @@ object SparkEntry {
           col("role"))
         .agg(count(lit(1)).as("n_rows"), countDistinct(col("conv_id")).as("convs"))),
 
+    // packetbeat flows: inactivity-gap sessionization (30s timeout)
+    "q_flow_sessions" -> ((s, dir) =>
+      graft.ops.Sessions.byGap(
+          events(s, dir).select(col("user_id").cast("string").as("conv_id"), col("ts")),
+          gapSeconds = 30)
+        .select(col("conv_id"), col("session_id"),
+          col("n_events"), col("first_ts"), col("last_ts"))),
+
     // packetbeat flows: 10s tumbling windows over raw events
     "q_flow_windows" -> ((s, dir) =>
       events(s, dir)
@@ -400,6 +408,22 @@ object SparkEntry {
       s"""$R SELECT sink, date_trunc('hour', ts) AS window_start, role,
          |  count(*) AS n_rows, count(DISTINCT conv_id) AS convs
          |FROM routed GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_flow_sessions" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, ts FROM events),
+        |b AS (
+        |  SELECT conv_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR epoch(ts) - epoch(lag(ts) OVER w) > 30 THEN 1 ELSE 0 END AS boundary
+        |  FROM e WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+        |), g AS (
+        |  SELECT conv_id, ts,
+        |    SUM(boundary) OVER (PARTITION BY conv_id ORDER BY ts) - 1 AS session_id
+        |  FROM b
+        |)
+        |SELECT conv_id, session_id, count(*) AS n_events,
+        |  min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM g GROUP BY 1, 2""".stripMargin,
 
     "q_flow_windows" ->
       """SELECT make_timestamp(CAST(floor(epoch(ts) / 10) * 10 AS BIGINT) * 1000000) AS window_start,

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Inactivity-gap sessionization — the batch rendering of packetbeat's
+  * flow table (packetbeat/flows/flows.go:40-41: report period + 30 s
+  * inactive timeout; worker.go tick loop). A "flow" is a maximal run of
+  * events for one key with no silence longer than `gapSeconds`.
+  *
+  * Spark-first: a per-key window computes the lag, a boundary flag marks
+  * events starting a new session, its running sum is the session ordinal —
+  * one hash exchange on the key, everything else narrow. The same
+  * partitioning serves the lag window, the running sum, and the final
+  * groupBy (Catalyst reuses the exchange).
+  */
+object Sessions {
+
+  def byGap(
+      df: DataFrame,
+      keyCol: String = "conv_id",
+      tsCol: String = "ts",
+      gapSeconds: Long = 30): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol)
+    val prev = lag(col(tsCol), 1).over(w)
+    val boundary = prev.isNull ||
+      (unix_timestamp(col(tsCol)) - unix_timestamp(prev)) > gapSeconds
+    df.withColumn("_b", boundary.cast("long"))
+      .withColumn("session_id", sum(col("_b")).over(w) - 1)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("first_ts"),
+        max(col(tsCol)).as("last_ts"))
+  }
+}

@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.run.{Pipeline, PipelineConfig}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured Streaming port of the batch pipeline.
   *
@@ -24,6 +24,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    killed query resumes without reprocessing — same contract as the
   *    batch lineage table, SURVEY.md §2.15).
   */
+/** Open-session state carried between micro-batches. */
+final case class FlowState(n: Long, firstMs: Long, lastMs: Long)
+
+/** A closed flow: maximal run of events for a key without a silence
+  * longer than the gap. */
+final case class Flow(
+    key: String,
+    n_events: Long,
+    first_ts: java.sql.Timestamp,
+    last_ts: java.sql.Timestamp)
+
 object StreamingPipeline {
 
   /** Identical transform as batch — parse, enrich, route, bucket. */
@@ -47,6 +58,67 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("rows"), approx_count_distinct("conv_id").as("convs_approx"))
       .select(col("sink"), col("window").getField("start").as("window_start"),
         col("role"), col("rows"), col("convs_approx"))
+
+  /** Packetbeat-flows analog with custom state: inactivity-gap session
+    * flows via `flatMapGroupsWithState` + event-time timeout
+    * (packetbeat/flows/flows.go:40-41 — inactive timeout default 30 s;
+    * the keyed flow table is the GroupState, the worker tick is the
+    * engine's watermark-driven timeout).
+    *
+    * Semantics per key: events split into maximal runs with no silence
+    * longer than `gapSeconds`. Runs *followed by* a later event in the
+    * same batch close immediately (the following event proves the gap);
+    * the open tail session closes when the watermark passes
+    * last + gap (event-time timeout) — exactly "report after
+    * inactivity". Exact same output as the batch `ops.Sessions.byGap`.
+    */
+  def sessionFlows(
+      df: DataFrame,
+      keyCol: String = "conv_id",
+      gapSeconds: Long = 30,
+      watermarkDelay: String = "10 seconds"): Dataset[Flow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+    df.withWatermark("ts", watermarkDelay)
+      .select(col(keyCol).cast("string").as("key"), col("ts"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FlowState, Flow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)], state: GroupState[FlowState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Flow(key, s.n,
+              new java.sql.Timestamp(s.firstMs), new java.sql.Timestamp(s.lastMs)))
+          } else {
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            // fold the open session (if any) + this batch's events into
+            // gap-runs; all but the last run are provably closed
+            val open = state.getOption
+            val runs = scala.collection.mutable.ArrayBuffer.empty[FlowState]
+            open.foreach(runs += _)
+            ts.foreach { t =>
+              runs.lastOption match {
+                case Some(last) if t - last.lastMs <= gapMs =>
+                  runs(runs.length - 1) =
+                    FlowState(last.n + 1, last.firstMs, math.max(last.lastMs, t))
+                case _ => runs += FlowState(1, t, t)
+              }
+            }
+            val tail = runs.last
+            state.update(tail)
+            // timeout when the watermark passes last-event + gap (clamped
+            // above the current watermark — required by the API when the
+            // tail session is already older than the watermark)
+            state.setTimeoutTimestamp(
+              math.max(tail.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            runs.init.iterator.map(s =>
+              Flow(key, s.n, new java.sql.Timestamp(s.firstMs), new java.sql.Timestamp(s.lastMs)))
+          }
+      }
+  }
 
   /** Start the fan-out sink writer: one micro-batch pass computing `sink`,
     * then a single (sink, bucket)-partitioned append — identical layout to

@@ -69,6 +69,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamCounts == batchCounts)
   }
 
+  test("stateful session flows: inactivity gap via flatMapGroupsWithState matches batch sessionization") {
+    import graft.ops.Sessions
+    import graft.streaming.StreamingPipeline.sessionFlows
+    // hand-crafted gaps: key a has two sessions (gap 100s), key b one
+    val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def t(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val noTool = Option.empty[String]
+    val rows = Seq(
+      ("a", 0, "user", "x", noTool, t(0)),
+      ("a", 1, "user", "x", noTool, t(10)),
+      ("a", 2, "user", "x", noTool, t(110)), // 100s gap ⇒ new session
+      ("a", 3, "user", "x", noTool, t(120)),
+      ("b", 0, "user", "x", noTool, t(5)))
+    val df = rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    // heartbeat far in the future closes the open tail sessions
+    val future = Seq(("zz", 0, "user", "x", noTool, t(864000))).toDF(
+      "conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+    val stage = TestSpark.tmpDir("flow-stage")
+    val watch = TestSpark.tmpDir("flow-watch")
+    val out = TestSpark.tmpDir("flow-out")
+    df.write.parquet(s"$stage/b1")
+    future.write.parquet(s"$stage/b2")
+    feed(s"$stage/b1", watch, "batch1")
+
+    def stream = spark.readStream.schema(Turn.schema).parquet(watch)
+    def runOnce(): Unit =
+      sessionFlows(stream, gapSeconds = 30).writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append")
+        .option("checkpointLocation", s"$out/_cp")
+        .format("parquet").option("path", s"$out/flows")
+        .start().awaitTermination()
+
+    runOnce()
+    feed(s"$stage/b2", watch, "batch2")
+    runOnce()
+
+    val got = spark.read.parquet(s"$out/flows")
+      .collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("n_events"),
+        r.getAs[java.sql.Timestamp]("first_ts"), r.getAs[java.sql.Timestamp]("last_ts")))
+      .toSet
+    val expected = Sessions.byGap(df.unionAll(future), gapSeconds = 30)
+      .collect()
+      .map(r => (r.getAs[String]("conv_id"), r.getAs[Long]("n_events"),
+        r.getAs[java.sql.Timestamp]("first_ts"), r.getAs[java.sql.Timestamp]("last_ts")))
+      .toSet
+    // the heartbeat's own session stays open (watermark never passes it)
+    assert(got == expected.filterNot(_._1 == "zz"), s"got=$got expected=$expected")
+    assert(got.size == 3)
+  }
+
   test("watermarked windowed counters emit closed windows in append mode") {
     val n = 1000L
     val base = Transcripts.synthesize(spark, n).cache()
