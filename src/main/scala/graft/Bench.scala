@@ -59,13 +59,16 @@ object Bench {
     try { new ProcessBuilder("sync").inheritIO().start().waitFor(): Unit }
     catch { case _: Exception => () }
 
-  /** turns/sec at a parallelism level: one warmup (n/8) + best of 2. */
+  /** turns/sec at a parallelism level: one warmup (n/8) + best of 3
+    * (min, not mean: co-tenant noise on this host only ever slows runs
+    * down, so the minimum is the least-contaminated sample).
+    */
   private def tpsAt(cpus: Int, n: Long): Double = {
     val spark = session(cpus)
     try {
       timedRun(spark, n / 8, s"warm-$cpus"): Unit
       fsSettle()
-      val secs = (1 to 2).map { i =>
+      val secs = (1 to 3).map { i =>
         val s = timedRun(spark, n, s"run-$cpus-$i")
         fsSettle()
         s

@@ -1,0 +1,42 @@
+package graft.parse
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SparkSessionExtensions injector exposing the native dissect expression
+  * to SQL:
+  *
+  *   spark.sql("SELECT dissect_flat(text, '%{level} [%{comp}] %{rest}') ...")
+  *
+  * Register via config (works with plain spark-submit, no code changes):
+  *   --conf spark.sql.extensions=graft.parse.GraftExtensions
+  * or programmatically: `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  *
+  * The tokenizer argument must be a literal string — it is compiled once
+  * at plan time (Beats compiles processors at startup, dissect.go:143-154).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.dissectFlatFunction)
+  }
+}
+
+object GraftExtensions {
+  private def tokenizerOf(e: Expression): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case other =>
+      throw new IllegalArgumentException(
+        s"dissect_flat tokenizer must be a string literal, got: $other")
+  }
+
+  val dissectFlatFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dissect_flat"),
+    new ExpressionInfo(classOf[DissectExpr].getName, "dissect_flat"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 2, "dissect_flat(text, tokenizer) takes exactly 2 arguments")
+      DissectExpr(exprs.head, tokenizerOf(exprs(1)))
+    }
+  )
+}

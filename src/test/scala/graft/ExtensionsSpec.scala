@@ -1,0 +1,36 @@
+package graft
+
+import graft.parse.GraftExtensions
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL surface for the native dissect expression, registered through the
+  * extension point (usable via spark.sql.extensions on spark-submit).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("dissect_flat is callable from SQL after function injection") {
+    // same registry the SparkSessionExtensions injector targets — shared
+    // test session is already built, so register directly
+    val (ident, info, builder) = GraftExtensions.dissectFlatFunction
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+
+    val rows = spark.sql(
+      """SELECT d.values[0] AS level, d.values[1] AS comp, d.error
+        |FROM (
+        |  SELECT dissect_flat(t.text, '%{level} [%{comp}] %{rest}') AS d
+        |  FROM VALUES ('INFO [db] connected'), ('garbage') AS t(text)
+        |)""".stripMargin).collect()
+    assert(rows(0).getString(0) == "INFO" && rows(0).getString(1) == "db" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(0) && !rows(1).isNullAt(2))
+  }
+
+  test("non-literal tokenizer is rejected at plan time") {
+    val (ident, info, builder) = GraftExtensions.dissectFlatFunction
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    val e = intercept[Exception] {
+      spark.sql("SELECT dissect_flat(text, text) FROM VALUES ('x') AS t(text)").collect()
+    }
+    assert(e.getMessage.contains("literal") || e.getCause != null)
+  }
+}
