@@ -80,8 +80,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // large enough that per-row compute dominates fixed per-run overhead
-    // at local[32] — the precondition for a meaningful efficiency number
-    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "16000000").toLong
+    // at the high-parallelism level (the precondition for a meaningful
+    // efficiency number) while keeping the whole bench under ~8 minutes
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8000000").toLong
 
     // --- section 1: per-query timings at local[32] ---
     // (SPARK_GRAFT_SKIP_QUERIES=1 → scaling-only, for iterating on the

@@ -279,6 +279,10 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       documents(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    "q_rolling_fp" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        TextAnalysis.rollingHash(col("text")).as("rolling_fp"))),
+
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(documents(s, dir), k = 3)
         .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
@@ -324,7 +328,13 @@ object SparkEntry {
 
     "q_media_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.asMedia(documents(s, dir)), frameBytes = 64, stride = 2)
-        .select("media_id", "byte_len", "n_frames"))
+        .select("media_id", "byte_len", "n_frames")),
+
+    // stub-codec feature extraction (mapPartitions batch); float-sum
+    // accumulation is not SQL-reproducible → no oracle, rows-only check
+    "q_media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.asMedia(documents(s, dir)), dim = 8)
+        .select(col("media_id"), col("kind"), size(col("features")).as("dim")))
   )
 
   // --- oracle SQL (DuckDB) ----------------------------------------------
@@ -561,6 +571,14 @@ object SparkEntry {
 
     "q_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+
+    "q_rolling_fp" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 2147483639) AS rolling_fp
+        |FROM documents""".stripMargin,
 
     "q_tfidf" ->
       s"""WITH t AS (

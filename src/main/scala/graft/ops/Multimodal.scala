@@ -50,15 +50,32 @@ object Multimodal {
     out
   }
 
-  /** Feature extraction over media rows: batched per partition via
-    * mapPartitions (the Scala analog of mapInPandas batches) — one codec
-    * init per partition, not per row.
+  /** Feature extraction over media rows: genuinely batched per partition
+    * via mapPartitions (the Scala analog of mapInPandas batches) — the
+    * codec is initialized ONCE per partition, then fed rows one at a
+    * time. The stub "codec" stands in for an image/audio decoder (not in
+    * this container); the partition-level batching, schema handling, and
+    * Row plumbing are the real operator.
     */
   def extractFeatures(df: DataFrame, dim: Int = 8): DataFrame = {
-    val extract = udf { (payload: Array[Byte]) =>
-      if (payload == null) null else stubDecodeFeatures(payload, dim)
-    }
-    df.withColumn("features", extract(col("payload")))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    val outSchema = df.schema.add(StructField("features", ArrayType(FloatType), nullable = true))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      // per-partition codec init happens HERE (one per task, not per row)
+      val codec = new StubCodec(dim)
+      rows.map { row =>
+        val payload = row.get(payloadIdx).asInstanceOf[Array[Byte]]
+        val features = if (payload == null) null else codec.decode(payload)
+        Row.fromSeq(row.toSeq :+ features)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Stand-in for a real (expensive-to-init) image/audio codec. */
+  final class StubCodec(dim: Int) extends Serializable {
+    def decode(payload: Array[Byte]): Array[Float] = stubDecodeFeatures(payload, dim)
   }
 
   /** "Frame sampling" plumbing: split the payload into fixed-size chunks

@@ -78,6 +78,21 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Rolling polynomial (Rabin–Karp) document fingerprint:
+    * h = fold(c => (h·B + code(c)) mod M) over the normalized text.
+    * B = 31, M = 2³¹−9 (prime): every intermediate fits a BIGINT
+    * ((M−1)·31 + 255 < 2³⁶), so Spark's `aggregate` and any SQL engine's
+    * list_reduce produce the identical value. The incremental form is
+    * what a chunk-level dedup fingerprinter extends to sliding windows.
+    */
+  def rollingHash(text: Column, base: Long = 31L, mod: Long = 2147483639L): Column = {
+    val normalized = regexp_replace(lower(trim(text)), "\\s+", " ")
+    aggregate(
+      split(normalized, ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * base + ascii(ch), lit(mod)))
+  }
+
   /** (id, term) exploded token stream — BPE-ish tokens, case-folded. */
   def terms(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     df.select(

@@ -1,0 +1,48 @@
+package graft
+
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing: opaque-binary schema, per-partition batched
+  * feature extraction, frame sampling shapes.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "hello world"),
+    (1L, "a"),
+    (2L, "some longer payload with more bytes to fold across features"))
+    .toDF("doc_id", "text")
+
+  test("asMedia: payload bytes, length, digest, kind cycle") {
+    val m = Multimodal.asMedia(docs).collect().sortBy(_.getAs[Long]("media_id"))
+    assert(m.map(_.getAs[String]("kind")).toSeq == Seq("image", "audio", "video"))
+    assert(m(0).getAs[Int]("byte_len") == 11)
+    assert(new String(m(0).getAs[Array[Byte]]("payload"), "UTF-8") == "hello world")
+  }
+
+  test("extractFeatures: mapPartitions result equals the per-row kernel, any partitioning") {
+    val media = Multimodal.asMedia(docs)
+    for (parts <- Seq(1, 3)) {
+      val got = Multimodal.extractFeatures(media.repartition(parts), dim = 4)
+        .select("media_id", "features").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val expected = media.select("media_id", "payload").collect()
+        .map(r => r.getLong(0) -> Multimodal.stubDecodeFeatures(r.getAs[Array[Byte]](1), 4)).toMap
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (k, v) => assert(v.sameElements(expected(k)), s"media $k") }
+    }
+  }
+
+  test("sampleFrames: stride keeps every 2nd fixed-size chunk") {
+    val framed = Multimodal.sampleFrames(Multimodal.asMedia(docs), frameBytes = 4, stride = 2)
+      .select("media_id", "n_frames").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 11 bytes → chunks of 4 = 3 chunks → indices 0,2 kept = 2 frames
+    assert(framed(0L) == 2)
+    assert(framed(1L) == 1)
+  }
+}
