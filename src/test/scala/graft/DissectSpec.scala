@@ -129,6 +129,23 @@ class DissectSpec extends AnyFunSuite {
     fails("%{level} [%{component}] %{body}", "CORRUPT|no envelope here")
   }
 
+  test("map UDF and native flat expression agree on every transcript row") {
+    import graft.parse.DissectFunctions
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val tok = "%{level} [%{component}] %{body}"
+    val (keys, flat) = DissectFunctions.dissectFlat(tok)
+    val df = graft.data.Transcripts.synthesize(spark, 2000)
+      .withColumn("m", DissectFunctions.dissect(tok)(col("text")))
+      .withColumn("f", flat(col("text")))
+    val mismatches = df.where(
+      !(col("m.error").isNull <=> col("f.error").isNull) ||
+        keys.zipWithIndex.map { case (k, i) =>
+          !(col("m.fields")(k) <=> col("f.values")(i))
+        }.reduce(_ || _)).count()
+    assert(mismatches == 0)
+  }
+
   // --- seeded round-trip properties -----------------------------------
 
   test("property: render(fields) round-trips through dissect (200 seeded cases)") {
