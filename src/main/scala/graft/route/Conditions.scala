@@ -35,45 +35,94 @@ object Cond {
   final case class Not(c: Cond) extends Cond
 }
 
+/** A resolved field: the column plus its static type when known
+  * (None for opaque accesses where the schema can't tell).
+  */
+final case class FieldRef(column: Column, dataType: Option[org.apache.spark.sql.types.DataType])
+
 object Conditions {
   import Cond._
+  import org.apache.spark.sql.types._
 
   /** Resolve a Beats-style dotted field path against a DataFrame: a
     * top-level column, or `col.key` reaching into a struct field / map key
     * (the `parsed` map produced by dissect). Missing ⇒ None ⇒ leaf false.
     */
-  def resolver(df: DataFrame): String => Option[Column] = {
-    val cols = df.columns.toSet
+  def resolver(df: DataFrame): String => Option[Column] =
+    path => fieldResolver(df)(path).map(_.column)
+
+  /** Typed resolver — leaf conditions are TYPE-GATED like Beats'
+    * extractors: `contains`/`regexp` only ever match string values
+    * (matcher.go extracts strings; an int field is simply false),
+    * `range` only numeric values (extractors.go extractFloat), `equals`
+    * compares int-to-int / string-to-string / bool-to-bool and treats a
+    * type mismatch as false (equals.go:63-103).
+    */
+  def fieldResolver(df: DataFrame): String => Option[FieldRef] = {
+    val schema = df.schema
+    val byName = schema.fields.map(f => f.name -> f).toMap
     (path: String) =>
-      if (cols.contains(path)) Some(col(path))
-      else {
-        val i = path.indexOf('.')
-        if (i > 0 && cols.contains(path.substring(0, i)))
-          Some(col(path.substring(0, i))(path.substring(i + 1)))
-        else None
+      byName.get(path) match {
+        case Some(f) => Some(FieldRef(col(path), Some(f.dataType)))
+        case None =>
+          val i = path.indexOf('.')
+          if (i > 0) byName.get(path.substring(0, i)).flatMap { parent =>
+            val key = path.substring(i + 1)
+            parent.dataType match {
+              case MapType(_, vt, _) => Some(FieldRef(col(parent.name)(key), Some(vt)))
+              case st: StructType =>
+                st.fields.find(_.name == key)
+                  .map(f => Some(FieldRef(col(parent.name)(key), Some(f.dataType))))
+                  .getOrElse(None)
+              case _ => None
+            }
+          }
+          else None
       }
   }
 
-  def toColumn(cond: Cond, resolve: String => Option[Column]): Column = {
-    def leaf(field: String)(f: Column => Column): Column =
+  private def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _                                             => false
+  }
+  private def isNumeric(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+    case _: DecimalType                                                         => true
+    case _                                                                      => false
+  }
+
+  def toColumn(cond: Cond, resolve: String => Option[FieldRef]): Column = {
+    def gated(field: String)(accepts: DataType => Boolean)(f: Column => Column): Column =
       resolve(field) match {
-        case Some(c) => coalesce(f(c), lit(false))
-        case None    => lit(false)
+        case Some(FieldRef(c, Some(t))) if accepts(t) => coalesce(f(c), lit(false))
+        // unknown static type: best-effort on the raw column
+        case Some(FieldRef(c, None)) => coalesce(f(c), lit(false))
+        case _                       => lit(false)
+      }
+    // string-valued leaves also match over ARRAY<STRING> (any element —
+    // matcher.go:80-95 any-match over []string)
+    def stringLeaf(field: String)(f: Column => Column): Column =
+      resolve(field) match {
+        case Some(FieldRef(c, Some(StringType))) => coalesce(f(c), lit(false))
+        case Some(FieldRef(c, Some(ArrayType(StringType, _)))) =>
+          coalesce(exists(c, e => f(e)), lit(false))
+        case Some(FieldRef(c, None)) => coalesce(f(c.cast("string")), lit(false))
+        case _                       => lit(false)
       }
     cond match {
       case Equals(field, value) =>
         value match {
-          case n: Int     => leaf(field)(c => try_cast(c, "long") === lit(n.toLong))
-          case n: Long    => leaf(field)(c => try_cast(c, "long") === lit(n))
-          case b: Boolean => leaf(field)(c => try_cast(c, "boolean") === lit(b))
-          case s: String  => leaf(field)(c => c.cast("string") === lit(s))
-          case other      => leaf(field)(c => c === lit(other))
+          case n: Int     => gated(field)(isIntegral)(c => c.cast("long") === lit(n.toLong))
+          case n: Long    => gated(field)(isIntegral)(c => c.cast("long") === lit(n))
+          case b: Boolean => gated(field)(_ == BooleanType)(c => c === lit(b))
+          case s: String  => stringLeaf(field)(c => c === lit(s))
+          case other      => gated(field)(_ => true)(c => c === lit(other))
         }
-      case Contains(field, v) => leaf(field)(c => c.cast("string").contains(v))
-      case Regexp(field, p)   => leaf(field)(c => c.cast("string").rlike(p))
+      case Contains(field, v) => stringLeaf(field)(c => c.contains(v))
+      case Regexp(field, p)   => stringLeaf(field)(c => c.rlike(p))
       case Range(field, gte, gt, lte, lt) =>
-        leaf(field) { c =>
-          val d = try_cast(c, "double")
+        gated(field)(isNumeric) { c =>
+          val d = c.cast("double")
           val checks = Seq(
             gte.map(v => d >= v), gt.map(v => d > v),
             lte.map(v => d <= v), lt.map(v => d < v)
@@ -83,7 +132,7 @@ object Conditions {
         }
       case HasFields(fields) =>
         fields
-          .map(f => resolve(f).map(_.isNotNull).getOrElse(lit(false)))
+          .map(f => resolve(f).map(_.column.isNotNull).getOrElse(lit(false)))
           .reduceOption(_ && _)
           .getOrElse(lit(true))
       case And(cs) => cs.map(toColumn(_, resolve)).reduceOption(_ && _).getOrElse(lit(true))
@@ -93,8 +142,5 @@ object Conditions {
   }
 
   /** Convenience: condition over a concrete DataFrame. */
-  def toColumn(cond: Cond, df: DataFrame): Column = toColumn(cond, resolver(df))
-
-  /** `try_cast` helper usable on arbitrary columns (ANSI-safe). */
-  private def try_cast(c: Column, to: String): Column = c.try_cast(to)
+  def toColumn(cond: Cond, df: DataFrame): Column = toColumn(cond, fieldResolver(df))
 }

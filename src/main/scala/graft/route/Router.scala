@@ -33,6 +33,7 @@ object Router {
 
   /** Compile the router to the `sink` Column for this DataFrame. */
   def sinkColumn(cfg: RouterConfig, df: DataFrame): Column = {
+    val typed = Conditions.fieldResolver(df)
     val resolve = Conditions.resolver(df)
 
     def ruleValue(r: Rule): Column = {
@@ -48,7 +49,7 @@ object Router {
         case None => raw
       }
       val gated = r.when match {
-        case Some(c) => when(Conditions.toColumn(c, resolve), value)
+        case Some(c) => when(Conditions.toColumn(c, typed), value)
         case None    => value
       }
       // empty string = "selector yielded nothing" ⇒ fall through

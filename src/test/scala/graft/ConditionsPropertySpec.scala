@@ -1,0 +1,98 @@
+package graft
+
+import graft.route.{Cond, Conditions}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property test: random condition ASTs evaluated by Spark must agree
+  * with a direct single-row reference evaluator implementing the Beats
+  * semantics literally (conditions.go): a missing/null field makes every
+  * LEAF false; combinators compose over those booleans, so
+  * not(missing-leaf) is true.
+  */
+class ConditionsPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // the row universe: (a: string nullable, n: int, s: string nullable)
+  private type R = (Option[String], Int, Option[String])
+
+  /** Reference evaluator — a literal transcription of Beats' Check(). */
+  private def eval(c: Cond, r: R): Boolean = {
+    def field(name: String): Option[Any] = name match {
+      case "a" => r._1
+      case "n" => Some(r._2)
+      case "s" => r._3
+      case _   => None // unknown field ⇒ leaf false
+    }
+    c match {
+      // Beats typing (equals.go:63-103): int config ↔ int field,
+      // string ↔ string; any mismatch is false
+      case Cond.Equals(f, v) =>
+        field(f).exists {
+          case s: String => v match { case vs: String => s == vs; case _ => false }
+          case i: Int    => v match { case vi: Int => i == vi; case _ => false }
+          case _         => false
+        }
+      // matcher.go extracts strings only — non-string fields never match
+      case Cond.Contains(f, v) => field(f).exists { case s: String => s.contains(v); case _ => false }
+      case Cond.Regexp(f, p)   => field(f).exists { case s: String => p.r.findFirstIn(s).isDefined; case _ => false }
+      // extractors.go extractFloat — numeric fields only, strings fail
+      case Cond.Range(f, gte, gt, lte, lt) =>
+        field(f).exists { x =>
+          val d = x match { case i: Int => Some(i.toDouble); case _ => None }
+          d.exists(v =>
+            gte.forall(v >= _) && gt.forall(v > _) && lte.forall(v <= _) && lt.forall(v < _))
+        }
+      case Cond.HasFields(fs) => fs.forall(f => field(f).isDefined)
+      case Cond.And(cs)       => cs.forall(eval(_, r))
+      case Cond.Or(cs)        => cs.exists(eval(_, r))
+      case Cond.Not(c0)       => !eval(c0, r)
+    }
+  }
+
+  private def genCond(rnd: scala.util.Random, depth: Int): Cond = {
+    val fields = Seq("a", "n", "s", "missing")
+    def f = fields(rnd.nextInt(fields.length))
+    val leaf = rnd.nextInt(5) match {
+      case 0 => Cond.Equals(f, if (rnd.nextBoolean()) "v" + rnd.nextInt(3) else rnd.nextInt(5))
+      case 1 => Cond.Contains(f, "v" + rnd.nextInt(3))
+      case 2 => Cond.Regexp(f, Seq("^v", "1$", "v[12]")(rnd.nextInt(3)))
+      case 3 => Cond.Range(f,
+        gte = if (rnd.nextBoolean()) Some(rnd.nextInt(5).toDouble) else None,
+        lt = if (rnd.nextBoolean()) Some(rnd.nextInt(5).toDouble) else None)
+      case _ => Cond.HasFields(Seq(f))
+    }
+    val safe = leaf match { // Range with no bounds is invalid; patch it
+      case Cond.Range(ff, None, None, None, None) => Cond.Range(ff, gte = Some(1.0))
+      case other                                  => other
+    }
+    if (depth == 0) safe
+    else rnd.nextInt(4) match {
+      case 0 => Cond.And(Seq(genCond(rnd, depth - 1), genCond(rnd, depth - 1)))
+      case 1 => Cond.Or(Seq(genCond(rnd, depth - 1), genCond(rnd, depth - 1)))
+      case 2 => Cond.Not(genCond(rnd, depth - 1))
+      case _ => safe
+    }
+  }
+
+  test("random condition trees: Spark filter == reference evaluator (300 trees × 12 rows)") {
+    val rows: Seq[R] = Seq(
+      (Some("v0"), 0, Some("v1")), (Some("v1"), 1, None), (Some("v2"), 2, Some("v2")),
+      (None, 3, Some("v0")), (Some("3"), 4, Some("x")), (Some(""), 1, Some("")),
+      (Some("v12"), 2, None), (None, 0, None), (Some("v1 v2"), 3, Some("v1")),
+      (Some("0"), 4, Some("2")), (Some("nope"), 2, Some("v11")), (None, 1, Some("v2")))
+    val df = rows.toDF("a", "n", "s").cache()
+    val indexed = rows.zipWithIndex
+    val rnd = new scala.util.Random(2026)
+    (1 to 300).foreach { i =>
+      val c = genCond(rnd, rnd.nextInt(3))
+      val sparkHits = df
+        .withColumn("_i", org.apache.spark.sql.functions.monotonically_increasing_id())
+        .where(Conditions.toColumn(c, df))
+        .count()
+      val refHits = indexed.count { case (r, _) => eval(c, r) }
+      assert(sparkHits == refHits, s"tree #$i: $c — spark=$sparkHits ref=$refHits")
+    }
+  }
+}
