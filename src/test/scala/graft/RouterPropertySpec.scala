@@ -1,0 +1,148 @@
+package graft
+
+import graft.route._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property test: random router configs (ordered rules × conditions ×
+  * format-string targets × translate mappings) evaluated by Spark must
+  * match a literal reference evaluator of outil.Selector
+  * (select.go:329-342 first-non-empty-match fold, :355-367 fmtstr with
+  * missing-field ⇒ no value, :369-387 mapSelector translate).
+  */
+class RouterPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // row: (conv_id, turn_idx, role, text, tool, level)
+  private type R = (String, Int, String, String, Option[String], Option[String])
+
+  private val rows: Seq[R] = Seq(
+    ("c1", 0, "user", "hello", None, Some("INFO")),
+    ("c1", 1, "assistant", "hi", None, Some("INFO")),
+    ("c2", 0, "assistant", "boom", None, Some("ERROR")),
+    ("c2", 1, "tool", "ran", Some("tool-3"), Some("INFO")),
+    ("c3", 0, "system", "meh", None, None),
+    ("c3", 1, "tool", "err", Some("tool-7"), Some("ERROR")),
+    ("c4", 0, "user", "x", Some("tool-0"), None))
+
+  private def field(r: R, name: String): Option[Any] = name match {
+    case "conv_id"  => Some(r._1)
+    case "turn_idx" => Some(r._2)
+    case "role"     => Some(r._3)
+    case "text"     => Some(r._4)
+    case "tool"     => r._5
+    case "level"    => r._6
+    case _          => None
+  }
+
+  // --- reference evaluator --------------------------------------------
+
+  private def evalCond(c: Cond, r: R): Boolean = c match {
+    case Cond.Equals(f, v: String) => field(r, f).contains(v)
+    case Cond.Equals(f, v: Int) =>
+      field(r, f).exists { case i: Int => i == v; case _ => false }
+    case Cond.Equals(_, _)   => false
+    case Cond.Contains(f, v) => field(r, f).exists { case s: String => s.contains(v); case _ => false }
+    case Cond.Regexp(f, p)   => field(r, f).exists { case s: String => p.r.findFirstIn(s).isDefined; case _ => false }
+    case Cond.Range(f, gte, gt, lte, lt) =>
+      field(r, f).exists {
+        case i: Int =>
+          val v = i.toDouble
+          gte.forall(v >= _) && gt.forall(v > _) && lte.forall(v <= _) && lt.forall(v < _)
+        case _ => false
+      }
+    case Cond.HasFields(fs) => fs.forall(f => field(r, f).isDefined)
+    case Cond.And(cs)       => cs.forall(evalCond(_, r))
+    case Cond.Or(cs)        => cs.exists(evalCond(_, r))
+    case Cond.Not(c0)       => !evalCond(c0, r)
+  }
+
+  /** fmtstr render: any missing referenced field without default ⇒ None. */
+  private def render(fmt: String, r: R): Option[String] = {
+    val token = "%\\{([^}]*)\\}".r
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- token.findAllMatchIn(fmt)) {
+      sb.append(fmt.substring(last, m.start))
+      val tok = m.group(1)
+      if (tok.startsWith("[")) {
+        val close = tok.indexOf(']')
+        val ref = tok.substring(1, close)
+        val default = {
+          val rest = tok.substring(close + 1)
+          if (rest.startsWith(":")) Some(rest.substring(1)) else None
+        }
+        field(r, ref).map(_.toString).orElse(default) match {
+          case Some(v) => sb.append(v)
+          case None    => return None
+        }
+      } else return None // %{+date} not generated here
+      last = m.end
+    }
+    sb.append(fmt.substring(last))
+    Some(sb.toString)
+  }
+
+  private def evalRule(rule: Rule, r: R): Option[String] = {
+    if (!rule.when.forall(evalCond(_, r))) return None
+    val raw = render(rule.target, r).filter(_.nonEmpty)
+    rule.mappings match {
+      case Some(m) =>
+        raw.flatMap(v => m.table.get(v).orElse(m.default)).filter(_.nonEmpty)
+      case None => raw
+    }
+  }
+
+  private def routeRef(cfg: RouterConfig, r: R): Option[String] =
+    cfg.rules.iterator.flatMap(evalRule(_, r)).nextOption()
+      .orElse(cfg.default.flatMap(render(_, r)).filter(_.nonEmpty))
+
+  // --- generator -------------------------------------------------------
+
+  private def genCond(rnd: scala.util.Random, depth: Int): Cond = {
+    val fs = Seq("role", "tool", "level", "turn_idx", "missing")
+    def f = fs(rnd.nextInt(fs.length))
+    val leaf = rnd.nextInt(4) match {
+      case 0 => Cond.Equals(f, Seq("user", "tool", "tool-3", "ERROR")(rnd.nextInt(4)))
+      case 1 => Cond.Contains(f, Seq("ool", "ERR", "o")(rnd.nextInt(3)))
+      case 2 => Cond.Regexp(f, Seq("^ERR", "tool-[0-9]$", "a.t")(rnd.nextInt(3)))
+      case _ => Cond.Range(f, gte = Some(rnd.nextInt(2).toDouble))
+    }
+    if (depth == 0) leaf
+    else rnd.nextInt(3) match {
+      case 0 => Cond.And(Seq(genCond(rnd, depth - 1), genCond(rnd, depth - 1)))
+      case 1 => Cond.Not(genCond(rnd, depth - 1))
+      case _ => leaf
+    }
+  }
+
+  private def genRule(rnd: scala.util.Random): Rule = {
+    val target = Seq(
+      "errors", "s-%{[role]}", "t-%{[tool]}", "d-%{[tool]:none}",
+      "l-%{[level]}", "%{[role]}")(rnd.nextInt(6))
+    val when = if (rnd.nextBoolean()) Some(genCond(rnd, rnd.nextInt(2))) else None
+    val mappings =
+      if (rnd.nextInt(4) == 0)
+        Some(Mappings(
+          Map("user" -> "people", "tool" -> "machines", "t-tool-3" -> "three"),
+          default = if (rnd.nextBoolean()) Some("other") else None))
+      else None
+    Rule(target, when, mappings)
+  }
+
+  test("random router configs: Spark sink == reference selector (200 configs × 7 rows)") {
+    val df = rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "level").cache()
+    val rnd = new scala.util.Random(77)
+    (1 to 200).foreach { i =>
+      val cfg = RouterConfig(
+        rules = Seq.fill(1 + rnd.nextInt(3))(genRule(rnd)),
+        default = if (rnd.nextBoolean()) Some(Seq("events", "e-%{[level]}")(rnd.nextInt(2))) else None)
+      val got = Router.route(cfg, df)
+        .select("conv_id", "turn_idx", "sink").collect()
+        .map(x => (x.getString(0), x.getInt(1)) -> x.getString(2)).toMap
+      val expected = rows.flatMap(r => routeRef(cfg, r).map(s => (r._1, r._2) -> s)).toMap
+      assert(got == expected, s"config #$i: $cfg")
+    }
+  }
+}
