@@ -163,6 +163,19 @@ object SparkEntry {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))),
 
+    // decode_json_fields recursive mode: a nested JSON-in-string value is
+    // re-parsed (max_depth=2) so the dotted path reaches through it; the
+    // oracle reads the inner value directly — equality proves the
+    // recursive expansion happened
+    "q_decode_json_deep" -> { (s, dir) =>
+      val wrapped = to_json(struct(col("props"))) // {"props":"{\"k\":...}"}
+      events(s, dir).select(
+        col("event_id"),
+        get_json_object(
+          graft.parse.DecodeJson.decodeRecursive(maxDepth = 2)(wrapped),
+          "$.props.k").cast("int").as("k_deep"))
+    },
+
     // json reader (readjson/json.go): envelope parse + keys_under_root
     // flatten + add_error_key on malformed input (every 10th event is
     // corrupted to exercise the error path)
@@ -452,6 +465,9 @@ object SparkEntry {
 
     "q_decode_json" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",
+
+    "q_decode_json_deep" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_deep FROM events",
 
     "q_json_reader" ->
       """SELECT event_id,

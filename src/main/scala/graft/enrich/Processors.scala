@@ -1,0 +1,41 @@
+package graft.enrich
+
+import graft.route.{Cond, Conditions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Processor-chain combinators — the Spark rendering of Beats'
+  * `Processor.Run` chain semantics (libbeat/processors/processor.go:
+  * 101-126) and the `when:` wrapper (conditionals.go:30-90: condition
+  * false ⇒ event passes through unchanged).
+  */
+object Processors {
+
+  /** `drop_event.when:` — unconditional drop gated by a condition
+    * (actions/drop_event.go:26-44). */
+  def dropEvent(df: DataFrame, when: Cond): DataFrame =
+    df.where(!Conditions.toColumn(when, df))
+
+  /** `when:`-wrapped column mutation: rows failing the condition keep
+    * every original value (WhenProcessor pass-through). `mutations` maps
+    * column name → new value expression; new columns get NULL on
+    * non-matching rows.
+    */
+  def whenGate(df: DataFrame, cond: Cond, mutations: Map[String, Column]): DataFrame = {
+    val c = Conditions.toColumn(cond, df)
+    mutations.foldLeft(df) { case (d, (name, value)) =>
+      if (d.columns.contains(name))
+        d.withColumn(name, when(c, value).otherwise(col(name)))
+      else
+        d.withColumn(name, when(c, value))
+    }
+  }
+
+  /** Chain of processors applied in order — each stage is a whole
+    * DataFrame transform; errors in Beats log-and-continue, which in the
+    * declarative rendering means each stage must be total (null-safe
+    * expressions), so the chain is a plain fold.
+    */
+  def chain(df: DataFrame, stages: Seq[DataFrame => DataFrame]): DataFrame =
+    stages.foldLeft(df)((d, f) => f(d))
+}

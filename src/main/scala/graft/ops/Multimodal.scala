@@ -78,6 +78,29 @@ object Multimodal {
     def decode(payload: Array[Byte]): Array[Float] = stubDecodeFeatures(payload, dim)
   }
 
+  /** "Resize" plumbing: deterministic byte-level downsample to
+    * `targetBytes` (nearest-neighbor over the byte stream — the shape a
+    * real image resize kernel has: fixed output size, stride over the
+    * input). Swap the kernel for a codec-backed resize on real images.
+    */
+  def resize(df: DataFrame, targetBytes: Int = 256): DataFrame = {
+    val kernel = udf { (payload: Array[Byte]) =>
+      if (payload == null) null
+      else if (payload.length <= targetBytes) payload
+      else {
+        val out = new Array[Byte](targetBytes)
+        var i = 0
+        while (i < targetBytes) {
+          out(i) = payload((i.toLong * payload.length / targetBytes).toInt)
+          i += 1
+        }
+        out
+      }
+    }
+    df.withColumn("resized", kernel(col("payload")))
+      .withColumn("resized_len", octet_length(col("resized")))
+  }
+
   /** "Frame sampling" plumbing: split the payload into fixed-size chunks
     * and keep every `stride`-th one — the batch/stride shape a real video
     * frame sampler has, runnable on opaque bytes.

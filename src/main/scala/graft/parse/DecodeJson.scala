@@ -1,0 +1,71 @@
+package graft.parse
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode, TextNode}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** `decode_json_fields` with the recursive max_depth re-parse mode
+  * (libbeat/processors/actions/decode_json_fields.go:79-199): after the
+  * top-level parse, nested STRING values that themselves parse as JSON
+  * are replaced by their parsed structure, up to `maxDepth` levels;
+  * `processArray` controls whether array elements are recursed.
+  *
+  * The non-recursive mode is plain `from_json`/`get_json_object`
+  * (SparkEntry q_decode_json / q_json_reader); this UDF exists for the
+  * one mode Catalyst can't express — dynamic re-parse driven by the
+  * *values* — and returns a canonical JSON string so downstream access
+  * stays `get_json_object` (typed extraction at the call site keeps the
+  * pipeline schema static).
+  */
+object DecodeJson {
+
+  private val mapper = new ObjectMapper()
+
+  private def tryParse(s: String): Option[JsonNode] = {
+    val t = s.trim
+    if (t.isEmpty || !(t.startsWith("{") || t.startsWith("["))) None
+    else
+      try Some(mapper.readTree(t))
+      catch { case _: Exception => None }
+  }
+
+  /** Recursively expand string leaves that parse as JSON. */
+  private def expand(node: JsonNode, depth: Int, processArray: Boolean): JsonNode =
+    node match {
+      case t: TextNode if depth > 0 =>
+        tryParse(t.textValue()) match {
+          case Some(parsed) => expand(parsed, depth - 1, processArray)
+          case None         => t
+        }
+      case o: ObjectNode =>
+        val out = mapper.createObjectNode()
+        o.properties().forEach { e =>
+          val _ = out.set[JsonNode](e.getKey, expand(e.getValue, depth, processArray))
+        }
+        out
+      case a: ArrayNode if processArray =>
+        val out = mapper.createArrayNode()
+        a.forEach { e =>
+          val _ = out.add(expand(e, depth, processArray))
+        }
+        out
+      case other => other
+    }
+
+  /** Decode a JSON string column with recursive string re-parse; null on
+    * top-level parse failure (the caller adds the error flag, mirroring
+    * add_error_key).
+    */
+  def decodeRecursive(maxDepth: Int = 1, processArray: Boolean = false): Column => Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else
+        tryParse(s) match {
+          case Some(n) => mapper.writeValueAsString(expand(n, maxDepth - 1, processArray))
+          case None    => null
+        }
+    }
+    (c: Column) => f(c)
+  }
+}

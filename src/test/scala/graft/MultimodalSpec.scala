@@ -37,6 +37,16 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize: nearest-neighbor byte downsample to a fixed size") {
+    val resized = Multimodal.resize(Multimodal.asMedia(docs), targetBytes = 8)
+      .select("media_id", "resized", "resized_len").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Array[Byte]]("resized"), r.getInt(2))).toMap
+    assert(resized(2L)._2 == 8) // long doc downsampled
+    assert(resized(1L)._2 == 1) // short doc passes through
+    // deterministic: first sampled byte is payload(0)
+    assert(resized(2L)._1(0) == 's'.toByte)
+  }
+
   test("sampleFrames: stride keeps every 2nd fixed-size chunk") {
     val framed = Multimodal.sampleFrames(Multimodal.asMedia(docs), frameBytes = 4, stride = 2)
       .select("media_id", "n_frames").collect()

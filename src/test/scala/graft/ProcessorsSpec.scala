@@ -1,0 +1,90 @@
+package graft
+
+import graft.enrich.Processors
+import graft.parse.DecodeJson
+import graft.route.Cond
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Processor-chain combinators + recursive decode_json_fields. */
+class ProcessorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("a", 1, "ERROR boom"),
+    ("b", 2, "INFO fine"),
+    ("c", 3, "ERROR again")).toDF("id", "n", "text")
+
+  test("drop_event.when drops exactly the matching rows") {
+    val kept = Processors.dropEvent(df, Cond.Contains("text", "ERROR"))
+      .select("id").as[String].collect().toSet
+    assert(kept == Set("b"))
+  }
+
+  test("when-gated mutation: non-matching rows pass through unchanged") {
+    val out = Processors.whenGate(df, Cond.Contains("text", "ERROR"),
+        Map("n" -> (col("n") * 100), "flagged" -> lit(true)))
+      .collect().map(r => r.getAs[String]("id") ->
+        (r.getAs[Int]("n"), Option(r.getAs[java.lang.Boolean]("flagged")))).toMap
+    assert(out("a") == (100, Some(java.lang.Boolean.TRUE)))
+    assert(out("b") == (2, None)) // untouched; new column null
+    assert(out("c") == (300, Some(java.lang.Boolean.TRUE)))
+  }
+
+  test("processor chain applies stages in order") {
+    val out = Processors.chain(df, Seq(
+      d => Processors.dropEvent(d, Cond.Equals("id", "b")),
+      d => d.withColumn("n", col("n") + 1),
+      d => Processors.whenGate(d, Cond.Range("n", gte = Some(4.0)), Map("n" -> lit(0)))))
+      .select("id", "n").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("a" -> 2, "c" -> 0))
+  }
+
+  test("decode_json_fields max_depth=1 leaves nested JSON strings intact") {
+    val j = """{"a":"{\"b\":1}","c":2}"""
+    val out = Seq(j).toDF("s")
+      .select(DecodeJson.decodeRecursive(maxDepth = 1)(col("s")).as("d"))
+      .select(get_json_object(col("d"), "$.a").as("a"),
+        get_json_object(col("d"), "$.a.b").as("ab"))
+      .head()
+    assert(out.getString(0) == """{"b":1}""") // still a string value
+    assert(out.isNullAt(1))
+  }
+
+  // outer = {"a": <mid-as-string>, "n": "not json"}
+  // mid   = {"b": <inner-as-string>}
+  // inner = {"c": 5}
+  private def jsonQuote(s: String) =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private val innerJ = """{"c":5}"""
+  private val midJ = s"""{"b":${jsonQuote(innerJ)}}"""
+  private val outerJ = s"""{"a":${jsonQuote(midJ)},"n":"not json"}"""
+
+  test("decode_json_fields max_depth=2 expands one nested level") {
+    val out = Seq(outerJ).toDF("s")
+      .select(DecodeJson.decodeRecursive(maxDepth = 2)(col("s")).as("d"))
+      .select(
+        get_json_object(col("d"), "$.a.b").as("b"), // depth-2 stops here
+        get_json_object(col("d"), "$.a.b.c").as("bc"),
+        get_json_object(col("d"), "$.n").as("n"))
+      .head()
+    assert(out.getString(0) == innerJ) // expanded once, inner stays a string
+    assert(out.isNullAt(1))
+    assert(out.getString(2) == "not json")
+  }
+
+  test("decode_json_fields max_depth=3 expands two nested levels") {
+    val out = Seq(outerJ).toDF("s")
+      .select(DecodeJson.decodeRecursive(maxDepth = 3)(col("s")).as("d"))
+      .select(get_json_object(col("d"), "$.a.b.c").cast("int").as("c"))
+      .head()
+    assert(out.getInt(0) == 5)
+  }
+
+  test("top-level parse failure yields null (caller adds the error key)") {
+    val out = Seq("nope", null).toDF("s")
+      .select(DecodeJson.decodeRecursive()(col("s")).as("d")).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+}
