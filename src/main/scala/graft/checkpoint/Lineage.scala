@@ -73,6 +73,26 @@ final class Lineage(spark: SparkSession, outDir: String) {
   /** registrar.resetStates analog: drop all commits (forces full re-run). */
   def reset(): Unit = if (fs.exists(dir)) fs.delete(dir, true)
 
+  /** `clean_removed` analog (registrar gcStates, registrar.go:326-341):
+    * drop commit records whose bucket data no longer exists on disk, so
+    * the lineage table never accumulates state for vanished partitions.
+    * Returns the buckets whose records were removed.
+    */
+  def cleanRemoved(dataDir: String): Seq[Int] = {
+    val dataPath = new Path(dataDir)
+    if (!fs.exists(dataPath)) return Seq.empty
+    // bucket dirs live under every sink dir: data/sink=X/bucket=N
+    val live: Set[Int] = fs.listStatus(dataPath).iterator
+      .filter(_.isDirectory)
+      .flatMap(s => fs.listStatus(s.getPath).iterator)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("bucket=") => n.stripPrefix("bucket=").toInt }
+      .toSet
+    val removed = committedBuckets().toSeq.sorted.filterNot(live.contains)
+    removed.foreach(invalidate)
+    removed
+  }
+
   /** Drop a specific bucket's commit (test hook for crash simulation). */
   def invalidate(bucket: Int): Unit = {
     val p = commitPath(bucket)

@@ -54,6 +54,25 @@ class ResumeSpec extends AnyFunSuite {
     assert(again.bucketsRun.toSet == (0 until 8).toSet)
   }
 
+  test("clean_removed: lineage records for vanished bucket data are GC'd and re-runnable") {
+    val out = TestSpark.tmpDir("resume5")
+    Pipeline.run(spark, input, out, cfg)
+    val lineage = new Lineage(spark, out)
+    assert(lineage.cleanRemoved(s"$out/data").isEmpty, "all data present ⇒ nothing GC'd")
+
+    // vanish bucket 5's data everywhere (all sink dirs)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    new java.io.File(s"$out/data").listFiles().filter(_.isDirectory).foreach { sinkDir =>
+      val b = new java.io.File(sinkDir, "bucket=5")
+      if (b.exists()) fs.delete(new org.apache.hadoop.fs.Path(b.getAbsolutePath), true)
+    }
+    assert(lineage.cleanRemoved(s"$out/data") == Seq(5))
+    // the GC'd bucket is pending again; resume restores it
+    val again = Pipeline.run(spark, input, out, cfg.copy(runId = "r6"))
+    assert(again.bucketsRun == Seq(5))
+    assert(spark.read.parquet(s"$out/data").count() == N)
+  }
+
   test("crash mid-write: partial uncommitted files are invisible to readers and cleaned on resume") {
     import org.apache.spark.sql.functions._
     val out = TestSpark.tmpDir("resume4")
