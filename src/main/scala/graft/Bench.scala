@@ -94,8 +94,11 @@ object Bench {
         try
           SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
             val t0 = System.nanoTime()
-            try fn(spark, sfDir).count()
-            catch { case _: Throwable => -1L }
+            // noop sink: materializes every output column (a bare .count()
+            // prunes deterministic projections — incl. the dissect
+            // expression — and times a row count, not the operator)
+            try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => () }
             name -> (System.nanoTime() - t0) / 1e9
           }
         finally spark.stop()
@@ -118,8 +121,13 @@ object Bench {
     val scaling =
       s"""{"input_turns":$scaleN,"cores_lo":$cpusLo,"cores_hi":$cpusHi,"tps_lo":${f(tps8)},"tps_hi":${f(
           tps32)},"efficiency":${f(eff)}}"""
-    println(
+    val line =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"pipeline_turns_per_sec":${f(
-          tps32)},"scaling":$scaling,"sf":"$sfDir"}""")
+          tps32)},"scaling":$scaling,"sf":"$sfDir"}"""
+    // Round 1's BENCH had "parsed": null — the JSON line was buried in
+    // sbt [info] stdout. Also persist it to a known file the driver (or
+    // anyone) can read without scraping logs.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/bench.json"), line + "\n")
+    println(line)
   }
 }

@@ -43,14 +43,18 @@ object SparkEntry {
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** documents ∪ shifted near-duplicates (id+10000, text + " extra") —
-    * deterministic dup injection so dedup queries have real matches.
+  /** documents ∪ near-duplicates (id+10000, text + " extra") ∪ TRUE exact
+    * duplicates (id+20000, text byte-identical) — deterministic injection
+    * so both the exact and the near-dup paths have planted positives
+    * (round 1's fixture had only near-dups, so q_dedup_exact proved
+    * nothing: every md5 group had n_dupes=1).
     */
   private def docsWithDupes(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir).select("doc_id", "text")
     d.unionAll(d.select(
-      (col("doc_id") + 10000).as("doc_id"),
-      concat(col("text"), lit(" extra")).as("text")))
+        (col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text")))
+      .unionAll(d.select((col("doc_id") + 20000).as("doc_id"), col("text")))
   }
 
   /** embeddings ∪ scaled copies (id+10000, 0.5×vec ⇒ cosine 1.0). */
@@ -261,6 +265,14 @@ object SparkEntry {
       Multiline(transcripts(s, dir), pattern = "^(ERROR|WARN)")
         .select("conv_id", "group_id", "first_turn_idx", "n_lines", "event_text")),
 
+    // multiline `match: before` + flush_pattern: ERROR/WARN lines attach
+    // to the FOLLOWING terminator line; any CORRUPT line force-closes its
+    // event (multiline.go:82,96,352)
+    "q_multiline_before" -> ((s, dir) =>
+      Multiline(transcripts(s, dir), pattern = "^(ERROR|WARN)",
+          matchBefore = true, flushPattern = Some("CORRUPT"))
+        .select("conv_id", "group_id", "first_turn_idx", "n_lines", "event_text")),
+
     // Kafka-style hash partitioner distribution (kafka/partition.go:214-262)
     // via md5 (oracle-reproducible stand-in for xxhash64)
     "q_salt_bucket" -> ((s, dir) =>
@@ -387,6 +399,8 @@ object SparkEntry {
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 10000 AS doc_id, text || ' extra' AS text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 20000 AS doc_id, text FROM documents
       |)""".stripMargin
 
   private val BpeishRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -520,14 +534,32 @@ object SparkEntry {
          |    OVER (PARTITION BY conv_id ORDER BY turn_idx) AS grp
          |  FROM transcripts
          |), g2 AS (
-         |  SELECT *, CAST(grp AS VARCHAR) || '/' ||
-         |    CAST((ROW_NUMBER() OVER (PARTITION BY conv_id, grp ORDER BY turn_idx) - 1) // 500 AS VARCHAR) AS group_id
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, grp ORDER BY turn_idx) AS rn
          |  FROM g
          |)
-         |SELECT conv_id, group_id, min(turn_idx) AS first_turn_idx,
+         |SELECT conv_id, CAST(grp AS VARCHAR) AS group_id, min(turn_idx) AS first_turn_idx,
          |  count(*) AS n_lines,
          |  string_agg(text, chr(10) ORDER BY turn_idx) AS event_text
-         |FROM g2 GROUP BY 1, 2""".stripMargin,
+         |FROM g2 WHERE rn <= 500 GROUP BY 1, 2""".stripMargin,
+
+    "q_multiline_before" ->
+      s"""$T, f AS (
+         |  SELECT *, NOT regexp_matches(text, '^(ERROR|WARN)') AS ab,
+         |         regexp_matches(text, 'CORRUPT') AS fl
+         |  FROM transcripts
+         |), b AS (
+         |  SELECT *, CASE WHEN COALESCE(lag(ab) OVER w, true)
+         |                   OR COALESCE(lag(fl) OVER w, false) THEN 1 ELSE 0 END AS boundary
+         |  FROM f WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+         |), g AS (
+         |  SELECT *, SUM(boundary) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS grp FROM b
+         |), g2 AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, grp ORDER BY turn_idx) AS rn FROM g
+         |)
+         |SELECT conv_id, CAST(grp AS VARCHAR) AS group_id, min(turn_idx) AS first_turn_idx,
+         |  count(*) AS n_lines,
+         |  string_agg(text, chr(10) ORDER BY turn_idx) AS event_text
+         |FROM g2 WHERE rn <= 500 GROUP BY 1, 2""".stripMargin,
 
     "q_salt_bucket" ->
       s"""$T, b AS (
@@ -654,9 +686,9 @@ object SparkEntry {
          |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, greatest(length(text) - 3, 0)),
          |    i -> substr(text, CAST(i AS INTEGER), 4))) AS shingle
          |  FROM docs2),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
          |freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
          |filtered AS (SELECT sh.* FROM sh JOIN freq USING (shingle) WHERE df <= 200),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM filtered GROUP BY 1),
          |inter AS (
          |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
          |  FROM filtered l JOIN filtered r USING (shingle)

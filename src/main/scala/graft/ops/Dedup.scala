@@ -76,9 +76,13 @@ object Dedup {
   def ngramJaccard(df: DataFrame, k: Int = 4, threshold: Double = 0.5,
       maxDocFreq: Long = 1000, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = shingled(df, k, idCol, textCol).distinct()
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val filtered = sh.join(freq.where(col("df") <= maxDocFreq), Seq("shingle"))
+    // sizes over the SAME df-capped universe as the intersection — mixing
+    // unfiltered sizes with filtered intersections systematically deflates
+    // Jaccard (round 1: every planted near-dup scored below threshold and
+    // the query returned 0 rows)
+    val sizes = filtered.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val inter = filtered.select(col(idCol).as("a"), col("shingle"))
       .join(filtered.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))
       .where(col("a") < col("b"))

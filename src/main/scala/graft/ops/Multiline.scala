@@ -5,61 +5,79 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pattern-based multiline joining — the reference's hardest scan-side
-  * operator (libbeat/reader/multiline/multiline.go:42-335): a two-state
-  * machine that glues continuation lines onto the event started by the
-  * previous boundary line, with `negate` and `match: before/after`
-  * semantics and a `max_lines` cap (default 500, multiline.go:59).
+  * operator (libbeat/reader/multiline/multiline.go:42-352): a two-state
+  * machine that glues continuation lines onto an event, with `negate`,
+  * `match: before/after`, `flush_pattern`, and a `max_lines` cap
+  * (default 500, multiline.go:59).
   *
   * Spark-first re-expression: no state machine. Within each ordered
   * stream (here: a conversation, ordered by turn_idx — the analog of
   * Beats' per-file order, SURVEY.md §2.10), a line is a *boundary* iff
-  * the pattern says "start new event"; the running sum of boundary flags
-  * is the event group id; one `groupBy(stream, group)` then rebuilds each
-  * event with an ordered join — all whole-stage-codegen window + agg,
-  * one shuffle on the stream key.
+  * it starts a new event; the running sum of boundary flags is the event
+  * group id; one `groupBy(stream, group)` then rebuilds each event with
+  * an ordered join — all whole-stage-codegen window + agg, one shuffle
+  * on the stream key.
   *
-  *  - `match: after`  (Beats `pattern` matches ⇒ line *continues* the
-  *    previous event when negate=false): boundary = NOT rlike(pattern).
-  *  - `negate: true` flips the boundary predicate.
-  *  - `match: before` attaches a matching line to the *following* event:
-  *    equivalent to computing the boundary on the *next* line (lead), so
-  *    it shares this implementation with a lead() instead of the flag
-  *    itself. We implement `after` (the common stack-trace case) and
-  *    expose negate.
+  * Boundary derivation (matches the reference's truth table):
+  *  - `match: after`, negate=false — matching lines continue the previous
+  *    event ⇒ boundary = NOT rlike(pattern); negate flips the predicate.
+  *  - `match: before` — a matching line attaches to the FOLLOWING lines
+  *    until a terminator (non-match when negate=false); the line after a
+  *    terminator starts a new event ⇒ boundary = lag(after-boundary),
+  *    first line always a boundary (multiline.go:82,96).
+  *  - `flush_pattern` — a line matching it force-closes the current event
+  *    (the flush line stays inside it), so the NEXT line is a boundary
+  *    (multiline.go:352).
   *
-  * At scale: the window + groupBy both key on `streamCol`, so Catalyst
-  * plans a single hash-partition exchange reused by both operators.
+  * `max_lines` TRUNCATES: lines beyond the cap within one event are
+  * dropped, keeping a single capped event per boundary group — the
+  * reference's addLine only appends while numLines < maxLines
+  * (multiline.go:288-306). (Round 1 split overflow into extra events,
+  * which re-emitted the dropped lines; fixed per the round-1 advice.)
+  *
+  * At scale: the windows + groupBy all key on `streamCol`, so Catalyst
+  * plans a single hash-partition exchange reused by every operator.
   */
 object Multiline {
 
-  /** Assign each line its multiline group id. Boundary lines start a new
-    * group; a group is also force-split every `maxLines` lines (the
-    * max_lines flush, multiline.go:58,186-195).
+  /** Assign each line its multiline group id; drops lines beyond
+    * `maxLines` within a group (the reference's truncation semantics) and
+    * marks surviving groups that lost lines with `truncated`.
     */
   def withGroupId(
       df: DataFrame,
       pattern: String,
       negate: Boolean = false,
+      matchBefore: Boolean = false,
+      flushPattern: Option[String] = None,
       maxLines: Int = 500,
       streamCol: String = "conv_id",
       orderCol: String = "turn_idx",
       textCol: String = "text"): DataFrame = {
     val matches = col(textCol).rlike(pattern)
-    // match:after, negate=false — matching lines continue the previous
-    // event, so a NON-match starts a new one. negate flips it. The first
-    // line of a stream always starts a group (sum makes that free: group
-    // ids just start at 0 or 1 consistently).
-    val boundary = if (negate) matches else !matches
+    val afterBoundary: Column = if (negate) matches else !matches
     val w = Window.partitionBy(streamCol).orderBy(orderCol)
+    // before = the after-boundary decision shifted onto the next line
+    // (a terminator line closes its event; the line after it opens one)
+    val modeBoundary: Column =
+      if (matchBefore) coalesce(lag(afterBoundary, 1).over(w), lit(true))
+      else afterBoundary
+    val boundary: Column = flushPattern match {
+      case Some(fp) =>
+        modeBoundary || coalesce(lag(col(textCol).rlike(fp), 1).over(w), lit(false))
+      case None => modeBoundary
+    }
     val grouped = df.withColumn("_boundary", boundary.cast("long"))
       .withColumn("_grp", sum(col("_boundary")).over(w))
-    // max_lines cap: position within the raw group splits it further
     val wg = Window.partitionBy(col(streamCol), col("_grp")).orderBy(col(orderCol))
     grouped
-      .withColumn("group_id",
-        concat_ws("/", col("_grp"),
-          floor((row_number().over(wg) - 1) / maxLines)))
-      .drop("_boundary", "_grp")
+      .withColumn("_rn", row_number().over(wg))
+      .withColumn("_glen", count(lit(1)).over(
+        Window.partitionBy(col(streamCol), col("_grp"))))
+      .where(col("_rn") <= maxLines)
+      .withColumn("group_id", col("_grp").cast("string"))
+      .withColumn("truncated", col("_glen") > maxLines)
+      .drop("_boundary", "_grp", "_rn", "_glen")
   }
 
   /** Join each group's lines into one event: text joined by \n (the
@@ -86,11 +104,14 @@ object Multiline {
       df: DataFrame,
       pattern: String,
       negate: Boolean = false,
+      matchBefore: Boolean = false,
+      flushPattern: Option[String] = None,
       maxLines: Int = 500,
       streamCol: String = "conv_id",
       orderCol: String = "turn_idx",
       textCol: String = "text"): DataFrame =
     joinGroups(
-      withGroupId(df, pattern, negate, maxLines, streamCol, orderCol, textCol),
+      withGroupId(df, pattern, negate, matchBefore, flushPattern, maxLines,
+        streamCol, orderCol, textCol),
       streamCol, orderCol, textCol)
 }

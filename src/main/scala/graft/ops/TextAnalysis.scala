@@ -102,20 +102,26 @@ object TextAnalysis {
   /** Per-document TF-IDF top-k terms. idf is the raw ratio N/df — a
     * quotient of exact integers, so Spark and any SQL oracle compute the
     * bit-identical double (no ln(), whose last-ulp differences across
-    * libm implementations would break hash-equality). Two small shuffles:
-    * (id, term) term-frequency agg, then a broadcast of the |vocab|-sized
-    * document-frequency table.
+    * libm implementations would break hash-equality).
+    *
+    * Scale notes: the tf↔df join shuffles on `term` — NEVER broadcast the
+    * document-frequency table (it is |vocab|-sized: unbounded at 100 TB;
+    * AQE may still choose a broadcast when it measures it small, which is
+    * the right call in the other direction). The corpus size N rides along
+    * as a broadcast 1-row aggregate inside the same plan — no separate
+    * driver-side count() job.
     */
   def tfidfTopK(df: DataFrame, k: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val n = df.count()
+    val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
     val t = terms(df, idCol, textCol)
     val tf = t.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = t.select(col(idCol), col("term")).distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), Seq("term"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        round(col("tf").cast("double") * lit(n.toDouble) / col("df").cast("double"), 6))
+        round(col("tf").cast("double") * col("n_docs") / col("df").cast("double"), 6))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))
     scored.withColumn("rank", row_number().over(w))

@@ -139,7 +139,30 @@ object Pipeline {
   def readSink(spark: SparkSession, outDir: String, sink: String): DataFrame =
     readCommitted(spark, outDir).where(col("sink") === sink).drop("sink")
 
-  /** Execute with per-bucket lineage; resumes past committed buckets. */
+  /** Execute with per-bucket lineage; resumes past committed buckets.
+    *
+    * Wave strategy (commit granularity without re-derivation): with a
+    * single wave, the transformed input flows straight into the fan-out
+    * write — one scan, one shuffle, one write. With multiple waves, the
+    * transformed PENDING buckets are first STAGED once, partitioned by
+    * bucket (a durable shuffle: parse runs exactly once per row), and each
+    * wave then does a partition-PRUNED read of its stage dirs. Round 1
+    * filtered a computed bucket column per wave, which re-scanned and
+    * re-parsed the full input W times — at 100 TB with waves=8 that is 8
+    * full input passes; the stage costs one extra write/read of the
+    * (narrower, post-drop) transformed columns instead.
+    *
+    * Committer note: fresh runs append with the task-side-commit (v2)
+    * algorithm — job commit is O(1) instead of driver-serial renames (512
+    * dirs was ~8 s serial, the dominant scaling-efficiency killer). v2's
+    * known window (a task attempt that dies mid-task-commit after
+    * authorization, then a retry commits fully ⇒ stray files) is bounded
+    * here: a failed JOB leaves its buckets uncommitted in lineage, and the
+    * resume path rewrites every pending bucket with dynamic-partition
+    * OVERWRITE, wiping any partials. The v2 flag is scoped to this run and
+    * restored after (round-1 advice: it leaked into the session and
+    * changed later writes' semantics).
+    */
   def run(
       spark: SparkSession,
       input: DataFrame,
@@ -148,12 +171,24 @@ object Pipeline {
       inputFingerprint: String = ""
   ): RunResult = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    // task-side commit: tasks move their own files at task-commit time, so
-    // job commit is O(1) instead of a driver-serial rename per partition
-    // dir (512 dirs at 128 buckets × 4 sinks was ~8 s of serial time —
-    // the dominant scaling-efficiency killer)
-    spark.sparkContext.hadoopConfiguration
-      .setInt("mapreduce.fileoutputcommitter.algorithm.version", 2)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val committerKey = "mapreduce.fileoutputcommitter.algorithm.version"
+    val prevCommitter = Option(hadoopConf.get(committerKey))
+    hadoopConf.setInt(committerKey, 2)
+    try runInner(spark, input, outDir, cfg, inputFingerprint)
+    finally prevCommitter match {
+      case Some(v) => hadoopConf.set(committerKey, v)
+      case None => hadoopConf.unset(committerKey)
+    }
+  }
+
+  private def runInner(
+      spark: SparkSession,
+      input: DataFrame,
+      outDir: String,
+      cfg: PipelineConfig,
+      inputFingerprint: String
+  ): RunResult = {
     val lineage = new Lineage(spark, outDir)
     val all = (0 until cfg.buckets).toSet
     val committed = lineage.committedBuckets().intersect(all)
@@ -172,16 +207,42 @@ object Pipeline {
     val transformed = transform(spark, input, cfg)
     val dataDir = s"$outDir/data"
     val aggDir = s"$outDir/agg_partial"
+    // no leading underscore: Spark's file listing filters _-prefixed
+    // names in some resolution paths, and the stage must be readable back
+    val stageDir = s"$outDir/stage-pending"
 
     val waves = if (pending.isEmpty) Seq.empty
       else pending.grouped(math.max(1, math.ceil(pending.size.toDouble / cfg.waves).toInt)).toSeq
 
-    waves.foreach { wave =>
-      val subset = transformed
-        .where(col("bucket").isin(wave: _*))
+    // Stage once for multi-wave runs: bucket filter sits below the parse
+    // (bucket needs only conv_id/turn_idx) so already-committed buckets'
+    // rows are never parsed; `overwrite` makes a crashed stage rebuild
+    // idempotent. Single-wave runs skip the stage entirely.
+    val staged = waves.size > 1
+    if (staged) phase("stage") {
+      transformed
+        .where(col("bucket").isin(pending: _*))
         .drop(cfg.dropFromSink: _*)
         .repartition(cfg.buckets, col("bucket"))
-        .sortWithinPartitions("sink", "bucket", "conv_id", "turn_idx")
+        .write.mode("overwrite").partitionBy("bucket").parquet(stageDir)
+    }
+    val stagedData = if (staged) spark.read.parquet(stageDir) else null
+
+    waves.foreach { wave =>
+      // Stage path: partition-pruned read (only this wave's bucket= dirs
+      // are listed/scanned), already bucket-grouped ⇒ no exchange, just
+      // the within-partition sort the fan-out writer needs.
+      val subset =
+        if (staged)
+          stagedData
+            .where(col("bucket").isin(wave: _*))
+            .sortWithinPartitions("sink", "bucket", "conv_id", "turn_idx")
+        else
+          transformed
+            .where(col("bucket").isin(wave: _*))
+            .drop(cfg.dropFromSink: _*)
+            .repartition(cfg.buckets, col("bucket"))
+            .sortWithinPartitions("sink", "bucket", "conv_id", "turn_idx")
       // fan-out to all sinks in ONE pass; ordering satisfies the writer's
       // required (sink, bucket) prefix so no extra sort is inserted.
       phase("write") {
@@ -236,6 +297,10 @@ object Pipeline {
         }.foreach(_.get())
       } finally pool.shutdown() }
     }
+
+    // all pending buckets committed ⇒ the stage has served its purpose
+    if (staged)
+      hadoopFs.delete(new org.apache.hadoop.fs.Path(stageDir), true): Unit
 
     // merge partial aggregates into the final metrics table
     if (pending.nonEmpty || committed.nonEmpty) phase("metrics_merge") {

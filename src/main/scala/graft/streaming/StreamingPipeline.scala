@@ -121,8 +121,15 @@ object StreamingPipeline {
   }
 
   /** Start the fan-out sink writer: one micro-batch pass computing `sink`,
-    * then a single (sink, bucket)-partitioned append — identical layout to
-    * the batch writer so downstream readers cannot tell the modes apart.
+    * then a (batch, sink, bucket)-partitioned DYNAMIC OVERWRITE keyed on
+    * the micro-batch id. Replays are idempotent: a crash after a partial
+    * write but before the checkpoint commit re-delivers the same batch
+    * (same offsets ⇒ same rows ⇒ same partition set), and the dynamic
+    * overwrite rewrites exactly those batch=<id> dirs instead of
+    * duplicating them — a blind append here turned every replay into
+    * duplicate rows. Columns match the batch writer (same dropFromSink
+    * projection); the directory layout adds one batch= level, which
+    * `readStreamOutput` hides.
     */
   def startSinkWriter(
       spark: SparkSession,
@@ -134,14 +141,26 @@ object StreamingPipeline {
     routed.writeStream
       .trigger(trigger)
       .option("checkpointLocation", s"$outDir/_stream_checkpoint")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write
-          .mode("append")
-          .partitionBy("sink", "bucket")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch
+          .drop(cfg.dropFromSink: _*)
+          .withColumn("batch", lit(batchId))
+          .write
+          .mode("overwrite")
+          .partitionBy("batch", "sink", "bucket")
           .parquet(s"$outDir/data")
       }
       .start()
   }
+
+  /** The streaming twin of `Pipeline.readCommitted`: the sink table with
+    * the micro-batch bookkeeping column hidden, so downstream consumers
+    * see the same schema as the batch writer's output.
+    */
+  def readStreamOutput(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/data").drop("batch")
 
   /** Start the windowed-counter aggregation into a parquet metrics table
     * (append mode: windows finalize once the watermark passes them).

@@ -50,15 +50,62 @@ class MultilineSpec extends AnyFunSuite {
     assert(got(("c1", 3)) == (2L, "START b\ndata 3"))
   }
 
-  test("max_lines splits an over-long event (multiline.go:58)") {
+  test("max_lines TRUNCATES an over-long event (multiline.go:288-306)") {
+    // Beats' addLine only appends while numLines < maxLines: overflow
+    // lines are DROPPED, not re-emitted as extra events
     val df = lines(
       ("c1", 0, "HEAD"),
-      ("c1", 1, " c1"), ("c1", 2, " c2"), ("c1", 3, " c3"), ("c1", 4, " c4"))
+      ("c1", 1, " c1"), ("c1", 2, " c2"), ("c1", 3, " c3"), ("c1", 4, " c4"),
+      ("c1", 5, "NEXT"))
     val got = groupsOf(Multiline(df, pattern = "^\\s", maxLines = 2))
-    assert(got(("c1", 0))._1 == 2L)
-    assert(got(("c1", 2))._1 == 2L)
-    assert(got(("c1", 4))._1 == 1L)
-    assert(got(("c1", 0))._2 == "HEAD\n c1")
+    assert(got.size == 2)
+    assert(got(("c1", 0)) == (2L, "HEAD\n c1"))
+    assert(got(("c1", 5)) == (1L, "NEXT"))
+    // the capped group is flagged
+    val trunc = Multiline.withGroupId(df, "^\\s", maxLines = 2)
+      .select("turn_idx", "truncated").collect()
+      .map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    assert(trunc(0) && trunc(1) && !trunc(5))
+  }
+
+  test("match:before — matching lines attach to the FOLLOWING terminator") {
+    // pattern matches the leading lines; a non-match terminates the event
+    // and the line after it starts a new one (multiline.go:82,96)
+    val df = lines(
+      ("c1", 0, "PART a"),
+      ("c1", 1, "PART b"),
+      ("c1", 2, "end-1"),
+      ("c1", 3, "PART c"),
+      ("c1", 4, "end-2"),
+      ("c1", 5, "end-alone"))
+    val got = groupsOf(Multiline(df, pattern = "^PART", matchBefore = true))
+    assert(got(("c1", 0)) == (3L, "PART a\nPART b\nend-1"))
+    assert(got(("c1", 3)) == (2L, "PART c\nend-2"))
+    assert(got(("c1", 5)) == (1L, "end-alone"))
+  }
+
+  test("match:before + negate — non-matching lines attach to the next match") {
+    val df = lines(
+      ("c1", 0, "data 1"),
+      ("c1", 1, "data 2"),
+      ("c1", 2, "END a"),
+      ("c1", 3, "data 3"),
+      ("c1", 4, "END b"))
+    val got = groupsOf(Multiline(df, pattern = "^END", negate = true, matchBefore = true))
+    assert(got(("c1", 0)) == (3L, "data 1\ndata 2\nEND a"))
+    assert(got(("c1", 3)) == (2L, "data 3\nEND b"))
+  }
+
+  test("flush_pattern force-closes the event including the flush line (multiline.go:352)") {
+    val df = lines(
+      ("c1", 0, "HEAD"),
+      ("c1", 1, " c1"),
+      ("c1", 2, " FLUSH now"),
+      ("c1", 3, " c2"),
+      ("c1", 4, " c3"))
+    val got = groupsOf(Multiline(df, pattern = "^\\s", flushPattern = Some("FLUSH")))
+    assert(got(("c1", 0)) == (3L, "HEAD\n c1\n FLUSH now"))
+    assert(got(("c1", 3)) == (2L, " c2\n c3"))
   }
 
   test("streams are independent (per-conversation state, never crosses)") {

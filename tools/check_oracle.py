@@ -23,17 +23,24 @@ def canon(df):
         if pd.api.types.is_datetime64_any_dtype(s):
             s = pd.to_datetime(s, utc=True).dt.tz_localize(None)
         elif pd.api.types.is_float_dtype(s):
-            # int-valued floats print as ints so int64-vs-hugeint dtypes agree
-            s = s.round(4).map(lambda v: v if pd.isna(v) else (int(v) if v == int(v) else v))
+            # int-valued floats print as ints so int64-vs-hugeint dtypes agree;
+            # 6 dp matches the repo's round(..., 6) parity rule on both sides
+            s = s.round(6).map(lambda v: v if pd.isna(v) else (int(v) if v == int(v) else v))
         elif pd.api.types.is_bool_dtype(s):
             s = s.astype(object)
         df[c] = s.map(lambda v: "NULL" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
+# The driver keys results by dump filename (q_x.parquet); oracle_sql.json
+# now carries BOTH key shapes. Check only the driver's shape so the local
+# gate can't diverge from the driver's again (round-1 lesson: the permissive
+# dual-glob here masked a key mismatch that zeroed CORRECTNESS_r01).
+oracle = {k: v for k, v in oracle.items() if k.endswith(".parquet")}
+
 fails = []
 for name, sql in sorted(oracle.items()):
-    path = glob.glob(f"{verify_dir}/{name}") + glob.glob(f"{verify_dir}/{name}.parquet")
+    path = glob.glob(f"{verify_dir}/{name}")
     if not path:
         fails.append((name, "missing spark dump")); continue
     try:
@@ -73,3 +80,4 @@ for name, sql in sorted(oracle.items()):
 for name, why in fails:
     print(f"FAIL {name}: {why}")
 print(f"\n{len(oracle)-len(fails)}/{len(oracle)} pass")
+sys.exit(1 if fails else 0)
