@@ -273,6 +273,63 @@ object SparkEntry {
           matchBefore = true, flushPattern = Some("CORRUPT"))
         .select("conv_id", "group_id", "first_turn_idx", "n_lines", "event_text")),
 
+    // docker json-file / CRI envelope round-trip: per-conversation format
+    // (docker for even user ids, CRI for odd — exercising the per-line
+    // autodetect), a period-3 partial pattern, then the real reader joins
+    // partials; the oracle recomputes the expected events directly from
+    // the generator arithmetic (docker_json.go:59-197)
+    "q_docker_json" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val fmt = substring(col("conv_id"), 6, 10).cast("int") % 2
+      val partial = col("turn_idx") % 3 =!= 2
+      val stream = when(col("turn_idx") % 2 === 0, lit("stdout")).otherwise(lit("stderr"))
+      val tstr = date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+      val dockerLine = to_json(struct(
+        concat(col("text"), when(partial, lit("")).otherwise(lit("\n"))).as("log"),
+        stream.as("stream"), tstr.as("time")))
+      val criLine = concat(tstr, lit(" "), stream, lit(" "),
+        when(partial, lit("P")).otherwise(lit("F")), lit(" "), col("text"))
+      val lines = t.withColumn("line", when(fmt === 0, dockerLine).otherwise(criLine))
+      graft.parse.DockerJson.read(lines, textCol = "line")
+        .select("conv_id", "first_turn_idx", "stream", "event_ts", "content", "n_parts")
+    },
+
+    // RFC3164 syslog round-trip: deterministic BSD lines are synthesized
+    // from events-table arithmetic, parsed by the real Syslog operator, and
+    // the oracle recomputes the expected fields DIRECTLY from the same
+    // arithmetic — an independent derivation, not a shared regex
+    // (filebeat/input/syslog/parser.go + event.go:60-267)
+    "q_syslog_parse" -> { (s, dir) =>
+      val e = events(s, dir)
+      val id = col("event_id")
+      val months = typedLit(Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+        "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"))
+      val pidPart = when(id % 3 === 0,
+        concat(lit("["), (id % 9000 + 100).cast("string"), lit("]"))).otherwise(lit(""))
+      val tag = when(id % 4 === 0, concat(lit("su"), pidPart, lit(": ")))
+        .when(id % 4 === 1, concat(lit("postfix/smtpd"), pidPart, lit(": ")))
+        .when(id % 4 === 2, concat(lit("%ASA1-120"), pidPart, lit(": ")))
+        .otherwise(lit(""))
+      val line = concat(
+        when(id % 13 === 0, lit(""))
+          .otherwise(concat(lit("<"), (id % 200).cast("string"), lit(">"))),
+        element_at(months, (id % 12).cast("int") + 1), lit(" "),
+        (id % 27 + 1).cast("string"), lit(" "),
+        lpad((id % 24).cast("string"), 2, "0"), lit(":"),
+        lpad((id % 60).cast("string"), 2, "0"), lit(":"),
+        lpad((id * 7 % 60).cast("string"), 2, "0"), lit(" "),
+        lit("host-"), (col("user_id") % 50).cast("string"), lit(" "),
+        tag,
+        lit("evt="), col("event_type"), lit(" id="), id.cast("string"))
+      graft.parse.Syslog.parse(e.withColumn("text", line), "text", defaultYear = 2025)
+        .select(id.cast("long").as("event_id"),
+          col("priority").cast("int").as("priority"),
+          col("facility").cast("int").as("facility"),
+          col("severity").cast("int").as("severity"),
+          col("ts_syslog"), col("hostname"), col("program"),
+          col("pid").cast("int").as("pid"), col("msg"))
+    },
+
     // Kafka-style hash partitioner distribution (kafka/partition.go:214-262)
     // via md5 (oracle-reproducible stand-in for xxhash64)
     "q_salt_bucket" -> ((s, dir) =>
@@ -336,16 +393,16 @@ object SparkEntry {
 
     "q_ann_lsh" -> { (s, dir) =>
       val e = embeddings(s, dir)
-      Similarity.lshTopK(e, e.where(col("vec_id") < 50), k = 5, planes = 8)
+      Similarity.lshTopK(e, e.where(col("vec_id") < 50), k = 5, planes = 6, tables = 4)
     },
 
     "q_ann_ivf" -> { (s, dir) =>
       val e = embeddings(s, dir)
-      Similarity.ivfTopK(e, e.where(col("vec_id") < 50), k = 5, centroids = 16)
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 50), k = 5, nprobe = 2)
     },
 
     "q_cosine_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDup(embWithDupes(s, dir), threshold = 0.999, planes = 4)),
+      Similarity.cosineNearDup(embWithDupes(s, dir), threshold = 0.999, planes = 8)),
 
     "q_media_meta" -> ((s, dir) =>
       Multimodal.asMedia(documents(s, dir))
@@ -561,6 +618,36 @@ object SparkEntry {
          |  string_agg(text, chr(10) ORDER BY turn_idx) AS event_text
          |FROM g2 WHERE rn <= 500 GROUP BY 1, 2""".stripMargin,
 
+    "q_docker_json" ->
+      s"""$T, lines AS (
+         |  SELECT conv_id, turn_idx, ts, text,
+         |    CAST(substr(conv_id, 6) AS INTEGER) % 2 AS fmt,
+         |    turn_idx // 3 AS grp
+         |  FROM transcripts
+         |)
+         |SELECT conv_id,
+         |  min(turn_idx) AS first_turn_idx,
+         |  CASE WHEN min(turn_idx) % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
+         |  date_trunc('second', min_by(ts, turn_idx)) AS event_ts,
+         |  string_agg(text || CASE WHEN fmt = 0 AND turn_idx % 3 = 2 THEN chr(10) ELSE '' END, '' ORDER BY turn_idx) AS content,
+         |  count(*) AS n_parts
+         |FROM lines GROUP BY conv_id, grp""".stripMargin,
+
+    "q_syslog_parse" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id,
+        |  CAST(CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_id % 200 END AS INTEGER) AS priority,
+        |  CAST(CASE WHEN event_id % 13 = 0 THEN NULL ELSE (event_id % 200) // 8 END AS INTEGER) AS facility,
+        |  CAST(CASE WHEN event_id % 13 = 0 THEN NULL ELSE (event_id % 200) % 8 END AS INTEGER) AS severity,
+        |  make_timestamp(2025, event_id % 12 + 1, event_id % 27 + 1,
+        |    event_id % 24, event_id % 60, CAST(event_id * 7 % 60 AS DOUBLE)) AS ts_syslog,
+        |  'host-' || CAST(user_id % 50 AS VARCHAR) AS hostname,
+        |  CASE CAST(event_id % 4 AS INTEGER) WHEN 0 THEN 'su' WHEN 1 THEN 'postfix/smtpd'
+        |       WHEN 2 THEN '%ASA1-120' ELSE NULL END AS program,
+        |  CAST(CASE WHEN event_id % 4 < 3 AND event_id % 3 = 0
+        |       THEN event_id % 9000 + 100 ELSE NULL END AS INTEGER) AS pid,
+        |  'evt=' || event_type || ' id=' || CAST(event_id AS VARCHAR) AS msg
+        |FROM events""".stripMargin,
+
     "q_salt_bucket" ->
       s"""$T, b AS (
          |  SELECT conv_id, md5(conv_id) AS h FROM transcripts
@@ -724,58 +811,67 @@ object SparkEntry {
         |  FROM scored)
         |WHERE rank <= 10""".stripMargin,
 
-    "q_ann_lsh" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |    array_to_string(list_transform(CAST(embedding AS DOUBLE[])[1:8],
-        |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
-        |  FROM embeddings),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round(list_dot_product(q.v, c.v) / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)), 6) AS cos
-        |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-        |  WHERE q.vec_id < 50)
-        |SELECT query_id, neighbor_id, cos, rank FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
-        |  FROM scored)
-        |WHERE rank <= 5""".stripMargin,
+    "q_ann_lsh" -> {
+      val tableBuckets = (0 until 4).map(t =>
+        Similarity.signBucketSql("v",
+          Similarity.hyperplanes(planes = 6, dim = 64, seed = 1L + t * 7919L), s"$t:"))
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, UNNEST([
+         |${tableBuckets.mkString(",\n")}
+         |]) AS bucket FROM e),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 50),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    round(list_dot_product(q.v, c.v) / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)), 6) AS cos
+         |  FROM cand JOIN e q ON q.vec_id = query_id JOIN e c ON c.vec_id = neighbor_id)
+         |SELECT query_id, neighbor_id, cos, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin
+    },
 
     "q_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cents AS (SELECT vec_id AS cent_id, v AS centv FROM e WHERE vec_id < 16),
-        |assigned AS (
-        |  SELECT vec_id, v, cell FROM (
-        |    SELECT e.vec_id, e.v, c.cent_id AS cell,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY round(list_dot_product(e.v, c.centv)
-        |          / sqrt(list_dot_product(e.v, e.v) * list_dot_product(c.centv, c.centv)), 6) DESC,
-        |        c.cent_id) AS rk
-        |    FROM e CROSS JOIN cents c) WHERE rk = 1),
+        |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n FROM e),
+        |cents AS (SELECT vec_id AS cent_id, v AS centv FROM e, nc WHERE vec_id < nc.n),
+        |ranked AS (
+        |  SELECT e.vec_id, e.v, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_dot_product(e.v, c.centv)
+        |        / sqrt(list_dot_product(e.v, e.v) * list_dot_product(c.centv, c.centv)), 6) DESC,
+        |      c.cent_id) AS rk
+        |  FROM e CROSS JOIN cents c),
+        |corpus AS (SELECT vec_id, v, cent_id AS cell FROM ranked WHERE rk = 1),
+        |probes AS (SELECT vec_id, v, cent_id AS cell FROM ranked WHERE rk <= 2 AND vec_id < 50),
         |scored AS (
         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
         |    round(list_dot_product(q.v, n.v)
         |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(n.v, n.v)), 6) AS cos
-        |  FROM assigned q JOIN assigned n ON q.cell = n.cell AND q.vec_id <> n.vec_id
-        |  WHERE q.vec_id < 50)
+        |  FROM probes q JOIN corpus n ON q.cell = n.cell AND q.vec_id <> n.vec_id)
         |SELECT query_id, neighbor_id, cos, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
 
-    "q_cosine_neardup" ->
-      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |e AS (
-        |  SELECT vec_id, v FROM e0
-        |  UNION ALL
-        |  SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x * 0.5) AS v FROM e0),
-        |b AS (
-        |  SELECT vec_id, v,
-        |    array_to_string(list_transform(v[1:4], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
-        |  FROM e)
-        |SELECT l.vec_id AS a, r.vec_id AS b,
-        |  round(list_dot_product(l.v, r.v) / sqrt(list_dot_product(l.v, l.v) * list_dot_product(r.v, r.v)), 6) AS cos
-        |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-        |WHERE list_dot_product(l.v, r.v) / sqrt(list_dot_product(l.v, l.v) * list_dot_product(r.v, r.v)) >= 0.999""".stripMargin,
+    "q_cosine_neardup" -> {
+      val bucketExpr = Similarity.signBucketSql("v",
+        Similarity.hyperplanes(planes = 8, dim = 64, seed = 101L))
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |e AS (
+         |  SELECT vec_id, v FROM e0
+         |  UNION ALL
+         |  SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x * 0.5) AS v FROM e0),
+         |b AS (
+         |  SELECT vec_id, v, $bucketExpr AS bucket
+         |  FROM e)
+         |SELECT l.vec_id AS a, r.vec_id AS b,
+         |  round(list_dot_product(l.v, r.v) / sqrt(list_dot_product(l.v, l.v) * list_dot_product(r.v, r.v)), 6) AS cos
+         |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |WHERE round(list_dot_product(l.v, r.v) / sqrt(list_dot_product(l.v, l.v) * list_dot_product(r.v, r.v)), 6) >= 0.999""".stripMargin
+    },
 
     "q_media_meta" ->
       """SELECT doc_id AS media_id,

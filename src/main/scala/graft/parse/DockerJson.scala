@@ -1,0 +1,129 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Docker json-file / CRI container-log reader — Filebeat's standard
+  * modern input envelope (libbeat/reader/readjson/docker_json.go).
+  *
+  * Reference semantics re-expressed Spark-first:
+  *
+  *  - per-line format autodetect: a line starting with `{` is Docker
+  *    json-file (`{"log":"…\n","stream":"stdout","time":"RFC3339"}`),
+  *    anything else is CRI (`TS STREAM [P|F[:tags]] CONTENT`)
+  *    (docker_json.go:158-169); `forceCri` skips the autodetect;
+  *  - Docker: partial ⇔ log does NOT end in '\n' (docker_json.go:153);
+  *  - CRI with criflags: the 3rd field's ':'-separated tags mark
+  *    P(artial)/F(ull) (docker_json.go:104-116); partial content loses its
+  *    trailing newline (docker_json.go:120-123);
+  *  - partial joining (docker_json.go:185-197): consecutive partial lines
+  *    are concatenated (no separator) onto the event, which closes at the
+  *    first full line. Instead of the reference's pull-loop, a window
+  *    running-sum groups lines: a line opens an event iff the PREVIOUS
+  *    line was full — the same lag()-boundary used by multiline
+  *    `match: before` ([[graft.ops.Multiline]]); one shuffle on the
+  *    stream key, shared by the window and the rebuild groupBy;
+  *  - event timestamp/stream come from the event's FIRST line (the
+  *    reference keeps the first message and appends content to it; its
+  *    `stream` field technically reflects the last-parsed line — we take
+  *    the first line's, the documented deviation);
+  *  - stream filtering (`stdout`/`stderr`/`all`) applies after joining.
+  *
+  * Unparseable lines (bad JSON, malformed CRI) keep their raw text as
+  * content with `parse_error = true` — the pipeline drops nothing.
+  */
+object DockerJson {
+
+  private val CriRe = "^(\\S+) (\\S+) (\\S+) (.*)$"
+  private val CriNoFlagsRe = "^(\\S+) (\\S+) (.*)$"
+
+  /** Per-line parse: appends d_content, d_stream, d_ts, d_partial,
+    * d_error. Narrow projections only.
+    */
+  def parseLines(
+      df: DataFrame,
+      textCol: String = "text",
+      forceCri: Boolean = false,
+      criFlags: Boolean = true): DataFrame = {
+    val text = col(textCol)
+    val isDocker = if (forceCri) lit(false) else text.startsWith("{")
+
+    val j = from_json(text, "log STRING, stream STRING, time STRING, _c STRING",
+      Map("columnNameOfCorruptRecord" -> "_c"))
+    val dockerOk = j.getField("_c").isNull && j.getField("log").isNotNull
+    val dockerPartial = !j.getField("log").endsWith("\n")
+
+    val (criTs, criStream, criPartial, criContent, criOk) =
+      if (criFlags) {
+        val g = (i: Int) => regexp_extract(text, CriRe, i)
+        val ok = g(2) =!= ""
+        val partial = array_contains(split(g(3), ":"), "P")
+        val content = when(partial, regexp_replace(g(4), "\n$", "")).otherwise(g(4))
+        (g(1), g(2), partial, content, ok)
+      } else {
+        val g = (i: Int) => regexp_extract(text, CriNoFlagsRe, i)
+        (g(1), g(2), lit(false), g(3), g(2) =!= "")
+      }
+
+    val ok = when(isDocker, dockerOk).otherwise(criOk)
+    df.withColumn("d_content",
+        when(!ok, text)
+          .when(isDocker, j.getField("log"))
+          .otherwise(criContent))
+      .withColumn("d_stream",
+        when(!ok, lit(null).cast("string"))
+          .when(isDocker, j.getField("stream")).otherwise(criStream))
+      .withColumn("d_ts",
+        when(!ok, lit(null).cast("timestamp"))
+          .when(isDocker, j.getField("time").cast("timestamp"))
+          .otherwise(criTs.cast("timestamp")))
+      .withColumn("d_partial", when(ok, when(isDocker, dockerPartial).otherwise(criPartial))
+        .otherwise(lit(false)))
+      .withColumn("d_error", !ok)
+  }
+
+  /** Join partial lines into events within each ordered stream. */
+  def joinPartials(
+      parsed: DataFrame,
+      streamCol: String = "conv_id",
+      orderCol: String = "turn_idx"): DataFrame = {
+    val w = Window.partitionBy(streamCol).orderBy(orderCol)
+    val boundary = coalesce(lag(!col("d_partial"), 1).over(w), lit(true))
+    parsed
+      .withColumn("_grp", sum(boundary.cast("long")).over(w))
+      .groupBy(col(streamCol), col("_grp"))
+      .agg(
+        min(col(orderCol)).as("first_" + orderCol),
+        min_by(col("d_stream"), col(orderCol)).as("stream"),
+        min_by(col("d_ts"), col(orderCol)).as("event_ts"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(orderCol), col("d_content")))),
+            x => x.getField("d_content")),
+          "").as("content"),
+        count(lit(1)).as("n_parts"),
+        max(col("d_error")).as("parse_error"))
+      .drop("_grp")
+  }
+
+  /** Full reader: parse → (optionally) join partials → stream filter. */
+  def read(
+      df: DataFrame,
+      textCol: String = "text",
+      streamCol: String = "conv_id",
+      orderCol: String = "turn_idx",
+      stream: String = "all",
+      joinPartialLines: Boolean = true,
+      forceCri: Boolean = false,
+      criFlags: Boolean = true): DataFrame = {
+    val parsed = parseLines(df, textCol, forceCri, criFlags)
+    val joined =
+      if (joinPartialLines) joinPartials(parsed, streamCol, orderCol)
+      else parsed.select(col(streamCol), col(orderCol).as("first_" + orderCol),
+        col("d_stream").as("stream"), col("d_ts").as("event_ts"),
+        col("d_content").as("content"), lit(1L).as("n_parts"),
+        col("d_error").as("parse_error"))
+    if (stream == "all") joined else joined.where(col("stream") === stream)
+  }
+}

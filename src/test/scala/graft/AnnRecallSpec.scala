@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall of the approximate ANN paths against brute-force ground truth.
+  *
+  * The driver embeddings are uniform random (no neighbor structure), so a
+  * meaningful recall measurement plants one true near-neighbor per vector:
+  * a deterministically-perturbed copy at cosine ≈0.95 (noise scale 0.14 on
+  * unit-norm vectors ⇒ tan θ ≈ 0.33). Recall@1 = fraction of queries whose
+  * approximate rank-1 equals the exact rank-1. Parameters are the
+  * SparkEntry production settings — if this spec fails, the operator's
+  * defaults are mis-tuned, not the fixture.
+  */
+class AnnRecallSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val dim = 64
+  private val noiseScale = 0.14
+
+  /** embeddings ∪ planted noisy copies (id+10000), noise from the same
+    * exact-integer LCG the hyperplanes use (seed 777). */
+  private lazy val corpus = {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val noise = Similarity.hyperplanes(planes = 1, dim = dim, seed = 777L)(0)
+    // per-row phase shift so copies are not all perturbed identically
+    val noisy = e.select(
+      (col("vec_id") + 10000).as("vec_id"),
+      zip_with(col("embedding"),
+        // rotate the noise vector by vec_id positions
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => element_at(typedLit(noise ++ noise), (pmod(col("vec_id") + i, lit(dim)) + 1).cast("int"))),
+        (x, n) => x + lit(noiseScale) * n).as("embedding"))
+    e.unionAll(noisy).cache()
+  }
+
+  private lazy val queries = corpus.where(col("vec_id") < 60)
+
+  private def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.where(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+
+  private lazy val exact = top1(Similarity.bruteForceTopK(corpus, queries, k = 1))
+
+  test("planted noisy copies are the true nearest neighbors (fixture sanity)") {
+    // cos(v, v+0.14·noise) ≈ 0.95 ≫ max random cosine (~0.5): the planted
+    // copy must be the exact rank-1 for (almost) every query
+    val planted = exact.count { case (q, n) => n == q + 10000 || n + 10000 == q }
+    assert(planted >= (exact.size * 0.95).toInt,
+      s"only $planted/${exact.size} planted pairs are exact rank-1")
+  }
+
+  test("multi-table sign-LSH recall@1 >= 0.9 at production parameters") {
+    val got = top1(Similarity.lshTopK(corpus, queries, k = 1, planes = 6, tables = 4))
+    val hits = exact.count { case (q, n) => got.get(q).contains(n) }
+    val recall = hits.toDouble / exact.size
+    info(f"LSH recall@1 = $recall%.3f (${exact.size} queries)")
+    assert(recall >= 0.9, f"LSH recall@1 $recall%.3f < 0.9")
+  }
+
+  test("IVF (sqrt-n centroids, nprobe=2) recall@1 >= 0.9") {
+    val got = top1(Similarity.ivfTopK(corpus, queries, k = 1, nprobe = 2))
+    val hits = exact.count { case (q, n) => got.get(q).contains(n) }
+    val recall = hits.toDouble / exact.size
+    info(f"IVF recall@1 = $recall%.3f (${exact.size} queries)")
+    assert(recall >= 0.9, f"IVF recall@1 $recall%.3f < 0.9")
+  }
+
+  test("LSH candidate set is a small fraction of the corpus (it is ANN, not scan)") {
+    val n = corpus.count()
+    val cand = Similarity.lshTopK(corpus, queries, k = 1000, planes = 6, tables = 4)
+      .count() // every scored candidate survives with k >= corpus size
+    val perQuery = cand.toDouble / queries.count()
+    info(f"avg candidates/query = $perQuery%.1f of $n corpus vectors")
+    assert(perQuery < n * 0.25, f"candidates/query $perQuery%.1f not sub-linear vs $n")
+  }
+}

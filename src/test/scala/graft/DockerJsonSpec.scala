@@ -1,0 +1,86 @@
+package graft
+
+import graft.parse.DockerJson
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Docker json-file / CRI reader vs reference behavior
+  * (libbeat/reader/readjson/docker_json.go: autodetect :158-169, docker
+  * partial :153, CRI flags :104-116, partial joining :185-197).
+  */
+class DockerJsonSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def lines(rows: (String, Int, String)*) =
+    rows.toSeq.toDF("conv_id", "turn_idx", "text")
+
+  private def events(df: org.apache.spark.sql.DataFrame, stream: String = "all") =
+    DockerJson.read(df, stream = stream)
+      .collect()
+      .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("first_turn_idx")) ->
+        (r.getAs[String]("content"), r.getAs[String]("stream"), r.getAs[Long]("n_parts"),
+          r.getAs[Boolean]("parse_error")))
+      .toMap
+
+  test("docker json: partial lines (no trailing newline) join onto the next full line") {
+    val got = events(lines(
+      ("c1", 0, """{"log":"part one ","stream":"stdout","time":"2019-01-01T00:00:00Z"}"""),
+      ("c1", 1, """{"log":"part two ","stream":"stdout","time":"2019-01-01T00:00:01Z"}"""),
+      ("c1", 2, """{"log":"the end\n","stream":"stdout","time":"2019-01-01T00:00:02Z"}"""),
+      ("c1", 3, """{"log":"solo\n","stream":"stderr","time":"2019-01-01T00:00:03Z"}""")))
+    assert(got(("c1", 0)) == ("part one part two the end\n", "stdout", 3L, false))
+    assert(got(("c1", 3)) == ("solo\n", "stderr", 1L, false))
+  }
+
+  test("CRI: P/F flags drive the joining; partial strips its trailing newline") {
+    val got = events(lines(
+      ("c1", 0, "2017-09-12T22:32:21.212861448Z stdout P alpha"),
+      ("c1", 1, "2017-09-12T22:32:21.212931001Z stdout P beta"),
+      ("c1", 2, "2017-09-12T22:32:21.212962545Z stdout F gamma"),
+      ("c1", 3, "2017-09-12T22:32:22.000000000Z stderr F done")))
+    assert(got(("c1", 0)) == ("alphabetagamma", "stdout", 3L, false))
+    assert(got(("c1", 3)) == ("done", "stderr", 1L, false))
+  }
+
+  test("autodetect mixes formats across streams; event keeps FIRST line's ts/stream") {
+    val df = lines(
+      ("a", 0, """{"log":"x","stream":"stdout","time":"2019-01-01T10:00:00Z"}"""),
+      ("a", 1, """{"log":"y\n","stream":"stderr","time":"2019-01-01T10:00:05Z"}"""),
+      ("b", 0, "2019-01-01T11:00:00Z stderr F cri line"))
+    val rows = DockerJson.read(df).collect()
+      .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("first_turn_idx")) ->
+        (r.getAs[String]("stream"), r.getAs[java.sql.Timestamp]("event_ts").toString))
+      .toMap
+    // joined event reports the first (partial) line's stream + timestamp
+    assert(rows(("a", 0)) == ("stdout", "2019-01-01 10:00:00.0"))
+    assert(rows(("b", 0))._1 == "stderr")
+  }
+
+  test("stream filter applies after joining") {
+    val df = lines(
+      ("c1", 0, """{"log":"out\n","stream":"stdout","time":"2019-01-01T00:00:00Z"}"""),
+      ("c1", 1, """{"log":"err\n","stream":"stderr","time":"2019-01-01T00:00:01Z"}"""))
+    val got = events(df, stream = "stderr")
+    assert(got.keySet == Set(("c1", 1)))
+    assert(got(("c1", 1))._1 == "err\n")
+  }
+
+  test("malformed lines become parse_error events with the raw text as content") {
+    val got = events(lines(
+      ("c1", 0, """{"log": truncated-json"""),
+      ("c1", 1, "not-a-timestamp F"),
+      ("c1", 2, """{"log":"fine\n","stream":"stdout","time":"2019-01-01T00:00:00Z"}""")))
+    assert(got(("c1", 0)) == ("""{"log": truncated-json""", null, 1L, true))
+    assert(got(("c1", 1))._4 == true)
+    assert(got(("c1", 2)) == ("fine\n", "stdout", 1L, false))
+  }
+
+  test("unterminated trailing partials still emit one (open) event") {
+    val got = events(lines(
+      ("c1", 0, "2019-01-01T00:00:00Z stdout F full"),
+      ("c1", 1, "2019-01-01T00:00:01Z stdout P tail one "),
+      ("c1", 2, "2019-01-01T00:00:02Z stdout P tail two")))
+    assert(got(("c1", 0))._1 == "full")
+    assert(got(("c1", 1)) == ("tail one tail two", "stdout", 2L, false))
+  }
+}

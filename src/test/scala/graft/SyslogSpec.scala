@@ -1,0 +1,149 @@
+package graft
+
+import graft.parse.Syslog
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RFC3164 parse vs the reference's public golden corpus
+  * (filebeat/input/syslog/parser_test.go:28-545, Apache-2.0 — the port of
+  * public fixtures is sanctioned by SURVEY.md §5.2). Expectations are the
+  * reference's field values, with -1/"" sentinels mapped to NULL.
+  */
+class SyslogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private case class Exp(
+      pri: Option[Int] = None,
+      host: Option[String] = None,
+      program: Option[String] = None,
+      pid: Option[Int] = None,
+      msg: String,
+      ts: Option[String] = None, // "yyyy-MM-dd HH:mm:ss" UTC
+      nanos: Option[Long] = None)
+
+  private def parseOne(line: String): Row =
+    Syslog.parse(Seq(line).toDF("text"), defaultYear = 2025)
+      .selectExpr("priority", "hostname", "program", "pid", "msg",
+        "date_format(ts_syslog, 'yyyy-MM-dd HH:mm:ss')", "nanos",
+        "facility", "severity")
+      .collect()(0)
+
+  private def check(line: String, e: Exp): Unit = {
+    val r = parseOne(line)
+    def opt[T](i: Int): Option[T] = if (r.isNullAt(i)) None else Some(r.get(i).asInstanceOf[T])
+    assert(opt[Int](0) == e.pri, s"priority of: $line")
+    assert(opt[String](1) == e.host, s"hostname of: $line")
+    assert(opt[String](2) == e.program, s"program of: $line")
+    assert(opt[Int](3) == e.pid, s"pid of: $line")
+    assert(r.getString(4) == e.msg, s"msg of: $line")
+    assert(opt[String](5) == e.ts, s"ts of: $line")
+    assert(opt[Long](6) == e.nanos, s"nanos of: $line")
+    e.pri.foreach { p =>
+      assert(r.getInt(7) == (p >> 3) && r.getInt(8) == (p & 7), s"fac/sev of: $line")
+    }
+  }
+
+  test("classic BSD with program and pid") {
+    check("<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed for lonvick on /dev/pts/8",
+      Exp(pri = Some(34), host = Some("mymachine"), program = Some("su"), pid = Some(230),
+        msg = "'su root' failed for lonvick on /dev/pts/8", ts = Some("2025-10-11 22:14:15")))
+  }
+
+  test("BSD without pid, fractional seconds → padded nanos") {
+    check("<34>Oct 11 22:14:15.57643 mymachine su: 'su root' failed for lonvick on /dev/pts/8",
+      Exp(pri = Some(34), host = Some("mymachine"), program = Some("su"),
+        msg = "'su root' failed for lonvick on /dev/pts/8",
+        ts = Some("2025-10-11 22:14:15"), nanos = Some(576430000L)))
+  }
+
+  test("slash program") {
+    check("<34>Oct 11 22:14:15 wopr.mymachine.co postfix/smtpd[2000]: m",
+      Exp(pri = Some(34), host = Some("wopr.mymachine.co"),
+        program = Some("postfix/smtpd"), pid = Some(2000), msg = "m",
+        ts = Some("2025-10-11 22:14:15")))
+  }
+
+  test("no tag: bare message after host") {
+    check("<13>Feb 25 17:32:18 10.0.0.99 Use the Force!",
+      Exp(pri = Some(13), host = Some("10.0.0.99"), msg = "Use the Force!",
+        ts = Some("2025-02-25 17:32:18")))
+  }
+
+  test("ipv6 hostname") {
+    check("<13>Feb 25 17:32:18 2607:f0d0:1002:51::4 Use the Force!",
+      Exp(pri = Some(13), host = Some("2607:f0d0:1002:51::4"), msg = "Use the Force!",
+        ts = Some("2025-02-25 17:32:18")))
+  }
+
+  test("%-prefixed program (ASA style)") {
+    check("<164>Oct 26 15:19:25 1.2.3.4 %ASA1-120: Deny udp",
+      Exp(pri = Some(164), host = Some("1.2.3.4"), program = Some("%ASA1-120"),
+        msg = "Deny udp", ts = Some("2025-10-26 15:19:25")))
+  }
+
+  test("no priority: fields still extracted, priority/facility/severity null") {
+    check("Oct 11 22:14:15 mymachine su[230]: 'su root' failed",
+      Exp(host = Some("mymachine"), program = Some("su"), pid = Some(230),
+        msg = "'su root' failed", ts = Some("2025-10-11 22:14:15")))
+  }
+
+  test("time and message only (dashes are not a hostname)") {
+    check("Oct 11 22:14:15 --- last message repeated 1 time ---",
+      Exp(msg = "--- last message repeated 1 time ---", ts = Some("2025-10-11 22:14:15")))
+  }
+
+  test("tiny fraction pads to single nanosecond") {
+    check("Oct 11 22:14:15.000000005 --- last message repeated 1 time ---",
+      Exp(msg = "--- last message repeated 1 time ---",
+        ts = Some("2025-10-11 22:14:15"), nanos = Some(5L)))
+  }
+
+  test("message only: everything else null") {
+    check("--- last message repeated 1 time ---",
+      Exp(msg = "--- last message repeated 1 time ---"))
+  }
+
+  test("ISO date without zone") {
+    check("<190>2018-06-19 02:13:38 super mon message",
+      Exp(pri = Some(190), host = Some("super"), msg = "mon message",
+        ts = Some("2018-06-19 02:13:38")))
+  }
+
+  test("ISO with nanos fraction") {
+    check("<190>2018-06-19 02:13:38.0004 super mon message",
+      Exp(pri = Some(190), host = Some("super"), msg = "mon message",
+        ts = Some("2018-06-19 02:13:38"), nanos = Some(400000L)))
+  }
+
+  test("ISO8601 with -07:00 offset normalizes to UTC") {
+    check("<190>2018-06-19T02:13:38.635322-07:00 super mon message",
+      Exp(pri = Some(190), host = Some("super"), msg = "mon message",
+        ts = Some("2018-06-19 09:13:38"), nanos = Some(635322000L)))
+  }
+
+  test("ISO8601 compact -0730 offset") {
+    check("<190>2018-06-19T02:13:38.635322-0730 super mon message",
+      Exp(pri = Some(190), host = Some("super"), msg = "mon message",
+        ts = Some("2018-06-19 09:43:38"), nanos = Some(635322000L)))
+  }
+
+  test("ISO8601 bare -07 offset") {
+    check("<190>2018-06-19T02:13:38.635322-07 super mon message",
+      Exp(pri = Some(190), host = Some("super"), msg = "mon message",
+        ts = Some("2018-06-19 09:13:38"), nanos = Some(635322000L)))
+  }
+
+  test("Z wins over any trailing offset (parser_test 'Z+0000' family)") {
+    for (z <- Seq("Z", "Z+0000", "Z+00:00", "Z+00"))
+      check(s"<190>2018-06-19T02:13:38.635322$z super mon message",
+        Exp(pri = Some(190), host = Some("super"), msg = "mon message",
+          ts = Some("2018-06-19 02:13:38"), nanos = Some(635322000L)))
+  }
+
+  test("rfc3339 with program and pid") {
+    check("2016-05-08T10:31:24 localhost prg00000[1234]: seq: 0000000000",
+      Exp(host = Some("localhost"), program = Some("prg00000"), pid = Some(1234),
+        msg = "seq: 0000000000", ts = Some("2016-05-08 10:31:24")))
+  }
+}
