@@ -273,6 +273,38 @@ object SparkEntry {
           matchBefore = true, flushPattern = Some("CORRUPT"))
         .select("conv_id", "group_id", "first_turn_idx", "n_lines", "event_text")),
 
+    // dns-style TTL'd lookup cache: success entries live for their record
+    // TTL clamped to [60, 3600] s, failures for 600 s, everything else is
+    // a miss (processors/dns/cache.go:52,90-102,164); cache + asOf are
+    // pure epoch arithmetic so the oracle mirrors exactly
+    "q_ttl_lookup" -> { (s, dir) =>
+      val e = events(s, dir).select(col("event_id"),
+        concat(lit("host-"), (col("user_id") % 50).cast("string")).as("host"))
+      val cache = s.range(40).select(
+        concat(lit("host-"), col("id").cast("string")).as("key"),
+        concat(lit("ip-"), col("id").cast("string")).as("value"),
+        timestamp_seconds(lit(1748775600L) + col("id") * 60).as("resolved_at"),
+        (col("id") * 120).as("ttl_s"),
+        (col("id") % 7 =!= 0).as("success"))
+      graft.enrich.TtlLookup.lookupAsOf(e, cache, key = "host",
+          asOf = timestamp_seconds(lit(1748779200L)),
+          minTtlS = 60, maxTtlS = 3600, failureTtlS = 600)
+        .select("event_id", "host", "lookup_status", "value")
+    },
+
+    // Metricbeat schema.Apply: declarative Conv projection with
+    // required/optional and conversion-failure semantics
+    // (libbeat/common/schema/schema.go:29-99)
+    "q_schema_apply" -> { (s, dir) =>
+      import graft.parse.SchemaApply
+      SchemaApply(events(s, dir), "props", Seq(
+          SchemaApply.Conv("k", "k_int", "int", required = true),
+          SchemaApply.Conv("k", "k_f", "float"),
+          SchemaApply.Conv("absent", "tag_s", "str", required = true)))
+        .select(col("event_id"), col("k_int"), col("k_f"), col("tag_s"),
+          array_join(col("schema_errors"), ";").as("errors_csv"))
+    },
+
     // docker json-file / CRI envelope round-trip: per-conversation format
     // (docker for even user ids, CRI for odd — exercising the per-line
     // autodetect), a period-3 partial pattern, then the real reader joins
@@ -617,6 +649,33 @@ object SparkEntry {
          |  count(*) AS n_lines,
          |  string_agg(text, chr(10) ORDER BY turn_idx) AS event_text
          |FROM g2 WHERE rn <= 500 GROUP BY 1, 2""".stripMargin,
+
+    "q_ttl_lookup" ->
+      """WITH e AS (SELECT event_id, 'host-' || CAST(user_id % 50 AS VARCHAR) AS host FROM events),
+        |cache AS (
+        |  SELECT 'host-' || CAST(n AS VARCHAR) AS host, 'ip-' || CAST(n AS VARCHAR) AS val,
+        |    1748775600 + n * 60 AS resolved_epoch, n * 120 AS ttl_s, (n % 7 <> 0) AS success
+        |  FROM (SELECT UNNEST(generate_series(0, 39)) AS n)),
+        |j AS (
+        |  SELECT e.event_id, e.host, c.val, c.success,
+        |    c.resolved_epoch + (CASE WHEN c.success THEN greatest(least(c.ttl_s, 3600), 60) ELSE 600 END) AS expires_at
+        |  FROM e LEFT JOIN cache c USING (host))
+        |SELECT event_id, host,
+        |  CASE WHEN expires_at IS NOT NULL AND 1748779200 < expires_at AND success THEN 'hit'
+        |       WHEN expires_at IS NOT NULL AND 1748779200 < expires_at THEN 'negative'
+        |       ELSE 'miss' END AS lookup_status,
+        |  CASE WHEN expires_at IS NOT NULL AND 1748779200 < expires_at AND success THEN val END AS value
+        |FROM j""".stripMargin,
+
+    "q_schema_apply" ->
+      """SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_f,
+        |  CAST(NULL AS VARCHAR) AS tag_s,
+        |  CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL
+        |       THEN 'key `k` not found;key `absent` not found'
+        |       ELSE 'key `absent` not found' END AS errors_csv
+        |FROM events""".stripMargin,
 
     "q_docker_json" ->
       s"""$T, lines AS (

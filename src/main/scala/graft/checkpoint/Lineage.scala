@@ -114,25 +114,81 @@ final class Lineage(spark: SparkSession, outDir: String) {
       s""""committed_at":${q(r.committedAt)}}"""
   }
 
+  /** Escape-aware parse of the exact shape `toJson` emits (flat object;
+    * one nested string→number object for per_sink_counts). The round-1
+    * regex scraper silently corrupted counts when a (data-derived!) sink
+    * name contained `"` or `,` — sink names come from format strings over
+    * event fields, so they are untrusted input here.
+    */
   private def fromJson(s: String): LineageRecord = {
-    def str(key: String): String = {
-      val m = ("\"" + key + "\":\"([^\"]*)\"").r.findFirstMatchIn(s)
-      m.map(_.group(1)).getOrElse("")
+    var i = 0
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = {
+      ws()
+      if (i >= s.length || s.charAt(i) != c)
+        throw new IllegalArgumentException(s"lineage json: expected '$c' at $i in $s")
+      i += 1
     }
-    def num(key: String): Long = {
-      val m = ("\"" + key + "\":(-?\\d+)").r.findFirstMatchIn(s)
-      m.map(_.group(1).toLong).getOrElse(0L)
+    def parseString(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (s.charAt(i) != '"') {
+        if (s.charAt(i) == '\\') {
+          i += 1
+          s.charAt(i) match {
+            case '"' => sb += '"'; case '\\' => sb += '\\'
+            case 'n' => sb += '\n'; case 'r' => sb += '\r'; case 't' => sb += '\t'
+            case 'u' =>
+              sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              i += 4
+            case other => sb += other
+          }
+        } else sb += s.charAt(i)
+        i += 1
+      }
+      i += 1
+      sb.toString
     }
-    val sinksRe = "\"per_sink_counts\":\\{([^}]*)\\}".r
-    val sinks = sinksRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("") match {
-      case "" => Map.empty[String, Long]
-      case body =>
-        body.split(",").iterator.map { kv =>
-          val Array(k, v) = kv.split(":", 2)
-          k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
-        }.toMap
+    def parseLong(): Long = {
+      ws()
+      val start = i
+      if (s.charAt(i) == '-') i += 1
+      while (i < s.length && s.charAt(i).isDigit) i += 1
+      s.substring(start, i).toLong
     }
-    LineageRecord(str("run_id"), num("bucket").toInt, str("input_fingerprint"),
-      num("row_count"), sinks, num("parse_errors"), str("committed_at"))
+    def parseSinks(): Map[String, Long] = {
+      expect('{')
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      ws()
+      if (s.charAt(i) == '}') { i += 1; return m.toMap }
+      var done = false
+      while (!done) {
+        val k = parseString(); expect(':'); m(k) = parseLong()
+        ws()
+        if (s.charAt(i) == ',') i += 1 else { expect('}'); done = true }
+      }
+      m.toMap
+    }
+
+    var runId = ""; var bucket = 0L; var fp = ""; var rows = 0L
+    var sinks = Map.empty[String, Long]; var errs = 0L; var at = ""
+    expect('{')
+    var done = false
+    while (!done) {
+      val key = parseString(); expect(':')
+      key match {
+        case "run_id" => runId = parseString()
+        case "bucket" => bucket = parseLong()
+        case "input_fingerprint" => fp = parseString()
+        case "row_count" => rows = parseLong()
+        case "per_sink_counts" => sinks = parseSinks()
+        case "parse_errors" => errs = parseLong()
+        case "committed_at" => at = parseString()
+        case other => throw new IllegalArgumentException(s"lineage json: unknown key '$other'")
+      }
+      ws()
+      if (s.charAt(i) == ',') i += 1 else { expect('}'); done = true }
+    }
+    LineageRecord(runId, bucket.toInt, fp, rows, sinks, errs, at)
   }
 }

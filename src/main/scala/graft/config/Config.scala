@@ -1,0 +1,147 @@
+package graft.config
+
+import graft.enrich.{Enrich, Processors}
+import graft.ops.Multiline
+import graft.parse.{DockerJson, Syslog}
+import graft.route.{Cond, RouterConfig, Router}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative pipeline configuration — Beats' ACTUAL user surface is
+  * config, not code (filebeat.yml: input parsers → processors → output
+  * conditionals). This is its Spark rendering: a pure data value (built
+  * in Scala or parsed from Beats-shaped JSON by [[ConfigJson]]) compiles
+  * to a `DataFrame => DataFrame`, so a pipeline change needs no Scala.
+  *
+  * Every stage compiles to the SAME operators the coded pipeline uses
+  * (graft.run.Pipeline.parse, Enrich.*, Processors.*, Router.route), so
+  * config-driven and code-driven pipelines cannot diverge semantically —
+  * ConfigSpec asserts end-to-end equality against Pipeline.transform.
+  */
+
+/** Scan-side reader/parser stages (filebeat `parsers:`) — these may
+  * change the event grain (multiline/docker_json join lines). */
+sealed trait ParserConf extends Serializable
+object ParserConf {
+  /** dissect tokenizer → flattened key columns + parse_error. */
+  final case class Dissect(tokenizer: String) extends ParserConf
+  /** regexp_extract battery: outCol → (pattern with one capture group). */
+  final case class Grok(field: String, patterns: Map[String, String]) extends ParserConf
+  /** RFC3164/BSD syslog ([[graft.parse.Syslog]]). */
+  final case class SyslogP(field: String = "text", defaultYear: Int = 2025) extends ParserConf
+  /** docker json-file / CRI reader ([[graft.parse.DockerJson]]). */
+  final case class DockerJsonP(
+      field: String = "text", stream: String = "all",
+      criFlags: Boolean = true, forceCri: Boolean = false) extends ParserConf
+  /** multiline joiner ([[graft.ops.Multiline]]). */
+  final case class MultilineP(
+      pattern: String, negate: Boolean = false, matchBefore: Boolean = false,
+      flushPattern: Option[String] = None, maxLines: Int = 500) extends ParserConf
+  /** decode a JSON string column into typed columns (readjson). */
+  final case class Json(field: String, schema: String, dropSource: Boolean = false)
+      extends ParserConf
+  /** Metricbeat schema.Apply Conv projection ([[graft.parse.SchemaApply]]). */
+  final case class Schema(field: String, convs: Seq[graft.parse.SchemaApply.Conv])
+      extends ParserConf
+}
+
+/** Event processors (libbeat `processors:`). */
+sealed trait ProcessorConf extends Serializable
+object ProcessorConf {
+  final case class AddFields(fields: Map[String, Any]) extends ProcessorConf
+  final case class AddTags(tags: Seq[String]) extends ProcessorConf
+  final case class DropFields(fields: Seq[String]) extends ProcessorConf
+  final case class IncludeFields(fields: Seq[String]) extends ProcessorConf
+  final case class Rename(renames: Seq[(String, String)]) extends ProcessorConf
+  final case class DropEvent(when: Cond) extends ProcessorConf
+  /** `when:`-gated constant set (WhenProcessor wrapper). */
+  final case class Set(when: Cond, field: String, value: Any) extends ProcessorConf
+  /** translate through a small literal table into a target column. */
+  final case class Translate(field: String, target: String,
+      table: Map[String, String], default: Option[String]) extends ProcessorConf
+  /** broadcast lookup join against a named side table. */
+  final case class Lookup(table: String, key: String) extends ProcessorConf
+}
+
+final case class CountersConf(
+    period: String = "1 hour",
+    groupBy: Seq[String] = Seq("sink", "role"),
+    tsCol: String = "ts")
+
+final case class GraftConf(
+    parsers: Seq[ParserConf] = Nil,
+    processors: Seq[ProcessorConf] = Nil,
+    router: Option[RouterConfig] = None,
+    counters: Option[CountersConf] = None)
+
+object ConfigCompiler {
+  import ParserConf._
+  import ProcessorConf._
+
+  private def applyParser(df: DataFrame, p: ParserConf): DataFrame = p match {
+    case Dissect(tok) => graft.run.Pipeline.parse(df, tok)
+    case Grok(field, patterns) =>
+      patterns.foldLeft(df) { case (d, (out, pat)) =>
+        d.withColumn(out, regexp_extract(col(field), pat, 1))
+      }
+    case SyslogP(field, year) => Syslog.parse(df, field, year)
+    case DockerJsonP(field, stream, criFlags, forceCri) =>
+      DockerJson.read(df, textCol = field, stream = stream,
+        criFlags = criFlags, forceCri = forceCri)
+    case MultilineP(pattern, negate, before, flush, maxLines) =>
+      Multiline(df, pattern, negate, before, flush, maxLines)
+    case Json(field, schema, dropSource) =>
+      val parsed = df.withColumn("_json", from_json(col(field), schema, Map.empty[String, String]))
+      val flat = org.apache.spark.sql.types.StructType.fromDDL(schema).fieldNames
+        .foldLeft(parsed)((d, f) => d.withColumn(f, col("_json").getField(f)))
+        .drop("_json")
+      if (dropSource) flat.drop(field) else flat
+    case Schema(field, convs) => graft.parse.SchemaApply(df, field, convs)
+  }
+
+  private def litAny(v: Any): Column = v match {
+    case null => lit(null)
+    case b: Boolean => lit(b)
+    case i: Int => lit(i)
+    case l: Long => lit(l)
+    case d: Double => lit(d)
+    case s: String => lit(s)
+    case other => lit(other.toString)
+  }
+
+  private def applyProcessor(lookups: Map[String, DataFrame])(
+      df: DataFrame, p: ProcessorConf): DataFrame = p match {
+    case AddFields(fields) => Enrich.addFields(df, fields)
+    case AddTags(tags) => Enrich.addTags(df, tags)
+    case DropFields(fields) => df.drop(fields: _*)
+    case IncludeFields(fields) => df.select(fields.map(col): _*)
+    case Rename(renames) =>
+      renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+    case DropEvent(cond) => Processors.dropEvent(df, cond)
+    case Set(cond, field, value) => Processors.whenGate(df, cond, Map(field -> litAny(value)))
+    case Translate(field, target, table, default) =>
+      df.withColumn(target, Enrich.translate(col(field), table, default))
+    case Lookup(table, key) =>
+      val side = lookups.getOrElse(table,
+        throw new IllegalArgumentException(
+          s"config references unknown lookup table '$table'; provided: ${lookups.keys.mkString(", ")}"))
+      Enrich.lookupJoin(df, side, key)
+  }
+
+  /** Compile a config to a reusable DataFrame transform. `lookups` binds
+    * the named side tables the config may reference.
+    */
+  def compile(conf: GraftConf, lookups: Map[String, DataFrame] = Map.empty)
+      : DataFrame => DataFrame = { df =>
+    val parsed = conf.parsers.foldLeft(df)(applyParser)
+    val processed = conf.processors.foldLeft(parsed)(applyProcessor(lookups))
+    conf.router.map(r => Router.route(r, processed)).getOrElse(processed)
+  }
+
+  /** The config-declared windowed counters over a compiled output. */
+  def counters(conf: CountersConf, df: DataFrame): DataFrame =
+    df.groupBy(
+        window(col(conf.tsCol), conf.period).getField("start").as("window_start")
+          +: conf.groupBy.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+}

@@ -1,0 +1,180 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.route.{Cond, Mappings, Rule, RouterConfig}
+import scala.jdk.CollectionConverters._
+
+/** Beats-shaped JSON → [[GraftConf]]. The condition grammar is EXACTLY
+  * the reference's condition config (libbeat/conditions/config.go — the
+  * `when:` YAML shape): `{"equals": {field: value}}`, `{"contains": …}`,
+  * `{"regexp": …}`, `{"range": {field: {"gte": …, "lt": …}}}`,
+  * `{"has_fields": [...]}`, `{"and": [...]}`, `{"or": [...]}`,
+  * `{"not": cond}`. Jackson rides along on Spark's own classpath — no
+  * new dependency.
+  */
+object ConfigJson {
+
+  private val mapper = new ObjectMapper()
+
+  def parse(json: String): GraftConf = {
+    val root = mapper.readTree(json)
+    GraftConf(
+      parsers = arr(root, "parsers").map(parser),
+      processors = arr(root, "processors").map(processor),
+      router = Option(root.get("router")).map(router),
+      counters = Option(root.get("counters")).map(countersConf))
+  }
+
+  /** Parse a standalone Beats condition document. */
+  def condition(json: String): Cond = cond(mapper.readTree(json))
+
+  // --- helpers ------------------------------------------------------------
+
+  private def arr(n: JsonNode, field: String): Seq[JsonNode] =
+    Option(n.get(field)).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+
+  private def str(n: JsonNode, field: String, default: => String = null): String =
+    Option(n.get(field)).map(_.asText()).getOrElse {
+      Option(default).getOrElse(
+        throw new IllegalArgumentException(s"missing required config field '$field' in $n"))
+    }
+
+  private def strOpt(n: JsonNode, field: String): Option[String] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.asText())
+
+  private def intOpt(n: JsonNode, field: String): Option[Int] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.asInt())
+
+  private def boolOpt(n: JsonNode, field: String): Option[Boolean] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.asBoolean())
+
+  private def anyValue(v: JsonNode): Any =
+    if (v.isBoolean) v.asBoolean()
+    else if (v.isIntegralNumber) { val l = v.asLong(); if (l.isValidInt) l.toInt else l }
+    else if (v.isNumber) v.asDouble()
+    else if (v.isNull) null
+    else v.asText()
+
+  private def stringMap(n: JsonNode): Map[String, String] =
+    n.fieldNames().asScala.map(k => k -> n.get(k).asText()).toMap
+
+  private def single(n: JsonNode): (String, JsonNode) = {
+    val names = n.fieldNames().asScala.toSeq
+    require(names.size == 1, s"expected exactly one key in $n, got $names")
+    names.head -> n.get(names.head)
+  }
+
+  // --- conditions (conditions/config.go) ----------------------------------
+
+  private def cond(n: JsonNode): Cond = {
+    val (kind, body) = single(n)
+    kind match {
+      case "equals" =>
+        val (f, v) = single(body); Cond.Equals(f, anyValue(v))
+      case "contains" =>
+        val (f, v) = single(body); Cond.Contains(f, v.asText())
+      case "regexp" =>
+        val (f, v) = single(body); Cond.Regexp(f, v.asText())
+      case "range" =>
+        val (f, b) = single(body)
+        Cond.Range(f,
+          gte = Option(b.get("gte")).map(_.asDouble()),
+          gt = Option(b.get("gt")).map(_.asDouble()),
+          lte = Option(b.get("lte")).map(_.asDouble()),
+          lt = Option(b.get("lt")).map(_.asDouble()))
+      case "has_fields" =>
+        Cond.HasFields(body.elements().asScala.map(_.asText()).toSeq)
+      case "and" => Cond.And(body.elements().asScala.map(cond).toSeq)
+      case "or" => Cond.Or(body.elements().asScala.map(cond).toSeq)
+      case "not" => Cond.Not(cond(body))
+      case other => throw new IllegalArgumentException(s"unknown condition '$other'")
+    }
+  }
+
+  // --- parsers -------------------------------------------------------------
+
+  private def parser(n: JsonNode): ParserConf = {
+    val (kind, b) = single(n)
+    kind match {
+      case "dissect" => ParserConf.Dissect(str(b, "tokenizer"))
+      case "grok" => ParserConf.Grok(str(b, "field", "text"), stringMap(b.get("patterns")))
+      case "syslog" =>
+        ParserConf.SyslogP(str(b, "field", "text"), intOpt(b, "default_year").getOrElse(2025))
+      case "docker_json" =>
+        ParserConf.DockerJsonP(
+          field = str(b, "field", "text"),
+          stream = str(b, "stream", "all"),
+          criFlags = boolOpt(b, "cri_flags").getOrElse(true),
+          forceCri = boolOpt(b, "force_cri").getOrElse(false))
+      case "multiline" =>
+        ParserConf.MultilineP(
+          pattern = str(b, "pattern"),
+          negate = boolOpt(b, "negate").getOrElse(false),
+          matchBefore = str(b, "match", "after") == "before",
+          flushPattern = strOpt(b, "flush_pattern"),
+          maxLines = intOpt(b, "max_lines").getOrElse(500))
+      case "json" =>
+        ParserConf.Json(str(b, "field"), str(b, "schema"),
+          boolOpt(b, "drop_source").getOrElse(false))
+      case "schema" =>
+        ParserConf.Schema(str(b, "field"),
+          arr(b, "convs").map(c => graft.parse.SchemaApply.Conv(
+            key = str(c, "key"),
+            to = str(c, "to", str(c, "key")),
+            typ = str(c, "type", "str"),
+            required = boolOpt(c, "required").getOrElse(false))))
+      case other => throw new IllegalArgumentException(s"unknown parser '$other'")
+    }
+  }
+
+  // --- processors ----------------------------------------------------------
+
+  private def processor(n: JsonNode): ProcessorConf = {
+    val (kind, b) = single(n)
+    kind match {
+      case "add_fields" =>
+        val f = b.get("fields")
+        ProcessorConf.AddFields(
+          f.fieldNames().asScala.map(k => k -> anyValue(f.get(k))).toMap)
+      case "add_tags" =>
+        ProcessorConf.AddTags(arr(b, "tags").map(_.asText()))
+      case "drop_fields" =>
+        ProcessorConf.DropFields(arr(b, "fields").map(_.asText()))
+      case "include_fields" =>
+        ProcessorConf.IncludeFields(arr(b, "fields").map(_.asText()))
+      case "rename" =>
+        ProcessorConf.Rename(arr(b, "fields").map(f => (str(f, "from"), str(f, "to"))))
+      case "drop_event" =>
+        ProcessorConf.DropEvent(cond(b.get("when")))
+      case "set" =>
+        ProcessorConf.Set(cond(b.get("when")), str(b, "field"), anyValue(b.get("value")))
+      case "translate" =>
+        ProcessorConf.Translate(str(b, "field"), str(b, "target"),
+          stringMap(b.get("table")), strOpt(b, "default"))
+      case "lookup" =>
+        ProcessorConf.Lookup(str(b, "table"), str(b, "key"))
+      case other => throw new IllegalArgumentException(s"unknown processor '$other'")
+    }
+  }
+
+  // --- router / counters -----------------------------------------------------
+
+  private def router(n: JsonNode): RouterConfig =
+    RouterConfig(
+      rules = arr(n, "rules").map { r =>
+        Rule(
+          target = str(r, "target"),
+          when = Option(r.get("when")).map(cond),
+          mappings = Option(r.get("mappings")).map(m =>
+            Mappings(stringMap(m.get("table")), strOpt(m, "default"))))
+      },
+      default = strOpt(n, "default"))
+
+  private def countersConf(n: JsonNode): CountersConf =
+    CountersConf(
+      period = str(n, "period", "1 hour"),
+      groupBy = arr(n, "group_by").map(_.asText()) match {
+        case Seq() => Seq("sink", "role"); case s => s
+      },
+      tsCol = str(n, "ts_field", "ts"))
+}

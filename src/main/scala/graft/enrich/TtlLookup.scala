@@ -1,0 +1,88 @@
+package graft.enrich
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TTL'd lookup-cache semantics — the dns processor's cache rebuilt for
+  * Spark (processors/dns/cache.go: success cache respecting record TTL
+  * clamped to [minTTL, maxTTL] :52,90-102; failure cache with its own TTL
+  * :164).
+  *
+  * Batch rendering: the cache is a side TABLE of resolution attempts
+  * `(key, value, resolved_at, ttl_s, success)`; a lookup is evaluated AS
+  * OF a reference instant. Per entry:
+  *  - success entry still fresh (asOf < resolved_at + clamp(ttl)) → HIT,
+  *    value attached;
+  *  - failure entry still fresh (asOf < resolved_at + failureTtl) →
+  *    NEGATIVE hit: the failure is remembered, no value, and no
+  *    re-resolution is attempted (the reference's point: failures are
+  *    cached so storms of dead names don't hammer the resolver);
+  *  - expired or absent → MISS (the re-resolution candidate set).
+  *
+  * The join is a broadcast left join (cache tables are bounded-size by
+  * construction — reference cap: cache.go success/failure capacity), so
+  * the big side never shuffles. Streaming: [[RefreshableLookup]] re-reads
+  * the provider at most once per `refreshEverySeconds` so each micro-batch
+  * joins against an up-to-date snapshot — the Spark rendering of the
+  * reference's background cache expiry.
+  */
+object TtlLookup {
+
+  /** Append `<valueCol>`, `lookup_status` ('hit' | 'negative' | 'miss')
+    * from the cache as of `asOf`. Cache columns: key (named `key`),
+    * `value`, `resolved_at` (timestamp), `ttl_s` (long), `success` (bool).
+    */
+  def lookupAsOf(
+      df: DataFrame,
+      cache: DataFrame,
+      key: String,
+      asOf: Column,
+      minTtlS: Long = 60,
+      maxTtlS: Long = 86400,
+      failureTtlS: Long = 60,
+      valueCol: String = "value"): DataFrame = {
+    val clampedTtl = greatest(least(col("ttl_s"), lit(maxTtlS)), lit(minTtlS))
+    val effTtl = when(col("success"), clampedTtl).otherwise(lit(failureTtlS))
+    val side = cache.select(
+      col("key").as(key),
+      col(valueCol).as("_cache_value"),
+      col("success").as("_cache_success"),
+      (unix_timestamp(col("resolved_at")) + effTtl).as("_expires_at"))
+    val joined = df.join(broadcast(side), Seq(key), "left")
+    val fresh = col("_expires_at").isNotNull && unix_timestamp(asOf) < col("_expires_at")
+    joined
+      .withColumn("lookup_status",
+        when(fresh && col("_cache_success"), lit("hit"))
+          .when(fresh && !col("_cache_success"), lit("negative"))
+          .otherwise(lit("miss")))
+      .withColumn(valueCol, when(fresh && col("_cache_success"), col("_cache_value")))
+      .drop("_cache_value", "_cache_success", "_expires_at")
+  }
+}
+
+/** Driver-side refreshable side table for streaming enrich: `current()`
+  * re-invokes the provider when the cached snapshot is older than the
+  * refresh interval (otherwise returns the cached DataFrame, which keeps
+  * its broadcast reusable across micro-batches). Thread-safe.
+  */
+final class RefreshableLookup(
+    provider: () => DataFrame,
+    refreshEverySeconds: Long,
+    clock: () => Long = () => System.currentTimeMillis()) {
+  @volatile private var snapshot: Option[(Long, DataFrame)] = None
+
+  /** Number of provider invocations so far (test/observability hook). */
+  @volatile var loads: Int = 0
+
+  def current(): DataFrame = synchronized {
+    val now = clock()
+    snapshot match {
+      case Some((at, df)) if now - at < refreshEverySeconds * 1000 => df
+      case _ =>
+        val df = provider()
+        snapshot = Some((now, df))
+        loads += 1
+        df
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Metricbeat's declarative `schema.Apply` typed projection
+  * (libbeat/common/schema/schema.go:29-99 + mapstrstr conversions): a
+  * config-driven list of `Conv{Key → target, type, Optional/Required}`
+  * entries projects a raw JSON document into typed event fields.
+  *
+  * Reference semantics kept:
+  *  - every Conv extracts `key` from the raw doc and converts it to the
+  *    declared type; conversion goes through try-semantics (a malformed
+  *    value behaves like a missing one — mapstrstr returns an error, the
+  *    field is skipped);
+  *  - a missing/unconvertible REQUIRED key is recorded as an apply error
+  *    (schema.Apply returns the joined error list) — here an
+  *    `schema_errors` array column, empty when the projection is clean;
+  *  - optional keys are silently skipped (schema.go ApplyOpts).
+  *
+  * All narrow codegen built-ins (get_json_object + try casts): the
+  * projection runs at scan speed and the whole Conv table is data, not
+  * code — the declarative config layer ([[graft.config.ConfigJson]])
+  * carries it as `{"schema": {"field": …, "convs": [...]}}`.
+  */
+object SchemaApply {
+
+  /** One conversion entry: JSON path key → typed target column. */
+  final case class Conv(
+      key: String,
+      to: String,
+      typ: String = "str", // str | int | float | bool
+      required: Boolean = false)
+
+  private def converted(raw: Column, typ: String): Column = typ match {
+    case "str" => raw
+    case "int" => raw.try_cast("long")
+    case "float" => raw.try_cast("double")
+    case "bool" =>
+      when(lower(raw) === "true", lit(true))
+        .when(lower(raw) === "false", lit(false))
+        .otherwise(lit(null).cast("boolean"))
+    case other => throw new IllegalArgumentException(s"unknown conv type '$other'")
+  }
+
+  /** Apply the Conv schema to JSON-string column `jsonCol`. */
+  def apply(df: DataFrame, jsonCol: String, convs: Seq[Conv]): DataFrame = {
+    val withFields = convs.foldLeft(df) { (d, c) =>
+      d.withColumn(c.to,
+        converted(get_json_object(col(jsonCol), s"$$.${c.key}"), c.typ))
+    }
+    val errs = convs.filter(_.required).map(c =>
+      when(col(c.to).isNull, lit(s"key `${c.key}` not found")))
+    val errCol =
+      if (errs.isEmpty) typedLit(Seq.empty[String])
+      else filter(array(errs: _*), e => e.isNotNull)
+    withFields.withColumn("schema_errors", errCol)
+  }
+}

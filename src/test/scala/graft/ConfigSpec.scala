@@ -1,0 +1,126 @@
+package graft
+
+import graft.config.{ConfigCompiler, ConfigJson}
+import graft.data.Transcripts
+import graft.enrich.Enrich
+import graft.route.Cond
+import graft.run.{Pipeline, PipelineConfig}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The declarative config layer (Beats' real user surface): a JSON
+  * pipeline config must compile to the SAME results as the coded
+  * pipeline, and the condition grammar must parse the reference's
+  * `when:` shape exactly.
+  */
+class ConfigSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val pipelineJson =
+    """{
+      |  "parsers": [{"dissect": {"tokenizer": "%{level} [%{component}] %{body}"}}],
+      |  "processors": [
+      |    {"lookup": {"table": "role_meta", "key": "role"}},
+      |    {"lookup": {"table": "tool_meta", "key": "tool"}}
+      |  ],
+      |  "router": {
+      |    "rules": [
+      |      {"target": "errors", "when": {"regexp": {"level": "ERR.*"}}},
+      |      {"target": "tool_calls", "when": {"equals": {"role": "tool"}}},
+      |      {"target": "assistant", "when": {"and": [
+      |        {"equals": {"role": "assistant"}},
+      |        {"range": {"turn_idx": {"gte": 1}}}
+      |      ]}}
+      |    ],
+      |    "default": "events"
+      |  },
+      |  "counters": {"period": "1 hour", "group_by": ["sink", "role"]}
+      |}""".stripMargin
+
+  test("JSON config compiles to the exact coded-pipeline output") {
+    val input = Transcripts.synthesize(spark, 3000)
+    val conf = ConfigJson.parse(pipelineJson)
+    val lookups = Map("role_meta" -> Enrich.roleMeta(spark), "tool_meta" -> Enrich.toolMeta(spark))
+    val fromConf = ConfigCompiler.compile(conf, lookups)(input)
+    val coded = Pipeline.transform(spark, input, PipelineConfig()).drop("bucket")
+    val cols = coded.columns.toSeq.sorted
+    assert(fromConf.columns.sorted.toSeq == cols,
+      s"column sets differ: ${fromConf.columns.sorted.toSeq} vs $cols")
+    val a = fromConf.select(cols.map(col): _*)
+    val b = coded.select(cols.map(col): _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "config-compiled pipeline diverges from the coded pipeline")
+  }
+
+  test("config-declared counters match the directly computed aggregate") {
+    val input = Transcripts.synthesize(spark, 2000)
+    val conf = ConfigJson.parse(pipelineJson)
+    val lookups = Map("role_meta" -> Enrich.roleMeta(spark), "tool_meta" -> Enrich.toolMeta(spark))
+    val routed = ConfigCompiler.compile(conf, lookups)(input)
+    val fromConf = ConfigCompiler.counters(conf.counters.get, routed)
+    val direct = routed.groupBy(
+        window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("sink"), col("role"))
+      .agg(count(lit(1)).as("n_rows"))
+    assert(fromConf.exceptAll(direct).isEmpty && direct.exceptAll(fromConf).isEmpty)
+  }
+
+  test("condition grammar parses the reference `when:` shapes exactly") {
+    assert(ConfigJson.condition("""{"equals": {"role": "tool"}}""") == Cond.Equals("role", "tool"))
+    assert(ConfigJson.condition("""{"equals": {"turn_idx": 3}}""") == Cond.Equals("turn_idx", 3))
+    assert(ConfigJson.condition("""{"equals": {"billable": true}}""") == Cond.Equals("billable", true))
+    assert(ConfigJson.condition("""{"contains": {"text": "evt="}}""") == Cond.Contains("text", "evt="))
+    assert(ConfigJson.condition("""{"range": {"turn_idx": {"gte": 10, "lt": 20}}}""") ==
+      Cond.Range("turn_idx", gte = Some(10.0), lt = Some(20.0)))
+    assert(ConfigJson.condition("""{"has_fields": ["tool", "role"]}""") ==
+      Cond.HasFields(Seq("tool", "role")))
+    assert(ConfigJson.condition(
+      """{"not": {"or": [{"equals": {"role": "user"}}, {"regexp": {"text": "^ERR"}}]}}""") ==
+      Cond.Not(Cond.Or(Seq(Cond.Equals("role", "user"), Cond.Regexp("text", "^ERR")))))
+  }
+
+  test("processor battery from config behaves like the direct operators") {
+    import spark.implicits._
+    val df = Seq(
+      ("c1", 0, "keep", "INFO x"),
+      ("c1", 1, "drop", "ERROR y"),
+      ("c2", 2, "keep", "WARN z")).toDF("conv_id", "turn_idx", "marker", "text")
+    val conf = ConfigJson.parse(
+      """{
+        |  "processors": [
+        |    {"add_fields": {"fields": {"env": "prod", "version": 7}}},
+        |    {"add_tags": {"tags": ["ingest"]}},
+        |    {"set": {"when": {"regexp": {"text": "^ERR"}}, "field": "flagged", "value": true}},
+        |    {"drop_event": {"when": {"equals": {"marker": "drop"}}}},
+        |    {"rename": {"fields": [{"from": "conv_id", "to": "conversation"}]}},
+        |    {"translate": {"field": "marker", "target": "marker_class",
+        |       "table": {"keep": "retained"}, "default": "other"}},
+        |    {"drop_fields": {"fields": ["text"]}}
+        |  ]
+        |}""".stripMargin)
+    val out = ConfigCompiler.compile(conf)(df)
+    val rows = out.orderBy("turn_idx").collect()
+    assert(out.columns.toSet ==
+      Set("conversation", "turn_idx", "marker", "env", "version", "tags", "flagged", "marker_class"))
+    assert(rows.length == 2) // the ERROR row carried marker=drop? no — marker drop row removed
+    assert(rows.map(_.getAs[Int]("turn_idx")).toSeq == Seq(0, 2))
+    assert(rows.forall(_.getAs[String]("env") == "prod"))
+    assert(rows.forall(_.getAs[Int]("version") == 7))
+    assert(rows.forall(_.getAs[Seq[String]]("tags") == Seq("ingest")))
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("flagged")))) // no surviving row matched ^ERR
+    assert(rows.map(_.getAs[String]("marker_class")).toSeq == Seq("retained", "retained"))
+  }
+
+  test("grain-changing parsers are configurable (multiline from JSON)") {
+    import spark.implicits._
+    val df = Seq(
+      ("c1", 0, "HEAD"), ("c1", 1, " cont"), ("c1", 2, "NEXT"))
+      .toDF("conv_id", "turn_idx", "text")
+    val conf = ConfigJson.parse(
+      """{"parsers": [{"multiline": {"pattern": "^\\s"}}]}""")
+    val out = ConfigCompiler.compile(conf)(df)
+    val byFirst = out.collect()
+      .map(r => r.getAs[Int]("first_turn_idx") -> r.getAs[String]("event_text")).toMap
+    assert(byFirst == Map(0 -> "HEAD\n cont", 2 -> "NEXT"))
+  }
+}

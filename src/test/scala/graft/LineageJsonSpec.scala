@@ -1,0 +1,48 @@
+package graft
+
+import graft.checkpoint.{Lineage, LineageRecord}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lineage commit records must round-trip even when sink names carry
+  * hostile characters — sinks come from format strings over event DATA
+  * (e.g. `sink-%{[role]}`), so quotes/commas/braces are reachable. The
+  * round-1 regex scraper silently corrupted these.
+  */
+class LineageJsonSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def roundTrip(rec: LineageRecord): LineageRecord = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lineage").toFile
+    try {
+      val lin = new Lineage(spark, dir.toString)
+      lin.commit(rec)
+      lin.readAll().head
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
+  test("hostile sink names (quotes, commas, braces, newlines) survive") {
+    val rec = LineageRecord(
+      runId = "run-1", bucket = 3, inputFingerprint = "fp",
+      rowCount = 10,
+      perSinkCounts = Map(
+        "sink-\"quoted\"" -> 4L,
+        "a,b:c" -> 3L,
+        "curly{}brace" -> 2L,
+        "line\nbreak\ttab" -> 1L),
+      parseErrors = 0, committedAt = "2025-01-01T00:00:00Z")
+    assert(roundTrip(rec) == rec)
+  }
+
+  test("empty sink map and unicode field values round-trip") {
+    // unicode goes in VALUES (runId lands in the tmp filename, which the
+    // JVM file encoding may not map - keep it ascii); control chars and
+    // non-ascii in the fingerprint exercise the \\u escapes
+    val rec = LineageRecord("run-2", 0, "fp-\u00fc\u0001\u001f", 0, Map.empty, 5, "t")
+    assert(roundTrip(rec) == rec)
+  }
+}

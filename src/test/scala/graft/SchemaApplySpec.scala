@@ -1,0 +1,62 @@
+package graft
+
+import graft.parse.SchemaApply
+import graft.parse.SchemaApply.Conv
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Declarative schema.Apply projection vs the reference's Conv semantics
+  * (libbeat/common/schema/schema.go:29-99): required-missing ⇒ recorded
+  * apply error, optional-missing ⇒ silently skipped, unconvertible ⇒
+  * treated as missing (mapstrstr conversion error).
+  */
+class SchemaApplySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val convs = Seq(
+    Conv("count", "count_int", "int", required = true),
+    Conv("ratio", "ratio_f", "float"),
+    Conv("ok", "ok_b", "bool"),
+    Conv("name", "name_s", "str", required = true))
+
+  private def apply(json: String) = {
+    val r = SchemaApply(Seq(json).toDF("doc"), "doc", convs).collect()(0)
+    (Option(r.getAs[java.lang.Long]("count_int")).map(_.toLong),
+      Option(r.getAs[java.lang.Double]("ratio_f")).map(_.toDouble),
+      Option(r.getAs[java.lang.Boolean]("ok_b")).map(_.booleanValue),
+      Option(r.getAs[String]("name_s")),
+      r.getSeq[String](r.fieldIndex("schema_errors")).toList)
+  }
+
+  test("clean document: all conversions land, zero errors") {
+    val (c, f, b, s, errs) =
+      apply("""{"count": "42", "ratio": "0.5", "ok": "true", "name": "web"}""")
+    assert((c, f, b, s) == (Some(42L), Some(0.5), Some(true), Some("web")))
+    assert(errs.isEmpty)
+  }
+
+  test("JSON numbers convert like strings (mapstrstr accepts both)") {
+    val (c, f, _, _, errs) = apply("""{"count": 7, "ratio": 1.25, "name": "x"}""")
+    assert(c == Some(7L) && f == Some(1.25))
+    assert(errs.isEmpty)
+  }
+
+  test("missing required keys are recorded as apply errors") {
+    val (c, _, _, s, errs) = apply("""{"ratio": "0.1"}""")
+    assert(c.isEmpty && s.isEmpty)
+    assert(errs == Seq("key `count` not found", "key `name` not found"))
+  }
+
+  test("missing optional keys are silently skipped") {
+    val (_, f, b, _, errs) = apply("""{"count": "1", "name": "y"}""")
+    assert(f.isEmpty && b.isEmpty)
+    assert(errs.isEmpty)
+  }
+
+  test("unconvertible values behave like missing (required ⇒ error)") {
+    val (c, f, b, _, errs) =
+      apply("""{"count": "not-a-number", "ratio": "x", "ok": "maybe", "name": "z"}""")
+    assert(c.isEmpty && f.isEmpty && b.isEmpty)
+    assert(errs == Seq("key `count` not found"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.enrich.{RefreshableLookup, TtlLookup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TTL'd lookup-cache semantics vs the dns processor's cache
+  * (processors/dns/cache.go:52,90-102,164): success entries live for
+  * their record TTL clamped to [min, max]; failures live for the failure
+  * TTL; everything else is a miss.
+  */
+class TtlLookupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val asOf = lit("2025-06-01 12:00:00").cast("timestamp")
+
+  // resolved_at chosen relative to asOf; ttl in seconds
+  private def cache = Seq(
+    // fresh success: resolved 100 s ago, ttl 300
+    ("fresh", "10.0.0.1", "2025-06-01 11:58:20", 300L, true),
+    // expired success: resolved 1 h ago, ttl 300
+    ("stale", "10.0.0.2", "2025-06-01 11:00:00", 300L, true),
+    // tiny ttl clamps UP to minTtl (60): resolved 30 s ago, ttl 1 ⇒ still fresh
+    ("clampmin", "10.0.0.3", "2025-06-01 11:59:30", 1L, true),
+    // huge ttl clamps DOWN to maxTtl (3600): resolved 2 h ago, ttl 1 week ⇒ expired
+    ("clampmax", "10.0.0.4", "2025-06-01 10:00:00", 604800L, true),
+    // fresh failure: resolved 30 s ago, failure ttl 60 ⇒ negative hit
+    ("negfresh", null, "2025-06-01 11:59:30", 300L, false),
+    // stale failure: resolved 10 min ago ⇒ miss (re-resolution candidate)
+    ("negstale", null, "2025-06-01 11:50:00", 300L, false)
+  ).toDF("key", "value", "resolved_at_s", "ttl_s", "success")
+    .withColumn("resolved_at", col("resolved_at_s").cast("timestamp"))
+    .drop("resolved_at_s")
+
+  private def lookup(keys: String*) = {
+    val df = keys.toSeq.toDF("host")
+    TtlLookup.lookupAsOf(
+        df, cache.withColumnRenamed("key", "key"), key = "host", asOf = asOf,
+        minTtlS = 60, maxTtlS = 3600, failureTtlS = 60)
+      .collect()
+      .map(r => r.getAs[String]("host") ->
+        (r.getAs[String]("lookup_status"), Option(r.getAs[String]("value"))))
+      .toMap
+  }
+
+  // cache key col is named `key`; lookupAsOf renames to the event key col
+  private def cacheKeyed = cache
+
+  test("fresh success entries hit with their value") {
+    assert(lookup("fresh")("fresh") == ("hit", Some("10.0.0.1")))
+  }
+
+  test("expired success entries are misses") {
+    assert(lookup("stale")("stale") == ("miss", None))
+  }
+
+  test("record TTL clamps up to minTTL (cache.go:90-102)") {
+    // raw ttl 1 s would have expired 29 s ago; clamped to 60 s it is fresh
+    assert(lookup("clampmin")("clampmin") == ("hit", Some("10.0.0.3")))
+  }
+
+  test("record TTL clamps down to maxTTL") {
+    // raw ttl one week would be fresh; clamped to 1 h it expired an hour ago
+    assert(lookup("clampmax")("clampmax") == ("miss", None))
+  }
+
+  test("fresh failures are negative hits (no value, no re-resolution)") {
+    assert(lookup("negfresh")("negfresh") == ("negative", None))
+  }
+
+  test("stale failures and unknown keys are misses") {
+    assert(lookup("negstale")("negstale") == ("miss", None))
+    assert(lookup("unknown-host")("unknown-host") == ("miss", None))
+  }
+
+  test("RefreshableLookup re-reads the provider only past the interval") {
+    var now = 0L
+    var version = 0
+    val r = new RefreshableLookup(
+      provider = () => { version += 1; Seq(version).toDF("v") },
+      refreshEverySeconds = 10,
+      clock = () => now)
+    assert(r.current().collect()(0).getInt(0) == 1)
+    now = 5000 // within interval: cached snapshot, no reload
+    assert(r.current().collect()(0).getInt(0) == 1)
+    now = 15000 // past interval: reload
+    assert(r.current().collect()(0).getInt(0) == 2)
+    assert(r.loads == 2)
+  }
+}
