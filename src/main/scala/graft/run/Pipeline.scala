@@ -228,33 +228,12 @@ object Pipeline {
     }
     val stagedData = if (staged) spark.read.parquet(stageDir) else null
 
-    waves.foreach { wave =>
-      // Stage path: partition-pruned read (only this wave's bucket= dirs
-      // are listed/scanned), already bucket-grouped ⇒ no exchange, just
-      // the within-partition sort the fan-out writer needs.
-      val subset =
-        if (staged)
-          stagedData
-            .where(col("bucket").isin(wave: _*))
-            .sortWithinPartitions("sink", "bucket", "conv_id", "turn_idx")
-        else
-          transformed
-            .where(col("bucket").isin(wave: _*))
-            .drop(cfg.dropFromSink: _*)
-            .repartition(cfg.buckets, col("bucket"))
-            .sortWithinPartitions("sink", "bucket", "conv_id", "turn_idx")
-      // fan-out to all sinks in ONE pass; ordering satisfies the writer's
-      // required (sink, bucket) prefix so no extra sort is inserted.
-      phase("write") {
-        subset.write
-          .mode(writeMode)
-          .partitionBy("sink", "bucket")
-          .parquet(dataDir)
-      }
+    val aggWriteLock = new Object
 
-      // Counts come from the *written* data (one pass, parse_error is the
-      // only non-partition column touched) — this both produces the
-      // lineage metrics and validates the write.
+    // Per-wave bookkeeping after the data write: counts + windowed
+    // partials from the *written* data (read-back validates the write),
+    // then the per-bucket lineage commits.
+    def commitWave(wave: Seq[Int]): Unit = {
       val written = spark.read.parquet(dataDir).where(col("bucket").isin(wave: _*))
       val countRows = phase("counts") {
         written.groupBy("bucket", "sink", "parse_error").count().collect()
@@ -265,7 +244,8 @@ object Pipeline {
       val errs = countRows.filter(_._3).groupBy(_._1)
         .map { case (b, rs) => b -> rs.map(_._4).sum }
 
-      // windowed counters, partial per bucket (additive ⇒ resumable)
+      // windowed counters, partial per bucket (additive across buckets —
+      // conv_id→bucket is functional, so per-bucket distincts sum exactly)
       val partial = written
         .groupBy(col("bucket"), col("sink"),
           window(col("ts"), cfg.windowPeriod).getField("start").as("window_start"),
@@ -273,10 +253,15 @@ object Pipeline {
         .agg(count(lit(1)).as("rows"), countDistinct(col("conv_id")).as("convs"))
       // co-locate each bucket's partial rows before the partitioned write:
       // without this, every shuffle partition writes a file into every
-      // bucket dir (up to partitions × buckets tiny files)
+      // bucket dir (up to partitions × buckets tiny files).
+      // Serialized across waves: two appends into the SAME directory share
+      // one _temporary staging dir, and a job commit deletes it from under
+      // the other job's still-running tasks.
       phase("agg_partial") {
-        partial.repartition(col("bucket"))
-          .write.mode(writeMode).partitionBy("bucket").parquet(aggDir)
+        aggWriteLock.synchronized {
+          partial.repartition(col("bucket"))
+            .write.mode(writeMode).partitionBy("bucket").parquet(aggDir)
+        }
       }
 
       // per-bucket commits are independent files — write them in parallel
@@ -297,6 +282,47 @@ object Pipeline {
         }.foreach(_.get())
       } finally pool.shutdown() }
     }
+
+    // The heavy data writes stay serialized (they saturate the cluster);
+    // each wave's BOOKKEEPING (read-back aggs + lineage commits) runs on
+    // a background thread, overlapping the next wave's write — the
+    // bookkeeping jobs are small and fill that wave's scheduling gaps.
+    // Waves>1 previously paid the full bookkeeping latency 4× serially,
+    // which alone pushed waves=4 to ~1.4× the single-wave wall time.
+    // Commit ORDER still holds per bucket: a bucket's commit only ever
+    // happens after ITS wave's write completed.
+    val commitExec = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val commitFutures = scala.collection.mutable.ArrayBuffer.empty[java.util.concurrent.Future[_]]
+    try {
+      waves.foreach { wave =>
+        // Stage path: partition-pruned read (only this wave's bucket= dirs
+        // are listed/scanned), already bucket-grouped ⇒ no exchange, just
+        // the within-partition sort the fan-out writer needs.
+        val subset =
+          if (staged)
+            stagedData
+              .where(col("bucket").isin(wave: _*))
+              .sortWithinPartitions("sink", "bucket", "conv_id", "turn_idx")
+          else
+            transformed
+              .where(col("bucket").isin(wave: _*))
+              .drop(cfg.dropFromSink: _*)
+              .repartition(cfg.buckets, col("bucket"))
+              .sortWithinPartitions("sink", "bucket", "conv_id", "turn_idx")
+        // fan-out to all sinks in ONE pass; ordering satisfies the writer's
+        // required (sink, bucket) prefix so no extra sort is inserted.
+        phase("write") {
+          subset.write
+            .mode(writeMode)
+            .partitionBy("sink", "bucket")
+            .parquet(dataDir)
+        }
+        commitFutures += commitExec.submit(new Runnable {
+          def run(): Unit = commitWave(wave)
+        })
+      }
+      commitFutures.foreach(_.get()) // propagate bookkeeping failures
+    } finally commitExec.shutdown()
 
     // all pending buckets committed ⇒ the stage has served its purpose
     if (staged)
