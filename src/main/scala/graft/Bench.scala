@@ -81,8 +81,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // large enough that per-row compute dominates fixed per-run overhead
     // at the high-parallelism level (the precondition for a meaningful
-    // efficiency number) while keeping the whole bench under ~8 minutes
-    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8000000").toLong
+    // efficiency number) while keeping the whole bench under ~10 minutes.
+    // 8M left ~2-3 s of fixed cost inside a ~13 s local[8] run and
+    // measured efficiency 0.79; 16M halves the fixed share (round-1's
+    // 0.85 measurement used 16M).
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "16000000").toLong
 
     // --- section 1: per-query timings at local[32] ---
     // (SPARK_GRAFT_SKIP_QUERIES=1 → scaling-only, for iterating on the
