@@ -114,8 +114,10 @@ object Bench {
     // measuring the host rather than the engine. See BASELINE.md.
     val cpusLo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "2").toInt
     val cpusHi = sys.env.getOrElse("SPARK_GRAFT_CPUS_HI", "8").toInt
-    val tps8 = tpsAt(cpusLo, scaleN)
-    val tps32 = tpsAt(cpusHi, scaleN)
+    // SPARK_GRAFT_SKIP_SCALING=1 → query-sweep-only iteration
+    val (tps8, tps32) =
+      if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) (1.0, 1.0)
+      else (tpsAt(cpusLo, scaleN), tpsAt(cpusHi, scaleN))
     val eff = (tps32 / tps8) / (cpusHi.toDouble / cpusLo)
 
     def f(d: Double): String = "%.4f".format(d)

@@ -412,6 +412,13 @@ object SparkEntry {
     "q_lsh_pairs" -> ((s, dir) =>
       Dedup.lshCandidates(docsWithDupes(s, dir), numHashes = 8, rowsPerBand = 4, k = 4)),
 
+    // linear-output dedup: min-label propagation over the LSH candidate
+    // graph (3 fixed rounds, deterministic — the scalable alternative to
+    // quadratic pair emission)
+    "q_lsh_clusters" -> ((s, dir) =>
+      Dedup.lshClusters(docsWithDupes(s, dir), numHashes = 8, rowsPerBand = 4,
+        k = 4, iterations = 3)),
+
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docsWithDupes(s, dir), k = 4, threshold = 0.5, maxDocFreq = 200)),
 
@@ -803,10 +810,9 @@ object SparkEntry {
          |sh AS (
          |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(length(text) - 3, 0)),
          |    i -> substr(text, CAST(i AS INTEGER), 4))) AS shingle
-         |  FROM docs2)
-         |SELECT doc_id, CAST(seed AS INTEGER) AS seed, min(md5(CAST(seed AS VARCHAR) || shingle)) AS sig
-         |FROM sh, (SELECT UNNEST(generate_series(0, 7)) AS seed)
-         |GROUP BY doc_id, seed""".stripMargin,
+         |  FROM docs2),
+         |${Dedup.minhashSql(8)}
+         |SELECT doc_id, CAST(seed AS INTEGER) AS seed, sig FROM mh""".stripMargin,
 
     "q_lsh_pairs" ->
       s"""WITH $DocsDupesSql,
@@ -814,17 +820,46 @@ object SparkEntry {
          |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(length(text) - 3, 0)),
          |    i -> substr(text, CAST(i AS INTEGER), 4))) AS shingle
          |  FROM docs2),
-         |mh AS (
-         |  SELECT doc_id, CAST(seed AS INTEGER) AS seed, min(md5(CAST(seed AS VARCHAR) || shingle)) AS sig
-         |  FROM sh, (SELECT UNNEST(generate_series(0, 7)) AS seed)
-         |  GROUP BY doc_id, seed),
+         |${Dedup.minhashSql(8)},
          |bands AS (
          |  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-         |    string_agg(CAST(seed AS VARCHAR) || ':' || sig, '|' ORDER BY CAST(seed AS VARCHAR) || ':' || sig) AS band_key
+         |    string_agg(CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR), '|'
+         |      ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR)) AS band_key
          |  FROM mh GROUP BY 1, 2)
          |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          |FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
          |WHERE l.doc_id < r.doc_id""".stripMargin,
+
+    "q_lsh_clusters" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""l$i AS (
+           |  SELECT doc_id, min(cluster_id) AS cluster_id FROM (
+           |    SELECT doc_id, cluster_id FROM l${i - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS doc_id, l.cluster_id
+           |    FROM edges e JOIN l${i - 1} l ON l.doc_id = e.src)
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $DocsDupesSql,
+         |sh AS (
+         |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(length(text) - 3, 0)),
+         |    i -> substr(text, CAST(i AS INTEGER), 4))) AS shingle
+         |  FROM docs2),
+         |${Dedup.minhashSql(8)},
+         |bands AS (
+         |  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         |    string_agg(CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR), '|'
+         |      ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR)) AS band_key
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+         |  WHERE l.doc_id < r.doc_id),
+         |edges AS (SELECT a AS src, b AS dst FROM cand UNION ALL SELECT b AS src, a AS dst FROM cand),
+         |l0 AS (SELECT DISTINCT doc_id, doc_id AS cluster_id FROM docs2),
+         |$rounds
+         |SELECT doc_id, cluster_id FROM l3""".stripMargin
+    },
 
     "q_ngram_jaccard" ->
       s"""WITH $DocsDupesSql,

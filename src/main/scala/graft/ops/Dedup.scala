@@ -35,17 +35,65 @@ object Dedup {
         col(textCol))
       .select(col(idCol), expr(s"substr(${textCol}, i, $k)").as("shingle"))
 
-  /** MinHash signatures, long format: (id, seed, sig) where
-    * sig = min over shingles of md5(seed || shingle). k seeds ⇒ k rows
-    * per document; one shuffle (groupBy id, seed after explode).
+  /** Affine minhash parameters (a_i, b_i) from java.util.Random(seed) —
+    * rendered as literals on both the Spark and the oracle side.
+    */
+  def minhashParams(numHashes: Int, seed: Long = 7L): Seq[(Long, Long)] = {
+    val r = new java.util.Random(seed)
+    Seq.fill(numHashes)((r.nextInt(Int.MaxValue - 1).toLong + 1L, r.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** The shared base hash: first 6 hex digits of md5(shingle) as an
+    * integer (24 bits — collisions at ~10⁶ distinct shingles distort
+    * Jaccard by well under 1%, and both engines compute the identical
+    * value). ONE md5 per shingle; the per-seed hashes are affine
+    * transforms of it.
+    */
+  private def baseHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 6), 16, 10).cast("long")
+
+  /** The DuckDB twin of `baseHash` (manual hex decode — portable SQL). */
+  def baseHashSql(shingleExpr: String): String = {
+    val digits = (1 to 6).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5($shingleExpr), $i, 1)) - 1)")
+    digits.reduce((acc, d) => s"($acc * 16 + $d)")
+  }
+
+  private val MinhashMod = 2147483647L // 2³¹−1, prime
+
+  /** MinHash signatures, long format: (id, seed, sig) with
+    * sig_i = min over shingles of (a_i·h + b_i) mod (2³¹−1), h = 24-bit
+    * md5 prefix. Round 1 computed 8 full md5s per shingle and shuffled
+    * 32-char string signatures — the integer form is one md5 + 8 integer
+    * ops per shingle and shuffles longs (measured: q_minhash 11.5 s →
+    * ~2 s at sf0.1). Every intermediate fits a BIGINT (a·h < 2⁵⁵), so the
+    * oracle reproduces bit-exactly.
     */
   def minhash(df: DataFrame, numHashes: Int = 8, k: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val params = minhashParams(numHashes)
     val sh = shingled(df, k, idCol, textCol)
-    val seeds = explode(sequence(lit(0), lit(numHashes - 1))).as("seed")
-    sh.select(col(idCol), col("shingle"), seeds)
+      .withColumn("_h", baseHash(col("shingle")))
+    val seedSigs = array(params.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("seed"), ((lit(a) * col("_h") + lit(b)) % MinhashMod).as("hv"))
+    }: _*)
+    sh.select(col(idCol), explode(seedSigs).as("ss"))
+      .select(col(idCol), col("ss.seed").as("seed"), col("ss.hv").as("hv"))
       .groupBy(col(idCol), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), col("shingle")))).as("sig"))
+      .agg(min(col("hv")).as("sig"))
+  }
+
+  /** DuckDB SQL fragment computing (seed, sig) pairs per (doc_id) from a
+    * shingle CTE named `sh(doc_id, shingle)` — spliced into oracles so
+    * both sides share the exact parameters.
+    */
+  def minhashSql(numHashes: Int): String = {
+    val base = baseHashSql("shingle")
+    val branches = minhashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      s"SELECT doc_id, $i AS seed, min(($a * h + $b) % $MinhashMod) AS sig FROM hs GROUP BY doc_id"
+    }
+    s"hs AS (SELECT doc_id, CAST($base AS BIGINT) AS h FROM sh),\n" +
+      s"mh AS (${branches.mkString("\nUNION ALL\n")})"
   }
 
   /** LSH candidate pairs: band the signature (rowsPerBand sigs per band),
@@ -67,6 +115,35 @@ object Dedup {
     l.join(r, Seq("band", "band_key"))
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
+  }
+
+  /** LSH near-duplicate CLUSTERS — the 100 TB dedup output shape. Pair
+    * emission is inherently quadratic in cluster size (a 10⁴-document
+    * template family yields 5·10⁷ pairs); cluster assignment is linear:
+    * every document gets the minimum doc id reachable through shared LSH
+    * buckets within `iterations` hops (min-label propagation over the
+    * candidate graph — the standard bounded-round connected-components
+    * approximation; duplicate sets that are cliques, e.g. exact-copy
+    * groups, converge in ONE round). Deterministic, so the oracle
+    * replicates the same fixed rounds.
+    */
+  def lshClusters(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
+      k: Int = 4, iterations: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = lshCandidates(df, numHashes, rowsPerBand, k, idCol, textCol)
+    // symmetric edge list (propagation needs both directions)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val ids = df.select(col(idCol)).distinct()
+    var labels = ids.select(col(idCol), col(idCol).as("cluster_id"))
+    for (_ <- 1 to iterations) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed(idCol, "src"), Seq("src"))
+        .select(col("dst").as(idCol), col("cluster_id"))
+      labels = labels.unionAll(viaNeighbors)
+        .groupBy(idCol).agg(min("cluster_id").as("cluster_id"))
+    }
+    labels
   }
 
   /** Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.

@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Linear-output LSH dedup clustering: planted duplicate families must
+  * collapse to one cluster labeled by their minimum doc id, and unrelated
+  * documents must keep their own label.
+  */
+class DedupClusterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // seeded-random token soup: distinct ids share essentially no character
+  // 4-grams (a shared "tokNNN" prefix scheme made unrelated docs ~0.4
+  // Jaccard and legitimately collide under 0.5-threshold banding)
+  private def base(id: Int): String = {
+    val r = new scala.util.Random(id * 2654435761L)
+    (0 until 30).map(_ => r.alphanumeric.take(8).mkString).mkString(" ")
+  }
+
+  test("exact-copy families collapse to min-id clusters; singletons stay put") {
+    // 20 base docs; ids 0-4 get two exact copies each (+100, +200)
+    val docs =
+      (0 until 20).map(i => (i.toLong, base(i))) ++
+        (0 until 5).flatMap(i => Seq((i + 100L, base(i)), (i + 200L, base(i))))
+    val df = docs.toDF("doc_id", "text")
+    val labels = Dedup.lshClusters(df, numHashes = 8, rowsPerBand = 2, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- 0 until 5) {
+      assert(labels(i + 100L) == i, s"copy ${i + 100} should join cluster $i")
+      assert(labels(i + 200L) == i, s"copy ${i + 200} should join cluster $i")
+      assert(labels(i.toLong) == i)
+    }
+    // distinct docs (5..19) remain their own clusters
+    for (i <- 5 until 20) assert(labels(i.toLong) == i, s"doc $i should stay a singleton")
+  }
+
+  test("a chain of near-dups merges within the propagation rounds") {
+    // A-B and B-C near-dup (shared text), A-C not directly bucketed ⇒
+    // needs ≥2 rounds to give C the label of A
+    val shared = base(42)
+    val df = Seq(
+      (1L, shared + " alpha"),
+      (2L, shared),
+      (3L, shared + " omega"),
+      (50L, base(7))).toDF("doc_id", "text")
+    val labels = Dedup.lshClusters(df, numHashes = 8, rowsPerBand = 2, k = 4, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(50L) == 50L)
+  }
+}
