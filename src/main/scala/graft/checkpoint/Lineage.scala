@@ -26,7 +26,14 @@ final case class LineageRecord(
     rowCount: Long,
     perSinkCounts: Map[String, Long],
     parseErrors: Long,
-    committedAt: String
+    committedAt: String,
+    /** Exact data files this commit covers, relative to the data dir
+      * (`sink=…/bucket=…/part-….parquet`). Readers resolving files
+      * through the manifest never depend on directory listing — the
+      * S3-safe, Iceberg-style read path (SURVEY §7.1 step 2); empty for
+      * records written before the manifest field existed.
+      */
+    files: Seq[String] = Seq.empty
 )
 
 final class Lineage(spark: SparkSession, outDir: String) {
@@ -109,9 +116,10 @@ final class Lineage(spark: SparkSession, outDir: String) {
   private def toJson(r: LineageRecord): String = {
     val sinks = r.perSinkCounts.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val files = r.files.map(q).mkString("[", ",", "]")
     s"""{"run_id":${q(r.runId)},"bucket":${r.bucket},"input_fingerprint":${q(r.inputFingerprint)},""" +
       s""""row_count":${r.rowCount},"per_sink_counts":$sinks,"parse_errors":${r.parseErrors},""" +
-      s""""committed_at":${q(r.committedAt)}}"""
+      s""""committed_at":${q(r.committedAt)},"files":$files}"""
   }
 
   /** Escape-aware parse of the exact shape `toJson` emits (flat object;
@@ -170,8 +178,23 @@ final class Lineage(spark: SparkSession, outDir: String) {
       m.toMap
     }
 
+    def parseStringArray(): Seq[String] = {
+      expect('[')
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      ws()
+      if (s.charAt(i) == ']') { i += 1; return buf.toSeq }
+      var done = false
+      while (!done) {
+        buf += parseString()
+        ws()
+        if (s.charAt(i) == ',') i += 1 else { expect(']'); done = true }
+      }
+      buf.toSeq
+    }
+
     var runId = ""; var bucket = 0L; var fp = ""; var rows = 0L
     var sinks = Map.empty[String, Long]; var errs = 0L; var at = ""
+    var files = Seq.empty[String]
     expect('{')
     var done = false
     while (!done) {
@@ -184,11 +207,12 @@ final class Lineage(spark: SparkSession, outDir: String) {
         case "per_sink_counts" => sinks = parseSinks()
         case "parse_errors" => errs = parseLong()
         case "committed_at" => at = parseString()
+        case "files" => files = parseStringArray()
         case other => throw new IllegalArgumentException(s"lineage json: unknown key '$other'")
       }
       ws()
       if (s.charAt(i) == ',') i += 1 else { expect('}'); done = true }
     }
-    LineageRecord(runId, bucket.toInt, fp, rows, sinks, errs, at)
+    LineageRecord(runId, bucket.toInt, fp, rows, sinks, errs, at, files)
   }
 }

@@ -121,17 +121,28 @@ object Pipeline {
     r
   }
 
-  /** Snapshot read through the lineage manifest: only buckets with a
-    * commit record are visible — a crashed attempt's partial files (task-
-    * committed but bucket-uncommitted) are filtered out, which is what
-    * makes the append fast-path safe for readers (Iceberg-style
-    * read-through-manifest, SURVEY.md §2.15/§7.4.3). The bucket filter is
-    * partition pruning: uncommitted dirs are never scanned.
+  /** Snapshot read through the lineage manifest: only committed buckets
+    * are visible — a crashed attempt's partial files (task-committed but
+    * bucket-uncommitted) are invisible (Iceberg-style read-through-
+    * manifest, SURVEY.md §2.15/§7.1). Commit records carry their exact
+    * FILE LIST, so the read resolves files through the manifest with no
+    * directory listing at all — the S3-safe path (listing is eventually
+    * consistent / slow on object stores, and stray files from retried
+    * task commits are never picked up). Pre-manifest records (no file
+    * list) fall back to list + bucket-partition pruning.
     */
   def readCommitted(spark: SparkSession, outDir: String): DataFrame = {
-    val committed = new Lineage(spark, outDir).committedBuckets()
-    spark.read.parquet(s"$outDir/data")
-      .where(col("bucket").isin(committed.toSeq: _*))
+    val dataDir = s"$outDir/data"
+    val records = new Lineage(spark, outDir).readAll()
+    val manifestComplete = records.nonEmpty &&
+      records.forall(r => r.rowCount == 0 || r.files.nonEmpty)
+    val files = records.flatMap(_.files)
+    if (manifestComplete && files.nonEmpty)
+      spark.read.option("basePath", dataDir)
+        .parquet(files.map(f => s"$dataDir/$f"): _*)
+    else
+      spark.read.parquet(dataDir)
+        .where(col("bucket").isin(records.map(_.bucket): _*))
   }
 
   /** Per-sink view over the committed snapshot — what a reference user's
@@ -230,6 +241,33 @@ object Pipeline {
 
     val aggWriteLock = new Object
 
+    // One listing pass per wave: the exact data files each bucket's commit
+    // covers (sink=*/bucket=b/part-*.parquet, relative to dataDir) — the
+    // per-bucket manifest that readCommitted resolves files through.
+    def listBucketFiles(buckets: Set[Int]): Map[Int, Seq[String]] = {
+      val dataPath = new org.apache.hadoop.fs.Path(dataDir)
+      if (!hadoopFs.exists(dataPath)) return Map.empty
+      hadoopFs.listStatus(dataPath).iterator
+        .filter(_.isDirectory)
+        .flatMap { sinkDir =>
+          hadoopFs.listStatus(sinkDir.getPath).iterator
+            .filter(d => d.isDirectory && d.getPath.getName.startsWith("bucket="))
+            .flatMap { bDir =>
+              val b = bDir.getPath.getName.stripPrefix("bucket=").toInt
+              if (!buckets.contains(b)) Iterator.empty
+              else hadoopFs.listStatus(bDir.getPath).iterator
+                .filter { f =>
+                  val n = f.getPath.getName
+                  f.isFile && !n.startsWith("_") && !n.startsWith(".")
+                }
+                .map(f => b ->
+                  s"${sinkDir.getPath.getName}/${bDir.getPath.getName}/${f.getPath.getName}")
+            }
+        }
+        .toSeq.groupBy(_._1)
+        .map { case (b, xs) => b -> xs.map(_._2).sorted }
+    }
+
     // Per-wave bookkeeping after the data write: counts + windowed
     // partials from the *written* data (read-back validates the write),
     // then the per-bucket lineage commits.
@@ -267,6 +305,7 @@ object Pipeline {
       // per-bucket commits are independent files — write them in parallel
       // (128 sequential small-file creates were a measurable fixed cost
       // per run, which hurts scaling efficiency at high parallelism)
+      val bucketFiles = phase("manifest")(listBucketFiles(wave.toSet))
       val now = java.time.Instant.now().toString
       val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
       phase("lineage") { try {
@@ -276,7 +315,8 @@ object Pipeline {
               val sinkCounts = counts.collect { case (`b`, sink, n) => sink -> n }.toMap
               lineage.commit(LineageRecord(
                 cfg.runId, b, inputFingerprint,
-                sinkCounts.values.sum, sinkCounts, errs.getOrElse(b, 0L), now))
+                sinkCounts.values.sum, sinkCounts, errs.getOrElse(b, 0L), now,
+                files = bucketFiles.getOrElse(b, Seq.empty)))
             }
           })
         }.foreach(_.get())

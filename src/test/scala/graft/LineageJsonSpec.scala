@@ -34,7 +34,10 @@ class LineageJsonSpec extends AnyFunSuite {
         "a,b:c" -> 3L,
         "curly{}brace" -> 2L,
         "line\nbreak\ttab" -> 1L),
-      parseErrors = 0, committedAt = "2025-01-01T00:00:00Z")
+      parseErrors = 0, committedAt = "2025-01-01T00:00:00Z",
+      files = Seq(
+        "sink=errors/bucket=00003/part-0001.parquet",
+        "sink=a,b:c/bucket=00003/part-\"q\".parquet"))
     assert(roundTrip(rec) == rec)
   }
 

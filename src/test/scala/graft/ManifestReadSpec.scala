@@ -1,0 +1,52 @@
+package graft
+
+import graft.data.Transcripts
+import graft.run.{Pipeline, PipelineConfig}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** readCommitted resolves data files THROUGH the per-bucket manifest, not
+  * directory listing: a stray file dropped into a committed bucket dir
+  * (the committer-v2 retried-task residue, or any out-of-band write) must
+  * be invisible to readers and leave lineage counts consistent.
+  */
+class ManifestReadSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("stray files inside committed bucket dirs are invisible to readCommitted") {
+    val out = java.nio.file.Files.createTempDirectory("graft-manifest").toFile
+    try {
+      val cfg = PipelineConfig(buckets = 8, waves = 2, runId = "m1")
+      val res = Pipeline.run(spark, Transcripts.synthesize(spark, 5000), out.toString, cfg)
+      val visible0 = Pipeline.readCommitted(spark, out.toString).count()
+      assert(visible0 == res.totalRows)
+
+      // inject a stray parquet file (valid rows!) into a committed dir
+      val victim = new java.io.File(out, "data")
+        .listFiles().filter(_.isDirectory).head // some sink=… dir
+        .listFiles().filter(_.getName.startsWith("bucket=")).head
+      val sinkName = victim.getParentFile.getName.stripPrefix("sink=")
+      val bucketId = victim.getName.stripPrefix("bucket=").toInt
+      val strayDir = java.nio.file.Files.createTempDirectory("stray").toFile
+      Transcripts.synthesize(spark, 50)
+        .withColumn("parse_error", lit(false))
+        .coalesce(1).write.mode("overwrite").parquet(strayDir.toString)
+      val strayPart = strayDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(strayPart.toPath,
+        new java.io.File(victim, "part-stray-residue.parquet").toPath)
+
+      // manifest read: the stray rows never appear
+      val visible = Pipeline.readCommitted(spark, out.toString)
+      assert(visible.count() == res.totalRows,
+        s"stray file in sink=$sinkName/bucket=$bucketId leaked into the committed snapshot")
+      // a raw directory read DOES see them — proving the manifest is load-bearing
+      val raw = spark.read.parquet(s"${out.toString}/data").count()
+      assert(raw == res.totalRows + 50)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+      }
+      rm(out)
+    }
+  }
+}
