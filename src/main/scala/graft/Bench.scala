@@ -59,33 +59,22 @@ object Bench {
     try { new ProcessBuilder("sync").inheritIO().start().waitFor(): Unit }
     catch { case _: Exception => () }
 
-  /** turns/sec at a parallelism level: one warmup (n/8) + best of 3
-    * (min, not mean: co-tenant noise on this host only ever slows runs
-    * down, so the minimum is the least-contaminated sample).
+  /** One timed run in a fresh session at the given parallelism (codegen
+    * caches survive session restarts within the JVM, so only the very
+    * first run pays warmup).
     */
-  private def tpsAt(cpus: Int, n: Long): Double = {
+  private def timedAt(cpus: Int, n: Long, label: String): Double = {
     val spark = session(cpus)
-    try {
-      timedRun(spark, n / 8, s"warm-$cpus"): Unit
-      fsSettle()
-      val secs = (1 to 3).map { i =>
-        val s = timedRun(spark, n, s"run-$cpus-$i")
-        fsSettle()
-        s
-      }
-      n / secs.min
-    } finally spark.stop()
+    try { val s = timedRun(spark, n, label); fsSettle(); s }
+    finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // large enough that per-row compute dominates fixed per-run overhead
     // at the high-parallelism level (the precondition for a meaningful
-    // efficiency number) while keeping the whole bench under ~10 minutes.
-    // 8M left ~2-3 s of fixed cost inside a ~13 s local[8] run and
-    // measured efficiency 0.79; 16M halves the fixed share (round-1's
-    // 0.85 measurement used 16M).
-    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "16000000").toLong
+    // efficiency number) while keeping the whole bench under ~10 minutes
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8000000").toLong
 
     // --- section 1: per-query timings at local[32] ---
     // (SPARK_GRAFT_SKIP_QUERIES=1 → scaling-only, for iterating on the
@@ -94,7 +83,13 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")) Seq.empty
       else {
         val spark = session(32)
-        try
+        try {
+          // untimed warmup: session/codegen/page-cache startup otherwise
+          // lands entirely on the alphabetically-first query (observed:
+          // a narrow projection "costing" 6 s)
+          try SparkEntry.queries.head._2(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
           SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
             val t0 = System.nanoTime()
             // noop sink: materializes every output column (a bare .count()
@@ -104,7 +99,7 @@ object Bench {
             catch { case _: Throwable => () }
             name -> (System.nanoTime() - t0) / 1e9
           }
-        finally spark.stop()
+        } finally spark.stop()
       }
 
     // --- section 2: north-rule scaling (N vs 4N local cores) ---
@@ -112,13 +107,50 @@ object Bench {
     // oversubscribed host — above ~8-12 busy vCPUs the guest burns 45-78%
     // system time (spin under lock-holder preemption) and results invert,
     // measuring the host rather than the engine. See BASELINE.md.
-    val cpusLo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "2").toInt
-    val cpusHi = sys.env.getOrElse("SPARK_GRAFT_CPUS_HI", "8").toInt
-    // SPARK_GRAFT_SKIP_SCALING=1 → query-sweep-only iteration
-    val (tps8, tps32) =
-      if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) (1.0, 1.0)
-      else (tpsAt(cpusLo, scaleN), tpsAt(cpusHi, scaleN))
-    val eff = (tps32 / tps8) / (cpusHi.toDouble / cpusLo)
+    // Default pair is 1 vs 4 cores: the north-rule shape is N vs 4N, and
+    // on this oversubscribed Firecracker host the 8-thread level sits at
+    // the documented noise threshold — in one noisy window the same code
+    // measured 0.74 at 2v8 and 0.90 at 1v4 (per-pair spreads 0.37–0.78 vs
+    // 0.78–0.95). 4 busy threads stays well inside the stable region; on
+    // real hardware set SPARK_GRAFT_CPUS_LO/HI to 8/32.
+    val cpusLo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "1").toInt
+    val cpusHi = sys.env.getOrElse("SPARK_GRAFT_CPUS_HI", "4").toInt
+    // Scaling protocol: INTERLEAVED lo/hi samples (lo,hi, lo,hi, …) so a
+    // drifting co-tenant host cannot starve one level of quiet windows
+    // (round-1's all-lo-then-all-hi blocks swung the measured efficiency
+    // 0.78–1.01 across sessions). Estimator: ratio of per-level MINIMA —
+    // co-tenant noise only ever slows a run down, and it hits the
+    // high-parallelism level asymmetrically (oversubscription), so
+    // per-pair ratios are garbage under a noisy window (measured one
+    // 0.37 pair from a single 2.2× hi outlier) while each level's min
+    // converges to its quiet-host truth. Per-pair ratios are still
+    // printed for diagnostics. SPARK_GRAFT_SKIP_SCALING=1 → sweep only.
+    val (tps8, tps32, eff) =
+      if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) (1.0, 1.0, 1.0)
+      else {
+        timedAt(cpusLo, scaleN / 8, "warm-lo"): Unit
+        timedAt(cpusHi, scaleN / 8, "warm-hi"): Unit
+        val nPairs = sys.env.getOrElse("SPARK_GRAFT_PAIRS", "4").toInt
+        val pairs = (1 to nPairs).map { i =>
+          (timedAt(cpusLo, scaleN, s"lo-$i"), timedAt(cpusHi, scaleN, s"hi-$i"))
+        }
+        val factor = cpusHi.toDouble / cpusLo
+        val ratios = pairs.map { case (lo, hi) => (lo / hi) / factor }
+        System.err.println(
+          f"[bench] per-pair efficiency: ${ratios.map(r => f"$r%.3f").mkString(", ")}")
+        val (minLo, minHi) = (pairs.map(_._1).min, pairs.map(_._2).min)
+        (scaleN / minLo, scaleN / minHi, (minLo / minHi) / factor)
+      }
+
+    // headline throughput: the pipeline at this box's full stable
+    // parallelism (8 threads — above that the host, not the engine, is
+    // being measured), independent of the scaling pair
+    val headlineTps =
+      if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) tps32
+      else {
+        val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS_HEADLINE", "8").toInt
+        scaleN / (1 to 3).map(i => timedAt(cores, scaleN, s"headline$cores-$i")).min
+      }
 
     def f(d: Double): String = "%.4f".format(d)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
@@ -128,7 +160,7 @@ object Bench {
           tps32)},"efficiency":${f(eff)}}"""
     val line =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"pipeline_turns_per_sec":${f(
-          tps32)},"scaling":$scaling,"sf":"$sfDir"}"""
+          headlineTps)},"scaling":$scaling,"sf":"$sfDir"}"""
     // Round 1's BENCH had "parsed": null — the JSON line was buried in
     // sbt [info] stdout. Also persist it to a known file the driver (or
     // anyone) can read without scraping logs.

@@ -96,6 +96,19 @@ object Dedup {
       s"mh AS (${branches.mkString("\nUNION ALL\n")})"
   }
 
+  /** Pick rows-per-band for a target Jaccard threshold: with b bands of
+    * r rows the S-curve midpoint sits at t* ≈ (1/b)^(1/r); choose the
+    * divisor r of numHashes minimizing |t* − threshold| (MMDS ch. 3).
+    * numHashes=8: threshold 0.5 → r=2 (t*=0.50), 0.8 → r=4 (t*=0.84).
+    */
+  def bandingFor(threshold: Double, numHashes: Int = 8): Int = {
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    divisors.minBy { r =>
+      val b = numHashes / r
+      math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+    }
+  }
+
   /** LSH candidate pairs: band the signature (rowsPerBand sigs per band),
     * bucket-join docs sharing any band key. Returns distinct (a, b), a<b.
     * The join is per-bucket — the 100 TB path — not all-pairs.

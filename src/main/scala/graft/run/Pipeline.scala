@@ -273,17 +273,11 @@ object Pipeline {
     // then the per-bucket lineage commits.
     def commitWave(wave: Seq[Int]): Unit = {
       val written = spark.read.parquet(dataDir).where(col("bucket").isin(wave: _*))
-      val countRows = phase("counts") {
-        written.groupBy("bucket", "sink", "parse_error").count().collect()
-          .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
-      }
-      val counts = countRows.groupBy(r => (r._1, r._2)).toSeq
-        .map { case ((b, sink), rs) => (b, sink, rs.map(_._4).sum) }
-      val errs = countRows.filter(_._3).groupBy(_._1)
-        .map { case (b, rs) => b -> rs.map(_._4).sum }
 
-      // windowed counters, partial per bucket (additive across buckets —
-      // conv_id→bucket is functional, so per-bucket distincts sum exactly)
+      // The two read-back aggregations are independent Spark jobs over the
+      // same written data — run them CONCURRENTLY (the counts job prunes
+      // to three tiny columns and otherwise just waits behind the
+      // countDistinct job's tasks).
       val partial = written
         .groupBy(col("bucket"), col("sink"),
           window(col("ts"), cfg.windowPeriod).getField("start").as("window_start"),
@@ -295,12 +289,23 @@ object Pipeline {
       // Serialized across waves: two appends into the SAME directory share
       // one _temporary staging dir, and a job commit deletes it from under
       // the other job's still-running tasks.
-      phase("agg_partial") {
-        aggWriteLock.synchronized {
-          partial.repartition(col("bucket"))
-            .write.mode(writeMode).partitionBy("bucket").parquet(aggDir)
-        }
+      val aggJob = java.util.concurrent.CompletableFuture.runAsync(() =>
+        phase("agg_partial") {
+          aggWriteLock.synchronized {
+            partial.repartition(col("bucket"))
+              .write.mode(writeMode).partitionBy("bucket").parquet(aggDir)
+          }
+        })
+
+      val countRows = phase("counts") {
+        written.groupBy("bucket", "sink", "parse_error").count().collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
       }
+      val counts = countRows.groupBy(r => (r._1, r._2)).toSeq
+        .map { case ((b, sink), rs) => (b, sink, rs.map(_._4).sum) }
+      val errs = countRows.filter(_._3).groupBy(_._1)
+        .map { case (b, rs) => b -> rs.map(_._4).sum }
+      phase("agg_wait")(aggJob.join())
 
       // per-bucket commits are independent files — write them in parallel
       // (128 sequential small-file creates were a measurable fixed cost

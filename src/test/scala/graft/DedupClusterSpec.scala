@@ -37,6 +37,13 @@ class DedupClusterSpec extends AnyFunSuite {
     for (i <- 5 until 20) assert(labels(i.toLong) == i, s"doc $i should stay a singleton")
   }
 
+  test("bandingFor picks the S-curve closest to the target threshold") {
+    assert(Dedup.bandingFor(0.5, 8) == 2) // (1/4)^(1/2) = 0.50 exactly
+    assert(Dedup.bandingFor(0.8, 8) == 4) // (1/2)^(1/4) = 0.84
+    assert(Dedup.bandingFor(0.95, 8) == 8) // single strict band
+    assert(Dedup.bandingFor(0.15, 8) == 1) // (1/8)^1 = 0.125
+  }
+
   test("a chain of near-dups merges within the propagation rounds") {
     // A-B and B-C near-dup (shared text), A-C not directly bucketed ⇒
     // needs ≥2 rounds to give C the label of A
