@@ -122,6 +122,37 @@ object SparkEntry {
     "q_sink_counts" -> ((s, dir) =>
       routedTranscripts(s, dir).groupBy("sink").agg(count(lit(1)).as("n_rows"))),
 
+    // the DECLARATIVE CONFIG surface under the driver gate: the same
+    // pipeline expressed as a Beats-shaped JSON document (parsers +
+    // processors + `when:` router grammar), compiled by ConfigCompiler,
+    // must reproduce the coded pipeline's per-sink counts exactly
+    "q_config_pipeline" -> { (s, dir) =>
+      val json =
+        """{
+          |  "parsers": [{"dissect": {"tokenizer": "%{level} [%{component}] %{body}"}}],
+          |  "processors": [
+          |    {"lookup": {"table": "role_meta", "key": "role"}},
+          |    {"lookup": {"table": "tool_meta", "key": "tool"}}
+          |  ],
+          |  "router": {
+          |    "rules": [
+          |      {"target": "errors", "when": {"regexp": {"level": "ERR.*"}}},
+          |      {"target": "tool_calls", "when": {"equals": {"role": "tool"}}},
+          |      {"target": "assistant", "when": {"and": [
+          |        {"equals": {"role": "assistant"}},
+          |        {"range": {"turn_idx": {"gte": 1}}}
+          |      ]}}
+          |    ],
+          |    "default": "events"
+          |  }
+          |}""".stripMargin
+      val conf = graft.config.ConfigJson.parse(json)
+      val lookups = Map(
+        "role_meta" -> Enrich.roleMeta(s), "tool_meta" -> Enrich.toolMeta(s))
+      graft.config.ConfigCompiler.compile(conf, lookups)(transcripts(s, dir))
+        .groupBy("sink").agg(count(lit(1)).as("n_rows"))
+    },
+
     // Metricbeat-style windowed counters
     "q_windowed_counters" -> ((s, dir) =>
       routedTranscripts(s, dir)
@@ -537,6 +568,9 @@ object SparkEntry {
 
     "q_sink_counts" -> s"$R SELECT sink, count(*) AS n_rows FROM routed GROUP BY sink",
 
+    // the config-compiled pipeline must hit the identical routed counts
+    "q_config_pipeline" -> s"$R SELECT sink, count(*) AS n_rows FROM routed GROUP BY sink",
+
     "q_windowed_counters" ->
       s"""$R SELECT sink, date_trunc('hour', ts) AS window_start, role,
          |  count(*) AS n_rows, count(DISTINCT conv_id) AS convs
@@ -935,7 +969,7 @@ object SparkEntry {
         |  SELECT e.vec_id, e.v, c.cent_id,
         |    row_number() OVER (PARTITION BY e.vec_id
         |      ORDER BY round(list_dot_product(e.v, c.centv)
-        |        / sqrt(list_dot_product(e.v, e.v) * list_dot_product(c.centv, c.centv)), 6) DESC,
+        |        / sqrt(list_dot_product(c.centv, c.centv)), 6) DESC,
         |      c.cent_id) AS rk
         |  FROM e CROSS JOIN cents c),
         |corpus AS (SELECT vec_id, v, cent_id AS cell FROM ranked WHERE rk = 1),

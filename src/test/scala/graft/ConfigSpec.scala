@@ -111,6 +111,40 @@ class ConfigSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("marker_class")).toSeq == Seq("retained", "retained"))
   }
 
+  test("the config-compiled transform drives a STREAM unchanged (row-level stages)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val conf = ConfigJson.parse(pipelineJson)
+    val lookups = Map("role_meta" -> Enrich.roleMeta(spark), "tool_meta" -> Enrich.toolMeta(spark))
+    val transformFn = ConfigCompiler.compile(conf, lookups)
+
+    val stage = java.nio.file.Files.createTempDirectory("cfg-stream").toFile
+    val outDir = java.nio.file.Files.createTempDirectory("cfg-stream-out").toFile
+    try {
+      val input = Transcripts.synthesize(spark, 1500)
+      input.write.mode("overwrite").parquet(s"$stage/in")
+      val stream = spark.readStream.schema(graft.model.Turn.schema)
+        .parquet(s"$stage/in")
+      val q = transformFn(stream).writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$outDir/_ckpt")
+        .format("parquet").option("path", s"$outDir/data")
+        .start()
+      q.awaitTermination()
+      val streamed = spark.read.parquet(s"$outDir/data")
+        .groupBy("sink").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = transformFn(input)
+        .groupBy("sink").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch, "config pipeline over a stream diverges from batch")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+      }
+      rm(stage); rm(outDir)
+    }
+  }
+
   test("grain-changing parsers are configurable (multiline from JSON)") {
     import spark.implicits._
     val df = Seq(
