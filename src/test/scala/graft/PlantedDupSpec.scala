@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The dedup operators must RECOVER the planted duplicates, not merely
+  * hash-match an oracle (round 1's fixture produced zero positives and
+  * two "passing" queries proved nothing). Fixture mirrors SparkEntry's
+  * docsWithDupes: driver documents ∪ near-dups (+10000, text+" extra") ∪
+  * exact copies (+20000).
+  */
+class PlantedDupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val docs = {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    d.unionAll(d.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text")))
+      .unionAll(d.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      .cache()
+  }
+  private lazy val baseIds = docs.where(col("doc_id") < 10000)
+    .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("exact dedup groups every planted exact copy with its original") {
+    val groups = Dedup.exact(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (keep_id, n_dupes)
+    val multi = groups.filter(_._2 >= 2).map(_._1).toSet
+    assert(baseIds.subsetOf(multi),
+      s"${(baseIds -- multi).size} originals lost their exact copy")
+  }
+
+  test("LSH candidates contain every planted exact pair (d, d+20000)") {
+    val pairs = Dedup.lshCandidates(docs, numHashes = 8, rowsPerBand = 4, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missing = baseIds.filterNot(d => pairs.contains((d, d + 20000)))
+    assert(missing.isEmpty, s"planted exact pairs missing from candidates: $missing")
+  }
+
+  test("n-gram Jaccard scores every planted exact pair at 1.0") {
+    val scored = Dedup.ngramJaccard(docs, k = 4, threshold = 0.5, maxDocFreq = 200)
+      .where(col("b") === col("a") + 20000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(baseIds.forall(d => scored.get(d).contains(1.0)),
+      s"${baseIds.count(d => !scored.get(d).contains(1.0))} planted exact pairs not at 1.0")
+    // and the near-dup (+10000) planting yields high-but-<1 scores
+    val near = Dedup.ngramJaccard(docs, k = 4, threshold = 0.5, maxDocFreq = 200)
+      .where(col("b") === col("a") + 10000).count()
+    assert(near >= (baseIds.size * 0.8).toInt,
+      s"only $near/${baseIds.size} planted near-dups recovered above threshold")
+  }
+}
