@@ -163,8 +163,14 @@ object Bench {
           headlineTps)},"scaling":$scaling,"sf":"$sfDir"}"""
     // Round 1's BENCH had "parsed": null — the JSON line was buried in
     // sbt [info] stdout. Also persist it to a known file the driver (or
-    // anyone) can read without scraping logs.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/bench.json"), line + "\n")
+    // anyone) can read without scraping logs. Partial runs (skip flags)
+    // go to a side file so they never clobber the canonical artifact.
+    val outFile =
+      if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1") ||
+        sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1"))
+        "/root/repo/bench_partial.json"
+      else "/root/repo/bench.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     println(line)
   }
 }

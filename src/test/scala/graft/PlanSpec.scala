@@ -17,6 +17,12 @@ class PlanSpec extends AnyFunSuite {
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
+  /** Adaptive plans print "== Final Plan ==" AND "== Initial Plan =="
+    * sections — counting operators over the raw string double-counts.
+    */
+  private def finalPlan(df: DataFrame): String =
+    plan(df).split("== Initial Plan ==")(0)
+
   test("parquet scan: predicate pushdown + column pruning") {
     val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .where($"event_type" === "error")
@@ -56,6 +62,51 @@ class PlanSpec extends AnyFunSuite {
     val s = plan(df)
     assert(s.contains("WholeStageCodegen") || s.contains("*("),
       s"transform fell out of codegen:\n$s")
+  }
+
+  test("syslog parse is a pure narrow projection: no exchange, stays in codegen") {
+    val t = Transcripts.synthesize(spark, 500)
+    val df = graft.parse.Syslog.parse(t, "text")
+    df.collect()
+    val s = plan(df)
+    assert(!s.contains("Exchange"), s"syslog parse must not shuffle:\n$s")
+    assert(s.contains("WholeStageCodegen") || s.contains("*("),
+      s"syslog parse fell out of codegen:\n$s")
+  }
+
+  test("TTL'd lookup is a broadcast join, never a shuffle of the event stream") {
+    val t = Transcripts.synthesize(spark, 500)
+      .withColumn("host", concat(lit("h-"), col("conv_id")))
+    val cache = Seq(("h-conv-0000001", "v", "2025-01-01 00:00:00", 300L, true))
+      .toDF("key", "value", "ts_s", "ttl_s", "success")
+      .withColumn("resolved_at", col("ts_s").cast("timestamp")).drop("ts_s")
+    val s = plan(graft.enrich.TtlLookup.lookupAsOf(
+      t, cache, "host", asOf = current_timestamp()))
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast join:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"TTL lookup must not shuffle the event stream:\n$s")
+  }
+
+  test("docker/CRI partial joining: the window and the rebuild share ONE exchange") {
+    val t = Transcripts.synthesize(spark, 500)
+      .withColumn("line", concat(lit("2019-01-01T00:00:00Z stdout F "), col("text")))
+    val df = graft.parse.DockerJson.read(t, textCol = "line")
+    df.collect() // finalize adaptive plan
+    val s = finalPlan(df)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(shuffles == 1,
+      s"window + groupBy should reuse one conv_id exchange, found $shuffles:\n$s")
+  }
+
+  test("multiline grouping: all windows + the rebuild share ONE exchange") {
+    val t = Transcripts.synthesize(spark, 500)
+    val df = graft.ops.Multiline(t, pattern = "^(ERROR|WARN)",
+      matchBefore = true, flushPattern = Some("CORRUPT"))
+    df.collect()
+    val s = finalPlan(df)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(shuffles == 1,
+      s"multiline should plan one conv_id exchange, found $shuffles:\n$s")
   }
 
   test("ANN brute-force broadcasts the query side, not the corpus") {
