@@ -402,10 +402,62 @@ object SparkEntry {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_rows"), countDistinct(col("conv_id")).as("convs"))),
 
+    // output codecs (outputs/codec/json + codec/format): the wire bytes
+    // each sink would receive — compact JSON (to_json over a fixed-order
+    // struct) and a fmtstr-rendered line, both single codegen'd columns
+    "q_output_codec" -> { (s, dir) =>
+      val routed = routedTranscripts(s, dir)
+      routed.select(
+        col("conv_id"), col("turn_idx"),
+        graft.route.OutputCodec.json(Seq("conv_id", "turn_idx", "sink")).as("wire_json"),
+        graft.route.OutputCodec.format("%{[sink]}/%{[conv_id]}@%{[turn_idx]}", routed)
+          .as("wire_line"))
+    },
+
     // --- training-data ops ---------------------------------------------
 
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docsWithDupes(s, dir))),
+
+    // Gopher-style repetition quality features
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionFeatures(documents(s, dir))),
+
+    // benchmark decontamination: 8-word-gram overlap between the training
+    // corpus (with planted contamination: +20000 exact copies, +10000
+    // near-dups) and a deterministic "benchmark" slice (doc_id % 10 = 0)
+    "q_decontam" -> { (s, dir) =>
+      val bench = documents(s, dir).where(col("doc_id") % 10 === 0).select("doc_id", "text")
+      Dedup.decontaminate(docsWithDupes(s, dir), bench,
+        n = 8, minShared = 3, maxDocFreq = 100)
+    },
+
+    // deterministic hash-based train/val/test split (98/1/1)
+    "q_hash_split" -> ((s, dir) =>
+      graft.ops.Curation.hashSplit(documents(s, dir))
+        .groupBy("split").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"))),
+
+    // PII-style redaction scrub over deterministically synthesized
+    // emails / IPv4s / phone numbers (counts from the original text)
+    "q_redact" -> { (s, dir) =>
+      val e = events(s, dir)
+      val uid = col("user_id").cast("string")
+      val line = concat(
+        lit("user "), uid,
+        when(col("event_id") % 3 === 0,
+          concat(lit(" mail u"), uid, lit("@example.com"))).otherwise(lit("")),
+        when(col("event_id") % 4 === 0,
+          concat(lit(" ip 10.0."), (col("user_id") % 256).cast("string"),
+            lit("."), (col("event_id") % 256).cast("string"))).otherwise(lit("")),
+        when(col("event_id") % 5 === 0,
+          concat(lit(" phone 555-"),
+            lpad((col("event_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        lit(" evt="), col("event_type"))
+      graft.ops.Curation.redactPii(e.select(col("event_id"), line.as("text")))
+        .select("event_id", "n_emails", "n_ips", "n_phones", "redacted")
+    },
 
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(documents(s, dir))
@@ -766,6 +818,84 @@ object SparkEntry {
       s"""WITH $DocsDupesSql
          |SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dupes
          |FROM docs2 GROUP BY 1""".stripMargin,
+
+    "q_output_codec" ->
+      s"""$R SELECT conv_id, turn_idx,
+         |  '{"conv_id":"' || conv_id || '","turn_idx":' || CAST(turn_idx AS VARCHAR)
+         |    || ',"sink":"' || sink || '"}' AS wire_json,
+         |  sink || '/' || conv_id || '@' || CAST(turn_idx AS VARCHAR) AS wire_line
+         |FROM routed""".stripMargin,
+
+    "q_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |g1 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+        |  SELECT doc_id, UNNEST(toks) AS gram FROM toks) GROUP BY 1, 2),
+        |a1 AS (SELECT doc_id, sum(cnt) AS n_toks, max(cnt) AS top_tok FROM g1 GROUP BY 1),
+        |g2 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+        |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM toks) GROUP BY 1, 2),
+        |a2 AS (SELECT doc_id, sum(cnt) AS n2, max(cnt) AS top2 FROM g2 GROUP BY 1),
+        |g3 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+        |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS gram FROM toks) GROUP BY 1, 2),
+        |a3 AS (SELECT doc_id, sum(cnt) AS n3,
+        |  sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup3 FROM g3 GROUP BY 1)
+        |SELECT doc_id, CAST(n_toks AS INTEGER) AS n_tokens,
+        |  round(CAST(top_tok AS DOUBLE) / n_toks, 6) AS top_token_frac,
+        |  round(CAST(top2 AS DOUBLE) / n2, 6) AS top_2gram_frac,
+        |  round(CAST(dup3 AS DOUBLE) / n3, 6) AS dup_3gram_frac
+        |FROM documents
+        |LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)""".stripMargin,
+
+    "q_decontam" ->
+      s"""WITH $DocsDupesSql,
+         |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |tg AS (SELECT DISTINCT doc_id AS train_id, gram FROM (
+         |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(len(toks) - 7, 0)),
+         |    i -> array_to_string(toks[i:i+7], ' '))) AS gram
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM docs2))),
+         |bg AS (SELECT DISTINCT doc_id AS bench_id, gram FROM (
+         |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(len(toks) - 7, 0)),
+         |    i -> array_to_string(toks[i:i+7], ' '))) AS gram
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM bench))),
+         |freq AS (SELECT gram, count(*) AS gram_df FROM tg GROUP BY 1),
+         |capped AS (SELECT tg.* FROM tg JOIN freq USING (gram) WHERE gram_df <= 100)
+         |SELECT train_id, bench_id, count(*) AS n_shared
+         |FROM capped JOIN bg USING (gram)
+         |WHERE train_id <> bench_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 3""".stripMargin,
+
+    "q_hash_split" -> {
+      val bucket = graft.ops.Curation.splitBucketSql("doc_id")
+      s"""WITH b AS (SELECT doc_id, n_chars, $bucket AS bucket FROM documents)
+         |SELECT CASE WHEN bucket < 98 THEN 'train' WHEN bucket < 99 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM b GROUP BY 1""".stripMargin
+    },
+
+    "q_redact" -> {
+      import graft.ops.Curation.{EmailRe, Ipv4Re, PhoneRe}
+      s"""WITH lines AS (
+         |  SELECT event_id,
+         |    'user ' || CAST(user_id AS VARCHAR)
+         |    || CASE WHEN event_id % 3 = 0
+         |         THEN ' mail u' || CAST(user_id AS VARCHAR) || '@example.com' ELSE '' END
+         |    || CASE WHEN event_id % 4 = 0
+         |         THEN ' ip 10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR) ELSE '' END
+         |    || CASE WHEN event_id % 5 = 0
+         |         THEN ' phone 555-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |    || ' evt=' || event_type AS text
+         |  FROM events)
+         |SELECT event_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS INTEGER) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INTEGER) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g') AS redacted
+         |FROM lines""".stripMargin
+    },
 
     "q_text_quality" ->
       s"""SELECT doc_id,

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * in front of the dedup/similarity stack:
+  *
+  *  - PII-style redaction: a regex scrub battery (emails, IPv4s, phone
+  *    numbers) applied as narrow codegen'd `regexp_replace` columns —
+  *    scans at parquet-read speed, no shuffle, no UDFs;
+  *  - deterministic hash split: train/val/test assignment from a hash of
+  *    the document id, so the split is stable across runs, machines and
+  *    engine versions (never `rand()`, which would re-split on retry and
+  *    leak val docs into train at 100 TB where tasks ALWAYS retry).
+  *
+  * Every function is expressible in portable SQL so the DuckDB oracle
+  * reproduces results bit-for-bit.
+  */
+object Curation {
+
+  /** RE2-and-Java-compatible patterns (both engines must agree). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** Scrub emails → `<EMAIL>`, IPv4s → `<IP>`, 555-phone numbers →
+    * `<PHONE>`, in that order (emails contain dots and digits, so they
+    * must be consumed before the IP pass can see the text). Match counts
+    * are taken on the ORIGINAL text so they are order-independent.
+    */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>")
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(Ipv4Re), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(PhoneRe), lit(0))))
+      .withColumn("redacted", redacted)
+  }
+
+  /** Split-bucket in [0, 100): the first 4 hex digits of md5 over the id
+    * rendered as a string — the same oracle-reproducible hash the kafka
+    * partitioner query uses (a 16-bit prefix is plenty for a 100-way
+    * split; at 100 TB the per-split skew is binomial noise, < 0.1%).
+    */
+  def splitBucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long"), lit(100))
+
+  /** Deterministic train/val/test assignment: buckets [0,trainPct) →
+    * train, [trainPct, trainPct+valPct) → val, rest → test.
+    */
+  def hashSplit(df: DataFrame, idCol: String = "doc_id",
+      trainPct: Int = 98, valPct: Int = 1): DataFrame = {
+    val b = splitBucket(col(idCol))
+    df.withColumn("split",
+      when(b < trainPct, lit("train"))
+        .when(b < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** The DuckDB twin of `splitBucket` over an id expression. */
+  def splitBucketSql(idExpr: String): String = {
+    val digits = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), $i, 1)) - 1)")
+    s"(${digits.reduce((acc, d) => s"($acc * 16 + $d)")} % 100)"
+  }
+}

@@ -191,6 +191,38 @@ object Dedup {
       .select("a", "b", "inter", "jaccard")
   }
 
+  /** Benchmark decontamination: count word n-grams shared between each
+    * training document and each benchmark/eval document (the published
+    * recipe — GPT-3 App. C / PaLM / Llama all drop training docs sharing
+    * long n-grams with an eval set). Returns (train_id, bench_id,
+    * n_shared) for pairs sharing ≥ `minShared` DISTINCT n-grams.
+    *
+    * Shape at scale: inverted-index join on the n-gram — the benchmark
+    * side is tiny (eval sets are thousands of docs, so its exploded gram
+    * table broadcast-joins under AQE), the training side streams through;
+    * `maxDocFreq` caps stop-grams so a boilerplate phrase shared by 10⁷
+    * training docs cannot quadratically blow up the join.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, n: Int = 8,
+      minShared: Long = 1, maxDocFreq: Long = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame, out: String): DataFrame =
+      df.select(
+          col(idCol).as(out),
+          explode(TextAnalysis.wordGrams(
+            split(lower(trim(col(textCol))), "\\s+"), n)).as("gram"))
+        .distinct()
+    val tg = grams(train, "train_id")
+    val freq = tg.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    val capped = tg.join(freq.where(col("gram_df") <= maxDocFreq), Seq("gram"))
+      .select("gram", "train_id")
+    capped.join(grams(bench, "bench_id"), Seq("gram"))
+      .where(col("train_id") =!= col("bench_id"))
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** SimHash-32 over BPE-ish tokens: per bit, +1 for a set bit and -1 for
     * an unset bit of md5(token), summed over tokens; signature bit = sum>0.
     * Near-dups land on equal (or near-equal) signatures; grouping on the

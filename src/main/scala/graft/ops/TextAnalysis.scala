@@ -93,6 +93,62 @@ object TextAnalysis {
       (acc, ch) => pmod(acc * base + ascii(ch), lit(mod)))
   }
 
+  /** Word n-grams from a token array: positions 1..size−n+1 joined by a
+    * single space; empty when the document has fewer than n tokens (the
+    * guard matters: `sequence(1, size−n+1)` with a non-positive end would
+    * count DOWN in Spark but come back empty in SQL engines).
+    */
+  def wordGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style repetition features (Rae et al. 2021 §A1.1, public):
+    * documents dominated by one token/2-gram or by repeated 3-grams are
+    * boilerplate or spam and get filtered before training.
+    *
+    *   - top_token_frac: occurrences of the most frequent token / tokens
+    *   - top_2gram_frac: occurrences of the most frequent 2-gram / 2-gram
+    *     positions
+    *   - dup_3gram_frac: 3-gram positions whose gram occurs more than
+    *     once / 3-gram positions
+    *
+    * All three are rational ratios of exact counts (rounded to 6 dp), so
+    * any SQL engine reproduces them bit-for-bit. Shape at scale: each
+    * n-gram pass is explode → two-level hash agg keyed (id, gram) then
+    * (id) — map-side partial aggregation keeps the shuffle proportional
+    * to DISTINCT grams per doc; the three per-doc results join on the id
+    * (co-partitioned, AQE-broadcastable). Nothing is corpus-global.
+    */
+  def repetitionFeatures(df: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val base = df.select(col(idCol), toks.as("toks"))
+    def gramStats(n: Int, positions: String, top: String, dup: String): DataFrame =
+      base.select(col(idCol), explode(wordGrams(col("toks"), n)).as("gram"))
+        .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+        .groupBy(idCol).agg(
+          sum("cnt").as(positions),
+          max("cnt").as(top),
+          sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as(dup))
+    val g1 = gramStats(1, "n_tokens", "top_tok", "dup_tok")
+    val g2 = gramStats(2, "n_2grams", "top_2", "dup_2")
+    val g3 = gramStats(3, "n_3grams", "top_3", "dup_3")
+    // left joins from the id universe: a doc too short for 3-grams keeps
+    // its row with null fractions instead of vanishing
+    df.select(col(idCol))
+      .join(g1, Seq(idCol), "left")
+      .join(g2, Seq(idCol), "left")
+      .join(g3, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_tokens").cast("int").as("n_tokens"),
+        round(col("top_tok").cast("double") / col("n_tokens"), 6).as("top_token_frac"),
+        round(col("top_2").cast("double") / col("n_2grams"), 6).as("top_2gram_frac"),
+        round(col("dup_3").cast("double") / col("n_3grams"), 6).as("dup_3gram_frac"))
+  }
+
   /** (id, term) exploded token stream — BPE-ish tokens, case-folded. */
   def terms(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     df.select(

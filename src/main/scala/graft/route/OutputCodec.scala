@@ -1,0 +1,30 @@
+package graft.route
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Output serialization codecs — the reference's wire-format layer
+  * between router and sink: `outputs/codec/json/json.go:93` (Encode =
+  * compact JSON of the event, `Pretty=false` default at `:46`) and
+  * `outputs/codec/format/format.go:56` (Encode = fmtstr-rendered line,
+  * the console/file output's alternative codec).
+  *
+  * In Spark a codec is one narrow column — `to_json` over a struct
+  * (codegen'd, key order = struct order, standard JSON escaping) or a
+  * FormatStr concat — so serialization fuses into the sink write's
+  * whole-stage-codegen pass instead of being a separate row-by-row
+  * encoder goroutine.
+  */
+object OutputCodec {
+
+  /** JSON codec: compact serialization of the named fields. Null fields
+    * are omitted (Jackson default — matching Go's `omitempty`-style event
+    * maps where absent keys simply don't serialize).
+    */
+  def json(fields: Seq[String]): Column =
+    to_json(struct(fields.map(col): _*))
+
+  /** Format codec: a single fmtstr-rendered line per event. */
+  def format(fmt: String, df: DataFrame): Column =
+    FormatStr.column(fmt, Conditions.resolver(df))
+}

@@ -120,6 +120,24 @@ object StreamingPipeline {
       }
   }
 
+  /** Streaming exact dedup: keep the first arrival of each fingerprint,
+    * drop re-arrivals within the watermark horizon. State is keyed on
+    * md5(text) — constant-size keys, so state growth is bounded by
+    * DISTINCT documents inside the watermark window, not by text bytes
+    * (`dropDuplicatesWithinWatermark` additionally lets the engine evict
+    * fingerprints once the watermark passes them — the scalable contract:
+    * unbounded streams cannot keep all-time state). Batch/stream parity:
+    * on a static frame the same fingerprint + dropDuplicates reproduces
+    * `Dedup.exact`'s keep-set.
+    */
+  def dedupExact(
+      df: DataFrame,
+      textCol: String = "text",
+      watermarkDelay: String = "10 seconds"): DataFrame =
+    df.withColumn("text_md5", md5(col(textCol)))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   /** Start the fan-out sink writer: one micro-batch pass computing `sink`,
     * then a (batch, sink, bucket)-partitioned DYNAMIC OVERWRITE keyed on
     * the micro-batch id. Replays are idempotent: a crash after a partial

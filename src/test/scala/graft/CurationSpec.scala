@@ -1,0 +1,99 @@
+package graft
+
+import graft.ops.{Curation, Dedup, TextAnalysis}
+import graft.route.OutputCodec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-curation operators: PII redaction, deterministic hash split,
+  * Gopher repetition features, benchmark decontamination, output codecs.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("redactPii scrubs emails, IPv4s and phones; counts from the original") {
+    val rows = Seq(
+      (1L, "write to alice.smith+x@sub.example.org now"),
+      (2L, "from 192.168.0.1 to 10.20.30.40 twice"),
+      (3L, "call 555-0134 or 555-9999"),
+      (4L, "no pii here at all"),
+      (5L, "bob@x.io via 8.8.8.8 dial 555-0000")).toDF("id", "text")
+    val out = Curation.redactPii(rows).orderBy("id")
+      .select("n_emails", "n_ips", "n_phones", "redacted")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out(0) == ((1, 0, 0, "write to <EMAIL> now")))
+    assert(out(1) == ((0, 2, 0, "from <IP> to <IP> twice")))
+    assert(out(2) == ((0, 0, 2, "call <PHONE> or <PHONE>")))
+    assert(out(3) == ((0, 0, 0, "no pii here at all")))
+    assert(out(4) == ((1, 1, 1, "<EMAIL> via <IP> dial <PHONE>")))
+  }
+
+  test("hashSplit is deterministic and splits ~98/1/1") {
+    val docs = spark.range(20000).select(col("id").as("doc_id"))
+    val a = Curation.hashSplit(docs).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Curation.hashSplit(docs).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, "split must be stable across runs")
+    assert(a("train") > 19000 && a("train") < 19900)
+    assert(a("val") > 50 && a("val") < 400)
+    assert(a("test") > 50 && a("test") < 400)
+    assert(a.values.sum == 20000L)
+  }
+
+  test("repetitionFeatures: hand-computed fractions on a tiny fixture") {
+    val docs = Seq(
+      (1L, "a a a a b"),      // top tok 4/5; 2-grams: aa,aa,aa,ab → 3/4; 3-grams: aaa,aaa,aab → dup 2/3
+      (2L, "x y"),            // no 3-grams → null dup_3gram_frac
+      (3L, "p q r s")         // all distinct → dup_3gram_frac 0
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionFeatures(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getInt(1) == 5)
+    assert(m(1L).getDouble(2) == 0.8)
+    assert(m(1L).getDouble(3) == 0.75)
+    assert(math.abs(m(1L).getDouble(4) - 0.666667) < 1e-9)
+    assert(m(2L).isNullAt(4), "doc shorter than 3 tokens has null dup_3gram_frac")
+    assert(m(2L).getDouble(2) == 0.5)
+    assert(m(3L).getDouble(4) == 0.0)
+  }
+
+  test("decontaminate finds planted contamination and nothing else") {
+    def soup(id: Int): String = {
+      val r = new scala.util.Random(id * 2654435761L)
+      (0 until 20).map(_ => r.alphanumeric.take(6).mkString).mkString(" ")
+    }
+    val bench = (0 until 5).map(i => (i.toLong, soup(i))).toDF("doc_id", "text")
+    // train: clean docs 100-119 + an exact copy of bench 2 + a doc sharing
+    // a 10-token run with bench 3 (shares exactly 3 8-grams)
+    val contaminatedTail = soup(3).split(" ").take(10).mkString(" ")
+    val train = ((100 until 120).map(i => (i.toLong, soup(i))) ++ Seq(
+      (500L, soup(2)),
+      (501L, s"${soup(200)} $contaminatedTail")
+    )).toDF("doc_id", "text")
+    val hits = Dedup.decontaminate(train, bench, n = 8, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hits.exists { case (t, b, n) => t == 500L && b == 2L && n == 13 },
+      s"exact copy shares all 13 8-grams: $hits")
+    assert(hits.exists { case (t, b, n) => t == 501L && b == 3L && n == 3 },
+      s"10-token overlap shares exactly 3 8-grams: $hits")
+    assert(hits.size == 2, s"no chance hits among random soup: $hits")
+  }
+
+  test("json codec escapes like Jackson; format codec renders the fmtstr") {
+    val df = Seq(("a\"b\nc", 7, "errors")).toDF("conv_id", "turn_idx", "sink")
+    val out = df.select(
+      OutputCodec.json(Seq("conv_id", "turn_idx", "sink")).as("j"),
+      OutputCodec.format("%{[sink]}/%{[conv_id]}@%{[turn_idx]}", df).as("f"))
+      .head()
+    assert(out.getString(0) == "{\"conv_id\":\"a\\\"b\\nc\",\"turn_idx\":7,\"sink\":\"errors\"}")
+    assert(out.getString(1) == "errors/a\"b\nc@7")
+  }
+
+  test("json codec omits null fields (absent keys don't serialize)") {
+    val df = Seq((null.asInstanceOf[String], 1)).toDF("conv_id", "turn_idx")
+    val j = df.select(OutputCodec.json(Seq("conv_id", "turn_idx")).as("j")).head().getString(0)
+    assert(j == "{\"turn_idx\":1}")
+  }
+}

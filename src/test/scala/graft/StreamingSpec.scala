@@ -161,4 +161,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(expected.get(k).contains(v), s"window $k: got $v, expected ${expected.get(k)}")
     }
   }
+
+  test("streaming exact dedup drops re-arrivals across micro-batches via checkpointed state") {
+    val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def t(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    // texts unique WITHIN each batch (intra-batch survivor choice is
+    // partition-order dependent); the cross-batch re-arrival is the point
+    val b1 = Seq((1L, "alpha", t(0)), (2L, "beta", t(1))).toDF("doc_id", "text", "ts")
+    val b2 = Seq((4L, "alpha", t(3)), (5L, "gamma", t(4))).toDF("doc_id", "text", "ts")
+
+    val stage = TestSpark.tmpDir("dedup-stage")
+    val watch = TestSpark.tmpDir("dedup-watch")
+    val out = TestSpark.tmpDir("dedup-out")
+    b1.write.parquet(s"$stage/b1")
+    b2.write.parquet(s"$stage/b2")
+    def stream = spark.readStream.schema(b1.schema).parquet(watch)
+    def run(): Unit = StreamingPipeline.dedupExact(stream)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/_ckpt")
+      .format("parquet")
+      .option("path", s"$out/deduped")
+      .start()
+      .awaitTermination()
+
+    feed(s"$stage/b1", watch, "batch1")
+    run()
+    feed(s"$stage/b2", watch, "batch2")
+    run()
+
+    val kept = spark.read.parquet(s"$out/deduped")
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    // batch 2's "alpha" is dropped by state carried across the restart
+    assert(kept == Set(1L, 2L, 5L), s"got $kept")
+  }
 }
