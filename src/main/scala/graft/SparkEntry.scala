@@ -439,6 +439,21 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("bigint").as("total_chars"))),
 
+    // Metricbeat-style rate-from-cumulative-counter: per-key tumbling
+    // windows of the max cumulative value, delta vs the previous window
+    "q_rate_counters" -> ((s, dir) =>
+      graft.agg.Aggregates.rateFromCumulative(events(s, dir), "event_type", "event_id")
+        .select("event_type", "window_start", "value", "n_rows", "delta")),
+
+    // int8 embedding quantization (exploded scalars for the oracle)
+    "q_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(embeddings(s, dir))),
+
+    // greedy fixed-budget sequence packing within hash buckets
+    "q_pack" -> ((s, dir) =>
+      graft.ops.Curation.packSequences(documents(s, dir), budgetTokens = 512, buckets = 8)
+        .select("doc_id", "bucket", "n_tokens", "start_tok", "seq_id", "offset")),
+
     // PII-style redaction scrub over deterministically synthesized
     // emails / IPv4s / phone numbers (counts from the original text)
     "q_redact" -> { (s, dir) =>
@@ -873,6 +888,40 @@ object SparkEntry {
          |SELECT CASE WHEN bucket < 98 THEN 'train' WHEN bucket < 99 THEN 'val' ELSE 'test' END AS split,
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM b GROUP BY 1""".stripMargin
+    },
+
+    "q_rate_counters" ->
+      """WITH w AS (
+        |  SELECT make_timestamp(CAST(floor(epoch(ts) / 10) * 10 AS BIGINT) * 1000000) AS window_start,
+        |    event_type, max(event_id) AS value, count(*) AS n_rows
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, window_start, value, n_rows,
+        |  value - lag(value) OVER (PARTITION BY event_type ORDER BY window_start) AS delta
+        |FROM w""".stripMargin,
+
+    "q_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |x AS (SELECT vec_id, v, scale, UNNEST(generate_series(1, len(v))) AS i FROM s)
+        |SELECT vec_id, CAST(i AS INTEGER) AS i,
+        |  CAST(CASE WHEN scale = 0 THEN 0 ELSE floor(v[i] / scale + 0.5) END AS INTEGER) AS q,
+        |  round(scale, 6) AS scale
+        |FROM x""".stripMargin,
+
+    "q_pack" -> {
+      val bucket = graft.ops.Curation.hashBucketSql("doc_id", 8)
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    $bucket AS bucket
+         |  FROM documents),
+         |w AS (
+         |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens AS BIGINT) AS start_tok
+         |  FROM b)
+         |SELECT doc_id, bucket, n_tokens, start_tok,
+         |  CAST(start_tok // 512 AS BIGINT) AS seq_id,
+         |  CAST(start_tok % 512 AS BIGINT) AS offset
+         |FROM w""".stripMargin
     },
 
     "q_redact" -> {

@@ -38,6 +38,29 @@ object Aggregates {
     df.groupBy(window(col("ts"), period).getField("start").as("window_start"), col(keyCol))
       .agg(count(lit(1)).as("rows"))
 
+  /** Metricbeat delta/rate semantics: system metricsets report CUMULATIVE
+    * counters and derive per-period usage by diffing against the previous
+    * fetch (metricbeat/module/system/cpu keeps the prior sample's tick
+    * counts; mb/module/wrapper.go fetches every `period`). Batch
+    * rendering: per-key tumbling windows take the max cumulative value,
+    * then `lag()` within the key yields the delta. The window spec
+    * partitions by key — per-key sorts only, never a global order, so the
+    * plan stays one hash exchange + one per-partition sort at any scale.
+    * First window per key has null delta (no previous sample — same as
+    * the reference skipping the first fetch's rates).
+    */
+  def rateFromCumulative(df: DataFrame, keyCol: String, valueCol: String,
+      period: String = "10 seconds"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perWindow = df
+      .groupBy(
+        window(col("ts"), period).getField("start").as("window_start"),
+        col(keyCol))
+      .agg(max(col(valueCol)).as("value"), count(lit(1)).as("n_rows"))
+    val byKey = Window.partitionBy(keyCol).orderBy("window_start")
+    perWindow.withColumn("delta", col("value") - lag("value", 1).over(byKey))
+  }
+
   /** Registrar state fold: per-source max-offset merge — mergeStates keeps
     * max Offset and the row at that offset (filebeat/registrar/registrar.go:203-239).
     * Our "file" is the conversation; "offset" is turn_idx.

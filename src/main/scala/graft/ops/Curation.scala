@@ -43,13 +43,16 @@ object Curation {
       .withColumn("redacted", redacted)
   }
 
-  /** Split-bucket in [0, 100): the first 4 hex digits of md5 over the id
+  /** Hash-bucket in [0, mod): the first 4 hex digits of md5 over the id
     * rendered as a string — the same oracle-reproducible hash the kafka
-    * partitioner query uses (a 16-bit prefix is plenty for a 100-way
-    * split; at 100 TB the per-split skew is binomial noise, < 0.1%).
+    * partitioner query uses (a 16-bit prefix is plenty for ≤ a few
+    * hundred buckets; at 100 TB the per-bucket skew is binomial noise).
     */
-  def splitBucket(id: Column): Column =
-    pmod(conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long"), lit(100))
+  def hashBucket(id: Column, mod: Int): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long"), lit(mod))
+
+  /** Split-bucket in [0, 100). */
+  def splitBucket(id: Column): Column = hashBucket(id, 100)
 
   /** Deterministic train/val/test assignment: buckets [0,trainPct) →
     * train, [trainPct, trainPct+valPct) → val, rest → test.
@@ -63,10 +66,41 @@ object Curation {
         .otherwise(lit("test")))
   }
 
-  /** The DuckDB twin of `splitBucket` over an id expression. */
-  def splitBucketSql(idExpr: String): String = {
+  /** The DuckDB twin of `hashBucket` over an id expression. */
+  def hashBucketSql(idExpr: String, mod: Int): String = {
     val digits = (1 to 4).map(i =>
       s"(strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), $i, 1)) - 1)")
-    s"(${digits.reduce((acc, d) => s"($acc * 16 + $d)")} % 100)"
+    s"(${digits.reduce((acc, d) => s"($acc * 16 + $d)")} % $mod)"
+  }
+
+  /** The DuckDB twin of `splitBucket`. */
+  def splitBucketSql(idExpr: String): String = hashBucketSql(idExpr, 100)
+
+  /** Greedy sequence packing — assemble documents into fixed-token-budget
+    * training sequences, the standard LLM pre-training packing step.
+    * True first-fit packing is a sequential scan, so the scalable variant
+    * packs WITHIN hash buckets: documents are bucketed by id hash,
+    * ordered by id inside the bucket, and a document starting at running
+    * token offset `s` lands in sequence `s / budget` at offset
+    * `s % budget` (contiguous greedy fill; a document crossing the budget
+    * boundary stays whole and overflows its sequence — the usual
+    * "don't split documents" packing).
+    *
+    * Shape at scale: the only wide op is one window sum PARTITIONED BY
+    * bucket — per-bucket sorts, never a global order. All arithmetic is
+    * integer, so any SQL engine reproduces the assignment exactly.
+    */
+  def packSequences(df: DataFrame, budgetTokens: Int = 512, buckets: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(
+      col(idCol),
+      TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("n_tokens"),
+      hashBucket(col(idCol), buckets).as("bucket"))
+    val w = Window.partitionBy("bucket").orderBy(idCol)
+    base
+      .withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("seq_id", (col("start_tok") / budgetTokens).cast("long"))
+      .withColumn("offset", col("start_tok") % budgetTokens)
   }
 }

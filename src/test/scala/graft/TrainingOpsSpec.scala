@@ -1,0 +1,85 @@
+package graft
+
+import graft.agg.Aggregates
+import graft.ops.{Curation, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Int8 quantization fidelity, sequence packing arithmetic, and
+  * rate-from-cumulative-counter deltas.
+  */
+class TrainingOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("quantizeInt8 round-trips within half a quantization step and keeps cosine") {
+    val r = new scala.util.Random(42)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(64)(r.nextGaussian())))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df)
+      .collect()
+      .map(row => (row.getLong(0), row.getInt(1), row.getInt(2), row.getDouble(3)))
+      .groupBy(_._1)
+    vecs.foreach { case (id, v) =>
+      val rows = q(id).sortBy(_._2)
+      assert(rows.length == 64)
+      val scale = rows.head._4
+      val recon = rows.map(_._3.toDouble * scale)
+      // max abs error bounded by half a step (+ the 6-dp scale rounding)
+      v.zip(recon).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= scale / 2 + 1e-4, s"vec $id: $x vs $y")
+      }
+      assert(rows.map(_._3).forall(qv => qv >= -127 && qv <= 127))
+      val cos = {
+        val dot = v.zip(recon).map { case (a, b) => a * b }.sum
+        dot / math.sqrt(v.map(x => x * x).sum * recon.map(x => x * x).sum)
+      }
+      assert(cos > 0.999, s"vec $id cosine after quantization: $cos")
+    }
+  }
+
+  test("packSequences: greedy contiguous fill, whole documents, per-bucket") {
+    // one bucket so the assignment is a single known sequence order
+    val docs = Seq(
+      (1L, "t t t t"),          // 4 tokens, start 0  → seq 0 offset 0
+      (2L, "t t t t t"),        // 5 tokens, start 4  → seq 0 offset 4
+      (3L, "t t t"),            // 3 tokens, start 9  → seq 0 offset 9 (overflows into 10+)
+      (4L, "t t t t t t")       // 6 tokens, start 12 → seq 1 offset 2
+    ).toDF("doc_id", "text")
+    val out = Curation.packSequences(docs, budgetTokens = 10, buckets = 1)
+      .orderBy("doc_id")
+      .select("start_tok", "seq_id", "offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 0L, 0L), (4L, 0L, 4L), (9L, 0L, 9L), (12L, 1L, 2L)))
+  }
+
+  test("packSequences buckets partition the corpus; every doc appears once") {
+    val docs = spark.range(1000).select(col("id").as("doc_id"),
+      lit("a b c d e").as("text"))
+    val out = Curation.packSequences(docs, budgetTokens = 64, buckets = 8)
+    assert(out.count() == 1000)
+    assert(out.select("doc_id").distinct().count() == 1000)
+    val perBucket = out.groupBy("bucket").count().collect().map(_.getLong(1))
+    assert(perBucket.length == 8)
+    assert(perBucket.min > 50, "hash buckets should be roughly balanced")
+  }
+
+  test("rateFromCumulative diffs consecutive windows per key; first delta null") {
+    val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def t(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val rows = Seq(
+      ("cpu", 10L, t(1)), ("cpu", 20L, t(5)),   // window 0: max 20
+      ("cpu", 35L, t(12)),                      // window 10: max 35 → delta 15
+      ("net", 7L, t(3)),                        // window 0 only
+      ("cpu", 41L, t(25))                       // window 20: delta 6
+    ).toDF("event_type", "event_id", "ts")
+    val out = Aggregates.rateFromCumulative(rows, "event_type", "event_id")
+      .orderBy("event_type", "window_start")
+      .select("event_type", "value", "delta")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("cpu", 20L, -1L), ("cpu", 35L, 15L), ("cpu", 41L, 6L), ("net", 7L, -1L)))
+  }
+}
