@@ -116,4 +116,38 @@ class PlanSpec extends AnyFunSuite {
       s"query side must broadcast:\n$s")
     assert(!s.contains("CartesianProduct"), s"corpus must not cartesian-shuffle:\n$s")
   }
+
+  test("redaction and int8 quantization are pure narrow projections: no exchange") {
+    val docs = spark.range(500).select($"id", concat(lit("txt a@b.co "), $"id").as("text"))
+    val sRedact = plan(graft.ops.Curation.redactPii(docs))
+    assert(!sRedact.contains("Exchange"), s"redactPii must not shuffle:\n$sRedact")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sQuant = plan(graft.ops.Similarity.quantizeInt8(e))
+    assert(!sQuant.contains("Exchange"), s"quantizeInt8 must not shuffle:\n$sQuant")
+  }
+
+  test("sequence packing: exactly one hash exchange (by bucket), one local sort") {
+    val docs = spark.range(2000).select($"id".as("doc_id"), lit("a b c d").as("text"))
+    val df = graft.ops.Curation.packSequences(docs, budgetTokens = 64, buckets = 16)
+    df.collect() // finalize adaptive plan
+    val s = finalPlan(df)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(shuffles == 1, s"expected 1 bucket exchange, found $shuffles:\n$s")
+    assert(!s.contains("Exchange SinglePartition"),
+      s"packing must never collapse to a single partition:\n$s")
+  }
+
+  test("decontamination joins hash-shuffle on the gram: no cartesian, no nested loop") {
+    def soup(id: Int) = {
+      val r = new scala.util.Random(id)
+      (0 until 20).map(_ => r.alphanumeric.take(6).mkString).mkString(" ")
+    }
+    val train = (0 until 50).map(i => (i.toLong, soup(i))).toDF("doc_id", "text")
+    val bench = (100 until 105).map(i => (i.toLong, soup(i))).toDF("doc_id", "text")
+    val df = graft.ops.Dedup.decontaminate(train, bench)
+    df.collect()
+    val s = plan(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"decontaminate must join on the gram key only:\n$s")
+  }
 }
