@@ -517,6 +517,21 @@ object SparkEntry {
       Dedup.lshClusters(docsWithDupes(s, dir), numHashes = 8, rowsPerBand = 4,
         k = 4, iterations = 3)),
 
+    // the shipped dedup output: corpus filtered to one representative
+    // per LSH cluster (planted +10000/+20000 duplicates must vanish)
+    "q_dedup_keep" -> ((s, dir) =>
+      Dedup.dedupByLsh(docsWithDupes(s, dir), numHashes = 8, rowsPerBand = 4,
+        k = 4, iterations = 3).select("doc_id")),
+
+    // overlapping fixed-window chunking (RAG/embedding preprocessing)
+    "q_chunk" -> ((s, dir) =>
+      graft.ops.Curation.chunkDocuments(documents(s, dir), chunkTokens = 16, overlap = 4)),
+
+    // transcript analytics: per-turn response gap within the conversation
+    "q_turn_gaps" -> ((s, dir) =>
+      graft.agg.Aggregates.turnGaps(transcripts(s, dir))
+        .select("conv_id", "turn_idx", "role", "gap_s")),
+
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docsWithDupes(s, dir), k = 4, threshold = 0.5, maxDocFreq = 200)),
 
@@ -598,6 +613,42 @@ object SparkEntry {
       |)""".stripMargin
 
   private val BpeishRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** LSH min-label-propagation oracle (shingles → affine minhash → bands
+    * → candidate edges → 3 rounds), parameterized over the final SELECT
+    * so the cluster query and the keep-one-representative query share the
+    * identical derivation.
+    */
+  private def lshClustersSql(finalSelect: String): String = {
+    val rounds = (1 to 3).map { i =>
+      s"""l$i AS (
+         |  SELECT doc_id, min(cluster_id) AS cluster_id FROM (
+         |    SELECT doc_id, cluster_id FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS doc_id, l.cluster_id
+         |    FROM edges e JOIN l${i - 1} l ON l.doc_id = e.src)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $DocsDupesSql,
+       |sh AS (
+       |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(length(text) - 3, 0)),
+       |    i -> substr(text, CAST(i AS INTEGER), 4))) AS shingle
+       |  FROM docs2),
+       |${Dedup.minhashSql(8)},
+       |bands AS (
+       |  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+       |    string_agg(CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR), '|'
+       |      ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR)) AS band_key
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+       |  WHERE l.doc_id < r.doc_id),
+       |edges AS (SELECT a AS src, b AS dst FROM cand UNION ALL SELECT b AS src, a AS dst FROM cand),
+       |l0 AS (SELECT DISTINCT doc_id, doc_id AS cluster_id FROM docs2),
+       |$rounds
+       |$finalSelect""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_transcripts_scan" ->
@@ -1043,36 +1094,27 @@ object SparkEntry {
          |FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
          |WHERE l.doc_id < r.doc_id""".stripMargin,
 
-    "q_lsh_clusters" -> {
-      val rounds = (1 to 3).map { i =>
-        s"""l$i AS (
-           |  SELECT doc_id, min(cluster_id) AS cluster_id FROM (
-           |    SELECT doc_id, cluster_id FROM l${i - 1}
-           |    UNION ALL
-           |    SELECT e.dst AS doc_id, l.cluster_id
-           |    FROM edges e JOIN l${i - 1} l ON l.doc_id = e.src)
-           |  GROUP BY 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $DocsDupesSql,
-         |sh AS (
-         |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(length(text) - 3, 0)),
-         |    i -> substr(text, CAST(i AS INTEGER), 4))) AS shingle
-         |  FROM docs2),
-         |${Dedup.minhashSql(8)},
-         |bands AS (
-         |  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-         |    string_agg(CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR), '|'
-         |      ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR)) AS band_key
-         |  FROM mh GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
-         |  WHERE l.doc_id < r.doc_id),
-         |edges AS (SELECT a AS src, b AS dst FROM cand UNION ALL SELECT b AS src, a AS dst FROM cand),
-         |l0 AS (SELECT DISTINCT doc_id, doc_id AS cluster_id FROM docs2),
-         |$rounds
-         |SELECT doc_id, cluster_id FROM l3""".stripMargin
-    },
+    "q_lsh_clusters" -> lshClustersSql("SELECT doc_id, cluster_id FROM l3"),
+
+    "q_dedup_keep" -> lshClustersSql("SELECT doc_id FROM l3 WHERE doc_id = cluster_id"),
+
+    "q_chunk" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |c AS (SELECT doc_id, toks, n,
+        |  UNNEST(generate_series(0, CAST(1 + (greatest(n - 16, 0) + 11) // 12 AS BIGINT) - 1)) AS ci
+        |  FROM n)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens, CAST(ci AS INTEGER) AS chunk_idx,
+        |  array_to_string(toks[ci*12+1 : ci*12+16], ' ') AS chunk_text,
+        |  CAST(least(16, n - ci*12) AS INTEGER) AS chunk_tokens
+        |FROM c""".stripMargin,
+
+    "q_turn_gaps" ->
+      s"""$T SELECT conv_id, turn_idx, role,
+         |  CAST(floor(epoch(ts)) AS BIGINT)
+         |    - lag(CAST(floor(epoch(ts)) AS BIGINT))
+         |        OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_s
+         |FROM transcripts""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH $DocsDupesSql,

@@ -61,6 +61,21 @@ object Aggregates {
     perWindow.withColumn("delta", col("value") - lag("value", 1).over(byKey))
   }
 
+  /** Per-turn response gap: seconds since the previous turn of the same
+    * conversation — the transcript-payload rendering of packetbeat's flow
+    * inter-arrival statistics (the same lag() machinery as flows, keyed
+    * on conv_id instead of the network 4-tuple). Per-key window only;
+    * first turn of a conversation has a null gap.
+    */
+  def turnGaps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    // unix_timestamp (session tz = UTC) rather than cast-to-long: the
+    // transcript ts is TIMESTAMP_NTZ, which Spark refuses to cast numeric
+    val epoch = unix_timestamp(col("ts").cast("timestamp"))
+    df.withColumn("gap_s", epoch - lag(epoch, 1).over(w))
+  }
+
   /** Registrar state fold: per-source max-offset merge — mergeStates keeps
     * max Offset and the row at that offset (filebeat/registrar/registrar.go:203-239).
     * Our "file" is the conversation; "offset" is turn_idx.

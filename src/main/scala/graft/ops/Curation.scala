@@ -76,6 +76,35 @@ object Curation {
   /** The DuckDB twin of `splitBucket`. */
   def splitBucketSql(idExpr: String): String = hashBucketSql(idExpr, 100)
 
+  /** Overlapping fixed-size chunking — split long documents into
+    * `chunkTokens`-token windows advancing by `chunkTokens − overlap`
+    * (the standard RAG/embedding preprocessing step). Chunk c covers
+    * token positions [c·stride+1, c·stride+chunkTokens]; the last chunk
+    * may be short; a document never yields zero chunks. Pure narrow
+    * array arithmetic (explode of a per-row transform) — no shuffle, and
+    * every boundary is integer so SQL oracles reproduce it exactly.
+    */
+  def chunkDocuments(df: DataFrame, chunkTokens: Int = 128, overlap: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be smaller than the chunk")
+    val stride = chunkTokens - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks)
+    // 1 + ceil(max(n - chunkTokens, 0) / stride), all-integer
+    val nChunks = (lit(1) +
+      (greatest(n - chunkTokens, lit(0)) + (stride - 1)) / stride).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1), c =>
+      struct(
+        c.cast("int").as("chunk_idx"),
+        array_join(slice(toks, c * stride + 1, lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens), n - c * stride).cast("int").as("chunk_tokens")))
+    df.select(col(idCol), n.as("_n"), explode(chunks).as("c"))
+      .select(col(idCol), col("_n").cast("int").as("n_tokens"),
+        col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk_text").as("chunk_text"),
+        col("c.chunk_tokens").as("chunk_tokens"))
+  }
+
   /** Greedy sequence packing — assemble documents into fixed-token-budget
     * training sequences, the standard LLM pre-training packing step.
     * True first-fit packing is a sequential scan, so the scalable variant

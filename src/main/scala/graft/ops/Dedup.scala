@@ -163,6 +163,21 @@ object Dedup {
     labels
   }
 
+  /** The end-to-end dedup OUTPUT a pipeline actually ships: the corpus
+    * with one representative (the min-id member) kept per LSH near-dup
+    * cluster. A left-semi join against the keeper set — the corpus
+    * streams through once, nothing is collected, and the keeper side is
+    * |clusters|-sized (≤ |docs|), shuffled on the id only.
+    */
+  def dedupByLsh(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
+      k: Int = 4, iterations: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keepers = lshClusters(df, numHashes, rowsPerBand, k, iterations, idCol, textCol)
+      .where(col("cluster_id") === col(idCol))
+      .select(idCol)
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
   /** Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
     * `maxDocFreq` drops shingles appearing in more than that many docs
     * (stop-shingle cap — the skew guard for the inverted-index join).

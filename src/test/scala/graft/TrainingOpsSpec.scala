@@ -82,4 +82,54 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       ("cpu", 20L, -1L), ("cpu", 35L, 15L), ("cpu", 41L, 6L), ("net", 7L, -1L)))
   }
+
+  test("chunkDocuments: window boundaries, overlap stitching, short docs") {
+    val twenty = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, twenty), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, chunkTokens = 8, overlap = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getString(3), r.getInt(4)))
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.length == 3)
+    assert(doc1(0)._3 == (1 to 8).map(i => s"w$i").mkString(" "))
+    assert(doc1(1)._3 == (7 to 14).map(i => s"w$i").mkString(" "))
+    assert(doc1(2)._3 == (13 to 20).map(i => s"w$i").mkString(" "))
+    assert(doc1.forall(_._4 == 8))
+    // consecutive chunks share exactly the overlap
+    doc1.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3.split(" ").takeRight(2).toSeq == b._3.split(" ").take(2).toSeq)
+    }
+    val doc2 = out.filter(_._1 == 2L)
+    assert(doc2.toSeq == Seq((2L, 0, "a b c", 3)), "short doc yields one short chunk")
+  }
+
+  test("dedupByLsh keeps one representative per planted duplicate family") {
+    def soupDoc(id: Int): String = {
+      val r = new scala.util.Random(id * 2654435761L)
+      (0 until 30).map(_ => r.alphanumeric.take(8).mkString).mkString(" ")
+    }
+    val docs =
+      ((0 until 20).map(i => (i.toLong, soupDoc(i))) ++
+        (0 until 5).flatMap(i => Seq((i + 100L, soupDoc(i)), (i + 200L, soupDoc(i)))))
+        .toDF("doc_id", "text")
+    val kept = graft.ops.Dedup.dedupByLsh(docs, numHashes = 8, rowsPerBand = 2, k = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (0 until 20).map(_.toLong).toSet,
+      s"copies must collapse to the min-id member: $kept")
+  }
+
+  test("turnGaps: per-conversation lag in seconds, first turn null") {
+    val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def t(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val rows = Seq(
+      ("c1", 0, t(0)), ("c1", 1, t(7)), ("c1", 2, t(10)),
+      ("c2", 0, t(100))).toDF("conv_id", "turn_idx", "ts")
+    val out = Aggregates.turnGaps(rows)
+      .orderBy("conv_id", "turn_idx")
+      .select("conv_id", "gap_s")
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(out.toSeq == Seq(("c1", -1L), ("c1", 7L), ("c1", 3L), ("c2", -1L)))
+  }
 }
