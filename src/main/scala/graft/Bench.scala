@@ -90,7 +90,14 @@ object Bench {
           try SparkEntry.queries.head._2(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
           catch { case _: Throwable => () }
-          SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          // SPARK_GRAFT_QUERY_FILTER=substr,substr: time only matching
+          // queries (single-operator perf iteration)
+          val filter = sys.env.get("SPARK_GRAFT_QUERY_FILTER")
+            .map(_.split(",").toSeq).getOrElse(Seq.empty)
+          SparkEntry.queries.toSeq.sortBy(_._1)
+            .filter { case (name, _) =>
+              filter.isEmpty || filter.exists(name.contains) }
+            .map { case (name, fn) =>
             val t0 = System.nanoTime()
             // noop sink: materializes every output column (a bare .count()
             // prunes deterministic projections — incl. the dissect

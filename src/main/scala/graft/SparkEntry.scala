@@ -917,12 +917,12 @@ object SparkEntry {
     "q_decontam" ->
       s"""WITH $DocsDupesSql,
          |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-         |tg AS (SELECT DISTINCT doc_id AS train_id, gram FROM (
-         |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(len(toks) - 7, 0)),
+         |tg AS (SELECT DISTINCT train_id, ${Dedup.gramHashSql("gram")} AS gram FROM (
+         |  SELECT doc_id AS train_id, UNNEST(list_transform(generate_series(1, greatest(len(toks) - 7, 0)),
          |    i -> array_to_string(toks[i:i+7], ' '))) AS gram
          |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM docs2))),
-         |bg AS (SELECT DISTINCT doc_id AS bench_id, gram FROM (
-         |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(len(toks) - 7, 0)),
+         |bg AS (SELECT DISTINCT bench_id, ${Dedup.gramHashSql("gram")} AS gram FROM (
+         |  SELECT doc_id AS bench_id, UNNEST(list_transform(generate_series(1, greatest(len(toks) - 7, 0)),
          |    i -> array_to_string(toks[i:i+7], ' '))) AS gram
          |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM bench))),
          |freq AS (SELECT gram, count(*) AS gram_df FROM tg GROUP BY 1),

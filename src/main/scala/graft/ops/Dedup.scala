@@ -59,6 +59,23 @@ object Dedup {
     digits.reduce((acc, d) => s"($acc * 16 + $d)")
   }
 
+  /** 48-bit join key for word n-grams: first 12 hex digits of the md5 as
+    * a long. Joining/aggregating on the hash instead of the ~50-byte gram
+    * string cuts shuffle bytes ~5× (the gram text itself is never needed
+    * downstream — only equality). 2⁴⁸ key space ⇒ collisions are ~10⁻⁸
+    * even at 10⁹ distinct grams, and the ORACLE computes the identical
+    * hash, so verification parity is exact regardless.
+    */
+  def gramHash(gram: Column): Column =
+    conv(substring(md5(gram), 1, 12), 16, 10).cast("long")
+
+  /** DuckDB twin of `gramHash`. */
+  def gramHashSql(gramExpr: String): String = {
+    val digits = (1 to 12).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5($gramExpr), $i, 1)) - 1)")
+    s"CAST(${digits.reduce((acc, d) => s"($acc * 16 + $d)")} AS BIGINT)"
+  }
+
   private val MinhashMod = 2147483647L // 2³¹−1, prime
 
   /** MinHash signatures, long format: (id, seed, sig) with
@@ -221,11 +238,15 @@ object Dedup {
   def decontaminate(train: DataFrame, bench: DataFrame, n: Int = 8,
       minShared: Long = 1, maxDocFreq: Long = 1000,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // hash each gram to a 48-bit long BEFORE the distinct — every shuffle
+    // downstream (distinct, DF count, both joins) then moves 8-byte keys
+    // instead of ~50-byte gram strings
     def grams(df: DataFrame, out: String): DataFrame =
       df.select(
           col(idCol).as(out),
           explode(TextAnalysis.wordGrams(
-            split(lower(trim(col(textCol))), "\\s+"), n)).as("gram"))
+            split(lower(trim(col(textCol))), "\\s+"), n)).as("_gram"))
+        .select(col(out), gramHash(col("_gram")).as("gram"))
         .distinct()
     val tg = grams(train, "train_id")
     val freq = tg.groupBy("gram").agg(count(lit(1)).as("gram_df"))
