@@ -439,6 +439,19 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("bigint").as("total_chars"))),
 
+    // text normalization scrub over deterministically dirtied documents
+    // (control chars, whitespace runs, leading/trailing space)
+    "q_text_clean" -> { (s, dir) =>
+      val d = documents(s, dir)
+      val dirty = when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("\u0007"), lit("  x")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("  "), col("text"), lit("\t\t end")))
+        .otherwise(col("text"))
+      graft.ops.Curation.cleanText(d.select(col("doc_id"), dirty.as("text")))
+        .select("doc_id", "clean_text", "was_dirty")
+    },
+
     // Metricbeat-style rate-from-cumulative-counter: per-key tumbling
     // windows of the max cumulative value, delta vs the previous window
     "q_rate_counters" -> ((s, dir) =>
@@ -940,6 +953,20 @@ object SparkEntry {
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM b GROUP BY 1""".stripMargin
     },
+
+    "q_text_clean" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || chr(7) || '  x'
+        |         WHEN doc_id % 3 = 1 THEN '  ' || text || chr(9) || chr(9) || ' end'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS clean_text
+        |  FROM d)
+        |SELECT doc_id, clean_text, clean_text <> text AS was_dirty FROM c""".stripMargin,
 
     "q_rate_counters" ->
       """WITH w AS (

@@ -76,6 +76,25 @@ object Curation {
   /** The DuckDB twin of `splitBucket`. */
   def splitBucketSql(idExpr: String): String = hashBucketSql(idExpr, 100)
 
+  /** C0 control characters except TAB/LF/CR, plus DEL — the bytes that
+    * survive bad decodes and crash tokenizers downstream.
+    */
+  val ControlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Text normalization scrub — the cheap-but-mandatory cleanup pass in
+    * front of every tokenizer: strip stray control characters, collapse
+    * whitespace runs to single spaces, trim. `was_dirty` flags rows the
+    * scrub changed (the usual monitoring counter). Narrow codegen'd
+    * regexp_replace chain; both regexes are RE2-and-Java-compatible so
+    * the oracle reproduces byte-identically.
+    */
+  def cleanText(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(col(textCol), ControlRe, ""), "\\s+", " "))
+    df.withColumn("clean_text", cleaned)
+      .withColumn("was_dirty", cleaned =!= col(textCol))
+  }
+
   /** Overlapping fixed-size chunking — split long documents into
     * `chunkTokens`-token windows advancing by `chunkTokens − overlap`
     * (the standard RAG/embedding preprocessing step). Chunk c covers

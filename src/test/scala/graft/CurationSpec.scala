@@ -29,6 +29,21 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4) == ((1, 1, 1, "<EMAIL> via <IP> dial <PHONE>")))
   }
 
+  test("cleanText strips control chars, collapses whitespace, flags dirty rows") {
+    val rows = Seq(
+      (1L, "ok text"),
+      (2L, "a\u0000b\u0007c"),
+      (3L, "  lead  and\t\ttabs  "),
+      (4L, "tab\there")).toDF("id", "text")
+    val out = Curation.cleanText(rows).orderBy("id")
+      .select("clean_text", "was_dirty").collect()
+      .map(r => (r.getString(0), r.getBoolean(1)))
+    assert(out(0) == (("ok text", false)))
+    assert(out(1) == (("abc", true)), "NUL and BEL stripped, no space left behind")
+    assert(out(2) == (("lead and tabs", true)))
+    assert(out(3) == (("tab here", true)))
+  }
+
   test("hashSplit is deterministic and splits ~98/1/1") {
     val docs = spark.range(20000).select(col("id").as("doc_id"))
     val a = Curation.hashSplit(docs).groupBy("split").count()
