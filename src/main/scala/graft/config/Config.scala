@@ -61,6 +61,10 @@ object ProcessorConf {
       table: Map[String, String], default: Option[String]) extends ProcessorConf
   /** broadcast lookup join against a named side table. */
   final case class Lookup(table: String, key: String) extends ProcessorConf
+  /** PII-style redaction scrub over a text field ([[graft.ops.Curation.redactPii]]). */
+  final case class Redact(field: String = "text") extends ProcessorConf
+  /** text normalization scrub ([[graft.ops.Curation.cleanText]]). */
+  final case class Clean(field: String = "text") extends ProcessorConf
 }
 
 final case class CountersConf(
@@ -126,6 +130,8 @@ object ConfigCompiler {
         throw new IllegalArgumentException(
           s"config references unknown lookup table '$table'; provided: ${lookups.keys.mkString(", ")}"))
       Enrich.lookupJoin(df, side, key)
+    case Redact(field) => graft.ops.Curation.redactPii(df, field)
+    case Clean(field) => graft.ops.Curation.cleanText(df, field)
   }
 
   /** Compile a config to a reusable DataFrame transform. `lookups` binds

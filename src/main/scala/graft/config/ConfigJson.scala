@@ -153,6 +153,10 @@ object ConfigJson {
           stringMap(b.get("table")), strOpt(b, "default"))
       case "lookup" =>
         ProcessorConf.Lookup(str(b, "table"), str(b, "key"))
+      case "redact" =>
+        ProcessorConf.Redact(str(b, "field", "text"))
+      case "clean_text" =>
+        ProcessorConf.Clean(str(b, "field", "text"))
       case other => throw new IllegalArgumentException(s"unknown processor '$other'")
     }
   }

@@ -157,4 +157,16 @@ class ConfigSpec extends AnyFunSuite {
       .map(r => r.getAs[Int]("first_turn_idx") -> r.getAs[String]("event_text")).toMap
     assert(byFirst == Map(0 -> "HEAD\n cont", 2 -> "NEXT"))
   }
+
+  test("curation processors (redact, clean_text) are configurable from JSON") {
+    import spark.implicits._
+    val df = Seq((1L, "mail a@b.co  now")).toDF("id", "text")
+    val conf = ConfigJson.parse(
+      """{"processors": [{"clean_text": {}}, {"redact": {"field": "clean_text"}}]}""")
+    val out = ConfigCompiler.compile(conf)(df).head()
+    assert(out.getAs[String]("clean_text") == "mail a@b.co now")
+    assert(out.getAs[String]("redacted") == "mail <EMAIL> now")
+    assert(out.getAs[Int]("n_emails") == 1)
+    assert(out.getAs[Boolean]("was_dirty"))
+  }
 }
