@@ -35,6 +35,22 @@ final case class Flow(
     first_ts: java.sql.Timestamp,
     last_ts: java.sql.Timestamp)
 
+/** Rate-counter state: the currently open tumbling window plus the last
+  * closed window's cumulative value (the "previous fetch" a Metricbeat
+  * metricset keeps for delta computation). */
+final case class RateState(
+    openWindowMs: Long, openMax: Long, openN: Long,
+    lastValue: Long, hasLast: Boolean)
+
+/** A closed rate window: max cumulative value, row count, delta vs the
+  * previous window (None for the key's first window). */
+final case class RateOut(
+    key: String,
+    window_start: java.sql.Timestamp,
+    value: Long,
+    n_rows: Long,
+    delta: Option[Long])
+
 object StreamingPipeline {
 
   /** Identical transform as batch — parse, enrich, route, bucket. */
@@ -116,6 +132,74 @@ object StreamingPipeline {
               math.max(tail.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
             runs.init.iterator.map(s =>
               Flow(key, s.n, new java.sql.Timestamp(s.firstMs), new java.sql.Timestamp(s.lastMs)))
+          }
+      }
+  }
+
+  /** Streaming twin of `Aggregates.rateFromCumulative`: per-key tumbling
+    * windows over a cumulative counter, each closed window emitted with
+    * its delta vs the previous window. The previous window's value is the
+    * GroupState (exactly the prior-sample state a Metricbeat system
+    * metricset keeps between fetches). A window closes when a LATER
+    * window arrives for the key — in the same micro-batch or any later
+    * one — and the open tail closes via event-time timeout once the
+    * watermark passes it. Assumes per-key windows arrive in
+    * non-decreasing order (an event for an already-closed window is
+    * dropped — the streaming refinement of the batch operator; the batch
+    * query remains the exact-verification surface).
+    */
+  def rateFromCumulativeStream(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      periodSeconds: Long = 10,
+      watermarkDelay: String = "10 seconds"): Dataset[RateOut] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val periodMs = periodSeconds * 1000L
+    df.withWatermark("ts", watermarkDelay)
+      .select(col(keyCol).cast("string").as("key"),
+        col(valueCol).cast("long").as("v"), col("ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RateState, RateOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+            state: GroupState[RateState]) =>
+          def out(s: RateState): RateOut = RateOut(key,
+            new java.sql.Timestamp(s.openWindowMs), s.openMax, s.openN,
+            if (s.hasLast) Some(s.openMax - s.lastValue) else None)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(out(s))
+          } else {
+            // fold this batch's events into per-window (max, count), then
+            // advance through windows in time order, closing each when a
+            // later one appears
+            val byWindow = rows.toSeq
+              .groupBy(r => r._3.getTime / periodMs * periodMs)
+              .toSeq.sortBy(_._1)
+              .map { case (w, rs) => (w, rs.map(_._2).max, rs.size.toLong) }
+            val closed = scala.collection.mutable.ArrayBuffer.empty[RateOut]
+            var cur = state.getOption
+            byWindow.foreach { case (w, mx, n) =>
+              cur match {
+                case Some(s) if w == s.openWindowMs =>
+                  cur = Some(s.copy(openMax = math.max(s.openMax, mx), openN = s.openN + n))
+                case Some(s) if w > s.openWindowMs =>
+                  closed += out(s)
+                  cur = Some(RateState(w, mx, n, s.openMax, hasLast = true))
+                case Some(_) => () // late event for a closed window: drop
+                case None => cur = Some(RateState(w, mx, n, 0L, hasLast = false))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(math.max(
+                s.openWindowMs + periodMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
           }
       }
   }

@@ -195,4 +195,49 @@ class StreamingSpec extends AnyFunSuite {
     // batch 2's "alpha" is dropped by state carried across the restart
     assert(kept == Set(1L, 2L, 5L), s"got $kept")
   }
+
+  test("streaming rate counters: previous-window state survives micro-batches and restarts") {
+    val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def t(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    // batch1: cpu window0 (10,20) + window10 (35); net window0 (7)
+    val b1 = Seq(("cpu", 10L, t(1)), ("cpu", 20L, t(5)), ("cpu", 35L, t(12)),
+      ("net", 7L, t(3))).toDF("event_type", "event_id", "ts")
+    // batch2: cpu window20 (41) closes window10; cpu sentinel closes window20
+    val b2 = Seq(("cpu", 41L, t(25)), ("cpu", 100L, t(3600)))
+      .toDF("event_type", "event_id", "ts")
+    // batch3: net sentinel closes net's window0 (carried since batch1)
+    val b3 = Seq(("net", 50L, t(7200))).toDF("event_type", "event_id", "ts")
+
+    val stage = TestSpark.tmpDir("rate-stage")
+    val watch = TestSpark.tmpDir("rate-watch")
+    val out = TestSpark.tmpDir("rate-out")
+    b1.write.parquet(s"$stage/b1"); b2.write.parquet(s"$stage/b2"); b3.write.parquet(s"$stage/b3")
+    def stream = spark.readStream.schema(b1.schema).parquet(watch)
+    def run(): Unit = StreamingPipeline
+      .rateFromCumulativeStream(stream, "event_type", "event_id")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/_ckpt")
+      .format("parquet")
+      .option("path", s"$out/rates")
+      .start()
+      .awaitTermination()
+
+    feed(s"$stage/b1", watch, "batch1"); run()
+    feed(s"$stage/b2", watch, "batch2"); run()
+    feed(s"$stage/b3", watch, "batch3"); run()
+
+    val got = spark.read.parquet(s"$out/rates")
+      .collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("value")) ->
+        (if (r.isNullAt(r.fieldIndex("delta"))) -1L else r.getAs[Long]("delta")))
+      .toMap
+    // every closed window's delta matches the batch operator's lag()
+    // semantics; cpu's t3600 tail closed via EVENT-TIME TIMEOUT once
+    // run 3's watermark (7200−10s) passed it, while net's t7200 sentinel
+    // is still open and correctly unemitted
+    assert(got == Map(
+      ("cpu", 20L) -> -1L, ("cpu", 35L) -> 15L, ("cpu", 41L) -> 6L,
+      ("cpu", 100L) -> 59L, ("net", 7L) -> -1L), s"got $got")
+  }
 }
