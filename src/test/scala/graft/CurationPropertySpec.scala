@@ -1,0 +1,76 @@
+package graft
+
+import graft.ops.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the curation ops: chunking must reconstruct every
+  * document exactly (drop-overlap concatenation), packing must be a
+  * contiguous greedy fill within each bucket, and the scrubs must be
+  * fixpoints of their own output. Random corpora; invariants checked in
+  * plain Scala against the collected results.
+  */
+class CurationPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260817L)
+
+  test("chunkDocuments: drop-overlap concatenation reconstructs 200 random docs") {
+    val docs = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(99) // 1..99 tokens: shorter and longer than a chunk
+      (i.toLong, (0 until n).map(j => s"t${i}_$j").mkString(" "))
+    }
+    val (c, o) = (12, 5)
+    val byDoc = Curation.chunkDocuments(docs.toDF("doc_id", "text"), c, o)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getString(3), r.getInt(4)))
+      .groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val chunks = byDoc(id).sortBy(_._2)
+      assert(chunks.map(_._2).toSeq == chunks.indices.toSeq, s"doc $id: contiguous chunk_idx")
+      chunks.foreach { ch =>
+        assert(ch._4 >= 1 && ch._4 <= c)
+        assert(ch._3.split(" ").length == ch._4, s"doc $id: chunk_tokens matches text")
+      }
+      val recon = (chunks.head._3 +:
+        chunks.tail.map(_._3.split(" ").drop(o).mkString(" "))).mkString(" ")
+      assert(recon == text, s"doc $id: reconstruction")
+    }
+  }
+
+  test("packSequences: contiguous greedy fill, offsets within budget, 1000 random docs") {
+    val docs = (0 until 1000).map(i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(30))).map(_ => "w").mkString(" ")))
+    val budget = 50
+    val rows = Curation.packSequences(docs.toDF("doc_id", "text"), budget, buckets = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_tokens"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("seq_id"), r.getAs[Long]("offset")))
+    assert(rows.length == 1000 && rows.map(_._1).distinct.length == 1000)
+    rows.foreach { r =>
+      assert(r._6 >= 0 && r._6 < budget)
+      assert(r._5 == r._4 / budget && r._6 == r._4 % budget)
+    }
+    rows.groupBy(_._3).foreach { case (bucket, rs) =>
+      rs.sortBy(_._1).foldLeft(0L) { (expectStart, r) =>
+        assert(r._4 == expectStart, s"bucket $bucket doc ${r._1}: gapless start_tok")
+        expectStart + r._2
+      }
+    }
+  }
+
+  test("cleanText and redactPii are fixpoints on their own output (300 random strings)") {
+    val dirt = Seq("\u0001", "  ", "\t", "a@b.co", "1.2.3.4", "555-1234", "word")
+    val docs = (0 until 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(12)).map(_ => dirt(rnd.nextInt(dirt.length))).mkString)
+    }.toDF("id", "text")
+    val once = Curation.cleanText(docs).select(col("id"), col("clean_text").as("text"))
+    assert(Curation.cleanText(once).where(col("was_dirty")).count() == 0,
+      "cleanText must be a fixpoint after one pass")
+    val red1 = Curation.redactPii(docs).select(col("id"), col("redacted").as("text"))
+    assert(Curation.redactPii(red1)
+      .where(col("n_emails") > 0 || col("n_ips") > 0 || col("n_phones") > 0).count() == 0,
+      "redacted output must contain no residual matches")
+  }
+}
