@@ -508,6 +508,10 @@ object SparkEntry {
       documents(s, dir).select(col("doc_id"),
         TextAnalysis.rollingHash(col("text")).as("rolling_fp"))),
 
+    // winnowing fingerprints (SIGMOD'03 local fingerprinting)
+    "q_winnow" -> ((s, dir) =>
+      TextAnalysis.winnow(documents(s, dir), k = 5, w = 4)),
+
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(documents(s, dir), k = 3)
         .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
@@ -1071,6 +1075,25 @@ object SparkEntry {
         |      c -> CAST(ascii(c) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 2147483639) AS rolling_fp
         |FROM documents""".stripMargin,
+
+    "q_winnow" -> {
+      val digits = (1 to 10).map(d =>
+        s"(strpos('0123456789abcdef', substr(md5(substr(t, CAST(i AS INTEGER), 5)), $d, 1)) - 1)")
+      val hash40 = digits.reduce((acc, d) => s"($acc * 16 + $d)")
+      s"""WITH t0 AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents),
+         |b AS (SELECT doc_id, t, length(t) - 4 AS m FROM t0),
+         |h AS (SELECT doc_id, m,
+         |  list_transform(generate_series(1, greatest(m, 0)),
+         |    i -> CAST($hash40 AS BIGINT) * 1048576 + i) AS hs
+         |  FROM b),
+         |sel AS (SELECT doc_id,
+         |  CASE WHEN m >= 4 THEN list_transform(generate_series(1, m - 3), j -> list_min(hs[j:j+3]))
+         |       WHEN m >= 1 THEN [list_min(hs)]
+         |       ELSE CAST([] AS BIGINT[]) END AS mins
+         |  FROM h),
+         |x AS (SELECT doc_id, UNNEST(mins) AS s FROM sel)
+         |SELECT DISTINCT doc_id, s // 1048576 AS fp, CAST(s % 1048576 AS INTEGER) AS pos FROM x""".stripMargin
+    },
 
     "q_tfidf" ->
       s"""WITH t AS (

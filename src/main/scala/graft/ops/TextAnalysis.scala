@@ -149,6 +149,47 @@ object TextAnalysis {
         round(col("dup_3").cast("double") / col("n_3grams"), 6).as("dup_3gram_frac"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every character k-gram of
+    * the normalized text, slide a window of `w` consecutive hashes, and
+    * select each window's minimum (ties → leftmost position). The
+    * selected set is a LOCAL fingerprint: any substring match of length
+    * ≥ w + k − 1 between two documents is guaranteed to share at least
+    * one selected hash, and the gap between consecutive selections is
+    * ≤ w — the robust version of `fingerprint`/`rollingHash` for
+    * partial-overlap dedup.
+    *
+    * Each (hash, position) pair is packed into one BIGINT
+    * (hash₄₀ · 2²⁰ + pos) so window minima are plain integer mins — no
+    * struct comparisons, and any SQL engine computes the identical
+    * selection. 40-bit hash (10 md5 hex digits) + 20-bit position caps
+    * documents at 2²⁰ chars (1 MiB normalized text; longer docs should
+    * be chunked first). Pure narrow array arithmetic — no shuffle.
+    * Output: (id, fp, pos) distinct selected fingerprints, exploded.
+    */
+  def winnow(df: DataFrame, k: Int = 5, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val m = length(norm) - (k - 1) // number of k-gram positions
+    def packed(normCol: Column, i: Column): Column =
+      conv(substring(md5(normCol.substr(i, lit(k))), 1, 10), 16, 10).cast("long") *
+        lit(1048576L) + i
+    val base = df.select(col(idCol), norm.as("_t"), m.as("_m"))
+    val hs = transform(sequence(lit(1), col("_m")), i => packed(col("_t"), i))
+    val mins = when(col("_m") >= w,
+        transform(sequence(lit(1), col("_m") - (w - 1)),
+          j => array_min(slice(col("_hs"), j, lit(w)))))
+      .when(col("_m") >= 1, array(array_min(col("_hs"))))
+      .otherwise(array().cast("array<long>"))
+    base.withColumn("_hs", hs)
+      .select(col(idCol), explode(array_distinct(mins)).as("_sel"))
+      .select(col(idCol),
+        // `div`, not `/`: the packed value is up to 2⁶⁰ — float division
+        // would round before truncating
+        expr("_sel div 1048576").as("fp"),
+        (col("_sel") % 1048576L).cast("int").as("pos"))
+  }
+
   /** (id, term) exploded token stream — BPE-ish tokens, case-folded. */
   def terms(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     df.select(

@@ -119,6 +119,34 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"copies must collapse to the min-id member: $kept")
   }
 
+  test("winnow: shared substrings of length >= w+k-1 guarantee a shared fingerprint; gaps <= w") {
+    val r = new scala.util.Random(7)
+    def letters(n: Int) = (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    val a = letters(60)
+    val shared = a.substring(10, 30) // 20 chars >= w+k-1 = 8
+    val b = letters(25) + shared + letters(25)
+    val cDoc = letters(40) // unrelated
+    val docs = Seq((1L, a), (2L, b), (3L, cDoc)).toDF("doc_id", "text")
+    val fps = graft.ops.TextAnalysis.winnow(docs, k = 5, w = 4).collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getInt(2)))
+    val byDoc = fps.groupBy(_._1)
+    // the winnowing guarantee: a and b share >= 1 selected hash value
+    val hashesA = byDoc(1L).map(_._2).toSet
+    val hashesB = byDoc(2L).map(_._2).toSet
+    assert((hashesA & hashesB).nonEmpty, "20-char shared run must produce a shared fingerprint")
+    // coverage: consecutive selected positions never gap by more than w
+    byDoc.values.foreach { sel =>
+      val pos = sel.map(_._3).sorted
+      pos.sliding(2).foreach {
+        case Array(p, q) => assert(q - p <= 4, s"selection gap $p -> $q exceeds w")
+        case _ => ()
+      }
+      assert(pos.head <= 4, "first selection within the first window")
+    }
+    // unrelated docs share nothing
+    assert((hashesA & byDoc(3L).map(_._2).toSet).isEmpty)
+  }
+
   test("turnGaps: per-conversation lag in seconds, first turn null") {
     val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
     def t(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
