@@ -423,6 +423,24 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionFeatures(documents(s, dir))),
 
+    // the composed quality FILTER (keep/drop + first failing rule) over
+    // documents + injected degenerate docs (pure spam, too-short)
+    "q_quality_filter" -> { (s, dir) =>
+      val d = documents(s, dir).select("doc_id", "text")
+      val junk = d.where(col("doc_id") < 20)
+      val corpus = d
+        .unionAll(junk.select((col("doc_id") + 30000).as("doc_id"),
+          lit("spam spam spam spam spam spam spam spam spam spam").as("text")))
+        .unionAll(junk.select((col("doc_id") + 40000).as("doc_id"),
+          lit("tiny doc").as("text")))
+      graft.ops.Curation.qualityFilter(corpus)
+        .select("doc_id", "n_tokens", "reject_reason", "keep")
+    },
+
+    // out-of-vocabulary rate vs the corpus top-50 vocabulary
+    "q_oov" -> ((s, dir) =>
+      TextAnalysis.oovRate(documents(s, dir), vocabSize = 50)),
+
     // benchmark decontamination: 8-word-gram overlap between the training
     // corpus (with planted contamination: +20000 exact copies, +10000
     // near-dups) and a deterministic "benchmark" slice (doc_id % 10 = 0)
@@ -630,6 +648,34 @@ object SparkEntry {
       |)""".stripMargin
 
   private val BpeishRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Gopher-repetition-metric oracle CTE chain over `$src(doc_id, text)`,
+    * ending in `rep(doc_id, n_tokens, top_token_frac, top_2gram_frac,
+    * dup_3gram_frac)` — shared by the metric query and the quality
+    * filter so both verify the identical derivation.
+    */
+  private def repetitionSql(src: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM $src),
+       |g1 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+       |  SELECT doc_id, UNNEST(toks) AS gram FROM toks) GROUP BY 1, 2),
+       |a1 AS (SELECT doc_id, sum(cnt) AS n_toks, max(cnt) AS top_tok FROM g1 GROUP BY 1),
+       |g2 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+       |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM toks) GROUP BY 1, 2),
+       |a2 AS (SELECT doc_id, sum(cnt) AS n2, max(cnt) AS top2 FROM g2 GROUP BY 1),
+       |g3 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+       |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+       |    i -> array_to_string(toks[i:i+2], ' '))) AS gram FROM toks) GROUP BY 1, 2),
+       |a3 AS (SELECT doc_id, sum(cnt) AS n3,
+       |  sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup3 FROM g3 GROUP BY 1),
+       |rep AS (
+       |  SELECT doc_id, CAST(n_toks AS INTEGER) AS n_tokens,
+       |    round(CAST(top_tok AS DOUBLE) / n_toks, 6) AS top_token_frac,
+       |    round(CAST(top2 AS DOUBLE) / n2, 6) AS top_2gram_frac,
+       |    round(CAST(dup3 AS DOUBLE) / n3, 6) AS dup_3gram_frac
+       |  FROM $src
+       |  LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id))""".stripMargin
 
   /** LSH min-label-propagation oracle (shingles → affine minhash → bands
     * → candidate edges → 3 rounds), parameterized over the final SELECT
@@ -910,26 +956,40 @@ object SparkEntry {
          |FROM routed""".stripMargin,
 
     "q_repetition" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
-        |g1 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
-        |  SELECT doc_id, UNNEST(toks) AS gram FROM toks) GROUP BY 1, 2),
-        |a1 AS (SELECT doc_id, sum(cnt) AS n_toks, max(cnt) AS top_tok FROM g1 GROUP BY 1),
-        |g2 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
-        |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
-        |    i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM toks) GROUP BY 1, 2),
-        |a2 AS (SELECT doc_id, sum(cnt) AS n2, max(cnt) AS top2 FROM g2 GROUP BY 1),
-        |g3 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
-        |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
-        |    i -> array_to_string(toks[i:i+2], ' '))) AS gram FROM toks) GROUP BY 1, 2),
-        |a3 AS (SELECT doc_id, sum(cnt) AS n3,
-        |  sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup3 FROM g3 GROUP BY 1)
-        |SELECT doc_id, CAST(n_toks AS INTEGER) AS n_tokens,
-        |  round(CAST(top_tok AS DOUBLE) / n_toks, 6) AS top_token_frac,
-        |  round(CAST(top2 AS DOUBLE) / n2, 6) AS top_2gram_frac,
-        |  round(CAST(dup3 AS DOUBLE) / n3, 6) AS dup_3gram_frac
-        |FROM documents
-        |LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)""".stripMargin,
+      s"""WITH ${repetitionSql("documents")}
+         |SELECT doc_id, n_tokens, top_token_frac, top_2gram_frac, dup_3gram_frac FROM rep""".stripMargin,
+
+    "q_quality_filter" ->
+      s"""WITH docs3 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 30000 AS doc_id,
+         |    'spam spam spam spam spam spam spam spam spam spam' AS text
+         |  FROM documents WHERE doc_id < 20
+         |  UNION ALL
+         |  SELECT doc_id + 40000 AS doc_id, 'tiny doc' AS text
+         |  FROM documents WHERE doc_id < 20),
+         |${repetitionSql("docs3")}
+         |SELECT doc_id, n_tokens,
+         |  CASE WHEN n_tokens < 5 THEN 'too_short'
+         |       WHEN top_token_frac > 0.5 THEN 'token_repetition'
+         |       WHEN dup_3gram_frac > 0.5 THEN 'ngram_repetition' END AS reject_reason,
+         |  (CASE WHEN n_tokens < 5 THEN 'too_short'
+         |        WHEN top_token_frac > 0.5 THEN 'token_repetition'
+         |        WHEN dup_3gram_frac > 0.5 THEN 'ngram_repetition' END) IS NULL AS keep
+         |FROM rep""".stripMargin,
+
+    "q_oov" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '$BpeishRe')) AS term FROM documents),
+         |freq AS (SELECT term, count(*) AS freq FROM t GROUP BY 1),
+         |vocab AS (SELECT term, 1 AS inv FROM (
+         |  SELECT term, row_number() OVER (ORDER BY freq DESC, term) AS rk FROM freq) WHERE rk <= 50)
+         |SELECT doc_id, count(*) AS n_terms,
+         |  CAST(sum(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_terms,
+         |  round(CAST(sum(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS oov_rate
+         |FROM t LEFT JOIN vocab USING (term)
+         |GROUP BY doc_id""".stripMargin,
 
     "q_decontam" ->
       s"""WITH $DocsDupesSql,

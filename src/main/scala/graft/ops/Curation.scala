@@ -76,6 +76,28 @@ object Curation {
   /** The DuckDB twin of `splitBucket`. */
   def splitBucketSql(idExpr: String): String = hashBucketSql(idExpr, 100)
 
+  /** The shipped corpus QUALITY FILTER: compose the repetition metrics
+    * into a keep/drop decision with the FIRST failing rule as the reject
+    * reason (the reason column is what corpus dashboards aggregate).
+    * Rules are the C4/Gopher-style battery: too short, one token
+    * dominating, excessive repeated 3-grams. One id-keyed join of the
+    * metric aggregates back to the corpus — no extra scan of the text.
+    */
+  def qualityFilter(df: DataFrame,
+      minTokens: Int = 5,
+      maxTopTokenFrac: Double = 0.5,
+      maxDup3Frac: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val m = TextAnalysis.repetitionFeatures(df, idCol, textCol)
+    val reason =
+      when(col("n_tokens") < minTokens, lit("too_short"))
+        .when(col("top_token_frac") > maxTopTokenFrac, lit("token_repetition"))
+        .when(col("dup_3gram_frac") > maxDup3Frac, lit("ngram_repetition"))
+        .otherwise(lit(null).cast("string"))
+    m.withColumn("reject_reason", reason)
+      .withColumn("keep", col("reject_reason").isNull)
+  }
+
   /** C0 control characters except TAB/LF/CR, plus DEL — the bytes that
     * survive bad decodes and crash tokenizers downstream.
     */

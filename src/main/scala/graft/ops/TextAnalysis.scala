@@ -226,6 +226,26 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus's own top-N
+    * vocabulary — the quick tokenizer-coverage health check run before
+    * committing to a vocab size. The vocabulary is BOUNDED (N rows), so
+    * broadcasting it is legitimate at any corpus size — the opposite
+    * call from tf-idf's unbounded document-frequency table, which must
+    * never be broadcast.
+    */
+  def oovRate(df: DataFrame, vocabSize: Int = 100,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val vocab = topTerms(df, vocabSize, idCol, textCol)
+      .select(col("term"), lit(1).as("_inv"))
+    terms(df, idCol, textCol)
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_terms"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("oov_terms"))
+      .withColumn("oov_rate",
+        round(col("oov_terms").cast("double") / col("n_terms"), 6))
+  }
+
   /** Corpus heavy hitters: global top-k terms by frequency (map-side
     * combine ⇒ the shuffle is |vocab|-sized; final top-k is a tiny
     * driver-side sort).

@@ -44,6 +44,22 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3) == (("tab here", true)))
   }
 
+  test("qualityFilter: first failing rule wins; healthy docs keep") {
+    val docs = Seq(
+      (1L, "a normal sentence with plenty of distinct tokens here ok fine"),
+      (2L, "spam spam spam spam spam spam"),
+      (3L, "too short"),
+      (4L, ("x y " * 10).trim)).toDF("doc_id", "text")
+    val out = Curation.qualityFilter(docs).orderBy("doc_id")
+      .select("reject_reason", "keep").collect()
+      .map(r => (Option(r.getString(0)), r.getBoolean(1)))
+    assert(out(0) == ((None, true)))
+    assert(out(1) == ((Some("token_repetition"), false)))
+    assert(out(2) == ((Some("too_short"), false)))
+    assert(out(3) == ((Some("ngram_repetition"), false)),
+      "top_token_frac is exactly 0.5 (not >): the 3-gram rule must catch it")
+  }
+
   test("hashSplit is deterministic and splits ~98/1/1") {
     val docs = spark.range(20000).select(col("id").as("doc_id"))
     val a = Curation.hashSplit(docs).groupBy("split").count()

@@ -119,6 +119,20 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"copies must collapse to the min-id member: $kept")
   }
 
+  test("oovRate: rates against the bounded top-N vocabulary") {
+    import graft.ops.TextAnalysis
+    // letters only: the BPE-ish tokenizer splits digit runs into their
+    // own terms ("rareone1" would be two terms)
+    val docs = Seq(
+      (1L, "common common rareone"),
+      (2L, "common common common"),
+      (3L, "raretwo rarethree")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, vocabSize = 1).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, 0.333333), (2L, 3L, 0L, 0.0), (3L, 2L, 2L, 1.0)))
+  }
+
   test("winnow: shared substrings of length >= w+k-1 guarantee a shared fingerprint; gaps <= w") {
     val r = new scala.util.Random(7)
     def letters(n: Int) = (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
