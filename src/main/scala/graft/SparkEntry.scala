@@ -450,6 +450,15 @@ object SparkEntry {
         n = 8, minShared = 3, maxDocFreq = 100)
     },
 
+    // z-order clustering key over (user, time) — the two-dimensional
+    // layout key; emitted per event for verification
+    "q_zorder" -> ((s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        graft.ops.Curation.zorderKey(
+          col("user_id"),
+          unix_timestamp(col("ts").cast("timestamp"))).as("zkey"))),
+
     // deterministic hash-based train/val/test split (98/1/1)
     "q_hash_split" -> ((s, dir) =>
       graft.ops.Curation.hashSplit(documents(s, dir))
@@ -1009,6 +1018,17 @@ object SparkEntry {
          |WHERE train_id <> bench_id
          |GROUP BY 1, 2
          |HAVING count(*) >= 3""".stripMargin,
+
+    "q_zorder" -> {
+      val interleave = (0 until 16).map(i =>
+        s"(((x >> $i) & 1) * ${1L << (2 * i)}) + (((y >> $i) & 1) * ${1L << (2 * i + 1)})")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT event_id,
+         |  CAST(user_id AS BIGINT) & 65535 AS x,
+         |  CAST(floor(epoch(ts)) AS BIGINT) & 65535 AS y
+         |  FROM events)
+         |SELECT event_id, $interleave AS zkey FROM e""".stripMargin
+    },
 
     "q_hash_split" -> {
       val bucket = graft.ops.Curation.splitBucketSql("doc_id")

@@ -66,6 +66,26 @@ object Curation {
         .otherwise(lit("test")))
   }
 
+  /** Z-order (Morton) interleave of two `bits`-bit column values — the
+    * multi-dimensional clustering key for table layout: sort/partition a
+    * table by this key and range predicates on EITHER dimension prune
+    * files (the OPTIMIZE ZORDER technique of modern lakehouse tables; at
+    * 100 TB this is how a (user, time) table serves both per-user and
+    * per-window scans from one layout). `x` takes the even bits, `y` the
+    * odd. Pure integer bit arithmetic — codegen'd, no shuffle, and any
+    * SQL engine reproduces the identical key.
+    */
+  def zorderKey(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val mask = (1L << bits) - 1
+    val x = a.cast("long").bitwiseAND(lit(mask))
+    val y = b.cast("long").bitwiseAND(lit(mask))
+    (0 until bits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
   /** The DuckDB twin of `hashBucket` over an id expression. */
   def hashBucketSql(idExpr: String, mod: Int): String = {
     val digits = (1 to 4).map(i =>

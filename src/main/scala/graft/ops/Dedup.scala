@@ -237,6 +237,7 @@ object Dedup {
     */
   def decontaminate(train: DataFrame, bench: DataFrame, n: Int = 8,
       minShared: Long = 1, maxDocFreq: Long = 1000,
+      bloomPrefilter: Boolean = true,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // hash each gram to a 48-bit long BEFORE the distinct — every shuffle
     // downstream (distinct, DF count, both joins) then moves 8-byte keys
@@ -249,10 +250,28 @@ object Dedup {
         .select(col(out), gramHash(col("_gram")).as("gram"))
         .distinct()
     val tg = grams(train, "train_id")
+    val bg = grams(bench, "bench_id")
     val freq = tg.groupBy("gram").agg(count(lit(1)).as("gram_df"))
     val capped = tg.join(freq.where(col("gram_df") <= maxDocFreq), Seq("gram"))
       .select("gram", "train_id")
-    capped.join(grams(bench, "bench_id"), Seq("gram"))
+    // Bloom semi-join reduction: at 100 TB the training gram table is
+    // ~10⁹× the benchmark's, so shuffling all of it into the final join
+    // is the dominant cost. A Bloom filter built over the (small) bench
+    // gram set and broadcast lets ~99.9% of training grams drop at the
+    // map side. The RESULT is bit-identical with or without it: false
+    // positives just reach the exact join and fail to match; false
+    // negatives cannot exist — so the DuckDB oracle needs no notion of
+    // the filter (CurationSpec asserts on/off equality).
+    val preFiltered = if (bloomPrefilter) {
+      // df.stat.bloomFilter is a driver-side action over the SMALL bench
+      // side only (like the IVF centroid collect — bounded by design);
+      // the sketch broadcasts once and the filter runs map-side
+      val bf = bg.stat.bloomFilter("gram", 1000000L, 0.001)
+      val bfBc = train.sparkSession.sparkContext.broadcast(bf)
+      val mightContain = udf((g: Long) => bfBc.value.mightContainLong(g))
+      capped.where(mightContain(col("gram")))
+    } else capped
+    preFiltered.join(bg, Seq("gram"))
       .where(col("train_id") =!= col("bench_id"))
       .groupBy("train_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))

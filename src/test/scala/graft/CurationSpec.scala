@@ -110,6 +110,11 @@ class CurationSpec extends AnyFunSuite {
     assert(hits.exists { case (t, b, n) => t == 501L && b == 3L && n == 3 },
       s"10-token overlap shares exactly 3 8-grams: $hits")
     assert(hits.size == 2, s"no chance hits among random soup: $hits")
+    // the Bloom semi-join reduction must not change the result set
+    val noBloom = Dedup.decontaminate(train, bench, n = 8, minShared = 1,
+        bloomPrefilter = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(noBloom == hits, "bloom prefilter changed the exact-join result")
   }
 
   test("json codec escapes like Jackson; format codec renders the fmtstr") {

@@ -119,6 +119,14 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"copies must collapse to the min-id member: $kept")
   }
 
+  test("zorderKey: Morton interleave — known values, masking past 16 bits") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L),
+      (65535L, 0L), (0L, 65535L), (65536L, 0L)).toDF("a", "b")
+    val out = df.select(Curation.zorderKey(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(0L, 1L, 2L, 15L, 0x55555555L, 0xAAAAAAAAL, 0L))
+  }
+
   test("oovRate: rates against the bounded top-N vocabulary") {
     import graft.ops.TextAnalysis
     // letters only: the BPE-ish tokenizer splits digit runs into their
