@@ -423,6 +423,33 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionFeatures(documents(s, dir))),
 
+    // multi-source corpus merge: exact dedup keeping the copy from the
+    // most-trusted source (planted cross-source dupes at src99)
+    "q_dedup_priority" -> { (s, dir) =>
+      val d = documents(s, dir).select("doc_id", "text", "source")
+      val corpus = d.unionAll(d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"), col("text"),
+          lit("src99").as("source")))
+      Dedup.exactKeepPriority(corpus, substring(col("source"), 4, 10).cast("int"))
+    },
+
+    // per-language corpus report: volume, quality-filter keep fraction,
+    // distinct-text counts (the dashboard a corpus pipeline publishes)
+    "q_corpus_report" -> { (s, dir) =>
+      val d = documents(s, dir)
+      val qf = graft.ops.Curation
+        .qualityFilter(d, minTokens = 5, maxTopTokenFrac = 0.08, maxDup3Frac = 0.5)
+        .select(col("doc_id"), col("keep"), col("n_tokens"))
+      d.select("doc_id", "lang", "text").join(qf, Seq("doc_id"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          countDistinct(md5(col("text"))).as("distinct_texts"),
+          round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 6).as("kept_frac"))
+    },
+
     // the composed quality FILTER (keep/drop + first failing rule) over
     // documents + injected degenerate docs (pure spam, too-short)
     "q_quality_filter" -> { (s, dir) =>
@@ -967,6 +994,36 @@ object SparkEntry {
     "q_repetition" ->
       s"""WITH ${repetitionSql("documents")}
          |SELECT doc_id, n_tokens, top_token_frac, top_2gram_frac, dup_3gram_frac FROM rep""".stripMargin,
+
+    "q_dedup_priority" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 50000 AS doc_id, text, 'src99' AS source
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |p AS (SELECT doc_id, text, CAST(substr(source, 4) AS INTEGER) AS pr FROM corpus),
+        |r AS (SELECT md5(text) AS text_md5, doc_id, pr,
+        |  row_number() OVER (PARTITION BY md5(text) ORDER BY pr, doc_id) AS rn FROM p)
+        |SELECT text_md5,
+        |  min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+        |  min(pr) AS keep_priority,
+        |  count(*) AS n_dupes
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q_corpus_report" ->
+      s"""WITH ${repetitionSql("documents")},
+         |qf AS (SELECT doc_id, n_tokens,
+         |  (CASE WHEN n_tokens < 5 THEN 'r'
+         |        WHEN top_token_frac > 0.08 THEN 'r'
+         |        WHEN dup_3gram_frac > 0.5 THEN 'r' END) IS NULL AS keep
+         |  FROM rep)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  count(DISTINCT md5(text)) AS distinct_texts,
+         |  round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS kept_frac
+         |FROM documents JOIN qf USING (doc_id)
+         |GROUP BY lang""".stripMargin,
 
     "q_quality_filter" ->
       s"""WITH docs3 AS (

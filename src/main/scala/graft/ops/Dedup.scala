@@ -26,6 +26,20 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dupes"))
 
+  /** Exact dedup with SOURCE PRIORITY: when the same text appears in
+    * several sources, keep the copy from the most-trusted one (the
+    * standard multi-source corpus merge — e.g. curated > crawled), ties
+    * broken by min id. One `min_by` over a struct — same single shuffle
+    * as `exact`, still keyed on md5(text).
+    */
+  def exactKeepPriority(df: DataFrame, priority: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(
+        min_by(col(idCol), struct(priority, col(idCol))).as("keep_id"),
+        min(priority).as("keep_priority"),
+        count(lit(1)).as("n_dupes"))
+
   /** Character k-gram shingles, exploded: (id, pos, shingle). */
   def shingled(df: DataFrame, k: Int = 4, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     df.select(

@@ -119,6 +119,15 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"copies must collapse to the min-id member: $kept")
   }
 
+  test("exactKeepPriority keeps the most-trusted source's copy, ties by min id") {
+    val rows = Seq(
+      (1L, "dup text", 5), (2L, "dup text", 1), (3L, "dup text", 1),
+      (4L, "solo", 9)).toDF("doc_id", "text", "pr")
+    val out = graft.ops.Dedup.exactKeepPriority(rows, col("pr")).collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(out == Set((2L, 1, 3L), (4L, 9, 1L)))
+  }
+
   test("zorderKey: Morton interleave — known values, masking past 16 bits") {
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L),
       (65535L, 0L), (0L, 65535L), (65536L, 0L)).toDF("a", "b")
