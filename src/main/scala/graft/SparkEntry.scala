@@ -506,6 +506,25 @@ object SparkEntry {
         .select("doc_id", "clean_text", "was_dirty")
     },
 
+    // event-time AS-OF join against a versioned dimension (each event
+    // picks the latest ip assignment for its host at event time; events
+    // before the first version stay null) — verified against DuckDB's
+    // native ASOF LEFT JOIN
+    "q_asof" -> { (s, dir) =>
+      val e = events(s, dir).select(col("event_id"),
+        concat(lit("host-"), (col("user_id") % 50).cast("string")).as("host"),
+        col("ts"))
+      val dim = s.range(50)
+        .crossJoin(s.range(4).withColumnRenamed("id", "v"))
+        .select(
+          concat(lit("host-"), col("id").cast("string")).as("host"),
+          timestamp_seconds(lit(1704500000L) + col("v") * 600000).as("vts"),
+          concat(lit("ip-"), col("id").cast("string"), lit("-"),
+            col("v").cast("string")).as("ip"))
+      graft.enrich.AsOfJoin.join(e, dim, key = "host", eventTs = "ts", dimTs = "vts")
+        .select("event_id", "host", "ip")
+    },
+
     // Metricbeat-style rate-from-cumulative-counter: per-key tumbling
     // windows of the max cumulative value, delta vs the previous window
     "q_rate_counters" -> ((s, dir) =>
@@ -1108,6 +1127,15 @@ object SparkEntry {
         |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS clean_text
         |  FROM d)
         |SELECT doc_id, clean_text, clean_text <> text AS was_dirty FROM c""".stripMargin,
+
+    "q_asof" ->
+      """WITH e AS (SELECT event_id, 'host-' || CAST(user_id % 50 AS VARCHAR) AS host, ts FROM events),
+        |d AS (SELECT 'host-' || CAST(h AS VARCHAR) AS host,
+        |  make_timestamp((1704500000 + v * 600000) * 1000000) AS vts,
+        |  'ip-' || CAST(h AS VARCHAR) || '-' || CAST(v AS VARCHAR) AS ip
+        |  FROM (SELECT UNNEST(generate_series(0, 49)) AS h), (SELECT UNNEST(generate_series(0, 3)) AS v))
+        |SELECT e.event_id AS event_id, e.host AS host, d.ip AS ip
+        |FROM e ASOF LEFT JOIN d ON e.host = d.host AND e.ts >= d.vts""".stripMargin,
 
     "q_rate_counters" ->
       """WITH w AS (

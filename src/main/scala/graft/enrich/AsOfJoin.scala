@@ -1,0 +1,47 @@
+package graft.enrich
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Event-time AS-OF join — every event picks the LATEST dimension version
+  * with `dim.ts ≤ event.ts` for its key (the versioned-enrichment
+  * semantics behind the reference's dns/add_*_metadata caches when the
+  * cache is a HISTORY, not a snapshot; `TtlLookup` covers the broadcast
+  * snapshot case, this covers the arbitrarily-large versioned dimension).
+  *
+  * Spark has no as-of join operator; the scalable rendering is the union
+  * trick: tag both sides, hash-partition on the key, sort within the key
+  * by (ts, side) with dim rows FIRST at equal timestamps (≤ semantics),
+  * and carry the dim payload forward with `last(_, ignoreNulls)` over the
+  * running window. ONE hash exchange + one per-key sort — no broadcast,
+  * no inequality join (which Spark would plan as a cartesian/BNL). Ties
+  * between two dim versions of the same key at the same ts are resolved
+  * arbitrarily — give versions distinct timestamps.
+  *
+  * Verified against DuckDB's native `ASOF LEFT JOIN` (q_asof).
+  */
+object AsOfJoin {
+
+  def join(events: DataFrame, dim: DataFrame, key: String,
+      eventTs: String = "ts", dimTs: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val valueCols = dim.columns.filterNot(c => c == key || c == dimTs).toSeq
+    val evType = StructType(events.schema.fields)
+    val dimType = StructType(valueCols.map(c => dim.schema(c)).toArray)
+    val e = events.select(
+      col(key).as("_k"), col(eventTs).cast("timestamp").as("_ts"), lit(1).as("_side"),
+      struct(events.columns.map(col).toSeq: _*).as("_ev"),
+      lit(null).cast(dimType).as("_dim"))
+    val d = dim.select(
+      col(key).as("_k"), col(dimTs).cast("timestamp").as("_ts"), lit(0).as("_side"),
+      lit(null).cast(evType).as("_ev"),
+      struct(valueCols.map(col): _*).as("_dim"))
+    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(d)
+      .withColumn("_dimf", last(col("_dim"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(col("_ev.*") +: valueCols.map(c => col(s"_dimf.$c").as(c)): _*)
+  }
+}

@@ -119,6 +119,26 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"copies must collapse to the min-id member: $kept")
   }
 
+  test("AsOfJoin: latest version at-or-before event time; single hash exchange") {
+    val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def t(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val events = Seq(
+      ("a", 1L, t(5)), ("a", 2L, t(10)), ("a", 3L, t(15)), ("a", 4L, t(25)),
+      ("b", 5L, t(10))).toDF("host", "event_id", "ts")
+    val dim = Seq(("a", t(10), "v1"), ("a", t(20), "v2")).toDF("host", "vts", "ip")
+    val out = graft.enrich.AsOfJoin.join(events, dim, "host", "ts", "vts")
+    val got = out.collect()
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("ip"))).toMap
+    assert(got == Map(
+      1L -> None,          // before the first version
+      2L -> Some("v1"),    // equal timestamp: the dim row is visible (<=)
+      3L -> Some("v1"), 4L -> Some("v2"),
+      5L -> None))         // key with no versions at all
+    val s = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(s).length == 1,
+      s"as-of join must cost exactly one key exchange:\n$s")
+  }
+
   test("exactKeepPriority keeps the most-trusted source's copy, ties by min id") {
     val rows = Seq(
       (1L, "dup text", 5), (2L, "dup text", 1), (3L, "dup text", 1),
