@@ -525,6 +525,20 @@ object SparkEntry {
         .select("event_id", "host", "ip")
     },
 
+    // bucketized interval join: events × overlapping 6h maintenance
+    // windows (two shifted daily sets, so some events match two windows,
+    // some none) — vs DuckDB's inequality join
+    "q_range_join" -> { (s, dir) =>
+      val base = 1704067200L
+      def ivSet(offset: Long, idOffset: Long) = s.range(30).select(
+        (col("id") + idOffset).as("window_id"),
+        timestamp_seconds(lit(base) + col("id") * 86400 + offset).as("start_ts"),
+        timestamp_seconds(lit(base) + col("id") * 86400 + offset + 21600).as("end_ts"))
+      val iv = ivSet(0, 0).unionAll(ivSet(10800, 100))
+      graft.enrich.RangeJoin.join(events(s, dir).select("event_id", "ts"), iv)
+        .select("event_id", "window_id")
+    },
+
     // Metricbeat-style rate-from-cumulative-counter: per-key tumbling
     // windows of the max cumulative value, delta vs the previous window
     "q_rate_counters" -> ((s, dir) =>
@@ -1136,6 +1150,20 @@ object SparkEntry {
         |  FROM (SELECT UNNEST(generate_series(0, 49)) AS h), (SELECT UNNEST(generate_series(0, 3)) AS v))
         |SELECT e.event_id AS event_id, e.host AS host, d.ip AS ip
         |FROM e ASOF LEFT JOIN d ON e.host = d.host AND e.ts >= d.vts""".stripMargin,
+
+    "q_range_join" ->
+      """WITH iv AS (
+        |  SELECT w AS window_id,
+        |    make_timestamp((1704067200 + w * 86400) * 1000000) AS start_ts,
+        |    make_timestamp((1704067200 + w * 86400 + 21600) * 1000000) AS end_ts
+        |  FROM (SELECT UNNEST(generate_series(0, 29)) AS w)
+        |  UNION ALL
+        |  SELECT w + 100 AS window_id,
+        |    make_timestamp((1704067200 + w * 86400 + 10800) * 1000000) AS start_ts,
+        |    make_timestamp((1704067200 + w * 86400 + 10800 + 21600) * 1000000) AS end_ts
+        |  FROM (SELECT UNNEST(generate_series(0, 29)) AS w))
+        |SELECT e.event_id AS event_id, iv.window_id AS window_id
+        |FROM events e JOIN iv ON e.ts >= iv.start_ts AND e.ts < iv.end_ts""".stripMargin,
 
     "q_rate_counters" ->
       """WITH w AS (

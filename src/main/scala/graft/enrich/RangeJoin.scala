@@ -1,0 +1,40 @@
+package graft.enrich
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join — attach to each event every interval
+  * `[start, end)` covering its timestamp (maintenance windows, sessions,
+  * deploy windows…). Spark plans the naive inequality join as a
+  * broadcast-nested-loop/cartesian; the scalable rendering BUCKETIZES
+  * time: each interval explodes to the fixed-size time buckets it
+  * overlaps, each event maps to its single bucket, and the join becomes
+  * an equi-join on the bucket that Catalyst hash-partitions. The exact
+  * `start ≤ ts < end` predicate then prunes the bucket-boundary false
+  * positives. An interval appears once per bucket and an event lives in
+  * exactly one bucket, so no duplicate pairs arise and no distinct is
+  * needed. Cost ∝ interval-duration / `bucketSeconds` rows per interval —
+  * pick a granularity near the typical interval length.
+  */
+object RangeJoin {
+
+  def join(events: DataFrame, intervals: DataFrame,
+      eventTs: String = "ts",
+      startCol: String = "start_ts", endCol: String = "end_ts",
+      bucketSeconds: Long = 3600): DataFrame = {
+    val sEp = unix_timestamp(col(startCol).cast("timestamp"))
+    // the end bucket uses the truncated end epoch directly (not end−1):
+    // a fractional end spills into the bucket of its own second, and the
+    // exact predicate below removes any overshoot
+    val eEp = unix_timestamp(col(endCol).cast("timestamp"))
+    val iv = intervals.withColumn("_b",
+      explode(sequence(floor(sEp / bucketSeconds).cast("long"),
+        floor(eEp / bucketSeconds).cast("long"))))
+    val ev = events.withColumn("_b",
+      floor(unix_timestamp(col(eventTs).cast("timestamp")) / bucketSeconds).cast("long"))
+    ev.join(iv, Seq("_b"))
+      .where(col(eventTs).cast("timestamp") >= col(startCol).cast("timestamp") &&
+        col(eventTs).cast("timestamp") < col(endCol).cast("timestamp"))
+      .drop("_b")
+  }
+}

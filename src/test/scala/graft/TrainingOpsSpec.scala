@@ -139,6 +139,26 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"as-of join must cost exactly one key exchange:\n$s")
   }
 
+  test("RangeJoin: [start, end) boundaries, overlap multiplicity, no nested-loop plan") {
+    val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def t(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val events = Seq((1L, t(0)), (2L, t(3599)), (3L, t(3600)), (4L, t(5400)), (5L, t(99999)))
+      .toDF("event_id", "ts")
+    val iv = Seq((10L, t(0), t(3600)), (11L, t(1800), t(7200)))
+      .toDF("window_id", "start_ts", "end_ts")
+    val out = graft.enrich.RangeJoin.join(events, iv, bucketSeconds = 600)
+    val pairs = out.select("event_id", "window_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set(
+      (1L, 10L),            // at start: inclusive
+      (2L, 10L), (2L, 11L), // in the overlap of both windows
+      (3L, 11L),            // at window 10's end: EXCLUSIVE
+      (4L, 11L)))           // event 5 matches nothing
+    val s = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"range join must stay an equi-join on the bucket:\n$s")
+  }
+
   test("exactKeepPriority keeps the most-trusted source's copy, ties by min id") {
     val rows = Seq(
       (1L, "dup text", 5), (2L, "dup text", 1), (3L, "dup text", 1),
