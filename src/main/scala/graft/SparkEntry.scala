@@ -539,6 +539,83 @@ object SparkEntry {
         .select("event_id", "window_id")
     },
 
+    // timestamp processor: first-layout-wins parse battery (ISO, CLF,
+    // UNIX epoch) over per-row-varied renderings of events.ts, plus a
+    // planted unparseable branch
+    "q_timestamp_parse" -> { (s, dir) =>
+      val raw = when(col("event_id") % 4 === 0, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .when(col("event_id") % 4 === 1, date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"))
+        .when(col("event_id") % 4 === 2, unix_timestamp(col("ts")).cast("string"))
+        .otherwise(lit("not-a-time"))
+      events(s, dir).select(col("event_id"), raw.as("raw"))
+        .withColumn("parsed", graft.parse.FieldDecoders.parseTimestamp(col("raw"),
+          Seq("yyyy-MM-dd HH:mm:ss", "dd/MMM/yyyy:HH:mm:ss")))
+        .withColumn("failed", col("parsed").isNull)
+    },
+
+    // decode_base64_field: round-trip with planted corrupt rows (doc_id%5=0
+    // gets trailing garbage -> null decode + failed flag, event survives)
+    "q_base64_decode" -> { (s, dir) =>
+      val b64 = base64(substring(col("text"), 1, 16).cast("binary"))
+      val raw = when(col("doc_id") % 5 === 0, concat(b64, lit("~~"))).otherwise(b64)
+      documents(s, dir).select(col("doc_id"), raw.as("b64"))
+        .withColumn("decoded", graft.parse.FieldDecoders.decodeBase64(col("b64")))
+        .withColumn("failed", col("decoded").isNull)
+    },
+
+    // detect_mime_type: magic-byte sniff over media binaries planted with
+    // real signatures (png/jpeg/gif/zip/gzip) + a textual fallback branch
+    "q_mime_detect" -> { (s, dir) =>
+      def m(hx: String) = to_binary(lit(hx), lit("hex"))
+      val kind = col("doc_id") % 6
+      val body = col("text").cast("binary")
+      val bin = when(kind === 0, concat(m("89504E470D0A1A0A"), body))
+        .when(kind === 1, concat(m("FFD8FFE0"), body))
+        .when(kind === 2, concat(m("474946383961"), body))
+        .when(kind === 3, concat(m("504B0304"), body))
+        .when(kind === 4, concat(m("1F8B08"), body))
+        .otherwise(body)
+      documents(s, dir).select(col("doc_id").as("media_id"),
+        graft.parse.FieldDecoders.detectMime(bin, textual = kind === 5).as("mime"))
+    },
+
+    // rate_limit processor (deterministic event-time rendering): keep the
+    // first 2 turns per conversation per minute, drop the flood
+    "q_rate_limit" -> ((s, dir) =>
+      graft.enrich.Processors.rateLimit(transcripts(s, dir), Seq("conv_id"),
+          limit = 2, periodSeconds = 60, tieBreak = Seq("turn_idx"))
+        .select("conv_id", "turn_idx")),
+
+    // registered_domain: longest-public-suffix match incl. a multi-label
+    // suffix (blogspot.co.uk beats co.uk) and a no-match branch (null)
+    "q_registered_domain" -> { (s, dir) =>
+      import s.implicits._
+      val suffixes = Seq("com", "co.uk", "uk", "org", "blogspot.co.uk").toDF("suffix")
+      val e = events(s, dir).select(col("event_id"),
+        concat(lit("h"), (col("user_id") % 20).cast("string"),
+          when(col("event_id") % 4 === 0, lit(".example.com"))
+            .when(col("event_id") % 4 === 1, lit(".example.co.uk"))
+            .when(col("event_id") % 4 === 2, lit(".blogspot.co.uk"))
+            .otherwise(lit(".internal"))).as("host"))
+      graft.parse.FieldDecoders.registeredDomain(e, suffixes)
+        .select("event_id", "host", "registered_domain")
+    },
+
+    // training-mix composition: per-language targets as shares of a total,
+    // all-integer keep rule; 'de' is over-asked (target > available ->
+    // keeps everything), es/zh are unlisted (dropped)
+    "q_mixture" -> ((s, dir) =>
+      graft.ops.Curation.composeMixture(documents(s, dir),
+          Map("en" -> 4000, "de" -> 4000, "fr" -> 2000), targetTotal = 200)
+        .select("doc_id", "lang")),
+
+    // tokenizer vocabulary build (top-100 terms by freq, deterministic
+    // tie-break) + document encoding to token-id sequences, OOV = -1
+    "q_vocab_encode" -> { (s, dir) =>
+      val d = documents(s, dir)
+      TextAnalysis.encodeDocs(d, TextAnalysis.buildVocab(d, 100))
+    },
+
     // Metricbeat-style rate-from-cumulative-counter: per-key tumbling
     // windows of the max cumulative value, delta vs the previous window
     "q_rate_counters" -> ((s, dir) =>
@@ -1164,6 +1241,110 @@ object SparkEntry {
         |  FROM (SELECT UNNEST(generate_series(0, 29)) AS w))
         |SELECT e.event_id AS event_id, iv.window_id AS window_id
         |FROM events e JOIN iv ON e.ts >= iv.start_ts AND e.ts < iv.end_ts""".stripMargin,
+
+    "q_timestamp_parse" ->
+      """WITH r AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 4 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |         WHEN event_id % 4 = 1 THEN strftime(ts, '%d/%b/%Y:%H:%M:%S')
+        |         WHEN event_id % 4 = 2 THEN CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR)
+        |         ELSE 'not-a-time' END AS raw
+        |  FROM events),
+        |p AS (
+        |  SELECT event_id, raw,
+        |    coalesce(
+        |      CASE WHEN regexp_matches(raw, '^[0-9]{10}$')
+        |           THEN make_timestamp(CAST(raw AS BIGINT) * 1000000) END,
+        |      try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+        |      try_strptime(raw, '%d/%b/%Y:%H:%M:%S')) AS parsed
+        |  FROM r)
+        |SELECT event_id, raw, parsed, parsed IS NULL AS failed FROM p""".stripMargin,
+
+    "q_base64_decode" ->
+      """WITH b AS (
+        |  SELECT doc_id, to_base64(encode(substr(text, 1, 16))) AS b0
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN b0 || '~~' ELSE b0 END AS b64,
+        |    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE decode(from_base64(b0)) END AS decoded
+        |  FROM b)
+        |SELECT doc_id, b64, decoded, decoded IS NULL AS failed FROM r""".stripMargin,
+
+    "q_mime_detect" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN from_hex('89504E470D0A1A0A') || encode(text)
+        |         WHEN doc_id % 6 = 1 THEN from_hex('FFD8FFE0') || encode(text)
+        |         WHEN doc_id % 6 = 2 THEN from_hex('474946383961') || encode(text)
+        |         WHEN doc_id % 6 = 3 THEN from_hex('504B0304') || encode(text)
+        |         WHEN doc_id % 6 = 4 THEN from_hex('1F8B08') || encode(text)
+        |         ELSE encode(text) END AS bin,
+        |    doc_id % 6 = 5 AS textual
+        |  FROM documents),
+        |h AS (SELECT doc_id, substr(hex(bin), 1, 16) AS p, textual FROM b)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN starts_with(p, '89504E470D0A1A0A') THEN 'image/png'
+        |       WHEN starts_with(p, '474946383961') THEN 'image/gif'
+        |       WHEN starts_with(p, '474946383761') THEN 'image/gif'
+        |       WHEN starts_with(p, '504B0304') THEN 'application/zip'
+        |       WHEN starts_with(p, '25504446') THEN 'application/pdf'
+        |       WHEN starts_with(p, 'FFD8FF') THEN 'image/jpeg'
+        |       WHEN starts_with(p, '1F8B') THEN 'application/gzip'
+        |       WHEN starts_with(p, '52494646') THEN 'audio/wav'
+        |       WHEN textual THEN 'text/plain'
+        |       ELSE 'application/octet-stream' END AS mime
+        |FROM h""".stripMargin,
+
+    "q_rate_limit" ->
+      s"""$T, w AS (
+         |  SELECT conv_id, turn_idx,
+         |    row_number() OVER (
+         |      PARTITION BY conv_id, CAST(floor(epoch(ts) / 60) AS BIGINT)
+         |      ORDER BY ts, turn_idx) AS rn
+         |  FROM transcripts)
+         |SELECT conv_id, turn_idx FROM w WHERE rn <= 2""".stripMargin,
+
+    "q_registered_domain" ->
+      """WITH e AS (
+        |  SELECT event_id, 'h' || CAST(user_id % 20 AS VARCHAR) ||
+        |    CASE WHEN event_id % 4 = 0 THEN '.example.com'
+        |         WHEN event_id % 4 = 1 THEN '.example.co.uk'
+        |         WHEN event_id % 4 = 2 THEN '.blogspot.co.uk'
+        |         ELSE '.internal' END AS host
+        |  FROM events)
+        |SELECT event_id, host,
+        |  CASE WHEN event_id % 4 = 2 THEN regexp_extract(host, '([^.]+\.blogspot\.co\.uk)$', 1)
+        |       WHEN event_id % 4 = 1 THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+        |       WHEN event_id % 4 = 0 THEN regexp_extract(host, '([^.]+\.com)$', 1)
+        |       ELSE NULL END AS registered_domain
+        |FROM e""".stripMargin,
+
+    "q_mixture" -> {
+      val bucket = graft.ops.Curation.hashBucketSql("doc_id", 10000)
+      s"""WITH n AS (SELECT lang, count(*) AS nn FROM documents GROUP BY 1),
+         |t AS (
+         |  SELECT d.doc_id, d.lang, nn,
+         |    CASE WHEN d.lang = 'en' THEN 80 WHEN d.lang = 'de' THEN 80
+         |         WHEN d.lang = 'fr' THEN 40 ELSE 0 END AS target
+         |  FROM documents d JOIN n USING (lang))
+         |SELECT doc_id, lang FROM t WHERE $bucket * nn < target * 10000""".stripMargin
+    },
+
+    "q_vocab_encode" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '$BpeishRe') AS toks FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(toks) AS term,
+         |    generate_subscripts(toks, 1) - 1 AS pos FROM t),
+         |freq AS (SELECT term, count(*) AS freq FROM tok GROUP BY 1),
+         |vocab AS (
+         |  SELECT term, CAST(rk - 1 AS INTEGER) AS token_id FROM (
+         |    SELECT term, row_number() OVER (ORDER BY freq DESC, term) AS rk FROM freq)
+         |  WHERE rk <= 100)
+         |SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+         |  coalesce(token_id, -1) AS token_id
+         |FROM tok LEFT JOIN vocab USING (term)""".stripMargin,
 
     "q_rate_counters" ->
       """WITH w AS (

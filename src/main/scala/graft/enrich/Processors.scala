@@ -38,4 +38,27 @@ object Processors {
     */
   def chain(df: DataFrame, stages: Seq[DataFrame => DataFrame]): DataFrame =
     stages.foldLeft(df)((d, f) => f(d))
+
+  /** `rate_limit` processor (processors/ratelimit/rate_limit.go): drop
+    * events for a key beyond `limit` per period. The reference meters a
+    * token bucket against ARRIVAL time; the deterministic batch
+    * rendering meters EVENT time — keep the first `limit` events per
+    * (key, tumbling window) in (ts, tiebreaker) order, drop the rest.
+    * One hash exchange on (key, window); the window function is a
+    * per-partition streaming pass, so at 100 TB this costs exactly the
+    * shuffle any per-key operator pays — and hot keys spread over
+    * windows, so a single flooding key (the processor's whole purpose)
+    * does not skew a single task.
+    */
+  def rateLimit(df: DataFrame, keyCols: Seq[String], limit: Int,
+      periodSeconds: Long = 60, tsCol: String = "ts",
+      tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy((keyCols.map(col) :+ window(col(tsCol), s"$periodSeconds seconds")): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)): _*)
+    df.withColumn("_rl", row_number().over(w))
+      .where(col("_rl") <= limit)
+      .drop("_rl")
+  }
 }

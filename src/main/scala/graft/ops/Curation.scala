@@ -66,6 +66,47 @@ object Curation {
         .otherwise(lit("test")))
   }
 
+  /** Deterministic per-stratum downsampling at explicit rates. `ratesBp`
+    * maps stratum value → keep rate in BASIS POINTS (0..10000); strata
+    * absent from the map are dropped. Keep decision: the row's 10000-ary
+    * hash bucket falls under the stratum's rate — stable across runs and
+    * engines (no `rand()`: retried tasks must keep the same rows), and
+    * the comparison is all-integer so any SQL oracle reproduces it
+    * exactly. Narrow filter, no shuffle.
+    */
+  def sampleStratified(df: DataFrame, ratesBp: Map[String, Int],
+      strataCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    val b = hashBucket(col(idCol), 10000)
+    val rate = ratesBp.foldLeft(lit(-1)) { case (acc, (k, bp)) =>
+      when(col(strataCol) === k, lit(bp)).otherwise(acc)
+    }
+    df.where(b < rate)
+  }
+
+  /** Training-mix composition: sample each source/stratum down so the
+    * OUTPUT follows `targetSharesBp` (basis points of `targetTotal`
+    * rows). The per-stratum keep test cross-multiplies integers —
+    * `bucket * n_s < target_s * 10000` keeps ≈ target_s of n_s rows with
+    * zero float arithmetic, so the oracle matches bit-for-bit.
+    * Over-asked strata (target ≥ available) keep everything: this
+    * composer downsamples only (upsampling is a separate epoch-repeat
+    * concern). Two tiny jobs: a per-stratum count agg, then the
+    * broadcast of a |strata|-row rate table back onto the corpus — the
+    * corpus itself never shuffles.
+    */
+  def composeMixture(df: DataFrame, targetSharesBp: Map[String, Int],
+      targetTotal: Long, strataCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("_n"))
+    val target = targetSharesBp.foldLeft(lit(0L)) { case (acc, (k, bp)) =>
+      when(col(strataCol) === k, lit(targetTotal * bp / 10000)).otherwise(acc)
+    }
+    val rates = counts.withColumn("_target", target)
+    df.join(broadcast(rates), Seq(strataCol))
+      .where(hashBucket(col(idCol), 10000) * col("_n") < col("_target") * 10000L)
+      .drop("_n", "_target")
+  }
+
   /** Z-order (Morton) interleave of two `bits`-bit column values — the
     * multi-dimensional clustering key for table layout: sort/partition a
     * table by this key and range predicates on EITHER dimension prune

@@ -250,6 +250,38 @@ object TextAnalysis {
     * combine ⇒ the shuffle is |vocab|-sized; final top-k is a tiny
     * driver-side sort).
     */
+  /** Frequency-built tokenizer vocabulary: the `vocabSize` most frequent
+    * terms get dense ids 0..vocabSize-1 in (freq desc, term) order — the
+    * deterministic tie-break makes the id assignment reproducible, which
+    * a training pipeline depends on (an id table that shifts between
+    * runs invalidates every checkpoint). Same distributed top-k shape as
+    * `topTerms`; the result is vocabSize rows.
+    */
+  def buildVocab(df: DataFrame, vocabSize: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    terms(df, idCol, textCol)
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(vocabSize)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("freq").desc, col("term"))) - 1)
+  }
+
+  /** Encode documents as token-id sequences against a vocabulary:
+    * (doc_id, pos, token_id) with OOV terms mapped to -1. The vocab is
+    * bounded by construction (vocabSize rows) so the join broadcasts;
+    * the exploded token stream is the only big frame and it never
+    * shuffles — encode output writes straight from the map side.
+    */
+  def encodeDocs(df: DataFrame, vocab: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(lower(col(textCol)), lit(bpeishPattern), lit(0)))
+          .as(Seq("pos", "term")))
+      .join(broadcast(vocab.select("term", "token_id")), Seq("term"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("token_id"), lit(-1)).cast("int").as("token_id"))
+
   def topTerms(df: DataFrame, k: Int = 20,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1,0 +1,96 @@
+package graft
+
+import graft.enrich.Processors
+import graft.parse.FieldDecoders
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Field-level decode processors (timestamp / base64 / mime /
+  * registered_domain) and the rate_limit processor.
+  */
+class FieldDecodersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("parseTimestamp: first layout wins, UNIX/UNIX_MS epochs, null on failure") {
+    val rows = Seq(
+      (1L, "2024-03-01 10:20:30"),
+      (2L, "01/Mar/2024:10:20:30"),
+      (3L, "1709288430"),          // epoch seconds
+      (4L, "1709288430123"),       // epoch millis
+      (5L, "not-a-time")).toDF("id", "raw")
+    val out = rows.withColumn("ts", FieldDecoders.parseTimestamp(col("raw"),
+        Seq("yyyy-MM-dd HH:mm:ss", "dd/MMM/yyyy:HH:mm:ss")))
+      .orderBy("id").select("ts").collect().map(r => Option(r.get(0)).map(_.toString))
+    assert(out(0).contains("2024-03-01 10:20:30.0"))
+    assert(out(1).contains("2024-03-01 10:20:30.0"))
+    assert(out(2).contains("2024-03-01 10:20:30.0"))
+    assert(out(3).contains("2024-03-01 10:20:30.123"))
+    assert(out(4).isEmpty, "unparseable raw yields null, not an exception")
+  }
+
+  test("parseTimestamp: a 10-digit string is epoch even if a layout could eat it") {
+    val one = Seq(("1709288430")).toDF("raw")
+      .select(FieldDecoders.parseTimestamp(col("raw"), Seq("yyyyMMddHH")).as("ts"))
+      .collect().head.get(0).toString
+    assert(one == "2024-03-01 10:20:30.0", "UNIX layout is checked before patterns")
+  }
+
+  test("decodeBase64 round-trips and nulls corrupt input without failing the row") {
+    val rows = Seq(
+      (1L, java.util.Base64.getEncoder.encodeToString("hello world".getBytes("UTF-8"))),
+      (2L, "%%%not-base64%%%")).toDF("id", "b64")
+    val out = rows.select(col("id"), FieldDecoders.decodeBase64(col("b64")).as("d"))
+      .orderBy("id").collect().map(r => Option(r.getString(1)))
+    assert(out(0).contains("hello world"))
+    assert(out(1).isEmpty)
+  }
+
+  test("detectMime: magic bytes beat the textual flag; unknown binary falls back") {
+    def bin(hex: String, tail: String = "payload") =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray ++ tail.getBytes("UTF-8")
+    val rows = Seq(
+      (1L, bin("89504E470D0A1A0A"), false),
+      (2L, bin("FFD8FFE0"), false),
+      (3L, bin("474946383961"), false),
+      (4L, bin("504B0304"), false),
+      (5L, bin("1F8B08"), false),
+      (6L, "just some text".getBytes("UTF-8"), true),
+      (7L, bin("DEADBEEF"), false)).toDF("id", "bin", "textual")
+    val out = rows.select(col("id"), FieldDecoders.detectMime(col("bin"), col("textual")).as("m"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out.toSeq == Seq("image/png", "image/jpeg", "image/gif", "application/zip",
+      "application/gzip", "text/plain", "application/octet-stream"))
+  }
+
+  test("registeredDomain: longest public suffix wins, one label required in front") {
+    val suffixes = Seq("com", "co.uk", "uk", "blogspot.co.uk").toDF("suffix")
+    val hosts = Seq(
+      (1L, "a.b.example.com"),     // deep host: still example.com
+      (2L, "www.example.co.uk"),   // co.uk beats uk
+      (3L, "me.blogspot.co.uk"),   // multi-label suffix beats co.uk
+      (4L, "com"),                 // bare suffix: no label in front -> null
+      (5L, "nothing.internal")).toDF("id", "host")
+    val out = FieldDecoders.registeredDomain(hosts, suffixes)
+      .orderBy("id").select("registered_domain").collect().map(r => Option(r.getString(0)))
+    assert(out(0).contains("example.com"))
+    assert(out(1).contains("example.co.uk"))
+    assert(out(2).contains("me.blogspot.co.uk"))
+    assert(out(3).isEmpty)
+    assert(out(4).isEmpty)
+  }
+
+  test("rateLimit keeps the first `limit` events per key per period, in time order") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
+    val rows = Seq(
+      ("a", 1, t(0)), ("a", 2, t(5)), ("a", 3, t(10)),   // minute 0: keep 1,2
+      ("a", 4, t(60)), ("a", 5, t(61)), ("a", 6, t(62)), // minute 1: keep 4,5
+      ("b", 7, t(3))                                     // other key unaffected
+    ).toDF("conv_id", "turn_idx", "ts")
+    val kept = Processors.rateLimit(rows, Seq("conv_id"), limit = 2,
+        periodSeconds = 60, tieBreak = Seq("turn_idx"))
+      .select("turn_idx").as[Int].collect().sorted
+    assert(kept.toSeq == Seq(1, 2, 4, 5, 7))
+  }
+}

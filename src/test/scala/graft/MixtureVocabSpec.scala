@@ -1,0 +1,68 @@
+package graft
+
+import graft.ops.{Curation, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-mix composition, stratified sampling and the tokenizer
+  * vocabulary build / document encoding.
+  */
+class MixtureVocabSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(n: Int) = spark.range(n)
+    .select(col("id").as("doc_id"),
+      when(col("id") % 4 === 0, "en").when(col("id") % 4 === 1, "de")
+        .when(col("id") % 4 === 2, "fr").otherwise("es").as("lang"))
+
+  test("sampleStratified keeps ~rate per stratum, drops unlisted strata, is deterministic") {
+    val df = corpus(4000)
+    val out = Curation.sampleStratified(df, Map("en" -> 5000, "de" -> 1000))
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("en", "de"), "fr/es unlisted -> dropped")
+    assert(math.abs(counts("en") - 500) < 60, s"en ~50% of 1000, got ${counts("en")}")
+    assert(math.abs(counts("de") - 100) < 40, s"de ~10% of 1000, got ${counts("de")}")
+    val again = Curation.sampleStratified(df, Map("en" -> 5000, "de" -> 1000))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == out.select("doc_id").as[Long].collect().sorted.toSeq,
+      "no rand(): same input -> same kept set")
+  }
+
+  test("composeMixture hits targets, keeps everything when over-asked, drops unlisted") {
+    // 1000 docs per lang; total target 600 split 50/30/20 -> en 300, de 180, fr 120.
+    val out = Curation.composeMixture(corpus(4000),
+      Map("en" -> 5000, "de" -> 3000, "fr" -> 2000), targetTotal = 600)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("en", "de", "fr"))
+    assert(math.abs(counts("en") - 300) < 50, s"got ${counts("en")}")
+    assert(math.abs(counts("de") - 180) < 45, s"got ${counts("de")}")
+    assert(math.abs(counts("fr") - 120) < 40, s"got ${counts("fr")}")
+    // over-asked: target for en (2000) exceeds available (1000) -> keep all
+    val over = Curation.composeMixture(corpus(4000), Map("en" -> 10000), targetTotal = 2000)
+    assert(over.count() == 1000, "over-asked stratum keeps every row")
+  }
+
+  test("buildVocab assigns dense ids by (freq desc, term) and encodeDocs maps OOV to -1") {
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a b zz")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(docs, 2)
+    val v = vocab.select("term", "token_id").as[(String, Int)].collect().toMap
+    // freqs: b=4, a=3, c=1, zz=1; top-2 -> b:0, a:1
+    assert(v == Map("b" -> 0, "a" -> 1))
+    val enc = TextAnalysis.encodeDocs(docs, vocab)
+      .orderBy("doc_id", "pos").select("doc_id", "pos", "token_id")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(enc == Seq(
+      (1L, 0, 0), (1L, 1, 0), (1L, 2, 0), (1L, 3, 1), (1L, 4, 1), (1L, 5, -1),
+      (2L, 0, 1), (2L, 1, 0), (2L, 2, -1)))
+  }
+
+  test("buildVocab tie-break is lexicographic: equal freq -> smaller term wins the lower id") {
+    val docs = Seq((1L, "z y x w")).toDF("doc_id", "text")
+    val v = TextAnalysis.buildVocab(docs, 3).select("term", "token_id")
+      .as[(String, Int)].collect().toMap
+    assert(v == Map("w" -> 0, "x" -> 1, "y" -> 2))
+  }
+}
