@@ -65,6 +65,32 @@ object SparkEntry {
       transform(col("embedding"), x => x * 0.5).as("embedding")))
   }
 
+  /** Deterministic URL rendering variants over events: five shapes whose
+    * canonical forms overlap (case 0 and case 2 collapse to the same
+    * key) — the url-dedup fixture.
+    */
+  private def urlFixture: Column = {
+    val p = (col("user_id") % 10).cast("string")
+    when(col("event_id") % 5 === 0,
+        concat(lit("HTTP://Example.COM:80/p"), p, lit("/?b=2&utm_source=x&a=1#frag")))
+      .when(col("event_id") % 5 === 1, concat(lit("https://Example.com:443/p"), p))
+      .when(col("event_id") % 5 === 2, concat(lit("http://example.com/p"), p, lit("?a=1&b=2")))
+      .when(col("event_id") % 5 === 3, lit("https://shop.example.org/?gclid=xyz"))
+      .otherwise(concat(lit("http://example.com/p"), p, lit("/#top")))
+  }
+
+  /** events ∪ a planted 50-event flood for one key in one hour — the
+    * rate-anomaly fixture (without it the uniform synthetic stream has
+    * nothing to flag).
+    */
+  private def eventsWithSpike(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select("event_id", "event_type", "ts")
+    e.unionAll(e.where(col("event_id") < 50).select(
+      (col("event_id") + 1000000).as("event_id"),
+      lit("click").as("event_type"),
+      lit("2024-01-15 12:30:00").cast("timestamp").as("ts")))
+  }
+
   private val Tok = "%{level} [%{component}] %{body}"
 
   /** The FIXTURES.md §3 router (same as Pipeline.defaultRouter). */
@@ -616,6 +642,47 @@ object SparkEntry {
       TextAnalysis.encodeDocs(d, TextAnalysis.buildVocab(d, 100))
     },
 
+    // C4-style corpus boilerplate removal: planted shared header/footer
+    // lines (and a per-source copyright line) struck from every doc, the
+    // unique body + id line kept
+    "q_boilerplate" -> { (s, dir) =>
+      val multi = documents(s, dir).select(col("doc_id"),
+        concat(lit("SUBSCRIBE TO OUR NEWSLETTER\n"), col("text"),
+          lit("\nunique "), col("doc_id").cast("string"),
+          lit("\nCopyright "), col("source")).as("text"))
+      graft.ops.Curation.dropBoilerplateLines(multi, minDocs = 50)
+    },
+
+    // crawl URL canonicalization: case, default ports, fragments,
+    // tracking params, param order, trailing slashes
+    "q_url_canon" -> { (s, dir) =>
+      events(s, dir).select(col("event_id"), urlFixture.as("url"))
+        .withColumn("canon_url", graft.ops.Curation.canonicalizeUrl(col("url")))
+    },
+
+    // URL-level dedup over the canonical key: rendering variants collapse
+    "q_url_dedup" -> { (s, dir) =>
+      events(s, dir).select(col("event_id"), urlFixture.as("url"))
+        .groupBy(graft.ops.Curation.canonicalizeUrl(col("url")).as("canon_url"))
+        .agg(count(lit(1)).as("n_variants"), min(col("event_id")).as("first_event"))
+    },
+
+    // latency-percentile report: exact interpolated p50/p90/p99 per key
+    "q_percentiles" -> ((s, dir) =>
+      graft.agg.Aggregates.percentiles(events(s, dir), "event_type", "value")),
+
+    // fixed-range histogram with under/overflow buckets
+    "q_histogram" -> ((s, dir) =>
+      graft.agg.Aggregates.histogram(events(s, dir), "value", 0.0, 500.0, 20)),
+
+    // rate-spike detection: planted 50-event flood in one hour for one
+    // key; z-scored against the key's own window history
+    "q_rate_anomalies" -> { (s, dir) =>
+      graft.agg.Aggregates.rateAnomalies(eventsWithSpike(s, dir), "event_type",
+          period = "1 hour", zThreshold = 3.0)
+        .select("event_type", "window_start", "n", "z", "anomaly")
+    },
+
     // Metricbeat-style rate-from-cumulative-counter: per-key tumbling
     // windows of the max cumulative value, delta vs the previous window
     "q_rate_counters" -> ((s, dir) =>
@@ -794,6 +861,44 @@ object SparkEntry {
       |)""".stripMargin
 
   private val BpeishRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** URL fixture + canonicalization CTE ending in `c(event_id, url,
+    * canon_url)` — the DuckDB twin of `urlFixture` +
+    * `Curation.canonicalizeUrl`, shared by the row-level and dedup
+    * queries so both verify the identical derivation.
+    */
+  private val UrlCanonCte: String =
+    """WITH u AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 5 = 0
+      |           THEN 'HTTP://Example.COM:80/p' || CAST(user_id % 10 AS VARCHAR) || '/?b=2&utm_source=x&a=1#frag'
+      |         WHEN event_id % 5 = 1 THEN 'https://Example.com:443/p' || CAST(user_id % 10 AS VARCHAR)
+      |         WHEN event_id % 5 = 2 THEN 'http://example.com/p' || CAST(user_id % 10 AS VARCHAR) || '?a=1&b=2'
+      |         WHEN event_id % 5 = 3 THEN 'https://shop.example.org/?gclid=xyz'
+      |         ELSE 'http://example.com/p' || CAST(user_id % 10 AS VARCHAR) || '/#top' END AS url
+      |  FROM events),
+      |parts AS (
+      |  SELECT event_id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+      |    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+      |  FROM u),
+      |c AS (
+      |  SELECT event_id, url,
+      |    scheme || '://' ||
+      |    (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+      |          WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+      |          ELSE hostport END) ||
+      |    (CASE WHEN rawpath = '' THEN '/'
+      |          WHEN rawpath <> '/' THEN regexp_replace(rawpath, '/$', '')
+      |          ELSE rawpath END) ||
+      |    (CASE WHEN kq = '' THEN '' ELSE '?' || kq END) AS canon_url
+      |  FROM (
+      |    SELECT *, coalesce(array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+      |      x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'fbclid')
+      |        OR starts_with(x, 'gclid') OR starts_with(x, 'ref=')))), '&'), '') AS kq
+      |    FROM parts))""".stripMargin
 
   /** Gopher-repetition-metric oracle CTE chain over `$src(doc_id, text)`,
     * ending in `rep(doc_id, n_tokens, top_token_frac, top_2gram_frac,
@@ -1345,6 +1450,69 @@ object SparkEntry {
          |SELECT doc_id, CAST(pos AS INTEGER) AS pos,
          |  coalesce(token_id, -1) AS token_id
          |FROM tok LEFT JOIN vocab USING (term)""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH m AS (
+        |  SELECT doc_id, 'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) || text || chr(10) ||
+        |    'unique ' || CAST(doc_id AS VARCHAR) || chr(10) || 'Copyright ' || source AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, generate_subscripts(ls, 1) - 1 AS line_no, unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM m)),
+        |k AS (SELECT doc_id, line_no, line, substr(md5(trim(line)), 1, 12) AS lk FROM l),
+        |b AS (SELECT lk FROM k GROUP BY lk HAVING count(DISTINCT doc_id) >= 50),
+        |kept AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM k WHERE lk NOT IN (SELECT lk FROM b) GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines FROM m)
+        |SELECT t.doc_id, coalesce(kept.clean_text, '') AS clean_text, t.n_lines,
+        |  coalesce(kept.n_kept, 0) AS n_kept
+        |FROM tot t LEFT JOIN kept USING (doc_id)""".stripMargin,
+
+    "q_url_canon" -> s"""$UrlCanonCte SELECT event_id, url, canon_url FROM c""",
+
+    "q_url_dedup" -> s"""$UrlCanonCte
+      |SELECT canon_url, count(*) AS n_variants, min(event_id) AS first_event
+      |FROM c GROUP BY 1""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
+        |  round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
+        |  round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 6) AS p90,
+        |  round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 6) AS p99
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN value < 0.0 THEN 0
+        |              WHEN value >= 500.0 THEN 21
+        |              ELSE CAST(floor((value - 0.0) / 500.0 * 20) AS INTEGER) + 1 END AS bucket,
+        |         value
+        |  FROM events)
+        |SELECT bucket, count(*) AS n, round(min(value), 6) AS min_v,
+        |  round(max(value), 6) AS max_v
+        |FROM b GROUP BY 1""".stripMargin,
+
+    "q_rate_anomalies" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts FROM events
+        |  UNION ALL
+        |  SELECT 'click', TIMESTAMP '2024-01-15 12:30:00' FROM events WHERE event_id < 50),
+        |c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS window_start, count(*) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, window_start, n,
+        |    avg(n) OVER (PARTITION BY event_type) AS m,
+        |    stddev_samp(n) OVER (PARTITION BY event_type) AS sd
+        |  FROM c)
+        |SELECT event_type, window_start, n,
+        |  CASE WHEN sd > 0 THEN round((n - m) / sd, 6) END AS z,
+        |  coalesce(CASE WHEN sd > 0 THEN round((n - m) / sd, 6) <= -3.0
+        |    OR round((n - m) / sd, 6) >= 3.0 END, false) AS anomaly
+        |FROM s""".stripMargin,
 
     "q_rate_counters" ->
       """WITH w AS (

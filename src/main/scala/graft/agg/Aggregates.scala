@@ -76,6 +76,74 @@ object Aggregates {
     df.withColumn("gap_s", epoch - lag(epoch, 1).over(w))
   }
 
+  /** Latency-style percentile report per key: exact interpolated
+    * percentiles (the `percentile` aggregate — sorted-rank linear
+    * interpolation, the definition DuckDB's `quantile_cont` shares, so
+    * the oracle matches to the 6-dp parity rounding). Exact percentiles
+    * shuffle the values; at 100 TB swap in `approx_percentile`
+    * (t-digest, mergeable map-side sketch) — same call shape, documented
+    * trade: the exact form is the verification surface, the sketch is
+    * the scale path.
+    */
+  def percentiles(df: DataFrame, keyCol: String, valueCol: String,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val aggs = ps.map(p =>
+      round(percentile(col(valueCol), lit(p)), 6)
+        .as(s"p${math.round(p * 100)}"))
+    val fixed = Seq(
+      round(min(col(valueCol)), 6).as("min_v"),
+      round(max(col(valueCol)), 6).as("max_v"))
+    df.groupBy(keyCol).agg(
+      count(lit(1)).as("n"), (fixed ++ aggs): _*)
+  }
+
+  /** Fixed-range histogram: `bins` equal buckets over [lo, hi), one
+    * under/overflow bucket each side (bucket 0 and bins+1). The bucket
+    * index is the explicit floor formula — written identically in the
+    * oracle SQL so both engines run the same IEEE arithmetic — rather
+    * than `width_bucket`, which DuckDB lacks. Map-side combine ⇒ the
+    * shuffle is ≤ bins+2 rows regardless of input size.
+    */
+  def histogram(df: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val bucket = when(v < lo, lit(0))
+      .when(v >= hi, lit(bins + 1))
+      .otherwise(floor((v - lit(lo)) / lit(hi - lo) * lit(bins)).cast("int") + 1)
+    df.withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min(v), 6).as("min_v"),
+        round(max(v), 6).as("max_v"))
+  }
+
+  /** Rate-spike detection: per-key tumbling-window event counts scored
+    * against the key's own history — z = (count − mean) / stddev over
+    * ALL the key's windows, |z| ≥ `zThreshold` flags the window. One
+    * count aggregation plus one per-key window pass (the stats ride the
+    * same hash exchange). Batch rendering scores against the full
+    * history; the streaming analog keeps (n, Σ, Σx²) in GroupState.
+    * z is rounded to 6 dp (cross-engine float-summation parity); keys
+    * with a single window (stddev undefined) and zero-variance keys are
+    * never flagged.
+    */
+  def rateAnomalies(df: DataFrame, keyCol: String,
+      period: String = "1 hour", zThreshold: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(
+        col(keyCol),
+        window(col("ts"), period).getField("start").as("window_start"))
+      .agg(count(lit(1)).as("n"))
+    val byKey = Window.partitionBy(keyCol)
+    val mean = avg(col("n")).over(byKey)
+    val sd = stddev_samp(col("n")).over(byKey)
+    counts
+      .withColumn("z",
+        when(sd > 0, round((col("n") - mean) / sd, 6)).otherwise(lit(null)))
+      .withColumn("anomaly",
+        coalesce(abs(col("z")) >= zThreshold, lit(false)))
+  }
+
   /** Registrar state fold: per-source max-offset merge — mergeStates keeps
     * max Offset and the row at that offset (filebeat/registrar/registrar.go:203-239).
     * Our "file" is the conversation; "offset" is turn_idx.

@@ -127,6 +127,82 @@ object Curation {
     }.reduce(_ + _)
   }
 
+  /** C4-style corpus boilerplate removal: a LINE that appears in at
+    * least `minDocs` DISTINCT documents is boilerplate (cookie banners,
+    * nav menus, subscribe prompts — the lines a crawl repeats across
+    * pages) and is struck from every document; unique content survives.
+    *
+    * Shape at 100 TB: explode to lines (narrow), aggregate distinct-doc
+    * counts on a 48-bit line-hash key (one exchange, partial-agg
+    * combined map-side), anti-join the boilerplate key set back onto the
+    * line stream (second exchange — the boilerplate set is unbounded in
+    * principle so this is a shuffle join, and AQE will broadcast it when
+    * it is small in practice), then regroup per document (third
+    * exchange). Joining on the 12-hex-char hash instead of the line text
+    * keeps the shuffle rows narrow; a 48-bit key collides at ~2^24
+    * distinct lines per birthday bound — collisions only ever DROP an
+    * extra line, never corrupt one, and the same keying is what the
+    * decontamination join already uses.
+    *
+    * Output: one row per input document — `clean_text` (kept lines
+    * joined by \n, '' when everything was boilerplate), `n_lines`,
+    * `n_kept`.
+    */
+  def dropBoilerplateLines(df: DataFrame, minDocs: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .withColumn("_lk", substring(md5(trim(col("line"))), 1, 12))
+    val boiler = lines.groupBy("_lk")
+      .agg(countDistinct(col(idCol)).as("_docs"))
+      .where(col("_docs") >= minDocs)
+      .select("_lk")
+    val kept = lines.join(boiler, Seq("_lk"), "left_anti")
+      .groupBy(idCol)
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+            x => x("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol), size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Query parameters stripped by `canonicalizeUrl` (tracking noise that
+    * makes byte-identical pages look distinct to a URL-keyed dedup). */
+  val TrackingParams = Seq("utm_", "fbclid", "gclid", "ref=")
+
+  /** Crawl-frontier URL canonicalization: lowercase scheme+host, strip
+    * default ports (:80 http, :443 https), drop the fragment, strip
+    * tracking query params, SORT the surviving params, collapse an empty
+    * path to "/" and strip one trailing slash elsewhere. Two URLs that
+    * differ only in rendering canonicalize to the same string, which is
+    * what URL-level dedup keys on. Pure narrow string expressions —
+    * codegen'd, no shuffle, no UDF.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rawPath = regexp_extract(url, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/"))
+      .when(rawPath =!= "/", regexp_replace(rawPath, "/$", ""))
+      .otherwise(rawPath)
+    val rawQuery = regexp_extract(url, "\\?([^#]*)", 1)
+    val keptParams = array_join(
+      array_sort(filter(split(rawQuery, "&"), p =>
+        !(p.startsWith("utm_") || p.startsWith("fbclid") ||
+          p.startsWith("gclid") || p.startsWith("ref=")))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(keptParams === "", lit("")).otherwise(concat(lit("?"), keptParams)))
+  }
+
   /** The DuckDB twin of `hashBucket` over an id expression. */
   def hashBucketSql(idExpr: String, mod: Int): String = {
     val digits = (1 to 4).map(i =>

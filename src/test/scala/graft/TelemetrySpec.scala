@@ -1,0 +1,90 @@
+package graft
+
+import graft.agg.Aggregates
+import graft.ops.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Boilerplate line removal, URL canonicalization, and the telemetry
+  * aggregations (percentiles, histogram, rate anomalies).
+  */
+class TelemetrySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dropBoilerplateLines strikes corpus-frequent lines, keeps unique content") {
+    val docs = (1 to 20).map(i => (i.toLong, s"HEADER\nbody text $i\nFOOTER"))
+      .toDF("doc_id", "text")
+    val out = Curation.dropBoilerplateLines(docs, minDocs = 10)
+      .orderBy("doc_id").collect()
+    assert(out.length == 20)
+    val r1 = out.head
+    assert(r1.getAs[String]("clean_text") == "body text 1")
+    assert(r1.getAs[Long]("n_lines") == 3 && r1.getAs[Long]("n_kept") == 1)
+  }
+
+  test("dropBoilerplateLines: a doc that is ALL boilerplate survives with empty clean_text") {
+    val docs = ((1 to 12).map(i => (i.toLong, "SAME\nLINES")) :+ (99L, "unique doc"))
+      .toDF("doc_id", "text")
+    val out = Curation.dropBoilerplateLines(docs, minDocs = 10)
+    assert(out.count() == 13, "empty docs are reported, not silently dropped")
+    val empty = out.where(col("doc_id") === 1).collect().head
+    assert(empty.getAs[String]("clean_text") == "" && empty.getAs[Long]("n_kept") == 0)
+    val uniq = out.where(col("doc_id") === 99).collect().head
+    assert(uniq.getAs[String]("clean_text") == "unique doc")
+  }
+
+  test("dropBoilerplateLines counts DISTINCT docs: repeats inside one doc are not boilerplate") {
+    val docs = Seq((1L, "dup\ndup\ndup\ndup\nbody"), (2L, "other")).toDF("doc_id", "text")
+    val out = Curation.dropBoilerplateLines(docs, minDocs = 3)
+      .where(col("doc_id") === 1).collect().head
+    assert(out.getAs[Long]("n_kept") == 5, "4 in-doc repeats stay (1 distinct doc < minDocs)")
+  }
+
+  test("canonicalizeUrl: case, ports, fragments, tracking params, param order, slashes") {
+    val cases = Seq(
+      "HTTP://Example.COM:80/a/b/?b=2&utm_source=x&a=1#frag" -> "http://example.com/a/b?a=1&b=2",
+      "http://example.com/a/b?a=1&b=2" -> "http://example.com/a/b?a=1&b=2",
+      "https://Example.com:443/a/b" -> "https://example.com/a/b",
+      "https://shop.example.org/?gclid=xyz" -> "https://shop.example.org/",
+      "http://example.com" -> "http://example.com/",
+      "http://example.com:8080/x" -> "http://example.com:8080/x",
+      "https://example.com:80/x" -> "https://example.com:80/x")
+    val out = cases.map(_._1).toDF("url")
+      .select(Curation.canonicalizeUrl(col("url")).as("c")).as[String].collect()
+    cases.map(_._2).zip(out).foreach { case (want, got) => assert(got == want) }
+  }
+
+  test("percentiles: exact interpolated quantiles per key") {
+    val df = (1 to 101).map(i => ("k", i.toDouble)).toDF("key", "v")
+    val r = Aggregates.percentiles(df, "key", "v", Seq(0.5, 0.9, 0.99)).collect().head
+    assert(r.getAs[Long]("n") == 101)
+    assert(r.getAs[Double]("p50") == 51.0)
+    assert(r.getAs[Double]("p90") == 91.0)
+    assert(r.getAs[Double]("p99") == 100.0)
+    assert(r.getAs[Double]("min_v") == 1.0 && r.getAs[Double]("max_v") == 101.0)
+  }
+
+  test("histogram: interior bins plus under/overflow") {
+    val df = Seq(-5.0, 0.0, 24.9, 25.0, 99.9, 100.0, 250.0).toDF("v")
+    val m = Aggregates.histogram(df, "v", 0.0, 100.0, 4)
+      .select("bucket", "n").as[(Int, Long)].collect().toMap
+    // bins of width 25 over [0,100): -5 -> 0; 0, 24.9 -> 1; 25 -> 2; 99.9 -> 4; 100, 250 -> 5
+    assert(m == Map(0 -> 1L, 1 -> 2L, 2 -> 1L, 4 -> 1L, 5 -> 2L))
+  }
+
+  test("rateAnomalies flags a planted flood, not the steady state") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(h: Int, i: Int) = new java.sql.Timestamp(base.getTime + h * 3600000L + i * 1000L)
+    // key "a": 2 events/hour for 20 hours, then 40 in hour 20
+    val steady = for (h <- 0 until 20; i <- 0 until 2) yield ("a", t(h, i))
+    val flood = for (i <- 0 until 40) yield ("a", t(20, i))
+    // key "b": one window only -> stddev undefined -> never flagged
+    val single = Seq(("b", t(0, 0)))
+    val df = (steady ++ flood ++ single).toDF("key", "ts")
+    val out = Aggregates.rateAnomalies(df, "key", "1 hour", 3.0)
+    val flagged = out.where(col("anomaly")).select("key", "n").as[(String, Long)].collect()
+    assert(flagged.toSeq == Seq(("a", 40L)))
+    assert(out.where(col("key") === "b").select("anomaly").as[Boolean].collect().head == false)
+  }
+}
