@@ -804,6 +804,9 @@ object SparkEntry {
     "q_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDup(embWithDupes(s, dir), threshold = 0.999, planes = 8)),
 
+    "q_kmeans" -> ((s, dir) =>
+      Similarity.kmeans(embeddings(s, dir), k = 8, iters = 2)),
+
     "q_media_meta" -> ((s, dir) =>
       Multimodal.asMedia(documents(s, dir))
         .select("media_id", "kind", "byte_len", "sha256")),
@@ -1796,6 +1799,8 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+
+    "q_kmeans" -> Similarity.kmeansSql("embeddings", k = 8, iters = 2, dim = 64),
 
     "q_cosine_neardup" -> {
       val bucketExpr = Similarity.signBucketSql("v",

@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic Lloyd k-means: separation on planted blobs, exact
+  * determinism across runs, and the shrinking-k contract.
+  */
+class KMeansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 3 well-separated blobs of 40 points in 8-d: blob = id % 3 (so the
+    * lowest-id init rule seeds one centroid per blob), centered at
+    * 10·blob on every coordinate, deterministic ±0.5 jitter from the id.
+    */
+  private lazy val blobs = {
+    val rows = (0 until 120).map { i =>
+      val id = i.toLong
+      val b = i % 3
+      val v = Array.tabulate(8)(d => 10.0 * b + (((id * 31 + d * 17) % 100) / 100.0 - 0.5))
+      (id, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("k=3 on 3 planted blobs recovers the blobs exactly") {
+    val out = Similarity.kmeans(blobs, k = 3, iters = 3).collect()
+    assert(out.length === 120)
+    // every blob maps to exactly one cluster label and vice versa
+    val byBlob = out.groupBy(r => r.getLong(0) % 3).view
+      .mapValues(_.map(_.getInt(1)).toSet).toMap
+    assert(byBlob.values.forall(_.size == 1), s"blob split across clusters: $byBlob")
+    assert(byBlob.values.flatten.toSet.size === 3, s"clusters merged: $byBlob")
+  }
+
+  test("bit-for-bit deterministic across runs") {
+    val a = Similarity.kmeans(blobs, k = 4, iters = 2).collect().map(_.toString).sorted
+    val b = Similarity.kmeans(blobs, k = 4, iters = 2).collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("clusters that lose all members drop out (shrinking k)") {
+    // k=8 init takes the 8 lowest ids — all inside blob 0, so after one
+    // recompute most centroids sit in blob 0 and the far blobs pull a few
+    // away; no assertion on the exact count, only that output labels are
+    // a subset of the final centroid ids and every point is assigned.
+    val out = Similarity.kmeans(blobs, k = 8, iters = 2).collect()
+    assert(out.length === 120)
+    val labels = out.map(_.getInt(1)).toSet
+    assert(labels.size <= 8 && labels.nonEmpty)
+  }
+}
