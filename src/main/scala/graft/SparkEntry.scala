@@ -807,6 +807,9 @@ object SparkEntry {
     "q_kmeans" -> ((s, dir) =>
       Similarity.kmeans(embeddings(s, dir), k = 8, iters = 2)),
 
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(embWithDupes(s, dir), k = 8, iters = 2, threshold = 0.995)),
+
     "q_media_meta" -> ((s, dir) =>
       Multimodal.asMedia(documents(s, dir))
         .select("media_id", "kind", "byte_len", "sha256")),
@@ -1801,6 +1804,13 @@ object SparkEntry {
         |WHERE rank <= 5""".stripMargin,
 
     "q_kmeans" -> Similarity.kmeansSql("embeddings", k = 8, iters = 2, dim = 64),
+
+    "q_semdedup" -> Similarity.semDedupSql(
+      """(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 10000 AS vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5) AS embedding
+        | FROM embeddings) t""".stripMargin,
+      k = 8, iters = 2, dim = 64, threshold = 0.995),
 
     "q_cosine_neardup" -> {
       val bucketExpr = Similarity.signBucketSql("v",

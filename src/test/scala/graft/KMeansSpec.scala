@@ -41,6 +41,19 @@ class KMeansSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("semDedup recovers every planted scaled-copy pair (non-vacuous)") {
+    // scaled copies normalize to the identical unit vector, so each
+    // planted (id, id+1000) pair MUST share a cluster and score cos=1.0
+    val base = blobs
+    val copies = base.select((col("vec_id") + 1000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(0.25)).as("embedding"))
+    val out = Similarity.semDedup(base.unionAll(copies), k = 3, iters = 2, threshold = 0.9999)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val planted = (0L until 120L).map(id => (id, id + 1000)).toSet
+    val missed = planted -- out
+    assert(missed.isEmpty, s"${missed.size} planted pairs missed: ${missed.take(5)}")
+  }
+
   test("clusters that lose all members drop out (shrinking k)") {
     // k=8 init takes the 8 lowest ids — all inside blob 0, so after one
     // recompute most centroids sit in blob 0 and the far blobs pull a few
