@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.data.Transcripts
 import graft.enrich.Enrich
-import graft.ops.{Dedup, Multiline, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multiline, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.parse.DissectFunctions
 import graft.route.{Cond, Conditions, FormatStr, Mappings, Router, RouterConfig, Rule}
 import graft.run.{Pipeline, PipelineConfig}
@@ -809,6 +809,12 @@ object SparkEntry {
 
     "q_semdedup" -> ((s, dir) =>
       Similarity.semDedup(embWithDupes(s, dir), k = 8, iters = 2, threshold = 0.995)),
+
+    "q_hll" -> ((s, dir) =>
+      Sketches.hllEstimate(events(s, dir), keyCol = "user_id", groupCols = Seq("event_type"))),
+
+    "q_cm_topterms" -> ((s, dir) =>
+      Sketches.cmTopTerms(documents(s, dir), k = 20)),
 
     "q_media_meta" -> ((s, dir) =>
       Multimodal.asMedia(documents(s, dir))
@@ -1811,6 +1817,10 @@ object SparkEntry {
         | SELECT vec_id + 10000 AS vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5) AS embedding
         | FROM embeddings) t""".stripMargin,
       k = 8, iters = 2, dim = 64, threshold = 0.995),
+
+    "q_hll" -> Sketches.hllSql("events", keyExpr = "user_id", groupCol = "event_type"),
+
+    "q_cm_topterms" -> Sketches.cmTopTermsSql(BpeishRe, k = 20),
 
     "q_cosine_neardup" -> {
       val bucketExpr = Similarity.signBucketSql("v",

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable bounded-state sketches — the cardinality / frequency
+  * summaries a 100 TB telemetry pipeline keeps instead of exact state
+  * (ref: metricbeat's periodic counter reports, SURVEY §2.8; the exact
+  * versions are `q_sink_counts` / `q_top_terms`).
+  *
+  * Both sketches follow this repo's cross-engine determinism rules so a
+  * DuckDB oracle reproduces them bit-for-bit:
+  *  - the only hash is md5 (shared by both engines); derived integers
+  *    come from hex prefixes (`'0x'||substr(...)` twin of `conv`);
+  *  - HLL's rho is a binary-STRING scan (`instr(lpad(bin(w)...))`),
+  *    not floating log2;
+  *  - the HLL register sum Σ 2^-r is a sum of dyadic rationals spanning
+  *    ≤ 49 mantissa bits — exact in IEEE double in ANY summation order,
+  *    so Spark's partial aggregates and DuckDB's sequential sum agree
+  *    exactly; the single rounding happens in the final α·m²/S divide.
+  *
+  * Scale shape: both are one explode-free narrow projection + one
+  * groupBy whose result is FIXED-size (m registers / d·w cells) with
+  * map-side combine, so executor and shuffle state are O(m) regardless
+  * of input rows — and registers/cells merge associatively (max / sum),
+  * which is what makes them streamable and cross-partition safe.
+  */
+object Sketches {
+
+  /** Standard HLL bias-correction constant for m registers. */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1 + 1.079 / m)
+  }
+
+  /** Per-group HyperLogLog distinct-count estimate over `keyCol`, with
+    * the exact count alongside (the fixture-scale honesty check; at
+    * 100 TB you keep only the m-register sketch). m = 16^bHex registers;
+    * rho is drawn from the next `rhoBits` hash bits. RAW estimate only —
+    * the small-range linear-counting correction needs ln(), which the
+    * oracle parity rules ban; `v_empty` is emitted so callers can apply
+    * it downstream if they accept engine-local libm.
+    */
+  def hllEstimate(df: DataFrame, keyCol: String, groupCols: Seq[String],
+      bHex: Int = 2, rhoBits: Int = 40): DataFrame = {
+    val m = 1 << (4 * bHex)
+    val h = md5(col(keyCol).cast("string"))
+    val w = conv(substring(h, bHex + 1, rhoBits / 4), 16, 10).cast("long")
+    val rho = when(w === 0, lit(rhoBits + 1))
+      .otherwise(instr(lpad(bin(w), rhoBits, "0"), "1")).cast("int")
+    val gs = groupCols.map(col)
+    val regs = df
+      .select(gs :+ conv(substring(h, 1, bHex), 16, 10).cast("long").as("bucket") :+ rho.as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*).agg(max("rho").as("r"))
+    val est = regs.groupBy(gs: _*).agg(
+      (sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), r)")) + (lit(m) - count(lit(1)))).as("ssum"),
+      (lit(m) - count(lit(1))).cast("int").as("v_empty"))
+    val exact = df.groupBy(gs: _*).agg(countDistinct(col(keyCol)).as("exact_keys"))
+    val am2 = hllAlpha(m) * m * m
+    est.join(exact, groupCols)
+      .select(gs ++ Seq(col("v_empty"),
+        round(lit(am2) / col("ssum"), 6).as("hll_est"), col("exact_keys")): _*)
+  }
+
+  /** DuckDB twin of [[hllEstimate]]. `keyExpr`/`groupCol` are SQL
+    * fragments over `table`. The α·m² constant is spliced via
+    * Double.toString (shortest round-trip repr ⇒ both engines parse the
+    * identical double).
+    */
+  def hllSql(table: String, keyExpr: String, groupCol: String,
+      bHex: Int = 2, rhoBits: Int = 40): String = {
+    val m = 1 << (4 * bHex)
+    val am2 = hllAlpha(m) * m * m
+    s"""WITH p AS (
+       |  SELECT $groupCol AS g,
+       |    ('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, $bHex))::BIGINT AS bucket,
+       |    ('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), ${bHex + 1}, ${rhoBits / 4}))::BIGINT AS w
+       |  FROM $table),
+       |r AS (SELECT g, bucket,
+       |    max(CASE WHEN w = 0 THEN ${rhoBits + 1} ELSE strpos(lpad(bin(w), $rhoBits, '0'), '1') END) AS r
+       |  FROM p GROUP BY 1, 2),
+       |s AS (SELECT g, sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << r)) + ($m - count(*)) AS ssum,
+       |    CAST($m - count(*) AS INTEGER) AS v_empty FROM r GROUP BY 1),
+       |x AS (SELECT $groupCol AS g, count(DISTINCT $keyExpr) AS exact_keys FROM $table GROUP BY 1)
+       |SELECT g AS $groupCol, v_empty, round(CAST($am2 AS DOUBLE) / ssum, 6) AS hll_est, exact_keys
+       |FROM s JOIN x USING (g)""".stripMargin
+  }
+
+  /** The d Count-Min cells of one key: (row j, column from the first
+    * `widthHex` hex chars of md5("j:" || key)).
+    */
+  private def cmBuckets(key: Column, depth: Int, widthHex: Int): Column =
+    array((0 until depth).map { j =>
+      struct(lit(j).as("j"),
+        conv(substring(md5(concat(lit(s"$j:"), key)), 1, widthHex), 16, 10).cast("int").as("c"))
+    }: _*)
+
+  /** Count-Min frequency estimates for the exact top-`k` terms of the
+    * corpus: build a d×w sketch over ALL term occurrences, then read
+    * back estimates for the top terms. Output (term, freq, cm_est,
+    * rank); cm_est ≥ freq always (one-sided error).
+    */
+  def cmTopTerms(df: DataFrame, k: Int = 20, depth: Int = 4, widthHex: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = TextAnalysis.terms(df, idCol, textCol)
+    val cells = t
+      .select(explode(cmBuckets(col("term"), depth, widthHex)).as("jc"))
+      .select(col("jc.j").as("j"), col("jc.c").as("c"))
+      .groupBy("j", "c").agg(count(lit(1)).as("cnt"))
+    val probes = TextAnalysis.topTerms(df, k, idCol, textCol)
+      .select(explode(cmBuckets(col("term"), depth, widthHex)).as("jc"),
+        col("term"), col("freq"), col("rank"))
+      .select(col("term"), col("freq"), col("rank"), col("jc.j").as("j"), col("jc.c").as("c"))
+    cells.join(broadcast(probes), Seq("j", "c"))
+      .groupBy("term", "freq", "rank").agg(min("cnt").as("cm_est"))
+      .select(col("term"), col("freq").cast("long").as("freq"), col("cm_est"), col("rank"))
+  }
+
+  /** DuckDB twin of [[cmTopTerms]] over `documents(text)` with the
+    * given tokenizer regex.
+    */
+  def cmTopTermsSql(tokenRe: String, k: Int = 20, depth: Int = 4, widthHex: Int = 2): String =
+    s"""WITH t AS (
+       |  SELECT UNNEST(regexp_extract_all(lower(text), '$tokenRe')) AS term FROM documents),
+       |jc AS (
+       |  SELECT term, j,
+       |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, $widthHex))::INTEGER AS c
+       |  FROM t, (SELECT unnest(generate_series(0, ${depth - 1})) AS j) d),
+       |cells AS (SELECT j, c, count(*) AS cnt FROM jc GROUP BY 1, 2),
+       |freq AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY 1),
+       |probes AS (
+       |  SELECT term, freq, rank FROM (
+       |    SELECT *, CAST(row_number() OVER (ORDER BY freq DESC, term) AS INTEGER) AS rank FROM freq)
+       |  WHERE rank <= $k),
+       |pb AS (
+       |  SELECT term, freq, rank, j,
+       |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, $widthHex))::INTEGER AS c
+       |  FROM probes, (SELECT unnest(generate_series(0, ${depth - 1})) AS j) d)
+       |SELECT pb.term, pb.freq, min(cells.cnt) AS cm_est, pb.rank
+       |FROM pb JOIN cells ON pb.j = cells.j AND pb.c = cells.c
+       |GROUP BY 1, 2, 4""".stripMargin
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.Sketches
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Accuracy contracts of the bounded-state sketches (cross-engine
+  * parity is covered by q_hll / q_cm_topterms oracles; here we check
+  * the estimates actually estimate).
+  */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("HLL raw estimate within 20% at n >> m (10k distinct, 256 registers)") {
+    val df = spark.range(10000).toDF("k").withColumn("g", lit("all"))
+    val row = Sketches.hllEstimate(df, "k", Seq("g")).collect().head
+    val est = row.getAs[Double]("hll_est")
+    val exact = row.getAs[Long]("exact_keys")
+    info(f"hll_est=$est%.1f exact=$exact v_empty=${row.getAs[Int]("v_empty")}")
+    assert(exact === 10000L)
+    assert(math.abs(est - exact) / exact < 0.20, f"HLL off by ${(est - exact) / exact}%.3f")
+  }
+
+  test("HLL groups are estimated independently") {
+    val df = spark.range(3000).toDF("k")
+      .withColumn("g", when($"k" % 3 === 0, "a").otherwise("b"))
+    val rows = Sketches.hllEstimate(df, "k", Seq("g")).collect()
+      .map(r => r.getAs[String]("g") -> (r.getAs[Double]("hll_est"), r.getAs[Long]("exact_keys"))).toMap
+    assert(rows("a")._2 === 1000L && rows("b")._2 === 2000L)
+    assert(math.abs(rows("a")._1 - 1000) / 1000.0 < 0.25)
+    assert(math.abs(rows("b")._1 - 2000) / 2000.0 < 0.25)
+  }
+
+  test("Count-Min is one-sided and tight on a planted heavy hitter") {
+    // one term with 2000 occurrences over a sea of 1000 singletons:
+    // collision mass per cell ~ 3000/256, min over 4 rows keeps the
+    // heavy estimate within a few percent
+    val docs = (0 until 200).map { i =>
+      (i.toLong, "heavy " * 10 + s"u${i}a u${i}b u${i}c u${i}d u${i}e")
+    }.toDF("doc_id", "text")
+    val out = Sketches.cmTopTerms(docs, k = 10).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("cm_est") >= r.getAs[Long]("freq"),
+        s"CM underestimated ${r.getAs[String]("term")}")
+    }
+    val heavy = out.find(_.getAs[String]("term") == "heavy").get
+    assert(heavy.getAs[Long]("freq") === 2000L)
+    assert(heavy.getAs[Long]("cm_est") <= 2100L,
+      s"heavy estimate ${heavy.getAs[Long]("cm_est")} not tight")
+  }
+}
