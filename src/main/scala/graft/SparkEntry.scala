@@ -780,6 +780,20 @@ object SparkEntry {
       graft.agg.Aggregates.turnGaps(transcripts(s, dir))
         .select("conv_id", "turn_idx", "role", "gap_s")),
 
+    "q_role_alternation" -> ((s, dir) =>
+      graft.ops.Conversations.roleAlternation(transcripts(s, dir))),
+
+    "q_conv_tail" -> ((s, dir) =>
+      graft.ops.Conversations.lastTurns(transcripts(s, dir), k = 4)
+        .select("conv_id", "turn_idx", "role", "text")),
+
+    "q_embed_standardize" -> ((s, dir) =>
+      Similarity.standardize(embeddings(s, dir))),
+
+    "q_sample_k" -> ((s, dir) =>
+      graft.ops.Curation.sampleKPerStratum(documents(s, dir), k = 20)
+        .select("lang", "doc_id")),
+
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docsWithDupes(s, dir), k = 4, threshold = 0.5, maxDocFreq = 200)),
 
@@ -1719,6 +1733,33 @@ object SparkEntry {
          |    - lag(CAST(floor(epoch(ts)) AS BIGINT))
          |        OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_s
          |FROM transcripts""".stripMargin,
+
+    "q_role_alternation" ->
+      s"""$T SELECT conv_id,
+         |  CAST(count(*) AS INTEGER) AS n_turns,
+         |  CAST(sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END) AS INTEGER) AS same_role_pairs,
+         |  CAST(max(CASE WHEN turn_idx = 0 THEN (CASE WHEN role = 'user' THEN 1 ELSE 0 END) END) AS INTEGER) AS starts_user
+         |FROM (SELECT conv_id, turn_idx, role,
+         |        lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+         |      FROM transcripts)
+         |GROUP BY 1""".stripMargin,
+
+    "q_conv_tail" ->
+      s"""$T SELECT conv_id, turn_idx, role, text FROM transcripts
+         |QUALIFY row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) <= 4""".stripMargin,
+
+    "q_embed_standardize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS i, v[i] AS x
+        |       FROM e, (SELECT CAST(unnest(generate_series(1, 64)) AS INTEGER) AS i) dims),
+        |st AS (SELECT i, round(avg(x), 6) AS m, round(avg(x*x) - avg(x)*avg(x), 6) AS vv FROM ex GROUP BY 1)
+        |SELECT ex.vec_id, ex.i, round((ex.x - st.m) / sqrt(st.vv), 6) AS z
+        |FROM ex JOIN st USING (i) WHERE st.vv > 0""".stripMargin,
+
+    "q_sample_k" ->
+      """SELECT lang, doc_id FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH $DocsDupesSql,

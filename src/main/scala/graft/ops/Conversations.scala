@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Conversation-shape operators over the (conv_id, turn_idx, role,
+  * text, ts) transcript table — the lints and truncations a chat-data
+  * curation pipeline runs before training. Both are single-window
+  * passes: one hash exchange on conv_id, sort satisfied inside it.
+  */
+object Conversations {
+
+  /** Per-conversation structural lint: turn count, adjacent same-role
+    * pairs (alternation violations), and whether turn 0 is a user turn
+    * (0/1; the int form keeps the oracle comparison engine-neutral).
+    */
+  def roleAlternation(df: DataFrame, convCol: String = "conv_id",
+      turnCol: String = "turn_idx", roleCol: String = "role"): DataFrame = {
+    val w = Window.partitionBy(convCol).orderBy(turnCol)
+    df.select(col(convCol), col(turnCol), col(roleCol),
+        lag(col(roleCol), 1).over(w).as("prev_role"))
+      .groupBy(convCol)
+      .agg(
+        count(lit(1)).cast("int").as("n_turns"),
+        sum(when(col("prev_role") === col(roleCol), 1).otherwise(0)).cast("int").as("same_role_pairs"),
+        max(when(col(turnCol) === 0, when(col(roleCol) === "user", 1).otherwise(0)))
+          .cast("int").as("starts_user"))
+  }
+
+  /** Context-window truncation: keep only the LAST `k` turns of each
+    * conversation (original turn order preserved in the output rows).
+    */
+  def lastTurns(df: DataFrame, k: Int, convCol: String = "conv_id",
+      turnCol: String = "turn_idx"): DataFrame = {
+    val w = Window.partitionBy(convCol).orderBy(col(turnCol).desc)
+    df.withColumn("_rk", row_number().over(w)).where(col("_rk") <= k).drop("_rk")
+  }
+
+  /** Flatten each conversation to one training-ready string: turns
+    * sorted by turn index, each rendered `role: text`, joined with \n
+    * (the SFT chat-template step). One shuffle on the conversation key;
+    * per-group state is a bounded turn list (conversations are short
+    * relative to partitions), so the collect_list is safe at corpus
+    * scale. `array_sort` on (idx, role, text) structs makes the
+    * post-shuffle order deterministic regardless of arrival order.
+    */
+  def renderChat(df: DataFrame, convCol: String = "conv_id",
+      turnCol: String = "turn_idx", roleCol: String = "role",
+      textCol: String = "text"): DataFrame =
+    df.groupBy(convCol)
+      .agg(array_sort(collect_list(struct(
+        col(turnCol).as("i"), col(roleCol).as("r"), col(textCol).as("t")))).as("_turns"))
+      .select(col(convCol),
+        concat_ws("\n", expr("transform(_turns, t -> concat(t.r, ': ', t.t))")).as("rendered"),
+        size(col("_turns")).cast("int").as("n_turns"))
+
+  /** Conversation-level exact-duplicate groups: the dedup key is
+    * md5(rendered chat), so two conversations collapse iff their full
+    * ordered (role, text) sequences are byte-identical. Returns one row
+    * per distinct conversation content with the member count and the
+    * deterministic keeper (min conv_id).
+    */
+  def dedupConversations(df: DataFrame, convCol: String = "conv_id",
+      turnCol: String = "turn_idx", roleCol: String = "role",
+      textCol: String = "text"): DataFrame =
+    renderChat(df, convCol, turnCol, roleCol, textCol)
+      .select(col(convCol), md5(col("rendered")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).cast("int").as("n_convs"), min(convCol).as("keep_conv"))
+
+  /** Loss-mask spans for the [[renderChat]] layout: for every turn, the
+    * [start_char, end_char) span its `role: text` segment occupies in
+    * the rendered string, plus trainable=1 on assistant turns (the SFT
+    * label mask). All-integer window arithmetic — one pass, same single
+    * conv_id exchange as the render itself.
+    */
+  def lossMaskSpans(df: DataFrame, convCol: String = "conv_id",
+      turnCol: String = "turn_idx", roleCol: String = "role",
+      textCol: String = "text"): DataFrame = {
+    val segLen = length(col(roleCol)) + lit(2) + length(col(textCol))
+    val w = Window.partitionBy(convCol).orderBy(turnCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(convCol), col(turnCol), col(roleCol),
+        segLen.as("_len"),
+        coalesce(sum(segLen + lit(1)).over(w), lit(0)).as("_start"))
+      .select(col(convCol), col(turnCol),
+        col("_start").cast("int").as("start_char"),
+        (col("_start") + col("_len")).cast("int").as("end_char"),
+        when(col(roleCol) === "assistant", 1).otherwise(0).cast("int").as("trainable"))
+  }
+
+  /** (prompt, response) extraction: adjacent user→assistant turn pairs,
+    * the instruction-tuning pair miner. One lead() pass per conversation.
+    */
+  def promptResponsePairs(df: DataFrame, convCol: String = "conv_id",
+      turnCol: String = "turn_idx", roleCol: String = "role",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(convCol).orderBy(turnCol)
+    df.select(col(convCol), col(turnCol), col(roleCol), col(textCol),
+        lead(col(roleCol), 1).over(w).as("_nr"),
+        lead(col(textCol), 1).over(w).as("_nt"))
+      .where(col(roleCol) === "user" && col("_nr") === "assistant")
+      .select(col(convCol), col(turnCol).as("prompt_turn"),
+        col(textCol).as("prompt"), col("_nt").as("response"))
+  }
+}

@@ -74,6 +74,20 @@ object Curation {
     * the comparison is all-integer so any SQL oracle reproduces it
     * exactly. Narrow filter, no shuffle.
     */
+  /** Deterministic fixed-COUNT sample per stratum (vs `sampleStratified`
+    * which keeps a fixed RATE): the k rows with the lowest md5(id) per
+    * stratum — a pseudo-random but reproducible exemplar set (eval
+    * subsets, spot-check samples). One window pass, shuffles once on
+    * the stratum key; id tiebreak keeps ranks total.
+    */
+  def sampleKPerStratum(df: DataFrame, k: Int,
+      strataCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rk", row_number().over(w)).where(col("_rk") <= k).drop("_rk")
+  }
+
   def sampleStratified(df: DataFrame, ratesBp: Map[String, Int],
       strataCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
     val b = hashBucket(col(idCol), 10000)
@@ -309,5 +323,52 @@ object Curation {
       .withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
       .withColumn("seq_id", (col("start_tok") / budgetTokens).cast("long"))
       .withColumn("offset", col("start_tok") % budgetTokens)
+  }
+
+  /** Within-document repeated-line removal (the intra-doc half of the
+    * C4 boilerplate rule: [[dropBoilerplateLines]] removes lines shared
+    * ACROSS docs, this keeps only the FIRST occurrence of each line
+    * WITHIN a doc). Returns the reassembled text plus before/after line
+    * counts. One doc-keyed window pass + the regroup — two exchanges on
+    * the doc key, nothing corpus-wide.
+    */
+  def dropRepeatedLines(df: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val w = Window.partitionBy(col(idCol), col("line")).orderBy(col("pos"))
+    lines.withColumn("_rn", row_number().over(w))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("int").as("n_lines_in"),
+        array_sort(collect_list(when(col("_rn") === 1,
+          struct(col("pos"), col("line"))))).as("_keep"))
+      .select(col(idCol),
+        concat_ws("\n", expr("transform(_keep, x -> x.line)")).as("text"),
+        col("n_lines_in"),
+        size(col("_keep")).cast("int").as("n_lines_out"))
+  }
+
+  /** Length-bucketed batch assignment for batched inference/embedding:
+    * docs are grouped into buckets of similar token count (width
+    * `bucketWidth`), sharded by id hash so no bucket becomes one giant
+    * partition at corpus scale, and packed into batches of `batchSize`
+    * docs within each (bucket, shard). Deterministic: rank ties break on
+    * id. All-integer arithmetic.
+    */
+  def lengthBucketBatches(df: DataFrame, batchSize: Int,
+      bucketWidth: Int = 64, shards: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol),
+      TextAnalysis.wsTokenCount(col(textCol)).cast("int").as("n_tokens"),
+      hashBucket(col(idCol), shards).as("shard"))
+      .withColumn("bucket", floor(col("n_tokens") / lit(bucketWidth)).cast("int"))
+    val w = Window.partitionBy("bucket", "shard").orderBy(col("n_tokens"), col(idCol))
+    base
+      .withColumn("batch_id",
+        floor((row_number().over(w) - 1) / lit(batchSize)).cast("int"))
+      .select(col(idCol), col("n_tokens"), col("bucket"), col("shard"), col("batch_id"))
   }
 }

@@ -292,4 +292,43 @@ object TextAnalysis {
     val top = freq.orderBy(col("freq").desc, col("term")).limit(k)
     top.withColumn("rank", row_number().over(Window.orderBy(col("freq").desc, col("term"))))
   }
+
+  /** Corpus-grounded bigram statistics per document — the engine-neutral
+    * stand-in for LM-perplexity quality filtering (no logs: every output
+    * is a ratio of exact integer counts, so any SQL engine reproduces it
+    * bit-for-bit):
+    *
+    *  - `novel_frac`: fraction of the doc's bigrams whose corpus count
+    *    is 1 (high ⇒ text unlike the rest of the corpus — gibberish or
+    *    genuinely unique);
+    *  - `avg_freq`: mean corpus frequency of the doc's bigrams (high ⇒
+    *    templated/boilerplate-heavy text).
+    *
+    * Scale shape: one window pass per doc builds the bigram stream (the
+    * same single doc-keyed exchange the tokenizer needs anyway), one
+    * hash agg on the bigram key builds the count table, and the
+    * stream-to-counts join shuffles on the bigram key. Hot bigrams skew
+    * the join key but the build side is one row per bigram, so the hash
+    * join stays bounded; no broadcast of the (corpus-sized) count table.
+    */
+  def bigramNovelty(df: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val bigrams = toks
+      .select(col(idCol), col("tok").as("w1"), lead(col("tok"), 1).over(w).as("w2"))
+      .where(col("w2").isNotNull)
+    val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    bigrams.join(counts, Seq("w1", "w2"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("int").as("n_bigrams"),
+        sum(when(col("cnt") === 1, 1).otherwise(0)).cast("int").as("novel"),
+        sum(col("cnt")).cast("long").as("sum_freq"))
+      .select(col(idCol), col("n_bigrams"), col("novel"),
+        round(col("novel") / col("n_bigrams"), 6).as("novel_frac"),
+        round(col("sum_freq") / col("n_bigrams"), 6).as("avg_freq"))
+  }
 }

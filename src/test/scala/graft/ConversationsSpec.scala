@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.{Conversations, Curation, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Conversation lints/truncation + the small feature ops shipped with
+  * them (embedding standardization, per-stratum exemplar sampling).
+  */
+class ConversationsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val turns = Seq(
+    ("a", 0, "user"), ("a", 1, "assistant"), ("a", 2, "user"),
+    ("b", 0, "assistant"), ("b", 1, "assistant"), ("b", 2, "user"), ("b", 3, "user")
+  ).toDF("conv_id", "turn_idx", "role")
+
+  test("roleAlternation counts same-role pairs and flags user starts") {
+    val out = Conversations.roleAlternation(turns).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out("a") === ((3, 0, 1)))
+    assert(out("b") === ((4, 2, 0)))
+  }
+
+  test("lastTurns keeps exactly the final k turns in order") {
+    val six = (0 until 6).map(i => ("c", i, s"t$i")).toDF("conv_id", "turn_idx", "text")
+    val kept = Conversations.lastTurns(six, k = 4).collect().map(_.getInt(1)).sorted
+    assert(kept.toSeq === Seq(2, 3, 4, 5))
+  }
+
+  test("standardize produces exact z-scores on a known distribution") {
+    val e = Seq((0L, Array(1.0, 10.0)), (1L, Array(3.0, 10.0))).toDF("vec_id", "embedding")
+    val z = Similarity.standardize(e).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(z((0L, 0)) === -1.0 && z((1L, 0)) === 1.0)
+    // zero-variance dimension → dropped (engines disagree on double/0)
+    assert(!z.contains((0L, 1)) && !z.contains((1L, 1)))
+  }
+
+  test("sampleKPerStratum is a deterministic k-subset per stratum") {
+    val df = (0 until 200).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    def run() = Curation.sampleKPerStratum(df, k = 5, idCol = "doc_id")
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val s1 = run(); val s2 = run()
+    assert(s1 === s2)
+    assert(s1.count(_._1 == "en") === 5 && s1.count(_._1 == "de") === 5)
+  }
+}
