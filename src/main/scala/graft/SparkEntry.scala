@@ -91,6 +91,27 @@ object SparkEntry {
       lit("2024-01-15 12:30:00").cast("timestamp").as("ts")))
   }
 
+  /** transcripts ∪ byte-identical copies of every conversation whose
+    * conv_id ends in '0' (new id: conv_id + "-dup") — the
+    * conversation-level dedup fixture (planted whole-conversation
+    * duplicates, so `dedupConversations` provably collapses something).
+    */
+  private def transcriptsWithDupConvs(s: SparkSession, dir: String): DataFrame = {
+    val t = transcripts(s, dir)
+    t.unionAll(t.where(col("conv_id").endsWith("0"))
+      .withColumn("conv_id", concat(col("conv_id"), lit("-dup"))))
+  }
+
+  /** documents with planted INTRA-doc repeated lines (3× "shared dup
+    * line" around a unique body line) — the within-doc line-dedup
+    * fixture.
+    */
+  private def docsWithRepeatLines(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit("\nshared dup line\nbody-"), col("doc_id").cast("string"),
+        lit("\nshared dup line\nshared dup line")).as("text"))
+
   private val Tok = "%{level} [%{component}] %{body}"
 
   /** The FIXTURES.md §3 router (same as Pipeline.defaultRouter). */
@@ -794,6 +815,27 @@ object SparkEntry {
       graft.ops.Curation.sampleKPerStratum(documents(s, dir), k = 20)
         .select("lang", "doc_id")),
 
+    "q_render_chat" -> ((s, dir) =>
+      graft.ops.Conversations.renderChat(transcripts(s, dir))),
+
+    "q_conv_dedup" -> ((s, dir) =>
+      graft.ops.Conversations.dedupConversations(transcriptsWithDupConvs(s, dir))),
+
+    "q_loss_mask" -> ((s, dir) =>
+      graft.ops.Conversations.lossMaskSpans(transcripts(s, dir))),
+
+    "q_prompt_response" -> ((s, dir) =>
+      graft.ops.Conversations.promptResponsePairs(transcripts(s, dir))),
+
+    "q_bigram_novelty" -> ((s, dir) =>
+      TextAnalysis.bigramNovelty(documents(s, dir))),
+
+    "q_drop_repeat_lines" -> ((s, dir) =>
+      graft.ops.Curation.dropRepeatedLines(docsWithRepeatLines(s, dir))),
+
+    "q_length_batches" -> ((s, dir) =>
+      graft.ops.Curation.lengthBucketBatches(documents(s, dir), batchSize = 8)),
+
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docsWithDupes(s, dir), k = 4, threshold = 0.5, maxDocFreq = 200)),
 
@@ -884,6 +926,25 @@ object SparkEntry {
       |  SELECT doc_id + 10000 AS doc_id, text || ' extra' AS text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 20000 AS doc_id, text FROM documents
+      |)""".stripMargin
+
+  /** DuckDB twin of `transcriptsWithDupConvs`. */
+  private val DupConvsSql =
+    """t2 AS (
+      |  SELECT * FROM transcripts
+      |  UNION ALL
+      |  SELECT conv_id || '-dup' AS conv_id, turn_idx, role, text, tool, ts
+      |  FROM transcripts WHERE conv_id LIKE '%0'
+      |)""".stripMargin
+
+  /** DuckDB twin of `docsWithRepeatLines`. */
+  private val RepeatLinesSql =
+    """rl AS (
+      |  SELECT doc_id,
+      |    text || chr(10) || 'shared dup line' || chr(10) || 'body-' ||
+      |      CAST(doc_id AS VARCHAR) || chr(10) || 'shared dup line' ||
+      |      chr(10) || 'shared dup line' AS text
+      |  FROM documents
       |)""".stripMargin
 
   private val BpeishRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -1760,6 +1821,88 @@ object SparkEntry {
       """SELECT lang, doc_id FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20""".stripMargin,
+
+    "q_render_chat" ->
+      s"""$T SELECT conv_id,
+         |  string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS rendered,
+         |  CAST(count(*) AS INTEGER) AS n_turns
+         |FROM transcripts GROUP BY 1""".stripMargin,
+
+    "q_conv_dedup" ->
+      s"""$T, $DupConvsSql,
+         |r AS (SELECT conv_id,
+         |        string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS rendered
+         |      FROM t2 GROUP BY 1)
+         |SELECT md5(rendered) AS fp, CAST(count(*) AS INTEGER) AS n_convs,
+         |  min(conv_id) AS keep_conv
+         |FROM r GROUP BY 1""".stripMargin,
+
+    "q_loss_mask" ->
+      s"""$T SELECT conv_id, turn_idx,
+         |  CAST(start_char AS INTEGER) AS start_char,
+         |  CAST(start_char + seg_len AS INTEGER) AS end_char,
+         |  trainable
+         |FROM (
+         |  SELECT conv_id, turn_idx, len(role) + 2 + len(text) AS seg_len,
+         |    coalesce(sum(len(role) + 3 + len(text)) OVER (PARTITION BY conv_id
+         |      ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_char,
+         |    CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS INTEGER) AS trainable
+         |  FROM transcripts)""".stripMargin,
+
+    "q_prompt_response" ->
+      s"""$T SELECT conv_id, turn_idx AS prompt_turn, text AS prompt, nt AS response
+         |FROM (SELECT conv_id, turn_idx, role, text,
+         |        lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nr,
+         |        lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nt
+         |      FROM transcripts)
+         |WHERE role = 'user' AND nr = 'assistant'""".stripMargin,
+
+    "q_bigram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok,
+        |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS pos
+        |  FROM documents),
+        |bgf AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, tok AS w1,
+        |      lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM toks) WHERE w2 IS NOT NULL),
+        |c AS (SELECT w1, w2, count(*) AS cnt FROM bgf GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS INTEGER) AS novel,
+        |  round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) / count(*), 6) AS novel_frac,
+        |  round(CAST(sum(cnt) AS BIGINT) / count(*), 6) AS avg_freq
+        |FROM bgf JOIN c USING (w1, w2) GROUP BY 1""".stripMargin,
+
+    "q_drop_repeat_lines" ->
+      s"""WITH $RepeatLinesSql,
+         |lines AS (SELECT doc_id,
+         |    unnest(string_split(text, chr(10))) AS line,
+         |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+         |  FROM rl),
+         |fl AS (SELECT doc_id, line, pos,
+         |    row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_in
+         |  FROM lines)
+         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         |  CAST(max(n_in) AS INTEGER) AS n_lines_in,
+         |  CAST(count(*) AS INTEGER) AS n_lines_out
+         |FROM fl WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    "q_length_batches" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+         |    ${graft.ops.Curation.hashBucketSql("doc_id", 8)} AS shard
+         |  FROM documents),
+         |b2 AS (SELECT doc_id, n_tokens, shard,
+         |    CAST(floor(n_tokens / 64.0) AS INTEGER) AS bucket FROM base)
+         |SELECT doc_id, n_tokens, bucket, shard,
+         |  CAST(floor((row_number() OVER (PARTITION BY bucket, shard
+         |    ORDER BY n_tokens, doc_id) - 1) / 8.0) AS INTEGER) AS batch_id
+         |FROM b2""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH $DocsDupesSql,

@@ -38,6 +38,46 @@ class ConversationsSpec extends AnyFunSuite {
     assert(!z.contains((0L, 1)) && !z.contains((1L, 1)))
   }
 
+  test("renderChat flattens ordered turns into role-prefixed lines") {
+    val t = Seq(("a", 1, "assistant", "yo"), ("a", 0, "user", "hi"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val r = Conversations.renderChat(t).collect().head
+    assert(r.getString(1) === "user: hi\nassistant: yo")
+    assert(r.getInt(2) === 2)
+  }
+
+  test("dedupConversations collapses byte-identical conversations only") {
+    val t = Seq(
+      ("a", 0, "user", "hi"), ("a", 1, "assistant", "yo"),
+      ("a2", 0, "user", "hi"), ("a2", 1, "assistant", "yo"),
+      ("b", 0, "user", "hi"), ("b", 1, "assistant", "nope")
+    ).toDF("conv_id", "turn_idx", "role", "text")
+    val groups = Conversations.dedupConversations(t).collect()
+      .map(r => r.getString(2) -> r.getInt(1)).toMap
+    assert(groups === Map("a" -> 2, "b" -> 1))
+  }
+
+  test("lossMaskSpans computes exact char spans in the rendered layout") {
+    val t = Seq(("a", 0, "user", "hi"), ("a", 1, "assistant", "yo"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val spans = Conversations.lossMaskSpans(t).collect()
+      .map(r => r.getInt(1) -> ((r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(spans(0) === ((0, 8, 0)))   // "user: hi"
+    assert(spans(1) === ((9, 22, 1)))  // "assistant: yo" after the \n
+    val rendered = Conversations.renderChat(t).collect().head.getString(1)
+    assert(rendered.substring(9, 22) === "assistant: yo")
+  }
+
+  test("promptResponsePairs keeps only adjacent user→assistant pairs") {
+    val t = Seq(
+      ("a", 0, "user", "q1"), ("a", 1, "assistant", "a1"),
+      ("a", 2, "user", "q2"), ("a", 3, "user", "q3"), ("a", 4, "assistant", "a3")
+    ).toDF("conv_id", "turn_idx", "role", "text")
+    val pairs = Conversations.promptResponsePairs(t).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getString(3))).toSet
+    assert(pairs === Set((0, "q1", "a1"), (3, "q3", "a3")))
+  }
+
   test("sampleKPerStratum is a deterministic k-subset per stratum") {
     val df = (0 until 200).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")

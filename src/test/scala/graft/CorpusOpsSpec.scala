@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.{Curation, TextAnalysis}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-level quality/layout ops: bigram novelty scoring, within-doc
+  * repeated-line removal, length-bucketed batch assignment. All
+  * expectations hand-computed.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bigramNovelty: exact integer-ratio scores on a tiny corpus") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    // corpus bigram counts: (a,b)=3, (b,a)=1, (b,c)=1, (b,x)=1
+    val out = TextAnalysis.bigramNovelty(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out(1L) === ((4, 2, 0.5, 2.0))) // (b,a),(b,c) novel; freqs 3+1+3+1
+    assert(out(2L) === ((2, 1, 0.5, 2.0))) // (b,x) novel; freqs 3+1
+  }
+
+  test("dropRepeatedLines keeps first occurrence, preserves order") {
+    val docs = Seq((1L, "x\ny\nx\nz\ny")).toDF("doc_id", "text")
+    val r = Curation.dropRepeatedLines(docs).collect().head
+    assert(r.getString(1) === "x\ny\nz")
+    assert(r.getInt(2) === 5 && r.getInt(3) === 3)
+  }
+
+  test("lengthBucketBatches: bounded deterministic batches per (bucket, shard)") {
+    val docs = (0 until 40)
+      .map(i => (i.toLong, (0 to i % 7).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.lengthBucketBatches(docs, batchSize = 3, bucketWidth = 4, shards = 2)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    assert(rows.length === 40)
+    // every batch holds ≤ batchSize docs and batches are densely numbered
+    val byBatch = rows.groupBy(t => (t._3, t._4, t._5))
+    assert(byBatch.values.forall(_.length <= 3))
+    rows.groupBy(t => (t._3, t._4)).foreach { case (_, rs) =>
+      val ids = rs.map(_._5).distinct.sorted
+      assert(ids === (0 to ids.max).toArray.toSeq)
+    }
+    // deterministic across runs
+    val again = Curation.lengthBucketBatches(docs, batchSize = 3, bucketWidth = 4, shards = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4))).toSet
+    assert(again === rows.map(t => (t._1, t._5)).toSet)
+  }
+}
