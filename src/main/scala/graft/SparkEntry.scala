@@ -836,6 +836,27 @@ object SparkEntry {
     "q_length_batches" -> ((s, dir) =>
       graft.ops.Curation.lengthBucketBatches(documents(s, dir), batchSize = 8)),
 
+    "q_rollup_counts" -> ((s, dir) =>
+      graft.agg.Aggregates.rollupCounts(routedTranscripts(s, dir))),
+
+    "q_pivot_levels" -> { (s, dir) =>
+      val d = DissectFunctions.dissect(Tok)(col("text"))
+      val parsed = transcripts(s, dir).withColumn("_d", d)
+        .select(col("_d.fields")("level").as("level"),
+          col("_d.fields")("component").as("component"))
+      graft.agg.Aggregates.pivotLevels(parsed)
+    },
+
+    "q_funnel" -> ((s, dir) =>
+      graft.agg.Aggregates.funnel(events(s, dir))),
+
+    "q_retention" -> ((s, dir) =>
+      graft.agg.Aggregates.retentionCohorts(events(s, dir))
+        // DATE→string for the dump: the comparator renders Spark DATE as
+        // yyyy-MM-dd but round-trips DuckDB DATE through midnight
+        // timestamps — string on both sides removes the formatting skew
+        .withColumn("cohort_day", col("cohort_day").cast("string"))),
+
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docsWithDupes(s, dir), k = 4, threshold = 0.5, maxDocFreq = 200)),
 
@@ -1889,6 +1910,42 @@ object SparkEntry {
          |  CAST(max(n_in) AS INTEGER) AS n_lines_in,
          |  CAST(count(*) AS INTEGER) AS n_lines_out
          |FROM fl WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    "q_rollup_counts" ->
+      s"""$R SELECT sink, role, count(*) AS n FROM routed GROUP BY ROLLUP (sink, role)""",
+
+    "q_pivot_levels" ->
+      s"""$T, p AS (
+         |  SELECT CASE WHEN ok THEN substr(text, 1, i - 1) END AS level,
+         |         CASE WHEN ok THEN substr(text, i + 2, j - 1) END AS component
+         |  FROM (SELECT *, strpos(text, ' [') AS i,
+         |          strpos(substr(text, strpos(text, ' [') + 2), '] ') AS j,
+         |          strpos(text, ' [') > 0
+         |            AND strpos(substr(text, strpos(text, ' [') + 2), '] ') > 0 AS ok
+         |        FROM transcripts))
+         |SELECT component,
+         |  CAST(sum(CASE WHEN level = 'INFO' THEN 1 ELSE 0 END) AS BIGINT) AS n_info,
+         |  CAST(sum(CASE WHEN level = 'WARN' THEN 1 ELSE 0 END) AS BIGINT) AS n_warn,
+         |  CAST(sum(CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+         |FROM p WHERE level IN ('INFO', 'WARN', 'ERROR') GROUP BY 1""".stripMargin,
+
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "q_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |coh AS (SELECT user_id, min(d) AS cohort_day FROM days GROUP BY 1)
+        |SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+        |  CAST(date_diff('day', cohort_day, d) AS INTEGER) AS offset_days,
+        |  CAST(count(*) AS INTEGER) AS n_users
+        |FROM days JOIN coh USING (user_id) GROUP BY 1, 2""".stripMargin,
 
     "q_length_batches" ->
       s"""WITH base AS (

@@ -153,4 +153,66 @@ object Aggregates {
       max(col("turn_idx")).as("offset"),
       max_by(col("ts"), col("turn_idx")).as("last_ts"),
       count(lit(1)).as("turns"))
+
+  /** OLAP rollup of routed-row counts over (sink, role): per-pair rows,
+    * per-sink subtotals and the grand total in ONE pass — Spark compiles
+    * the rollup to a single Expand + hash aggregate, so the corpus is
+    * scanned once regardless of how many subtotal levels are asked for.
+    */
+  def rollupCounts(routed: DataFrame): DataFrame =
+    routed.rollup("sink", "role").agg(count(lit(1)).as("n"))
+
+  /** Metricbeat-style wide report: level counts pivoted per component.
+    * Pivot values are EXPLICIT — no extra distinct-scan job, and the
+    * output schema is static (a dynamic pivot collects the value set to
+    * the driver, which is a non-starter over an unbounded corpus).
+    */
+  def pivotLevels(parsed: DataFrame): DataFrame =
+    parsed
+      .where(col("level").isin("INFO", "WARN", "ERROR"))
+      .groupBy("component")
+      .pivot("level", Seq("INFO", "WARN", "ERROR"))
+      .agg(count(lit(1)))
+      .select(col("component"),
+        coalesce(col("INFO"), lit(0L)).as("n_info"),
+        coalesce(col("WARN"), lit(0L)).as("n_warn"),
+        coalesce(col("ERROR"), lit(0L)).as("n_error"))
+
+  /** Strictly-ordered conversion funnel: first `steps(0)` per user, then
+    * first `steps(1)` AFTER it, and so on (an out-of-order click does
+    * not count). One user-keyed aggregate per step plus user-keyed
+    * joins — every exchange is on the same user key, so at scale the
+    * whole funnel co-partitions into a single shuffle lineage; nothing
+    * user-cardinality-sized is ever broadcast or collected.
+    */
+  def funnel(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val s0 = events.where(col(typeCol) === steps.head)
+      .groupBy(userCol).agg(min(tsCol).as(s"t_${steps.head}"))
+    steps.sliding(2).foldLeft(s0) { case (acc, Seq(prev, next)) =>
+      val nextT = events.where(col(typeCol) === next)
+        .join(acc.select(col(userCol), col(s"t_$prev")), Seq(userCol))
+        .where(col(tsCol) > col(s"t_$prev"))
+        .groupBy(userCol).agg(min(tsCol).as(s"t_$next"))
+      acc.join(nextT, Seq(userCol), "left")
+    }
+  }
+
+  /** Day-granularity retention cohorts: cohort = each user's first
+    * active date, offset = days since cohort, cell value = distinct
+    * active users. The (user, day) distinct runs first so the final
+    * count needs no count-distinct; two user-keyed exchanges + one tiny
+    * (cohort, offset) aggregate.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val days = events.select(col(userCol), to_date(col(tsCol)).as("d")).distinct()
+    val cohort = days.groupBy(userCol).agg(min("d").as("cohort_day"))
+    days.join(cohort, Seq(userCol))
+      .select(col("cohort_day"), datediff(col("d"), col("cohort_day")).as("offset_days"))
+      .groupBy("cohort_day", "offset_days")
+      .agg(count(lit(1)).cast("int").as("n_users"))
+  }
 }

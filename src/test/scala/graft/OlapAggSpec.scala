@@ -1,0 +1,65 @@
+package graft
+
+import graft.agg.Aggregates
+import org.scalatest.funsuite.AnyFunSuite
+
+/** OLAP-style aggregates: rollup subtotals, static pivot, ordered
+  * funnel, retention cohorts. Hand-computed expectations.
+  */
+class OlapAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("rollupCounts emits pair rows, sink subtotals and the grand total") {
+    val routed = Seq(("a", "user"), ("a", "user"), ("a", "tool"), ("b", "user"))
+      .toDF("sink", "role")
+    val out = Aggregates.rollupCounts(routed).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) -> r.getLong(2)).toMap
+    assert(out((Some("a"), Some("user"))) === 2)
+    assert(out((Some("a"), None)) === 3)      // sink subtotal
+    assert(out((None, None)) === 4)           // grand total
+    assert(out.size === 6)
+  }
+
+  test("pivotLevels produces static wide counts with zero-fill") {
+    val parsed = Seq(("INFO", "c1"), ("INFO", "c1"), ("ERROR", "c1"),
+      ("WARN", "c2"), (null, "c3")).toDF("level", "component")
+    val out = Aggregates.pivotLevels(parsed).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("c1") === ((2L, 0L, 1L)))
+    assert(out("c2") === ((0L, 1L, 0L)))
+    assert(!out.contains("c3")) // unparsed rows excluded
+  }
+
+  test("funnel only counts strictly-ordered step sequences") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val ev = Seq(
+      // u1: full ordered funnel
+      (1L, "view", ts("10:00:00")), (1L, "click", ts("10:01:00")), (1L, "purchase", ts("10:02:00")),
+      // u2: click BEFORE the first view — click must not count
+      (2L, "click", ts("09:00:00")), (2L, "view", ts("10:00:00")), (2L, "purchase", ts("11:00:00")),
+      // u3: view only
+      (3L, "view", ts("10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Aggregates.funnel(ev).collect()
+      .map(r => r.getLong(0) -> ((r.isNullAt(2), r.isNullAt(3)))).toMap
+    assert(out(1L) === ((false, false)))
+    assert(out(2L) === ((true, true)))  // no click after view ⇒ no purchase either
+    assert(out(3L) === ((true, true)))
+  }
+
+  test("retentionCohorts counts distinct users per (cohort, offset)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 12:00:00")), // same day: 1 cell
+      (1L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-02 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Aggregates.retentionCohorts(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getInt(2)).toMap
+    assert(out(("2024-01-01", 0)) === 2)
+    assert(out(("2024-01-01", 1)) === 1)
+    assert(out(("2024-01-01", 2)) === 1)
+    assert(out.size === 3)
+  }
+}
