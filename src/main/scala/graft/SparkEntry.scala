@@ -836,6 +836,9 @@ object SparkEntry {
     "q_length_batches" -> ((s, dir) =>
       graft.ops.Curation.lengthBucketBatches(documents(s, dir), batchSize = 8)),
 
+    "q_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairStats(documents(s, dir), k = 40)),
+
     "q_rollup_counts" -> ((s, dir) =>
       graft.agg.Aggregates.rollupCounts(routedTranscripts(s, dir))),
 
@@ -1910,6 +1913,18 @@ object SparkEntry {
          |  CAST(max(n_in) AS INTEGER) AS n_lines_in,
          |  CAST(count(*) AS INTEGER) AS n_lines_out
          |FROM fl WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT word, count(*) AS wfreq FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE len(word) >= 2 GROUP BY 1),
+        |grams AS (
+        |  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, wfreq
+        |  FROM words, unnest(generate_series(1, len(word) - 1)) AS t(i))
+        |SELECT pair, CAST(sum(wfreq) AS BIGINT) AS pair_freq
+        |FROM grams GROUP BY 1 ORDER BY pair_freq DESC, pair LIMIT 40""".stripMargin,
 
     "q_rollup_counts" ->
       s"""$R SELECT sink, role, count(*) AS n FROM routed GROUP BY ROLLUP (sink, role)""",

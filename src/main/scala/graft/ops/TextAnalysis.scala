@@ -311,6 +311,28 @@ object TextAnalysis {
     * the join key but the build side is one row per bigram, so the hash
     * join stays bounded; no broadcast of the (corpus-sized) count table.
     */
+  /** One BPE-training statistics pass: lowercase whitespace words →
+    * corpus word frequencies → adjacent CHARACTER-pair counts weighted
+    * by word frequency — exactly the quantity a BPE merge step argmaxes.
+    * Top-k with deterministic (freq desc, pair) ties. The word table is
+    * |vocab|-sized (already aggregated) before the pair explode, so the
+    * explode multiplies a bounded frame, not the corpus; the final top-k
+    * is a TakeOrdered, never a global sort of all pairs.
+    */
+  def bpePairStats(df: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("wfreq"))
+    words
+      .select(col("wfreq"),
+        explode(expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+      .groupBy("pair").agg(sum("wfreq").cast("long").as("pair_freq"))
+      .orderBy(col("pair_freq").desc, col("pair")).limit(k)
+  }
+
   def bigramNovelty(df: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1,0 +1,58 @@
+package graft
+
+import graft.agg.Aggregates
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-shape plan assertions for the corpus-fact joins added this
+  * round: with auto-broadcast disabled (simulating both sides being
+  * corpus-sized, as they are at 100 TB), the funnel and the bigram
+  * count join must plan as key-partitioned shuffle joins — never a
+  * cartesian or a nested-loop broadcast.
+  */
+class ScalePlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def planNoBroadcast(df: => DataFrame): String = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val d = df
+      d.collect() // finalize the adaptive plan
+      d.queryExecution.executedPlan.toString
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("bpePairStats: exact integer pair weights on a known corpus") {
+    val docs = Seq((1L, "abab ab"), (2L, "ab")).toDF("doc_id", "text")
+    // words: abab×1, ab×2; pairs: abab → ab,ba,ab; ab → ab
+    val out = TextAnalysis.bpePairStats(docs, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.toSeq === Seq("ab" -> 4L, "ba" -> 1L))
+  }
+
+  test("funnel plans as key joins — no cartesian / nested-loop") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val ev = (0 until 100).flatMap(u => Seq(
+      (u.toLong, "view", ts("10:00:00")), (u.toLong, "click", ts("10:01:00")),
+      (u.toLong, "purchase", ts("10:02:00"))))
+      .toDF("user_id", "event_type", "ts")
+    val s = planNoBroadcast(Aggregates.funnel(ev))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"funnel must never go quadratic:\n$s")
+    assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"),
+      s"expected key-partitioned joins with broadcast off:\n$s")
+  }
+
+  test("bigramNovelty count join shuffles on the bigram key — no broadcast of corpus counts") {
+    val docs = (0 until 50).map(i => (i.toLong, s"w$i x y w${i % 7} z")).toDF("doc_id", "text")
+    val s = planNoBroadcast(TextAnalysis.bigramNovelty(docs))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"bigram join must stay a key join:\n$s")
+    assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"),
+      s"expected a shuffle join on (w1, w2):\n$s")
+  }
+}
