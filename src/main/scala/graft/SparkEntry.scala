@@ -888,7 +888,7 @@ object SparkEntry {
       Similarity.kmeans(embeddings(s, dir), k = 8, iters = 2)),
 
     "q_semdedup" -> ((s, dir) =>
-      Similarity.semDedup(embWithDupes(s, dir), k = 8, iters = 2, threshold = 0.995)),
+      Similarity.semDedup(embWithDupes(s, dir), k = 64, iters = 2, threshold = 0.995)),
 
     "q_hll" -> ((s, dir) =>
       Sketches.hllEstimate(events(s, dir), keyCol = "user_id", groupCols = Seq("event_type"))),
@@ -2072,7 +2072,7 @@ object SparkEntry {
         | UNION ALL
         | SELECT vec_id + 10000 AS vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5) AS embedding
         | FROM embeddings) t""".stripMargin,
-      k = 8, iters = 2, dim = 64, threshold = 0.995),
+      k = 64, iters = 2, dim = 64, threshold = 0.995),
 
     "q_hll" -> Sketches.hllSql("events", keyExpr = "user_id", groupCol = "event_type"),
 
