@@ -839,6 +839,22 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairStats(documents(s, dir), k = 40)),
 
+    "q_tool_transitions" -> ((s, dir) =>
+      graft.ops.Conversations.toolTransitions(transcripts(s, dir))),
+
+    "q_log_templates" -> ((s, dir) =>
+      TextAnalysis.logTemplates(transcripts(s, dir))),
+
+    "q_dq_audit" -> ((s, dir) =>
+      graft.ops.Curation.dqAudit(events(s, dir),
+        Seq("event_id", "user_id", "event_type", "props"))),
+
+    "q_scd2" -> ((s, dir) =>
+      graft.ops.Sessions.scd2Intervals(events(s, dir))),
+
+    "q_top_terms_lang" -> ((s, dir) =>
+      TextAnalysis.topTermsPerGroup(documents(s, dir), k = 10)),
+
     "q_rollup_counts" -> ((s, dir) =>
       graft.agg.Aggregates.rollupCounts(routedTranscripts(s, dir))),
 
@@ -1925,6 +1941,46 @@ object SparkEntry {
         |  FROM words, unnest(generate_series(1, len(word) - 1)) AS t(i))
         |SELECT pair, CAST(sum(wfreq) AS BIGINT) AS pair_freq
         |FROM grams GROUP BY 1 ORDER BY pair_freq DESC, pair LIMIT 40""".stripMargin,
+
+    "q_tool_transitions" ->
+      s"""$T SELECT tool, next_tool, CAST(count(*) AS INTEGER) AS n
+         |FROM (SELECT conv_id, turn_idx, tool,
+         |        lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_tool
+         |      FROM transcripts WHERE tool IS NOT NULL)
+         |WHERE next_tool IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "q_log_templates" ->
+      s"""$T SELECT regexp_replace(text, '[0-9]+', '#', 'g') AS template,
+         |  CAST(count(*) AS INTEGER) AS n, min(text) AS example
+         |FROM transcripts GROUP BY 1""".stripMargin,
+
+    "q_dq_audit" -> Seq("event_id", "user_id", "event_type", "props").map { c =>
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  min(CAST($c AS VARCHAR)) AS min_s, max(CAST($c AS VARCHAR)) AS max_s
+         |FROM events""".stripMargin
+    }.mkString("\nUNION ALL\n"),
+
+    "q_scd2" ->
+      """SELECT user_id, value, valid_from, valid_to FROM (
+        |  SELECT user_id, event_type AS value, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM (
+        |    SELECT user_id, event_type, ts, event_id,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    FROM events)
+        |  WHERE prev IS NULL OR prev <> event_type)""".stripMargin,
+
+    "q_top_terms_lang" ->
+      """SELECT lang, term, CAST(freq AS BIGINT) AS freq, CAST(rank AS INTEGER) AS rank
+        |FROM (
+        |  SELECT lang, term, count(*) AS freq,
+        |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, term) AS rank
+        |  FROM (SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |WHERE rank <= 10""".stripMargin,
 
     "q_rollup_counts" ->
       s"""$R SELECT sink, role, count(*) AS n FROM routed GROUP BY ROLLUP (sink, role)""",

@@ -90,6 +90,23 @@ object Conversations {
         when(col(roleCol) === "assistant", 1).otherwise(0).cast("int").as("trainable"))
   }
 
+  /** Tool-call transition matrix: for every conversation's sequence of
+    * tool turns (in turn order), count (tool → next tool) adjacencies
+    * corpus-wide — the Markov view of agent tool usage. One conv-keyed
+    * window pass over the (small) tool-turn subset, then a tiny
+    * (tool, tool) aggregate.
+    */
+  def toolTransitions(df: DataFrame, convCol: String = "conv_id",
+      turnCol: String = "turn_idx", toolCol: String = "tool"): DataFrame = {
+    val w = Window.partitionBy(convCol).orderBy(turnCol)
+    df.where(col(toolCol).isNotNull)
+      .select(col(convCol), col(turnCol), col(toolCol),
+        lead(col(toolCol), 1).over(w).as("next_tool"))
+      .where(col("next_tool").isNotNull)
+      .groupBy(toolCol, "next_tool")
+      .agg(count(lit(1)).cast("int").as("n"))
+  }
+
   /** (prompt, response) extraction: adjacent user→assistant turn pairs,
     * the instruction-tuning pair miner. One lead() pass per conversation.
     */

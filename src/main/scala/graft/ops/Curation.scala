@@ -325,6 +325,27 @@ object Curation {
       .withColumn("offset", col("start_tok") % budgetTokens)
   }
 
+  /** Deequ-style data-quality audit: per column, row/null/distinct
+    * counts plus lexicographic min/max of the string form. One pass PER
+    * COLUMN on purpose — each pass projects exactly one column, so the
+    * parquet scan reads one column chunk (columnar audit = per-column
+    * scans); fusing all columns into one pass would either multiply the
+    * input through a distinct-rewrite Expand (measured worse in this
+    * repo) or read every column for every row.
+    */
+  def dqAudit(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.select(col(c))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as("n_nulls"),
+          count_distinct(col(c)).as("n_distinct"),
+          min(col(c).cast("string")).as("min_s"),
+          max(col(c).cast("string")).as("max_s"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_ unionAll _)
+
   /** Within-document repeated-line removal (the intra-doc half of the
     * C4 boilerplate rule: [[dropBoilerplateLines]] removes lines shared
     * ACROSS docs, this keeps only the FIRST occurrence of each line

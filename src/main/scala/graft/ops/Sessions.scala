@@ -34,4 +34,27 @@ object Sessions {
         min(col(tsCol)).as("first_ts"),
         max(col(tsCol)).as("last_ts"))
   }
+
+  /** SCD-type-2 interval derivation from an event stream: per key, each
+    * maximal run of the same `valCol` value becomes one row with
+    * [valid_from, valid_to) bounds (valid_to null on the current run) —
+    * the changelog→dimension-snapshot operator. Two window passes on the
+    * same (key, ts, ord) ordering, so Catalyst reuses one exchange; the
+    * `ordCol` tie-break keeps the derivation deterministic when
+    * timestamps collide (at 10^12 rows they always do).
+    */
+  def scd2Intervals(
+      df: DataFrame,
+      keyCol: String = "user_id",
+      valCol: String = "event_type",
+      tsCol: String = "ts",
+      ordCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
+    df.select(col(keyCol), col(valCol), col(tsCol), col(ordCol))
+      .withColumn("_prev", lag(col(valCol), 1).over(w))
+      .where(col("_prev").isNull || col("_prev") =!= col(valCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(valCol).as("value"),
+        col(tsCol).as("valid_from"), col("valid_to"))
+  }
 }

@@ -311,6 +311,33 @@ object TextAnalysis {
     * the join key but the build side is one row per bigram, so the hash
     * join stays bounded; no broadcast of the (corpus-sized) count table.
     */
+  /** Drain-lite log template mining: mask every digit run to `#`, then
+    * group identical masks — "evt=click id=123 k=7" and
+    * "evt=click id=456 k=9" collapse to one template with count and a
+    * deterministic exemplar (min original line). One narrow codegen'd
+    * regexp + one hash agg; the template space is the bounded output.
+    */
+  def logTemplates(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(col(textCol),
+        regexp_replace(col(textCol), "[0-9]+", "#").as("template"))
+      .groupBy("template")
+      .agg(count(lit(1)).cast("int").as("n"), min(col(textCol)).as("example"))
+
+  /** ES terms-aggregation-style top-k terms per group (e.g. per
+    * language). The rank window runs over the (group, term) AGGREGATE —
+    * bounded by vocabulary size per group — never over the corpus.
+    */
+  def topTermsPerGroup(df: DataFrame, k: Int, groupCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df
+      .select(col(groupCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .groupBy(groupCol, "term").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(groupCol).orderBy(col("freq").desc, col("term"))
+    freq.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** One BPE-training statistics pass: lowercase whitespace words →
     * corpus word frequencies → adjacent CHARACTER-pair counts weighted
     * by word frequency — exactly the quantity a BPE merge step argmaxes.

@@ -1,0 +1,68 @@
+package graft
+
+import graft.ops.{Conversations, Curation, Sessions, TextAnalysis}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pipeline-analytics ops: tool transitions, log template mining,
+  * data-quality audit, SCD2 intervals, per-group top terms.
+  */
+class PipelineAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("toolTransitions counts adjacent tool pairs within conversations") {
+    val t = Seq(
+      ("a", 0, "search"), ("a", 1, null), ("a", 2, "exec"), ("a", 3, "search"),
+      ("b", 0, "exec"), ("b", 1, "search")
+    ).toDF("conv_id", "turn_idx", "tool")
+    val out = Conversations.toolTransitions(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    // non-tool turns are skipped, so a: search→exec→search
+    assert(out === Map(("search", "exec") -> 1, ("exec", "search") -> 2))
+  }
+
+  test("logTemplates masks digit runs and keeps a deterministic exemplar") {
+    val t = Seq("evt=click id=123 k=7", "evt=click id=456 k=9", "boot ok")
+      .toDF("text")
+    val out = TextAnalysis.logTemplates(t).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(out("evt=click id=# k=#") === ((2, "evt=click id=123 k=7")))
+    assert(out("boot ok") === ((1, "boot ok")))
+  }
+
+  test("dqAudit reports per-column row/null/distinct/min/max") {
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")))
+      .toDF("id", "s")
+    val out = Curation.dqAudit(df, Seq("id", "s")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(out("id") === ((3L, 0L, 3L, "1", "3")))
+    assert(out("s") === ((3L, 1L, 1L, "a", "a")))
+  }
+
+  test("scd2Intervals emits one row per value run with correct bounds") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val ev = Seq(
+      (1L, "A", ts("10:00:00"), 1L), (1L, "A", ts("10:05:00"), 2L),
+      (1L, "B", ts("10:10:00"), 3L), (1L, "A", ts("10:20:00"), 4L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Sessions.scd2Intervals(ev).collect()
+      .map(r => (r.getString(1), r.getTimestamp(2).toString.substring(11, 19),
+        Option(r.getTimestamp(3)).map(_.toString.substring(11, 19))))
+    assert(out.toSet === Set(
+      ("A", "10:00:00", Some("10:10:00")),
+      ("B", "10:10:00", Some("10:20:00")),
+      ("A", "10:20:00", None)))
+  }
+
+  test("topTermsPerGroup ranks within each group with deterministic ties") {
+    val docs = Seq(("en", "x x y z"), ("en", "x y"), ("de", "a b a"))
+      .toDF("lang", "text")
+    val out = TextAnalysis.topTermsPerGroup(docs, k = 2).collect()
+      .map(r => (r.getString(0), r.getInt(3)) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(("en", 1)) === (("x", 3L)))
+    assert(out(("en", 2)) === (("y", 2L)))
+    assert(out(("de", 1)) === (("a", 2L)))
+    assert(out(("de", 2)) === (("b", 1L)))
+  }
+}
