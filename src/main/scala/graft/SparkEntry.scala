@@ -855,6 +855,23 @@ object SparkEntry {
     "q_top_terms_lang" -> ((s, dir) =>
       TextAnalysis.topTermsPerGroup(documents(s, dir), k = 10)),
 
+    "q_compaction" -> ((s, dir) =>
+      graft.ops.Curation.compactionPlan(
+        events(s, dir).groupBy(
+            col("event_type").as("part_key"),
+            (col("event_id") % 50).as("file_id"))
+          .agg((count(lit(1)) * 1000).as("size_bytes")),
+        targetBytes = 100000L)),
+
+    "q_skew_report" -> ((s, dir) =>
+      graft.agg.Aggregates.skewReport(events(s, dir), "user_id")),
+
+    "q_cluster_inertia" -> ((s, dir) =>
+      Similarity.clusterInertia(Similarity.kmeans(embeddings(s, dir), k = 8, iters = 2))),
+
+    "q_equidepth" -> ((s, dir) =>
+      graft.agg.Aggregates.equiDepth(events(s, dir), "value", "event_id", nBuckets = 10)),
+
     "q_rollup_counts" -> ((s, dir) =>
       graft.agg.Aggregates.rollupCounts(routedTranscripts(s, dir))),
 
@@ -1971,6 +1988,40 @@ object SparkEntry {
         |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |    FROM events)
         |  WHERE prev IS NULL OR prev <> event_type)""".stripMargin,
+
+    "q_compaction" ->
+      """WITH files AS (
+        |  SELECT event_type AS part_key, event_id % 50 AS file_id,
+        |    count(*) * 1000 AS size_bytes
+        |  FROM events GROUP BY 1, 2)
+        |SELECT part_key, file_id, CAST(size_bytes AS BIGINT) AS size_bytes,
+        |  CAST(floor((cum - size_bytes) / 100000.0) AS INTEGER) AS merge_group
+        |FROM (SELECT *, sum(size_bytes) OVER (PARTITION BY part_key ORDER BY file_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM files)""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH c AS (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(n) AS BIGINT) AS total,
+        |        CAST(max(n) AS BIGINT) AS max_n,
+        |        round(CAST(quantile_cont(n, 0.5) AS DOUBLE), 6) AS p50_n,
+        |        round(CAST(quantile_cont(n, 0.99) AS DOUBLE), 6) AS p99_n
+        |      FROM c),
+        |h AS (SELECT CAST(k AS VARCHAR) AS hottest_key, CAST(n AS BIGINT) AS hottest_n
+        |      FROM c ORDER BY n DESC, k LIMIT 1)
+        |SELECT n_keys, total, max_n, p50_n, p99_n,
+        |  round(max_n * n_keys / total, 6) AS skew, hottest_key, hottest_n
+        |FROM s, h""".stripMargin,
+
+    "q_cluster_inertia" ->
+      Similarity.kmeansInertiaSql("embeddings", k = 8, iters = 2, dim = 64),
+
+    "q_equidepth" ->
+      """WITH t AS (SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+        |           FROM events)
+        |SELECT CAST(bucket AS INTEGER) AS bucket, CAST(count(*) AS INTEGER) AS n,
+        |  round(min(value), 6) AS lo, round(max(value), 6) AS hi
+        |FROM t GROUP BY 1""".stripMargin,
 
     "q_top_terms_lang" ->
       """SELECT lang, term, CAST(freq AS BIGINT) AS freq, CAST(rank AS INTEGER) AS rank

@@ -200,6 +200,45 @@ object Aggregates {
     }
   }
 
+  /** Key-skew report — the operational diagnostic behind every salting
+    * decision in this engine: per-key counts reduced to one row of
+    * (n_keys, total, max, p50/p99 of per-key counts, skew = max/mean,
+    * hottest key). The per-key count table is the only big frame; the
+    * final stats are a single-row agg + a TakeOrdered(1). `skew` is
+    * max_n·n_keys/total — an exact integer product over one exact
+    * division, so the oracle matches bit-for-bit.
+    */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("n"))
+    val hot = counts.orderBy(col("n").desc, col(keyCol)).limit(1)
+      .select(col(keyCol).cast("string").as("hottest_key"), col("n").as("hottest_n"))
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum("n").cast("long").as("total"),
+        max("n").as("max_n"),
+        round(percentile(col("n"), lit(0.5)), 6).as("p50_n"),
+        round(percentile(col("n"), lit(0.99)), 6).as("p99_n"))
+      .withColumn("skew", round(col("max_n") * col("n_keys") / col("total"), 6))
+      .crossJoin(hot)
+  }
+
+  /** Equi-depth bucket boundaries via ntile over the (value, ord) total
+    * order — the range-partitioning planner (sort-key split points for
+    * layout jobs). The exact global-sort form is the verification
+    * surface; at 100 TB compute the same boundaries on a sample (the
+    * same trade `percentiles` documents for exact vs t-digest).
+    */
+  def equiDepth(df: DataFrame, valueCol: String, ordCol: String,
+      nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(valueCol), col(ordCol))
+    df.withColumn("bucket", ntile(nBuckets).over(w))
+      .groupBy("bucket").agg(
+        count(lit(1)).cast("int").as("n"),
+        round(min(valueCol), 6).as("lo"),
+        round(max(valueCol), 6).as("hi"))
+  }
+
   /** Day-granularity retention cohorts: cohort = each user's first
     * active date, offset = days since cohort, cell value = distinct
     * active users. The (user, day) distinct runs first so the final

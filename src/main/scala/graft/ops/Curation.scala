@@ -325,6 +325,24 @@ object Curation {
       .withColumn("offset", col("start_tok") % budgetTokens)
   }
 
+  /** Small-file compaction planner (the lakehouse OPTIMIZE step):
+    * within each partition, pack files in id order into merge groups of
+    * ≈ `targetBytes` via the same all-integer window-cumsum trick
+    * [[packSequences]] uses. Output rows carry the `merge_group` a
+    * rewrite job would coalesce. One window per partition key; the
+    * frame is file METADATA (one row per file), never data.
+    */
+  def compactionPlan(files: DataFrame, targetBytes: Long,
+      partCol: String = "part_key", fileCol: String = "file_id",
+      sizeCol: String = "size_bytes"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partCol).orderBy(fileCol)
+    files
+      .withColumn("_start", sum(col(sizeCol)).over(w) - col(sizeCol))
+      .withColumn("merge_group", floor(col("_start") / targetBytes).cast("int"))
+      .select(col(partCol), col(fileCol), col(sizeCol), col("merge_group"))
+  }
+
   /** Deequ-style data-quality audit: per column, row/null/distinct
     * counts plus lexicographic min/max of the string form. One pass PER
     * COLUMN on purpose — each pass projects exactly one column, so the

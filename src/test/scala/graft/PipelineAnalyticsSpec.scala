@@ -1,5 +1,6 @@
 package graft
 
+import graft.agg.Aggregates
 import graft.ops.{Conversations, Curation, Sessions, TextAnalysis}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -53,6 +54,45 @@ class PipelineAnalyticsSpec extends AnyFunSuite {
       ("A", "10:00:00", Some("10:10:00")),
       ("B", "10:10:00", Some("10:20:00")),
       ("A", "10:20:00", None)))
+  }
+
+  test("compactionPlan packs files into target-sized merge groups in order") {
+    val files = Seq(
+      ("p", 1L, 60000L), ("p", 2L, 60000L), ("p", 3L, 60000L), ("q", 1L, 250000L)
+    ).toDF("part_key", "file_id", "size_bytes")
+    val out = Curation.compactionPlan(files, targetBytes = 100000L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
+    // p: starts 0 / 60000 / 120000 → groups 0, 0, 1; q single big file → 0
+    assert(out === Map(("p", 1L) -> 0, ("p", 2L) -> 0, ("p", 3L) -> 1, ("q", 1L) -> 0))
+  }
+
+  test("skewReport computes exact skew factor and the hottest key") {
+    val df = (Seq.fill(6)("hot") ++ Seq("a", "b")).toDF("k")
+    val r = Aggregates.skewReport(df, "k").collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 8L && r.getLong(2) === 6L)
+    assert(r.getDouble(5) === 2.25) // 6 * 3 / 8
+    assert(r.getString(6) === "hot" && r.getLong(7) === 6L)
+  }
+
+  test("equiDepth buckets are balanced and cover the value range in order") {
+    val df = (1 to 100).map(i => (i.toDouble, i.toLong)).toDF("value", "event_id")
+    val out = Aggregates.equiDepth(df, "value", "event_id", nBuckets = 10).collect()
+      .map(r => r.getInt(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.size === 10 && out.values.forall(_._1 == 10))
+    assert(out(1) === ((10, 1.0, 10.0)) && out(10) === ((10, 91.0, 100.0)))
+  }
+
+  test("clusterInertia: integer micro-unit sums over snapped distances") {
+    val e = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(0.0, 1.0)),  // cluster of init centroid 0
+      (2L, Array(10.0, 0.0)), (3L, Array(10.0, 3.0)) // cluster of init centroid 1
+    ).toDF("vec_id", "embedding")
+    val assigned = graft.ops.Similarity.kmeans(e, k = 2, iters = 1)
+    val out = graft.ops.Similarity.clusterInertia(assigned).collect()
+      .map(r => r.getInt(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // init c0=(0,0), c1=(0,1); iter assigns (10,0)→c0, (10,3)→c1 ⇒
+    // recomputed c0=(5,0), c1=(5,2); final dists: 25, 26 (tie→c0), 25 | 26
+    assert(out(0) === ((3, 76000000L)) && out(1) === ((1, 26000000L)))
   }
 
   test("topTermsPerGroup ranks within each group with deterministic ties") {
