@@ -112,6 +112,16 @@ object SparkEntry {
         lit("\nshared dup line\nbody-"), col("doc_id").cast("string"),
         lit("\nshared dup line\nshared dup line")).as("text"))
 
+  /** events ∪ planted orphan-key copies (user_id + 100000, outside the
+    * customer key range) — the referential-integrity fixture.
+    */
+  private def eventsWithOrphans(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select("event_id", "user_id")
+    e.unionAll(e.where(col("event_id") < 20).select(
+      (col("event_id") + 2000000).as("event_id"),
+      (col("user_id") + 100000).as("user_id")))
+  }
+
   private val Tok = "%{level} [%{component}] %{body}"
 
   /** The FIXTURES.md §3 router (same as Pipeline.defaultRouter). */
@@ -871,6 +881,10 @@ object SparkEntry {
 
     "q_equidepth" -> ((s, dir) =>
       graft.agg.Aggregates.equiDepth(events(s, dir), "value", "event_id", nBuckets = 10)),
+
+    "q_orphans" -> ((s, dir) =>
+      graft.ops.Curation.refIntegrityAudit(eventsWithOrphans(s, dir),
+        s.read.parquet(s"$dir/customer.parquet"), "user_id", "c_custkey")),
 
     "q_rollup_counts" -> ((s, dir) =>
       graft.agg.Aggregates.rollupCounts(routedTranscripts(s, dir))),
@@ -2022,6 +2036,17 @@ object SparkEntry {
         |SELECT CAST(bucket AS INTEGER) AS bucket, CAST(count(*) AS INTEGER) AS n,
         |  round(min(value), 6) AS lo, round(max(value), 6) AS hi
         |FROM t GROUP BY 1""".stripMargin,
+
+    "q_orphans" ->
+      """WITH eo AS (
+        |  SELECT event_id, user_id FROM events
+        |  UNION ALL
+        |  SELECT event_id + 2000000 AS event_id, user_id + 100000 AS user_id
+        |  FROM events WHERE event_id < 20)
+        |SELECT user_id, CAST(count(*) AS INTEGER) AS n
+        |FROM eo
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = eo.user_id)
+        |GROUP BY 1""".stripMargin,
 
     "q_top_terms_lang" ->
       """SELECT lang, term, CAST(freq AS BIGINT) AS freq, CAST(rank AS INTEGER) AS rank

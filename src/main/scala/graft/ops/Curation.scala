@@ -325,6 +325,17 @@ object Curation {
       .withColumn("offset", col("start_tok") % budgetTokens)
   }
 
+  /** Referential-integrity audit: per-key counts of fact rows whose key
+    * has no match in the dimension (the orphan scan). Left ANTI join —
+    * the dim side is usually broadcastable; when it is not, Spark falls
+    * back to a key-co-partitioned shuffle anti join. Output is bounded
+    * by |orphan keys|, never fact-sized.
+    */
+  def refIntegrityAudit(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String): DataFrame =
+    fact.join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_anti")
+      .groupBy(factKey).agg(count(lit(1)).cast("int").as("n"))
+
   /** Small-file compaction planner (the lakehouse OPTIMIZE step):
     * within each partition, pack files in id order into merge groups of
     * ≈ `targetBytes` via the same all-integer window-cumsum trick

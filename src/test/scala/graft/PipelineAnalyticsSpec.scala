@@ -95,6 +95,14 @@ class PipelineAnalyticsSpec extends AnyFunSuite {
     assert(out(0) === ((3, 76000000L)) && out(1) === ((1, 26000000L)))
   }
 
+  test("refIntegrityAudit finds exactly the planted orphan keys") {
+    val fact = Seq((1L, 10L), (2L, 10L), (3L, 99L), (4L, 11L)).toDF("event_id", "k")
+    val dim = Seq(10L, 11L).toDF("dk")
+    val out = Curation.refIntegrityAudit(fact, dim, "k", "dk").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(99L -> 1))
+  }
+
   test("topTermsPerGroup ranks within each group with deterministic ties") {
     val docs = Seq(("en", "x x y z"), ("en", "x y"), ("de", "a b a"))
       .toDF("lang", "text")
