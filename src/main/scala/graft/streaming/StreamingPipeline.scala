@@ -51,6 +51,13 @@ final case class RateOut(
     n_rows: Long,
     delta: Option[Long])
 
+/** Open-conversation state: turns accumulated so far + last event time. */
+final case class ConvState(turns: Seq[(Int, String, String)], lastMs: Long)
+
+/** A closed-out conversation, rendered with the SAME layout as the batch
+  * `Conversations.renderChat` (role: text, \n-joined, turn order). */
+final case class ClosedConv(conv_id: String, n_turns: Int, rendered: String)
+
 object StreamingPipeline {
 
   /** Identical transform as batch — parse, enrich, route, bucket. */
@@ -132,6 +139,51 @@ object StreamingPipeline {
               math.max(tail.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
             runs.init.iterator.map(s =>
               Flow(key, s.n, new java.sql.Timestamp(s.firstMs), new java.sql.Timestamp(s.lastMs)))
+          }
+      }
+  }
+
+  /** Streaming conversation close-out: accumulate each conversation's
+    * turns in GroupState and emit ONE rendered chat (same layout as the
+    * batch `Conversations.renderChat`) when the watermark passes
+    * last-turn + `gapSeconds` — the streaming SFT-ingest assembler.
+    * State is one bounded turn list per OPEN conversation only; closed
+    * conversations leave the store via the event-time timeout.
+    */
+  def conversationCloseout(
+      df: DataFrame,
+      gapSeconds: Long = 30,
+      watermarkDelay: String = "10 seconds"): Dataset[ClosedConv] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+    df.withWatermark("ts", watermarkDelay)
+      .select(col("conv_id").cast("string"), col("turn_idx").cast("int"),
+        col("role"), col("text"), col("ts"))
+      .as[(String, Int, String, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ConvState, ClosedConv](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String,
+            rows: Iterator[(String, Int, String, String, java.sql.Timestamp)],
+            state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val sorted = s.turns.sortBy(identity)
+            Iterator.single(ClosedConv(key, sorted.length,
+              sorted.map(t => s"${t._2}: ${t._3}").mkString("\n")))
+          } else {
+            val rs = rows.toArray
+            val prev = state.getOption
+            val turns =
+              prev.map(_.turns).getOrElse(Seq.empty) ++ rs.map(r => (r._2, r._3, r._4))
+            val lastMs =
+              (prev.map(_.lastMs).getOrElse(Long.MinValue) +: rs.map(_._5.getTime)).max
+            state.update(ConvState(turns, lastMs))
+            state.setTimeoutTimestamp(
+              math.max(lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
           }
       }
   }

@@ -122,6 +122,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("streaming conversation close-out renders identically to batch renderChat") {
+    import graft.streaming.StreamingPipeline.conversationCloseout
+    val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def t(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val noTool = Option.empty[String]
+    // conversation a split ACROSS micro-batches; b entirely in batch 1
+    val b1 = Seq(
+      ("a", 0, "user", "hi", noTool, t(0)),
+      ("a", 1, "assistant", "yo", noTool, t(5)),
+      ("b", 0, "user", "solo", noTool, t(2))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val b2 = Seq(("a", 2, "user", "bye", noTool, t(10))).toDF(
+      "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val heartbeat = Seq(("zz", 0, "user", "x", noTool, t(864000))).toDF(
+      "conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+    val stage = TestSpark.tmpDir("conv-stage")
+    val watch = TestSpark.tmpDir("conv-watch")
+    val out = TestSpark.tmpDir("conv-out")
+    b1.write.parquet(s"$stage/b1")
+    b2.write.parquet(s"$stage/b2")
+    heartbeat.write.parquet(s"$stage/b3")
+
+    def stream = spark.readStream.schema(Turn.schema).parquet(watch)
+    def runOnce(): Unit =
+      conversationCloseout(stream, gapSeconds = 30).writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append")
+        .option("checkpointLocation", s"$out/_cp")
+        .format("parquet").option("path", s"$out/convs")
+        .start().awaitTermination()
+
+    feed(s"$stage/b1", watch, "batch1"); runOnce()
+    feed(s"$stage/b2", watch, "batch2"); runOnce()
+    feed(s"$stage/b3", watch, "batch3"); runOnce()
+
+    val got = spark.read.parquet(s"$out/convs").collect()
+      .map(r => r.getAs[String]("conv_id") ->
+        ((r.getAs[Int]("n_turns"), r.getAs[String]("rendered")))).toMap
+    val batch = graft.ops.Conversations.renderChat(b1.unionAll(b2)).collect()
+      .map(r => r.getString(0) -> ((r.getInt(2), r.getString(1)))).toMap
+    // both closed conversations match the batch render byte-for-byte;
+    // the heartbeat conversation stays open (watermark never passes it)
+    assert(got === batch)
+    assert(got("a") === ((3, "user: hi\nassistant: yo\nuser: bye")))
+  }
+
   test("watermarked windowed counters emit closed windows in append mode") {
     val n = 1000L
     val base = Transcripts.synthesize(spark, n).cache()
