@@ -886,6 +886,22 @@ object SparkEntry {
       graft.ops.Curation.refIntegrityAudit(eventsWithOrphans(s, dir),
         s.read.parquet(s"$dir/customer.parquet"), "user_id", "c_custkey")),
 
+    "q_winsorized" -> ((s, dir) =>
+      graft.agg.Aggregates.winsorizedMean(events(s, dir), "event_type", "value")),
+
+    // the corpus-level dedup dashboard number: how much of the corpus is
+    // near-duplicate, from the same cluster derivation q_lsh_clusters uses
+    "q_dedup_report" -> { (s, dir) =>
+      val labels = Dedup.lshClusters(docsWithDupes(s, dir), numHashes = 8,
+        rowsPerBand = 4, k = 4, iterations = 3)
+      labels.agg(
+          count(lit(1)).cast("int").as("n_docs"),
+          count_distinct(col("cluster_id")).cast("int").as("n_clusters"))
+        .select(col("n_docs"), col("n_clusters"),
+          (col("n_docs") - col("n_clusters")).as("n_dupes"),
+          round((col("n_docs") - col("n_clusters")) / col("n_docs"), 6).as("dup_frac"))
+    },
+
     "q_rollup_counts" -> ((s, dir) =>
       graft.agg.Aggregates.rollupCounts(routedTranscripts(s, dir))),
 
@@ -1843,6 +1859,28 @@ object SparkEntry {
          |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          |FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
          |WHERE l.doc_id < r.doc_id""".stripMargin,
+
+    "q_winsorized" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    round(CAST(quantile_cont(value, 0.05) AS DOUBLE), 6) AS lo,
+        |    round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 6) AS hi
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT e.event_type, b.lo, b.hi,
+        |    CAST(floor(least(greatest(e.value, b.lo), b.hi) * 1000000 + 0.5) AS BIGINT) AS micro
+        |  FROM events e JOIN b USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(lo), 6) AS lo, round(max(hi), 6) AS hi,
+        |  round(CAST(sum(micro) AS BIGINT) / count(*) / 1000000.0, 6) AS wmean
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q_dedup_report" -> lshClustersSql(
+      """SELECT CAST(count(*) AS INTEGER) AS n_docs,
+        |  CAST(count(DISTINCT cluster_id) AS INTEGER) AS n_clusters,
+        |  CAST(count(*) - count(DISTINCT cluster_id) AS INTEGER) AS n_dupes,
+        |  round((count(*) - count(DISTINCT cluster_id)) / count(*), 6) AS dup_frac
+        |FROM l3""".stripMargin),
 
     "q_lsh_clusters" -> lshClustersSql("SELECT doc_id, cluster_id FROM l3"),
 

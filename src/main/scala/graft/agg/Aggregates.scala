@@ -200,6 +200,30 @@ object Aggregates {
     }
   }
 
+  /** Winsorized mean per key: clip values to the key's own
+    * [pLo, pHi] percentile band, then average — the robust-mean
+    * telemetry aggregate. Exactness contract: the percentile bounds are
+    * snapped to 6 dp BEFORE clipping (so both engines clip against
+    * identical doubles) and the mean is computed over 1e-6 FIXED-POINT
+    * longs (order-independent sums — a double sum would pick up
+    * summation-order noise). Two key-keyed exchanges: the percentile agg
+    * and the clip-join re-agg, both on the same key.
+    */
+  def winsorizedMean(df: DataFrame, keyCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    val bounds = df.groupBy(keyCol).agg(
+      round(percentile(col(valueCol), lit(pLo)), 6).as("_lo"),
+      round(percentile(col(valueCol), lit(pHi)), 6).as("_hi"))
+    val clipped = df.join(bounds, Seq(keyCol))
+      .withColumn("_c", least(greatest(col(valueCol), col("_lo")), col("_hi")))
+      .withColumn("_micro", floor(col("_c") * 1e6 + 0.5).cast("long"))
+    clipped.groupBy(keyCol).agg(
+      count(lit(1)).as("n"),
+      round(min("_lo"), 6).as("lo"),
+      round(max("_hi"), 6).as("hi"),
+      round(sum("_micro") / count(lit(1)) / 1e6, 6).as("wmean"))
+  }
+
   /** Key-skew report — the operational diagnostic behind every salting
     * decision in this engine: per-key counts reduced to one row of
     * (n_keys, total, max, p50/p99 of per-key counts, skew = max/mean,

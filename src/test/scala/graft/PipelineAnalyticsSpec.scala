@@ -95,6 +95,15 @@ class PipelineAnalyticsSpec extends AnyFunSuite {
     assert(out(0) === ((3, 76000000L)) && out(1) === ((1, 26000000L)))
   }
 
+  test("winsorizedMean clips at the key's own 6-dp-snapped percentile band") {
+    val df = ((1 to 9).map(i => ("k", i.toDouble)) :+ (("k", 1000.0))).toDF("key", "v")
+    val r = Aggregates.winsorizedMean(df, "key", "v").collect().head
+    // p05 idx 0.45 → 1.45; p95 idx 8.55 → 9 + 0.55·991 = 554.05
+    assert(r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 1.45 && r.getDouble(3) === 554.05)
+    assert(r.getDouble(4) === 59.95) // (1.45 + 2..9 + 554.05) / 10
+  }
+
   test("refIntegrityAudit finds exactly the planted orphan keys") {
     val fact = Seq((1L, 10L), (2L, 10L), (3L, 99L), (4L, 11L)).toDF("event_id", "k")
     val dim = Seq(10L, 11L).toDF("dk")
