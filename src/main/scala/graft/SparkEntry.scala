@@ -889,6 +889,15 @@ object SparkEntry {
     "q_winsorized" -> ((s, dir) =>
       graft.agg.Aggregates.winsorizedMean(events(s, dir), "event_type", "value")),
 
+    "q_salted_count" -> ((s, dir) =>
+      graft.agg.Aggregates.saltedCount(events(s, dir), "event_type", "event_id")),
+
+    "q_moving_avg" -> ((s, dir) =>
+      graft.agg.Aggregates.movingAvg(events(s, dir), "event_type", "value", "event_id")),
+
+    "q_gapfill" -> ((s, dir) =>
+      graft.agg.Aggregates.gapFillHourly(events(s, dir), "event_type")),
+
     // the corpus-level dedup dashboard number: how much of the corpus is
     // near-duplicate, from the same cluster derivation q_lsh_clusters uses
     "q_dedup_report" -> { (s, dir) =>
@@ -1874,6 +1883,31 @@ object SparkEntry {
         |  round(min(lo), 6) AS lo, round(max(hi), 6) AS hi,
         |  round(CAST(sum(micro) AS BIGINT) / count(*) / 1000000.0, 6) AS wmean
         |FROM c GROUP BY 1""".stripMargin,
+
+    // the oracle is the DIRECT group count — salted two-phase must be
+    // result-identical to prove the rewrite is sound
+    "q_salted_count" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_moving_avg" ->
+      """SELECT event_type, event_id, value,
+        |  round(CAST(sum(micro) OVER w AS BIGINT)
+        |        / (count(*) OVER w) / 1000000.0, 6) AS mavg
+        |FROM (SELECT event_type, event_id, value,
+        |        CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS micro FROM events)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_gapfill" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, CAST(count(*) AS INTEGER) AS n
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT event_type, min(h) AS lo, max(h) AS hi FROM c GROUP BY 1))
+        |SELECT s.event_type, s.h, coalesce(c.n, 0) AS n
+        |FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.h = s.h""".stripMargin,
 
     "q_dedup_report" -> lshClustersSql(
       """SELECT CAST(count(*) AS INTEGER) AS n_docs,

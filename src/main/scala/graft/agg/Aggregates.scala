@@ -263,6 +263,59 @@ object Aggregates {
         round(max(valueCol), 6).as("hi"))
   }
 
+  /** Two-phase SALTED aggregation — the skew-killer shape spelled out as
+    * its own operator: rows are salted by a hash of `saltFromCol`,
+    * partially aggregated per (key, salt), then finalized per key. The
+    * result is identical to a direct groupBy (which the oracle proves);
+    * the shape is what matters at 100 TB for aggregates WITHOUT a
+    * map-side combine (count-distinct states, collect buffers): no
+    * single reducer ever materializes a hot key's full row set —
+    * it sees at most 1/`salts` of it.
+    */
+  def saltedCount(df: DataFrame, keyCol: String, saltFromCol: String,
+      salts: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(xxhash64(col(saltFromCol)), lit(salts)))
+      .groupBy(col(keyCol), col("_salt")).agg(count(lit(1)).as("_n"))
+      .groupBy(keyCol).agg(sum("_n").cast("long").as("n"))
+
+  /** Per-key moving average over the trailing `window` rows in
+    * (ordCol) order — the telemetry smoothing aggregate. Values go
+    * through 1e-6 fixed-point longs inside the frame, so the windowed
+    * sum is exact integer arithmetic and the oracle reproduces it
+    * bit-for-bit (windowed DOUBLE sums associate differently across
+    * engines). One key-keyed exchange; the frame is rows-based, so no
+    * state beyond `window` rows per partition cursor.
+    */
+  def movingAvg(df: DataFrame, keyCol: String, valueCol: String,
+      ordCol: String, window: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(ordCol)
+      .rowsBetween(-(window - 1), 0)
+    df.select(col(keyCol), col(ordCol), col(valueCol),
+        floor(col(valueCol) * 1e6 + 0.5).cast("long").as("_micro"))
+      .withColumn("mavg",
+        round(sum("_micro").over(w) / count(lit(1)).over(w) / 1e6, 6))
+      .drop("_micro")
+  }
+
+  /** Gap-filled hourly date histogram (the ES date_histogram with
+    * min_doc_count=0 + extended bounds): every hour between each key's
+    * first and last active hour appears, zero-filled. The hour spine is
+    * generated FROM THE BOUNDS AGGREGATE (one row per key exploded to
+    * its hour range), never by scanning the corpus again.
+    */
+  def gapFillHourly(df: DataFrame, keyCol: String,
+      tsCol: String = "ts"): DataFrame = {
+    val counts = df
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("h"))
+      .agg(count(lit(1)).cast("int").as("n"))
+    val spine = counts.groupBy(keyCol).agg(min("h").as("_lo"), max("h").as("_hi"))
+      .select(col(keyCol),
+        explode(sequence(col("_lo"), col("_hi"), expr("interval 1 hour"))).as("h"))
+    spine.join(counts, Seq(keyCol, "h"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0)))
+  }
+
   /** Day-granularity retention cohorts: cohort = each user's first
     * active date, offset = days since cohort, cell value = distinct
     * active users. The (user, day) distinct runs first so the final

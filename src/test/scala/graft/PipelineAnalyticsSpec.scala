@@ -104,6 +104,31 @@ class PipelineAnalyticsSpec extends AnyFunSuite {
     assert(r.getDouble(4) === 59.95) // (1.45 + 2..9 + 554.05) / 10
   }
 
+  test("saltedCount is result-identical to the direct group count") {
+    val df = (0 until 200).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "id")
+    val salted = Aggregates.saltedCount(df, "k", "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = df.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === direct)
+  }
+
+  test("movingAvg: exact trailing-window means via fixed-point sums") {
+    val df = (1 to 6).map(i => ("k", i.toLong, i.toDouble)).toDF("k", "id", "v")
+    val out = Aggregates.movingAvg(df, "k", "v", "id", window = 5).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(out(1L) === 1.0 && out(3L) === 2.0 && out(5L) === 3.0 && out(6L) === 4.0)
+  }
+
+  test("gapFillHourly zero-fills missing hours between per-key bounds") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(("k", ts("2024-01-01 00:10:00")), ("k", ts("2024-01-01 03:20:00")),
+      ("k", ts("2024-01-01 03:40:00"))).toDF("k", "ts")
+    val out = Aggregates.gapFillHourly(df, "k").collect()
+      .map(r => r.getTimestamp(1).toString.substring(11, 13).toInt -> r.getInt(2)).toMap
+    assert(out === Map(0 -> 1, 1 -> 0, 2 -> 0, 3 -> 2))
+  }
+
   test("refIntegrityAudit finds exactly the planted orphan keys") {
     val fact = Seq((1L, 10L), (2L, 10L), (3L, 99L), (4L, 11L)).toDF("event_id", "k")
     val dim = Seq(10L, 11L).toDF("dk")
