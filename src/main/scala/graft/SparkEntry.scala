@@ -898,6 +898,15 @@ object SparkEntry {
     "q_gapfill" -> ((s, dir) =>
       graft.agg.Aggregates.gapFillHourly(events(s, dir), "event_type")),
 
+    // sentence boundaries planted by the ' batch ' → '. ' rewrite (the raw
+    // synthetic text has no punctuation; the rewrite is mirrored in SQL)
+    "q_sentences" -> ((s, dir) =>
+      TextAnalysis.sentences(documents(s, dir).select(col("doc_id"),
+        regexp_replace(col("text"), " batch ", ". ").as("text")))),
+
+    "q_user_growth" -> ((s, dir) =>
+      graft.agg.Aggregates.userGrowth(events(s, dir))),
+
     // the corpus-level dedup dashboard number: how much of the corpus is
     // near-duplicate, from the same cluster derivation q_lsh_clusters uses
     "q_dedup_report" -> { (s, dir) =>
@@ -1908,6 +1917,25 @@ object SparkEntry {
         |  FROM (SELECT event_type, min(h) AS lo, max(h) AS hi FROM c GROUP BY 1))
         |SELECT s.event_type, s.h, coalesce(c.n, 0) AS n
         |FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.h = s.h""".stripMargin,
+
+    "q_sentences" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(text, ' batch ', '. ', 'g') AS text
+        |           FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(list_transform(regexp_split_to_array(text, '[.!?]+\s+'),
+        |          x -> regexp_replace(trim(x), '[.!?]+$', '')), x -> len(x) > 0) AS ss
+        |      FROM d)
+        |SELECT doc_id, CAST(generate_subscripts(ss, 1) - 1 AS INTEGER) AS sent_idx,
+        |  unnest(ss) AS sentence
+        |FROM p""".stripMargin,
+
+    "q_user_growth" ->
+      """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS d FROM events GROUP BY 1),
+        |n AS (SELECT d, CAST(count(*) AS INTEGER) AS n_new FROM f GROUP BY 1)
+        |SELECT CAST(d AS VARCHAR) AS day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM n""".stripMargin,
 
     "q_dedup_report" -> lshClustersSql(
       """SELECT CAST(count(*) AS INTEGER) AS n_docs,

@@ -316,6 +316,22 @@ object Aggregates {
       .withColumn("n", coalesce(col("n"), lit(0)))
   }
 
+  /** New-user growth curve: per day, how many users had their FIRST
+    * event that day, plus the running cumulative. The running sum is a
+    * window over the per-day aggregate (≤ #days rows), never the
+    * corpus. cohort date is emitted as a string (engines disagree on
+    * DATE round-tripping in comparison dumps).
+    */
+  def userGrowth(df: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstDay = df.groupBy(userCol).agg(to_date(min(tsCol)).as("d"))
+    firstDay.groupBy("d").agg(count(lit(1)).cast("int").as("n_new"))
+      .withColumn("cum_users",
+        sum("n_new").over(Window.orderBy("d")).cast("long"))
+      .select(col("d").cast("string").as("day"), col("n_new"), col("cum_users"))
+  }
+
   /** Day-granularity retention cohorts: cohort = each user's first
     * active date, offset = days since cohort, cell value = distinct
     * active users. The (user, day) distinct runs first so the final

@@ -311,6 +311,22 @@ object TextAnalysis {
     * the join key but the build side is one row per bigram, so the hash
     * join stays bounded; no broadcast of the (corpus-sized) count table.
     */
+  /** Sentence segmentation: split on punctuation-run + whitespace
+    * boundaries (`[.!?]+\s+` — an RE2-safe pattern, no lookbehind, so
+    * any SQL engine splits identically), trim, drop empties, and index
+    * within the doc. Terminal punctuation is stripped from each
+    * sentence so the first and last segments normalize the same way.
+    * Narrow explode — no shuffle.
+    */
+  def sentences(df: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val parts = filter(
+      transform(split(col(textCol), "[.!?]+\\s+"),
+        x => regexp_replace(trim(x), "[.!?]+$", "")),
+      x => length(x) > 0)
+    df.select(col(idCol), posexplode(parts).as(Seq("sent_idx", "sentence")))
+  }
+
   /** Drain-lite log template mining: mask every digit run to `#`, then
     * group identical masks — "evt=click id=123 k=7" and
     * "evt=click id=456 k=9" collapse to one template with count and a

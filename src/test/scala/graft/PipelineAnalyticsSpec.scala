@@ -104,6 +104,25 @@ class PipelineAnalyticsSpec extends AnyFunSuite {
     assert(r.getDouble(4) === 59.95) // (1.45 + 2..9 + 554.05) / 10
   }
 
+  test("sentences splits on punctuation runs and strips terminal marks") {
+    val df = Seq((1L, "a b. c d!  e?"), (2L, "single")).toDF("doc_id", "text")
+    val out = TextAnalysis.sentences(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(out === Map((1L, 0) -> "a b", (1L, 1) -> "c d", (1L, 2) -> "e",
+      (2L, 0) -> "single"))
+  }
+
+  test("userGrowth counts first-seen users per day with a running total") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-01 11:00:00")), (3L, ts("2024-01-02 09:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Aggregates.userGrowth(ev).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out === Map("2024-01-01" -> ((2, 2L)), "2024-01-02" -> ((1, 3L))))
+  }
+
   test("saltedCount is result-identical to the direct group count") {
     val df = (0 until 200).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "id")
     val salted = Aggregates.saltedCount(df, "k", "id").collect()
