@@ -952,6 +952,11 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), k = 10)
     },
 
+    "q_ann_int8" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+      Similarity.int8TopK(e, e.where(col("vec_id") < 5), k = 10)
+    },
+
     "q_ann_lsh" -> { (s, dir) =>
       val e = embeddings(s, dir)
       Similarity.lshTopK(e, e.where(col("vec_id") < 50), k = 5, planes = 6, tables = 4)
@@ -2239,6 +2244,25 @@ object SparkEntry {
          |sums AS (SELECT doc_id, i, sum(c) AS s FROM contrib GROUP BY 1, 2)
          |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER) ELSE 0 END) AS BIGINT) AS simhash
          |FROM sums GROUP BY doc_id""".stripMargin,
+
+    "q_ann_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q8 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(floor(x / (m / 127.0) + 0.5) AS BIGINT))
+        |    END AS qv
+        |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e)),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2])) AS dot
+        |  FROM q8 q JOIN q8 c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5)
+        |SELECT query_id, neighbor_id, CAST(dot AS BIGINT) AS dot, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dot DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin,
 
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

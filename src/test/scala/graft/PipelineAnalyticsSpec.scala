@@ -104,6 +104,18 @@ class PipelineAnalyticsSpec extends AnyFunSuite {
     assert(r.getDouble(4) === 59.95) // (1.45 + 2..9 + 554.05) / 10
   }
 
+  test("int8TopK ranks by exact integer dot products") {
+    val e = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)),
+      (2L, Array(0.0, 1.0)), (3L, Array(-1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.int8TopK(e, e.where($"vec_id" === 0), k = 3)
+      .collect().map(r => r.getInt(3) -> ((r.getLong(1), r.getLong(2))))
+    // q0=(127,0); codes: v1=(127,14), v2=(0,127), v3=(-127,0)
+    assert(out.toSeq.sortBy(_._1) === Seq(
+      1 -> ((1L, 16129L)), 2 -> ((2L, 0L)), 3 -> ((3L, -16129L))))
+  }
+
   test("sentences splits on punctuation runs and strips terminal marks") {
     val df = Seq((1L, "a b. c d!  e?"), (2L, "single")).toDF("doc_id", "text")
     val out = TextAnalysis.sentences(df).collect()
