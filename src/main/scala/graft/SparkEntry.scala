@@ -907,6 +907,66 @@ object SparkEntry {
     "q_user_growth" -> ((s, dir) =>
       graft.agg.Aggregates.userGrowth(events(s, dir))),
 
+    // grok pattern LANGUAGE (not just raw regexes): apache-access-style
+    // lines synthesized from events arithmetic, parsed by the compiled
+    // grok expression; the oracle recomputes every field DIRECTLY from
+    // the same arithmetic — an independent derivation, so a compiler bug
+    // in group indexing or typing cannot cancel out
+    "q_grok_parse" -> { (s, dir) =>
+      val e = events(s, dir)
+      val id = col("event_id")
+      val methods = typedLit(Seq("GET", "POST", "PUT"))
+      val line = when(id % 17 === 0, concat(lit("CORRUPT "), id.cast("string")))
+        .otherwise(concat(
+          lit("10."), (id % 250).cast("string"), lit(".0."), (id % 200 + 1).cast("string"),
+          lit(" - u"), (col("user_id") % 97).cast("string"),
+          lit(" \""), element_at(methods, (id % 3).cast("int") + 1),
+          lit(" /api/v"), (id % 3).cast("string"), lit("/item/"), (id % 1000).cast("string"),
+          lit(" HTTP/1.1\" "),
+          (lit(200) + (id % 5) * 100).cast("string"), lit(" "),
+          (id % 10000).cast("string"),
+          lit(" agent-"), (id % 7).cast("string"), lit(" x/"), (id % 13).cast("string")))
+      graft.parse.Grok.parse(e.withColumn("text", line), "text",
+          "^%{IPV4:client} - %{USERNAME:username} \"%{WORD:method} %{URIPATH:path} " +
+            "HTTP/%{NUMBER:httpver}\" %{INT:status:int} %{INT:bytes:int} %{GREEDYDATA:agent}")
+        .select(id.cast("long").as("event_id"), col("grok_matched"),
+          col("client"), col("username"), col("method"), col("path"),
+          col("httpver"), col("status"), col("bytes"), col("agent"))
+    },
+
+    // full-margin CUBE sibling of q_rollup_counts
+    "q_cube_counts" -> ((s, dir) =>
+      graft.agg.Aggregates.cubeCounts(routedTranscripts(s, dir))),
+
+    // EWMA (decay 1/2, depth 8) — exact power-of-two fixed-point weights
+    "q_ewma" -> ((s, dir) =>
+      graft.agg.Aggregates.ewma(events(s, dir), "event_type", "value", "event_id")),
+
+    // token-budget context truncation: longest suffix within 30 ws-tokens
+    "q_conv_token_budget" -> ((s, dir) =>
+      graft.ops.Conversations.tokenBudgetTail(transcripts(s, dir), budget = 30)),
+
+    // asymmetric n-gram containment: the planted exact/near duplicates in
+    // docsWithDupes are subset-shaped, so they surface at 1.0 while
+    // ordinary cross-doc overlap stays far below threshold
+    "q_ngram_containment" -> ((s, dir) =>
+      Dedup.ngramContainment(docsWithDupes(s, dir), k = 4, threshold = 0.8,
+        maxDocFreq = 200)),
+
+    // HTML/markdown strip + code-fence accounting over planted markup
+    "q_strip_markup" -> { (s, dir) =>
+      val d = documents(s, dir)
+      val id = col("doc_id")
+      val marked = when(id % 4 === 0, concat(lit("<p>"), col("text"), lit("</p><br/>")))
+        .when(id % 4 === 1, concat(lit("**bold** [link"), id.cast("string"),
+          lit("](http://ex.am/pl?q=1) "), col("text")))
+        .when(id % 4 === 2, concat(lit("```scala\nval x = "), id.cast("string"),
+          lit("\n``` "), col("text")))
+        .otherwise(concat(col("text"), lit(" &amp; &lt;tag&gt; &quot;q&#39;")))
+      graft.ops.Curation.stripMarkup(d.withColumn("text", marked))
+        .select(col("doc_id"), col("n_code_blocks"), col("code_chars"), col("text_clean"))
+    },
+
     // the corpus-level dedup dashboard number: how much of the corpus is
     // near-duplicate, from the same cluster derivation q_lsh_clusters uses
     "q_dedup_report" -> { (s, dir) =>
@@ -1941,6 +2001,105 @@ object SparkEntry {
         |  CAST(sum(n_new) OVER (ORDER BY d
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM n""".stripMargin,
+
+    // independent re-derivation: every grok field recomputed from the
+    // generator arithmetic, never from the compiled regex
+    "q_grok_parse" ->
+      """SELECT event_id,
+        |  event_id % 17 <> 0 AS grok_matched,
+        |  CASE WHEN event_id % 17 = 0 THEN NULL
+        |    ELSE '10.' || CAST(event_id % 250 AS VARCHAR) || '.0.' || CAST(event_id % 200 + 1 AS VARCHAR) END AS client,
+        |  CASE WHEN event_id % 17 = 0 THEN NULL
+        |    ELSE 'u' || CAST(user_id % 97 AS VARCHAR) END AS username,
+        |  CASE WHEN event_id % 17 = 0 THEN NULL
+        |    ELSE CASE event_id % 3 WHEN 0 THEN 'GET' WHEN 1 THEN 'POST' ELSE 'PUT' END END AS method,
+        |  CASE WHEN event_id % 17 = 0 THEN NULL
+        |    ELSE '/api/v' || CAST(event_id % 3 AS VARCHAR) || '/item/' || CAST(event_id % 1000 AS VARCHAR) END AS path,
+        |  CASE WHEN event_id % 17 = 0 THEN NULL ELSE '1.1' END AS httpver,
+        |  CASE WHEN event_id % 17 = 0 THEN NULL
+        |    ELSE CAST(200 + (event_id % 5) * 100 AS BIGINT) END AS status,
+        |  CASE WHEN event_id % 17 = 0 THEN NULL
+        |    ELSE CAST(event_id % 10000 AS BIGINT) END AS bytes,
+        |  CASE WHEN event_id % 17 = 0 THEN NULL
+        |    ELSE 'agent-' || CAST(event_id % 7 AS VARCHAR) || ' x/' || CAST(event_id % 13 AS VARCHAR) END AS agent
+        |FROM events""".stripMargin,
+
+    "q_cube_counts" ->
+      s"""$R SELECT sink, role, count(*) AS n FROM routed GROUP BY CUBE (sink, role)""",
+
+    "q_ewma" ->
+      """WITH m AS (SELECT event_type, event_id, value,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS micro FROM events),
+        |l AS (SELECT event_type, event_id, value, micro,
+        |    lag(micro, 1) OVER w AS m1, lag(micro, 2) OVER w AS m2,
+        |    lag(micro, 3) OVER w AS m3, lag(micro, 4) OVER w AS m4,
+        |    lag(micro, 5) OVER w AS m5, lag(micro, 6) OVER w AS m6,
+        |    lag(micro, 7) OVER w AS m7
+        |  FROM m WINDOW w AS (PARTITION BY event_type ORDER BY event_id))
+        |SELECT event_type, event_id, value,
+        |  round((micro * 128 + COALESCE(m1 * 64, 0) + COALESCE(m2 * 32, 0)
+        |       + COALESCE(m3 * 16, 0) + COALESCE(m4 * 8, 0) + COALESCE(m5 * 4, 0)
+        |       + COALESCE(m6 * 2, 0) + COALESCE(m7, 0))
+        |    / (128 + CASE WHEN m1 IS NULL THEN 0 ELSE 64 END
+        |       + CASE WHEN m2 IS NULL THEN 0 ELSE 32 END
+        |       + CASE WHEN m3 IS NULL THEN 0 ELSE 16 END
+        |       + CASE WHEN m4 IS NULL THEN 0 ELSE 8 END
+        |       + CASE WHEN m5 IS NULL THEN 0 ELSE 4 END
+        |       + CASE WHEN m6 IS NULL THEN 0 ELSE 2 END
+        |       + CASE WHEN m7 IS NULL THEN 0 ELSE 1 END) / 1e6, 6) AS ewma
+        |FROM l""".stripMargin,
+
+    "q_conv_token_budget" ->
+      s"""$T SELECT conv_id, turn_idx, n_tok, cum_from_end,
+         |  (cum_from_end <= 30 OR rk = 1) AS kept
+         |FROM (SELECT conv_id, turn_idx, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS INTEGER) AS cum_from_end,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS rk
+         |  FROM (SELECT conv_id, turn_idx,
+         |      CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tok
+         |    FROM transcripts))""".stripMargin,
+
+    "q_ngram_containment" ->
+      s"""WITH $DocsDupesSql,
+         |sh AS (
+         |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, greatest(length(text) - 3, 0)),
+         |    i -> substr(text, CAST(i AS INTEGER), 4))) AS shingle
+         |  FROM docs2),
+         |freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+         |filtered AS (SELECT sh.* FROM sh JOIN freq USING (shingle) WHERE df <= 200),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM filtered GROUP BY 1),
+         |inter AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+         |  FROM filtered l JOIN filtered r USING (shingle)
+         |  WHERE l.doc_id <> r.doc_id GROUP BY 1, 2)
+         |SELECT a, b, inter,
+         |  round(CAST(inter AS DOUBLE) / sa.sz, 6) AS containment
+         |FROM inter JOIN sizes sa ON sa.doc_id = a
+         |WHERE round(CAST(inter AS DOUBLE) / sa.sz, 6) >= 0.8""".stripMargin,
+
+    "q_strip_markup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN '<p>' || text || '</p><br/>'
+        |         WHEN doc_id % 4 = 1 THEN '**bold** [link' || CAST(doc_id AS VARCHAR) || '](http://ex.am/pl?q=1) ' || text
+        |         WHEN doc_id % 4 = 2 THEN '```scala' || chr(10) || 'val x = ' || CAST(doc_id AS VARCHAR) || chr(10) || '``` ' || text
+        |         ELSE text || ' &amp; &lt;tag&gt; &quot;q&#39;' END AS t
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, t, regexp_extract_all(t, '```[^`]*```') AS blocks FROM m),
+        |s2 AS (SELECT doc_id,
+        |    CAST(len(blocks) AS INTEGER) AS n_code_blocks,
+        |    CAST(COALESCE(list_sum(list_transform(blocks, b -> len(b))), 0) AS INTEGER) AS code_chars,
+        |    regexp_replace(regexp_replace(t, '```[^`]*```', ' ', 'g'),
+        |      '\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS u
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, n_code_blocks, code_chars,
+        |    regexp_replace(regexp_replace(u, '\*', '', 'g'), '<[^>]*>', ' ', 'g') AS u FROM s2),
+        |s4 AS (SELECT doc_id, n_code_blocks, code_chars,
+        |    replace(replace(replace(replace(replace(u,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS u FROM s3)
+        |SELECT doc_id, n_code_blocks, code_chars,
+        |  trim(regexp_replace(u, '\s+', ' ', 'g')) AS text_clean
+        |FROM s4""".stripMargin,
 
     "q_dedup_report" -> lshClustersSql(
       """SELECT CAST(count(*) AS INTEGER) AS n_docs,

@@ -347,4 +347,41 @@ object Aggregates {
       .groupBy("cohort_day", "offset_days")
       .agg(count(lit(1)).cast("int").as("n_users"))
   }
+
+  /** CUBE counts: every grouping-set combination of (sink, role) in one
+    * Expand pass — the full-cross-margin sibling of [[rollupCounts]]
+    * (Kibana "split by A and B with totals" panels). Expand multiplies
+    * rows 4× BEFORE the partial aggregate, but the partials collapse to
+    * |sinks|×|roles| rows per task, so the shuffle stays tiny.
+    */
+  def cubeCounts(routed: DataFrame): DataFrame =
+    routed.cube("sink", "role").agg(count(lit(1)).as("n"))
+
+  /** Exponentially-weighted moving average with decay 1/2 over the
+    * trailing `depth` samples per key. The weights are powers of two and
+    * the inputs 1e-6 fixed-point LONGs, so the weighted sum is exact
+    * integer arithmetic — engine- and order-independent; only the final
+    * normalize divides. Truncating at `depth` (tail weight ≤ 2^-depth)
+    * is what makes EWMA expressible as a bounded window at all: the
+    * unbounded recursion is inherently serial per key, this form is one
+    * window pass over the same key-sorted exchange every other per-key
+    * analytic already uses.
+    */
+  def ewma(df: DataFrame, keyCol: String, valueCol: String,
+      ordCol: String, depth: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(depth >= 1 && depth <= 32, "depth must be in [1,32]")
+    val w = Window.partitionBy(keyCol).orderBy(ordCol)
+    val terms = (0 until depth).map { k =>
+      val lagged = if (k == 0) col("_micro") else lag(col("_micro"), k).over(w)
+      val wgt = lit(1L << (depth - 1 - k))
+      (when(lagged.isNotNull, lagged * wgt).otherwise(lit(0L)),
+        when(lagged.isNotNull, wgt).otherwise(lit(0L)))
+    }
+    df.select(col(keyCol), col(ordCol), col(valueCol),
+        floor(col(valueCol) * 1e6 + 0.5).cast("long").as("_micro"))
+      .withColumn("ewma",
+        round(terms.map(_._1).reduce(_ + _) / terms.map(_._2).reduce(_ + _) / 1e6, 6))
+      .drop("_micro")
+  }
 }

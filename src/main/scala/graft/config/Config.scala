@@ -27,6 +27,10 @@ object ParserConf {
   final case class Dissect(tokenizer: String) extends ParserConf
   /** regexp_extract battery: outCol → (pattern with one capture group). */
   final case class Grok(field: String, patterns: Map[String, String]) extends ParserConf
+  /** grok pattern-LANGUAGE expression (`%{IPV4:client} %{INT:code:int}`),
+    * compiled by [[graft.parse.Grok]]; `extra` = pattern_definitions. */
+  final case class GrokExpr(field: String, expr: String,
+      extra: Map[String, String] = Map.empty) extends ParserConf
   /** RFC3164/BSD syslog ([[graft.parse.Syslog]]). */
   final case class SyslogP(field: String = "text", defaultYear: Int = 2025) extends ParserConf
   /** docker json-file / CRI reader ([[graft.parse.DockerJson]]). */
@@ -88,6 +92,7 @@ object ConfigCompiler {
       patterns.foldLeft(df) { case (d, (out, pat)) =>
         d.withColumn(out, regexp_extract(col(field), pat, 1))
       }
+    case GrokExpr(field, expr, extra) => graft.parse.Grok.parse(df, field, expr, extra)
     case SyslogP(field, year) => Syslog.parse(df, field, year)
     case DockerJsonP(field, stream, criFlags, forceCri) =>
       DockerJson.read(df, textCol = field, stream = stream,

@@ -97,7 +97,14 @@ object ConfigJson {
     val (kind, b) = single(n)
     kind match {
       case "dissect" => ParserConf.Dissect(str(b, "tokenizer"))
-      case "grok" => ParserConf.Grok(str(b, "field", "text"), stringMap(b.get("patterns")))
+      case "grok" =>
+        // Logstash-style `match` expression (the grok pattern language) vs
+        // the raw per-column regex battery — both public config shapes.
+        if (b.has("match"))
+          ParserConf.GrokExpr(str(b, "field", "text"), str(b, "match"),
+            if (b.has("pattern_definitions")) stringMap(b.get("pattern_definitions"))
+            else Map.empty)
+        else ParserConf.Grok(str(b, "field", "text"), stringMap(b.get("patterns")))
       case "syslog" =>
         ParserConf.SyslogP(str(b, "field", "text"), intOpt(b, "default_year").getOrElse(2025))
       case "docker_json" =>

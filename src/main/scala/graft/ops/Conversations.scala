@@ -121,4 +121,20 @@ object Conversations {
       .select(col(convCol), col(turnCol).as("prompt_turn"),
         col(textCol).as("prompt"), col("_nt").as("response"))
   }
+
+  /** Context-window truncation by TOKEN budget (the serving-time sibling
+    * of [[lastTurns]]): flag the longest suffix of each conversation
+    * whose cumulative whitespace-token count fits `budget` — the newest
+    * turn is always kept even if it alone overflows. One conv-keyed
+    * window pass, all-integer.
+    */
+  def tokenBudgetTail(df: DataFrame, budget: Int, convCol: String = "conv_id",
+      turnCol: String = "turn_idx", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(convCol).orderBy(col(turnCol).desc)
+    df.select(col(convCol), col(turnCol),
+        TextAnalysis.wsTokenCount(col(textCol)).cast("int").as("n_tok"))
+      .withColumn("cum_from_end",
+        sum(col("n_tok")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      .withColumn("kept", col("cum_from_end") <= budget || row_number().over(w) === 1)
+  }
 }

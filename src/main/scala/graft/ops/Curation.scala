@@ -421,4 +421,27 @@ object Curation {
         floor((row_number().over(w) - 1) / lit(batchSize)).cast("int"))
       .select(col(idCol), col("n_tokens"), col("bucket"), col("shard"), col("batch_id"))
   }
+
+  /** HTML/markdown strip for web-crawl curation: fenced code blocks are
+    * counted and measured (then removed), markdown links collapse to
+    * their anchor text, HTML tags drop, the five common entities decode,
+    * whitespace runs collapse. Pure narrow codegen'd regexp/replace
+    * battery — scans at parquet-read speed; every pattern is RE2-safe so
+    * the DuckDB oracle runs the same regexes.
+    */
+  def stripMarkup(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val fence = "```[^`]*```"
+    val c = col(textCol)
+    val blocks = regexp_extract_all(c, lit(fence), lit(0))
+    val noCode = regexp_replace(c, fence, " ")
+    val noLinks = regexp_replace(noCode, """\[([^\]]*)\]\([^)]*\)""", "$1")
+    val noTags = regexp_replace(regexp_replace(noLinks, """\*""", ""), "<[^>]*>", " ")
+    val decoded = replace(replace(replace(replace(replace(noTags,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")), lit("&amp;"), lit("&"))
+    df.withColumn("n_code_blocks", size(blocks).cast("int"))
+      .withColumn("code_chars",
+        aggregate(transform(blocks, m => length(m)), lit(0), (a, x) => a + x).cast("int"))
+      .withColumn("text_clean", trim(regexp_replace(decoded, """\s+""", " ")))
+  }
 }

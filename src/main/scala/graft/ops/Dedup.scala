@@ -237,6 +237,30 @@ object Dedup {
       .select("a", "b", "inter", "jaccard")
   }
 
+  /** Asymmetric n-gram CONTAINMENT |A∩B| / |A| over shingle-sharing
+    * pairs — the quote/subset detector Jaccard misses: a short doc fully
+    * embedded in a long one has low Jaccard (union is dominated by the
+    * long doc) but containment 1.0. Same inverted-index + DF-cap shape
+    * as [[ngramJaccard]]; output is ordered pairs (a contained in b).
+    */
+  def ngramContainment(df: DataFrame, k: Int = 4, threshold: Double = 0.8,
+      maxDocFreq: Long = 1000, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingled(df, k, idCol, textCol).distinct()
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val filtered = sh.join(freq.where(col("df") <= maxDocFreq), Seq("shingle"))
+    val sizes = filtered.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val inter = filtered.select(col(idCol).as("a"), col("shingle"))
+      .join(filtered.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), Seq("a"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("sza").cast("double"), 6))
+      .where(col("containment") >= threshold)
+      .select("a", "b", "inter", "containment")
+  }
+
   /** Benchmark decontamination: count word n-grams shared between each
     * training document and each benchmark/eval document (the published
     * recipe — GPT-3 App. C / PaLM / Llama all drop training docs sharing

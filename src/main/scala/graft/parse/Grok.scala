@@ -1,0 +1,148 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grok pattern-language compiler: `%{NAME:field}` / `%{NAME:field:int}`
+  * references over a named pattern library, recursively expanded into ONE
+  * plain regex whose capturing groups are exactly the named fields in
+  * encounter order. The per-row work is then a codegen'd
+  * `rlike` + `regexp_extract` battery — no UDF, no per-row interpreter.
+  *
+  * Grok is the parse dialect Beats users write everywhere Dissect is too
+  * rigid (Logstash `grok{}`, Elasticsearch ingest-pipeline `grok`
+  * processors shipped inside Filebeat modules, e.g.
+  * `filebeat/module/system/syslog/ingest/pipeline.yml` — the module
+  * pipelines in the reference repo are grok consumers even though the
+  * shipper itself only embeds dissect). The pattern library below is
+  * re-derived from the de-facto standard grok core set (public
+  * logstash-patterns-core, Apache-2.0), restricted to RE2-safe constructs
+  * (no backrefs/lookaround) so the SAME compiled regex runs identically in
+  * Spark (java.util.regex) and DuckDB (RE2) — the oracle-parity contract.
+  *
+  * Library invariant: library patterns contain ONLY non-capturing groups
+  * `(?:...)`; capturing groups are introduced solely by `%{NAME:field}`
+  * references. [[compile]] asserts the final group count equals the field
+  * count, so group index i (1-based) is always field i.
+  */
+object Grok {
+
+  /** A named field extracted by the expression: capture-group index and
+    * target type ("str" | "int" | "float"). */
+  final case class GField(name: String, group: Int, typ: String)
+
+  /** A fully-expanded grok expression: one plain regex + field table. */
+  final case class Compiled(regex: String, fields: Seq[GField]) {
+    def fieldNames: Seq[String] = fields.map(_.name)
+  }
+
+  /** Core pattern library (RE2-safe subset of the standard grok set). */
+  val basePatterns: Map[String, String] = Map(
+    "WORD" -> """\b\w+\b""",
+    "NOTSPACE" -> """\S+""",
+    "SPACE" -> """\s*""",
+    "DATA" -> """.*?""",
+    "GREEDYDATA" -> """.*""",
+    "INT" -> """(?:[+-]?(?:[0-9]+))""",
+    "POSINT" -> """\b(?:[1-9][0-9]*)\b""",
+    "NONNEGINT" -> """\b(?:[0-9]+)\b""",
+    "NUMBER" -> """(?:[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+))""",
+    "BASE16NUM" -> """(?:0[xX])?[0-9a-fA-F]+""",
+    "USERNAME" -> """[a-zA-Z0-9._-]+""",
+    "USER" -> """%{USERNAME}""",
+    "EMAILLOCALPART" -> """[a-zA-Z0-9!#$%&'*+\-/=?^_`{|}~.]+""",
+    "IPV4" ->
+      """(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)""",
+    "IP" -> """%{IPV4}""",
+    "HOSTNAME" ->
+      """\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b""",
+    "IPORHOST" -> """(?:%{IP}|%{HOSTNAME})""",
+    "HOSTPORT" -> """%{IPORHOST}:%{POSINT}""",
+    "UUID" -> """[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}""",
+    "LOGLEVEL" ->
+      """(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE)""",
+    "YEAR" -> """(?:\d\d){1,2}""",
+    "MONTHNUM" -> """(?:0?[1-9]|1[0-2])""",
+    "MONTHDAY" -> """(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])""",
+    "HOUR" -> """(?:2[0123]|[01]?[0-9])""",
+    "MINUTE" -> """(?:[0-5][0-9])""",
+    "SECOND" -> """(?:(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?)""",
+    "ISO8601_TIMEZONE" -> """(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))""",
+    "TIMESTAMP_ISO8601" ->
+      """%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}(?::?%{SECOND})?%{ISO8601_TIMEZONE}?""",
+    "URIPATH" -> """(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+""",
+    "URIPARAM" -> """\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*""",
+    "URIPATHPARAM" -> """%{URIPATH}(?:%{URIPARAM})?""",
+    "QUOTEDSTRING" -> """(?:"[^"]*"|'[^']*')""",
+    "QS" -> """%{QUOTEDSTRING}""")
+
+  private val Ref =
+    """%\{(\w+)(?::([A-Za-z_][A-Za-z0-9_]*))?(?::(int|long|float|double|str))?\}""".r
+
+  /** Expand `expr` against `basePatterns ++ extra` into a single regex.
+    * Named references become capturing groups (fields, in encounter
+    * order); bare references become `(?:...)`. Throws on unknown names,
+    * reference cycles, or a library pattern that sneaks in a capturing
+    * group (group-count/field-count mismatch). */
+  def compile(expr: String, extra: Map[String, String] = Map.empty): Compiled = {
+    val lib = basePatterns ++ extra
+    val fields = scala.collection.mutable.ListBuffer.empty[(String, String)]
+
+    def expand(p: String, stack: List[String]): String = {
+      if (stack.length > 20)
+        throw new IllegalArgumentException(s"grok expansion too deep (cycle?): ${stack.reverse.mkString(" -> ")}")
+      Ref.replaceAllIn(p, m => {
+        val name = m.group(1)
+        val fieldName = Option(m.group(2))
+        val typ = Option(m.group(3)).getOrElse("str")
+        if (stack.contains(name))
+          throw new IllegalArgumentException(s"grok pattern cycle: ${(name :: stack).reverse.mkString(" -> ")}")
+        val body = lib.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown grok pattern %{$name}"))
+        val inner = expand(body, name :: stack)
+        val wrapped = fieldName match {
+          case Some(f) =>
+            fields += ((f, typ match {
+              case "long" => "int"
+              case "double" => "float"
+              case other => other
+            }))
+            "(" + inner + ")"
+          case None => "(?:" + inner + ")"
+        }
+        java.util.regex.Matcher.quoteReplacement(wrapped)
+      })
+    }
+
+    val regex = expand(expr, Nil)
+    val groupCount = java.util.regex.Pattern.compile(regex).matcher("").groupCount()
+    require(groupCount == fields.length,
+      s"grok expansion produced $groupCount capture groups for ${fields.length} fields " +
+        "(a library pattern contains a capturing group?)")
+    Compiled(regex, fields.toList.zipWithIndex.map { case ((n, t), i) => GField(n, i + 1, t) })
+  }
+
+  private def typedExtract(field: Column, regex: String, g: GField): Column = {
+    val raw = regexp_extract(field, regex, g.group)
+    g.typ match {
+      case "int" => raw.cast("long")
+      case "float" => raw.cast("double")
+      case _ => raw
+    }
+  }
+
+  /** Parse `field` with a grok expression: adds one typed column per named
+    * field plus `grok_matched`; non-matching rows get NULL fields (Beats'
+    * `_grok_parse_failure` tag semantics — detect via `!grok_matched`).
+    * One `rlike` + k codegen'd `regexp_extract`s, all inside
+    * whole-stage codegen; the regex is compiled once per task by the JVM
+    * regex cache, never per row. */
+  def parse(df: DataFrame, field: String, expr: String,
+      extra: Map[String, String] = Map.empty): DataFrame = {
+    val c = compile(expr, extra)
+    val matched = col(field).rlike(c.regex)
+    c.fields.foldLeft(df.withColumn("grok_matched", matched)) { (d, g) =>
+      d.withColumn(g.name, when(col("grok_matched"), typedExtract(col(field), c.regex, g)))
+    }
+  }
+}

@@ -87,4 +87,22 @@ class ConversationsSpec extends AnyFunSuite {
     assert(s1 === s2)
     assert(s1.count(_._1 == "en") === 5 && s1.count(_._1 == "de") === 5)
   }
+
+  test("tokenBudgetTail keeps the longest fitting suffix, newest turn always") {
+    val t = Seq(
+      ("a", 0, "one two three"),        // 3 tok
+      ("a", 1, "four five"),            // 2 tok
+      ("a", 2, "six seven eight nine"), // 4 tok
+      ("a", 3, "ten"),                  // 1 tok
+      ("b", 0, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10") // single over-budget turn
+    ).toDF("conv_id", "turn_idx", "text")
+    val out = Conversations.tokenBudgetTail(t, budget = 8)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> ((r.getInt(3), r.getBoolean(4)))).toMap
+    // suffix sums for a: t3=1, t2=5, t1=7, t0=10
+    assert(out(("a", 3)) === ((1, true)))
+    assert(out(("a", 2)) === ((5, true)))
+    assert(out(("a", 1)) === ((7, true)))
+    assert(out(("a", 0)) === ((10, false)))
+    assert(out(("b", 0)) === ((10, true))) // over budget but newest ⇒ kept
+  }
 }

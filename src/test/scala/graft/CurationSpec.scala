@@ -132,4 +132,19 @@ class CurationSpec extends AnyFunSuite {
     val j = df.select(OutputCodec.json(Seq("conv_id", "turn_idx")).as("j")).head().getString(0)
     assert(j == "{\"turn_idx\":1}")
   }
+
+  test("stripMarkup counts/removes code fences, unwraps links, decodes entities") {
+    val df = Seq(
+      "pre ```js\nx=1\n``` mid ```\ny\n``` post",
+      "See [the docs](http://x.y/z?a=1) for **bold** <b>tags</b>",
+      "a &amp;&lt;ok&gt; &quot;hi&quot; &#39;s plain"
+    ).toDF("text")
+    val out = Curation.stripMarkup(df).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out(0)._1 === 2)
+    assert(out(0)._2 === ("```js\nx=1\n```".length + "```\ny\n```".length))
+    assert(out(0)._3 === "pre mid post")
+    assert(out(1) === ((0, 0, "See the docs for bold tags")))
+    assert(out(2) === ((0, 0, "a &<ok> \"hi\" 's plain")))
+  }
 }

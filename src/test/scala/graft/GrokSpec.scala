@@ -1,0 +1,84 @@
+package graft
+
+import graft.parse.Grok
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Grok pattern-language compiler + parse battery. Expansion semantics,
+  * group-index/field alignment, typing, non-match nulls, custom
+  * pattern_definitions, cycle/unknown errors, and the config path.
+  */
+class GrokSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("compile expands nested refs and aligns group indices to fields") {
+    val c = Grok.compile("%{IPORHOST:host}:%{POSINT:port:int} %{GREEDYDATA:rest}")
+    assert(c.fieldNames === Seq("host", "port", "rest"))
+    assert(c.fields.map(_.group) === Seq(1, 2, 3))
+    assert(c.fields.map(_.typ) === Seq("str", "int", "str"))
+    // bare (unnamed) refs must not consume a group index
+    val m = java.util.regex.Pattern.compile(c.regex)
+      .matcher("web-1.example.com:8443 hello world")
+    assert(m.matches())
+    assert(m.group(1) === "web-1.example.com")
+    assert(m.group(2) === "8443")
+    assert(m.group(3) === "hello world")
+  }
+
+  test("parse types fields and nulls every field on non-matching rows") {
+    val df = Seq(
+      (1L, "10.0.0.1 - GET 200 0.034"),
+      (2L, "not an access line")
+    ).toDF("id", "text")
+    val out = Grok.parse(df, "text",
+        "^%{IPV4:ip} - %{WORD:verb} %{INT:code:int} %{NUMBER:dur:float}$")
+      .orderBy("id").collect()
+    assert(out(0).getBoolean(out(0).fieldIndex("grok_matched")))
+    assert(out(0).getAs[String]("ip") === "10.0.0.1")
+    assert(out(0).getAs[Long]("code") === 200L)
+    assert(out(0).getAs[Double]("dur") === 0.034)
+    assert(!out(1).getBoolean(out(1).fieldIndex("grok_matched")))
+    assert(out(1).isNullAt(out(1).fieldIndex("ip")))
+    assert(out(1).isNullAt(out(1).fieldIndex("code")))
+  }
+
+  test("pattern_definitions extend the library and may reference core names") {
+    val c = Grok.compile("%{APP:app}", Map("APP" -> """app-%{INT}"""))
+    assert(java.util.regex.Pattern.matches(c.regex, "app-42"))
+    // a custom pattern must not sneak a capturing group past the field table
+    val e = intercept[IllegalArgumentException] {
+      Grok.compile("%{BAD:x}", Map("BAD" -> """(a|b)c"""))
+    }
+    assert(e.getMessage.contains("capture groups"))
+  }
+
+  test("unknown names and reference cycles are compile-time errors") {
+    assert(intercept[IllegalArgumentException] {
+      Grok.compile("%{NOPE:x}")
+    }.getMessage.contains("unknown grok pattern"))
+    assert(intercept[IllegalArgumentException] {
+      Grok.compile("%{A:x}", Map("A" -> "%{B}", "B" -> "%{A}"))
+    }.getMessage.contains("cycle"))
+  }
+
+  test("IPV4 rejects out-of-range octets; LOGLEVEL hits the usual spellings") {
+    val ip = java.util.regex.Pattern.compile("^" + Grok.compile("%{IPV4:a}").regex + "$")
+    assert(ip.matcher("255.255.255.255").matches())
+    assert(!ip.matcher("256.1.1.1").matches())
+    val lvl = java.util.regex.Pattern.compile("^" + Grok.compile("%{LOGLEVEL:l}").regex + "$")
+    Seq("INFO", "warn", "Error", "FATAL", "debug").foreach(s =>
+      assert(lvl.matcher(s).matches(), s))
+    assert(!lvl.matcher("LOUD").matches())
+  }
+
+  test("config layer routes grok `match` to the expression compiler") {
+    val conf = graft.config.ConfigJson.parse(
+      """{"parsers": [{"grok": {"field": "text",
+        |  "match": "^%{SVC:svc} %{INT:n:int}$",
+        |  "pattern_definitions": {"SVC": "svc-%{WORD}"}}}]}""".stripMargin)
+    val df = Seq("svc-alpha 7").toDF("text")
+    val out = graft.config.ConfigCompiler.compile(conf)(df).head()
+    assert(out.getAs[String]("svc") === "svc-alpha")
+    assert(out.getAs[Long]("n") === 7L)
+  }
+}

@@ -62,4 +62,26 @@ class OlapAggSpec extends AnyFunSuite {
     assert(out(("2024-01-01", 2)) === 1)
     assert(out.size === 3)
   }
+
+  test("cubeCounts emits all four grouping-set margins") {
+    val routed = Seq(("a", "user"), ("a", "tool"), ("b", "user"))
+      .toDF("sink", "role")
+    val out = Aggregates.cubeCounts(routed).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) -> r.getLong(2)).toMap
+    assert(out((Some("a"), Some("user"))) === 1)
+    assert(out((Some("a"), None)) === 2)        // sink margin
+    assert(out((None, Some("user"))) === 2)     // role margin (rollup lacks this)
+    assert(out((None, None)) === 3)
+    assert(out.size === 8) // 3 pairs + 2 sink + 2 role + grand
+  }
+
+  test("ewma matches the hand-computed power-of-two weighting") {
+    val ev = Seq(("k", 1L, 10.0), ("k", 2L, 20.0), ("k", 3L, 40.0))
+      .toDF("event_type", "event_id", "value")
+    val out = Aggregates.ewma(ev, "event_type", "value", "event_id", depth = 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(out(1L) === 10.0)          // 4*10/4
+    assert(out(2L) === 16.666667)     // round((4*20 + 2*10)/6, 6dp)
+    assert(out(3L) === 30.0)          // (4*40 + 2*20 + 10)/7
+  }
 }

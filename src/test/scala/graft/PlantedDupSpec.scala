@@ -51,4 +51,22 @@ class PlantedDupSpec extends AnyFunSuite {
     assert(near >= (baseIds.size * 0.8).toInt,
       s"only $near/${baseIds.size} planted near-dups recovered above threshold")
   }
+
+  test("n-gram containment flags a short quote inside a long doc that Jaccard misses") {
+    import spark.implicits._
+    val long = "the quick brown fox jumps over the lazy dog while rain falls on rooftops " +
+      "and distant thunder rolls across the valley floor in the late afternoon light"
+    val quote = "thunder rolls across the valley floor"
+    val df = Seq((1L, long), (2L, quote), (3L, "completely unrelated text about databases"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(df, k = 4, threshold = 0.8, maxDocFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(cont.get((2L, 1L)).exists(_ >= 0.95), s"quote not contained: $cont")
+    assert(!cont.contains((1L, 2L)), "long doc wrongly 'contained in' the quote")
+    assert(cont.keySet.forall(p => p._1 != 3L && p._2 != 3L))
+    // symmetric Jaccard on the same pair stays below a dedup threshold
+    val jac = Dedup.ngramJaccard(df, k = 4, threshold = 0.0, maxDocFreq = 100)
+      .where(col("a") === 2L && col("b") === 1L).collect()
+    assert(jac.isEmpty || jac.head.getDouble(3) < 0.5)
+  }
 }
