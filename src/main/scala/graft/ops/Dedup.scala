@@ -100,18 +100,35 @@ object Dedup {
     * ~2 s at sf0.1). Every intermediate fits a BIGINT (a·h < 2⁵⁵), so the
     * oracle reproduces bit-exactly.
     */
-  def minhash(df: DataFrame, numHashes: Int = 8, k: Int = 4,
+  /** Wide MinHash signatures: ONE row per doc with columns sig0..sig{H−1},
+    * from a single groupBy(doc) over the shingles with H min-aggregates.
+    * This is the physical form everything downstream wants: no per-seed
+    * row explosion before the shuffle (the long form used to push 8
+    * struct rows per shingle through the aggregate), no second shuffle to
+    * re-assemble bands — the signature arrives already assembled.
+    */
+  def minhashWide(df: DataFrame, numHashes: Int = 8, k: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val params = minhashParams(numHashes)
     val sh = shingled(df, k, idCol, textCol)
       .withColumn("_h", baseHash(col("shingle")))
-    val seedSigs = array(params.zipWithIndex.map { case ((a, b), i) =>
-      struct(lit(i).as("seed"), ((lit(a) * col("_h") + lit(b)) % MinhashMod).as("hv"))
-    }: _*)
-    sh.select(col(idCol), explode(seedSigs).as("ss"))
-      .select(col(idCol), col("ss.seed").as("seed"), col("ss.hv").as("hv"))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(col("hv")).as("sig"))
+    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("_h") + lit(b)) % MinhashMod).as(s"sig$i")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash signatures, long format (id, seed, sig) — the wide form
+    * unpivoted AFTER the aggregate, so the explode touches |docs| rows,
+    * not |shingles|. Output identical to aggregating per (id, seed).
+    */
+  def minhash(df: DataFrame, numHashes: Int = 8, k: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wide = minhashWide(df, numHashes, k, idCol, textCol)
+    val pairs = array((0 until numHashes).map(i =>
+      struct(lit(i).as("seed"), col(s"sig$i").as("sig"))): _*)
+    wide.select(col(idCol), explode(pairs).as("ss"))
+      .select(col(idCol), col("ss.seed").as("seed"), col("ss.sig").as("sig"))
   }
 
   /** DuckDB SQL fragment computing (seed, sig) pairs per (doc_id) from a
@@ -146,14 +163,21 @@ object Dedup {
     */
   def lshCandidates(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
       k: Int = 4, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val mh = minhash(df, numHashes, k, idCol, textCol)
-    val bands = mh
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      // seeds within a band are fixed and distinct; order by seed for a
-      // deterministic band key
-      .agg(concat_ws("|", array_sort(collect_list(concat(col("seed"), lit(":"), col("sig")))))
-        .as("band_key"))
+    val wide = minhashWide(df, numHashes, k, idCol, textCol)
+    // band keys straight off the wide signature row — no collect_list
+    // shuffle. Key format/order matches the oracle's string-sorted
+    // "seed:sig" concat (sorting "<i>:" prefixes never reaches the sig
+    // digits, so the permutation is known at plan time).
+    val bandStructs = (0 until numHashes / rowsPerBand).map { bIdx =>
+      val seeds = (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand)
+        .sortBy(i => s"$i:")
+      val key = concat_ws("|", seeds.map(i =>
+        concat(lit(s"$i:"), col(s"sig$i"))): _*)
+      struct(lit(bIdx).as("band"), key.as("band_key"))
+    }
+    val bands = wide
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val l = bands.select(col(idCol).as("a"), col("band"), col("band_key"))
     val r = bands.select(col(idCol).as("b"), col("band"), col("band_key"))
     l.join(r, Seq("band", "band_key"))
