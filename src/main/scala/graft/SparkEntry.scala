@@ -892,6 +892,18 @@ object SparkEntry {
     "q_salted_count" -> ((s, dir) =>
       graft.agg.Aggregates.saltedCount(events(s, dir), "event_type", "event_id")),
 
+    // salted skew JOIN: events fact × customer dim on user_id, salted 8
+    // ways — result-identical to the plain equi-join (the oracle), hot
+    // keys spread over 8 reducers instead of one straggler
+    "q_salted_join" -> { (s, dir) =>
+      val fact = events(s, dir).select(col("event_id"),
+        col("user_id").as("c_custkey"))
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey", "c_name")
+      graft.ops.SkewJoin.saltedJoin(fact, dim, "c_custkey", col("event_id"), salts = 8)
+        .select("event_id", "c_custkey", "c_name")
+    },
+
     "q_moving_avg" -> ((s, dir) =>
       graft.agg.Aggregates.movingAvg(events(s, dir), "event_type", "value", "event_id")),
 
@@ -1963,6 +1975,11 @@ object SparkEntry {
     "q_salted_count" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1""".stripMargin,
+
+    // the salt must never change the result: the oracle is the PLAIN join
+    "q_salted_join" ->
+      """SELECT e.event_id, e.user_id AS c_custkey, c.c_name
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
 
     "q_moving_avg" ->
       """SELECT event_type, event_id, value,

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-killing equi-join for the case broadcast can't cover: the dim
+  * side is too big to broadcast and the fact side has hot keys (a
+  * handful of users/templates owning a double-digit share of rows —
+  * routine in log corpora). A plain shuffle join sends every row of a
+  * hot key to ONE reducer; that straggler is the job.
+  *
+  * The classic salting transform: fact rows get a salt in [0, S) derived
+  * from a row-unique column, the dim side is replicated S× (one copy per
+  * salt), and the join key becomes (key, salt) — the hot key now spreads
+  * over S reducers. Result-identical to the plain join for inner/left
+  * semantics: each fact row still meets exactly the dim rows of its key,
+  * once. Cost: dim shuffle bytes ×S — pick S around the ratio
+  * hottest-key-share × parallelism, not thousands.
+  *
+  * (AQE's skew-join split handles sort-merge stragglers adaptively at
+  * runtime; this explicit form is the deterministic, planner-independent
+  * fallback and the shape to use when the skew is known up front.)
+  */
+object SkewJoin {
+
+  /** Inner/left equi-join of `fact` to `dim` on `key`, salted `salts`
+    * ways. `saltBy` must be a fact-side expression that varies within a
+    * key (an id column); the salt value never affects the result, only
+    * the partition spread, but a deterministic expression keeps task
+    * retries re-producing identical partitions.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, saltBy: Column,
+      salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(salts >= 1 && salts <= 4096, "salts must be in [1, 4096]")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"salting preserves inner/left semantics only, got $joinType")
+    val saltedFact = fact.withColumn("_salt", pmod(xxhash64(saltBy), lit(salts)).cast("int"))
+    val replicatedDim = dim.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedFact.join(replicatedDim, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+}

@@ -274,6 +274,29 @@ object StreamingPipeline {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("text_md5")
 
+  /** Stream-stream INTERVAL JOIN: pair each left event with the right
+    * events of the same key whose event time lands in
+    * [left.ts, left.ts + within] — request/response pairing, event ↔
+    * maintenance-window attribution, the streaming twin of the batch
+    * bucketized interval join. Both sides carry watermarks and the join
+    * condition bounds event time in BOTH directions, which is exactly
+    * what lets the engine evict join state (left rows older than
+    * watermark+within, right rows older than watermark) — without the
+    * range bound a stream-stream inner join would buffer forever.
+    * Non-key/non-ts column names must be distinct across the two sides.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, within: String,
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+        l(key) === r(key) &&
+          r(rightTs) >= l(leftTs) &&
+          r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within"))
+      .drop(r(key))
+  }
+
   /** Start the fan-out sink writer: one micro-batch pass computing `sink`,
     * then a (batch, sink, bucket)-partitioned DYNAMIC OVERWRITE keyed on
     * the micro-batch id. Replays are idempotent: a crash after a partial

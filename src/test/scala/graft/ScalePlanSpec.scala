@@ -55,4 +55,33 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"),
       s"expected a shuffle join on (w1, w2):\n$s")
   }
+
+  test("saltedJoin equals the plain join on a 90%-hot-key fact table") {
+    import graft.ops.SkewJoin
+    import org.apache.spark.sql.functions._
+    // one key owns 90% of the fact rows; dim has one row per key + one orphan
+    val fact = (0 until 1000)
+      .map(i => (i.toLong, if (i < 900) "hot" else s"k${i % 7}"))
+      .toDF("row_id", "key")
+    val dim = (Seq("hot", "unmatched") ++ (0 until 7).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, s"attr$i") }.toDF("key", "attr")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("row_id", "key", "attr").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val plain = canon(fact.join(dim, Seq("key")))
+    val salted = canon(SkewJoin.saltedJoin(fact, dim, "key", col("row_id"), salts = 8))
+    assert(salted === plain)
+    assert(plain.size === 1000)
+    // left semantics too: every fact row survives exactly once per dim match
+    val left = canon(SkewJoin.saltedJoin(fact, dim, "key", col("row_id"),
+      salts = 8, joinType = "left").na.fill("none", Seq("attr")))
+    assert(left.size === 1000)
+    // plan shape with broadcast off: key-partitioned join, never quadratic
+    val s = planNoBroadcast(
+      SkewJoin.saltedJoin(fact, dim, "key", col("row_id"), salts = 8))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"salted join must stay a key join:\n$s")
+    assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"),
+      s"expected a shuffle join on (key, _salt):\n$s")
+  }
 }

@@ -287,4 +287,48 @@ class StreamingSpec extends AnyFunSuite {
       ("cpu", 20L) -> -1L, ("cpu", 35L) -> 15L, ("cpu", 41L) -> 6L,
       ("cpu", 100L) -> 59L, ("net", 7L) -> -1L), s"got $got")
   }
+
+  test("stream-stream interval join pairs responses within the window, batch-identical") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val reqs = Seq(
+      ("c1", 1L, t(100)), ("c1", 2L, t(200)), ("c2", 3L, t(100))
+    ).toDF("conv_id", "req_id", "req_ts")
+    val resps = Seq(
+      ("c1", 10L, t(105)),  // within [100, 160] of req 1
+      ("c1", 11L, t(205)),  // within req 2's window only
+      ("c1", 12L, t(500)),  // outside every window
+      ("c2", 13L, t(90)),   // BEFORE the request — must not pair
+      ("c2", 14L, t(160))   // right at req 3's upper bound (inclusive)
+    ).toDF("conv_id", "resp_id", "resp_ts")
+
+    val stage = TestSpark.tmpDir("ivj-stage")
+    val watch = TestSpark.tmpDir("ivj-watch")
+    val out = TestSpark.tmpDir("ivj-out")
+    reqs.write.parquet(s"$stage/l"); resps.write.parquet(s"$stage/r")
+    feed(s"$stage/l", s"$watch/l", "l1"); feed(s"$stage/r", s"$watch/r", "r1")
+
+    val joined = StreamingPipeline.intervalJoinStream(
+      spark.readStream.schema(reqs.schema).parquet(s"$watch/l"),
+      spark.readStream.schema(resps.schema).parquet(s"$watch/r"),
+      key = "conv_id", leftTs = "req_ts", rightTs = "resp_ts",
+      within = "60 seconds", watermarkDelay = "10 seconds")
+    joined.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/_ckpt")
+      .format("parquet").option("path", s"$out/pairs")
+      .start().awaitTermination()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("conv_id", "req_id", "resp_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = canon(spark.read.parquet(s"$out/pairs"))
+    assert(got === Set(("c1", 1L, 10L), ("c1", 2L, 11L), ("c2", 3L, 14L)))
+    // the streaming result IS the batch interval join of the same frames
+    val batch = canon(reqs.join(resps,
+      reqs("conv_id") === resps("conv_id") &&
+        resps("resp_ts") >= reqs("req_ts") &&
+        resps("resp_ts") <= reqs("req_ts") + expr("INTERVAL 60 seconds"))
+      .drop(resps("conv_id")))
+    assert(got === batch)
+  }
 }
