@@ -198,12 +198,19 @@ object Dedup {
   def lshClusters(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
       k: Int = 4, iterations: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // Materialize the candidate edge list ONCE (eager local checkpoint):
+    // each propagation round references edges, so the final plan would
+    // otherwise embed the shingle→minhash→band-join subtree 2×iterations
+    // times — exchange reuse dedupes the runtime work but AQE still
+    // plans/recompiles the full tree per round. The checkpoint truncates
+    // lineage to the (tiny: |candidate pairs|) edge list. (.persist()
+    // alone was measured 1.5× slower — it keeps the full lineage and
+    // pays cache materialization on top.) Trade-off: localCheckpoint
+    // blocks are not replicated, so losing an executor mid-job fails the
+    // job instead of recomputing — fine for the pairs table (corpus-small,
+    // cheap restart); use reliable checkpoint dirs if that ever changes.
     val pairs = lshCandidates(df, numHashes, rowsPerBand, k, idCol, textCol)
-    // symmetric edge list. NOT persisted: the propagation rounds reference
-    // identical candidate subplans and Spark's exchange reuse already
-    // evaluates them once within the final job — an explicit .persist()
-    // was measured 1.5× SLOWER (cache materialization overhead for a
-    // subplan that was never actually recomputed).
+      .localCheckpoint()
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
     val ids = df.select(col(idCol)).distinct()
