@@ -965,6 +965,24 @@ object SparkEntry {
       Dedup.ngramContainment(docsWithDupes(s, dir), k = 4, threshold = 0.8,
         maxDocFreq = 200)),
 
+    // incremental ingestion: ledger = fingerprints of `documents`, batch
+    // = docsWithDupes — originals and exact copies hit the ledger and
+    // drop; only the planted near-dups (genuinely new text) survive
+    "q_incremental_novel" -> { (s, dir) =>
+      val ledger = Dedup.fingerprintLedger(documents(s, dir))
+      Dedup.incrementalNovel(ledger, docsWithDupes(s, dir))
+    },
+
+    // character-level Gini diversity (exact rational spam signal)
+    "q_char_diversity" -> ((s, dir) =>
+      graft.ops.TextAnalysis.charDiversity(documents(s, dir))
+        .select("doc_id", "n_chars", "char_gini")),
+
+    // dense deterministic ids without the single-partition global window
+    "q_stable_ids" -> ((s, dir) =>
+      graft.ops.Curation.stableIds(documents(s, dir).select("doc_id"))
+        .select("doc_id", "stable_id")),
+
     // HTML/markdown strip + code-fence accounting over planted markup
     "q_strip_markup" -> { (s, dir) =>
       val d = documents(s, dir)
@@ -2117,6 +2135,32 @@ object SparkEntry {
         |SELECT doc_id, n_code_blocks, code_chars,
         |  trim(regexp_replace(u, '\s+', ' ', 'g')) AS text_clean
         |FROM s4""".stripMargin,
+
+    "q_incremental_novel" ->
+      s"""WITH $DocsDupesSql,
+         |ledger AS (SELECT DISTINCT md5(text) AS text_md5 FROM documents),
+         |b AS (SELECT doc_id, md5(text) AS text_md5 FROM docs2)
+         |SELECT text_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
+         |  CAST(count(*) AS BIGINT) AS n_batch_dupes
+         |FROM b ANTI JOIN ledger USING (text_md5)
+         |GROUP BY 1""".stripMargin,
+
+    "q_char_diversity" ->
+      s"""SELECT doc_id, CAST(length(lower(text)) AS INTEGER) AS n_chars,
+         |${graft.ops.TextAnalysis.charDiversitySql("text")} AS char_gini
+         |FROM documents""".stripMargin,
+
+    "q_stable_ids" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    ${graft.ops.Curation.hashBucketSql("doc_id", 256)} AS bk FROM documents),
+         |o AS (SELECT bk, count(*) AS n FROM b GROUP BY 1),
+         |off AS (SELECT bk, COALESCE(CAST(sum(n) OVER (ORDER BY bk
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS o
+         |  FROM o)
+         |SELECT b.doc_id, CAST(off.o
+         |    + row_number() OVER (PARTITION BY b.bk ORDER BY b.doc_id) - 1 AS BIGINT)
+         |  AS stable_id
+         |FROM b JOIN off ON b.bk = off.bk""".stripMargin,
 
     "q_dedup_report" -> lshClustersSql(
       """SELECT CAST(count(*) AS INTEGER) AS n_docs,

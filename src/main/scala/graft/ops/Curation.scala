@@ -54,6 +54,32 @@ object Curation {
   /** Split-bucket in [0, 100). */
   def splitBucket(id: Column): Column = hashBucket(id, 100)
 
+  /** Dense unique ids in [0, n) WITHOUT the single-partition global
+    * window (`row_number() OVER (ORDER BY …)` funnels 100 TB through one
+    * task — the classic id-assignment scale trap). Instead: hash-bucket
+    * the key, rank within each bucket, and add the bucket's cumulative
+    * offset (a window over the B-row bucket-count table, then a
+    * broadcast join back). Ids are dense, unique, and a DETERMINISTIC
+    * function of the dataset content — re-running assigns identical ids
+    * (unlike monotonically_increasing_id / zipWithUniqueId, which bake in
+    * partition layout). They are NOT globally ordered by the key; within
+    * a bucket they are. `keyCol` must be unique per row.
+    */
+  def stableIds(df: DataFrame, keyCol: String = "doc_id",
+      buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withB = df.withColumn("_b", hashBucket(col(keyCol), buckets).cast("int"))
+    val offsets = withB.groupBy("_b").agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(
+        sum("_n").over(Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("_b", "_off")
+    withB.join(broadcast(offsets), Seq("_b"))
+      .withColumn("stable_id",
+        col("_off") + row_number().over(Window.partitionBy("_b").orderBy(keyCol)) - 1)
+      .drop("_b", "_off")
+  }
+
   /** Deterministic train/val/test assignment: buckets [0,trainPct) →
     * train, [trainPct, trainPct+valPct) → val, rest → test.
     */

@@ -40,6 +40,26 @@ object Dedup {
         min(priority).as("keep_priority"),
         count(lit(1)).as("n_dupes"))
 
+  /** INCREMENTAL ingestion dedup — the production shape: the corpus
+    * already ingested is represented by its fingerprint LEDGER (one
+    * md5(text) per distinct doc, the only state the pipeline persists
+    * between runs), and each new batch keeps only rows whose fingerprint
+    * is unseen, deduping within the batch too (min-id representative).
+    * One left-anti join on the hash + one groupBy — the ledger never
+    * re-reads old text bytes, so cost is O(batch + |ledger hashes|)
+    * regardless of how large the historical corpus has grown.
+    */
+  def incrementalNovel(ledger: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    batch.withColumn("text_md5", md5(col(textCol)))
+      .join(ledger.select(col("text_md5")), Seq("text_md5"), "left_anti")
+      .groupBy("text_md5")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_batch_dupes"))
+
+  /** The ledger side of [[incrementalNovel]]: distinct fingerprints. */
+  def fingerprintLedger(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(md5(col(textCol)).as("text_md5")).distinct()
+
   /** Character k-gram shingles, exploded: (id, pos, shingle). */
   def shingled(df: DataFrame, k: Int = 4, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     df.select(

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.{Curation, TextAnalysis}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Corpus-level quality/layout ops: bigram novelty scoring, within-doc
@@ -47,5 +48,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     val again = Curation.lengthBucketBatches(docs, batchSize = 3, bucketWidth = 4, shards = 2)
       .collect().map(r => (r.getLong(0), r.getInt(4))).toSet
     assert(again === rows.map(t => (t._1, t._5)).toSet)
+  }
+
+  test("charDiversity: exact Gini on hand-computable strings") {
+    val df = Seq(
+      (1L, "aaaa"),        // one class: gini 0
+      (2L, "ab"),          // two classes evenly: 1 - 2*(1/2)^2 = 0.5
+      (3L, "aAb!"),        // lower: a,a,b,! → counts a=2,b=1,other=1 → 1-(4+1+1)/16
+      (4L, "")             // empty: null
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.charDiversity(df).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(1L) === Some(0.0))
+    assert(out(2L) === Some(0.5))
+    assert(out(3L) === Some(0.625))
+    assert(out(4L) === None)
+  }
+
+  test("stableIds: dense 0..n-1 permutation, deterministic, bucket-ordered") {
+    val df = (0 until 500).map(i => i.toLong * 7).toDF("doc_id")
+    def run() = Curation.stableIds(df, "doc_id", buckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val ids = run()
+    assert(ids.map(_._2).sorted.toSeq === (0L until 500L))
+    assert(run().toMap === ids.toMap) // re-run assigns identical ids
+    // within a bucket, id order follows key order
+    val withBucket = Curation.stableIds(df, "doc_id", buckets = 16)
+      .withColumn("bk", Curation.hashBucket(col("doc_id"), 16))
+      .collect().map(r => (r.getAs[Long]("bk"), r.getAs[Long]("doc_id"), r.getAs[Long]("stable_id")))
+    withBucket.groupBy(_._1).values.foreach { g =>
+      assert(g.sortBy(_._2).map(_._3).toSeq === g.map(_._3).sorted.toSeq)
+    }
   }
 }

@@ -52,6 +52,20 @@ class PlantedDupSpec extends AnyFunSuite {
       s"only $near/${baseIds.size} planted near-dups recovered above threshold")
   }
 
+  test("incrementalNovel keeps only fingerprints absent from the ledger") {
+    import spark.implicits._
+    val ledger = Dedup.fingerprintLedger(Seq((1L, "seen"), (2L, "also seen")).toDF("doc_id", "text"))
+    val batch = Seq(
+      (10L, "seen"),      // in ledger → dropped
+      (11L, "fresh"),     // novel
+      (12L, "fresh"),     // batch-internal dupe of 11 → one keeper, n=2
+      (13L, "brand new")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNovel(ledger, batch).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === Map(11L -> 2L, 13L -> 1L))
+  }
+
   test("n-gram containment flags a short quote inside a long doc that Jaccard misses") {
     import spark.implicits._
     val long = "the quick brown fox jumps over the lazy dog while rain falls on rooftops " +
