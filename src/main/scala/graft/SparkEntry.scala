@@ -997,6 +997,47 @@ object SparkEntry {
         .select(col("doc_id"), col("n_code_blocks"), col("code_chars"), col("text_clean"))
     },
 
+    // C4 line-level filter over a planted 5-line rendering: docs hit
+    // blacklist (lorem ipsum / code braces), too_few_lines, or keep 3
+    "q_c4_filter" -> { (s, dir) =>
+      val d = documents(s, dir)
+      val id = col("doc_id")
+      val line1 = when(id % 3 === 0, lit("nope"))
+        .otherwise(lit("This is a good long sentence for the filter."))
+      val line4 = when(id % 7 === 0, lit("lorem ipsum dolor sit amet here."))
+        .otherwise(concat(lit("Another valid line number "), id.cast("string"),
+          lit(" with plenty of words.")))
+      val line5 = when(id % 5 === 0, lit("var x = { a: 1 };"))
+        .otherwise(lit("Closing remarks end the document properly!"))
+      val fix = d.select(id, concat_ws("\n",
+        line1, lit("short."), col("text"), line4, line5).as("text"))
+      graft.ops.Curation.c4Filter(fix, minLineWords = 5, minLines = 3)
+    },
+
+    // crawl-budget cap: at most 20 docs per source, longest first
+    "q_source_cap" -> ((s, dir) =>
+      graft.ops.Curation.capPerGroup(
+        documents(s, dir).select("doc_id", "source", "n_chars"),
+        "source", col("n_chars"), cap = 20)),
+
+    // mixture epoch plan over four weighted sources, 10M-token budget
+    "q_epoch_plan" -> ((s, dir) =>
+      graft.ops.Curation.epochPlan(
+        documents(s, dir).where(col("source").isin("src0", "src1", "src2", "src3")),
+        Map("src0" -> 500000L, "src1" -> 300000L, "src2" -> 150000L, "src3" -> 50000L),
+        budgetTokens = 10000000L)),
+
+    // leakage audit of a deliberately WRONG split (row-keyed instead of
+    // group-keyed): users whose events span >1 split are the leak set
+    "q_split_leak" -> { (s, dir) =>
+      val b = graft.ops.Curation.splitBucket(col("event_id"))
+      val e = events(s, dir).select(col("user_id"), col("event_id"))
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      graft.ops.Curation.splitLeakAudit(e, "user_id", "split")
+        .where(col("n_splits") > 1)
+    },
+
     // the corpus-level dedup dashboard number: how much of the corpus is
     // near-duplicate, from the same cluster derivation q_lsh_clusters uses
     "q_dedup_report" -> { (s, dir) =>
@@ -1036,6 +1077,18 @@ object SparkEntry {
 
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(documents(s, dir), bits = 32)),
+
+    // Hamming-distance near-dup pairs via pigeonhole piece blocking:
+    // planted exact copies land at hamming 0, " extra" near-dups within
+    // a few flipped bits — never an all-pairs compare
+    "q_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDup(docsWithDupes(s, dir), maxHamming = 3, bits = 48)),
+
+    // sketch-only Jaccard estimate over the LSH candidates (matches/8):
+    // planted exact copies estimate 1.0; the screen between banding and
+    // exact shingle verification
+    "q_minhash_est" -> ((s, dir) =>
+      Dedup.minhashJaccardEst(docsWithDupes(s, dir), numHashes = 8, rowsPerBand = 4, k = 4)),
 
     "q_ann_topk" -> { (s, dir) =>
       val e = embeddings(s, dir)
@@ -2136,6 +2189,77 @@ object SparkEntry {
         |  trim(regexp_replace(u, '\s+', ' ', 'g')) AS text_clean
         |FROM s4""".stripMargin,
 
+    "q_c4_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'nope'
+        |          ELSE 'This is a good long sentence for the filter.' END)
+        |    || chr(10) || 'short.'
+        |    || chr(10) || text
+        |    || chr(10) || (CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet here.'
+        |          ELSE 'Another valid line number ' || CAST(doc_id AS VARCHAR) || ' with plenty of words.' END)
+        |    || chr(10) || (CASE WHEN doc_id % 5 = 0 THEN 'var x = { a: 1 };'
+        |          ELSE 'Closing remarks end the document properly!' END) AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, generate_subscripts(ls, 1) - 1 AS line_no, unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM m)),
+        |k AS (
+        |  SELECT doc_id, line_no, line,
+        |    regexp_matches(trim(line), '[.!?"]$')
+        |      AND len(regexp_extract_all(trim(line), '\S+')) >= 5 AS keep
+        |  FROM l),
+        |pd AS (
+        |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_lines,
+        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY line_no) FILTER (WHERE keep) AS ct
+        |  FROM k GROUP BY 1),
+        |r AS (
+        |  SELECT m.doc_id, pd.n_lines, pd.n_kept, pd.ct,
+        |    CASE WHEN contains(lower(m.text), 'lorem ipsum') OR contains(m.text, '{') THEN 'blacklist'
+        |         WHEN pd.n_kept < 3 THEN 'too_few_lines' END AS reject_reason
+        |  FROM m JOIN pd USING (doc_id))
+        |SELECT doc_id, reject_reason IS NULL AS kept, reject_reason,
+        |  CASE WHEN reject_reason IS NULL THEN ct END AS clean_text, n_lines, n_kept
+        |FROM r""".stripMargin,
+
+    "q_source_cap" ->
+      """SELECT doc_id, source, n_chars, rank_in_group FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS INTEGER)
+        |      AS rank_in_group
+        |  FROM documents)
+        |WHERE rank_in_group <= 20""".stripMargin,
+
+    "q_epoch_plan" ->
+      """WITH t AS (
+        |  SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS tk
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(tk) AS BIGINT) AS corpus_tokens
+        |  FROM t GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES
+        |  ('src0', 500000), ('src1', 300000), ('src2', 150000), ('src3', 50000)) v(source, wppm))
+        |SELECT a.source, a.n_docs, a.corpus_tokens, CAST(w.wppm AS BIGINT) AS weight_ppm,
+        |  CAST(CAST(10000000 AS BIGINT) * w.wppm // 1000000 AS BIGINT) AS target_tokens,
+        |  CAST((CAST(10000000 AS BIGINT) * w.wppm // 1000000) * CAST(1000000 AS BIGINT)
+        |    // a.corpus_tokens AS BIGINT) AS epochs_ppm
+        |FROM a JOIN w USING (source)""".stripMargin,
+
+    "q_split_leak" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id,
+         |    CASE WHEN ${graft.ops.Curation.splitBucketSql("event_id")} < 80 THEN 'train'
+         |         WHEN ${graft.ops.Curation.splitBucketSql("event_id")} < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM events)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT split) AS INTEGER) AS n_splits,
+         |  string_agg(DISTINCT split, ',' ORDER BY split) AS splits
+         |FROM e GROUP BY 1
+         |HAVING count(DISTINCT split) > 1""".stripMargin,
+
     "q_incremental_novel" ->
       s"""WITH $DocsDupesSql,
          |ledger AS (SELECT DISTINCT md5(text) AS text_md5 FROM documents),
@@ -2454,16 +2578,46 @@ object SparkEntry {
     "q_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, md5(UNNEST(regexp_extract_all(text, '$BpeishRe'))) AS h FROM documents),
-         |bits AS (
-         |  SELECT doc_id, h, UNNEST(generate_series(0, 31)) AS i FROM toks),
-         |contrib AS (
-         |  SELECT doc_id, i,
-         |    CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(i // 4 AS INTEGER) + 1, 1)) - 1)
-         |               >> CAST(i % 4 AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END AS c
-         |  FROM bits),
-         |sums AS (SELECT doc_id, i, sum(c) AS s FROM contrib GROUP BY 1, 2)
-         |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM sums GROUP BY doc_id""".stripMargin,
+         |${Dedup.simhashSql(32)}
+         |SELECT doc_id, simhash FROM sig""".stripMargin,
+
+    "q_simhash_neardup" ->
+      s"""WITH $DocsDupesSql,
+         |toks AS (
+         |  SELECT doc_id, md5(UNNEST(regexp_extract_all(text, '$BpeishRe'))) AS h FROM docs2),
+         |${Dedup.simhashSql(48)},
+         |pieces AS (
+         |  SELECT doc_id, simhash, p, (simhash >> (p * 12)) % 4096 AS pv
+         |  FROM sig, (SELECT CAST(UNNEST(generate_series(0, 3)) AS INTEGER) AS p)),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS sa, r.simhash AS sb
+         |  FROM pieces l JOIN pieces r ON l.p = r.p AND l.pv = r.pv
+         |  WHERE l.doc_id < r.doc_id)
+         |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+
+    "q_minhash_est" ->
+      s"""WITH $DocsDupesSql,
+         |sh AS (
+         |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(length(text) - 3, 0)),
+         |    i -> substr(text, CAST(i AS INTEGER), 4))) AS shingle
+         |  FROM docs2),
+         |${Dedup.minhashSql(8)},
+         |bands AS (
+         |  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         |    string_agg(CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR), '|'
+         |      ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR)) AS band_key
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+         |  WHERE l.doc_id < r.doc_id)
+         |SELECT c.a, c.b,
+         |  round(sum(CASE WHEN ma.sig = mb.sig THEN 1 ELSE 0 END) / 8.0, 6) AS est_jaccard
+         |FROM cand c
+         |JOIN mh ma ON ma.doc_id = c.a
+         |JOIN mh mb ON mb.doc_id = c.b AND mb.seed = ma.seed
+         |GROUP BY 1, 2""".stripMargin,
 
     "q_ann_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

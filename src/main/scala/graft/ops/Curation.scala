@@ -470,4 +470,104 @@ object Curation {
         aggregate(transform(blocks, m => length(m)), lit(0), (a, x) => a + x).cast("int"))
       .withColumn("text_clean", trim(regexp_replace(decoded, """\s+""", " ")))
   }
+
+  /** C4-style LINE-level quality filter (Raffel et al. 2020 §2.2 — the
+    * published cleaning recipe for the web crawl behind T5): keep only
+    * lines that end in terminal punctuation AND have ≥ `minLineWords`
+    * words; then drop the whole document when fewer than `minLines`
+    * lines survive, or when it carries a blacklist marker ("lorem ipsum"
+    * placeholder text, or `{` — the JS/code tell). Output: one row per
+    * input doc with `kept`, `reject_reason` (null when kept), the
+    * reassembled `clean_text` over surviving lines, and before/after
+    * line counts. Narrow explode → per-doc regroup: two exchanges on
+    * the doc key, nothing corpus-wide.
+    */
+  def c4Filter(df: DataFrame, minLineWords: Int = 5, minLines: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+    val t = trim(col("line"))
+    val keep = t.rlike("[.!?\"]$") &&
+      size(regexp_extract_all(t, lit("\\S+"), lit(0))) >= minLineWords
+    val perDoc = lines
+      .withColumn("_keep", keep)
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("int").as("n_lines"),
+        sum(when(col("_keep"), 1).otherwise(0)).cast("int").as("n_kept"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("line_no"), col("_keep"), col("line")))),
+              x => x.getField("_keep")),
+            x => x.getField("line")),
+          "\n").as("clean_text"))
+    val black = lower(col(textCol)).contains("lorem ipsum") || col(textCol).contains("{")
+    df.select(col(idCol), black.as("_black"))
+      .join(perDoc, Seq(idCol))
+      .withColumn("reject_reason",
+        when(col("_black"), lit("blacklist"))
+          .when(col("n_kept") < minLines, lit("too_few_lines")))
+      .withColumn("kept", col("reject_reason").isNull)
+      .withColumn("clean_text", when(col("kept"), col("clean_text")))
+      .select(idCol, "kept", "reject_reason", "clean_text", "n_lines", "n_kept")
+  }
+
+  /** Crawl-budget cap: keep at most `cap` documents per group (source /
+    * registered domain), ranked by `scoreCol` descending with the id as
+    * a deterministic tiebreak — the per-domain cap C4/Gopher apply so a
+    * single boilerplate-heavy domain cannot dominate the mixture. One
+    * window partitioned by the group key: no global sort, the shuffle is
+    * the group-key exchange only, and a hot domain is bounded by the cap
+    * itself on the way out.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, scoreCol: Column, cap: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(scoreCol.desc, col(idCol))
+    df.withColumn("rank_in_group", row_number().over(w).cast("int"))
+      .where(col("rank_in_group") <= cap)
+  }
+
+  /** Mixture EPOCH plan: given per-source corpus token counts and target
+    * mixture weights (ppm — parts per million, so the arithmetic stays
+    * integer-exact cross-engine), how many repeats ("epochs", in ppm) of
+    * each source a `budgetTokens`-token training run needs:
+    * target = budget·w_ppm/10⁶, epochs_ppm = target·10⁶/tokens (integer
+    * division both times — floor semantics, same on both engines). The
+    * plan is a |sources|-row aggregate off one corpus pass; epochs > 1M
+    * ppm flags a source the budget will repeat (the over-epoching risk
+    * a data-mixing pipeline watches).
+    */
+  def epochPlan(df: DataFrame, weightsPpm: Map[String, Long], budgetTokens: Long,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val wCol = weightsPpm.foldLeft(lit(null).cast("long")) { case (acc, (s, w)) =>
+      when(col(srcCol) === s, lit(w)).otherwise(acc)
+    }
+    df.select(col(srcCol),
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("_t"),
+        wCol.as("_w"))
+      .groupBy(srcCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("_t").cast("long").as("corpus_tokens"),
+        min("_w").as("weight_ppm"))
+      .withColumn("target_tokens", expr(s"$budgetTokens * weight_ppm div 1000000"))
+      .withColumn("epochs_ppm", expr("target_tokens * 1000000 div corpus_tokens"))
+  }
+
+  /** Leakage audit for a train/val/test split: a GROUP (conversation,
+    * user, near-dup cluster) whose members land in more than one split
+    * leaks evaluation data into training. Returns one row per group with
+    * its span; `where n_splits > 1` is the leak set — empty iff the
+    * split key is a function of the group key. One groupBy on the group
+    * key; the `collect_set` is bounded by the number of splits (3), not
+    * the group size.
+    */
+  def splitLeakAudit(df: DataFrame, groupCol: String, splitCol: String): DataFrame =
+    df.groupBy(groupCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col(splitCol)).cast("int").as("n_splits"),
+        array_join(array_sort(collect_set(col(splitCol))), ",").as("splits"))
 }

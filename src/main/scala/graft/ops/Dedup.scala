@@ -367,32 +367,109 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
-  /** SimHash-32 over BPE-ish tokens: per bit, +1 for a set bit and -1 for
-    * an unset bit of md5(token), summed over tokens; signature bit = sum>0.
-    * Near-dups land on equal (or near-equal) signatures; grouping on the
-    * signature is one small shuffle.
+  /** SimHash over BPE-ish tokens: per bit, +1 for a set bit and -1 for
+    * an unset bit of md5(token), summed over tokens; signature bit =
+    * sum>0. Near-dups land on equal (or near-equal) signatures.
     *
     * Bit i of the hash comes straight from the md5 hex digits:
     * digit = md5[i/4], bit = (digitValue >> (i%4)) & 1 — pure built-ins,
     * reproducible in SQL oracles.
+    *
+    * ONE groupBy(doc) with `bits` independent ±1 sums over the token
+    * rows — round 1 exploded every token into `bits` rows and paid two
+    * shuffles (32× the rows into the first aggregate); the wide-aggregate
+    * form is the same trick [[minhashWide]] uses. `bits` ≤ 128 (md5
+    * width); signatures with bit (bits−1) set are still non-negative for
+    * bits ≤ 63, which [[simhashNearDup]]'s piece extraction relies on.
     */
   def simhash(df: DataFrame, bits: Int = 32,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(bits <= 63, "simhash packs the signature into a non-negative BIGINT")
     val toks = df.select(
       col(idCol),
       explode(regexp_extract_all(col(textCol), lit(TextAnalysis.bpeishPattern), lit(0))).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val withBits = toks
-      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("i"))
-      .withColumn("digit",
-        expr("instr('0123456789abcdef', substr(h, cast(i/4 as int) + 1, 1)) - 1"))
-      .withColumn("bit", expr("(cast(digit as int) >> cast(i % 4 as int)) % 2"))
-      .withColumn("contrib", when(col("bit") === 1, 1).otherwise(-1))
-    withBits
-      .groupBy(col(idCol), col("i"))
-      .agg(sum("contrib").as("s"))
-      .groupBy(idCol)
-      // bit i set iff sum>0; fold into a bigint signature
-      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), cast(i as int))")).otherwise(lit(0L))).as("simhash"))
+    val sums = (0 until bits).map { i =>
+      val bit = expr(
+        s"((instr('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1) >> ${i % 4}) % 2")
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"_s$i")
+    }
+    val sig = (0 until bits)
+      .map(i => when(col(s"_s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(col(idCol), sig.as("simhash"))
+  }
+
+  /** DuckDB twin of [[simhash]]: CTEs `sums` + `sig(doc_id, simhash)`
+    * over an upstream CTE `toks(doc_id, h)` with h = md5(token).
+    */
+  def simhashSql(bits: Int): String = {
+    val sums = (0 until bits).map(i =>
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1) " +
+        s">> ${i % 4}) % 2 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(",\n    ")
+    val sig = (0 until bits)
+      .map(i => s"CASE WHEN s$i > 0 THEN CAST(1 AS BIGINT) << $i ELSE 0 END")
+      .mkString(" + ")
+    s"""sums AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM sums)""".stripMargin
+  }
+
+  /** SimHash NEAR-duplicate pairs within Hamming distance `maxHamming`,
+    * found WITHOUT an all-pairs scan — the pigeonhole blocking of
+    * Manku-Jarvelin-Sarma (WWW'07, the published web-dedup recipe): split
+    * the signature into maxHamming+1 pieces; two signatures within
+    * distance d must agree EXACTLY on ≥1 piece (d flips cannot touch all
+    * d+1 pieces), so candidates = docs sharing any (piece_idx, piece_val)
+    * bucket, verified by bit_count(xor). Misses nothing (pigeonhole is
+    * exact); piece width governs bucket population — `bits`/(maxHamming+1)
+    * bits per piece ⇒ 2^width buckets per piece, so width should grow
+    * with log₂(corpus) exactly like the ANN plane counts.
+    */
+  def simhashNearDup(df: DataFrame, maxHamming: Int = 3, bits: Int = 48,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nPieces = maxHamming + 1
+    require(bits % nPieces == 0, s"bits=$bits must split into ${nPieces} equal pieces")
+    val pieceBits = bits / nPieces
+    val sig = simhash(df, bits, idCol, textCol)
+    val pieceStructs = (0 until nPieces).map { p =>
+      struct(lit(p).as("p"),
+        (shiftright(col("simhash"), p * pieceBits) % lit(1L << pieceBits)).as("pv"))
+    }
+    val pieces = sig
+      .select(col(idCol).as("id"), col("simhash"), explode(array(pieceStructs: _*)).as("pc"))
+      .select(col("id"), col("simhash"), col("pc.p").as("p"), col("pc.pv").as("pv"))
+    val l = pieces.select(col("id").as("a"), col("simhash").as("sa"), col("p"), col("pv"))
+    val r = pieces.select(col("id").as("b"), col("simhash").as("sb"), col("p"), col("pv"))
+    l.join(r, Seq("p", "pv"))
+      .where(col("a") < col("b"))
+      .select("a", "b", "sa", "sb").distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
+  /** MinHash Jaccard ESTIMATE for LSH candidate pairs: the fraction of
+    * agreeing signature components (each component matches with
+    * probability J, so matches/numHashes is the unbiased sketch estimate
+    * — MMDS ch. 3). This is the cheap screen a pipeline runs BETWEEN
+    * banding and exact verification: it reads only the fixed-width
+    * signatures, never re-touching text, so the verify join shrinks from
+    * |candidates|·|doc bytes| to |candidates|·(numHashes longs).
+    */
+  def minhashJaccardEst(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 4,
+      k: Int = 4, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wide = minhashWide(df, numHashes, k, idCol, textCol)
+    val cands = lshCandidates(df, numHashes, rowsPerBand, k, idCol, textCol)
+    val wa = wide.select(col(idCol).as("a") +:
+      (0 until numHashes).map(i => col(s"sig$i").as(s"_a$i")): _*)
+    val wb = wide.select(col(idCol).as("b") +:
+      (0 until numHashes).map(i => col(s"sig$i").as(s"_b$i")): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"_a$i") === col(s"_b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands.join(wa, Seq("a")).join(wb, Seq("b"))
+      .withColumn("est_jaccard", round(matches.cast("double") / numHashes, 6))
+      .select("a", "b", "est_jaccard")
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.{Curation, Dedup, TextAnalysis}
 import graft.route.OutputCodec
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -146,5 +147,68 @@ class CurationSpec extends AnyFunSuite {
     assert(out(0)._3 === "pre mid post")
     assert(out(1) === ((0, 0, "See the docs for bold tags")))
     assert(out(2) === ((0, 0, "a &<ok> \"hi\" 's plain")))
+  }
+
+  test("c4Filter: line rules, doc survival, blacklist precedence") {
+    val good = "This line ends with enough words here."
+    val df = Seq(
+      (1L, s"$good\n$good\n$good"),                    // 3 kept → kept
+      (2L, s"$good\nshort.\nno terminal punct\n$good"),// 2 kept → too_few_lines
+      (3L, s"$good\n$good\n$good\nlorem ipsum filler."),// blacklist wins
+      (4L, s"$good\n$good\n$good\nvar x = { 1 };")     // brace blacklist
+    ).toDF("doc_id", "text")
+    val out = Curation.c4Filter(df, minLineWords = 5, minLines = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) null else r.getString(2), r.getInt(4), r.getInt(5)))).toMap
+    assert(out(1L) === ((true, null, 3, 3)))
+    assert(out(2L) === ((false, "too_few_lines", 4, 2)))
+    assert(out(3L) === ((false, "blacklist", 4, 3)))
+    assert(out(4L) === ((false, "blacklist", 4, 3)))
+    val clean = Curation.c4Filter(df, 5, 3).where(col("doc_id") === 1)
+      .head().getString(3)
+    assert(clean === s"$good\n$good\n$good")
+  }
+
+  test("capPerGroup keeps exactly the cap, highest score first, id tiebreak") {
+    val df = (1 to 30).map(i => (i.toLong, s"g${i % 2}", (i % 5).toLong))
+      .toDF("doc_id", "grp", "score")
+    val out = Curation.capPerGroup(df, "grp", col("score"), cap = 3).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(out.length === 6)
+    val g0 = out.filter(_._1 == "g0").sortBy(_._4)
+    // g0 members with score 4: ids 4,14,24 — top-3 by (score desc, id asc)
+    assert(g0.map(_._2).toSeq === Seq(4L, 14L, 24L))
+    assert(out.forall(_._4 <= 3))
+  }
+
+  test("epochPlan: integer-exact targets and epochs") {
+    val df = Seq(
+      (1L, "a", "one two three four"),      // 4 tokens
+      (2L, "a", "five six"),                // 2 → source a: 6 tokens
+      (3L, "b", "w x y z p q r s t u")      // 10 tokens
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.epochPlan(df, Map("a" -> 600000L, "b" -> 400000L),
+      budgetTokens = 100L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // a: target = 100*600000/1e6 = 60; epochs_ppm = 60*1e6/6 = 10_000_000
+    assert(out("a") === ((2L, 6L, 600000L, 60L, 10000000L)))
+    // b: target = 40; epochs_ppm = 40*1e6/10 = 4_000_000
+    assert(out("b") === ((1L, 10L, 400000L, 40L, 4000000L)))
+  }
+
+  test("splitLeakAudit: group-keyed split is leak-free, row-keyed split leaks") {
+    val rows = (1 to 100).map(i => (i.toLong, (i % 10).toLong)).toDF("row_id", "grp")
+    def split(c: Column) = when(Curation.splitBucket(c) < 80, "train").otherwise("test")
+    val clean = Curation.splitLeakAudit(
+      rows.withColumn("split", split(col("grp"))), "grp", "split")
+      .where(col("n_splits") > 1).count()
+    assert(clean === 0L)
+    val leaky = Curation.splitLeakAudit(
+      rows.withColumn("split", split(col("row_id"))), "grp", "split")
+      .where(col("n_splits") > 1)
+    assert(leaky.count() > 0)
+    val r = leaky.head()
+    assert(r.getAs[String]("splits").split(",").length === r.getAs[Int]("n_splits"))
   }
 }

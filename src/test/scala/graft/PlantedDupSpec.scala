@@ -52,6 +52,23 @@ class PlantedDupSpec extends AnyFunSuite {
       s"only $near/${baseIds.size} planted near-dups recovered above threshold")
   }
 
+  test("simhashNearDup recovers every planted exact pair at hamming 0, within the cap") {
+    val out = Dedup.simhashNearDup(docs, maxHamming = 3, bits = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.forall(_._3 <= 3))
+    val zero = out.filter(_._3 == 0).map(t => (t._1, t._2)).toSet
+    val missing = baseIds.filterNot(d => zero.contains((d, d + 20000)))
+    assert(missing.isEmpty, s"planted exact pairs not at hamming 0: $missing")
+  }
+
+  test("minhashJaccardEst estimates planted exact pairs at 1.0 and stays in [0,1]") {
+    val byPair = Dedup.minhashJaccardEst(docs, numHashes = 8, rowsPerBand = 4, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(byPair.values.forall(v => v >= 0.0 && v <= 1.0))
+    val missing = baseIds.filterNot(d => byPair.get((d, d + 20000)).contains(1.0))
+    assert(missing.isEmpty, s"planted exact pairs not estimated at 1.0: $missing")
+  }
+
   test("incrementalNovel keeps only fingerprints absent from the ledger") {
     import spark.implicits._
     val ledger = Dedup.fingerprintLedger(Seq((1L, "seen"), (2L, "also seen")).toDF("doc_id", "text"))
