@@ -1090,6 +1090,38 @@ object SparkEntry {
     "q_minhash_est" -> ((s, dir) =>
       Dedup.minhashJaccardEst(docsWithDupes(s, dir), numHashes = 8, rowsPerBand = 4, k = 4)),
 
+    // banding QA: precision/recall of the LSH candidates vs the exact
+    // n-gram-Jaccard ground truth — the tuning number round 1 never had
+    "q_lsh_quality" -> ((s, dir) =>
+      Dedup.lshQuality(docsWithDupes(s, dir), numHashes = 8, rowsPerBand = 4,
+        k = 4, threshold = 0.5, maxDocFreq = 200)),
+
+    // content-defined chunking: Rabin-style local boundaries, shift-proof
+    // chunk dedup units (near-dups share every chunk after the edit point)
+    "q_cdc_chunks" -> ((s, dir) =>
+      graft.ops.TextAnalysis.cdcChunks(docsWithDupes(s, dir), k = 5, divisor = 64)),
+
+    // community-id-style direction-independent flow key over synthetic
+    // bidirectional 5-tuples: both directions of a user's flow collapse
+    // to one id (n_directions = 2 when both parities occur)
+    "q_flow_id" -> { (s, dir) =>
+      val base = events(s, dir).select(col("event_id"),
+        concat(lit("10.0.0."), (col("user_id") % 50).cast("string")).as("s"),
+        concat(lit("10.0.1."), (col("user_id") % 7).cast("string")).as("d"),
+        (col("user_id") % 1000 + 1024).cast("int").as("sp"))
+      val fwd = col("event_id") % 2 === 0
+      val f = base.select(col("event_id"),
+        when(fwd, col("s")).otherwise(col("d")).as("src_ip"),
+        when(fwd, col("sp")).otherwise(lit(443)).as("src_port"),
+        when(fwd, col("d")).otherwise(col("s")).as("dst_ip"),
+        when(fwd, lit(443)).otherwise(col("sp")).as("dst_port"))
+      f.withColumn("flow_id", graft.ops.Sessions.communityFlowKey(
+          col("src_ip"), col("src_port"), col("dst_ip"), col("dst_port"), lit("tcp")))
+        .groupBy("flow_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("src_ip")).as("n_directions"))
+    },
+
     "q_ann_topk" -> { (s, dir) =>
       val e = embeddings(s, dir)
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), k = 10)
@@ -2618,6 +2650,92 @@ object SparkEntry {
          |JOIN mh ma ON ma.doc_id = c.a
          |JOIN mh mb ON mb.doc_id = c.b AND mb.seed = ma.seed
          |GROUP BY 1, 2""".stripMargin,
+
+    "q_lsh_quality" ->
+      s"""WITH $DocsDupesSql,
+         |sh AS (
+         |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(length(text) - 3, 0)),
+         |    i -> substr(text, CAST(i AS INTEGER), 4))) AS shingle
+         |  FROM docs2),
+         |${Dedup.minhashSql(8)},
+         |bands AS (
+         |  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         |    string_agg(CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR), '|'
+         |      ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR)) AS band_key
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+         |  WHERE l.doc_id < r.doc_id),
+         |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |freq AS (SELECT shingle, count(*) AS df FROM shd GROUP BY 1),
+         |filtered AS (SELECT shd.* FROM shd JOIN freq USING (shingle) WHERE df <= 200),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM filtered GROUP BY 1),
+         |inter AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+         |  FROM filtered l JOIN filtered r USING (shingle)
+         |  WHERE l.doc_id < r.doc_id GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT a, b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+         |hit AS (SELECT a, b FROM cand JOIN truth USING (a, b))
+         |SELECT nc AS n_candidates, nt AS n_true, nh AS n_hit,
+         |  nh * CAST(1000000 AS BIGINT) // nc AS precision_ppm,
+         |  nh * CAST(1000000 AS BIGINT) // nt AS recall_ppm
+         |FROM (SELECT
+         |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS nc,
+         |  CAST((SELECT count(*) FROM truth) AS BIGINT) AS nt,
+         |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS nh)""".stripMargin,
+
+    "q_cdc_chunks" -> {
+      val h = Dedup.baseHashSql("substr(t, CAST(i AS INTEGER), 5)")
+      s"""WITH $DocsDupesSql,
+         |t0 AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM docs2),
+         |b AS (SELECT doc_id, t, length(t) AS len, greatest(length(t) - 4, 0) AS m FROM t0),
+         |cuts AS (SELECT doc_id, t, len,
+         |  list_transform(list_filter(generate_series(1, m), i -> ($h) % 64 = 0), i -> i + 4) AS ce
+         |  FROM b WHERE len > 0),
+         |e AS (SELECT doc_id, t, len,
+         |  CASE WHEN len(ce) > 0 AND ce[-1] = len THEN ce ELSE list_append(ce, len) END AS ends
+         |  FROM cuts),
+         |s AS (SELECT doc_id, t, ends,
+         |  list_prepend(1, list_transform(ends[1:len(ends)-1], x -> x + 1)) AS starts FROM e),
+         |z AS (SELECT doc_id, t, CAST(generate_subscripts(ends, 1) - 1 AS INTEGER) AS chunk_no,
+         |  unnest(starts) AS st, unnest(ends) AS en FROM s)
+         |SELECT doc_id, chunk_no, CAST(st AS INTEGER) AS start,
+         |  CAST(en - st + 1 AS INTEGER) AS chunk_len,
+         |  substr(md5(substr(t, CAST(st AS INTEGER), CAST(en - st + 1 AS INTEGER))), 1, 12) AS chunk_key
+         |FROM z WHERE en >= st""".stripMargin
+    },
+
+    "q_flow_id" ->
+      """WITH base AS (
+        |  SELECT event_id,
+        |    '10.0.0.' || CAST(user_id % 50 AS VARCHAR) AS s,
+        |    '10.0.1.' || CAST(user_id % 7 AS VARCHAR) AS d,
+        |    CAST(user_id % 1000 + 1024 AS INTEGER) AS sp
+        |  FROM events),
+        |f AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 2 = 0 THEN s ELSE d END AS src_ip,
+        |    CASE WHEN event_id % 2 = 0 THEN sp ELSE 443 END AS src_port,
+        |    CASE WHEN event_id % 2 = 0 THEN d ELSE s END AS dst_ip,
+        |    CASE WHEN event_id % 2 = 0 THEN 443 ELSE sp END AS dst_port
+        |  FROM base),
+        |k AS (
+        |  SELECT src_ip,
+        |    substr(md5('tcp' || '|' ||
+        |      (CASE WHEN fwd THEN src_ip ELSE dst_ip END) || '|' ||
+        |      CAST(CASE WHEN fwd THEN src_port ELSE dst_port END AS VARCHAR) || '|' ||
+        |      (CASE WHEN fwd THEN dst_ip ELSE src_ip END) || '|' ||
+        |      CAST(CASE WHEN fwd THEN dst_port ELSE src_port END AS VARCHAR)), 1, 16) AS flow_id
+        |  FROM (SELECT *,
+        |      src_ip < dst_ip OR (src_ip = dst_ip AND src_port <= dst_port) AS fwd
+        |    FROM f))
+        |SELECT flow_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT src_ip) AS BIGINT) AS n_directions
+        |FROM k GROUP BY 1""".stripMargin,
 
     "q_ann_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

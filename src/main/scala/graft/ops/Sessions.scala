@@ -57,4 +57,28 @@ object Sessions {
       .select(col(keyCol), col(valCol).as("value"),
         col(tsCol).as("valid_from"), col("valid_to"))
   }
+
+  /** Direction-independent flow key — the semantics of libbeat's
+    * community_id processor (processors/communityid, the published flow
+    * correlation spec): order the two endpoints canonically (smaller
+    * (ip, port) tuple first) so BOTH directions of a conversation hash to
+    * one id, then fingerprint `proto|loIp|loPort|hiIp|hiPort`. The
+    * reference emits base64(sha1(...)); this uses the repo's standard
+    * 16-hex md5 prefix (DuckDB has no sha1) — the correlation property,
+    * not the byte encoding, is the operator. Pure narrow codegen'd
+    * projection: grouping flows by the key is then ONE exchange.
+    */
+  def communityFlowKey(srcIp: org.apache.spark.sql.Column,
+      srcPort: org.apache.spark.sql.Column,
+      dstIp: org.apache.spark.sql.Column,
+      dstPort: org.apache.spark.sql.Column,
+      proto: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val fwd = srcIp < dstIp || (srcIp === dstIp && srcPort <= dstPort)
+    val key = concat_ws("|", proto,
+      when(fwd, srcIp).otherwise(dstIp).cast("string"),
+      when(fwd, srcPort).otherwise(dstPort).cast("string"),
+      when(fwd, dstIp).otherwise(srcIp).cast("string"),
+      when(fwd, dstPort).otherwise(srcPort).cast("string"))
+    substring(md5(key), 1, 16)
+  }
 }

@@ -425,6 +425,46 @@ object TextAnalysis {
           (n.cast("long") * n.cast("long")).cast("double"), 6)))
   }
 
+  /** Content-defined chunking (the Rabin-boundary scheme of LBFS/rsync,
+    * applied to text): a chunk boundary falls after position i+k−1
+    * whenever the k-gram hash at position i ≡ 0 (mod `divisor`), giving
+    * expected chunk length ≈ divisor. Boundaries depend only on LOCAL
+    * content, so an insertion redraws chunks only up to the next
+    * surviving boundary and chunk-level dedup still matches everything
+    * downstream — fixed-width chunking loses every chunk after the edit
+    * point. Output one row per chunk: (id, chunk_no, start, chunk_len,
+    * chunk_key = 12-hex md5 of the chunk text). All array ops inside one
+    * narrow projection + one explode — zero shuffles; grouping the
+    * corpus by chunk_key afterwards is the dedup join.
+    */
+  def cdcChunks(df: DataFrame, k: Int = 5, divisor: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val len = length(t)
+    val m = len - (k - 1)
+    val hashAt = (i: Column) =>
+      conv(substring(md5(t.substr(i, lit(k))), 1, 6), 16, 10).cast("long")
+    val positions = when(m >= 1, sequence(lit(1), m))
+      .otherwise(array().cast("array<int>"))
+    val cuts = filter(positions, i => pmod(hashAt(i), lit(divisor)) === 0)
+    val cutEnds = transform(cuts, i => i + lit(k - 1))
+    val ends = when(size(cutEnds) > 0 && element_at(cutEnds, -1) === len, cutEnds)
+      .otherwise(concat(cutEnds, array(len)))
+    val starts = concat(array(lit(1)),
+      transform(slice(ends, lit(1), size(ends) - 1), e => e + 1))
+    val chunks = transform(sequence(lit(1), size(ends)), j =>
+      struct(element_at(starts, j).as("start"), element_at(ends, j).as("end")))
+    df.select(col(idCol), t.as("_t"), len.as("_len"), chunks.as("_c"))
+      .where(col("_len") > 0)
+      .select(col(idCol), col("_t"), posexplode(col("_c")).as(Seq("chunk_no", "c")))
+      .where(col("c.end") >= col("c.start"))
+      .select(col(idCol), col("chunk_no").cast("int").as("chunk_no"),
+        col("c.start").cast("int").as("start"),
+        (col("c.end") - col("c.start") + 1).cast("int").as("chunk_len"),
+        substring(md5(col("_t").substr(col("c.start"),
+          col("c.end") - col("c.start") + lit(1))), 1, 12).as("chunk_key"))
+  }
+
   /** DuckDB twin of [[charDiversity]]'s per-class counts over `expr`. */
   def charDiversitySql(expr: String): String = {
     val low = s"lower($expr)"

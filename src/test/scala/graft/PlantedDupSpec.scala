@@ -69,6 +69,37 @@ class PlantedDupSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"planted exact pairs not estimated at 1.0: $missing")
   }
 
+  test("lshQuality: planted positives give nonzero recall, metrics are consistent") {
+    val r = Dedup.lshQuality(docs, numHashes = 8, rowsPerBand = 4, k = 4,
+      threshold = 0.5, maxDocFreq = 200).head()
+    val (nc, nt, nh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nc > 0 && nt > 0 && nh > 0)
+    assert(nh <= math.min(nc, nt))
+    assert(r.getLong(3) === nh * 1000000L / nc) // precision_ppm
+    assert(r.getLong(4) === nh * 1000000L / nt) // recall_ppm
+    // exact-copy pairs sit in both sets, so recall can't be tiny
+    assert(r.getLong(4) >= 500000L, s"recall_ppm=${r.getLong(4)}")
+  }
+
+  test("cdcChunks: boundaries are content-local — a prefix edit only redraws the first chunk") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog while rain falls on rooftops " +
+      "and seventeen geese march past the old mill by the river bend every morning"
+    val df = Seq((1L, text), (2L, "INSERTED PREFIX " + text)).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.cdcChunks(df, k = 5, divisor = 16).collect()
+      .groupBy(_.getLong(0))
+    val orig = out(1L).sortBy(_.getInt(1)).map(_.getString(4)).toSeq
+    val pref = out(2L).map(_.getString(4)).toSet
+    assert(orig.size >= 3, s"fixture too short: ${orig.size} chunks")
+    // every original chunk after the first survives the prefix insertion
+    assert(orig.drop(1).forall(pref.contains),
+      s"chunks lost after prefix edit: ${orig.drop(1).filterNot(pref.contains)}")
+    // chunks tile the text exactly
+    val spans = out(1L).sortBy(_.getInt(1)).map(r => (r.getInt(2), r.getInt(3)))
+    assert(spans.head._1 === 1)
+    assert(spans.map(_._2).sum === text.length)
+  }
+
   test("incrementalNovel keeps only fingerprints absent from the ledger") {
     import spark.implicits._
     val ledger = Dedup.fingerprintLedger(Seq((1L, "seen"), (2L, "also seen")).toDF("doc_id", "text"))

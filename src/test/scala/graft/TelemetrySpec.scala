@@ -87,4 +87,18 @@ class TelemetrySpec extends AnyFunSuite {
     assert(flagged.toSeq == Seq(("a", 40L)))
     assert(out.where(col("key") === "b").select("anomaly").as[Boolean].collect().head == false)
   }
+
+  test("communityFlowKey: both directions of a flow collapse to one id, distinct flows differ") {
+    val rows = Seq(
+      ("10.0.0.1", 5555, "10.0.1.9", 443),  // forward
+      ("10.0.1.9", 443, "10.0.0.1", 5555),  // reverse of the same flow
+      ("10.0.0.2", 5555, "10.0.1.9", 443)   // different flow
+    ).toDF("src_ip", "src_port", "dst_ip", "dst_port")
+    val ids = rows.select(graft.ops.Sessions.communityFlowKey(
+        col("src_ip"), col("src_port"), col("dst_ip"), col("dst_port"), lit("tcp")).as("id"))
+      .collect().map(_.getString(0))
+    assert(ids(0) === ids(1), "direction changed the flow id")
+    assert(ids(0) !== ids(2), "distinct flows collided")
+    assert(ids(0).length === 16)
+  }
 }
