@@ -439,30 +439,39 @@ object TextAnalysis {
     */
   def cdcChunks(df: DataFrame, k: Int = 5, divisor: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Explode positions FIRST and hash each k-gram on its own row — one
+    // codegen'd md5 per position (the winnow shape). The first cut of
+    // this operator built the boundary list with nested array lambdas
+    // (filter/transform/element_at over a hash-per-position expression);
+    // those fall out of whole-stage codegen AND re-evaluate the whole
+    // cut-scan once per produced chunk — measured 1,339 s for the sf0.1
+    // sweep query vs ~3 s for this form. Higher-order functions with
+    // expensive lambdas don't CSE; keep heavy per-position work on rows.
     val t = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    val len = length(t)
-    val m = len - (k - 1)
-    val hashAt = (i: Column) =>
-      conv(substring(md5(t.substr(i, lit(k))), 1, 6), 16, 10).cast("long")
-    val positions = when(m >= 1, sequence(lit(1), m))
-      .otherwise(array().cast("array<int>"))
-    val cuts = filter(positions, i => pmod(hashAt(i), lit(divisor)) === 0)
-    val cutEnds = transform(cuts, i => i + lit(k - 1))
-    val ends = when(size(cutEnds) > 0 && element_at(cutEnds, -1) === len, cutEnds)
-      .otherwise(concat(cutEnds, array(len)))
-    val starts = concat(array(lit(1)),
-      transform(slice(ends, lit(1), size(ends) - 1), e => e + 1))
-    val chunks = transform(sequence(lit(1), size(ends)), j =>
-      struct(element_at(starts, j).as("start"), element_at(ends, j).as("end")))
-    df.select(col(idCol), t.as("_t"), len.as("_len"), chunks.as("_c"))
-      .where(col("_len") > 0)
-      .select(col(idCol), col("_t"), posexplode(col("_c")).as(Seq("chunk_no", "c")))
-      .where(col("c.end") >= col("c.start"))
-      .select(col(idCol), col("chunk_no").cast("int").as("chunk_no"),
-        col("c.start").cast("int").as("start"),
-        (col("c.end") - col("c.start") + 1).cast("int").as("chunk_len"),
-        substring(md5(col("_t").substr(col("c.start"),
-          col("c.end") - col("c.start") + lit(1))), 1, 12).as("chunk_key"))
+    val base = df.select(col(idCol), t.as("_t")).where(length(col("_t")) > 0)
+    val m = length(col("_t")) - (k - 1)
+    val cutRows = base
+      .select(col(idCol), col("_t"),
+        explode(sequence(lit(1), greatest(m, lit(1)))).as("i"))
+      .where(col("i") <= m)
+      .where(pmod(conv(substring(md5(col("_t").substr(col("i"), lit(k))), 1, 6),
+        16, 10).cast("long"), lit(divisor)) === 0)
+      .select(col(idCol), (col("i") + (k - 1)).as("end"))
+    // every doc ends with a final cut at len; distinct folds the case
+    // where the last content cut already lands there
+    val ends = cutRows
+      .unionAll(base.select(col(idCol), length(col("_t")).as("end")))
+      .distinct()
+    val w = Window.partitionBy(idCol).orderBy("end")
+    ends
+      .withColumn("chunk_no", (row_number().over(w) - 1).cast("int"))
+      .withColumn("start", (coalesce(lag(col("end"), 1).over(w), lit(0)) + 1).cast("int"))
+      .join(base, Seq(idCol))
+      .select(col(idCol), col("chunk_no"), col("start"),
+        (col("end") - col("start") + 1).cast("int").as("chunk_len"),
+        substring(md5(col("_t").substr(col("start"),
+          col("end") - col("start") + lit(1))), 1, 12).as("chunk_key"))
   }
 
   /** DuckDB twin of [[charDiversity]]'s per-class counts over `expr`. */
