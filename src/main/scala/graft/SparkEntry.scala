@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.data.Transcripts
 import graft.enrich.Enrich
-import graft.ops.{Dedup, Multiline, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Dedup, Multiline, Multimodal, Similarity, Sketches, StarQueries, TextAnalysis}
 import graft.parse.DissectFunctions
 import graft.route.{Cond, Conditions, FormatStr, Mappings, Router, RouterConfig, Rule}
 import graft.run.{Pipeline, PipelineConfig}
@@ -33,6 +33,9 @@ object SparkEntry {
 
   private def transcripts(s: SparkSession, dir: String): DataFrame =
     Transcripts.fromEvents(s, dir)
+
+  private def tpch(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
 
   private def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
@@ -1104,6 +1107,21 @@ object SparkEntry {
     // community-id-style direction-independent flow key over synthetic
     // bidirectional 5-tuples: both directions of a user's flow collapse
     // to one id (n_directions = 2 when both parities occur)
+    // classic OLAP over the star-schema companion tables: one big
+    // fact pass, a 3-table top-k, and the 6-table snowflake — the plan
+    // shapes the corpus ops don't exercise (ScalePlanSpec asserts them)
+    "q_star_pricing" -> ((s, dir) =>
+      StarQueries.pricingSummary(tpch(s, dir, "lineitem"))),
+
+    "q_star_toporders" -> ((s, dir) =>
+      StarQueries.topOrderRevenue(tpch(s, dir, "customer"),
+        tpch(s, dir, "orders"), tpch(s, dir, "lineitem"))),
+
+    "q_star_region_rev" -> ((s, dir) =>
+      StarQueries.regionRevenue(tpch(s, dir, "region"), tpch(s, dir, "nation"),
+        tpch(s, dir, "customer"), tpch(s, dir, "supplier"),
+        tpch(s, dir, "orders"), tpch(s, dir, "lineitem"))),
+
     "q_flow_id" -> { (s, dir) =>
       val base = events(s, dir).select(col("event_id"),
         concat(lit("10.0.0."), (col("user_id") % 50).cast("string")).as("s"),
@@ -2736,6 +2754,44 @@ object SparkEntry {
         |SELECT flow_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(count(DISTINCT src_ip) AS BIGINT) AS n_directions
         |FROM k GROUP BY 1""".stripMargin,
+
+    "q_star_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS base_cents,
+         |  CAST(sum(${StarQueries.discMicroSql("l_extendedprice", "l_discount")}) AS BIGINT)
+         |    AS disc_price_micro
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_star_toporders" ->
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+         |  CAST(sum(${StarQueries.discMicroSql("l_extendedprice", "l_discount")}) AS BIGINT)
+         |    AS revenue_micro
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-07-01'
+         |  AND l_shipdate > TIMESTAMP '1998-07-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue_micro DESC, o_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q_star_region_rev" ->
+      s"""SELECT n_name,
+         |  CAST(sum(${StarQueries.discMicroSql("l_extendedprice", "l_discount")}) AS BIGINT)
+         |    AS revenue_micro
+         |FROM region
+         |JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY 1""".stripMargin,
 
     "q_ann_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Star-schema analytics over the TPC-H-shaped companion tables — the
+  * classic OLAP surface a general-purpose engine must also serve well.
+  * These exercise exactly the plan shapes the log/corpus operators don't:
+  * a date-filtered fact scan feeding a wide aggregate, a 3-table
+  * fact⋈dim⋈dim join with top-k, and a 6-table snowflake with a
+  * cross-dimension equality (customer nation = supplier nation).
+  *
+  * What the plans must show (asserted in ScalePlanSpec):
+  *  - date/segment filters PUSHED to the parquet scans (`PushedFilters`),
+  *  - dimension tables BROADCAST (never a shuffle for region/nation-sized
+  *    sides; at 100 TB the fact side streams through map-side joins),
+  *  - top-k as TakeOrderedAndProject (per-partition heaps + driver merge
+  *    of k rows — not a global sort),
+  *  - partial aggregation before the exchange.
+  *
+  * Money arithmetic follows the repo's fixed-point parity rule: prices
+  * are exact cents, discounted prices snap to 1e-4 units via
+  * floor(p·(1−d)·10⁴ + 0.5) — p·(1−d) is the same IEEE-754 double on
+  * both engines, so the snapped integers agree bit-for-bit and SUMS stay
+  * order-independent (a double sum would pick up summation-order noise).
+  */
+object StarQueries {
+
+  private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+
+  private def discMicro(price: Column, disc: Column): Column =
+    floor(price * (lit(1.0) - disc) * 10000 + 0.5).cast("long")
+
+  /** DuckDB twin of [[discMicro]]. */
+  def discMicroSql(price: String, disc: String): String =
+    s"CAST(floor($price * (1.0 - $disc) * 10000 + 0.5) AS BIGINT)"
+
+  /** Pricing summary (TPC-H Q1 shape): per (returnflag, linestatus) over
+    * shipped-before-cutoff lineitems. One pushed-down scan filter, one
+    * hash aggregate with map-side partials — the canonical "one big
+    * fact-table pass".
+    */
+  def pricingSummary(lineitem: DataFrame, cutoff: String = "2001-09-01"): DataFrame =
+    lineitem.where(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(floor(col("l_quantity") + 0.5).cast("long")).cast("long").as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).cast("long").as("base_cents"),
+        sum(discMicro(col("l_extendedprice"), col("l_discount"))).cast("long")
+          .as("disc_price_micro"))
+
+  /** Top-k open-order revenue for a market segment (Q3 shape):
+    * customer(filtered) ⋈ orders(date-filtered) ⋈ lineitem(date-filtered),
+    * revenue per order, top k by revenue with the order key as the
+    * deterministic tiebreak. The dims broadcast; the top-k plans as
+    * TakeOrderedAndProject.
+    */
+  def topOrderRevenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      segment: String = "BUILDING", date: String = "1998-07-01", k: Int = 10): DataFrame =
+    customer.where(col("c_mktsegment") === segment)
+      .select("c_custkey")
+      .join(orders.where(col("o_orderdate") < lit(date).cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem.where(col("l_shipdate") > lit(date).cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(discMicro(col("l_extendedprice"), col("l_discount"))).cast("long")
+        .as("revenue_micro"))
+      .orderBy(col("revenue_micro").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** Revenue by nation inside one region-year (Q5 shape): the 6-table
+    * snowflake region → nation → customer → orders → lineitem → supplier
+    * with the classic cross-dimension constraint (the supplier serves
+    * from the customer's nation). region/nation/supplier broadcast; the
+    * orders⋈lineitem fact join carries the only real shuffle.
+    */
+  def regionRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      regionName: String = "ASIA", yearStart: String = "1996-01-01",
+      yearEnd: String = "1997-01-01"): DataFrame =
+    region.where(col("r_name") === regionName)
+      .join(nation, col("n_regionkey") === col("r_regionkey"))
+      .join(customer, col("c_nationkey") === col("n_nationkey"))
+      .join(orders.where(col("o_orderdate") >= lit(yearStart).cast("timestamp") &&
+          col("o_orderdate") < lit(yearEnd).cast("timestamp")),
+        col("o_custkey") === col("c_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(supplier, col("s_suppkey") === col("l_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(discMicro(col("l_extendedprice"), col("l_discount"))).cast("long")
+        .as("revenue_micro"))
+}

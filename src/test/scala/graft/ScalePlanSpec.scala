@@ -84,4 +84,32 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"),
       s"expected a shuffle join on (key, _salt):\n$s")
   }
+
+  test("star top-k: pushed scan filters, broadcast dims, TakeOrderedAndProject") {
+    import graft.ops.StarQueries
+    val dir = "/root/testdata/sf0.001"
+    def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val q = StarQueries.topOrderRevenue(t("customer"), t("orders"), t("lineitem"))
+    q.collect() // finalize adaptive plan
+    val s = q.queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"))
+    assert(s.contains("BroadcastHashJoin"), s"small dims must broadcast:\n$s")
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate")
+      || s.contains("GreaterThan(l_shipdate"),
+      s"lineitem date filter must reach the scan:\n$s")
+  }
+
+  test("star snowflake: 6-table join plans without cartesian, dims broadcast") {
+    import graft.ops.StarQueries
+    val dir = "/root/testdata/sf0.001"
+    def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val q = StarQueries.regionRevenue(t("region"), t("nation"), t("customer"),
+      t("supplier"), t("orders"), t("lineitem"))
+    val rows = q.collect()
+    assert(rows.nonEmpty, "fixture returned no ASIA revenue")
+    val s = q.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"))
+    assert(s.contains("BroadcastHashJoin"), s"region/nation must broadcast:\n$s")
+  }
 }
