@@ -1107,6 +1107,29 @@ object SparkEntry {
     // community-id-style direction-independent flow key over synthetic
     // bidirectional 5-tuples: both directions of a user's flow collapse
     // to one id (n_directions = 2 when both parities occur)
+    // network_direction classification over CIDR-tested synthetic
+    // endpoints — all four classes (internal/outbound/inbound/external)
+    "q_net_direction" -> { (s, dir) =>
+      val u = col("user_id")
+      val srcHost = when(u % 5 === 0, lit("172.16.3.9"))
+        .otherwise(concat(lit("10.0.0."), (u % 50).cast("string")))
+      val dstHost = concat(lit("10.0."), (u % 2).cast("string"),
+        lit("."), (u % 7).cast("string"))
+      val fwd = col("event_id") % 2 === 0
+      events(s, dir)
+        .select(when(fwd, srcHost).otherwise(dstHost).as("src_ip"),
+          when(fwd, dstHost).otherwise(srcHost).as("dst_ip"))
+        .withColumn("direction", graft.ops.Sessions.networkDirection(
+          col("src_ip"), col("dst_ip"), Seq("10.0.0.0/24", "192.168.0.0/16")))
+        .groupBy("direction").agg(count(lit(1)).cast("long").as("n"))
+    },
+
+    // deterministic Bernoulli downsample to per-source ppm rates
+    "q_pps_downsample" -> ((s, dir) =>
+      graft.ops.Curation.downsamplePpm(documents(s, dir),
+        Map("src0" -> 1000000L, "src1" -> 500000L, "src2" -> 100000L))
+        .groupBy("source").agg(count(lit(1)).cast("long").as("n_kept"))),
+
     // classic OLAP over the star-schema companion tables: one big
     // fact pass, a 3-table top-k, and the 6-table snowflake — the plan
     // shapes the corpus ops don't exercise (ScalePlanSpec asserts them)
@@ -2754,6 +2777,30 @@ object SparkEntry {
         |SELECT flow_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(count(DISTINCT src_ip) AS BIGINT) AS n_directions
         |FROM k GROUP BY 1""".stripMargin,
+
+    "q_net_direction" ->
+      s"""WITH f AS (
+         |  SELECT
+         |    CASE WHEN event_id % 2 = 0 THEN s ELSE d END AS src_ip,
+         |    CASE WHEN event_id % 2 = 0 THEN d ELSE s END AS dst_ip
+         |  FROM (SELECT event_id,
+         |      CASE WHEN user_id % 5 = 0 THEN '172.16.3.9'
+         |           ELSE '10.0.0.' || CAST(user_id % 50 AS VARCHAR) END AS s,
+         |      '10.0.' || CAST(user_id % 2 AS VARCHAR) || '.' ||
+         |        CAST(user_id % 7 AS VARCHAR) AS d
+         |    FROM events))
+         |SELECT ${graft.ops.Sessions.networkDirectionSql("src_ip", "dst_ip",
+             Seq("10.0.0.0/24", "192.168.0.0/16"))} AS direction,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM f GROUP BY 1""".stripMargin,
+
+    "q_pps_downsample" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+         |FROM documents
+         |WHERE ${graft.ops.Curation.hashPpmSql("doc_id")} <
+         |  CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+         |       WHEN 'src2' THEN 100000 ELSE 0 END
+         |GROUP BY 1""".stripMargin,
 
     "q_star_pricing" ->
       s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,

@@ -54,6 +54,38 @@ object Curation {
   /** Split-bucket in [0, 100). */
   def splitBucket(id: Column): Column = hashBucket(id, 100)
 
+  /** Hash value in [0, 10⁶) with ppm granularity: 8 md5 hex digits
+    * (32 bits) mod 10⁶ — the 4-digit [[hashBucket]] maxes at 65,536 and
+    * cannot express parts-per-million rates. Bias from the mod is
+    * ≤ 0.03% (2³² is not a multiple of 10⁶), which is far below the
+    * binomial noise of any real sample.
+    */
+  def hashPpm(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(1000000L))
+
+  /** DuckDB twin of [[hashPpm]]. */
+  def hashPpmSql(idExpr: String): String = {
+    val digits = (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), $i, 1)) - 1)")
+    s"(${digits.reduce((acc, d) => s"($acc * 16 + $d)")} % 1000000)"
+  }
+
+  /** Deterministic Bernoulli downsample to per-group rates (ppm): keep a
+    * row iff hashPpm(id) < rate(group). Stable across runs, retries and
+    * engines (never `rand()` — a retried task would re-draw and leak or
+    * drop rows); composing with [[epochPlan]]'s down-weighting turns a
+    * mixture re-balance into ONE narrow filter pushed at the scan.
+    * Groups absent from the map are dropped (rate 0).
+    */
+  def downsamplePpm(df: DataFrame, ratesPpm: Map[String, Long],
+      groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val rate = ratesPpm.foldLeft(lit(0L)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    df.where(hashPpm(col(idCol)) < rate)
+  }
+
   /** Dense unique ids in [0, n) WITHOUT the single-partition global
     * window (`row_number() OVER (ORDER BY …)` funnels 100 TB through one
     * task — the classic id-assignment scale trap). Instead: hash-bucket

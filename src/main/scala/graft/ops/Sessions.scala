@@ -81,4 +81,73 @@ object Sessions {
       when(fwd, dstPort).otherwise(srcPort).cast("string"))
     substring(md5(key), 1, 16)
   }
+
+  /** Dotted-quad IPv4 → its 32-bit value as a LONG (pure integer
+    * arithmetic, identical in any SQL engine). */
+  def ipToInt(ip: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val o = split(ip, "\\.")
+    element_at(o, 1).cast("long") * 16777216L +
+      element_at(o, 2).cast("long") * 65536L +
+      element_at(o, 3).cast("long") * 256L +
+      element_at(o, 4).cast("long")
+  }
+
+  /** CIDR containment: does `ip` fall inside `cidr` ("10.0.0.0/8")?
+    * Exact mask semantics via shiftright — not a string-prefix
+    * approximation. The prefix comparison constant folds at plan time.
+    */
+  def inCidr(ip: org.apache.spark.sql.Column, cidr: String): org.apache.spark.sql.Column = {
+    val Array(net, plenS) = cidr.split("/")
+    val p = plenS.toInt
+    require(p >= 0 && p <= 32, s"bad prefix length in $cidr")
+    if (p == 0) lit(true)
+    else {
+      val netInt = net.split("\\.").map(_.toLong).reduceLeft(_ * 256L + _)
+      shiftright(ipToInt(ip), 32 - p) === lit(netInt >> (32 - p))
+    }
+  }
+
+  /** Flow direction classification — the semantics of libbeat's
+    * network_direction processor (processors/network_direction): given
+    * the configured internal networks, a flow is `internal` (both ends
+    * inside), `outbound` (src inside), `inbound` (dst inside), or
+    * `external`. A narrow codegen'd CASE battery — per-direction
+    * aggregation downstream is one exchange on a 4-value key.
+    */
+  def networkDirection(srcIp: org.apache.spark.sql.Column,
+      dstIp: org.apache.spark.sql.Column,
+      internalNets: Seq[String]): org.apache.spark.sql.Column = {
+    val s = internalNets.map(inCidr(srcIp, _)).reduce(_ || _)
+    val d = internalNets.map(inCidr(dstIp, _)).reduce(_ || _)
+    when(s && d, "internal").when(s, "outbound").when(d, "inbound")
+      .otherwise("external")
+  }
+
+  /** DuckDB twin of [[ipToInt]]. */
+  def ipToIntSql(e: String): String =
+    s"(CAST(string_split($e, '.')[1] AS BIGINT) * 16777216 + " +
+      s"CAST(string_split($e, '.')[2] AS BIGINT) * 65536 + " +
+      s"CAST(string_split($e, '.')[3] AS BIGINT) * 256 + " +
+      s"CAST(string_split($e, '.')[4] AS BIGINT))"
+
+  /** DuckDB twin of [[inCidr]]. */
+  def inCidrSql(e: String, cidr: String): String = {
+    val Array(net, plenS) = cidr.split("/")
+    val p = plenS.toInt
+    if (p == 0) "TRUE"
+    else {
+      val netInt = net.split("\\.").map(_.toLong).reduceLeft(_ * 256L + _)
+      s"((${ipToIntSql(e)} >> ${32 - p}) = ${netInt >> (32 - p)})"
+    }
+  }
+
+  /** DuckDB twin of [[networkDirection]]. */
+  def networkDirectionSql(srcE: String, dstE: String, internalNets: Seq[String]): String = {
+    val s = internalNets.map(inCidrSql(srcE, _)).mkString("(", " OR ", ")")
+    val d = internalNets.map(inCidrSql(dstE, _)).mkString("(", " OR ", ")")
+    s"""CASE WHEN $s AND $d THEN 'internal'
+       |     WHEN $s THEN 'outbound'
+       |     WHEN $d THEN 'inbound'
+       |     ELSE 'external' END""".stripMargin
+  }
 }

@@ -197,6 +197,21 @@ class CurationSpec extends AnyFunSuite {
     assert(out("b") === ((1L, 10L, 400000L, 40L, 4000000L)))
   }
 
+  test("downsamplePpm: rate 1e6 keeps all, 0 drops all, sampling is deterministic") {
+    val df = (1 to 400).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    assert(Curation.downsamplePpm(df, Map("a" -> 1000000L, "b" -> 1000000L)).count() === 400)
+    assert(Curation.downsamplePpm(df, Map("a" -> 1000000L)).count() === 200) // b absent → 0
+    val half = Curation.downsamplePpm(df, Map("a" -> 500000L, "b" -> 500000L))
+    val n = half.count()
+    assert(n > 120 && n < 280, s"500k ppm kept $n/400 — hash badly skewed")
+    // deterministic: identical keep-set on rerun
+    val ids1 = half.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.downsamplePpm(df, Map("a" -> 500000L, "b" -> 500000L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+  }
+
   test("splitLeakAudit: group-keyed split is leak-free, row-keyed split leaks") {
     val rows = (1 to 100).map(i => (i.toLong, (i % 10).toLong)).toDF("row_id", "grp")
     def split(c: Column) = when(Curation.splitBucket(c) < 80, "train").otherwise("test")

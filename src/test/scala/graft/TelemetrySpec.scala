@@ -101,4 +101,17 @@ class TelemetrySpec extends AnyFunSuite {
     assert(ids(0) !== ids(2), "distinct flows collided")
     assert(ids(0).length === 16)
   }
+
+  test("networkDirection: exact CIDR mask semantics, all four classes") {
+    val rows = Seq(
+      ("10.0.0.5", "10.0.0.255"),   // both inside 10.0.0.0/24 → internal
+      ("10.0.0.5", "10.0.1.0"),     // .255 boundary exact: 10.0.1.0 is OUTSIDE /24 → outbound
+      ("8.8.8.8", "192.168.44.2"),  // dst in 192.168.0.0/16 → inbound
+      ("8.8.8.8", "1.1.1.1")        // external
+    ).toDF("src_ip", "dst_ip")
+    val out = rows.select(graft.ops.Sessions.networkDirection(
+        col("src_ip"), col("dst_ip"), Seq("10.0.0.0/24", "192.168.0.0/16")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("internal", "outbound", "inbound", "external"))
+  }
 }
