@@ -1107,6 +1107,11 @@ object SparkEntry {
     // community-id-style direction-independent flow key over synthetic
     // bidirectional 5-tuples: both directions of a user's flow collapse
     // to one id (n_directions = 2 when both parities occur)
+    // BPE merge training: 4 greedy merge rounds over the corpus word
+    // table (argmax pair per round, corpus-wide fuse)
+    "q_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(documents(s, dir), rounds = 4)),
+
     // network_direction classification over CIDR-tested synthetic
     // endpoints — all four classes (internal/outbound/inbound/external)
     "q_net_direction" -> { (s, dir) =>
@@ -2777,6 +2782,14 @@ object SparkEntry {
         |SELECT flow_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(count(DISTINCT src_ip) AS BIGINT) AS n_directions
         |FROM k GROUP BY 1""".stripMargin,
+
+    "q_bpe_merges" ->
+      s"""WITH words AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+         |    FROM documents)
+         |  WHERE length(word) >= 2 GROUP BY 1),
+         |${TextAnalysis.bpeMergesSql(4)}""".stripMargin,
 
     "q_net_direction" ->
       s"""WITH f AS (

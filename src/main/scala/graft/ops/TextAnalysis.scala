@@ -376,6 +376,89 @@ object TextAnalysis {
       .orderBy(col("pair_freq").desc, col("pair")).limit(k)
   }
 
+  /** BPE merge TRAINING (Sennrich et al. 2016, the published subword
+    * algorithm): `rounds` greedy merges over the corpus word-frequency
+    * table. Words render as space-separated symbol sequences; each round
+    * (1) counts adjacent symbol pairs weighted by word frequency,
+    * (2) picks the argmax pair (count desc, then symbols — fully
+    * deterministic), (3) fuses it corpus-wide.
+    *
+    * Fusing runs the sentinel-space replace TWICE: the full " s1 s2 "
+    * pattern with both boundary spaces can never match a partial symbol,
+    * but one left-to-right pass skips every other occurrence of an
+    * overlapping chain (" a b a b ") — the second pass collects those,
+    * matching BPE's leftmost-nonoverlapping semantics.
+    *
+    * Scale shape: the corpus is read ONCE into the |vocab|-row word
+    * table (localCheckpointed — rounds must not re-derive it from the
+    * corpus); each round is one vocab-sized aggregate plus a 1-row
+    * argmax collect (bounded by design, like the IVF centroid pick).
+    * Output: one row per round (round, sym1, sym2, pair_count, merged).
+    */
+  def bpeMerges(df: DataFrame, rounds: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("r"), col("freq"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, String)]
+    for (round <- 1 to rounds) {
+      val syms = split(col("r"), " ")
+      // guard: sequence(1, 0) counts DOWN in Spark — single-symbol words
+      // (fully merged) must yield zero pairs, not a bogus [1, 0] range
+      val pairIdx = when(size(syms) >= 2, sequence(lit(1), size(syms) - 1))
+        .otherwise(array().cast("array<int>"))
+      val top = vocab
+        .select(col("freq"), explode(transform(pairIdx, i =>
+          struct(element_at(syms, i).as("s1"), element_at(syms, i + 1).as("s2")))).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum("freq").cast("long").as("c"))
+        .orderBy(col("c").desc, col("s1"), col("s2"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((round, a, b, c, a + b))
+        val pat = lit(s" $a $b ")
+        val rep = lit(s" $a$b ")
+        vocab = vocab.select(
+          trim(replace(replace(concat(lit(" "), col("r"), lit(" ")), pat, rep), pat, rep)).as("r"),
+          col("freq")).localCheckpoint()
+      }
+    }
+    out.toSeq.toDF("round", "sym1", "sym2", "pair_count", "merged")
+  }
+
+  /** DuckDB twin of [[bpeMerges]]: CTE chain over an upstream CTE
+    * `words(word, freq)`; the final SELECT unions the per-round argmax
+    * rows. Same sentinel double-replace, same tiebreak.
+    */
+  def bpeMergesSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pr['a'] AS s1, pr['b'] AS s2, sum(freq) AS c FROM (
+         |    SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
+         |      i -> struct_pack(a := syms[i], b := syms[i+1]))) AS pr
+         |    FROM (SELECT string_split(r, ' ') AS syms, freq FROM v${r - 1}))
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT s1, s2, c FROM p$r ORDER BY c DESC, s1, s2 LIMIT 1),
+         |v$r AS (SELECT trim(replace(replace(' ' || r || ' ',
+         |    ' ' || s1 || ' ' || s2 || ' ', ' ' || s1 || s2 || ' '),
+         |    ' ' || s1 || ' ' || s2 || ' ', ' ' || s1 || s2 || ' ')) AS r, freq
+         |  FROM v${r - 1}, t$r)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to rounds).map(r =>
+      s"SELECT $r AS round, s1 AS sym1, s2 AS sym2, CAST(c AS BIGINT) AS pair_count, " +
+        s"s1 || s2 AS merged FROM t$r")
+      .mkString("\nUNION ALL ")
+    s"""v0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS r, freq FROM words),
+       |$roundCtes
+       |$finals""".stripMargin
+  }
+
   def bigramNovelty(df: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

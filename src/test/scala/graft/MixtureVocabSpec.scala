@@ -65,4 +65,31 @@ class MixtureVocabSpec extends AnyFunSuite {
       .as[(String, Int)].collect().toMap
     assert(v == Map("w" -> 0, "x" -> 1, "y" -> 2))
   }
+
+  test("bpeMerges reproduces the textbook merge sequence") {
+    val docs = Seq(
+      (1L, "lower lower low lowest aaa"),
+      (2L, "low low newer newer")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMerges(docs, rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+    // l+o (6 words containing 'lo'), then lo+w, then e+r — Sennrich's example shape
+    assert(out.toSeq === Seq(
+      (1, "l", "o", 6L, "lo"),
+      (2, "lo", "w", 6L, "low"),
+      (3, "e", "r", 4L, "er")))
+  }
+
+  test("bpeMerges fuses overlapping chains with leftmost-nonoverlap semantics") {
+    val docs = Seq((1L, "ababab ababab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMerges(docs, rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,b)×3 per word ×2 words = 6; "a b a b a b" → "ab ab ab"
+    // round 2: (ab,ab)×2×2 = 4; leftmost-nonoverlap → "abab ab"
+    // round 3: (abab,ab)×1×2 = 2
+    assert(out.toSeq === Seq(
+      (1, "a", "b", 6L),
+      (2, "ab", "ab", 4L),
+      (3, "abab", "ab", 2L)))
+  }
 }
