@@ -495,17 +495,20 @@ object TextAnalysis {
     * explode: the whole op is a narrow codegen'd projection that runs
     * at parquet-scan speed with zero shuffle.
     */
-  def charDiversity(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val low = lower(col(textCol))
+  def charDiversity(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_chars", length(lower(col(textCol))).cast("int"))
+      .withColumn("char_gini", charGini(col(textCol)))
+
+  /** The scalar heart of [[charDiversity]], reusable as a SQL function. */
+  def charGini(text: Column): Column = {
+    val low = lower(text)
     val n = length(low)
     val counts = diversityChars.map(ch =>
       n - length(replace(low, lit(ch), lit(""))))
     val other = n - counts.reduce(_ + _)
     val sumSq = (counts :+ other).map(c => c.cast("long") * c.cast("long")).reduce(_ + _)
-    df.withColumn("n_chars", n.cast("int"))
-      .withColumn("char_gini",
-        when(n > 0, round((n.cast("long") * n.cast("long") - sumSq).cast("double") /
-          (n.cast("long") * n.cast("long")).cast("double"), 6)))
+    when(n > 0, round((n.cast("long") * n.cast("long") - sumSq).cast("double") /
+      (n.cast("long") * n.cast("long")).cast("double"), 6))
   }
 
   /** Content-defined chunking (the Rabin-boundary scheme of LBFS/rsync,

@@ -20,23 +20,81 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dissectFlatFunction)
+    ext.injectFunction(GraftExtensions.charGiniFunction)
+    ext.injectFunction(GraftExtensions.flowIdFunction)
+    ext.injectFunction(GraftExtensions.ipToIntFunction)
+    ext.injectFunction(GraftExtensions.netDirectionFunction)
   }
 }
 
 object GraftExtensions {
-  private def tokenizerOf(e: Expression): String = e match {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  type FnReg = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def literalStringOf(name: String, e: Expression): String = e match {
     case Literal(s: UTF8String, _) => s.toString
     case other =>
       throw new IllegalArgumentException(
-        s"dissect_flat tokenizer must be a string literal, got: $other")
+        s"$name argument must be a string literal, got: $other")
   }
 
-  val dissectFlatFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+  val dissectFlatFunction: FnReg = (
     FunctionIdentifier("dissect_flat"),
     new ExpressionInfo(classOf[DissectExpr].getName, "dissect_flat"),
     { exprs: Seq[Expression] =>
       require(exprs.length == 2, "dissect_flat(text, tokenizer) takes exactly 2 arguments")
-      DissectExpr(exprs.head, tokenizerOf(exprs(1)))
+      DissectExpr(exprs.head, literalStringOf("dissect_flat tokenizer", exprs(1)))
+    }
+  )
+
+  /** `char_gini(text)` — [[graft.ops.TextAnalysis.charGini]] in SQL. */
+  val charGiniFunction: FnReg = (
+    FunctionIdentifier("char_gini"),
+    new ExpressionInfo("graft.ops.TextAnalysis", "char_gini"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 1, "char_gini(text) takes exactly 1 argument")
+      expression(graft.ops.TextAnalysis.charGini(column(exprs.head)))
+    }
+  )
+
+  /** `flow_id(src_ip, src_port, dst_ip, dst_port, proto)` —
+    * [[graft.ops.Sessions.communityFlowKey]] in SQL. */
+  val flowIdFunction: FnReg = (
+    FunctionIdentifier("flow_id"),
+    new ExpressionInfo("graft.ops.Sessions", "flow_id"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 5, "flow_id(src_ip, src_port, dst_ip, dst_port, proto)")
+      expression(graft.ops.Sessions.communityFlowKey(
+        column(exprs(0)), column(exprs(1)), column(exprs(2)), column(exprs(3)),
+        column(exprs(4))))
+    }
+  )
+
+  /** `ip_to_int(ip)` — [[graft.ops.Sessions.ipToInt]] in SQL. */
+  val ipToIntFunction: FnReg = (
+    FunctionIdentifier("ip_to_int"),
+    new ExpressionInfo("graft.ops.Sessions", "ip_to_int"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 1, "ip_to_int(ip) takes exactly 1 argument")
+      expression(graft.ops.Sessions.ipToInt(column(exprs.head)))
+    }
+  )
+
+  /** `net_direction(src_ip, dst_ip, 'cidr1,cidr2,…')` —
+    * [[graft.ops.Sessions.networkDirection]] in SQL; the CIDR list is a
+    * literal compiled at plan time (the Beats processor compiles its
+    * internal_networks config at startup the same way). */
+  val netDirectionFunction: FnReg = (
+    FunctionIdentifier("net_direction"),
+    new ExpressionInfo("graft.ops.Sessions", "net_direction"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 3, "net_direction(src_ip, dst_ip, 'cidrs')")
+      val nets = literalStringOf("net_direction CIDR list", exprs(2))
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(nets.nonEmpty, "net_direction needs at least one CIDR")
+      expression(graft.ops.Sessions.networkDirection(
+        column(exprs(0)), column(exprs(1)), nets))
     }
   )
 }

@@ -9,5 +9,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
-  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode→Expression conversion. `ExpressionUtils.expression`
+    * only WRAPS the node (`ColumnNodeExpression`), which the analyzer
+    * rewrites in DataFrame positions but NOT inside an expression tree
+    * returned by a function-registry builder — codegen then dies on the
+    * opaque leaf. The converter lowers to real catalyst nodes
+    * (UnresolvedFunction etc.) that the analyzer resolves anywhere.
+    */
+  def expression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

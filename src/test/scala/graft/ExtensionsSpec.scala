@@ -25,6 +25,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0) && !rows(1).isNullAt(2))
   }
 
+  test("char_gini / ip_to_int / flow_id / net_direction callable from SQL") {
+    for (fn <- Seq(GraftExtensions.charGiniFunction, GraftExtensions.ipToIntFunction,
+        GraftExtensions.flowIdFunction, GraftExtensions.netDirectionFunction)) {
+      val (ident, info, builder) = fn
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+    val r = spark.sql(
+      """SELECT char_gini('ab') AS g, ip_to_int('10.0.0.1') AS ip,
+        |  flow_id('10.0.0.1', 5555, '10.0.1.9', 443, 'tcp') AS fwd,
+        |  flow_id('10.0.1.9', 443, '10.0.0.1', 5555, 'tcp') AS rev,
+        |  net_direction('10.0.0.1', '8.8.8.8', '10.0.0.0/24') AS dir
+        |""".stripMargin).head()
+    assert(r.getDouble(0) === 0.5)
+    assert(r.getLong(1) === 10L * 16777216 + 1)
+    assert(r.getString(2) === r.getString(3)) // direction-independent
+    assert(r.getString(4) === "outbound")
+  }
+
+  test("net_direction rejects a non-literal CIDR list at plan time") {
+    val (ident, info, builder) = GraftExtensions.netDirectionFunction
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    val e = intercept[Exception] {
+      spark.sql("SELECT net_direction(t.s, t.s, t.s) FROM VALUES ('10.0.0.1') AS t(s)").collect()
+    }
+    assert(e.getMessage.contains("literal") || e.getCause != null)
+  }
+
   test("non-literal tokenizer is rejected at plan time") {
     val (ident, info, builder) = GraftExtensions.dissectFlatFunction
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
