@@ -85,6 +85,18 @@ class ScalePlanSpec extends AnyFunSuite {
       s"expected a shuffle join on (key, _salt):\n$s")
   }
 
+  test("simhashNearDup and minhashJaccardEst plan as key joins — never quadratic") {
+    import graft.ops.Dedup
+    val docs = (0 until 60).map(i => (i.toLong, s"alpha beta w$i gamma delta e${i % 5}"))
+      .toDF("doc_id", "text")
+    val s1 = planNoBroadcast(Dedup.simhashNearDup(docs, maxHamming = 3, bits = 48))
+    assert(!s1.contains("CartesianProduct") && !s1.contains("BroadcastNestedLoopJoin"),
+      s"pigeonhole blocking must join on (piece, value):\n$s1")
+    val s2 = planNoBroadcast(Dedup.minhashJaccardEst(docs, numHashes = 8, rowsPerBand = 4))
+    assert(!s2.contains("CartesianProduct") && !s2.contains("BroadcastNestedLoopJoin"),
+      s"estimate join must stay keyed on the candidate ids:\n$s2")
+  }
+
   test("star top-k: pushed scan filters, broadcast dims, TakeOrderedAndProject") {
     import graft.ops.StarQueries
     val dir = "/root/testdata/sf0.001"
