@@ -1107,6 +1107,30 @@ object SparkEntry {
     // community-id-style direction-independent flow key over synthetic
     // bidirectional 5-tuples: both directions of a user's flow collapse
     // to one id (n_directions = 2 when both parities occur)
+    // the composed curation pipeline in ONE declarative plan: char-Gini +
+    // length quality gate → exact dedup (min-id keeper) → 700k-ppm
+    // deterministic downsample → hash split → per-split corpus report.
+    // every stage is an existing operator; Catalyst fuses the narrow
+    // gates into the scan and the only exchanges are the dedup groupBy
+    // and the final 3-key report
+    "q_curation_pipeline" -> { (s, dir) =>
+      val d = docsWithDupes(s, dir)
+      val scored = graft.ops.TextAnalysis.charDiversity(d)
+        .where(col("char_gini") >= 0.5 &&
+          TextAnalysis.wsTokenCount(col("text")) >= 20)
+      val keepers = Dedup.exact(scored).select(col("keep_id").as("doc_id"))
+      val sampled = scored.join(keepers, Seq("doc_id"), "left_semi")
+        .where(graft.ops.Curation.hashPpm(col("doc_id")) < 700000)
+      val b = graft.ops.Curation.splitBucket(col("doc_id"))
+      sampled
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(TextAnalysis.wsTokenCount(col("text")).cast("long")).cast("long")
+            .as("n_tokens"))
+    },
+
     // BPE merge training: 4 greedy merge rounds over the corpus word
     // table (argmax pair per round, corpus-wide fuse)
     "q_bpe_merges" -> ((s, dir) =>
@@ -2782,6 +2806,26 @@ object SparkEntry {
         |SELECT flow_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(count(DISTINCT src_ip) AS BIGINT) AS n_directions
         |FROM k GROUP BY 1""".stripMargin,
+
+    "q_curation_pipeline" ->
+      s"""WITH $DocsDupesSql,
+         |scored AS (
+         |  SELECT doc_id, text FROM docs2
+         |  WHERE ${graft.ops.TextAnalysis.charDiversitySql("text")} >= 0.5
+         |    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 20),
+         |keepers AS (
+         |  SELECT min(doc_id) AS doc_id FROM scored GROUP BY md5(text)),
+         |sampled AS (
+         |  SELECT s.doc_id, s.text FROM scored s
+         |  JOIN keepers k ON k.doc_id = s.doc_id
+         |  WHERE ${graft.ops.Curation.hashPpmSql("s.doc_id")} < 700000)
+         |SELECT
+         |  CASE WHEN ${graft.ops.Curation.splitBucketSql("doc_id")} < 80 THEN 'train'
+         |       WHEN ${graft.ops.Curation.splitBucketSql("doc_id")} < 90 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+         |FROM sampled GROUP BY 1""".stripMargin,
 
     "q_bpe_merges" ->
       s"""WITH words AS (
