@@ -1107,6 +1107,11 @@ object SparkEntry {
     // community-id-style direction-independent flow key over synthetic
     // bidirectional 5-tuples: both directions of a user's flow collapse
     // to one id (n_directions = 2 when both parities occur)
+    // packing-efficiency report: per-bucket tail waste of the sharded
+    // sequence packing, utilization in exact ppm
+    "q_pack_report" -> ((s, dir) =>
+      graft.ops.Curation.packReport(documents(s, dir), budgetTokens = 512, buckets = 32)),
+
     // the composed curation pipeline in ONE declarative plan: char-Gini +
     // length quality gate → exact dedup (min-id keeper) → 700k-ppm
     // deterministic downsample → hash split → per-split corpus report.
@@ -2806,6 +2811,19 @@ object SparkEntry {
         |SELECT flow_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(count(DISTINCT src_ip) AS BIGINT) AS n_directions
         |FROM k GROUP BY 1""".stripMargin,
+
+    "q_pack_report" ->
+      s"""WITH b AS (
+         |  SELECT ${graft.ops.Curation.hashBucketSql("doc_id", 32)} AS bucket,
+         |    len(regexp_split_to_array(trim(text), '\\s+')) AS t
+         |  FROM documents),
+         |per AS (SELECT bucket, CAST(sum(t) AS BIGINT) AS toks FROM b GROUP BY 1)
+         |SELECT CAST(sum((toks + 511) // 512) AS BIGINT) AS n_sequences,
+         |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+         |  CAST(sum((toks + 511) // 512) * 512 AS BIGINT) AS capacity_tokens,
+         |  CAST(sum(toks) * 1000000 // (sum((toks + 511) // 512) * 512) AS BIGINT)
+         |    AS utilization_ppm
+         |FROM per""".stripMargin,
 
     "q_curation_pipeline" ->
       s"""WITH $DocsDupesSql,

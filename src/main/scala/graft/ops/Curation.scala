@@ -383,6 +383,27 @@ object Curation {
       .withColumn("offset", col("start_tok") % budgetTokens)
   }
 
+  /** Packing-efficiency report for [[packSequences]]'s sharded layout:
+    * each bucket's token stream fills ⌈tokens/budget⌉ sequences, so the
+    * only waste is one partial tail sequence per bucket — exactly the
+    * cost sharded packing trades for parallelism (more shards ⇒ more
+    * tails), and the number a training pipeline watches when choosing
+    * the shard count. One bucket-keyed aggregate then a single-row
+    * fold; all-integer arithmetic (utilization in ppm).
+    */
+  def packReport(df: DataFrame, budgetTokens: Int = 512, buckets: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(hashBucket(col(idCol), buckets).as("bucket"),
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("t"))
+      .groupBy("bucket").agg(sum("t").as("toks"))
+      .agg(
+        sum(expr(s"(toks + ${budgetTokens - 1}) div $budgetTokens")).cast("long")
+          .as("n_sequences"),
+        sum("toks").cast("long").as("total_tokens"))
+      .withColumn("capacity_tokens", (col("n_sequences") * budgetTokens).cast("long"))
+      .withColumn("utilization_ppm",
+        expr("total_tokens * 1000000 div capacity_tokens"))
+
   /** Referential-integrity audit: per-key counts of fact rows whose key
     * has no match in the dimension (the orphan scan). Left ANTI join —
     * the dim side is usually broadcastable; when it is not, Spark falls

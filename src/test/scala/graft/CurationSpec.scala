@@ -197,6 +197,14 @@ class CurationSpec extends AnyFunSuite {
     assert(out("b") === ((1L, 10L, 400000L, 40L, 4000000L)))
   }
 
+  test("packReport: hand-computable tail waste, single bucket") {
+    val docs = Seq((1L, ("w " * 300).trim), (2L, ("w " * 300).trim)).toDF("doc_id", "text")
+    val r = Curation.packReport(docs, budgetTokens = 512, buckets = 1).head()
+    // 600 tokens in one bucket → 2 sequences of 512 → util 600e6/1024
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 600L, 1024L, 585937L)))
+  }
+
   test("downsamplePpm: rate 1e6 keeps all, 0 drops all, sampling is deterministic") {
     val df = (1 to 400).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
       .toDF("doc_id", "source")
