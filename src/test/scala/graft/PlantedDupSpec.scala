@@ -59,6 +59,13 @@ class PlantedDupSpec extends AnyFunSuite {
     val zero = out.filter(_._3 == 0).map(t => (t._1, t._2)).toSet
     val missing = baseIds.filterNot(d => zero.contains((d, d + 20000)))
     assert(missing.isEmpty, s"planted exact pairs not at hamming 0: $missing")
+    // one-token near-dups (+10000) land within the Hamming cap for most
+    // docs (sf0.01 measured 83.8%); gate a conservative floor so the
+    // operator provably recovers NEAR duplicates, not only exact copies
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    val nearRecovered = baseIds.count(d => pairs.contains((d, d + 10000)))
+    assert(nearRecovered >= (baseIds.size * 0.6).toInt,
+      s"only $nearRecovered/${baseIds.size} planted near-dups within hamming 3")
   }
 
   test("minhashJaccardEst estimates planted exact pairs at 1.0 and stays in [0,1]") {
