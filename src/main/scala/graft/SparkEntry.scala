@@ -224,8 +224,9 @@ object SparkEntry {
     // packetbeat flows: inactivity-gap sessionization (30s timeout)
     "q_flow_sessions" -> ((s, dir) =>
       graft.ops.Sessions.byGap(
-          events(s, dir).select(col("user_id").cast("string").as("conv_id"), col("ts")),
-          gapSeconds = 30)
+          events(s, dir).select(col("user_id").cast("string").as("conv_id"),
+            col("ts"), col("event_id")),
+          gapSeconds = 30, ordCol = Some("event_id"))
         .select(col("conv_id"), col("session_id"),
           col("n_events"), col("first_ts"), col("last_ts"))),
 
@@ -461,6 +462,15 @@ object SparkEntry {
           pmod(conv(substring(md5(col("conv_id")), 1, 4), 16, 10).cast("long"), lit(32)))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_rows"), countDistinct(col("conv_id")).as("convs"))),
+
+    // BYTE-exact Beats Kafka hash partitioner (kafka/partition.go:214-278):
+    // FNV-1a 32 over the key, Go int32 abs + sign-keeping % — the option a
+    // live Beats→Kafka migration needs for identical partition assignment
+    "q_fnv_partition" -> ((s, dir) =>
+      transcripts(s, dir).select(col("conv_id")).distinct()
+        .select(col("conv_id"),
+          graft.route.Fnv32a.fnv32a(col("conv_id")).as("fnv"),
+          graft.route.Fnv32a.fnvPartition(col("conv_id"), 16).as("partition"))),
 
     // output codecs (outputs/codec/json + codec/format): the wire bytes
     // each sink would receive — compact JSON (to_json over a fixed-order
@@ -1240,11 +1250,16 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.asMedia(documents(s, dir)), frameBytes = 64, stride = 2)
         .select("media_id", "byte_len", "n_frames")),
 
-    // stub-codec feature extraction (mapPartitions batch); float-sum
-    // accumulation is not SQL-reproducible → no oracle, rows-only check
+    // stub-codec feature extraction (mapPartitions batch). The codec
+    // accumulates integer byte sums (order-independent) and divides once,
+    // so each float feature is DuckDB-reproducible; emit fixed-point
+    // (floor(f*1e6+0.5) LONG) per (media_id, feature_idx) for the oracle.
     "q_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.asMedia(documents(s, dir)), dim = 8)
-        .select(col("media_id"), col("kind"), size(col("features")).as("dim")))
+        .select(col("media_id"), col("kind"),
+          posexplode(col("features")).as(Seq("feature_idx", "f")))
+        .select(col("media_id"), col("kind"), col("feature_idx"),
+          floor(col("f").cast("double") * 1000000d + 0.5d).cast("long").as("f_fp")))
   )
 
   // --- oracle SQL (DuckDB) ----------------------------------------------
@@ -1376,7 +1391,7 @@ object SparkEntry {
        |  LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id))""".stripMargin
 
   /** LSH min-label-propagation oracle (shingles → affine minhash → bands
-    * → candidate edges → 3 rounds), parameterized over the final SELECT
+    * → per-bucket min-id STAR edges → 3 rounds), parameterized over the final SELECT
     * so the cluster query and the keep-one-representative query share the
     * identical derivation.
     */
@@ -1401,10 +1416,12 @@ object SparkEntry {
        |    string_agg(CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR), '|'
        |      ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR)) AS band_key
        |  FROM mh GROUP BY 1, 2),
+       |roots AS (
+       |  SELECT band, band_key, min(doc_id) AS root FROM bands GROUP BY 1, 2),
        |cand AS (
-       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
-       |  WHERE l.doc_id < r.doc_id),
+       |  SELECT DISTINCT bn.doc_id AS a, r.root AS b
+       |  FROM bands bn JOIN roots r ON bn.band = r.band AND bn.band_key = r.band_key
+       |  WHERE bn.doc_id <> r.root),
        |edges AS (SELECT a AS src, b AS dst FROM cand UNION ALL SELECT b AS src, a AS dst FROM cand),
        |l0 AS (SELECT DISTINCT doc_id, doc_id AS cluster_id FROM docs2),
        |$rounds
@@ -1456,15 +1473,15 @@ object SparkEntry {
          |FROM routed GROUP BY 1, 2, 3""".stripMargin,
 
     "q_flow_sessions" ->
-      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, ts FROM events),
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, event_id FROM events),
         |b AS (
-        |  SELECT conv_id, ts,
+        |  SELECT conv_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |          OR epoch(ts) - epoch(lag(ts) OVER w) > 30 THEN 1 ELSE 0 END AS boundary
-        |  FROM e WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+        |  FROM e WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)
         |), g AS (
         |  SELECT conv_id, ts,
-        |    SUM(boundary) OVER (PARTITION BY conv_id ORDER BY ts) - 1 AS session_id
+        |    SUM(boundary) OVER (PARTITION BY conv_id ORDER BY ts, event_id) - 1 AS session_id
         |  FROM b
         |)
         |SELECT conv_id, session_id, count(*) AS n_events,
@@ -1640,6 +1657,12 @@ object SparkEntry {
          |)
          |SELECT bucket, count(*) AS n_rows, count(DISTINCT conv_id) AS convs
          |FROM v GROUP BY bucket""".stripMargin,
+
+    "q_fnv_partition" ->
+      s"""$T SELECT conv_id,
+         |  ${graft.route.Fnv32a.fnv32aSql("conv_id")} AS fnv,
+         |  ${graft.route.Fnv32a.fnvPartitionSql("conv_id", 16)} AS partition
+         |FROM (SELECT DISTINCT conv_id FROM transcripts)""".stripMargin,
 
     "q_dedup_exact" ->
       s"""WITH $DocsDupesSql
@@ -1983,7 +2006,7 @@ object SparkEntry {
       val bucket = graft.ops.Curation.hashBucketSql("doc_id", 8)
       s"""WITH b AS (
          |  SELECT doc_id,
-         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens,
          |    $bucket AS bucket
          |  FROM documents),
          |w AS (
@@ -2020,19 +2043,19 @@ object SparkEntry {
     "q_text_quality" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS INTEGER) AS n_chars,
-         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+         |  CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS INTEGER) AS n_tokens,
          |  CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS INTEGER) AS punct_count,
          |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
          |    t -> t IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','by','at','this','that'))) AS INTEGER) AS stopword_count,
-         |  round(CAST(length(text) AS DOUBLE) / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6) AS avg_token_len,
+         |  round(CAST(length(text) AS DOUBLE) / greatest((CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 1), 6) AS avg_token_len,
          |  round(CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
          |    t -> t IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','by','at','this','that'))) AS DOUBLE)
-         |    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6) AS stopword_ratio
+         |    / greatest((CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 1), 6) AS stopword_ratio
          |FROM documents""".stripMargin,
 
     "q_token_count" ->
       s"""SELECT doc_id,
-         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+         |  CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS INTEGER) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text, '$BpeishRe')) AS INTEGER) AS bpeish_tokens
          |FROM documents""".stripMargin,
 
@@ -2251,7 +2274,7 @@ object SparkEntry {
          |    CAST(sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS INTEGER) AS cum_from_end,
          |    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS rk
          |  FROM (SELECT conv_id, turn_idx,
-         |      CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tok
+         |      CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS INTEGER) AS n_tok
          |    FROM transcripts))""".stripMargin,
 
     "q_ngram_containment" ->
@@ -2340,7 +2363,7 @@ object SparkEntry {
 
     "q_epoch_plan" ->
       """WITH t AS (
-        |  SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS tk
+        |  SELECT source, (CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS tk
         |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
         |a AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -2654,7 +2677,7 @@ object SparkEntry {
       s"""WITH base AS (
          |  SELECT doc_id,
          |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+         |         ELSE (CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) END AS INTEGER) AS n_tokens,
          |    ${graft.ops.Curation.hashBucketSql("doc_id", 8)} AS shard
          |  FROM documents),
          |b2 AS (SELECT doc_id, n_tokens, shard,
@@ -2815,7 +2838,7 @@ object SparkEntry {
     "q_pack_report" ->
       s"""WITH b AS (
          |  SELECT ${graft.ops.Curation.hashBucketSql("doc_id", 32)} AS bucket,
-         |    len(regexp_split_to_array(trim(text), '\\s+')) AS t
+         |    (CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS t
          |  FROM documents),
          |per AS (SELECT bucket, CAST(sum(t) AS BIGINT) AS toks FROM b GROUP BY 1)
          |SELECT CAST(sum((toks + 511) // 512) AS BIGINT) AS n_sequences,
@@ -2830,7 +2853,7 @@ object SparkEntry {
          |scored AS (
          |  SELECT doc_id, text FROM docs2
          |  WHERE ${graft.ops.TextAnalysis.charDiversitySql("text")} >= 0.5
-         |    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 20),
+         |    AND (CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 20),
          |keepers AS (
          |  SELECT min(doc_id) AS doc_id FROM scored GROUP BY md5(text)),
          |sampled AS (
@@ -2842,7 +2865,7 @@ object SparkEntry {
          |       WHEN ${graft.ops.Curation.splitBucketSql("doc_id")} < 90 THEN 'val'
          |       ELSE 'test' END AS split,
          |  CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+         |  CAST(sum((CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)) AS BIGINT) AS n_tokens
          |FROM sampled GROUP BY 1""".stripMargin,
 
     "q_bpe_merges" ->
@@ -3032,6 +3055,26 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
         |  CAST((CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) + 1) // 2 AS INTEGER) AS n_frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // stub-codec features: per-position-mod-8 integer byte sums, one
+    // /255.0 → float32 → fixed point — byte-exact with the Scala codec
+    // (documents text is ASCII, so char i == byte i)
+    "q_media_features" ->
+      """WITH pos AS (
+        |  SELECT doc_id, CAST((p - 1) % 8 AS INTEGER) AS j,
+        |    ord(substring(text, CAST(p AS INTEGER), 1)) AS b
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p
+        |        FROM documents)
+        |), s AS (
+        |  SELECT doc_id, j, CAST(sum(b) AS BIGINT) AS sb FROM pos GROUP BY 1, 2
+        |)
+        |SELECT d.doc_id AS media_id,
+        |  CASE CAST(d.doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  g.j AS feature_idx,
+        |  CAST(floor(CAST(CAST(COALESCE(s.sb, 0) / 255.0 AS FLOAT) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS f_fp
+        |FROM documents d
+        |CROSS JOIN (SELECT CAST(range AS INTEGER) AS j FROM range(8)) g
+        |LEFT JOIN s ON s.doc_id = d.doc_id AND s.j = g.j""".stripMargin
   )
 }

@@ -130,6 +130,16 @@ final class Lineage(spark: SparkSession, outDir: String) {
     */
   private def fromJson(s: String): LineageRecord = {
     var i = 0
+    // Every raw read goes through cur(): a TORN line (crash mid-write is
+    // exactly when this parser runs) must fail as a diagnosable
+    // IllegalArgumentException with position context, not a
+    // StringIndexOutOfBoundsException from charAt past the end.
+    def cur(): Char = {
+      if (i >= s.length)
+        throw new IllegalArgumentException(
+          s"lineage json: truncated at $i (torn line?) in $s")
+      s.charAt(i)
+    }
     def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
     def expect(c: Char): Unit = {
       ws()
@@ -140,18 +150,21 @@ final class Lineage(spark: SparkSession, outDir: String) {
     def parseString(): String = {
       expect('"')
       val sb = new StringBuilder
-      while (s.charAt(i) != '"') {
-        if (s.charAt(i) == '\\') {
+      while (cur() != '"') {
+        if (cur() == '\\') {
           i += 1
-          s.charAt(i) match {
+          cur() match {
             case '"' => sb += '"'; case '\\' => sb += '\\'
             case 'n' => sb += '\n'; case 'r' => sb += '\r'; case 't' => sb += '\t'
             case 'u' =>
+              if (i + 5 > s.length)
+                throw new IllegalArgumentException(
+                  s"lineage json: truncated \\u escape at $i in $s")
               sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
               i += 4
             case other => sb += other
           }
-        } else sb += s.charAt(i)
+        } else sb += cur()
         i += 1
       }
       i += 1
@@ -160,20 +173,22 @@ final class Lineage(spark: SparkSession, outDir: String) {
     def parseLong(): Long = {
       ws()
       val start = i
-      if (s.charAt(i) == '-') i += 1
+      if (cur() == '-') i += 1
       while (i < s.length && s.charAt(i).isDigit) i += 1
+      if (i == start || (i == start + 1 && s.charAt(start) == '-'))
+        throw new IllegalArgumentException(s"lineage json: expected number at $start in $s")
       s.substring(start, i).toLong
     }
     def parseSinks(): Map[String, Long] = {
       expect('{')
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       ws()
-      if (s.charAt(i) == '}') { i += 1; return m.toMap }
+      if (cur() == '}') { i += 1; return m.toMap }
       var done = false
       while (!done) {
         val k = parseString(); expect(':'); m(k) = parseLong()
         ws()
-        if (s.charAt(i) == ',') i += 1 else { expect('}'); done = true }
+        if (cur() == ',') i += 1 else { expect('}'); done = true }
       }
       m.toMap
     }
@@ -182,12 +197,12 @@ final class Lineage(spark: SparkSession, outDir: String) {
       expect('[')
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
       ws()
-      if (s.charAt(i) == ']') { i += 1; return buf.toSeq }
+      if (cur() == ']') { i += 1; return buf.toSeq }
       var done = false
       while (!done) {
         buf += parseString()
         ws()
-        if (s.charAt(i) == ',') i += 1 else { expect(']'); done = true }
+        if (cur() == ',') i += 1 else { expect(']'); done = true }
       }
       buf.toSeq
     }
@@ -211,7 +226,7 @@ final class Lineage(spark: SparkSession, outDir: String) {
         case other => throw new IllegalArgumentException(s"lineage json: unknown key '$other'")
       }
       ws()
-      if (s.charAt(i) == ',') i += 1 else { expect('}'); done = true }
+      if (cur() == ',') i += 1 else { expect('}'); done = true }
     }
     LineageRecord(runId, bucket.toInt, fp, rows, sinks, errs, at, files)
   }

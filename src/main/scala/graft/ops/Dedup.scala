@@ -60,11 +60,19 @@ object Dedup {
   def fingerprintLedger(df: DataFrame, textCol: String = "text"): DataFrame =
     df.select(md5(col(textCol)).as("text_md5")).distinct()
 
-  /** Character k-gram shingles, exploded: (id, pos, shingle). */
+  /** Character k-gram shingles, exploded: (id, pos, shingle). Docs
+    * shorter than k emit NO rows: Spark's sequence(1, 0) counts DOWN to
+    * [1, 0] (two bogus positions) where the oracle's generate_series
+    * emits none, so the short side must be an explicit empty array —
+    * the same trap wordGrams guards (and cdcChunks filters) against.
+    */
   def shingled(df: DataFrame, k: Int = 4, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     df.select(
         col(idCol),
-        posexplode(sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(0))))
+        posexplode(
+          when(length(col(textCol)) >= k,
+            sequence(lit(1), length(col(textCol)) - (k - 1)))
+            .otherwise(array().cast("array<int>")))
           .as(Seq("pos", "i")),
         col(textCol))
       .select(col(idCol), expr(s"substr(${textCol}, i, $k)").as("shingle"))
@@ -181,13 +189,17 @@ object Dedup {
     * bucket-join docs sharing any band key. Returns distinct (a, b), a<b.
     * The join is per-bucket — the 100 TB path — not all-pairs.
     */
-  def lshCandidates(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
+  /** Banded LSH bucket rows: (id, band, band_key) — one row per doc per
+    * band, straight off the wide signature row (no collect_list shuffle).
+    * Key format/order matches the oracle's string-sorted "seed:sig"
+    * concat (sorting "<i>:" prefixes never reaches the sig digits, so
+    * the permutation is known at plan time). Shared by the pair-emission
+    * path ([[lshCandidates]]) and the linear star-edge cluster path
+    * ([[lshClusters]]).
+    */
+  def lshBands(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
       k: Int = 4, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val wide = minhashWide(df, numHashes, k, idCol, textCol)
-    // band keys straight off the wide signature row — no collect_list
-    // shuffle. Key format/order matches the oracle's string-sorted
-    // "seed:sig" concat (sorting "<i>:" prefixes never reaches the sig
-    // digits, so the permutation is known at plan time).
     val bandStructs = (0 until numHashes / rowsPerBand).map { bIdx =>
       val seeds = (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand)
         .sortBy(i => s"$i:")
@@ -195,9 +207,14 @@ object Dedup {
         concat(lit(s"$i:"), col(s"sig$i"))): _*)
       struct(lit(bIdx).as("band"), key.as("band_key"))
     }
-    val bands = wide
+    wide
       .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  def lshCandidates(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
+      k: Int = 4, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bands = lshBands(df, numHashes, rowsPerBand, k, idCol, textCol)
     val l = bands.select(col(idCol).as("a"), col("band"), col("band_key"))
     val r = bands.select(col(idCol).as("b"), col("band"), col("band_key"))
     l.join(r, Seq("band", "band_key"))
@@ -205,34 +222,46 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
-  /** LSH near-duplicate CLUSTERS — the 100 TB dedup output shape. Pair
-    * emission is inherently quadratic in cluster size (a 10⁴-document
-    * template family yields 5·10⁷ pairs); cluster assignment is linear:
-    * every document gets the minimum doc id reachable through shared LSH
-    * buckets within `iterations` hops (min-label propagation over the
-    * candidate graph — the standard bounded-round connected-components
-    * approximation; duplicate sets that are cliques, e.g. exact-copy
-    * groups, converge in ONE round). Deterministic, so the oracle
-    * replicates the same fixed rounds.
+  /** LSH near-duplicate CLUSTERS — the 100 TB dedup output shape. Every
+    * document gets the minimum doc id reachable through shared LSH
+    * buckets within `iterations` hops (min-label propagation — the
+    * standard bounded-round connected-components approximation).
+    *
+    * Connectivity comes from STAR edges, not within-bucket pairs: per
+    * (band, band_key) bucket, each member links to the bucket's min id —
+    * O(n·bands) edges total, whereas pair emission is quadratic in bucket
+    * size (a 10⁴-doc template family → 5·10⁷ pairs). The connected
+    * components are identical (every bucket member is reachable through
+    * the bucket's min), so the cluster output is the same; a bucket that
+    * is one dup family converges in ≤2 rounds (members adopt the root's
+    * label round 1). The quadratic pair join survives only where pairs
+    * ARE the product ([[lshCandidates]], [[lshQuality]],
+    * [[minhashJaccardEst]]). Deterministic, so the oracle replicates the
+    * same star edges and fixed rounds.
     */
   def lshClusters(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
       k: Int = 4, iterations: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // Materialize the candidate edge list ONCE (eager local checkpoint):
+    // Materialize the star-edge list ONCE (eager local checkpoint):
     // each propagation round references edges, so the final plan would
-    // otherwise embed the shingle→minhash→band-join subtree 2×iterations
+    // otherwise embed the shingle→minhash→band subtree 2×iterations
     // times — exchange reuse dedupes the runtime work but AQE still
     // plans/recompiles the full tree per round. The checkpoint truncates
-    // lineage to the (tiny: |candidate pairs|) edge list. (.persist()
-    // alone was measured 1.5× slower — it keeps the full lineage and
-    // pays cache materialization on top.) Trade-off: localCheckpoint
-    // blocks are not replicated, so losing an executor mid-job fails the
-    // job instead of recomputing — fine for the pairs table (corpus-small,
-    // cheap restart); use reliable checkpoint dirs if that ever changes.
-    val pairs = lshCandidates(df, numHashes, rowsPerBand, k, idCol, textCol)
+    // lineage to the (O(n·bands)) edge list. (.persist() alone was
+    // measured 1.5× slower — it keeps the full lineage and pays cache
+    // materialization on top.) Trade-off: localCheckpoint blocks are not
+    // replicated, so losing an executor mid-job fails the job instead of
+    // recomputing — fine for the edge table (corpus-small, cheap
+    // restart); use reliable checkpoint dirs if that ever changes.
+    val bands = lshBands(df, numHashes, rowsPerBand, k, idCol, textCol)
+    val roots = bands.groupBy("band", "band_key").agg(min(col(idCol)).as("_root"))
+    val memberRoot = bands.join(roots, Seq("band", "band_key"))
+      .where(col(idCol) =!= col("_root"))
+      .select(col(idCol).as("a"), col("_root").as("b"))
+      .distinct()
       .localCheckpoint()
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val edges = memberRoot.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(memberRoot.select(col("b").as("src"), col("a").as("dst")))
     val ids = df.select(col(idCol)).distinct()
     var labels = ids.select(col(idCol), col(idCol).as("cluster_id"))
     for (_ <- 1 to iterations) {
@@ -274,13 +303,24 @@ object Dedup {
     // Jaccard (round 1: every planted near-dup scored below threshold and
     // the query returned 0 rows)
     val sizes = filtered.groupBy(idCol).agg(count(lit(1)).as("sz"))
-    val inter = filtered.select(col(idCol).as("a"), col("shingle"))
-      .join(filtered.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))
+    // Size-ratio prefilter BEFORE the pair aggregate: J = |A∩B|/|A∪B| ≤
+    // min(|A|,|B|)/max(|A|,|B|), so pairs whose shingle-set sizes differ
+    // by more than the threshold ratio can never pass — dropping them
+    // here cuts the groupBy("a","b") input (the quadratic tail a popular
+    // shingle admits under the DF cap: cap² candidate rows per shingle).
+    // The 1e-6 slack covers the 6-dp rounding of the final score, so the
+    // result set is IDENTICAL to the unfiltered form and the oracle needs
+    // no notion of the prefilter. Cost: one int column carried on each
+    // side of the inverted-index join.
+    val withSz = filtered.join(sizes, Seq(idCol))
+    val inter = withSz.select(col(idCol).as("a"), col("shingle"), col("sz").as("sza"))
+      .join(withSz.select(col(idCol).as("b"), col("shingle"), col("sz").as("szb")), Seq("shingle"))
       .where(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .where(least(col("sza"), col("szb")).cast("double") >=
+        lit(threshold - 1e-6) * greatest(col("sza"), col("szb")).cast("double"))
+      .groupBy(col("a"), col("b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), Seq("a"))
-      .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), Seq("b"))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("sza") + col("szb") - col("inter")).cast("double"), 6))
@@ -300,12 +340,18 @@ object Dedup {
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val filtered = sh.join(freq.where(col("df") <= maxDocFreq), Seq("shingle"))
     val sizes = filtered.groupBy(idCol).agg(count(lit(1)).as("sz"))
-    val inter = filtered.select(col(idCol).as("a"), col("shingle"))
-      .join(filtered.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))
+    // Prefilter (see ngramJaccard): |A∩B| ≤ min(|A|,|B|) so containment
+    // |A∩B|/|A| ≤ |B|/|A| — pairs with |B| below the threshold ratio of
+    // |A| can never pass; dropped before the pair aggregate. 1e-6 slack
+    // covers the 6-dp rounding; result identical, oracle untouched.
+    val withSz = filtered.join(sizes, Seq(idCol))
+    val inter = withSz.select(col(idCol).as("a"), col("shingle"), col("sz").as("sza"))
+      .join(withSz.select(col(idCol).as("b"), col("shingle"), col("sz").as("szb")), Seq("shingle"))
       .where(col("a") =!= col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .where(col("szb").cast("double") >= lit(threshold - 1e-6) * col("sza").cast("double"))
+      .groupBy(col("a"), col("b"), col("sza"))
+      .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), Seq("a"))
       .withColumn("containment",
         round(col("inter").cast("double") / col("sza").cast("double"), 6))
       .where(col("containment") >= threshold)

@@ -41,12 +41,19 @@ object Multimodal {
     * testable end-to-end. ??? ← swap in the codec call.
     */
   def stubDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
+    // Integer accumulation + ONE division at the end: order-independent and
+    // exactly reproducible in any engine (a float32 running sum is neither —
+    // it drifts with payload length and addition order). The oracle twin
+    // recomputes the same LONG sums in SQL and applies the same /255.0.
+    val acc = new Array[Long](dim)
     var i = 0
     while (i < payload.length) {
-      out(i % dim) += (payload(i) & 0xff) / 255.0f
+      acc(i % dim) += (payload(i) & 0xff)
       i += 1
     }
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) { out(j) = (acc(j) / 255.0).toFloat; j += 1 }
     out
   }
 

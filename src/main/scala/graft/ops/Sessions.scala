@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,15 +17,30 @@ import org.apache.spark.sql.functions._
   */
 object Sessions {
 
+  /** @param ordCol unique tie-break column: at 10^12 rows timestamps
+    *   ALWAYS collide, and `lag` over an ambiguous order makes the
+    *   session assignment partition-order-dependent. Pass the event id.
+    */
   def byGap(
       df: DataFrame,
       keyCol: String = "conv_id",
       tsCol: String = "ts",
-      gapSeconds: Long = 30): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(tsCol)
+      gapSeconds: Long = 30,
+      ordCol: Option[String] = None): DataFrame = {
+    val order = col(tsCol) +: ordCol.map(col).toSeq
+    val w = Window.partitionBy(keyCol).orderBy(order: _*)
     val prev = lag(col(tsCol), 1).over(w)
+    // Fractional-second gap: timestamp→double keeps microseconds, matching
+    // DuckDB's epoch() and the streaming twin's millisecond arithmetic.
+    // unix_timestamp() TRUNCATES to whole seconds and silently moves
+    // session boundaries whenever real timestamps carry sub-second parts.
+    // The intermediate cast("timestamp") lifts TIMESTAMP_NTZ inputs (the
+    // parquet fixtures' type, which cannot cast to double directly) via
+    // the session zone — pinned to UTC, so it matches DuckDB's naive
+    // epoch(); a no-op for TIMESTAMP inputs.
+    def secs(c: Column): Column = c.cast("timestamp").cast("double")
     val boundary = prev.isNull ||
-      (unix_timestamp(col(tsCol)) - unix_timestamp(prev)) > gapSeconds
+      (secs(col(tsCol)) - secs(prev)) > gapSeconds
     df.withColumn("_b", boundary.cast("long"))
       .withColumn("session_id", sum(col("_b")).over(w) - 1)
       .groupBy(col(keyCol), col("session_id"))

@@ -179,15 +179,26 @@ object Similarity {
   /** IVF ANN: ⌈√n⌉ centroids (deterministically the lowest-id corpus
     * vectors — on a real corpus a k-means sample; √n keeps cell size √n),
     * corpus rows live in their argmax cell, queries probe their `nprobe`
-    * best cells. The centroid set is a √n-sized driver collect that
-    * becomes a literal array, so corpus cell assignment is a NARROW
-    * per-row argmax — the big side is never shuffled to find its cell;
-    * the probe join shuffles only on the small cell id.
+    * best cells.
+    *
+    * Cell assignment has TWO physical forms with identical output:
+    *  - ≤ `literalMaxCentroids`: the centroid matrix is inlined as a
+    *    literal array and assignment is a NARROW per-row argmax — no join
+    *    at all, ideal while the expression tree stays codegen-sized.
+    *  - above it: the centroid table is BROADCAST and assignment is a
+    *    cross join + map-side max(struct) partial aggregate (the kmeans
+    *    assignment shape) — at 10¹² rows with 10⁶ √n-centroids the
+    *    literal form is a driver/codegen killer, while the broadcast form
+    *    shuffles n collapsed rows and holds only the k·dim matrix.
+    * Tie-breaking (best score, then lowest centroid id) and 6-dp score
+    * snapping are identical in both, so the switch can never change
+    * results — `AnnRecallSpec` asserts path equality on a forced split.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int = 10, nprobe: Int = 2,
       centroids: Option[Int] = None,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      literalMaxCentroids: Int = 1024): DataFrame = {
     val nCents = centroids.getOrElse(
       math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
     val cents: Array[(Long, Seq[Double])] = corpus
@@ -203,30 +214,61 @@ object Similarity {
     // stage). ‖c‖ is precomputed driver-side with the same left-to-right
     // summation order the SQL oracle's list_dot_product uses, so the
     // rounded scores compare bit-identically.
-    val centsLit = array(cents.map { case (id, v) =>
-      val norm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
-      struct(lit(id).as("cent_id"), array(v.map(lit): _*).as("centv"),
-        lit(norm).as("cnorm"))
-    }: _*)
+    val centNorms = cents.map { case (id, v) =>
+      (id, v, math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x)))
+    }
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    // (rounded score, -cent_id) structs: lexicographic array_max / sorted
-    // slices give "best score, smallest centroid id on ties"
-    def cellScores(v: Column): Column = transform(centsLit, c =>
-      struct(
-        round(dot(v, c.getField("centv")) / c.getField("cnorm"), 6).as("cs"),
-        (-c.getField("cent_id")).as("neg_id")))
-    def argmaxCell(v: Column): Column = -array_max(cellScores(v)).getField("neg_id")
-    def topCells(v: Column, n: Int): Column =
-      transform(slice(reverse(array_sort(cellScores(v))), 1, n),
-        s => -s.getField("neg_id"))
 
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
-      argmaxCell(asDouble(col(vecCol))).as("cell"))
-    val q = queries.select(
-        col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
-        explode(topCells(asDouble(col(vecCol)), nprobe)).as("cell"))
+    val (c, q) = if (cents.length <= literalMaxCentroids) {
+      val centsLit = array(centNorms.map { case (id, v, norm) =>
+        struct(lit(id).as("cent_id"), array(v.map(lit): _*).as("centv"),
+          lit(norm).as("cnorm"))
+      }: _*)
+      // (rounded score, -cent_id) structs: lexicographic array_max / sorted
+      // slices give "best score, smallest centroid id on ties"
+      def cellScores(v: Column): Column = transform(centsLit, c =>
+        struct(
+          round(dot(v, c.getField("centv")) / c.getField("cnorm"), 6).as("cs"),
+          (-c.getField("cent_id")).as("neg_id")))
+      def argmaxCell(v: Column): Column = -array_max(cellScores(v)).getField("neg_id")
+      def topCells(v: Column, n: Int): Column =
+        transform(slice(reverse(array_sort(cellScores(v))), 1, n),
+          s => -s.getField("neg_id"))
+      (corpus.select(
+          col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
+          argmaxCell(asDouble(col(vecCol))).as("cell")),
+        queries.select(
+          col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
+          explode(topCells(asDouble(col(vecCol)), nprobe)).as("cell")))
+    } else {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val centsDf = broadcast(centNorms.toSeq.toDF("cent_id", "centv", "cnorm"))
+      val cScored = corpus
+        .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+        .crossJoin(centsDf)
+        .withColumn("_cs", round(dot(col("cv"), col("centv")) / col("cnorm"), 6))
+      // max over struct(cs, -cent_id) = lexicographic (best score, lowest
+      // id) — the exact argmax the literal path's array_max computes; the
+      // map-side partial aggregate collapses the nCents candidate rows
+      // per vector BEFORE the exchange, so the shuffle carries n rows
+      val cAssigned = cScored
+        .groupBy("neighbor_id")
+        .agg(max(struct(col("_cs").as("cs"), (-col("cent_id")).as("neg_id"))).as("_best"),
+          first(col("cv")).as("cv"))
+        .select(col("neighbor_id"), col("cv"), (-col("_best.neg_id")).as("cell"))
+      import org.apache.spark.sql.expressions.Window
+      val qw = Window.partitionBy("query_id").orderBy(col("_cs").desc, col("cent_id"))
+      val qAssigned = queries
+        .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+        .crossJoin(centsDf)
+        .withColumn("_cs", round(dot(col("qv"), col("centv")) / col("cnorm"), 6))
+        .withColumn("_rk", row_number().over(qw))
+        .where(col("_rk") <= nprobe)
+        .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+      (cAssigned, qAssigned)
+    }
     // corpus rows live in exactly one cell ⇒ a pair appears at most once
     // across the probed cells; no dedup needed
     val scored = c.join(broadcast(q), Seq("cell"))

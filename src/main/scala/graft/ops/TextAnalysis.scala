@@ -386,8 +386,13 @@ object TextAnalysis {
     * Fusing runs the sentinel-space replace TWICE: the full " s1 s2 "
     * pattern with both boundary spaces can never match a partial symbol,
     * but one left-to-right pass skips every other occurrence of an
-    * overlapping chain (" a b a b ") — the second pass collects those,
-    * matching BPE's leftmost-nonoverlapping semantics.
+    * overlapping chain (" a b a b ") — the second pass collects those.
+    * KNOWN DEVIATION from canonical Sennrich BPE on odd self-overlapping
+    * runs: merging (a,a) over "a a a a a" yields aa|a|aa here (pass 1
+    * fuses positions 1-2 and 3-4, pass 2 finds nothing adjacent), where
+    * strict leftmost-nonoverlap yields aa|aa|a. Both are deterministic;
+    * the oracle uses the identical double-replace so parity is exact,
+    * and real-vocab impact is confined to single-char runs.
     *
     * Scale shape: the corpus is read ONCE into the |vocab|-row word
     * table (localCheckpointed — rounds must not re-derive it from the

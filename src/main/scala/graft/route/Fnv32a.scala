@@ -1,0 +1,103 @@
+package graft.route
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** FNV-1a 32-bit hash as a native codegen expression — byte-parity with
+  * Beats' Kafka hash partitioner (libbeat/outputs/kafka/partition.go:
+  * 214-236: `fnv.New32a()` over the key bytes, `hasher.Sum32()`).
+  *
+  * Returns the SIGNED reinterpretation of the unsigned 32-bit sum —
+  * exactly Go's `int32(hash)` in `hash2Partition` — so the partition
+  * mapping below reproduces a live Beats→Kafka topology's assignment
+  * byte-for-byte, including the two Go quirks: `-p` overflow on
+  * int32.MinValue (-(−2³¹) wraps to −2³¹) and `%` keeping the sign of
+  * the dividend. JVM `Int` arithmetic wraps mod 2³² identically, so the
+  * kernel is the Go loop verbatim in int space.
+  */
+final case class Fnv32aExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"fnv32a requires a string or binary input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = input match {
+    case s: UTF8String => Fnv32a.hashBytes(s.getBytes)
+    case b: Array[Byte] => Fnv32a.hashBytes(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case StringType =>
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = graft.route.Fnv32a.hashBytes($c.getBytes());")
+      case _ =>
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = graft.route.Fnv32a.hashBytes($c);")
+    }
+
+  override def prettyName: String = "fnv32a"
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv32aExpr =
+    copy(child = newChild)
+}
+
+object Fnv32a {
+
+  /** The FNV-1a 32 kernel (offset basis 2166136261, prime 16777619);
+    * JVM Int wraps mod 2³² like Go's uint32, so the returned Int IS
+    * Go's int32(Sum32()).
+    */
+  def hashBytes(b: Array[Byte]): Int = {
+    var h = 0x811c9dc5 // 2166136261 as a signed int
+    var i = 0
+    while (i < b.length) {
+      h = (h ^ (b(i) & 0xff)) * 16777619
+      i += 1
+    }
+    h
+  }
+
+  /** `fnv32a(key)` as a Column: the signed 32-bit hash. */
+  def fnv32a(key: Column): Column =
+    GraftColumnBridge.column(Fnv32aExpr(GraftColumnBridge.expression(key)))
+
+  /** Beats' `hash2Partition` (partition.go:272-278): p = int32(hash);
+    * if p < 0 then p = -p (wrapping — int32.MinValue stays negative);
+    * p % numPartitions with Go's sign-of-dividend `%` (so the MinValue
+    * corner can yield a negative partition — the reference's own
+    * behavior, reproduced rather than repaired).
+    */
+  def fnvPartition(key: Column, numPartitions: Int): Column = {
+    val h = fnv32a(key)
+    val p = when(h === Int.MinValue, h).otherwise(abs(h))
+    (p % numPartitions).cast("int")
+  }
+
+  /** DuckDB twin of [[fnv32a]] over an ASCII string expression: fold the
+    * character codes through the same xor/multiply loop in BIGINT space,
+    * then reinterpret as signed int32.
+    */
+  def fnv32aSql(e: String): String =
+    s"""(SELECT CAST(CASE WHEN f >= 2147483648 THEN f - 4294967296 ELSE f END AS INTEGER)
+       | FROM (SELECT list_reduce(
+       |   list_prepend(CAST(2166136261 AS BIGINT),
+       |     list_transform(range(1, length($e) + 1), i -> CAST(ord(substring($e, CAST(i AS INTEGER), 1)) AS BIGINT))),
+       |   (h, b) -> (xor(h, b) * 16777619) % 4294967296) AS f))""".stripMargin
+
+  /** DuckDB twin of [[fnvPartition]]. */
+  def fnvPartitionSql(e: String, numPartitions: Int): String =
+    s"""(SELECT CAST(CASE WHEN p = -2147483648 THEN p ELSE abs(p) END % $numPartitions AS INTEGER)
+       | FROM (SELECT ${fnv32aSql(e)} AS p))""".stripMargin
+}

@@ -69,6 +69,19 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 0.9, f"IVF recall@1 $recall%.3f < 0.9")
   }
 
+  test("IVF broadcast-join assignment path (past literalMaxCentroids) equals the literal path") {
+    // same corpus/queries, same centroid count — forcing literalMaxCentroids=1
+    // routes through the broadcast cross-join + max(struct) assignment; the
+    // two physical forms must emit identical rows (the 100×-scale guard:
+    // a √n-of-10¹² centroid set cannot be a literal array expression)
+    val literalPath = Similarity.ivfTopK(corpus, queries, k = 5, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val joinedPath = Similarity.ivfTopK(corpus, queries, k = 5, nprobe = 2,
+        literalMaxCentroids = 1)
+      .collect().map(_.toSeq).toSet
+    assert(joinedPath == literalPath, "broadcast-join IVF path diverged from the literal path")
+  }
+
   test("LSH candidate set is a small fraction of the corpus (it is ANN, not scan)") {
     val n = corpus.count()
     val cand = Similarity.lshTopK(corpus, queries, k = 1000, planes = 6, tables = 4)

@@ -76,6 +76,22 @@ class ConditionsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("uint64 overflow parity: values ≥ 2^63 are bit-63-masked at ingest (event.go:174-177)") {
+    // Beats cannot represent a uint64 with the top bit set in its event
+    // model, so event normalization CLEARS bit 63 (`value &^ (1 << 63)`)
+    // before any condition ever sees the value. graft's chosen semantics
+    // are identical by construction: LongType columns hold the
+    // already-masked value, and Equals compares that. 2⁶³+9 ⇒ 9.
+    val raw = java.lang.Long.parseUnsignedLong("9223372036854775817") // 2^63 + 9
+    val masked = raw & ~(1L << 63)
+    assert(masked == 9L, "the Beats mask maps 2^63+9 to 9")
+    val df = Seq(masked, 10L).toDF("n")
+    assert(df.where(Conditions.toColumn(Cond.Equals("n", 9), df)).count() == 1L)
+    // and the un-normalized bit pattern (raw as signed = negative) never
+    // appears, so a condition against the huge literal matches nothing
+    assert(df.where(Conditions.toColumn(Cond.Range("n", gte = Some(9.3e18)), df)).count() == 0L)
+  }
+
   test("random condition trees: Spark filter == reference evaluator (300 trees × 12 rows)") {
     val rows: Seq[R] = Seq(
       (Some("v0"), 0, Some("v1")), (Some("v1"), 1, None), (Some("v2"), 2, Some("v2")),

@@ -37,6 +37,32 @@ class DedupClusterSpec extends AnyFunSuite {
     for (i <- 5 until 20) assert(labels(i.toLong) == i, s"doc $i should stay a singleton")
   }
 
+  test("star-edge derivation is O(n·bands) where pair emission is quadratic (100-doc family)") {
+    // one 100-copy exact-dup family: every copy lands in the same bucket in
+    // all 4 bands. Pair emission is 100·99/2 = 4950; the cluster path's
+    // star edges (member → per-bucket min id) are just the 99 non-root
+    // members — the scale fix for hot template-family buckets.
+    val df = (0 until 100).map(i => (i.toLong, base(3))).toDF("doc_id", "text")
+    val bands = Dedup.lshBands(df, numHashes = 8, rowsPerBand = 2, k = 4)
+    val roots = bands.groupBy("band", "band_key").agg(min(col("doc_id")).as("root"))
+    val starEdges = bands.join(roots, Seq("band", "band_key"))
+      .where(col("doc_id") =!= col("root"))
+      .select("doc_id", "root").distinct()
+    assert(starEdges.count() == 99L, "star edges must be |family|-1, not quadratic")
+    assert(Dedup.lshCandidates(df, numHashes = 8, rowsPerBand = 2, k = 4).count() == 4950L)
+    // and the clusters still collapse the family to the min id
+    val labels = Dedup.lshClusters(df, numHashes = 8, rowsPerBand = 2, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 100 && labels.values.forall(_ == 0L))
+  }
+
+  test("docs shorter than the shingle width emit no shingles (sequence(1,0) guard)") {
+    val df = Seq((1L, "abc"), (2L, "abcd"), (3L, "")).toDF("doc_id", "text")
+    val sh = Dedup.shingled(df, k = 4).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sh.toSeq == Seq((2L, "abcd")),
+      "short docs must yield zero shingles, not the bogus [1,0] down-count pair")
+  }
+
   test("bandingFor picks the S-curve closest to the target threshold") {
     assert(Dedup.bandingFor(0.5, 8) == 2) // (1/4)^(1/2) = 0.50 exactly
     assert(Dedup.bandingFor(0.8, 8) == 4) // (1/2)^(1/4) = 0.84

@@ -1,0 +1,62 @@
+package graft
+
+import graft.route.Fnv32a
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-parity of the FNV-1a 32 Kafka partitioner with the reference
+  * (libbeat/outputs/kafka/partition.go:214-278): known FNV-1a test
+  * vectors, the Go int32 abs/% quirks, and Column-vs-kernel agreement.
+  */
+class Fnv32aSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // published FNV-1a 32 vectors (draft-eastlake-fnv / fnv.isthe.com),
+  // signed-int32 reinterpretation
+  private val vectors = Seq(
+    "" -> 0x811c9dc5,
+    "a" -> 0xe40c292c,
+    "b" -> 0xe70c2de5,
+    "foobar" -> 0xbf9cf968,
+    "hello" -> 0x4f9f2cab)
+
+  test("kernel matches published FNV-1a 32 test vectors") {
+    vectors.foreach { case (s, expected) =>
+      assert(Fnv32a.hashBytes(s.getBytes("UTF-8")) == expected,
+        s"fnv1a($s)")
+    }
+  }
+
+  test("the Column expression equals the kernel over generated keys") {
+    val keys = (0 until 500).map(i => f"conv-$i%06d")
+    val got = keys.toDF("k")
+      .select(col("k"), Fnv32a.fnv32a(col("k")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    keys.foreach { k =>
+      assert(got(k) == Fnv32a.hashBytes(k.getBytes("UTF-8")), s"key $k")
+    }
+  }
+
+  test("hash2Partition parity: Go abs-wrap and sign-of-dividend %") {
+    // Go: p := int32(hash); if p < 0 { p = -p }; p % n
+    def goPartition(hash: Int, n: Int): Int = {
+      val p = if (hash < 0) -hash else hash // Int.MinValue wraps to itself
+      p % n
+    }
+    val keys = (0 until 500).map(i => s"k$i")
+    val got = keys.toDF("k")
+      .select(col("k"), Fnv32a.fnvPartition(col("k"), 16).as("p"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    keys.foreach { k =>
+      assert(got(k) == goPartition(Fnv32a.hashBytes(k.getBytes("UTF-8")), 16))
+    }
+  }
+
+  test("partitions spread across the full range (sanity)") {
+    val parts = (0 until 1000).map(i => s"conv-$i").toDF("k")
+      .select(Fnv32a.fnvPartition(col("k"), 16).as("p"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(parts == (0 until 16).toSet, s"got $parts")
+  }
+}

@@ -41,6 +41,39 @@ class LineageJsonSpec extends AnyFunSuite {
     assert(roundTrip(rec) == rec)
   }
 
+  test("torn (truncated) commit lines fail diagnosably, not with StringIndexOutOfBounds") {
+    // a crash mid-write is exactly when the parser runs next startup —
+    // every truncation point of a valid record must raise the
+    // IllegalArgumentException with position context, never an index error
+    val rec = LineageRecord(
+      runId = "run-torn", bucket = 1, inputFingerprint = "fp\\u00e9",
+      rowCount = 7, perSinkCounts = Map("s1" -> 3L, "s\"2" -> 4L),
+      parseErrors = 1, committedAt = "t", files = Seq("a.parquet"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-torn").toFile
+    try {
+      val lin = new Lineage(spark, dir.toString)
+      lin.commit(rec)
+      val f = new java.io.File(dir, "_lineage/bucket-00001.json")
+      val full = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // drop the local-FS checksum sidecar: we are simulating a torn DATA
+      // file, not a checksum mismatch
+      val crc = new java.io.File(dir, "_lineage/.bucket-00001.json.crc")
+      (1 until full.length).foreach { cut =>
+        java.nio.file.Files.write(f.toPath,
+          full.substring(0, cut).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (crc.exists()) crc.delete()
+        val err = intercept[IllegalArgumentException](lin.readAll())
+        assert(err.getMessage.contains("lineage json"), s"cut at $cut: ${err.getMessage}")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("empty sink map and unicode field values round-trip") {
     // unicode goes in VALUES (runId lands in the tmp filename, which the
     // JVM file encoding may not map - keep it ascii); control chars and
