@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-3 triage harness for the four queries whose r1→r2 timings
+  * jumped (VERDICT item 5): times each query under BOTH the round-1
+  * estimator (`.count()`, which prunes deterministic projections and
+  * unreferenced aggregate columns) and the round-2 estimator (noop-format
+  * write, which materializes every output column), 3 reps each, same
+  * session. If count() reproduces the round-1 band while the noop write
+  * reproduces the round-2 band on identical code, the "regression" is the
+  * measurement change, not the operators.
+  */
+object Triage {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val targets = Seq("q_langid", "q_minhash", "q_simhash", "q_ann_lsh")
+    // warmup (untimed)
+    graft.SparkEntry.queries("q_langid")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    for (q <- targets) {
+      val noops = (1 to 3).map { _ =>
+        val df = graft.SparkEntry.queries(q)(spark, sfDir)
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val counts = (1 to 3).map { _ =>
+        val df = graft.SparkEntry.queries(q)(spark, sfDir)
+        val t0 = System.nanoTime()
+        df.count(): Unit
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$q%-12s noop_min=${noops.min}%.3f s  count_min=${counts.min}%.3f s  " +
+        f"(noop=${noops.map(x => f"$x%.2f").mkString("/")} count=${counts.map(x => f"$x%.2f").mkString("/")})")
+    }
+    spark.stop()
+  }
+}

@@ -138,4 +138,45 @@ class PlantedDupSpec extends AnyFunSuite {
       .where(col("a") === 2L && col("b") === 1L).collect()
     assert(jac.isEmpty || jac.head.getDouble(3) < 0.5)
   }
+
+  test("size-ratio prefilter: output equals the definitional Jaccard; aggregate input provably shrinks") {
+    import spark.implicits._
+    // skewed-size fixture: a short doc fully embedded in a long one (high
+    // containment, size ratio far below threshold — the pair the prefilter
+    // drops BEFORE the aggregate) plus a same-size near-dup pair that must
+    // survive with its exact score
+    val long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8).trim
+    val short = "alpha beta gamma delta"
+    val nearA = "one two three four five six seven eight nine ten eleven twelve"
+    val nearB = "one two three four five six seven eight nine ten eleven dozen"
+    val rows = Seq((1L, long), (2L, short), (3L, nearA), (4L, nearB))
+    val df = rows.toDF("doc_id", "text")
+    val t = 0.5
+    val got = Dedup.ngramJaccard(df, k = 4, threshold = t, maxDocFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+
+    // definitional reference: distinct char-4-gram sets (df-cap irrelevant
+    // at 4 docs), exact Jaccard, threshold at the same 6-dp rounding
+    val sets = rows.map { case (id, s) =>
+      id -> (0 to s.length - 4).map(i => s.substring(i, i + 4)).toSet
+    }.toMap
+    val naive = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size if inter > 0
+      j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= t
+    } yield (a, b) -> j).toMap
+    assert(got == naive, s"prefiltered output diverged: got=$got naive=$naive")
+    assert(got.contains((3L, 4L)), "same-size near-dup pair must survive the prefilter")
+    assert(!got.contains((1L, 2L)), "embedded short doc cannot reach Jaccard 0.5")
+
+    // and the prefilter provably shrinks the pair-aggregate input: (1,2)
+    // share shingles (candidate row source) but fail the size-ratio bound
+    val shareShingle = (sets(1L) & sets(2L)).nonEmpty
+    val ratio = math.min(sets(1L).size, sets(2L).size).toDouble /
+      math.max(sets(1L).size, sets(2L).size)
+    assert(shareShingle && ratio < t - 1e-6,
+      "fixture must contain a shingle-sharing pair below the ratio bound")
+  }
 }
