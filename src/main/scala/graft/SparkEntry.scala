@@ -633,6 +633,30 @@ object SparkEntry {
         .withColumn("failed", col("decoded").isNull)
     },
 
+    // reader-side charset decode (readfile/encode.go:36): non-UTF-8
+    // upstream bytes (UTF-16BE/LE, latin-1 by doc_id) transcoded back to
+    // UTF-8 at the ingest edge. The byte-exact ROUND TRIP is the oracle:
+    // DuckDB never touches the charset, it just asserts decoded == text
+    // and the charset-determined payload width.
+    "q_charset_decode" -> { (s, dir) =>
+      import graft.parse.FieldDecoders.{decodeCharset, encodeCharset}
+      val m = pmod(col("doc_id"), lit(3))
+      val payload = when(m === 0, encodeCharset(col("text"), "UTF-16BE"))
+        .when(m === 1, encodeCharset(col("text"), "UTF-16LE"))
+        .otherwise(encodeCharset(col("text"), "ISO-8859-1"))
+      documents(s, dir)
+        .select(col("doc_id"),
+          when(m === 0, "UTF-16BE").when(m === 1, "UTF-16LE")
+            .otherwise("ISO-8859-1").as("charset"),
+          payload.as("payload"), col("text"))
+        .withColumn("decoded",
+          when(col("charset") === "UTF-16BE", decodeCharset(col("payload"), "UTF-16BE"))
+            .when(col("charset") === "UTF-16LE", decodeCharset(col("payload"), "UTF-16LE"))
+            .otherwise(decodeCharset(col("payload"), "ISO-8859-1")))
+        .select(col("doc_id"), col("charset"), col("decoded"),
+          octet_length(col("payload")).as("payload_bytes"))
+    },
+
     // detect_mime_type: magic-byte sniff over media binaries planted with
     // real signatures (png/jpeg/gif/zip/gzip) + a textual fallback branch
     "q_mime_detect" -> { (s, dir) =>
@@ -1834,6 +1858,16 @@ object SparkEntry {
         |      try_strptime(raw, '%d/%b/%Y:%H:%M:%S')) AS parsed
         |  FROM r)
         |SELECT event_id, raw, parsed, parsed IS NULL AS failed FROM p""".stripMargin,
+
+    // round-trip oracle: decoded must equal the source text; payload
+    // width is charset-determined (ASCII fixture: UTF-16 = 2 B/char, no
+    // BOM for the BE/LE variants; latin-1 = 1 B/char)
+    "q_charset_decode" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'UTF-16BE' WHEN 1 THEN 'UTF-16LE' ELSE 'ISO-8859-1' END AS charset,
+        |  text AS decoded,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN length(text) ELSE 2 * length(text) END AS INTEGER) AS payload_bytes
+        |FROM documents""".stripMargin,
 
     "q_base64_decode" ->
       """WITH b AS (

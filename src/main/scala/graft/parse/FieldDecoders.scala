@@ -24,6 +24,24 @@ import org.apache.spark.sql.functions._
   */
 object FieldDecoders {
 
+  /** Reader-side character-set decode — the Spark rendering of the
+    * harvester's encoding layer (libbeat/reader/readfile/encode.go:36:
+    * every non-UTF-8 input stream is transcoded to UTF-8 before any
+    * processor sees it). Parquet columns arrive as UTF-8 strings, so
+    * this applies when an upstream system lands RAW bytes in a binary
+    * column (UTF-16 exports, latin-1 legacy logs): decode once at the
+    * ingest edge, everything downstream is plain StringType. A narrow
+    * codegen'd builtin — no shuffle, rides the scan stage at 100 TB.
+    * Charset must be a plan-time literal, exactly like the reference's
+    * per-input `encoding:` config compiled at startup.
+    */
+  def decodeCharset(raw: Column, charset: String): Column =
+    decode(raw, charset)
+
+  /** The matching ingest-edge encoder (test/round-trip side). */
+  def encodeCharset(text: Column, charset: String): Column =
+    encode(text, charset)
+
   /** Epoch-second strings (10 digits) and epoch-milli strings (13
     * digits) — the reference's UNIX / UNIX_MS special layouts. */
   private val unixRe = "^[0-9]{10}$"
