@@ -826,6 +826,13 @@ object SparkEntry {
     "q_lsh_pairs" -> ((s, dir) =>
       Dedup.lshCandidates(docsWithDupes(s, dir), numHashes = 8, rowsPerBand = 4, k = 4)),
 
+    // bucket-width-capped pair emission: the bounded form of the QA pair
+    // path at 100 TB — mega-buckets (template families) are excluded from
+    // quadratic emission and left to the linear cluster path
+    "q_lsh_capped" -> ((s, dir) =>
+      Dedup.lshCandidates(docsWithDupes(s, dir), numHashes = 8, rowsPerBand = 4,
+        k = 4, maxBucketWidth = Some(2))),
+
     // linear-output dedup: min-label propagation over the LSH candidate
     // graph (3 fixed rounds, deterministic — the scalable alternative to
     // quadratic pair emission)
@@ -2188,6 +2195,26 @@ object SparkEntry {
          |  FROM mh GROUP BY 1, 2)
          |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          |FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+         |WHERE l.doc_id < r.doc_id""".stripMargin,
+
+    "q_lsh_capped" ->
+      s"""WITH $DocsDupesSql,
+         |sh AS (
+         |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(length(text) - 3, 0)),
+         |    i -> substr(text, CAST(i AS INTEGER), 4))) AS shingle
+         |  FROM docs2),
+         |${Dedup.minhashSql(8)},
+         |bands AS (
+         |  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         |    string_agg(CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR), '|'
+         |      ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR)) AS band_key
+         |  FROM mh GROUP BY 1, 2),
+         |bw AS (
+         |  SELECT band, band_key FROM bands GROUP BY 1, 2 HAVING count(*) <= 2)
+         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |FROM bands l
+         |JOIN bw w ON l.band = w.band AND l.band_key = w.band_key
+         |JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
          |WHERE l.doc_id < r.doc_id""".stripMargin,
 
     "q_winsorized" ->

@@ -212,11 +212,30 @@ object Dedup {
       .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
+  /** @param maxBucketWidth drop (band, band_key) buckets with more than
+    *   this many members BEFORE pair emission. Pair output is quadratic
+    *   in bucket width — a 10⁴-doc template family is 5·10⁷ pairs from
+    *   ONE bucket — and such mega-buckets are exactly the families the
+    *   linear [[lshClusters]] path already handles; capping them keeps
+    *   the QA/verify pair paths bounded at 100 TB (width·(width−1)/2 per
+    *   bucket, ≤ cap²/2). None = emit everything (the small-corpus
+    *   default, and what the uncapped oracles verify).
+    */
   def lshCandidates(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
-      k: Int = 4, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      k: Int = 4, idCol: String = "doc_id", textCol: String = "text",
+      maxBucketWidth: Option[Int] = None): DataFrame = {
     val bands = lshBands(df, numHashes, rowsPerBand, k, idCol, textCol)
-    val l = bands.select(col(idCol).as("a"), col("band"), col("band_key"))
-    val r = bands.select(col(idCol).as("b"), col("band"), col("band_key"))
+    val sized = maxBucketWidth match {
+      case Some(w) =>
+        val widths = bands.groupBy("band", "band_key")
+          .agg(count(lit(1)).as("_width"))
+          .where(col("_width") <= w)
+          .select("band", "band_key")
+        bands.join(widths, Seq("band", "band_key"))
+      case None => bands
+    }
+    val l = sized.select(col(idCol).as("a"), col("band"), col("band_key"))
+    val r = sized.select(col(idCol).as("b"), col("band"), col("band_key"))
     l.join(r, Seq("band", "band_key"))
       .where(col("a") < col("b"))
       .select("a", "b").distinct()

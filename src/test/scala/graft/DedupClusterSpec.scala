@@ -56,6 +56,30 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(labels.size == 100 && labels.values.forall(_ == 0L))
   }
 
+  test("bucket-width cap bounds pair emission: wide family excluded, narrow pairs intact") {
+    // 30-copy family (every bucket width 30) + 3 distinct near-dup PAIRS
+    // (bucket width 2). Cap 4: the family's quadratic 435 pairs vanish,
+    // the narrow pairs all survive, and capped ⊆ uncapped.
+    val family = (0 until 30).map(i => (100L + i, base(11)))
+    val pairs = (0 until 3).flatMap(i =>
+      Seq((200L + 2 * i, base(20 + i)), (201L + 2 * i, base(20 + i))))
+    val df = (family ++ pairs).toDF("doc_id", "text")
+    val uncapped = Dedup.lshCandidates(df, numHashes = 8, rowsPerBand = 2, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.lshCandidates(df, numHashes = 8, rowsPerBand = 2, k = 4,
+        maxBucketWidth = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    assert(uncapped.count(p => p._1 >= 100 && p._1 < 130) == 30 * 29 / 2,
+      "uncapped emission of the 30-copy family must be quadratic (435 pairs)")
+    assert(!capped.exists(p => p._1 >= 100 && p._1 < 130),
+      "capped emission must exclude the wide family's buckets")
+    (0 until 3).foreach { i =>
+      assert(capped.contains((200L + 2 * i, 201L + 2 * i)),
+        s"narrow pair ${200 + 2 * i} must survive the cap")
+    }
+  }
+
   test("docs shorter than the shingle width emit no shingles (sequence(1,0) guard)") {
     val df = Seq((1L, "abc"), (2L, "abcd"), (3L, "")).toDF("doc_id", "text")
     val sh = Dedup.shingled(df, k = 4).collect().map(r => (r.getLong(0), r.getString(1)))

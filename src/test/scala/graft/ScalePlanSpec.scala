@@ -97,6 +97,24 @@ class ScalePlanSpec extends AnyFunSuite {
       s"estimate join must stay keyed on the candidate ids:\n$s2")
   }
 
+  test("ivfTopK joined assignment: centroids as a broadcast TABLE, no literal array, no cartesian") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val joined = Similarity.ivfTopK(emb, queries, k = 3, nprobe = 2,
+      literalMaxCentroids = 1) // force the scale path
+    joined.collect()
+    val s = joined.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct"), s"cell assignment must never be a cartesian:\n$s")
+    assert(s.contains("LocalTableScan"),
+      s"centroids must arrive as a broadcast table, not inline expressions:\n$s")
+    // the literal path embeds one struct literal per centroid in the plan;
+    // the joined path's plan must not contain that per-centroid expansion
+    assert(!s.contains("named_struct(cent_id"),
+      s"joined path leaked per-centroid literal structs into the plan:\n$s")
+  }
+
   test("star top-k: pushed scan filters, broadcast dims, TakeOrderedAndProject") {
     import graft.ops.StarQueries
     val dir = "/root/testdata/sf0.001"
