@@ -547,6 +547,12 @@ object SparkEntry {
         n = 8, minShared = 3, maxDocFreq = 100)
     },
 
+    // ExactSubstr span dedup (Lee et al. 2022): maximal token spans whose
+    // word 8-grams occur in >=2 distinct docs — the substring-level dedup
+    // the whole-doc operators miss (planted copies => whole-doc spans)
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(docsWithDupes(s, dir), n = 8, minDocFreq = 2)),
+
     // z-order clustering key over (user, time) — the two-dimensional
     // layout key; emitted per event for verification
     "q_zorder" -> ((s, dir) =>
@@ -1791,6 +1797,31 @@ object SparkEntry {
          |WHERE train_id <> bench_id
          |GROUP BY 1, 2
          |HAVING count(*) >= 3""".stripMargin,
+
+    "q_dup_spans" ->
+      s"""WITH $DocsDupesSql,
+         |gr AS (
+         |  SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+         |    array_to_string(toks[pos:pos+7], ' ') AS gram FROM (
+         |    SELECT doc_id, toks,
+         |      UNNEST(generate_series(1, greatest(len(toks) - 7, 0))) AS pos
+         |    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM docs2))),
+         |g AS (SELECT doc_id, pos, ${Dedup.gramHashSql("gram")} AS g FROM gr),
+         |hot AS (SELECT g FROM (
+         |  SELECT g, count(DISTINCT doc_id) AS gdf FROM g GROUP BY 1) WHERE gdf >= 2),
+         |hits AS (SELECT g.doc_id, g.pos FROM g JOIN hot USING (g)),
+         |b AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+         |         THEN 1 ELSE 0 END AS bd
+         |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |sp AS (
+         |  SELECT doc_id, pos,
+         |    CAST(SUM(bd) OVER (PARTITION BY doc_id ORDER BY pos) AS INTEGER) AS span
+         |  FROM b)
+         |SELECT doc_id, span, min(pos) AS start_tok, max(pos) + 7 AS end_tok,
+         |  CAST(count(*) AS BIGINT) AS n_grams
+         |FROM sp GROUP BY 1, 2""".stripMargin,
 
     "q_zorder" -> {
       val interleave = (0 until 16).map(i =>

@@ -432,6 +432,51 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Exact-substring duplicate SPANS — the ExactSubstr operator of Lee
+    * et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", the published recipe that removes ≥50-token substrings
+    * occurring twice in the corpus) re-expressed for Spark. The paper's
+    * implementation builds one corpus-wide suffix array — inherently
+    * sequential and memory-resident; the distributed rendering is
+    * gram-level and exactly equivalent for spans ≥ n tokens: hash every
+    * word n-gram to a 48-bit key ([[gramHash]] — 8-byte shuffle keys),
+    * count DISTINCT documents per gram, keep the positions of grams
+    * occurring in ≥ `minDocFreq` docs, and merge overlapping/adjacent
+    * positions per doc into maximal spans with one doc-keyed window
+    * (lag + running-sum boundary, the sessionization shape; positions p
+    * and p' merge when p' − p ≤ n, i.e. their token coverage is
+    * contiguous). Output: (doc, span ordinal, start_tok, end_tok,
+    * n_grams), 1-based inclusive token bounds.
+    *
+    * Scale shape: two hash exchanges (gram-df aggregate; per-doc window)
+    * over 8-byte keys — nothing quadratic, nothing collected. At a real
+    * 50-token threshold set n = 50: the gram table stays one row per
+    * token position regardless of n.
+    */
+  def dupSpans(df: DataFrame, n: Int = 8, minDocFreq: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val grams = df.select(
+        col(idCol),
+        posexplode(TextAnalysis.wordGrams(toks, n)).as(Seq("_i", "_gram")))
+      .select(col(idCol), (col("_i") + 1).as("pos"), gramHash(col("_gram")).as("g"))
+    val hot = grams.groupBy("g")
+      .agg(countDistinct(col(idCol)).as("_gdf"))
+      .where(col("_gdf") >= minDocFreq)
+      .select("g")
+    val hits = grams.join(hot, Seq("g")).select(col(idCol), col("pos"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val prev = lag(col("pos"), 1).over(w)
+    val boundary = prev.isNull || (col("pos") - prev) > n
+    hits.withColumn("_b", boundary.cast("int"))
+      .withColumn("span", sum(col("_b")).over(w).cast("int"))
+      .groupBy(col(idCol), col("span"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + (n - 1)).as("end_tok"),
+        count(lit(1)).cast("long").as("n_grams"))
+  }
+
   /** SimHash over BPE-ish tokens: per bit, +1 for a set bit and -1 for
     * an unset bit of md5(token), summed over tokens; signature bit =
     * sum>0. Near-dups land on equal (or near-equal) signatures.

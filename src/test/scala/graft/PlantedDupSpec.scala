@@ -139,6 +139,25 @@ class PlantedDupSpec extends AnyFunSuite {
     assert(jac.isEmpty || jac.head.getDouble(3) < 0.5)
   }
 
+  test("dupSpans: whole-doc span for exact copies, prefix-only span for a shared prefix") {
+    import spark.implicits._
+    val a = (1 to 16).map(i => s"w$i").mkString(" ") // 16 tokens, 9 8-grams
+    val sharedPrefix = (1 to 8).map(i => s"w$i").mkString(" ") + " " +
+      (1 to 8).map(i => s"u$i").mkString(" ")
+    val df = Seq(
+      (1L, a), (2L, a), // exact copies: every gram hot
+      (3L, (1 to 16).map(i => s"z$i").mkString(" ")), // unrelated: no span
+      (4L, sharedPrefix)) // shares ONLY the gram at pos 1 with docs 1/2
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpans(df, n = 8, minDocFreq = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    assert(out === Set(
+      (1L, 1, 1, 16, 9L), (2L, 1, 1, 16, 9L), // maximal whole-doc spans
+      (4L, 1, 1, 8, 1L))) // prefix span only; doc 3 clean
+  }
+
   test("size-ratio prefilter: output equals the definitional Jaccard; aggregate input provably shrinks") {
     import spark.implicits._
     // skewed-size fixture: a short doc fully embedded in a long one (high
