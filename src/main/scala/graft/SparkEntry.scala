@@ -553,6 +553,11 @@ object SparkEntry {
     "q_dup_spans" -> ((s, dir) =>
       Dedup.dupSpans(docsWithDupes(s, dir), n = 8, minDocFreq = 2)),
 
+    // the removal form: duplicated spans CUT from every non-keeper doc
+    // (keeper = min doc id per gram), text reassembled token-exactly
+    "q_scrub_spans" -> ((s, dir) =>
+      Dedup.scrubDupSpans(docsWithDupes(s, dir), n = 8, minDocFreq = 2)),
+
     // z-order clustering key over (user, time) — the two-dimensional
     // layout key; emitted per event for verification
     "q_zorder" -> ((s, dir) =>
@@ -1822,6 +1827,45 @@ object SparkEntry {
          |SELECT doc_id, span, min(pos) AS start_tok, max(pos) + 7 AS end_tok,
          |  CAST(count(*) AS BIGINT) AS n_grams
          |FROM sp GROUP BY 1, 2""".stripMargin,
+
+    "q_scrub_spans" ->
+      s"""WITH $DocsDupesSql,
+         |tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM docs2),
+         |gr AS (
+         |  SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+         |    array_to_string(toks[pos:pos+7], ' ') AS gram FROM (
+         |    SELECT doc_id, toks,
+         |      UNNEST(generate_series(1, greatest(len(toks) - 7, 0))) AS pos
+         |    FROM tk)),
+         |g AS (SELECT doc_id, pos, ${Dedup.gramHashSql("gram")} AS g FROM gr),
+         |hot AS (
+         |  SELECT g, min(doc_id) AS keeper FROM g GROUP BY 1
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |hits AS (
+         |  SELECT g.doc_id, g.pos FROM g JOIN hot USING (g)
+         |  WHERE g.doc_id <> hot.keeper),
+         |b AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+         |         THEN 1 ELSE 0 END AS bd
+         |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |spans AS (
+         |  SELECT doc_id, span, min(pos) AS s, max(pos) + 7 AS e FROM (
+         |    SELECT doc_id, pos,
+         |      SUM(bd) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+         |    FROM b) GROUP BY 1, 2),
+         |tokens AS (
+         |  SELECT doc_id, CAST(p AS INTEGER) AS pos, toks[CAST(p AS INTEGER)] AS tok
+         |  FROM (SELECT doc_id, toks, UNNEST(generate_series(1, len(toks))) AS p FROM tk)),
+         |marked AS (
+         |  SELECT t.doc_id, t.pos, t.tok, s.doc_id IS NOT NULL AS inspan
+         |  FROM tokens t LEFT JOIN spans s
+         |    ON s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e)
+         |SELECT doc_id,
+         |  COALESCE(string_agg(CASE WHEN NOT inspan THEN tok END, ' ' ORDER BY pos), '') AS cleaned,
+         |  CAST(sum(CASE WHEN inspan THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_tokens
+         |FROM marked GROUP BY 1""".stripMargin,
 
     "q_zorder" -> {
       val interleave = (0 until 16).map(i =>

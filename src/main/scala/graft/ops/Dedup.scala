@@ -477,6 +477,55 @@ object Dedup {
         count(lit(1)).cast("long").as("n_grams"))
   }
 
+  /** The REMOVAL form of [[dupSpans]] — the output ExactSubstr actually
+    * ships: each document's text with cross-corpus duplicated spans CUT,
+    * keeping the one occurrence in the lowest-id document per gram (the
+    * deterministic stand-in for the paper's "keep one occurrence").
+    * Span derivation is [[dupSpans]] restricted to non-keeper docs; the
+    * cut re-assembles tokens outside spans in order. One extra narrow
+    * token explode + a per-doc aggregate on top of the span derivation;
+    * the range join is per-doc (equi on the id, bounded spans per doc).
+    * Output: (id, cleaned, n_dropped_tokens, n_tokens).
+    */
+  def scrubDupSpans(df: DataFrame, n: Int = 8, minDocFreq: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val grams = df.select(
+        col(idCol),
+        posexplode(TextAnalysis.wordGrams(toks, n)).as(Seq("_i", "_gram")))
+      .select(col(idCol), (col("_i") + 1).as("pos"), gramHash(col("_gram")).as("g"))
+    val hot = grams.groupBy("g")
+      .agg(countDistinct(col(idCol)).as("_gdf"), min(col(idCol)).as("_keeper"))
+      .where(col("_gdf") >= minDocFreq)
+      .select("g", "_keeper")
+    val hits = grams.join(hot, Seq("g"))
+      .where(col(idCol) =!= col("_keeper"))
+      .select(col(idCol), col("pos"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val prev = lag(col("pos"), 1).over(w)
+    val spans = hits
+      .withColumn("_b", (prev.isNull || (col("pos") - prev) > n).cast("int"))
+      .withColumn("_span", sum(col("_b")).over(w))
+      .groupBy(col(idCol), col("_span"))
+      .agg(min(col("pos")).as("_s"), (max(col("pos")) + (n - 1)).as("_e"))
+      .select(col(idCol).as("_sid"), col("_s"), col("_e"))
+    val tokens = df.select(col(idCol), posexplode(toks).as(Seq("_ti", "tok")))
+      .select(col(idCol), (col("_ti") + 1).as("pos"), col("tok"))
+    // maximal spans never overlap ⇒ each token matches ≤ 1 span
+    val marked = tokens.join(spans,
+        col(idCol) === col("_sid") && col("pos").between(col("_s"), col("_e")), "left")
+      .select(col(idCol), col("pos"), col("tok"), col("_s").isNotNull.as("_inspan"))
+    marked.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(
+            when(!col("_inspan"), struct(col("pos"), col("tok"))))),
+          s => s.getField("tok")), " ").as("cleaned"),
+        sum(col("_inspan").cast("int")).cast("long").as("n_dropped_tokens"),
+        count(lit(1)).cast("long").as("n_tokens"))
+  }
+
   /** SimHash over BPE-ish tokens: per bit, +1 for a set bit and -1 for
     * an unset bit of md5(token), summed over tokens; signature bit =
     * sum>0. Near-dups land on equal (or near-equal) signatures.

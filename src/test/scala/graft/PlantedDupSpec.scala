@@ -158,6 +158,20 @@ class PlantedDupSpec extends AnyFunSuite {
       (4L, 1, 1, 8, 1L))) // prefix span only; doc 3 clean
   }
 
+  test("scrubDupSpans keeps the min-doc occurrence intact and cuts the copy's span") {
+    import spark.implicits._
+    val a = (1 to 16).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, a), (2L, a), // doc 1 is the keeper: untouched; doc 2 fully cut
+      (3L, (1 to 16).map(i => s"z$i").mkString(" "))) // unrelated: untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubDupSpans(df, n = 8, minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === ((a, 0L, 16L)), "keeper doc must be untouched")
+    assert(out(2L) === (("", 16L, 16L)), "copy must be fully scrubbed")
+    assert(out(3L)._2 === 0L, "unrelated doc must lose nothing")
+  }
+
   test("size-ratio prefilter: output equals the definitional Jaccard; aggregate input provably shrinks") {
     import spark.implicits._
     // skewed-size fixture: a short doc fully embedded in a long one (high
