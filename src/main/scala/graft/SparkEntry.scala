@@ -567,6 +567,14 @@ object SparkEntry {
           col("user_id"),
           unix_timestamp(col("ts").cast("timestamp"))).as("zkey"))),
 
+    // DSIR-style data selection (hashed-unigram importance vs the src0
+    // slice as the target corpus; integer floor-log2 weights)
+    "q_dsir" -> ((s, dir) =>
+      graft.ops.Curation.dsirScores(
+        documents(s, dir),
+        documents(s, dir).where(col("source") === "src0"),
+        buckets = 4096)),
+
     // deterministic hash-based train/val/test split (98/1/1)
     "q_hash_split" -> ((s, dir) =>
       graft.ops.Curation.hashSplit(documents(s, dir))
@@ -1877,6 +1885,26 @@ object SparkEntry {
          |  FROM events)
          |SELECT event_id, $interleave AS zkey FROM e""".stripMargin
     },
+
+    "q_dsir" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, ${Dedup.gramHashSql("tok")} % 4096 AS b FROM (
+         |    SELECT doc_id, UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         |    FROM documents)),
+         |tf AS (
+         |  SELECT doc_id, ${Dedup.gramHashSql("tok")} % 4096 AS b FROM (
+         |    SELECT doc_id, UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         |    FROM documents WHERE source = 'src0')),
+         |sc AS (SELECT b, count(*) AS sc FROM f GROUP BY 1),
+         |tc AS (SELECT b, count(*) AS tc FROM tf GROUP BY 1),
+         |w AS (
+         |  SELECT COALESCE(sc.b, tc.b) AS b,
+         |    CAST(floor(log2(COALESCE(tc, 0) + 1)) - floor(log2(COALESCE(sc, 0) + 1)) AS BIGINT) AS w
+         |  FROM sc FULL JOIN tc ON sc.b = tc.b),
+         |dc AS (SELECT doc_id, b, count(*) AS c FROM f GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c * w) AS BIGINT) AS dsir_score,
+         |  CAST(sum(c) AS BIGINT) AS n_feats
+         |FROM dc JOIN w USING (b) GROUP BY 1""".stripMargin,
 
     "q_hash_split" -> {
       val bucket = graft.ops.Curation.splitBucketSql("doc_id")

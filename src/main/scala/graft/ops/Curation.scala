@@ -188,6 +188,50 @@ object Curation {
     * odd. Pure integer bit arithmetic — codegen'd, no shuffle, and any
     * SQL engine reproduces the identical key.
     */
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — the published hashed
+    * n-gram importance-weight recipe): score each raw-corpus document by
+    * how much its hashed-token feature counts look like a small TARGET
+    * corpus rather than the raw SOURCE distribution.
+    *
+    * Integer-exact rendering: features are 48-bit-hashed word unigrams
+    * bucketed mod `buckets`; each bucket's weight is
+    * floor(log2(1+target_count)) − floor(log2(1+source_count)) — a
+    * 2-adic approximation of the paper's log-likelihood ratio, chosen
+    * because floor(log2) over exact integer counts is bit-identical in
+    * every engine (the repo's no-ln oracle rule; exact powers of two are
+    * exact in IEEE log2 and non-powers sit ≥1e-10 from the boundary),
+    * while preserving the ratio ordering at 1-bit granularity. The doc
+    * score is Σ feature_count · bucket_weight over LONGS —
+    * order-independent, exactly reproducible.
+    *
+    * Scale shape: two token-bucket aggregates (map-side combined, ≤
+    * `buckets` result rows each), the ≤`buckets`-row weight table
+    * BROADCAST back over a per-(doc, bucket) aggregate — the corpus
+    * shuffles once on (doc, bucket), never on raw tokens; the target
+    * corpus is by definition small.
+    */
+  def dsirScores(source: DataFrame, target: DataFrame, buckets: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def feats(df: DataFrame): DataFrame = df
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
+      .select(col(idCol),
+        pmod(graft.ops.Dedup.gramHash(col("_tok")), lit(buckets)).as("b"))
+    val sf = feats(source)
+    val sc = sf.groupBy("b").agg(count(lit(1)).as("_sc"))
+    val tc = feats(target).groupBy("b").agg(count(lit(1)).as("_tc"))
+    val w = sc.join(tc, Seq("b"), "full")
+      .select(col("b"),
+        (floor(log2(coalesce(col("_tc"), lit(0L)) + 1)) -
+          floor(log2(coalesce(col("_sc"), lit(0L)) + 1))).cast("long").as("w"))
+    sf.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("_c"))
+      .join(broadcast(w), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c") * col("w")).cast("long").as("dsir_score"),
+        sum(col("_c")).cast("long").as("n_feats"))
+  }
+
   def zorderKey(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
     val mask = (1L << bits) - 1

@@ -12,6 +12,26 @@ class CorpusOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("dsirScores: target-like docs score above source-typical docs; weights integer-exact") {
+    import graft.ops.Curation
+    // source corpus: 20 filler docs + 2 docs written in the target's
+    // distinctive vocabulary; target = 5 docs of that vocabulary
+    val filler = (0 until 20).map(i =>
+      (i.toLong, s"common words filler noise pad$i everyday stuff"))
+    val targetLike = Seq(
+      (100L, "quantum flux entangle qubit decohere quantum flux"),
+      (101L, "entangle qubit quantum decohere flux qubit"))
+    val source = (filler ++ targetLike).toDF("doc_id", "text")
+    val target = (0 until 5).map(i =>
+      (1000L + i, "quantum flux entangle qubit decohere"))
+      .toDF("doc_id", "text")
+    val scores = Curation.dsirScores(source, target, buckets = 512)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fillerMax = filler.map(d => scores(d._1)).max
+    assert(scores(100L) > fillerMax && scores(101L) > fillerMax,
+      s"target-like docs must outscore filler: ${scores(100L)}/${scores(101L)} vs max filler $fillerMax")
+  }
+
   test("bigramNovelty: exact integer-ratio scores on a tiny corpus") {
     val docs = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
     // corpus bigram counts: (a,b)=3, (b,a)=1, (b,c)=1, (b,x)=1
