@@ -1309,7 +1309,66 @@ object SparkEntry {
         .select(col("media_id"), col("kind"),
           posexplode(col("features")).as(Seq("feature_idx", "f")))
         .select(col("media_id"), col("kind"), col("feature_idx"),
-          floor(col("f").cast("double") * 1000000d + 0.5d).cast("long").as("f_fp")))
+          floor(col("f").cast("double") * 1000000d + 0.5d).cast("long").as("f_fp"))),
+
+    // shuffle-free co-located fact⋈fact join: both sides persisted
+    // bucketed + bucket-sorted on the key, merge join reads buckets
+    // pairwise with ZERO exchanges and the groupBy rides the same
+    // partitioning (asserted in BucketedJoinSpec) — the layout a
+    // 10¹²-row table pays once at ingest and joins on for free
+    "q_bucketed_join" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+      val cust = tpch(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val ord = tpch(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+      graft.ops.BucketedJoin.coLocated(s, cust, ord, "c_custkey",
+          buckets = 8, baseDir = base)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long").as("total_cents"))
+    },
+
+    // reader-edge Unicode normalization: the same visible string arrives
+    // composed/decomposed/ligatured by source; NFC canonicalizes storage,
+    // NFKC folds compatibility forms for dedup/vocab keys. The oracle
+    // builds the EXPECTED normalized strings directly from target code
+    // points (chr()) and never runs a normalizer — same one-sided design
+    // as q_charset_decode.
+    "q_nfc_norm" -> { (s, dir) =>
+      import graft.parse.UnicodeNorm.normalizeUnicode
+      val v = pmod(col("doc_id"), lit(4))
+      val raw = when(v === 0, lit("Café")) // e + combining acute
+        .when(v === 1, lit("ﬁle")) // ﬁ ligature (NFKC → "fi")
+        .when(v === 2, lit("Ångström")) // angstrom sign + o+diaeresis
+        .otherwise(lit("x2¹")) // superscript one (NFKC → "1")
+      documents(s, dir)
+        .select(col("doc_id"), v.as("variant"),
+          concat(raw, lit(" "), col("text")).as("raw"))
+        .select(col("doc_id"), col("variant"),
+          normalizeUnicode(col("raw"), "NFC").as("nfc"),
+          normalizeUnicode(col("raw"), "NFKC").as("nfkc"),
+          (normalizeUnicode(col("raw"), "NFC") =!= col("raw")).as("changed"))
+    },
+
+    // corpus-trained bigram-LM document scoring (the CCNet LM-filter
+    // shape) — log-likelihood rendered with the integer floor-log2 rule
+    "q_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmBigramScore(documents(s, dir))),
+
+    // corpus-global keep-first line dedup (CCNet §3.1) over documents
+    // with planted cross-doc banner lines — only the (min doc, min pos)
+    // copy of each banner survives
+    "q_line_dedup" -> { (s, dir) =>
+      val d = documents(s, dir)
+      val withBanner = when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("\nSubscribe to our newsletter")))
+        .otherwise(col("text"))
+      val dirty = when(col("doc_id") % 5 === 0,
+          concat(withBanner, lit("\nCopyright 2024 Example Corp")))
+        .otherwise(withBanner)
+      Dedup.dedupLinesKeepFirst(d.select(col("doc_id"), dirty.as("text")))
+    }
   )
 
   // --- oracle SQL (DuckDB) ----------------------------------------------
@@ -3239,6 +3298,80 @@ object SparkEntry {
         |  CAST(floor(CAST(CAST(COALESCE(s.sb, 0) / 255.0 AS FLOAT) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS f_fp
         |FROM documents d
         |CROSS JOIN (SELECT CAST(range AS INTEGER) AS j FROM range(8)) g
-        |LEFT JOIN s ON s.doc_id = d.doc_id AND s.j = g.j""".stripMargin
+        |LEFT JOIN s ON s.doc_id = d.doc_id AND s.j = g.j""".stripMargin,
+
+    // the bucketed layout is physical-only — the oracle is the plain join
+    "q_bucketed_join" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // expected NFC/NFKC strings built directly from the target code
+    // points — DuckDB never runs a normalizer (one-sided oracle, like
+    // q_charset_decode); the documents text itself is ASCII and thus
+    // normalization-inert
+    "q_nfc_norm" ->
+      """SELECT doc_id, doc_id % 4 AS variant,
+        |  (CASE CAST(doc_id % 4 AS INTEGER)
+        |     WHEN 0 THEN 'Caf' || chr(233)
+        |     WHEN 1 THEN chr(64257) || 'le'
+        |     WHEN 2 THEN chr(197) || 'ngstr' || chr(246) || 'm'
+        |     ELSE 'x2' || chr(185) END) || ' ' || text AS nfc,
+        |  (CASE CAST(doc_id % 4 AS INTEGER)
+        |     WHEN 0 THEN 'Caf' || chr(233)
+        |     WHEN 1 THEN 'file'
+        |     WHEN 2 THEN chr(197) || 'ngstr' || chr(246) || 'm'
+        |     ELSE 'x21' END) || ' ' || text AS nfkc,
+        |  CAST(doc_id % 4 AS INTEGER) IN (0, 2) AS changed
+        |FROM documents""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, a[CAST(i AS INTEGER)] AS w1, a[CAST(i AS INTEGER) + 1] AS w2
+        |  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i FROM t)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+        |d AS (SELECT doc_id, w1, w2, count(*) AS n FROM b GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |  CAST(sum(n * (floor(log2(c12)) - floor(log2(c1)))) AS BIGINT) AS lm_score,
+        |  CAST(sum(n) AS BIGINT) AS n_bigrams
+        |FROM d JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY 1""".stripMargin,
+
+    // keep-first line dedup: the oracle keys on trim(line) directly where
+    // Spark keys on its 48-bit md5 prefix — divergence is hash-collision
+    // only (the decontam/boilerplate keying argument)
+    "q_line_dedup" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || chr(10) || 'Subscribe to our newsletter' ELSE text END AS t0
+        |  FROM documents),
+        |src2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN t0 || chr(10) || 'Copyright 2024 Example Corp' ELSE t0 END AS text
+        |  FROM src),
+        |t AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM src2),
+        |l AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) - 1 AS line_no, a[CAST(i AS INTEGER)] AS line
+        |  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i FROM t)),
+        |k AS (
+        |  SELECT doc_id, line_no, line,
+        |    row_number() OVER (PARTITION BY trim(line) ORDER BY doc_id, line_no) AS rn
+        |  FROM l),
+        |kept AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM k WHERE rn = 1 GROUP BY 1)
+        |SELECT t.doc_id, COALESCE(kept.clean_text, '') AS clean_text,
+        |  CAST(len(t.a) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id""".stripMargin
   )
 }

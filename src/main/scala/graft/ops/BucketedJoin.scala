@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Shuffle-free co-located joins via datasource bucketing — the 100 TB
+  * fact⋈fact shape.
+  *
+  * Broadcast joins (the repo's default for dims, `Enrich.scala`) stop
+  * working when BOTH sides are huge; the classic answer is to pay the
+  * shuffle ONCE at ingest: persist each table bucketed (+ bucket-sorted)
+  * on the join key, and every subsequent join on that key reads buckets
+  * pairwise — the scans themselves report `HashPartitioning(key, B)`, so
+  * the sort-merge join needs NO exchange on either side, and a following
+  * `groupBy(key)` rides the same partitioning for free. At 10¹² rows this
+  * is the difference between re-shuffling 100 TB per query and never
+  * shuffling it again.
+  *
+  * Bucket count is a layout-time choice: it must hold until the next
+  * rewrite, so size B to the TARGET scale (fact_bytes / ~256 MB per
+  * bucket-file per partition), not the current one — both sides must use
+  * the SAME B for the co-location to align.
+  */
+object BucketedJoin {
+
+  /** Persist `df` as a bucketed + bucket-sorted external parquet table
+    * under `baseDir` and return the bucketed read. `mode=Overwrite` makes
+    * re-runs idempotent (Verify/Bench call this repeatedly).
+    */
+  def persistBucketed(spark: SparkSession, df: DataFrame, name: String,
+      key: String, buckets: Int, baseDir: String): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", s"$baseDir/$name")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(name)
+    spark.table(name)
+  }
+
+  /** Bucket both sides on `key` and join the bucketed reads. The `merge`
+    * hint pins the sort-merge path even when one side would fit a
+    * broadcast at test scale — the point of the operator is the
+    * exchange-free SMJ that survives when NEITHER side fits (asserted in
+    * `BucketedJoinSpec`), so the co-location must be load-bearing, not
+    * decoration the optimizer bypasses.
+    */
+  def coLocated(spark: SparkSession, left: DataFrame, right: DataFrame,
+      key: String, buckets: Int, baseDir: String,
+      namePrefix: String = "graft_bkt"): DataFrame = {
+    val l = persistBucketed(spark, left, s"${namePrefix}_l", key, buckets, baseDir)
+    val r = persistBucketed(spark, right, s"${namePrefix}_r", key, buckets, baseDir)
+    l.hint("merge").join(r.hint("merge"), Seq(key))
+  }
+}

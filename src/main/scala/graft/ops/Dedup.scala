@@ -632,6 +632,47 @@ object Dedup {
       .select("a", "b", "est_jaccard")
   }
 
+  /** CCNet-style corpus-global line dedup (Wenzek et al. 2019,
+    * arXiv:1911.00359 §3.1): every distinct line keeps exactly its FIRST
+    * occurrence in the corpus — min (doc, position) in deterministic
+    * order — and every LATER occurrence, across or within documents, is
+    * struck. Complements the other two line operators: `dropBoilerplate
+    * Lines` strikes ALL copies of a ≥minDocs line, `dropRepeatLines`
+    * dedups within one document only. Line identity is trimmed content
+    * (leading/trailing spaces don't make a line novel); the kept copy
+    * preserves its raw bytes.
+    *
+    * Shape at 100 TB: explode to lines (narrow), min(struct(doc, pos))
+    * per 48-bit line-hash (one exchange, map-side partial min), join the
+    * winners back on the hash (second exchange — unbounded winner set, so
+    * a shuffle join that AQE broadcasts while it fits), regroup per doc
+    * (third). Hash collisions only ever strike an extra line, never
+    * corrupt one — the same 48-bit keying as decontaminate/boilerplate.
+    *
+    * Output: one row per input document — `clean_text` (kept lines joined
+    * by \n, '' when every line occurred earlier), `n_lines`, `n_kept`.
+    */
+  def dedupLinesKeepFirst(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .withColumn("_lk", substring(md5(trim(col("line"))), 1, 12))
+    val winners = lines.groupBy("_lk")
+      .agg(min(struct(col(idCol).as("d"), col("line_no").as("p"))).as("_w"))
+    val kept = lines.join(winners, Seq("_lk"))
+      .where(col(idCol) === col("_w.d") && col("line_no") === col("_w.p"))
+      .groupBy(idCol)
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+            x => x("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol), size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"), coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"))
+  }
+
   /** Banding QA report: precision/recall of the LSH candidate set against
     * the exact n-gram-Jaccard ground truth at `threshold` — the number a
     * dedup pipeline must watch when tuning bands (round 1 shipped a

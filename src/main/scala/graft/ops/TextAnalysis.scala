@@ -565,6 +565,50 @@ object TextAnalysis {
           col("end") - col("start") + lit(1))), 1, 12).as("chunk_key"))
   }
 
+  /** CCNet-style bigram language-model document scoring (Wenzek et al.
+    * 2019, arXiv:1911.00359 §3.3 uses a KenLM; this is the same FILTER
+    * SHAPE — rank documents by corpus-LM log-likelihood — with the LM
+    * trained on the corpus itself in one pass). Per document:
+    *
+    *   lm_score = Σ_bigram occurrences  ⌊log2 c(w1 w2)⌋ − ⌊log2 c(w1)⌋
+    *
+    * i.e. the integer floor-log2 rendering of Σ log2 p(w2|w1), the repo's
+    * no-ln() rule for scored outputs (libm last-ulp drift — `dsirScores`
+    * uses the identical rendering). c(w1) counts w1 as a bigram CONTEXT
+    * (all tokens except each doc's last), so 1 ≥ c12/c1 always and the
+    * score is ≤ 0; higher = more in-distribution text, the filter keeps
+    * the top tail. Documents with < 2 tokens have no bigrams and are
+    * absent from the output (the caller's keep-filter treats missing as
+    * reject, same as the quality filters).
+    *
+    * Scale shape: tokens explode narrowly; the one window (lead by doc)
+    * is the same per-doc exchange every corpus op here pays; the two
+    * count tables are vocab²-bounded (≪ corpus) and the score join hash-
+    * shuffles on (w1,w2)/(w1) — stopword contexts skew c1's key, which is
+    * exactly the AQE skew-join case, and the c1/c12 sides are broadcast
+    * candidates long before 100 TB because vocabulary grows ~log(corpus).
+    */
+  def lmBigramScore(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("_p", "w1")))
+    val w = Window.partitionBy(idCol).orderBy("_p")
+    val bi = toks.withColumn("w2", lead(col("w1"), 1).over(w))
+      .where(col("w2").isNotNull)
+      .select(col(idCol), col("w1"), col("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("_c1"))
+    bi.groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("_n"))
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("_n") * (floor(log2(col("_c12"))) - floor(log2(col("_c1")))))
+          .cast("long").as("lm_score"),
+        sum(col("_n")).cast("long").as("n_bigrams"))
+  }
+
   /** DuckDB twin of [[charDiversity]]'s per-class counts over `expr`. */
   def charDiversitySql(expr: String): String = {
     val low = s"lower($expr)"

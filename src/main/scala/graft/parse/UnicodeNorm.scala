@@ -1,0 +1,83 @@
+package graft.parse
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode normalization (NFC / NFD / NFKC / NFKD) as a native codegen
+  * expression — the reader-edge text canonicalization Spark has no
+  * built-in for.
+  *
+  * Crawl and multi-source corpora carry the same visible string in
+  * different code-point spellings: "é" arrives composed (U+00E9) or
+  * decomposed (e + U+0301), ligatures (ﬁ U+FB01) and compatibility
+  * characters (² U+00B2, the U+212B angstrom sign) differ by source
+  * tool-chain. Every downstream operator in this repo that keys on text
+  * bytes — exact dedup's md5 fingerprints, shingle hashes, vocab lookups,
+  * decontamination grams — silently treats those spellings as DISTINCT
+  * documents/tokens, so normalization belongs at the ingest edge next to
+  * the charset decode (`FieldDecoders.decodeCharset`; the Beats analogue
+  * is the reader-side transcode at libbeat/reader/readfile/encode.go:36 —
+  * Beats stops at UTF-8, this is the canonical-form step above it).
+  *
+  * NFC for storage parity (shortest, what well-formed UTF-8 sources
+  * already are — the `isNormalized` fast path below makes that case a
+  * zero-copy scan); NFKC for token/dedup keys (folds ligatures, width
+  * and super/subscript variants that should not split a vocab entry).
+  *
+  * Scale shape: a pure narrow per-row projection — no exchange, stays
+  * inside whole-stage codegen via the static call, and the common
+  * already-normalized row allocates nothing.
+  */
+final case class UnicodeNormExpr(child: Expression, form: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"normalize_unicode requires a string input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnicodeNorm.normalize(input.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.parse.UnicodeNorm.normalize($c, "$form");""")
+
+  override def prettyName: String = "normalize_unicode"
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormExpr =
+    copy(child = newChild)
+}
+
+object UnicodeNorm {
+
+  val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
+
+  /** Kernel shared by interpreted and codegen paths. The isNormalized
+    * probe is a scan without allocation — on the dominant
+    * already-canonical row the input UTF8String is returned as-is.
+    */
+  def normalize(s: UTF8String, form: String): UTF8String = {
+    val f = Normalizer.Form.valueOf(form)
+    val str = s.toString
+    if (Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(Normalizer.normalize(str, f))
+  }
+
+  /** `normalizeUnicode(col, "NFC")` as a Column. */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column = {
+    require(Forms(form), s"unknown normalization form $form (want ${Forms.mkString("/")})")
+    GraftColumnBridge.column(UnicodeNormExpr(GraftColumnBridge.expression(c), form))
+  }
+}

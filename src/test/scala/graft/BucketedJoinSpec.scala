@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.BucketedJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The co-location contract: once both sides are persisted bucketed on
+  * the join key, the join AND a following groupBy(key) must run with
+  * ZERO exchanges — even with broadcast disabled (i.e. when neither side
+  * would fit, the 100 TB case the layout exists for).
+  */
+class BucketedJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Adaptive plans print Final + Initial sections; assert on the final. */
+  private def finalPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+
+  private def noBroadcast[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  test("co-located join: sort-merge with ZERO exchanges, result equals the plain join") {
+    val left = spark.range(200).select(($"id" % 50).as("k"), $"id".as("lv"))
+    val right = spark.range(300).select(($"id" % 60).as("k"), $"id".as("rv"))
+    val base = TestSpark.tmpDir("bktspec")
+    noBroadcast {
+      val j = BucketedJoin.coLocated(spark, left, right, "k", buckets = 4,
+        baseDir = base, namePrefix = "bktspec_a")
+        .select("k", "lv", "rv")
+      val got = j.collect()
+      val s = finalPlan(j)
+      assert(s.contains("SortMergeJoin"), s"expected the merge path:\n$s")
+      assert(!s.contains("Exchange"),
+        s"bucketed sides must align without any shuffle:\n$s")
+      val expected = left.join(right, Seq("k")).select("k", "lv", "rv").collect()
+      assert(got.map(_.toString).sorted.toSeq === expected.map(_.toString).sorted.toSeq)
+    }
+  }
+
+  test("groupBy on the join key rides the bucket partitioning: still zero exchanges") {
+    val left = spark.range(200).select(($"id" % 50).as("k"), $"id".as("lv"))
+    val right = spark.range(300).select(($"id" % 60).as("k"), $"id".as("rv"))
+    val base = TestSpark.tmpDir("bktspec")
+    noBroadcast {
+      val agg = BucketedJoin.coLocated(spark, left, right, "k", buckets = 4,
+        baseDir = base, namePrefix = "bktspec_b")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("rv").as("s"))
+      agg.collect()
+      val s = finalPlan(agg)
+      assert(!s.contains("Exchange"),
+        s"the aggregate must reuse the bucket partitioning, not re-shuffle:\n$s")
+    }
+  }
+
+  test("persistBucketed is idempotent: overwrite on re-run, same rows") {
+    val df = spark.range(100).select(($"id" % 10).as("k"), $"id".as("v"))
+    val base = TestSpark.tmpDir("bktspec")
+    val first = BucketedJoin.persistBucketed(spark, df, "bktspec_c", "k", 4, base)
+    assert(first.count() === 100)
+    val second = BucketedJoin.persistBucketed(spark, df, "bktspec_c", "k", 4, base)
+    assert(second.count() === 100)
+  }
+}

@@ -49,6 +49,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.getInt(2) === 5 && r.getInt(3) === 3)
   }
 
+  test("lmBigramScore: hand-computed floor-log2 bigram log-likelihoods") {
+    // d0 "a b a b": bigrams (a,b)×2, (b,a); d1 "a b c": (a,b), (b,c)
+    // corpus: c12(a,b)=3, c12(b,a)=1, c12(b,c)=1; contexts c1(a)=3, c1(b)=2
+    // contributions: (a,b) → ⌊log2 3⌋−⌊log2 3⌋ = 0; (b,a),(b,c) → 0−1 = −1
+    val docs = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmBigramScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(0L -> ((-1L, 3L)), 1L -> ((-1L, 2L))),
+      s"single-token docs have no bigrams and must be absent: $out")
+  }
+
+  test("dedupLinesKeepFirst: global first occurrence survives, later copies struck") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "alpha\nshared\nbeta"),
+      (2L, "shared\ngamma\nshared"), // cross-doc dup + within-doc dup
+      (3L, "shared\nshared"), // loses every line
+      (4L, " alpha\ndelta")) // trim-equal to doc 1's first line
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLinesKeepFirst(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("alpha\nshared\nbeta", 3L, 3L)))
+    assert(out(2L) === (("gamma", 3L, 1L)))
+    assert(out(3L) === (("", 2L, 0L)))
+    assert(out(4L) === (("delta", 2L, 1L)))
+  }
+
   test("lengthBucketBatches: bounded deterministic batches per (bucket, shard)") {
     val docs = (0 until 40)
       .map(i => (i.toLong, (0 to i % 7).map(j => s"t$j").mkString(" ")))

@@ -1,0 +1,58 @@
+package graft
+
+import graft.parse.UnicodeNorm.normalizeUnicode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unicode normalization expression: golden composition/folding cases
+  * (inputs and expectations written as explicit code-point escapes, never
+  * derived by running a normalizer), null channel, idempotence, and the
+  * codegen path (the collect()s below run the generated code, not the
+  * interpreted eval).
+  */
+class UnicodeNormSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def norm(s: String, form: String): String =
+    Seq(s).toDF("t").select(normalizeUnicode(col("t"), form)).head.getString(0)
+
+  test("NFC composes combining sequences and singleton compatibility points") {
+    // e + U+0301 combining acute -> U+00E9
+    assert(norm("Café", "NFC") === "Café")
+    // U+212B angstrom sign -> U+00C5; o + U+0308 -> U+00F6
+    assert(norm("Ångström", "NFC") === "Ångström")
+    // NFC leaves compatibility characters alone
+    assert(norm("ﬁle", "NFC") === "ﬁle")
+    assert(norm("x2¹", "NFC") === "x2¹")
+  }
+
+  test("NFKC additionally folds ligatures, super/subscripts, width variants") {
+    assert(norm("ﬁle", "NFKC") === "file")
+    assert(norm("x2¹", "NFKC") === "x21")
+    assert(norm("Ｈｉ", "NFKC") === "Hi") // fullwidth forms
+    assert(norm("Café", "NFKC") === "Café")
+  }
+
+  test("NFD decomposes what NFC composed; round-trip is stable") {
+    assert(norm("Café", "NFD") === "Café")
+    assert(norm(norm("Café", "NFC"), "NFD") === "Café")
+  }
+
+  test("idempotent, identity on ASCII, null-safe") {
+    val rows = Seq(Some("plain ascii"), Some("Café"), None).toDF("t")
+      .select(
+        normalizeUnicode(col("t"), "NFC").as("once"),
+        normalizeUnicode(normalizeUnicode(col("t"), "NFC"), "NFC").as("twice"))
+      .collect()
+    assert(rows(0).getString(0) === "plain ascii")
+    assert(rows(1).getString(0) === rows(1).getString(1))
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+  }
+
+  test("unknown form is rejected at Column-construction time") {
+    intercept[IllegalArgumentException] {
+      normalizeUnicode(col("t"), "NFX")
+    }
+  }
+}
