@@ -1368,7 +1368,17 @@ object SparkEntry {
           concat(withBanner, lit("\nCopyright 2024 Example Corp")))
         .otherwise(withBanner)
       Dedup.dedupLinesKeepFirst(d.select(col("doc_id"), dirty.as("text")))
-    }
+    },
+
+    // explicit GROUPING SETS with grouping_id — the general form rollup/
+    // cube specialize, one Expand pass
+    "q_grouping_sets" -> ((s, dir) =>
+      graft.agg.Aggregates.groupingSetsCounts(routedTranscripts(s, dir))),
+
+    // LSH banding planner: collision s-curve per (r, b) divisor split of
+    // 128 hashes, false-pos/neg mass vs the 0.5 Jaccard target in integer
+    // micro-units (left-fold powers, never pow()), best config flagged
+    "q_lsh_plan" -> ((s, dir) => Dedup.lshBandingPlan(s))
   )
 
   // --- oracle SQL (DuckDB) ----------------------------------------------
@@ -3372,6 +3382,39 @@ object SparkEntry {
         |SELECT t.doc_id, COALESCE(kept.clean_text, '') AS clean_text,
         |  CAST(len(t.a) AS BIGINT) AS n_lines,
         |  CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept
-        |FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id""".stripMargin
+        |FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id""".stripMargin,
+
+    "q_grouping_sets" ->
+      s"""$R SELECT sink, role, count(*) AS n,
+         |  CAST(GROUPING(sink, role) AS BIGINT) AS gid
+         |FROM routed GROUP BY GROUPING SETS ((sink, role), (sink), ())""".stripMargin,
+
+    // corpus-free planning table; powers as list_reduce left folds —
+    // bit-identical to the Spark aggregate() folds (never pow())
+    "q_lsh_plan" ->
+      """WITH pr AS (
+        |  SELECT CAST(r AS INTEGER) AS r, CAST(128 // r AS INTEGER) AS b
+        |  FROM (SELECT UNNEST(range(1, 129)) AS r) WHERE 128 % r = 0),
+        |g AS (SELECT CAST(UNNEST(range(1, 100)) AS INTEGER) AS s_pct),
+        |cells AS (
+        |  SELECT r, b, s_pct,
+        |    CAST(floor((1.0 - list_reduce(
+        |        list_transform(range(CAST(b AS BIGINT)), i ->
+        |          1.0 - list_reduce(
+        |            list_transform(range(CAST(r AS BIGINT)), j -> CAST(s_pct AS DOUBLE) / 100.0),
+        |            (a, x) -> a * x)),
+        |        (a, x) -> a * x)) * 1000000 + 0.5) AS BIGINT) AS p_micro
+        |  FROM pr, g),
+        |costs AS (
+        |  SELECT r, b,
+        |    CAST(sum(CASE WHEN s_pct < 50 THEN p_micro ELSE 0 END) AS BIGINT) AS fp_micro,
+        |    CAST(sum(CASE WHEN s_pct >= 50 THEN 1000000 - p_micro ELSE 0 END) AS BIGINT) AS fn_micro
+        |  FROM cells GROUP BY 1, 2),
+        |c2 AS (SELECT r, b, fp_micro, fn_micro,
+        |    CAST(fp_micro + fn_micro AS BIGINT) AS cost_micro FROM costs),
+        |best AS (SELECT cost_micro AS bc, r AS br FROM c2 ORDER BY cost_micro, r LIMIT 1)
+        |SELECT c2.r, c2.b, fp_micro, fn_micro, cost_micro,
+        |  (cost_micro = bc AND c2.r = br) AS is_best
+        |FROM c2 CROSS JOIN best""".stripMargin
   )
 }

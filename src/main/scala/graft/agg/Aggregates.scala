@@ -357,6 +357,20 @@ object Aggregates {
   def cubeCounts(routed: DataFrame): DataFrame =
     routed.cube("sink", "role").agg(count(lit(1)).as("n"))
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * per-(sink, role) cells, per-sink subtotals, and the grand total in
+    * ONE Expand pass, with grouping_id disambiguating a genuine NULL
+    * group key from a subtotal row (the standard bit vector: bit set =
+    * that column is aggregated away on the row). Same single-scan
+    * property as [[rollupCounts]] — the set list only changes the
+    * Expand's projection list, never adds a pass over the corpus.
+    */
+  def groupingSetsCounts(routed: DataFrame): DataFrame =
+    routed.groupingSets(
+        Seq(Seq(col("sink"), col("role")), Seq(col("sink")), Seq()),
+        col("sink"), col("role"))
+      .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+
   /** Exponentially-weighted moving average with decay 1/2 over the
     * trailing `depth` samples per key. The weights are powers of two and
     * the inputs 1e-6 fixed-point LONGs, so the weighted sum is exact

@@ -632,6 +632,51 @@ object Dedup {
       .select("a", "b", "est_jaccard")
   }
 
+  /** LSH banding planner — the (bands, rows-per-band) table every dedup
+    * config here is read off of. For each divisor split r·b = numHashes,
+    * the candidate-collision s-curve p(s) = 1 − (1 − sʳ)ᵇ is evaluated on
+    * the 1–99% Jaccard grid, and the config is scored by its false-
+    * positive mass (Σ p(s) below the target threshold) plus false-
+    * negative mass (Σ 1−p(s) at/above it), in integer micro-units; the
+    * minimum-cost row (ties → smallest r) is flagged `is_best`.
+    *
+    * Numeric parity rule: the powers are computed as LEFT-FOLD repeated
+    * multiplication (the `aggregate` higher-order function), never
+    * pow() — libm pow differs in the last ulp across engines, while an
+    * identical sequence of IEEE-754 multiplies is bit-exact in both, so
+    * the micro-unit rounding agrees everywhere. Cost is driver-free and
+    * corpus-free: 8 configs × 99 grid cells, a planning query you run
+    * once before pointing minhashWide/lshCandidates at 10¹² rows.
+    */
+  def lshBandingPlan(spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int = 128, thresholdPct: Int = 50): DataFrame = {
+    require(numHashes >= 2, "need at least 2 hashes to band")
+    require(thresholdPct >= 1 && thresholdPct <= 99, "threshold in [1,99] pct")
+    import spark.implicits._
+    val pairs = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(r => (r, numHashes / r)).toDF("r", "b")
+    val grid = spark.range(1, 100).select(col("id").cast("int").as("s_pct"))
+    val p = expr(
+      """1.0D - aggregate(sequence(1, b), CAST(1.0 AS DOUBLE),
+        |  (acc, i) -> acc * (1.0D - aggregate(sequence(1, r), CAST(1.0 AS DOUBLE),
+        |    (a2, j) -> a2 * (CAST(s_pct AS DOUBLE) / 100.0D))))""".stripMargin)
+    val costs = pairs.crossJoin(grid)
+      .select(col("r"), col("b"), col("s_pct"),
+        floor(p * 1000000d + 0.5d).cast("long").as("p_micro"))
+      .groupBy("r", "b")
+      .agg(
+        sum(when(col("s_pct") < thresholdPct, col("p_micro")).otherwise(0L))
+          .cast("long").as("fp_micro"),
+        sum(when(col("s_pct") >= thresholdPct, lit(1000000L) - col("p_micro"))
+          .otherwise(0L)).cast("long").as("fn_micro"))
+      .withColumn("cost_micro", (col("fp_micro") + col("fn_micro")).cast("long"))
+    val best = costs.orderBy(col("cost_micro"), col("r")).limit(1)
+      .select(col("cost_micro").as("_bc"), col("r").as("_br"))
+    costs.crossJoin(best) // 1-row side — the repo's standard argmin-flag join
+      .select(col("r"), col("b"), col("fp_micro"), col("fn_micro"), col("cost_micro"),
+        (col("cost_micro") === col("_bc") && col("r") === col("_br")).as("is_best"))
+  }
+
   /** CCNet-style corpus-global line dedup (Wenzek et al. 2019,
     * arXiv:1911.00359 §3.1): every distinct line keeps exactly its FIRST
     * occurrence in the corpus — min (doc, position) in deterministic

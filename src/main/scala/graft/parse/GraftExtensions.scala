@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.flowIdFunction)
     ext.injectFunction(GraftExtensions.ipToIntFunction)
     ext.injectFunction(GraftExtensions.netDirectionFunction)
+    ext.injectFunction(GraftExtensions.normalizeUnicodeFunction)
   }
 }
 
@@ -78,6 +79,20 @@ object GraftExtensions {
     { exprs: Seq[Expression] =>
       require(exprs.length == 1, "ip_to_int(ip) takes exactly 1 argument")
       expression(graft.ops.Sessions.ipToInt(column(exprs.head)))
+    }
+  )
+
+  /** `normalize_unicode(text, 'NFC')` — [[UnicodeNormExpr]] in SQL; the
+    * form name is a literal compiled at plan time. */
+  val normalizeUnicodeFunction: FnReg = (
+    FunctionIdentifier("normalize_unicode"),
+    new ExpressionInfo(classOf[UnicodeNormExpr].getName, "normalize_unicode"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 2, "normalize_unicode(text, 'NFC'|'NFD'|'NFKC'|'NFKD')")
+      val form = literalStringOf("normalize_unicode form", exprs(1))
+      require(UnicodeNorm.Forms(form),
+        s"unknown normalization form $form (want ${UnicodeNorm.Forms.mkString("/")})")
+      UnicodeNormExpr(exprs.head, form)
     }
   )
 

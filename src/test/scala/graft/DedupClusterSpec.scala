@@ -94,6 +94,20 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(Dedup.bandingFor(0.15, 8) == 1) // (1/8)^1 = 0.125
   }
 
+  test("lshBandingPlan: divisor table, extreme-config sanity, exactly one best") {
+    val spark = TestSpark.spark
+    val rows = Dedup.lshBandingPlan(spark).collect()
+      .map(r => r.getInt(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(5))))
+      .toMap
+    assert(rows.size === 8 && rows.keySet === Set(1, 2, 4, 8, 16, 32, 64, 128))
+    rows.foreach { case (r, (b, _, _, _)) => assert(r * b === 128) }
+    // r=1,b=128 collides on near-everything (huge FP, ~no FN);
+    // r=128,b=1 collides on near-nothing (reverse)
+    assert(rows(1)._2 > rows(128)._2, "FP mass must fall as r grows")
+    assert(rows(1)._3 < rows(128)._3, "FN mass must rise as r grows")
+    assert(rows.values.count(_._4) === 1, "exactly one is_best row")
+  }
+
   test("a chain of near-dups merges within the propagation rounds") {
     // A-B and B-C near-dup (shared text), A-C not directly bucketed ⇒
     // needs ≥2 rounds to give C the label of A

@@ -21,6 +21,21 @@ class OlapAggSpec extends AnyFunSuite {
     assert(out.size === 6)
   }
 
+  test("groupingSetsCounts: explicit sets + grouping_id separates NULL keys from subtotals") {
+    val routed = Seq(("a", "user"), ("a", "user"), ("a", "tool"),
+      ("b", "user"), ("b", null))
+      .toDF("sink", "role")
+    val out = Aggregates.groupingSetsCounts(routed).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(3)) -> r.getLong(2))
+      .toMap
+    assert(out((Some("a"), Some("user"), 0L)) === 2)
+    assert(out((Some("b"), None, 0L)) === 1)  // genuine NULL role, gid=0
+    assert(out((Some("b"), None, 1L)) === 2)  // sink subtotal, gid=1
+    assert(out((None, None, 3L)) === 5)       // grand total, gid=3
+    // sets = pairs(4) + sink subtotals(2) + grand total(1); no role-only set
+    assert(out.size === 7)
+  }
+
   test("pivotLevels produces static wide counts with zero-fill") {
     val parsed = Seq(("INFO", "c1"), ("INFO", "c1"), ("ERROR", "c1"),
       ("WARN", "c2"), (null, "c3")).toDF("level", "component")

@@ -55,4 +55,18 @@ class UnicodeNormSpec extends AnyFunSuite {
       normalizeUnicode(col("t"), "NFX")
     }
   }
+
+  test("normalize_unicode callable from SQL after function injection") {
+    val (ident, info, builder) = graft.parse.GraftExtensions.normalizeUnicodeFunction
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    // NB: the combining acute is embedded in the literal — Spark's chr()
+    // wraps its argument mod 256, so chr(769) is NOT U+0301 there
+    val r = spark.sql(
+      "SELECT normalize_unicode('Café', 'NFKC') AS s").head()
+    assert(r.getString(0) === "Café")
+    val e = intercept[Exception] {
+      spark.sql("SELECT normalize_unicode(t.s, t.s) FROM VALUES ('x') AS t(s)").collect()
+    }
+    assert(e.getMessage.contains("literal") || e.getCause != null)
+  }
 }
