@@ -1378,7 +1378,24 @@ object SparkEntry {
     // LSH banding planner: collision s-curve per (r, b) divisor split of
     // 128 hashes, false-pos/neg mass vs the 0.5 Jaccard target in integer
     // micro-units (left-fold powers, never pow()), best config flagged
-    "q_lsh_plan" -> ((s, dir) => Dedup.lshBandingPlan(s))
+    "q_lsh_plan" -> ((s, dir) => Dedup.lshBandingPlan(s)),
+
+    // dt-partitioned layout + pruned read: the date filter lands in the
+    // scan's PartitionFilters (planning-time directory pruning — the
+    // other days are never opened); the min-dt scalar is a 1-row driver
+    // read-back, the repo's documented bounded-collect pattern
+    "q_partition_prune" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-part").toString
+      val e = events(s, dir)
+        .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      graft.ops.PartitionedLayout.persistPartitioned(e, base, "dt")
+      val minDt = e.agg(min("dt")).head.getString(0)
+      graft.ops.PartitionedLayout.prunedRead(s, base, "dt", minDt)
+        .groupBy("dt", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000000d + 0.5d).cast("long"))
+            .cast("long").as("value_fp"))
+    }
   )
 
   // --- oracle SQL (DuckDB) ----------------------------------------------
@@ -3415,6 +3432,15 @@ object SparkEntry {
         |best AS (SELECT cost_micro AS bc, r AS br FROM c2 ORDER BY cost_micro, r LIMIT 1)
         |SELECT c2.r, c2.b, fp_micro, fn_micro, cost_micro,
         |  (cost_micro = bc AND c2.r = br) AS is_best
-        |FROM c2 CROSS JOIN best""".stripMargin
+        |FROM c2 CROSS JOIN best""".stripMargin,
+
+    // the partitioned layout is physical-only — the oracle is the
+    // min-day filtered aggregate
+    "q_partition_prune" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type, value FROM events)
+        |SELECT dt, event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS value_fp
+        |FROM e WHERE dt = (SELECT min(strftime(ts, '%Y-%m-%d')) FROM events)
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -20,6 +20,27 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * bucket-file per partition), not the current one — both sides must use
   * the SAME B for the co-location to align.
   */
+/** Hive-style partition layout — bucketing's sibling for the TIME axis.
+  * A 10¹²-row event table is written `partitionBy(dt)` once, and every
+  * date-bounded query after that prunes to the matching directories at
+  * PLANNING time: the filter lands in the scan's `PartitionFilters`
+  * (not a post-scan `Filter`), so the other ~everything of the corpus is
+  * never listed, opened, or read. BucketedJoinSpec proves it two ways —
+  * the plan string and `inputFiles` (only the matching dt= directory).
+  */
+object PartitionedLayout {
+
+  /** One dt-partitioned parquet layout write (idempotent overwrite). */
+  def persistPartitioned(df: DataFrame, baseDir: String, partCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(baseDir)
+
+  /** Pruned read: the equality lands in PartitionFilters at plan time. */
+  def prunedRead(spark: SparkSession, baseDir: String, partCol: String,
+      value: String): DataFrame =
+    spark.read.parquet(baseDir)
+      .where(org.apache.spark.sql.functions.col(partCol) === value)
+}
+
 object BucketedJoin {
 
   /** Persist `df` as a bucketed + bucket-sorted external parquet table

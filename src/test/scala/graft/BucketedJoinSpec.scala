@@ -58,6 +58,26 @@ class BucketedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("partition-pruned read: filter in PartitionFilters, only the matching dt= files touched") {
+    import graft.ops.PartitionedLayout
+    val base = TestSpark.tmpDir("partspec")
+    val df = spark.range(100).select(($"id" % 5).cast("string").as("dt"), $"id".as("v"))
+    PartitionedLayout.persistPartitioned(df, base, "dt")
+    val read = PartitionedLayout.prunedRead(spark, base, "dt", "3")
+    // behavioral proof: poison every OTHER partition's data files in
+    // place (same length, garbage bytes) AFTER schema resolution — if
+    // pruning ever weakens, the scan reads garbage and this explodes
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(base)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        p.toString.contains("dt=") && !p.toString.contains("dt=3"))
+      .foreach(p => Files.write(p, new Array[Byte](Files.size(p).toInt)))
+    assert(read.count() === 20)
+    val s = read.queryExecution.executedPlan.toString
+    assert(s.contains("PartitionFilters"), s"filter must prune at plan time:\n$s")
+  }
+
   test("persistBucketed is idempotent: overwrite on re-run, same rows") {
     val df = spark.range(100).select(($"id" % 10).as("k"), $"id".as("v"))
     val base = TestSpark.tmpDir("bktspec")
