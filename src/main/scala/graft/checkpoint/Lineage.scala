@@ -106,6 +106,47 @@ final class Lineage(spark: SparkSession, outDir: String) {
     if (fs.exists(p)) fs.delete(p, false)
   }
 
+  /** Manifest-based orphan-file vacuum — Iceberg's `remove_orphan_files`
+    * analog for this layout. A data file is an ORPHAN when its bucket
+    * has a commit record but the file is not in that record's manifest:
+    * retried-task leftovers and crash debris that manifest-resolved
+    * reads (`Pipeline.readCommitted`) already ignore, but that
+    * accumulate forever on object storage unless something deletes
+    * them. Files in UNCOMMITTED buckets are never touched — they are
+    * work not yet done (or a crash the next resume will overwrite), and
+    * deleting them would race an in-flight writer. Returns the orphan
+    * paths relative to `dataDir`; pass `delete = true` to remove them.
+    *
+    * Scale shape: pure driver-side metadata work proportional to file
+    * COUNT (one listing + one set diff), never data bytes — the same
+    * cost class as the resume set-difference.
+    */
+  def vacuumOrphans(dataDir: String, delete: Boolean = false): Seq[String] = {
+    val dataPath = new Path(dataDir)
+    if (!fs.exists(dataPath)) return Seq.empty
+    val manifests: Map[Int, Set[String]] = readAll()
+      .map(r => r.bucket -> r.files.toSet)
+      .toMap
+    def bucketOf(name: String): Option[Int] =
+      if (name.startsWith("bucket=")) Some(name.stripPrefix("bucket=").toInt) else None
+    val orphans = for {
+      sinkDir <- fs.listStatus(dataPath).toSeq
+      if sinkDir.isDirectory && sinkDir.getPath.getName.startsWith("sink=")
+      bucketDir <- fs.listStatus(sinkDir.getPath).toSeq
+      if bucketDir.isDirectory
+      bucket <- bucketOf(bucketDir.getPath.getName).toSeq
+      manifest <- manifests.get(bucket).toSeq // uncommitted buckets skipped
+      file <- fs.listStatus(bucketDir.getPath).toSeq
+      if file.isFile && !file.getPath.getName.startsWith(".") &&
+        !file.getPath.getName.startsWith("_")
+      rel = s"${sinkDir.getPath.getName}/${bucketDir.getPath.getName}/${file.getPath.getName}"
+      if !manifest.contains(rel)
+    } yield rel
+    val sorted = orphans.sorted
+    if (delete) sorted.foreach(rel => fs.delete(new Path(dataPath, rel), false))
+    sorted
+  }
+
   // minimal hand-rolled JSON (keys are controlled; values escaped)
   private def q(s: String): String =
     "\"" + s.flatMap {

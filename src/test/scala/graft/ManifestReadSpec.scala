@@ -49,4 +49,45 @@ class ManifestReadSpec extends AnyFunSuite {
       rm(out)
     }
   }
+
+  test("vacuumOrphans: deletes strays, keeps manifest files, never touches uncommitted buckets") {
+    val out = java.nio.file.Files.createTempDirectory("graft-vacuum").toFile
+    try {
+      val cfg = PipelineConfig(buckets = 8, waves = 1, runId = "v1")
+      Pipeline.run(spark, Transcripts.synthesize(spark, 5000), out.toString, cfg): Unit
+      val lineage = new graft.checkpoint.Lineage(spark, out.toString)
+
+      // stray residue inside a committed bucket dir
+      val victim = new java.io.File(out, "data")
+        .listFiles().filter(_.isDirectory).head
+        .listFiles().filter(_.getName.startsWith("bucket=")).head
+      val rel = s"${victim.getParentFile.getName}/${victim.getName}/part-stray-residue.parquet"
+      java.nio.file.Files.write(
+        new java.io.File(victim, "part-stray-residue.parquet").toPath,
+        Array[Byte](1, 2, 3))
+
+      // uncommit a DIFFERENT bucket: its (manifest-less) files must be
+      // skipped, not reaped — that is in-flight work, not debris
+      val victimBucket = victim.getName.stripPrefix("bucket=").toInt
+      val other = lineage.committedBuckets().filter(_ != victimBucket).head
+      lineage.invalidate(other)
+
+      val orphans = lineage.vacuumOrphans(s"$out/data")
+      assert(orphans == Seq(rel), s"expected exactly the stray, got $orphans")
+
+      lineage.vacuumOrphans(s"$out/data", delete = true): Unit
+      assert(!new java.io.File(new java.io.File(out, "data"), rel).exists(),
+        "stray must be deleted")
+      // every file a remaining manifest references still exists
+      for (r <- lineage.readAll(); f <- r.files)
+        assert(new java.io.File(new java.io.File(out, "data"), f).exists(),
+          s"vacuum must never touch manifest-listed files ($f)")
+      assert(lineage.vacuumOrphans(s"$out/data").isEmpty, "vacuum is idempotent")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+      }
+      rm(out)
+    }
+  }
 }
