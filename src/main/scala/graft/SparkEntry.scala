@@ -1292,6 +1292,45 @@ object SparkEntry {
     "q_cm_topterms" -> ((s, dir) =>
       Sketches.cmTopTerms(documents(s, dir), k = 20)),
 
+    // sketch mergeability proof: per-event_type HLL registers merged by
+    // per-register max must equal the single global build
+    "q_hll_merge" -> ((s, dir) =>
+      Sketches.hllMergeProof(events(s, dir), keyCol = "user_id", partCol = "event_type")),
+
+    // MERGE INTO latest-wins upsert: events snapshot at ver 1, a change
+    // batch at ver 2 re-valuing every 3rd key and deleting every 9th
+    "q_upsert_latest" -> { (s, dir) =>
+      val base = events(s, dir).select(col("event_id").as("k"),
+        lit(1L).as("ver"), col("event_type"), round(col("value"), 6).as("v"))
+      val chg = events(s, dir).where(col("event_id") % 3 === 0)
+        .select(col("event_id").as("k"), lit(2L).as("ver"), col("event_type"),
+          (round(col("value"), 6) + 1000).as("v"),
+          when(col("event_id") % 9 === 0, lit("D")).otherwise(lit("U")).as("op"))
+      graft.ops.Lakehouse.upsertLatest(base, chg, key = "k", ver = "ver")
+    },
+
+    // change-data-feed between two snapshots: every 7th key deleted,
+    // every 5th re-valued, 100 keys inserted — output is the delta only
+    "q_snapshot_diff" -> { (s, dir) =>
+      val v = round(col("value"), 6)
+      val prev = events(s, dir).select(col("event_id").as("k"), col("event_type"), v.as("v"))
+      val next = events(s, dir).where(col("event_id") % 7 =!= 0)
+        .select(col("event_id").as("k"), col("event_type"),
+          when(col("event_id") % 5 === 0, v + 1).otherwise(v).as("v"))
+        .unionAll(events(s, dir).where(col("event_id") < 100)
+          .select((col("event_id") + 10000000L).as("k"), col("event_type"), v.as("v")))
+      graft.ops.Lakehouse.snapshotDiff(prev, next, "k", Seq("event_type", "v"))
+    },
+
+    // weight-proportional k-sample (priority sampling, no rand())
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.ops.Curation.prioritySample(documents(s, dir), k = 50)),
+
+    // BM25 top-k retrieval for a fixed query bag (rational idf = N/df)
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(documents(s, dir),
+        queryTerms = Seq("spark", "vector", "customer"), k = 10)),
+
     "q_media_meta" -> ((s, dir) =>
       Multimodal.asMedia(documents(s, dir))
         .select("media_id", "kind", "byte_len", "sha256")),
@@ -3276,6 +3315,56 @@ object SparkEntry {
     "q_hll" -> Sketches.hllSql("events", keyExpr = "user_id", groupCol = "event_type"),
 
     "q_cm_topterms" -> Sketches.cmTopTermsSql(BpeishRe, k = 20),
+
+    "q_hll_merge" -> Sketches.hllMergeSql("events", keyExpr = "user_id", partExpr = "event_type"),
+
+    "q_upsert_latest" ->
+      """WITH base AS (
+        |  SELECT event_id AS k, CAST(1 AS BIGINT) AS ver, event_type,
+        |    round(value, 6) AS v, 'U' AS op, 0 AS src FROM events),
+        |chg AS (
+        |  SELECT event_id AS k, CAST(2 AS BIGINT) AS ver, event_type,
+        |    round(value, 6) + 1000 AS v,
+        |    CASE WHEN event_id % 9 = 0 THEN 'D' ELSE 'U' END AS op, 1 AS src
+        |  FROM events WHERE event_id % 3 = 0),
+        |u AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY ver DESC, src DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM chg))
+        |SELECT k, ver, event_type, v FROM u WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH prev AS (SELECT event_id AS k, event_type, round(value, 6) AS v FROM events),
+        |nxt AS (
+        |  SELECT event_id AS k, event_type,
+        |    CASE WHEN event_id % 5 = 0 THEN round(value, 6) + 1 ELSE round(value, 6) END AS v
+        |  FROM events WHERE event_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT event_id + 10000000 AS k, event_type, round(value, 6) AS v
+        |  FROM events WHERE event_id < 100),
+        |j AS (
+        |  SELECT COALESCE(prev.k, nxt.k) AS k,
+        |    prev.event_type AS old_event_type, prev.v AS old_v,
+        |    nxt.event_type AS new_event_type, nxt.v AS new_v,
+        |    prev.k IS NOT NULL AS in_old, nxt.k IS NOT NULL AS in_new
+        |  FROM prev FULL JOIN nxt ON prev.k = nxt.k)
+        |SELECT k, old_event_type, old_v, new_event_type, new_v,
+        |  CASE WHEN NOT in_old THEN 'I' WHEN NOT in_new THEN 'D' ELSE 'U' END AS change_type
+        |FROM j
+        |WHERE (NOT in_old) OR (NOT in_new)
+        |   OR old_event_type IS DISTINCT FROM new_event_type
+        |   OR old_v IS DISTINCT FROM new_v""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, greatest(n_chars, 1) AS weight,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1 AS u48
+        |  FROM documents),
+        |r AS (SELECT *, CAST(row_number()
+        |    OVER (ORDER BY CAST(u48 AS DOUBLE) / weight, doc_id) AS INTEGER) AS rank FROM p)
+        |SELECT doc_id, weight, u48, rank FROM r WHERE rank <= 50""".stripMargin,
+
+    "q_bm25" -> TextAnalysis.bm25Sql(BpeishRe,
+      queryTerms = Seq("spark", "vector", "customer"), k = 10),
 
     "q_cosine_neardup" -> {
       val bucketExpr = Similarity.signBucketSql("v",

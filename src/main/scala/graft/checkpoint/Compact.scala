@@ -1,0 +1,89 @@
+package graft.checkpoint
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+final case class CompactResult(
+    bucket: Int,
+    filesBefore: Int,
+    filesAfter: Int,
+    rows: Long)
+
+/** Small-file compaction EXECUTION over the manifest layout — the
+  * `rewrite_data_files` to [[Lineage.vacuumOrphans]]'s
+  * `remove_orphan_files`. The north-star batch writer already emits one
+  * file per (sink, bucket), but the streaming port's per-micro-batch
+  * fan-out (StreamingPipeline's foreachBatch) and any incremental
+  * appender accumulate MANY small files per bucket — the classic object-
+  * store read-amplification problem (every reader pays a request round-
+  * trip per file; Iceberg/Delta ship rewrite actions for exactly this).
+  *
+  * The swap is reader-atomic because readers resolve files through the
+  * bucket's manifest (`Pipeline.readCommitted`), and a bucket's manifest
+  * is ONE file replaced by rename ([[Lineage.commit]]): until the commit
+  * the rewritten files are unreferenced (invisible), after it the old
+  * files are unreferenced (orphans for a later vacuum). Do not run
+  * [[Lineage.vacuumOrphans]] with delete=true concurrently with a
+  * compaction — it would reap the not-yet-committed rewrite output; the
+  * planner side (which buckets are worth rewriting) is the existing
+  * `q_compaction` bin-packing query.
+  */
+object Compact {
+
+  /** Rewrite one committed bucket's data files into one file per sink,
+    * preserving the writer's (conv_id, turn_idx) file-internal order,
+    * then atomically re-commit the bucket's manifest to the new list.
+    * Old files become manifest-orphans; reap them with
+    * [[Lineage.vacuumOrphans]]. Returns the before/after file counts.
+    */
+  def compactBucket(spark: SparkSession, outDir: String, bucket: Int): CompactResult = {
+    val lineage = new Lineage(spark, outDir)
+    val rec = lineage.readAll().find(_.bucket == bucket).getOrElse(
+      throw new IllegalArgumentException(s"bucket $bucket has no committed manifest"))
+    require(rec.files.nonEmpty, s"bucket $bucket has a pre-manifest record (no file list)")
+    val dataDir = s"$outDir/data"
+    val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val df = spark.read.option("basePath", dataDir)
+      .parquet(rec.files.map(f => s"$dataDir/$f"): _*)
+    val tmp = new Path(outDir, s"compact-tmp-bucket-$bucket")
+    if (fs.exists(tmp)) fs.delete(tmp, true): Unit
+    // one task ⇒ one file per sink partition; sorted so the compacted
+    // file keeps the stable per-conversation order readers rely on
+    df.drop("bucket")
+      .coalesce(1)
+      .sortWithinPartitions("sink", "conv_id", "turn_idx")
+      .write.partitionBy("sink").parquet(tmp.toString)
+
+    // move rewritten files into the live bucket dirs under a name that
+    // cannot collide with writer output, collecting the new manifest
+    val stamp = System.currentTimeMillis()
+    val newFiles = fs.listStatus(tmp).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("sink="))
+      .flatMap { sinkDir =>
+        val sink = sinkDir.getPath.getName
+        val destDir = new Path(dataDir, s"$sink/bucket=$bucket")
+        fs.mkdirs(destDir)
+        fs.listStatus(sinkDir.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .zipWithIndex.map { case (f, i) =>
+            val name = s"part-compact-$stamp-$i.parquet"
+            if (!fs.rename(f.getPath, new Path(destDir, name)))
+              throw new java.io.IOException(s"compaction rename failed for $sink/bucket=$bucket/$name")
+            s"$sink/bucket=$bucket/$name"
+          }
+      }.sorted
+    fs.delete(tmp, true): Unit
+
+    // footer-only row-count read-back validates the rewrite BEFORE the
+    // manifest swap makes it live
+    val rewrittenRows = spark.read.option("basePath", dataDir)
+      .parquet(newFiles.map(f => s"$dataDir/$f"): _*).count()
+    require(rewrittenRows == rec.rowCount,
+      s"compaction row mismatch for bucket $bucket: $rewrittenRows != ${rec.rowCount}")
+    lineage.commit(rec.copy(files = newFiles))
+    CompactResult(bucket, rec.files.size, newFiles.size, rec.rowCount)
+  }
+}

@@ -86,6 +86,41 @@ object Curation {
     df.where(hashPpm(col(idCol)) < rate)
   }
 
+  /** WEIGHT-proportional k-sample — priority sampling (Duffield, Lund &
+    * Thorup, JACM 2007): each row draws priority q = u / w from a
+    * uniform u and its weight w, and the k smallest-priority rows form a
+    * sample whose inclusion probability is ∝ w (heavier rows sample
+    * first). Deterministic like everything here: u is a 48-bit
+    * md5-derived integer (+1 so it is never 0), never `rand()` — a
+    * retried task re-draws rand() and corrupts the sample. The only
+    * float op is the single u/w division used as the SORT key: two
+    * exact integers through one correctly-rounded IEEE divide compare
+    * identically in any engine; the quotient itself is never emitted
+    * (rounding a ~2⁴⁸-magnitude double to 6 dp is where Spark's
+    * BigDecimal HALF_UP and other engines' round() disagree by an ulp —
+    * measured, not theoretical). The output carries the exact integer
+    * pair (u48, weight) instead.
+    *
+    * Scale shape: a narrow projection then orderBy(...).limit(k), which
+    * plans as TakeOrderedAndProject — per-partition top-k merged at the
+    * driver, never a global sort or single-partition window. The
+    * row_number ranking runs only over the k survivors.
+    */
+  def prioritySample(df: DataFrame, k: Int, idCol: String = "doc_id",
+      weightCol: String = "n_chars"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long") + lit(1L)
+    val w = greatest(col(weightCol).cast("long"), lit(1L))
+    val top = df
+      .select(col(idCol), w.as("weight"), u.as("u48"))
+      .orderBy(col("u48").cast("double") / col("weight"), col(idCol))
+      .limit(k)
+    top.withColumn("rank",
+      row_number().over(
+        Window.orderBy(col("u48").cast("double") / col("weight"), col(idCol))).cast("int"))
+  }
+
   /** Dense unique ids in [0, n) WITHOUT the single-partition global
     * window (`row_number() OVER (ORDER BY …)` funnels 100 TB through one
     * task — the classic id-assignment scale trap). Instead: hash-bucket

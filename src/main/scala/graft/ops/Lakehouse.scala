@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table-mutation semantics over immutable snapshots — the MERGE INTO /
+  * change-data-feed surface a lakehouse ingest layer needs on top of the
+  * append-only pipeline writes (the registrar/manifest layer in
+  * `graft.checkpoint` gives snapshots; these give the delta algebra
+  * between them). Reference analog: Beats outputs only ever APPEND
+  * events, but the ES index they feed applies doc-id upserts
+  * (libbeat/outputs/elasticsearch: events carry an id and op_type) —
+  * this is that apply step as a batch operator.
+  */
+object Lakehouse {
+
+  /** MERGE INTO with latest-wins semantics: `base` rows merge with
+    * `changes` rows per `key`; the row with the highest (`ver`, source)
+    * wins, where changes outrank base at equal version; a winning change
+    * row with `opCol = 'D'` deletes the key. Base rows implicitly carry
+    * op 'U'. Requires (ver) per key to be totally ordered between base
+    * and changes (ties resolve changes-over-base, the upsert contract).
+    *
+    * Scale shape: ONE hash-aggregate shuffle on `key` with map-side
+    * combine (`max_by` over a struct ordering) — deliberately not the
+    * window row_number() form, which needs a sort exchange and carries
+    * every version of every key through the shuffle instead of one
+    * partial-aggregated winner per key per map task.
+    */
+  def upsertLatest(base: DataFrame, changes: DataFrame,
+      key: String, ver: String, opCol: String = "op"): DataFrame = {
+    val b = base.withColumn(opCol, lit("U")).withColumn("_src", lit(0))
+    val c = changes.withColumn("_src", lit(1))
+    val all = b.unionByName(c)
+    val payloadCols = all.columns.filterNot(_ == key)
+    val winner = all.groupBy(col(key))
+      .agg(max_by(struct(payloadCols.map(col): _*),
+        struct(col(ver), col("_src"))).as("_w"))
+    winner
+      .select(col(key) +: payloadCols.map(n => col(s"_w.$n").as(n)): _*)
+      .where(col(opCol) =!= "D")
+      .drop(opCol, "_src")
+  }
+
+  /** Change-data-feed between two snapshots of a keyed table: classify
+    * every key as inserted ('I': only in `next`), deleted ('D': only in
+    * `prev`), or updated ('U': in both with any compared column
+    * differing, null-safe). Unchanged keys are dropped — the output is
+    * the delta, not the table.
+    *
+    * Scale shape: one full-outer sort-merge join on `key` (both sides
+    * are table-sized — never broadcast); the classification and the
+    * unchanged-row filter are narrow post-join projections, so the
+    * output shrinks to |delta| before anything downstream runs.
+    */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, key: String,
+      compareCols: Seq[String]): DataFrame = {
+    val p = prev.select(col(key) +:
+      compareCols.map(c => col(c).as(s"old_$c")) :+ lit(true).as("_in_old"): _*)
+    val n = next.select(col(key) +:
+      compareCols.map(c => col(c).as(s"new_$c")) :+ lit(true).as("_in_new"): _*)
+    val joined = p.join(n, Seq(key), "full_outer")
+    val changed = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    joined
+      .withColumn("change_type",
+        when(col("_in_old").isNull, lit("I"))
+          .when(col("_in_new").isNull, lit("D"))
+          .when(changed, lit("U")))
+      .where(col("change_type").isNotNull)
+      .drop("_in_old", "_in_new")
+  }
+}

@@ -88,6 +88,70 @@ object Sketches {
        |FROM s JOIN x USING (g)""".stripMargin
   }
 
+  /** The mergeability proof for [[hllEstimate]] — the property that
+    * makes an HLL usable at 100 TB: registers built INDEPENDENTLY per
+    * partition (here: per `partCol` slice) and merged by per-register
+    * max yield byte-identical state to a single global build, so
+    * per-day/per-shard sketches can be stored tiny and re-aggregated to
+    * any rollup without touching raw data. Output is one row carrying
+    * both estimates side by side (`hll_merged` = build-per-part → merge;
+    * `hll_direct` = single global build) plus the exact count — the
+    * oracle (and a spec) assert merged == direct.
+    *
+    * Scale shape: the per-part build is one groupBy(part, bucket) with
+    * map-side combine (≤ |parts|·m rows out), the merge is a groupBy
+    * over that FIXED-size table — raw data is scanned once per path,
+    * and the merge path's second aggregate never sees a raw row.
+    */
+  def hllMergeProof(df: DataFrame, keyCol: String, partCol: String,
+      bHex: Int = 2, rhoBits: Int = 40): DataFrame = {
+    val m = 1 << (4 * bHex)
+    val am2 = hllAlpha(m) * m * m
+    val h = md5(col(keyCol).cast("string"))
+    val w = conv(substring(h, bHex + 1, rhoBits / 4), 16, 10).cast("long")
+    val rho = when(w === 0, lit(rhoBits + 1))
+      .otherwise(instr(lpad(bin(w), rhoBits, "0"), "1")).cast("int")
+    val cells = df.select(
+      col(partCol).as("part"),
+      conv(substring(h, 1, bHex), 16, 10).cast("long").as("bucket"),
+      rho.as("rho"))
+    def estimate(regs: DataFrame, out: String): DataFrame = regs.agg(
+      round(lit(am2) / (sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), r)")) +
+        (lit(m) - count(lit(1)))), 6).as(out))
+    val perPart = cells.groupBy("part", "bucket").agg(max("rho").as("r"))
+    val merged = estimate(perPart.groupBy("bucket").agg(max("r").as("r")), "hll_merged")
+    val direct = estimate(cells.groupBy("bucket").agg(max("rho").as("r")), "hll_direct")
+    val nParts = df.agg(countDistinct(col(partCol)).cast("int").as("n_parts"),
+      countDistinct(col(keyCol)).as("exact_keys"))
+    nParts.crossJoin(merged).crossJoin(direct)
+      .select("n_parts", "hll_merged", "hll_direct", "exact_keys")
+  }
+
+  /** DuckDB twin of [[hllMergeProof]]. */
+  def hllMergeSql(table: String, keyExpr: String, partExpr: String,
+      bHex: Int = 2, rhoBits: Int = 40): String = {
+    val m = 1 << (4 * bHex)
+    val am2 = hllAlpha(m) * m * m
+    s"""WITH cells AS (
+       |  SELECT $partExpr AS part,
+       |    ('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, $bHex))::BIGINT AS bucket,
+       |    CASE WHEN ('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), ${bHex + 1}, ${rhoBits / 4}))::BIGINT = 0
+       |         THEN ${rhoBits + 1}
+       |         ELSE strpos(lpad(bin(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), ${bHex + 1}, ${rhoBits / 4}))::BIGINT), $rhoBits, '0'), '1')
+       |    END AS rho
+       |  FROM $table),
+       |pp AS (SELECT part, bucket, max(rho) AS r FROM cells GROUP BY 1, 2),
+       |mr AS (SELECT bucket, max(r) AS r FROM pp GROUP BY 1),
+       |dr AS (SELECT bucket, max(rho) AS r FROM cells GROUP BY 1),
+       |me AS (SELECT round(CAST($am2 AS DOUBLE) /
+       |    (sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << r)) + ($m - count(*))), 6) AS hll_merged FROM mr),
+       |de AS (SELECT round(CAST($am2 AS DOUBLE) /
+       |    (sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << r)) + ($m - count(*))), 6) AS hll_direct FROM dr),
+       |np AS (SELECT CAST(count(DISTINCT $partExpr) AS INTEGER) AS n_parts,
+       |    count(DISTINCT $keyExpr) AS exact_keys FROM $table)
+       |SELECT n_parts, hll_merged, hll_direct, exact_keys FROM np, me, de""".stripMargin
+  }
+
   /** The d Count-Min cells of one key: (row j, column from the first
     * `widthHex` hex chars of md5("j:" || key)).
     */

@@ -226,6 +226,84 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  /** BM25 document ranking for a fixed bag of query terms, in this
+    * repo's cross-engine-exact arithmetic. The classic form is
+    *   Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+    * with k1 = 1.2, b = 0.75. Folding k1, b and avgdl = TL/N (TL = total
+    * corpus tokens, N = docs) into integers gives the per-term score as
+    * ONE ratio of exact 64-bit products:
+    *   num = N · 44 · tf · TL
+    *   den = df · (20·tf·TL + 6·TL + 18·N·dl)
+    * idf here is the raw ratio N/df (the same no-ln() rule as
+    * [[tfidfTopK]] — libm's ln differs in the last ulp across engines; a
+    * documented deviation from the ln-based textbook idf that preserves
+    * the ranking's monotonicity in df). Per-term doubles are fixed-
+    * pointed (floor(x·10⁶ + 0.5) LONG) BEFORE the cross-term sum so the
+    * total is an order-independent integer — Spark's partial aggregates
+    * and any oracle's sequential sum agree exactly. The 64-bit products
+    * stay exact while N·44·tf·TL < 2⁵³ (≈ 10¹⁵ token-pairs); past that,
+    * scale the constants down or move num/den to DECIMAL(38,0).
+    *
+    * Scale shape: the term stream is filtered to the |query| terms at
+    * the scan (pushed `isin`), so tf/df aggregate a tiny slice; dl joins
+    * on the doc key; df and the 1-row totals ride along as broadcasts.
+    * Final top-k is orderBy+limit ⇒ TakeOrderedAndProject, never a
+    * global sort.
+    */
+  def bm25(df: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = terms(df, idCol, textCol)
+    val totals = df.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(t.agg(count(lit(1)).as("tl")))
+    val dl = t.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val qt = t.where(col("term").isin(queryTerms: _*))
+    val tf = qt.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = qt.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val num = col("n_docs") * 44L * col("tf") * col("tl")
+    val den = col("df") * (lit(20L) * col("tf") * col("tl") +
+      lit(6L) * col("tl") + lit(18L) * col("n_docs") * col("dl"))
+    val perTerm = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(totals))
+      .withColumn("term_fp",
+        floor(num.cast("double") / den.cast("double") * 1e6 + 0.5).cast("long"))
+    val scored = perTerm.groupBy(col(idCol))
+      .agg(sum("term_fp").as("score_fp"), count(lit(1)).cast("int").as("n_terms"))
+      .orderBy(col("score_fp").desc, col(idCol))
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score_fp").desc, col(idCol))).cast("int"))
+  }
+
+  /** DuckDB twin of [[bm25]] over `documents(doc_id, text)`. */
+  def bm25Sql(tokenRe: String, queryTerms: Seq[String], k: Int = 10): String = {
+    val qlist = queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '$tokenRe')) AS term
+       |  FROM documents),
+       |tot AS (SELECT (SELECT count(*) FROM documents) AS n_docs, count(*) AS tl FROM t),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+       |qt AS (SELECT doc_id, term FROM t WHERE term IN ($qlist)),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+       |pt AS (
+       |  SELECT tf.doc_id,
+       |    floor(CAST(n_docs * 44 * tf * tl AS DOUBLE) /
+       |          CAST(df * (20 * tf * tl + 6 * tl + 18 * n_docs * dl) AS DOUBLE)
+       |          * 1000000.0 + 0.5)::BIGINT AS term_fp
+       |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), tot),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(term_fp) AS BIGINT) AS score_fp,
+       |    CAST(count(*) AS INTEGER) AS n_terms
+       |  FROM pt GROUP BY 1)
+       |SELECT doc_id, score_fp, n_terms,
+       |  CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS INTEGER) AS rank
+       |FROM sc ORDER BY score_fp DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus's own top-N
     * vocabulary — the quick tokenizer-coverage health check run before
     * committing to a vocab size. The vocabulary is BOUNDED (N rows), so

@@ -1,0 +1,77 @@
+package graft
+
+import graft.checkpoint.{Compact, Lineage}
+import graft.data.Transcripts
+import graft.run.{Pipeline, PipelineConfig}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Compaction execution: rewrite a bucket's many small files into one
+  * per sink with a reader-atomic manifest swap; the displaced files are
+  * exactly what vacuumOrphans then reaps.
+  */
+class CompactSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+  }
+
+  test("compactBucket: fewer files, identical data, manifest swapped, old files vacuumable") {
+    val out = java.nio.file.Files.createTempDirectory("graft-compact").toFile
+    try {
+      Pipeline.run(spark, Transcripts.synthesize(spark, 5000), out.toString,
+        PipelineConfig(buckets = 4, waves = 1, runId = "c1")): Unit
+      val lineage = new Lineage(spark, out.toString)
+      val bucket = lineage.committedBuckets().min
+      val rec0 = lineage.readAll().find(_.bucket == bucket).get
+      val dataDir = s"$out/data"
+
+      // emulate a streaming appender's small files: split every file of
+      // the bucket into 3, swap the manifest to the split set
+      val fs = new org.apache.hadoop.fs.Path(out.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val splitFiles = rec0.files.flatMap { rel =>
+        val sink = rel.split("/")(0)
+        val src = new org.apache.hadoop.fs.Path(dataDir, rel)
+        val tmp = new org.apache.hadoop.fs.Path(out.toString, s"split-tmp-$sink")
+        spark.read.option("basePath", dataDir).parquet(src.toString)
+          .drop("sink", "bucket").repartition(3).write.parquet(tmp.toString)
+        val parts = fs.listStatus(tmp).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.map { case (f, i) =>
+            val name = s"part-split-$i.parquet"
+            assert(fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(dataDir, s"$rel".replaceAll("/[^/]+$", s"/$name"))))
+            rel.replaceAll("/[^/]+$", s"/$name")
+          }
+        fs.delete(tmp, true)
+        fs.delete(src, false)
+        parts
+      }
+      lineage.commit(rec0.copy(files = splitFiles.sorted))
+
+      val before = Pipeline.readCommitted(spark, out.toString)
+        .orderBy("sink", "bucket", "conv_id", "turn_idx").collect()
+
+      val res = Compact.compactBucket(spark, out.toString, bucket)
+      assert(res.filesBefore == splitFiles.size && res.filesBefore > res.filesAfter,
+        s"expected a reduction, got $res")
+      val recAfter = new Lineage(spark, out.toString).readAll().find(_.bucket == bucket).get
+      assert(recAfter.files.forall(_.contains("part-compact-")), recAfter.files.toString)
+      assert(recAfter.rowCount == rec0.rowCount)
+
+      // byte-identical data through the manifest read
+      val after = Pipeline.readCommitted(spark, out.toString)
+        .orderBy("sink", "bucket", "conv_id", "turn_idx").collect()
+      assert(after.sameElements(before), "compaction changed the visible data")
+
+      // displaced files are manifest-orphans; vacuum reaps exactly them
+      val orphans = new Lineage(spark, out.toString).vacuumOrphans(dataDir, delete = true)
+      assert(orphans.toSet == splitFiles.toSet,
+        s"vacuum mismatch: $orphans vs $splitFiles")
+      val again = Pipeline.readCommitted(spark, out.toString)
+        .orderBy("sink", "bucket", "conv_id", "turn_idx").collect()
+      assert(again.sameElements(before), "vacuum after compaction changed the data")
+    } finally rm(out)
+  }
+}

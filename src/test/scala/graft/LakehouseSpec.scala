@@ -1,0 +1,88 @@
+package graft
+
+import graft.ops.Lakehouse
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MERGE/upsert and snapshot-diff semantics, plus the plan-shape
+  * contracts that make them scale: upsert is ONE hash aggregate (no
+  * window sort carrying every version through the shuffle), diff is a
+  * full-outer join that never broadcasts either table-sized side.
+  */
+class LakehouseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, 1L, "a", 10.0),
+    (2L, 1L, "b", 20.0),
+    (3L, 1L, "c", 30.0)
+  ).toDF("k", "ver", "kind", "v")
+
+  test("upsertLatest: latest version wins, deletes drop keys, untouched keys pass through") {
+    val changes = Seq(
+      (2L, 2L, "b2", 22.0, "U"), // update key 2
+      (3L, 2L, "c", 30.0, "D"),  // delete key 3
+      (4L, 2L, "d", 40.0, "U")   // insert key 4
+    ).toDF("k", "ver", "kind", "v", "op")
+    val out = Lakehouse.upsertLatest(base, changes, key = "k", ver = "ver")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(out === Array(
+      (1L, 1L, "a", 10.0),  // untouched
+      (2L, 2L, "b2", 22.0), // updated
+      (4L, 2L, "d", 40.0))) // inserted; 3 deleted
+  }
+
+  test("upsertLatest: change outranks base at equal version; stale change loses") {
+    val changes = Seq(
+      (1L, 1L, "a-tie", 11.0, "U"), // same ver as base ⇒ change wins
+      (2L, 0L, "stale", 0.0, "U")   // older ver ⇒ base row survives
+    ).toDF("k", "ver", "kind", "v", "op")
+    val out = Lakehouse.upsertLatest(base, changes, key = "k", ver = "ver")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(out === Array((1L, "a-tie"), (2L, "b"), (3L, "c")))
+  }
+
+  test("snapshotDiff classifies I/U/D, drops unchanged, null-safe compare") {
+    val prev = Seq(
+      (1L, Some("a"), 1.0), (2L, Some("b"), 2.0),
+      (3L, None: Option[String], 3.0), (4L, Some("d"), 4.0)
+    ).toDF("k", "kind", "v")
+    val next = Seq(
+      (1L, Some("a"), 1.0),               // unchanged → dropped
+      (2L, Some("b"), 2.5),               // updated value
+      (3L, Some("c"), 3.0),               // null→c is a change
+      (5L, Some("e"), 5.0)                // inserted; 4 deleted
+    ).toDF("k", "kind", "v")
+    val out = Lakehouse.snapshotDiff(prev, next, "k", Seq("kind", "v"))
+      .select("k", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(2L -> "U", 3L -> "U", 4L -> "D", 5L -> "I"))
+  }
+
+  /** Adaptive plans print "== Final Plan ==" AND "== Initial Plan =="
+    * sections — match operators on the final section only.
+    */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect(): Unit
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("upsertLatest plans as hash aggregate — no window/sort funnel") {
+    val s = finalPlan(
+      Lakehouse.upsertLatest(base, base.withColumn("op", lit("U")), "k", "ver"))
+    assert(s.contains("Aggregate"), s"expected an aggregate in:\n$s")
+    assert(!s.contains("Window"), s"window funnel in upsert plan:\n$s")
+  }
+
+  test("snapshotDiff joins without broadcasting either side") {
+    val n = 5000
+    val a = spark.range(n).select($"id".as("k"), ($"id" % 7).cast("double").as("v"))
+    val b = spark.range(n).select($"id".as("k"), ($"id" % 5).cast("double").as("v"))
+    val s = finalPlan(Lakehouse.snapshotDiff(a, b, "k", Seq("v")))
+    assert(!s.contains("BroadcastHashJoin"),
+      s"table-sized diff side was broadcast:\n$s")
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops.{Curation, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Weight-proportional priority sampling and BM25 retrieval: statistical
+  * bias / ranking contracts (cross-engine parity is the
+  * q_weighted_sample / q_bm25 oracles' job).
+  */
+class RetrievalSamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("prioritySample is weight-biased: heavy stratum overrepresented vs its row share") {
+    // 100 heavy rows (w=1000) among 9900 light rows (w=1): row share 1%,
+    // weight share ~91% — a weight-proportional 200-sample must contain
+    // far more heavy rows than 2 (p < 1e-30 under uniform sampling)
+    val df = spark.range(10000).toDF("doc_id")
+      .withColumn("n_chars", when($"doc_id" < 100, 1000L).otherwise(1L))
+    val sample = Curation.prioritySample(df, k = 200)
+    val heavy = sample.where($"weight" === 1000L).count()
+    info(s"heavy rows in 200-sample: $heavy")
+    assert(heavy >= 50, s"weight bias too weak: only $heavy heavy rows of 200")
+    assert(sample.count() === 200)
+    assert(sample.select("rank").as[Int].collect().sorted === (1 to 200).toArray)
+  }
+
+  test("prioritySample is deterministic: same input ⇒ identical sample") {
+    val df = spark.range(5000).toDF("doc_id").withColumn("n_chars", $"doc_id" % 97 + 1)
+    val a = Curation.prioritySample(df, k = 64).collect()
+    val b = Curation.prioritySample(df, k = 64).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("bm25 ranks matching docs by relevance; non-matching docs absent") {
+    val docs = Seq(
+      (1L, "spark spark spark engine"),              // high tf, short
+      (2L, "spark " + ("filler " * 200)),            // one hit, long doc
+      (3L, "spark engine fast"),                     // one hit, short doc
+      (4L, "nothing relevant here at all")           // no hit
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, Seq("spark"), k = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rank")).toMap
+    assert(!out.contains(4L), "non-matching doc must not appear")
+    // tf saturation + length normalization: 1 > 3 > 2
+    assert(out(1L) === 1, s"doc 1 (tf=3, short) should rank first: $out")
+    assert(out(3L) < out(2L), s"short doc should beat long doc at equal tf: $out")
+  }
+
+  test("bm25 multi-term scores are order-independent integer sums") {
+    val docs = (0L until 500L).map(i =>
+      (i, s"alpha beta gamma t$i " * ((i % 7 + 1).toInt))).toDF("doc_id", "text")
+    val q = Seq("alpha", "gamma")
+    val a = TextAnalysis.bm25(docs, q, k = 20).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = TextAnalysis.bm25(docs.repartition(13), q, k = 20).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b), "score must not depend on partitioning")
+  }
+}

@@ -32,6 +32,18 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(rows("b")._1 - 2000) / 2000.0 < 0.25)
   }
 
+  test("HLL merge: per-part registers merged == single global build (mergeability)") {
+    val df = spark.range(20000).toDF("k")
+      .withColumn("part", ($"k" % 13).cast("string")) // 13 uneven slices
+    val row = Sketches.hllMergeProof(df, "k", "part").collect().head
+    assert(row.getAs[Int]("n_parts") === 13)
+    assert(row.getAs[Double]("hll_merged") === row.getAs[Double]("hll_direct"),
+      "merged sketch must equal the global build bit-for-bit")
+    val est = row.getAs[Double]("hll_merged")
+    val exact = row.getAs[Long]("exact_keys")
+    assert(math.abs(est - exact) / exact < 0.20, f"HLL off by ${(est - exact) / exact}%.3f")
+  }
+
   test("Count-Min is one-sided and tight on a planted heavy hitter") {
     // one term with 2000 occurrences over a sea of 1000 singletons:
     // collision mass per cell ~ 3000/256, min over 4 rows keeps the
