@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.data.Transcripts
 import graft.enrich.Enrich
-import graft.ops.{Dedup, Multiline, Multimodal, Similarity, Sketches, StarQueries, TextAnalysis}
+import graft.ops.{Dedup, Graph, Multiline, Multimodal, Similarity, Sketches, StarQueries, TextAnalysis}
 import graft.parse.DissectFunctions
 import graft.route.{Cond, Conditions, FormatStr, Mappings, Router, RouterConfig, Rule}
 import graft.run.{Pipeline, PipelineConfig}
@@ -1434,7 +1434,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value") * 1000000d + 0.5d).cast("long"))
             .cast("long").as("value_fp"))
-    }
+    },
+
+    // general connected components (large-star/small-star alternation,
+    // Kiveris et al. SoCC'14) over the bipartite order–part co-purchase
+    // graph; the sf0.01 fixture yields a 944-node giant component, so
+    // the star rounds provably merge deep chains, not just local pairs
+    "q_connected_comp" -> ((s, dir) =>
+      Graph.connectedComponents(
+        tpch(s, dir, "lineitem").where(col("l_orderkey") % 50 === 0)
+          .select((col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst")))),
+
+    // damped PageRank in integer micro-units over the agent
+    // tool-transition Markov graph (edge weight = transition count)
+    "q_pagerank" -> ((s, dir) =>
+      Graph.pagerank(
+        graft.ops.Conversations.toolTransitions(transcripts(s, dir)),
+        iters = 5, srcCol = "tool", dstCol = "next_tool",
+        weightCol = Some("n")))
   )
 
   // --- oracle SQL (DuckDB) ----------------------------------------------
@@ -3530,6 +3548,51 @@ object SparkEntry {
         |SELECT dt, event_type, count(*) AS n,
         |  CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS value_fp
         |FROM e WHERE dt = (SELECT min(strftime(ts, '%Y-%m-%d')) FROM events)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // CC ground truth by recursive min-label fixpoint (any correct CC
+    // algorithm agrees with large-star/small-star on the final labels);
+    // only strictly-decreasing labels propagate, so the recursion's
+    // working set is bounded and the UNION dedup terminates it
+    "q_connected_comp" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT DISTINCT CAST(l_orderkey * 2 AS BIGINT) AS u,
+        |    CAST(l_partkey * 2 + 1 AS BIGINT) AS v
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |sym AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+        |cc(node, label) AS (
+        |  SELECT u, u FROM sym
+        |  UNION
+        |  SELECT s.v, c.label FROM cc c JOIN sym s ON s.u = c.node
+        |  WHERE c.label < s.v)
+        |SELECT node, CAST(MIN(label) AS BIGINT) AS component
+        |FROM cc GROUP BY 1""".stripMargin,
+
+    // unrolled 5-iteration twin of Graph.pagerank: identical integer
+    // floor-division sequence, so the micro-unit ranks match exactly
+    "q_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        val prev = s"r${i - 1}"
+        s"""r$i AS (
+           |  SELECT n.node,
+           |    CAST(150000 + (COALESCE(s.in_fp, 0) * 85) // 100 AS BIGINT) AS rank_fp
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.next_tool AS node, SUM((r.rank_fp * e.n) // o.out_w) AS in_fp
+           |    FROM ed e JOIN $prev r ON r.node = e.tool
+           |    JOIN outw o ON o.tool = e.tool
+           |    GROUP BY 1) s ON s.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""$T, ed AS (
+         |  SELECT tool, next_tool, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT conv_id, turn_idx, tool,
+         |          lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_tool
+         |        FROM transcripts WHERE tool IS NOT NULL)
+         |  WHERE next_tool IS NOT NULL GROUP BY 1, 2),
+         |nodes AS (SELECT tool AS node FROM ed UNION SELECT next_tool FROM ed),
+         |outw AS (SELECT tool, CAST(SUM(n) AS BIGINT) AS out_w FROM ed GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_fp FROM nodes),
+         |$iters
+         |SELECT node, rank_fp FROM r5""".stripMargin
+    }
   )
 }

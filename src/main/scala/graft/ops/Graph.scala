@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives for entity resolution and link analysis
+  * over edge tables — the general form of what the LSH dedup path does
+  * with its bounded min-label propagation.
+  *
+  *  - `connectedComponents`: the two-phase large-star / small-star
+  *    algorithm (Kiveris et al., "Connected Components in MapReduce and
+  *    Beyond", SoCC 2014 — public). Converges in O(log² n) rounds on any
+  *    graph (O(log n) in practice), vs O(diameter) for naive label
+  *    propagation — the difference between 15 and 10⁶ shuffle rounds on
+  *    a path-shaped dup chain at 10¹² rows. Each round is two
+  *    join+groupBy passes over the edge list; no adjacency lists are
+  *    ever collected (hot nodes stay distributed — the min is an
+  *    aggregate, the emission is a join), so a 10⁸-degree hub node
+  *    costs a shuffle skew (salt upstream if needed) but never an OOM.
+  *  - `pagerank`: damped PageRank in PURE INTEGER fixed-point (micro
+  *    units). Per-edge contributions use floor division, so every
+  *    iteration is an order-independent integer sum — bit-identical
+  *    across engines, partitionings, and retries. The usual
+  *    double-precision formulation is NOT reproducible across engines
+  *    (sum order), which is why the fixed-point form is the one you can
+  *    oracle-check and checkpoint-resume without drift.
+  *
+  * Reference tie-in: Beats has no graph operator (its dedup is
+  * registrar-keyed exact state, `filebeat/input/log/harvester.go`); these
+  * serve the LLM-curation side — URL/domain graphs, near-dup cluster
+  * consolidation, citation/link authority scoring.
+  */
+object Graph {
+
+  /** Connected components of the undirected graph given by an edge list.
+    * Returns (node, component) with component = min node id reachable.
+    * Node ids must be non-negative longs (the min-as-representative
+    * convention).
+    *
+    * Algorithm (Kiveris et al. 2014): alternate
+    *   large-star: ∀u, connect every strictly-larger neighbor of u to
+    *     m(u) = min(Γ(u) ∪ {u});
+    *   small-star: on the (larger → smaller) edge orientation, connect
+    *     every smaller-or-equal neighbor and u itself to m(u);
+    * until the edge set reaches a fixpoint — at which point the edges
+    * form stars whose centers are the component minima. Each round's
+    * edge list is localCheckpoint'ed: the next round references it
+    * twice (join + aggregate), and without truncation the plan tree
+    * doubles per round (the lshClusters measurement).
+    *
+    * Convergence test: `exceptAll` of consecutive edge sets plus a count
+    * compare — exact, two extra small jobs per round. At 10¹² edges
+    * you'd swap it for the cheap changed-edge accumulator; the rounds
+    * themselves are the dominant cost either way.
+    */
+  def connectedComponents(edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      maxRounds: Int = 20): DataFrame = {
+    val raw = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+    val nodes = raw.select(col("u").as("node"))
+      .unionAll(raw.select(col("v").as("node"))).distinct()
+    val base = raw.where(col("u") =!= col("v"))
+
+    // orient (larger → smaller) so small-star's precondition holds
+    var e = base
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var eCount = e.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star over the symmetrized neighborhood
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+      val large = sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // small-star over the (larger → smaller) edges produced above
+      val minsS = large.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+      val small = large.join(minsS, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(minsS.where(col("u") =!= col("m"))
+          .select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val smallCount = small.count()
+      converged = smallCount == eCount &&
+        small.exceptAll(e).isEmpty
+      e = small
+      eCount = smallCount
+      round += 1
+    }
+    // at the fixpoint edges are (member → component min) stars; one
+    // min-join folds roots and singletons in
+    nodes.join(e.select(col("u").as("node"), col("v")), Seq("node"), "left")
+      .groupBy("node")
+      .agg(min(least(col("v"), col("node"))).as("component"))
+  }
+
+  /** Damped PageRank over a weighted directed edge list, `iters` rounds,
+    * in integer micro-units (rank 1.0 = 1,000,000). Per iteration:
+    *
+    *   contrib(u→v) = (rank_fp(u) · w(u→v)) div out_w(u)
+    *   rank_fp'(v)  = 150,000 + (Σ contrib · 85) div 100
+    *
+    * i.e. damping 0.85 with uniform 0.15 teleport, all floor divisions
+    * on non-negative longs — identical in Spark (`div`) and any SQL
+    * engine (`//`). Dangling-node mass is dropped (not redistributed):
+    * ranks are relative authority scores here, and the drop keeps the
+    * arithmetic one-pass. Bounds: rank_fp ≤ n·10⁶ and w ≤ Σw, so the
+    * product stays under 2⁶³ for n·Σw < 9·10¹¹ — scale the unit down
+    * past that.
+    *
+    * Shape at scale: `edges` is shuffled once per iteration on dst for
+    * the contribution sum; `outW` co-partitions with edges on src; the
+    * rank table is node-sized. The iteration count is a fixed small
+    * constant (the standard 5–20), so the whole job is O(iters) shuffles
+    * of the edge list — the canonical Pregel-style plan without RDDs.
+    */
+  def pagerank(edges: DataFrame, iters: Int = 5,
+      srcCol: String = "src", dstCol: String = "dst",
+      weightCol: Option[String] = None): DataFrame = {
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"), w.as("_w"))
+      .localCheckpoint()
+    val nodes = e.select(col("_src").as("node"))
+      .unionAll(e.select(col("_dst").as("node"))).distinct()
+      .localCheckpoint()
+    val outW = e.groupBy("_src").agg(sum(col("_w")).as("_out_w"))
+    var rank = nodes.select(col("node"), lit(1000000L).as("rank_fp"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(rank.withColumnRenamed("node", "_src"), Seq("_src"))
+        .join(outW, Seq("_src"))
+        .select(col("_dst").as("node"),
+          expr("(rank_fp * _w) div _out_w").as("_c"))
+      val inSum = contrib.groupBy("node").agg(sum(col("_c")).as("_in_fp"))
+      rank = nodes.join(inSum, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(coalesce(_in_fp, CAST(0 AS BIGINT)) * 85) div 100")).as("rank_fp"))
+    }
+    rank
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Graph
+
+/** Connected components (large-star/small-star) and fixed-point PageRank
+  * on hand-checkable topologies.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("CC: path graph is one component labeled by its min") {
+    val edges = (1L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc = Graph.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.keySet == (1L to 10L).toSet)
+    assert(cc.values.toSet == Set(1L))
+  }
+
+  test("CC: two cliques stay separate until a bridge edge merges them") {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val separate = (clique(20L to 24L) ++ clique(30L to 34L)).toDF("src", "dst")
+    val cc1 = Graph.connectedComponents(separate).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((20L to 24L).forall(cc1(_) == 20L))
+    assert((30L to 34L).forall(cc1(_) == 30L))
+
+    val bridged = (clique(20L to 24L) ++ clique(30L to 34L) :+ (24L, 30L))
+      .toDF("src", "dst")
+    val cc2 = Graph.connectedComponents(bridged).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((20L to 24L).forall(cc2(_) == 20L) && (30L to 34L).forall(cc2(_) == 20L))
+  }
+
+  test("CC: self-loop-only node is its own singleton component; duplicate and reversed edges collapse") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (7L, 7L)).toDF("src", "dst")
+    val cc = Graph.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
+
+  test("CC: converges on a long path well inside the round budget (log², not diameter)") {
+    val n = 200L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc = Graph.connectedComponents(edges, maxRounds = 12)
+    assert(cc.where(col("component") =!= 1L).isEmpty)
+    assert(cc.count() == n)
+  }
+
+  test("pagerank: two-node cycle is symmetric; sink-fed star ranks the hub highest") {
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pagerank(cyc, iters = 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == r(2L)) // symmetry: identical integer sequence
+
+    // 4 leaves all pointing at hub 1; hub dangles (mass dropped)
+    val star = (2L to 5L).map(i => (i, 1L)).toDF("src", "dst")
+    val s = Graph.pagerank(star, iters = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(s(1L) > s(2L) && s(2L) == s(5L))
+    // leaves get pure teleport mass after round 1: 150000 + 0
+    assert(s(2L) == 150000L)
+  }
+
+  test("pagerank: weighted edges split contribution by integer floor shares") {
+    // 1 → 2 (w=3), 1 → 3 (w=1): round 1 contribs = (1e6*3) div 4, (1e6*1) div 4
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.pagerank(e, iters = 1, weightCol = Some("w")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(2L) == 150000L + (750000L * 85) / 100)
+    assert(r(3L) == 150000L + (250000L * 85) / 100)
+    assert(r(1L) == 150000L)
+  }
+
+  test("pagerank: deterministic across repartitionings (integer order-independence)") {
+    val e = (1L to 60L).map(i => (i % 7, (i * 3) % 7)).filter(p => p._1 != p._2)
+      .toDF("src", "dst")
+    val a = Graph.pagerank(e.repartition(1), iters = 4).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val b = Graph.pagerank(e.repartition(13), iters = 4).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(a == b)
+  }
+}
