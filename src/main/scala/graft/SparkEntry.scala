@@ -1452,7 +1452,19 @@ object SparkEntry {
       Graph.pagerank(
         graft.ops.Conversations.toolTransitions(transcripts(s, dir)),
         iters = 5, srcCol = "tool", dstCol = "next_tool",
-        weightCol = Some("n")))
+        weightCol = Some("n"))),
+
+    // exact edit-distance verify over the banded candidates (propose →
+    // dispose): planted exact copies score 1e6 ppm, the " extra"
+    // near-dups land just under, unrelated collisions far below
+    "q_edit_verify" -> ((s, dir) =>
+      Dedup.editVerify(docsWithDupes(s, dir), numHashes = 8, rowsPerBand = 4, k = 4)),
+
+    // contrastive hard negatives: candidate pairs whose MinHash-estimated
+    // Jaccard sits in [0.20, 0.80) — entangled but not duplicates
+    "q_hard_negatives" -> ((s, dir) =>
+      Dedup.hardNegatives(docsWithDupes(s, dir), loPct = 20, hiPct = 80,
+        numHashes = 8, rowsPerBand = 4, k = 4))
   )
 
   // --- oracle SQL (DuckDB) ----------------------------------------------
@@ -3593,6 +3605,64 @@ object SparkEntry {
          |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_fp FROM nodes),
          |$iters
          |SELECT node, rank_fp FROM r5""".stripMargin
-    }
+    },
+
+    // pair verify: DuckDB's levenshtein is the same unit-cost DP; the
+    // sim ratio is all-integer so the ppm scores hash-compare exactly
+    "q_edit_verify" ->
+      s"""WITH $DocsDupesSql,
+         |sh AS (
+         |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(length(text) - 3, 0)),
+         |    i -> substr(text, CAST(i AS INTEGER), 4))) AS shingle
+         |  FROM docs2),
+         |${Dedup.minhashSql(8)},
+         |bands AS (
+         |  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         |    string_agg(CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR), '|'
+         |      ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR)) AS band_key
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+         |  WHERE l.doc_id < r.doc_id),
+         |j AS (
+         |  SELECT c.a, c.b, da.text AS ta, db.text AS tb,
+         |    greatest(length(da.text), length(db.text)) AS maxlen
+         |  FROM cand c JOIN docs2 da ON da.doc_id = c.a JOIN docs2 db ON db.doc_id = c.b)
+         |SELECT a, b,
+         |  CAST(CASE WHEN maxlen = 0 THEN 0
+         |            WHEN maxlen <= 10000 THEN levenshtein(ta, tb)
+         |            ELSE -1 END AS INTEGER) AS edit_dist,
+         |  CAST(CASE WHEN maxlen = 0 THEN 1000000
+         |            WHEN maxlen <= 10000 THEN ((maxlen - levenshtein(ta, tb)) * 1000000) // maxlen
+         |            ELSE 0 END AS BIGINT) AS sim_ppm
+         |FROM j""".stripMargin,
+
+    // the q_minhash_est pipeline with the hard-negative band filter
+    "q_hard_negatives" ->
+      s"""WITH $DocsDupesSql,
+         |sh AS (
+         |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(length(text) - 3, 0)),
+         |    i -> substr(text, CAST(i AS INTEGER), 4))) AS shingle
+         |  FROM docs2),
+         |${Dedup.minhashSql(8)},
+         |bands AS (
+         |  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         |    string_agg(CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR), '|'
+         |      ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR)) AS band_key
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+         |  WHERE l.doc_id < r.doc_id),
+         |est AS (
+         |  SELECT c.a, c.b,
+         |    round(sum(CASE WHEN ma.sig = mb.sig THEN 1 ELSE 0 END) / 8.0, 6) AS est_jaccard
+         |  FROM cand c
+         |  JOIN mh ma ON ma.doc_id = c.a
+         |  JOIN mh mb ON mb.doc_id = c.b AND mb.seed = ma.seed
+         |  GROUP BY 1, 2)
+         |SELECT a, b, est_jaccard FROM est
+         |WHERE est_jaccard * 100 >= 20 AND est_jaccard * 100 < 80""".stripMargin
   )
 }

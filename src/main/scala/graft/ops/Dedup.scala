@@ -744,4 +744,57 @@ object Dedup {
         expr("n_hit * 1000000 div n_candidates").as("precision_ppm"),
         expr("n_hit * 1000000 div n_true").as("recall_ppm"))
   }
+
+  /** Edit-distance VERIFICATION of LSH candidates — the standard
+    * second stage of a near-dup pipeline: banding proposes, an exact
+    * character-level metric disposes. Emits each candidate pair with its
+    * Levenshtein distance and a similarity ratio in ppm,
+    * `(maxlen − dist)·10⁶ div maxlen` — pure integer arithmetic, so the
+    * score is engine-exact (no float division). `maxLen` guards the
+    * O(len²) DP: pairs where either side exceeds it are emitted with
+    * dist = −1, sim = 0 rather than silently dropped (at 100 TB you cap
+    * the quadratic, you don't let a 10 MB doc pair stall an executor).
+    *
+    * Shape at scale: the expensive metric runs ONLY on the banded
+    * candidate set (≈ linear in corpus under the banding s-curve), with
+    * the two text joins shuffling on the id columns. The verify is
+    * embarrassingly per-pair — no cross-pair state.
+    */
+  def editVerify(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
+      k: Int = 4, maxLen: Int = 10000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cand = lshCandidates(df, numHashes, rowsPerBand, k, idCol, textCol)
+    val ta = df.select(col(idCol).as("a"), col(textCol).as("_ta"))
+    val tb = df.select(col(idCol).as("b"), col(textCol).as("_tb"))
+    val maxlen = greatest(length(col("_ta")), length(col("_tb")))
+    val fits = maxlen <= maxLen
+    val dist = when(maxlen === 0, lit(0))
+      .when(fits, levenshtein(col("_ta"), col("_tb")))
+      .otherwise(lit(-1))
+    cand.join(ta, Seq("a")).join(tb, Seq("b"))
+      .select(col("a"), col("b"),
+        dist.cast("int").as("edit_dist"),
+        when(maxlen === 0, lit(1000000L))
+          .when(fits, expr(
+            s"(greatest(length(_ta), length(_tb)) - levenshtein(_ta, _tb)) * 1000000 " +
+            s"div greatest(length(_ta), length(_tb))"))
+          .otherwise(lit(0L)).as("sim_ppm"))
+  }
+
+  /** Hard-negative mining for contrastive training: LSH-candidate pairs
+    * whose MinHash-estimated Jaccard falls BELOW the duplicate band but
+    * above chance — textually entangled yet not duplicates, exactly the
+    * "hard" pairs a retrieval/similarity model should learn to separate.
+    * Bounds are integer percent against the ×100 estimate, so the band
+    * edges are exact (est is n/numHashes — clean decimal steps).
+    * Same linear-under-banding cost shape as [[minhashJaccardEst]]; the
+    * signature screen reads only fixed-width sigs, never the text.
+    */
+  def hardNegatives(df: DataFrame, loPct: Int = 20, hiPct: Int = 90,
+      numHashes: Int = 8, rowsPerBand: Int = 2, k: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(loPct < hiPct, "empty hard-negative band")
+    minhashJaccardEst(df, numHashes, rowsPerBand, k, idCol, textCol)
+      .where(col("est_jaccard") * 100 >= loPct && col("est_jaccard") * 100 < hiPct)
+  }
 }

@@ -212,4 +212,38 @@ class PlantedDupSpec extends AnyFunSuite {
     assert(shareShingle && ratio < t - 1e-6,
       "fixture must contain a shingle-sharing pair below the ratio bound")
   }
+
+  test("editVerify: exact copies at dist 0 / sim 1e6, ' extra' near-dups at dist 6, cap path flags -1") {
+    val verified = Dedup.editVerify(docs, numHashes = 8, rowsPerBand = 4, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getLong(3))).toMap
+    val exactPairs = verified.filter { case ((a, b), _) => b == a + 20000 }
+    assert(exactPairs.nonEmpty, "banding must surface planted exact copies")
+    assert(exactPairs.values.forall(_ == (0, 1000000L)))
+    val nearPairs = verified.filter { case ((a, b), _) => b == a + 10000 }
+    assert(nearPairs.nonEmpty, "banding must surface planted ' extra' near-dups")
+    assert(nearPairs.values.forall(_._1 == 6), // " extra" = 6 inserted chars
+      s"near-dup distances: ${nearPairs.values.map(_._1).toSet}")
+    nearPairs.foreach { case ((a, _), (_, sim)) =>
+      assert(sim < 1000000L && sim > 900000L, s"near-dup sim out of band for $a: $sim")
+    }
+
+    // over-length pairs take the -1/0 cap path instead of running the DP
+    val capped = Dedup.editVerify(docs, numHashes = 8, rowsPerBand = 4, k = 4,
+      maxLen = 10).collect()
+    assert(capped.nonEmpty && capped.forall(r => r.getInt(2) == -1 && r.getLong(3) == 0L))
+  }
+
+  test("hardNegatives: planted exact/near dups are excluded, the band keeps mid-similarity pairs only") {
+    val est = Dedup.minhashJaccardEst(docs, numHashes = 8, rowsPerBand = 4, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val hard = Dedup.hardNegatives(docs, loPct = 20, hiPct = 80,
+      numHashes = 8, rowsPerBand = 4, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(hard.nonEmpty, "fixture must yield some mid-band pairs")
+    assert(hard.values.forall(e => e >= 0.2 && e < 0.8))
+    // nothing estimated ≥ 0.8 (the planted dup families) leaks in
+    assert(!hard.keySet.exists(p => est(p) >= 0.8))
+    // and hardNegatives is exactly the band filter over the estimate set
+    assert(hard == est.filter { case (_, e) => e >= 0.2 && e < 0.8 })
+  }
 }
