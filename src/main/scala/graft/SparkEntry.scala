@@ -1464,7 +1464,17 @@ object SparkEntry {
     // Jaccard sits in [0.20, 0.80) — entangled but not duplicates
     "q_hard_negatives" -> ((s, dir) =>
       Dedup.hardNegatives(docsWithDupes(s, dir), loPct = 20, hiPct = 80,
-        numHashes = 8, rowsPerBand = 4, k = 4))
+        numHashes = 8, rowsPerBand = 4, k = 4)),
+
+    // fastText-shape hashed unigram+bigram linear classifier inference:
+    // hash → weight as one codegen expression, no lookup join
+    "q_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.hashedLinearScore(documents(s, dir), bucketsLog2 = 18)),
+
+    // CCNet head/middle/tail per-language perplexity terciles over the
+    // corpus-trained bigram LM (fixed-point per-bigram average key)
+    "q_ccnet_buckets" -> ((s, dir) =>
+      graft.ops.Curation.ccnetBuckets(documents(s, dir)))
   )
 
   // --- oracle SQL (DuckDB) ----------------------------------------------
@@ -3663,6 +3673,61 @@ object SparkEntry {
          |  JOIN mh mb ON mb.doc_id = c.b AND mb.seed = ma.seed
          |  GROUP BY 1, 2)
          |SELECT a, b, est_jaccard FROM est
-         |WHERE est_jaccard * 100 >= 20 AND est_jaccard * 100 < 80""".stripMargin
+         |WHERE est_jaccard * 100 >= 20 AND est_jaccard * 100 < 80""".stripMargin,
+
+    // hashed-feature linear scorer: bucket and mixer are pure integer
+    // arithmetic over the shared 48-bit md5-prefix gram hash
+    "q_quality_classifier" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         |    ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS a
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, UNNEST(a) AS feature FROM t
+         |  UNION ALL
+         |  SELECT doc_id, a[CAST(i AS INTEGER)] || ' ' || a[CAST(i AS INTEGER) + 1] AS feature
+         |  FROM (SELECT doc_id, a, UNNEST(generate_series(1, len(a) - 1)) AS i FROM t)),
+         |w AS (
+         |  SELECT doc_id,
+         |    ((${Dedup.gramHashSql("feature")} % 262144) * 2654435761) % 2001 - 1000 AS w
+         |  FROM f),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(sum(w) AS BIGINT) AS score
+         |  FROM w GROUP BY 1)
+         |SELECT t.doc_id, CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+         |  CAST(COALESCE(score, 0) AS BIGINT) AS score,
+         |  COALESCE(score, 0) >= 0 AS keep
+         |FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id""".stripMargin,
+
+    // per-language perplexity terciles over the q_lm_score pipeline;
+    // ntile ties broken by doc_id on both engines
+    "q_ccnet_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, a[CAST(i AS INTEGER)] AS w1, a[CAST(i AS INTEGER) + 1] AS w2
+        |  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i FROM t)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+        |d AS (SELECT doc_id, w1, w2, count(*) AS n FROM b GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(sum(n * (floor(log2(c12)) - floor(log2(c1)))) AS BIGINT) AS lm_score,
+        |    CAST(sum(n) AS BIGINT) AS n_bigrams
+        |  FROM d JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT doc.doc_id, doc.lang,
+        |    CAST(floor(CAST(lm_score AS DOUBLE) * 1000000 / n_bigrams) AS BIGINT) AS ppl_fp
+        |  FROM documents doc LEFT JOIN sc ON sc.doc_id = doc.doc_id),
+        |r AS (
+        |  SELECT doc_id, lang, ppl_fp,
+        |    ntile(3) OVER (PARTITION BY lang ORDER BY ppl_fp DESC NULLS LAST, doc_id) AS t3
+        |  FROM j)
+        |SELECT doc_id, lang, ppl_fp,
+        |  CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM r""".stripMargin
   )
 }

@@ -702,4 +702,38 @@ object Curation {
         count(lit(1)).cast("long").as("n_rows"),
         countDistinct(col(splitCol)).cast("int").as("n_splits"),
         array_join(array_sort(collect_set(col(splitCol))), ",").as("splits"))
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, §4.3 —
+    * public): per language, rank documents by LM score per bigram and
+    * cut into head / middle / tail terciles — head feeds training first,
+    * tail is dropped or down-weighted. The LM here is the repo's
+    * corpus-trained bigram model ([[TextAnalysis.lmBigramScore]], no
+    * ln()); the per-doc key is floor(lm_score·10⁶ / n_bigrams), a
+    * deterministic fixed-point average, DESC so tercile 1 = most-likely
+    * text. Docs with < 2 tokens have no bigrams and sort last (tail).
+    *
+    * Scale note: ntile forces a per-language sort. At 10¹² docs swap the
+    * exact tercile for boundary-based assignment (compute the two
+    * per-language cut points with the [[graft.agg.Aggregates.equiDepth]]
+    * planner, then bucket with two broadcast comparisons — one scan, no
+    * global sort). The tercile form is the reference semantics and the
+    * oracle target.
+    */
+  def ccnetBuckets(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.lmBigramScore(df, idCol, textCol)
+    val key = floor(col("lm_score").cast("double") * 1000000d / col("n_bigrams"))
+      .cast("long")
+    val w = Window.partitionBy(langCol)
+      .orderBy(col("ppl_fp").desc_nulls_last, col(idCol))
+    df.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol), "left")
+      .withColumn("ppl_fp", key)
+      .withColumn("tercile", ntile(3).over(w))
+      .select(col(idCol), col(langCol), col("ppl_fp"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

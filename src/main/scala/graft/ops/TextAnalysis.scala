@@ -687,6 +687,38 @@ object TextAnalysis {
         sum(col("_n")).cast("long").as("n_bigrams"))
   }
 
+  /** FastText-style hashed linear classifier INFERENCE (Joulin et al.
+    * 2016, "Bag of Tricks" — public): word unigram + bigram features
+    * hashed into 2^`bucketsLog2` buckets, each bucket carrying a weight,
+    * document score = Σ weights, keep = score ≥ 0. This is the quality-
+    * classifier shape CCNet/LLaMA-style curation runs over every crawl
+    * document. The container ships no trained model, so weights come
+    * from a deterministic integer mixer over the bucket id
+    * ((bucket·2654435761) mod 2001 − 1000 ∈ [−1000, 1000]) — swap the
+    * mixer for a broadcast weight-array lookup to serve real weights;
+    * the Spark-side shape is already the real thing: a pure codegen
+    * expression per feature (hash → weight, NO lookup join, no UDF),
+    * one explode, one map-side-combined groupBy. All-integer, so the
+    * oracle reproduces scores exactly.
+    */
+  def hashedLinearScore(df: DataFrame, bucketsLog2: Int = 18,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(bucketsLog2 >= 1 && bucketsLog2 <= 20,
+      "bucket*mixer must stay in 63 bits")
+    val toks = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(lower(trim(col(textCol))), "\\s+"))
+    val feats = concat(toks, wordGrams(toks, 2))
+    val bucket = pmod(Dedup.gramHash(col("feature")), lit(1L << bucketsLog2))
+    val weight = pmod(bucket * lit(2654435761L), lit(2001L)) - lit(1000L)
+    df.select(col(idCol), explode_outer(feats).as("feature"))
+      .groupBy(idCol)
+      .agg(
+        count(col("feature")).cast("long").as("n_feats"),
+        coalesce(sum(weight), lit(0L)).cast("long").as("score"))
+      .withColumn("keep", col("score") >= 0)
+  }
+
   /** DuckDB twin of [[charDiversity]]'s per-class counts over `expr`. */
   def charDiversitySql(expr: String): String = {
     val low = s"lower($expr)"

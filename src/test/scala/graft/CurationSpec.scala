@@ -234,4 +234,50 @@ class CurationSpec extends AnyFunSuite {
     val r = leaky.head()
     assert(r.getAs[String]("splits").split(",").length === r.getAs[Int]("n_splits"))
   }
+
+  test("hashedLinearScore: unigram+bigram feature count, empty doc keeps with 0, repartition-stable") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), // 3 unigrams + 2 bigrams = 5 features
+      (2L, "single"),           // 1 feature, no bigrams
+      (3L, "  "),               // whitespace-only: 0 features
+      (4L, "alpha beta gamma")  // same text as 1 ⇒ same score
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedLinearScore(docs, bucketsLog2 = 18)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L)._1 == 5 && got(2L)._1 == 1)
+    assert(got(3L) == ((0L, 0L, true)))
+    assert(got(1L) == got(4L), "same text must score identically")
+    assert(got.values.forall { case (n, s, keep) =>
+      s >= -1000 * n && s <= 1000 * n && keep == (s >= 0) })
+
+    val again = TextAnalysis.hashedLinearScore(docs.repartition(7), bucketsLog2 = 18)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(again == got)
+  }
+
+  test("ccnetBuckets: per-language terciles, head outranks tail, bigram-less docs sink to tail") {
+    // lang en: 6 docs with graded repetitiveness (common bigrams score
+    // higher); lang fr: 3 docs; plus a one-token doc with no bigrams
+    val en = (1L to 6L).map(i =>
+      (i, ("common common " * i.toInt + "unique" + i).trim, "en"))
+    val fr = (11L to 13L).map(i => (i, s"bonjour le monde $i", "fr"))
+    val docs = (en ++ fr :+ ((20L, "solo", "en"))).toDF("doc_id", "text", "lang")
+    val out = Curation.ccnetBuckets(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getString(3))))
+      .toMap
+    assert(out.size == 10)
+    // tercile sizes per lang differ by ≤ 1 and cover head/middle/tail
+    val enBuckets = out.collect { case (_, ("en", _, b)) => b }.toSeq
+    assert(enBuckets.count(_ == "head") - enBuckets.count(_ == "tail") <= 1)
+    assert(Set("head", "middle", "tail").subsetOf(enBuckets.toSet))
+    // the bigram-less doc has null key and lands in the tail
+    assert(out(20L) == (("en", None, "tail")))
+    // within en, every head key ≥ every tail key (desc ordering)
+    val heads = out.collect { case (_, ("en", Some(k), "head")) => k }
+    val tails = out.collect { case (_, ("en", Some(k), "tail")) => k }
+    assert(heads.nonEmpty && (tails.isEmpty || heads.min >= tails.max))
+    // fr docs never mix into en terciles
+    assert(out.collect { case (id, ("fr", _, _)) => id }.toSet == Set(11L, 12L, 13L))
+  }
 }
