@@ -1474,7 +1474,15 @@ object SparkEntry {
     // CCNet head/middle/tail per-language perplexity terciles over the
     // corpus-trained bigram LM (fixed-point per-bigram average key)
     "q_ccnet_buckets" -> ((s, dir) =>
-      graft.ops.Curation.ccnetBuckets(documents(s, dir)))
+      graft.ops.Curation.ccnetBuckets(documents(s, dir))),
+
+    // product-quantization ADC top-k: the codes-only vector-search scan
+    // (corpus shrinks to m codes/vector; queries keep exact subspace
+    // distance tables)
+    "q_ann_pq" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+      Similarity.pqTopK(e, e.where(col("vec_id") < 5), k = 10, m = 4, ks = 16)
+    }
   )
 
   // --- oracle SQL (DuckDB) ----------------------------------------------
@@ -3728,6 +3736,37 @@ object SparkEntry {
         |  FROM j)
         |SELECT doc_id, lang, ppl_fp,
         |  CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // PQ/ADC twin: identical subvector slicing, sequential-fold dot
+    // products, per-cell fixed-pointing before the cross-subspace sum
+    "q_ann_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT vec_id, s.sub_id,
+        |    v[(CAST(sub_id AS INTEGER) * (len(v) // 4) + 1):((CAST(sub_id AS INTEGER) + 1) * (len(v) // 4))] AS subv
+        |  FROM e, (SELECT UNNEST(range(4)) AS sub_id) s),
+        |cents AS (SELECT vec_id AS cent_id, sub_id, subv AS centv FROM p WHERE vec_id < 16),
+        |d AS (
+        |  SELECT p.vec_id, p.sub_id, c.cent_id,
+        |    CAST(floor((list_dot_product(p.subv, p.subv)
+        |      - 2 * list_dot_product(p.subv, c.centv)
+        |      + list_dot_product(c.centv, c.centv)) * 1000000 + 0.5) AS BIGINT) AS d_fp
+        |  FROM p JOIN cents c USING (sub_id)),
+        |codes AS (
+        |  SELECT vec_id, sub_id, cent_id AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+        |      ORDER BY d_fp, cent_id) AS rk FROM d)
+        |  WHERE rk = 1),
+        |qd AS (SELECT vec_id AS query_id, sub_id, cent_id, d_fp FROM d WHERE vec_id < 5),
+        |adc AS (
+        |  SELECT qd.query_id, c.vec_id AS neighbor_id, CAST(SUM(qd.d_fp) AS BIGINT) AS adist_fp
+        |  FROM codes c JOIN qd ON qd.sub_id = c.sub_id AND qd.cent_id = c.code
+        |  WHERE c.vec_id <> qd.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, adist_fp, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adist_fp, neighbor_id) AS INTEGER) AS rank FROM adc)
+        |WHERE rank <= 10""".stripMargin
   )
 }

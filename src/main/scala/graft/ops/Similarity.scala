@@ -505,4 +505,73 @@ object Similarity {
       .where(col("cos") >= threshold)
       .select("a", "b", "cos")
   }
+
+  /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search" — public): split each vector into `m`
+    * subvectors, quantize each against a per-subspace codebook of `ks`
+    * centroids, and answer queries by ASYMMETRIC DISTANCE (ADC): the
+    * query's exact per-(subspace, centroid) distance table is summed
+    * along each corpus vector's codes. This is THE shrink path for
+    * 10¹²-row vector search — the corpus collapses to m code bytes per
+    * vector (64-dim float32 256 B → 4 B at m=4/ks≤256), and the scan
+    * touches codes only, never the original embeddings.
+    *
+    * Codebooks here are the subvectors of the first `ks` corpus rows
+    * (the [[ivfTopK]] first-⌈√n⌉ convention — deterministic and
+    * oracle-reproducible; production would k-means each subspace with
+    * the same broadcast-join assignment shape). Distances are squared
+    * L2 via the same sequential-fold dot products as [[cosine]], fixed-
+    * pointed per (subspace, centroid) BEFORE the cross-subspace sum, so
+    * ranking is an order-independent integer compare; ties break on
+    * centroid/neighbor id.
+    *
+    * Shape at scale: codebook and query distance table are tiny
+    * (m·ks and q·m·ks rows) — both broadcast; the corpus encodes in one
+    * pass (explode m× → broadcast join → per-key min-struct, the
+    * k-means assignment shape) and the ADC scan shuffles only
+    * (query, neighbor, partial-sum) rows keyed by the pair.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      m: Int = 4, ks: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= 1 && ks >= 1, "need at least one subspace and centroid")
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    // (id, sub_id, subv): subspace s covers elements [s·(dim div m)+1 ..]
+    def subVecs(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId), asDouble(col(vecCol)).as("_v"))
+        .select(col(outId), posexplode(expr(
+          s"transform(sequence(0, ${m - 1}), " +
+          s"s -> slice(_v, s * (size(_v) div $m) + 1, size(_v) div $m))"))
+          .as(Seq("sub_id", "subv")))
+    val cents = broadcast(
+      subVecs(corpus.where(col(idCol) < ks), "cent_id")
+        .withColumnRenamed("subv", "centv"))
+    def distances(df: DataFrame, outId: String): DataFrame =
+      subVecs(df, outId).join(cents, Seq("sub_id"))
+        .select(col(outId), col("sub_id"), col("cent_id"),
+          floor((dot(col("subv"), col("subv"))
+            - lit(2.0) * dot(col("subv"), col("centv"))
+            + dot(col("centv"), col("centv"))) * 1e6 + 0.5)
+            .cast("long").as("d_fp"))
+    // encode: per (vector, subspace) argmin centroid — min-struct, no sort
+    val codes = distances(corpus, idCol)
+      .groupBy(col(idCol), col("sub_id"))
+      .agg(min(struct(col("d_fp"), col("cent_id"))).as("_m"))
+      .select(col(idCol), col("sub_id"), col("_m.cent_id").as("code"))
+    // query ADC table: exact distance to every (subspace, centroid)
+    val dtable = broadcast(distances(queries, "query_id"))
+    val scored = codes
+      .join(dtable, codes("sub_id") === dtable("sub_id") &&
+        codes("code") === dtable("cent_id"))
+      .where(col("query_id") =!= col(idCol))
+      .groupBy(col("query_id"), col(idCol).as("neighbor_id"))
+      .agg(sum(col("d_fp")).as("adist_fp"))
+    scored.withColumn("rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("adist_fp"), col("neighbor_id"))).cast("int"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist_fp", "rank")
+  }
 }

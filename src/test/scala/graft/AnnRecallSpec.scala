@@ -90,4 +90,39 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"avg candidates/query = $perQuery%.1f of $n corpus vectors")
     assert(perQuery < n * 0.25, f"candidates/query $perQuery%.1f not sub-linear vs $n")
   }
+
+  test("pqTopK: exact-copy vectors share codes, so ADC ranks the copy at the query's own floor distance") {
+    // plant EXACT copies (id+20000): identical vectors quantize to
+    // identical codes, so adist(q → copy) = Σ min-cell distances — the
+    // smallest achievable ADC value for that query
+    val base = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val withCopies = base.unionAll(base.where(col("vec_id") < 60)
+      .select((col("vec_id") + 20000).as("vec_id"), col("embedding")))
+    val q = withCopies.where(col("vec_id") < 5)
+    val top = Similarity.pqTopK(withCopies, q, k = 10, m = 4, ks = 16)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.sortBy(_.getInt(3)) }
+    assert(top.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    top.foreach { case (qid, rows) =>
+      assert(rows.length == 10)
+      // the planted exact copy is retrieved and carries the minimum
+      // achievable ADC distance (rank-1 adist == the copy's adist)
+      val copy = rows.find(_.getLong(1) == qid + 20000)
+      assert(copy.nonEmpty, s"query $qid: exact copy not in top-10")
+      assert(copy.get.getLong(2) == rows.head.getLong(2),
+        s"query $qid: copy not at the floor ADC distance")
+      // ranks are 1..10 with ascending distances
+      assert(rows.map(_.getInt(3)).toSeq == (1 to 10))
+      assert(rows.map(_.getLong(2)).toSeq == rows.map(_.getLong(2)).sorted.toSeq)
+    }
+
+    // determinism across partitionings (fixed-point cross-subspace sums)
+    val again = Similarity.pqTopK(withCopies.repartition(17), q, k = 10, m = 4, ks = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val first = top.values.flatten
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(again == first)
+  }
 }
