@@ -1482,6 +1482,30 @@ object SparkEntry {
     "q_ann_pq" -> { (s, dir) =>
       val e = embeddings(s, dir)
       Similarity.pqTopK(e, e.where(col("vec_id") < 5), k = 10, m = 4, ks = 16)
+    },
+
+    // point-in-interval join as a bin-bucketed EQUI-join (never a
+    // nested-loop): every event landing inside a 1-hour window anchored
+    // at each 97th event's timestamp
+    "q_range_join" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val iv = ev.where(col("event_id") % 97 === 0)
+        .select(col("event_id").as("iv_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("win_end"))
+      graft.ops.RangeJoin.byTimeBin(ev.select("event_id", "ts"), iv,
+          "ts", "win_start", "win_end", binSeconds = 3600L)
+        .select("iv_id", "event_id")
+    },
+
+    // composed entity resolution: LSH blocking → edit-distance verify
+    // (≥ 0.9 similarity) → connected components over the verified match
+    // graph — each doc gets a min-id entity label
+    "q_entity_resolution" -> { (s, dir) =>
+      val matches = Dedup.editVerify(docsWithDupes(s, dir),
+          numHashes = 8, rowsPerBand = 4, k = 4)
+        .where(col("sim_ppm") >= 900000L)
+      Graph.connectedComponents(matches, "a", "b")
+        .select(col("node").as("doc_id"), col("component").as("entity_id"))
     }
   )
 
@@ -3767,6 +3791,49 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, adist_fp, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY adist_fp, neighbor_id) AS INTEGER) AS rank FROM adc)
-        |WHERE rank <= 10""".stripMargin
+        |WHERE rank <= 10""".stripMargin,
+
+    // the binning is physical-only: the oracle is the plain inequality
+    // join (boundary semantics inclusive on both ends)
+    "q_range_join" ->
+      """WITH w AS (
+        |  SELECT event_id AS iv_id, ts AS s, ts + INTERVAL 1 HOUR AS e
+        |  FROM events WHERE event_id % 97 = 0)
+        |SELECT w.iv_id, ev.event_id
+        |FROM w JOIN events ev ON ev.ts >= w.s AND ev.ts <= w.e""".stripMargin,
+
+    // match edges = edit-verified (≥0.9) LSH candidates; entity labels
+    // by recursive min-label fixpoint over that graph
+    "q_entity_resolution" ->
+      s"""WITH RECURSIVE $DocsDupesSql,
+         |sh AS (
+         |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(length(text) - 3, 0)),
+         |    i -> substr(text, CAST(i AS INTEGER), 4))) AS shingle
+         |  FROM docs2),
+         |${Dedup.minhashSql(8)},
+         |bands AS (
+         |  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         |    string_agg(CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR), '|'
+         |      ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR)) AS band_key
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+         |  WHERE l.doc_id < r.doc_id),
+         |ed AS (
+         |  SELECT c.a AS u, c.b AS v FROM cand c
+         |  JOIN docs2 da ON da.doc_id = c.a JOIN docs2 db ON db.doc_id = c.b
+         |  WHERE greatest(length(da.text), length(db.text)) = 0
+         |     OR (greatest(length(da.text), length(db.text)) <= 10000
+         |    AND ((greatest(length(da.text), length(db.text)) - levenshtein(da.text, db.text))
+         |         * 1000000) // greatest(length(da.text), length(db.text)) >= 900000)),
+         |sym AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+         |cc(node, label) AS (
+         |  SELECT u, u FROM sym
+         |  UNION
+         |  SELECT s.v, c.label FROM cc c JOIN sym s ON s.u = c.node
+         |  WHERE c.label < s.v)
+         |SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS entity_id
+         |FROM cc GROUP BY 1""".stripMargin
   )
 }

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range-predicate) joins, bucketed so they stay equi-joins.
+  *
+  * A raw `f.join(iv, f.ts between iv.start and iv.end)` has no equality
+  * key, so Spark plans BroadcastNestedLoopJoin — O(|facts|·|intervals|)
+  * compares and a driver-sized broadcast. Binning converts it to a
+  * hash-partitioned equi-join: intervals explode to the coarse time bins
+  * they overlap, facts map to their single bin, the join runs on the bin
+  * key, and the exact `BETWEEN` runs as a residual filter on the
+  * bin-collided pairs only. This is the standard point-in-interval /
+  * IP-in-CIDR / effective-dated-dimension join shape at 10¹² rows.
+  *
+  * Cost model: interval explode factor = len/binSeconds + 1, per-bin
+  * fan-in = facts-per-bin × intervals-overlapping-bin. Pick binSeconds
+  * near the TYPICAL interval length — too fine multiplies the interval
+  * side, too coarse multiplies false bin collisions the residual filter
+  * must discard. Degenerate hot bins (all intervals over one busy hour)
+  * are ordinary join skew — salt the bin key or let AQE split it.
+  *
+  * Epoch parity rule (the q_flow_sessions lesson): bins come from the
+  * FRACTIONAL epoch (`cast(ts as double)`), matching DuckDB's `epoch()`;
+  * `unix_timestamp()` truncates to whole seconds and silently shifts
+  * boundary rows. The residual compare stays on raw timestamps.
+  */
+object RangeJoin {
+
+  def byTimeBin(facts: DataFrame, intervals: DataFrame,
+      tsCol: String, startCol: String, endCol: String,
+      binSeconds: Long = 3600L): DataFrame = {
+    require(binSeconds > 0, "bin width must be positive")
+    // ts → timestamp → double: TIMESTAMP_NTZ columns don't cast to
+    // double directly, and the intermediate cast is the documented
+    // fractional-epoch parity path (session timezone pinned to UTC)
+    def epoch(c: String) = col(c).cast("timestamp").cast("double")
+    val factBin = floor(epoch(tsCol) / binSeconds).cast("long")
+    val ivBins = sequence(
+      floor(epoch(startCol) / binSeconds).cast("long"),
+      floor(epoch(endCol) / binSeconds).cast("long"))
+    val f = facts.withColumn("_bin", factBin)
+    val iv = intervals
+      .where(col(startCol) <= col(endCol))
+      .withColumn("_bin", explode(ivBins))
+    f.join(iv, Seq("_bin"))
+      .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("_bin")
+  }
+}

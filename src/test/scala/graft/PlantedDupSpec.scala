@@ -233,6 +233,40 @@ class PlantedDupSpec extends AnyFunSuite {
     assert(capped.nonEmpty && capped.forall(r => r.getInt(2) == -1 && r.getLong(3) == 0L))
   }
 
+  test("entity resolution: block → verify → CC collapses each planted family to one min-id entity") {
+    val matches = Dedup.editVerify(docs, numHashes = 8, rowsPerBand = 4, k = 4)
+      .where(col("sim_ppm") >= 900000L)
+      .localCheckpoint()
+    val edges = matches.select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val entities = graft.ops.Graph.connectedComponents(matches, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fams = entities.keySet.filter(_ < 10000)
+    assert(fams.nonEmpty)
+    // exact copies ALWAYS verify at sim 1e6 → every base merges its
+    // +20000 copy (the template corpus legitimately merges some distinct
+    // bases too, so the label may be a smaller cross-family min — never
+    // larger than the base itself)
+    fams.foreach { base =>
+      assert(entities(base) <= base)
+      assert(entities.contains(base + 20000), s"exact copy of $base absent")
+      assert(entities(base + 20000) == entities(base),
+        s"exact copy ${base + 20000} split from base $base")
+    }
+    // near-dups (+10000): blocking at 2 bands is probabilistic (J≈0.85
+    // one-token pairs band-hit ~77%) and short docs legitimately fail the
+    // 0.9 ratio (len/(len+6) < 0.9 below 54 chars) — so assert the CC
+    // invariant on the edges the verify stage ACTUALLY admitted, plus a
+    // recall floor proving the pipeline recovers real near-dups
+    val admitted = fams.filter(b => edges.contains((b, b + 10000)))
+    assert(admitted.size >= (fams.size * 0.5).toInt,
+      s"only ${admitted.size}/${fams.size} near-dup edges admitted")
+    admitted.foreach { base =>
+      assert(entities(base + 10000) == entities(base),
+        s"near-dup ${base + 10000} split from base $base despite a direct edge")
+    }
+  }
+
   test("hardNegatives: planted exact/near dups are excluded, the band keeps mid-similarity pairs only") {
     val est = Dedup.minhashJaccardEst(docs, numHashes = 8, rowsPerBand = 4, k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

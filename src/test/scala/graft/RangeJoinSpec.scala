@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.RangeJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bin-bucketed interval join: result-identical to the naive inequality
+  * join, but planned as a hash equi-join on the bin key (never a
+  * nested loop over the fact table).
+  */
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val events = spark.read
+    .parquet("/root/testdata/sf0.001/events.parquet")
+    .select("event_id", "ts")
+  private lazy val windows = events.where(col("event_id") % 97 === 0)
+    .select(col("event_id").as("iv_id"), col("ts").as("s"),
+      (col("ts") + expr("INTERVAL 1 HOUR")).as("e"))
+
+  test("byTimeBin equals the naive inequality join, boundaries inclusive") {
+    val binned = RangeJoin.byTimeBin(events, windows, "ts", "s", "e", 3600L)
+      .select("iv_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = events.crossJoin(windows)
+      .where(col("ts") >= col("s") && col("ts") <= col("e"))
+      .select("iv_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned == naive)
+    assert(binned.nonEmpty, "fixture must produce matches")
+    // the window anchor matches itself (ts = s — inclusive lower bound)
+    assert(windows.select("iv_id").collect().map(_.getLong(0))
+      .forall(id => binned.contains((id, id))))
+  }
+
+  test("exact micro-second boundary rows survive (fractional-epoch binning)") {
+    val f = Seq((1L, "2024-01-01 10:30:00.000123"),
+                (2L, "2024-01-01 11:30:00.000123"),  // == end, inclusive
+                (3L, "2024-01-01 11:30:00.000124"))  // 1 µs past end
+      .toDF("event_id", "ts").select(col("event_id"), col("ts").cast("timestamp").as("ts"))
+    val iv = Seq((9L, "2024-01-01 10:30:00.000123", "2024-01-01 11:30:00.000123"))
+      .toDF("iv_id", "s", "e")
+      .select(col("iv_id"), col("s").cast("timestamp").as("s"), col("e").cast("timestamp").as("e"))
+    val got = RangeJoin.byTimeBin(f, iv, "ts", "s", "e", 600L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("plan is a bin-keyed equi-join — no BroadcastNestedLoopJoin, no CartesianProduct") {
+    val plan = RangeJoin.byTimeBin(events, windows, "ts", "s", "e", 3600L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // while the NAIVE shape is exactly that nested loop
+    val naivePlan = events.join(windows,
+        col("ts") >= col("s") && col("ts") <= col("e"))
+      .queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
+      naivePlan.contains("CartesianProduct"))
+  }
+
+  test("inverted intervals (start > end) are dropped, not exploded into a negative sequence") {
+    val f = Seq((1L, "2024-01-01 10:00:00")).toDF("event_id", "ts")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
+    val iv = Seq((9L, "2024-01-01 11:00:00", "2024-01-01 09:00:00"))
+      .toDF("iv_id", "s", "e")
+      .select(col("iv_id"), col("s").cast("timestamp").as("s"), col("e").cast("timestamp").as("e"))
+    assert(RangeJoin.byTimeBin(f, iv, "ts", "s", "e", 600L).isEmpty)
+  }
+}
