@@ -1506,6 +1506,50 @@ object SparkEntry {
         .where(col("sim_ppm") >= 900000L)
       Graph.connectedComponents(matches, "a", "b")
         .select(col("node").as("doc_id"), col("component").as("entity_id"))
+    },
+
+    // IP→geo block enrichment as a bin-bucketed INTEGER range join:
+    // point-in-[lo,hi] lookup against 64 deterministic (deliberately
+    // overlapping) address blocks — the add_geoip shape, never a
+    // nested loop
+    "q_ip_range_lookup" -> { (s, dir) =>
+      val f = events(s, dir).select(col("event_id"),
+        pmod(col("event_id") * 9973, lit(65536L)).as("ip"))
+      val r = s.range(64).select(
+        col("id").as("block_id"),
+        (col("id") * 1024 + (col("id") * 37) % 512).as("lo"),
+        (col("id") * 1024 + (col("id") * 37) % 512 + 600 + (col("id") * 53) % 400).as("hi"),
+        concat(lit("R"), col("id") % 7).as("geo"))
+      graft.ops.RangeJoin.byIntBin(f, r, "ip", "lo", "hi", binWidth = 256L)
+        .select("event_id", "ip", "block_id", "geo")
+    },
+
+    // Metricbeat-style SLIDING window counters: 600s windows hopping
+    // every 300s — each event lands in exactly width/slide = 2
+    // overlapping epoch-aligned windows
+    "q_hopping_counters" -> ((s, dir) =>
+      graft.agg.Aggregates.hoppingCounters(events(s, dir), "event_type")),
+
+    // robust per-type outliers: |x − median| > 3·MAD in exact
+    // fixed-point micro-units, lower-median percentile_disc semantics
+    "q_mad_outliers" -> ((s, dir) =>
+      graft.agg.Aggregates.madOutliers(events(s, dir), "event_type", "value", "event_id")),
+
+    // χ² token–class association (is-English) for classifier feature
+    // selection — top 50 discriminative tokens by doc-level presence
+    "q_chi2_tokens" -> ((s, dir) =>
+      TextAnalysis.chi2Tokens(documents(s, dir), col("lang") === "en",
+        topK = 50, minDf = 5)),
+
+    // hybrid retrieval: reciprocal-rank fusion of the exact-cosine and
+    // int8-quantized rankings (integer fixed-point RRF terms)
+    "q_rrf_fusion" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      Similarity.rrfFuse(
+        Similarity.bruteForceTopK(e, q, k = 10),
+        Similarity.int8TopK(e, q, k = 10),
+        kRrf = 60, topK = 10)
     }
   )
 
@@ -3834,6 +3878,126 @@ object SparkEntry {
          |  SELECT s.v, c.label FROM cc c JOIN sym s ON s.u = c.node
          |  WHERE c.label < s.v)
          |SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS entity_id
-         |FROM cc GROUP BY 1""".stripMargin
+         |FROM cc GROUP BY 1""".stripMargin,
+
+    // the binning is physical-only here too: the oracle is the plain
+    // inequality join over the derived blocks
+    "q_ip_range_lookup" ->
+      """WITH r AS (
+        |  SELECT i AS block_id,
+        |    i*1024 + (i*37) % 512 AS lo,
+        |    i*1024 + (i*37) % 512 + 600 + (i*53) % 400 AS hi,
+        |    'R' || CAST(i % 7 AS VARCHAR) AS geo
+        |  FROM generate_series(0, 63) t(i)),
+        |f AS (SELECT event_id, (event_id * 9973) % 65536 AS ip FROM events)
+        |SELECT f.event_id, f.ip, r.block_id, r.geo
+        |FROM f JOIN r ON f.ip >= r.lo AND f.ip <= r.hi""".stripMargin,
+
+    // each ts belongs to starts {floor(ts/300)*300, (floor(ts/300)-1)*300}
+    // for width 600 / slide 300 — enumerate both offsets and aggregate
+    "q_hopping_counters" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) - o.off) * 300 * 1000000) AS window_start
+        |  FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS off) o)
+        |SELECT window_start, event_type, count(*) AS n_rows
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    // lower-median (percentile_disc) semantics rendered as the SAME
+    // row_number window on both sides; all arithmetic in exact micros
+    "q_mad_outliers" ->
+      """WITH base AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS micro FROM events),
+        |med AS (
+        |  SELECT event_type, micro AS med_micro FROM (
+        |    SELECT event_type, micro,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY micro, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM base)
+        |  WHERE rn = (n + 1) // 2),
+        |dev AS (
+        |  SELECT b.event_type, b.event_id, b.micro, m.med_micro,
+        |    abs(b.micro - m.med_micro) AS dev
+        |  FROM base b JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, dev AS mad_micro FROM (
+        |    SELECT event_type, dev,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM dev)
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, d.event_id, d.micro, d.med_micro, a.mad_micro,
+        |  CAST(d.dev > 3 * a.mad_micro AS INT) AS outlier
+        |FROM dev d JOIN mad a USING (event_type)""".stripMargin,
+
+    // χ² from exact integer counts; the double expression tree is
+    // parenthesized IDENTICALLY to the Spark side (mul/div only, no
+    // libm), rounded to 6 dp on both
+    "q_chi2_tokens" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '$BpeishRe')) AS token
+         |  FROM documents),
+         |pres AS (SELECT DISTINCT doc_id, token FROM tok),
+         |lab AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS npos FROM lab),
+         |pt AS (
+         |  SELECT p.token, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(l.y) AS BIGINT) AS n_pos
+         |  FROM pres p JOIN lab l USING (doc_id)
+         |  GROUP BY 1 HAVING count(*) >= 5),
+         |sc AS (
+         |  SELECT token, n_docs, n_pos,
+         |    CAST(n_pos AS DOUBLE) AS a,
+         |    CAST(n_docs - n_pos AS DOUBLE) AS b,
+         |    CAST(npos - n_pos AS DOUBLE) AS c,
+         |    CAST(n - n_docs - (npos - n_pos) AS DOUBLE) AS d,
+         |    CAST(n AS DOUBLE) AS nn
+         |  FROM pt, tot)
+         |SELECT token, n_docs, n_pos,
+         |  round(CASE WHEN ((a+b)*(c+d))*((a+c)*(b+d)) = 0 THEN 0.0
+         |    ELSE (nn * (((a*d)-(b*c)) * ((a*d)-(b*c)))) / (((a+b)*(c+d))*((a+c)*(b+d))) END, 6) AS chi2_r6
+         |FROM sc
+         |ORDER BY chi2_r6 DESC, token LIMIT 50""".stripMargin,
+
+    // RRF over the two existing ANN oracles' rankings; per-term integer
+    // floor(1e9/(60+rank)) BEFORE the sum keeps it order-independent
+    "q_rrf_fusion" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cosr AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        |    FROM (
+        |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        round(list_dot_product(q.v, c.v) / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)), 6) AS cos
+        |      FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |      WHERE q.vec_id < 5))
+        |  WHERE rank <= 10),
+        |q8 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(floor(x / (m / 127.0) + 0.5) AS BIGINT))
+        |    END AS qv
+        |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e)),
+        |intr AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS INTEGER) AS rank
+        |    FROM (
+        |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2])) AS dot
+        |      FROM q8 q JOIN q8 c ON q.vec_id <> c.vec_id
+        |      WHERE q.vec_id < 5))
+        |  WHERE rank <= 10),
+        |parts AS (
+        |  SELECT query_id, neighbor_id, 1000000000 // (60 + rank) AS part FROM cosr
+        |  UNION ALL
+        |  SELECT query_id, neighbor_id, 1000000000 // (60 + rank) AS part FROM intr),
+        |fused AS (
+        |  SELECT query_id, neighbor_id, CAST(sum(part) AS BIGINT) AS rrf_fp,
+        |    CAST(count(*) AS INTEGER) AS n_lists
+        |  FROM parts GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, rrf_fp, n_lists, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_fp DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM fused)
+        |WHERE rank <= 10""".stripMargin
   )
 }

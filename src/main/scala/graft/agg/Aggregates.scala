@@ -398,4 +398,54 @@ object Aggregates {
         round(terms.map(_._1).reduce(_ + _) / terms.map(_._2).reduce(_ + _) / 1e6, 6))
       .drop("_micro")
   }
+
+  /** Sliding (hopping) window counters: width/slide overlapping windows
+    * per key — Metricbeat's period counters smoothed across window
+    * boundaries. Spark's `window(ts, width, slide)` enumerates the
+    * width/slide covering windows MAP-SIDE; the shuffle stays one hash
+    * exchange on (window_start, key), identical to the tumbling form in
+    * [[flowCounters]] (just ×(width/slide) rows into it). Windows are
+    * epoch-aligned to the slide, so the assignment is a pure floor —
+    * no state, no ordering requirement, safe at any scale.
+    */
+  def hoppingCounters(df: DataFrame, keyCol: String,
+      width: String = "600 seconds", slide: String = "300 seconds"): DataFrame =
+    df.groupBy(
+        window(col("ts"), width, slide).getField("start").as("window_start"),
+        col(keyCol))
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** Robust per-key outlier flags via median/MAD (Hampel identifier):
+    * a row is an outlier when |x − median| > 3·MAD. Everything runs in
+    * exact fixed-point micro-units (floor(x·1e6+0.5) longs) with
+    * percentile_disc lower-median semantics rendered EXPLICITLY as a
+    * row_number window (rank (n+1) div 2, ties broken by `ordCol`) — no
+    * interpolation, no cross-row double sums, no collect — so any engine
+    * reproduces the flags bit-for-bit. Cost: two key-partitioned window
+    * sorts (median, then MAD over |x−median|) plus two broadcast joins
+    * of |keys|-row medians back onto the stream; the only exchanges are
+    * hash-by-key, the shape every per-key analytic here already pays.
+    */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
+      ordCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def lowerMedian(in: DataFrame, vCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(keyCol).orderBy(col(vCol), col(ordCol))
+      in.withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy(keyCol)))
+        .where(col("_rn") === ((col("_n") + 1) / 2).cast("long"))
+        .select(col(keyCol), col(vCol).as(out))
+    }
+    val base = df.select(col(keyCol), col(ordCol),
+      floor(col(valueCol) * 1e6 + 0.5).cast("long").as("micro"))
+    val med = lowerMedian(base, "micro", "med_micro")
+    val withDev = base.join(broadcast(med), Seq(keyCol))
+      .withColumn("dev", abs(col("micro") - col("med_micro")))
+    val mad = lowerMedian(withDev, "dev", "mad_micro")
+    withDev.join(broadcast(mad), Seq(keyCol))
+      .withColumn("outlier",
+        (col("dev") > lit(3L) * col("mad_micro")).cast("int"))
+      .select(col(keyCol), col(ordCol), col("micro"), col("med_micro"),
+        col("mad_micro"), col("outlier"))
+  }
 }

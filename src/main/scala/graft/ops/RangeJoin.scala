@@ -48,4 +48,28 @@ object RangeJoin {
       .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_bin")
   }
+
+  /** Integer-keyed variant of [[byTimeBin]]: point-in-[lo,hi] lookups
+    * against a numeric range table (IP→geo blocks, id ranges, effective
+    * version intervals). Same shape — ranges explode onto the coarse
+    * bins they overlap, facts hash-join on their single bin, the exact
+    * inclusive BETWEEN runs as a residual filter. Overlapping ranges are
+    * legal (a fact matches each covering range); inverted ranges are
+    * dropped rather than exploded into a descending sequence (the
+    * sequence(hi,lo)-counts-DOWN trap documented on `Dedup.shingled`).
+    */
+  def byIntBin(facts: DataFrame, ranges: DataFrame,
+      valCol: String, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "bin width must be positive")
+    val f = facts.withColumn("_bin", floor(col(valCol) / binWidth).cast("long"))
+    val r = ranges
+      .where(col(loCol) <= col(hiCol))
+      .withColumn("_bin", explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    f.join(r, Seq("_bin"))
+      .where(col(valCol) >= col(loCol) && col(valCol) <= col(hiCol))
+      .drop("_bin")
+  }
 }

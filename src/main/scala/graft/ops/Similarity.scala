@@ -574,4 +574,32 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "adist_fp", "rank")
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * two ranked retrieval lists — the standard hybrid-search combiner
+    * (e.g. exact float ranking ⊕ quantized ranking, or dense ⊕ lexical).
+    * score(q,d) = Σ_lists 1/(kRrf + rank), rendered per term as the
+    * INTEGER floor(1e9/(kRrf+rank)) BEFORE summing, so the fused score
+    * is an order-independent exact long (the repo's fixed-point rule for
+    * cross-row sums). The floor error (<2 per term) is ~5 orders below
+    * the spacing between adjacent ranks at kRrf=60, so the fused ORDER
+    * is the textbook one. Inputs need (query_id, neighbor_id, rank);
+    * documents surfaced by only one retriever keep their single term —
+    * the point of hybrid retrieval. One groupBy on (query, doc); the
+    * rank window is per-query, never global.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def contrib(df: DataFrame): DataFrame = df.select(
+      col("query_id"), col("neighbor_id"),
+      floor(lit(1000000000L) / (lit(kRrf.toLong) + col("rank"))).cast("long").as("part"))
+    val fused = contrib(a).unionAll(contrib(b))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("part")).as("rrf_fp"), count(lit(1)).cast("int").as("n_lists"))
+    fused.withColumn("rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("rrf_fp").desc, col("neighbor_id"))).cast("int"))
+      .where(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "rrf_fp", "n_lists", "rank")
+  }
 }

@@ -730,4 +730,47 @@ object TextAnalysis {
        |  round(CAST(CAST(length($low) AS BIGINT) * length($low) - ($sumSq) AS DOUBLE)
        |        / (CAST(length($low) AS BIGINT) * length($low)), 6) END""".stripMargin
   }
+
+  /** χ² token–class association for feature selection (the 2×2
+    * contingency form of Manning & Schütze §5.3.3, used to pick the
+    * discriminative vocabulary of fastText-style quality classifiers):
+    * for token t and binary label y, over doc-level PRESENCE,
+    * a = |t ∧ y|, b = |t ∧ ¬y|, c = |¬t ∧ y|, d = |¬t ∧ ¬y|,
+    * χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)).
+    *
+    * Shape: one explode → distinct presence pairs → one token groupBy
+    * (|vocab| rows out), then a 1-row crossJoin for the corpus totals —
+    * the stream shuffles once on the token. All inputs to the double
+    * arithmetic are exact integer counts and the expression tree is
+    * written with EXPLICIT parentheses mirrored by the oracle, so the
+    * IEEE mul/div sequence (no libm) is bit-identical cross-engine;
+    * rounded to 6 dp on both sides regardless. Tokens seen in fewer
+    * than `minDf` docs are dropped (χ² is unreliable at tiny counts —
+    * the standard guard). Top-k by (χ², token) via orderBy+limit =
+    * TakeOrderedAndProject, never a single-partition window.
+    */
+  def chi2Tokens(df: DataFrame, label: Column, topK: Int = 50, minDf: Long = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val docs = df.select(col(idCol), label.cast("long").as("_y"), col(textCol))
+    val presence = docs.select(col(idCol), col("_y"),
+        explode(array_distinct(
+          regexp_extract_all(lower(col(textCol)), lit(bpeishPattern), lit(0)))).as("token"))
+    val perTok = presence.groupBy("token")
+      .agg(count(lit(1)).as("n_docs"), sum("_y").as("n_pos"))
+      .where(col("n_docs") >= minDf)
+    val totals = docs.agg(count(lit(1)).as("_n"), sum("_y").as("_npos"))
+    val a = col("n_pos").cast("double")
+    val b = (col("n_docs") - col("n_pos")).cast("double")
+    val cc = (col("_npos") - col("n_pos")).cast("double")
+    val d = (col("_n") - col("n_docs") - (col("_npos") - col("n_pos"))).cast("double")
+    val n = col("_n").cast("double")
+    val diff = (a * d) - (b * cc)
+    val den = ((a + b) * (cc + d)) * ((a + cc) * (b + d))
+    perTok.crossJoin(totals) // 1-row side: broadcast, not cartesian
+      .withColumn("chi2_r6",
+        round(when(den === 0, lit(0.0)).otherwise((n * (diff * diff)) / den), 6))
+      .orderBy(col("chi2_r6").desc, col("token"))
+      .limit(topK)
+      .select("token", "n_docs", "n_pos", "chi2_r6")
+  }
 }

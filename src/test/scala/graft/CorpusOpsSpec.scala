@@ -127,4 +127,22 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(g.sortBy(_._2).map(_._3).toSeq === g.map(_._3).sorted.toSeq)
     }
   }
+
+  test("chi2Tokens: hand-computed 2x2 chi-square, minDf guard, everywhere-token scores zero") {
+    // 6 docs, label = doc_id < 3. "pos" only in positives, "neg" in 2
+    // negatives, "both" everywhere, "rare" once (filtered by minDf=2)
+    val docs = Seq(
+      (0L, "pos both rare"), (1L, "pos both"), (2L, "pos both"),
+      (3L, "neg both"), (4L, "neg both"), (5L, "both"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chi2Tokens(docs, col("doc_id") < 3, topK = 50, minDf = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // pos: a=3 b=0 c=0 d=3 -> 6*(9)^2/(3*3*3*3) = 6
+    assert(out("pos") === ((3L, 3L, 6.0)))
+    // neg: a=0 b=2 c=3 d=1 -> diff=-6 -> 6*36/(2*4*3*3) = 3
+    assert(out("neg") === ((2L, 0L, 3.0)))
+    // both: (c+d)=0 -> defined as 0 (carries no signal)
+    assert(out("both") === ((6L, 3L, 0.0)))
+    assert(!out.contains("rare"), "minDf must drop df=1 tokens")
+  }
 }

@@ -99,4 +99,43 @@ class OlapAggSpec extends AnyFunSuite {
     assert(out(2L) === 16.666667)     // round((4*20 + 2*10)/6, 6dp)
     assert(out(3L) === 30.0)          // (4*40 + 2*20 + 10)/7
   }
+
+  test("hoppingCounters: every event lands in exactly width/slide overlapping windows") {
+    import org.apache.spark.sql.functions._
+    val ev = Seq(("2024-01-01 10:00:30", "a"), ("2024-01-01 10:04:59", "a"),
+        ("2024-01-01 10:05:00", "b"))
+      .toDF("ts", "event_type")
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"))
+    val out = Aggregates.hoppingCounters(ev, "event_type")  // 600s / 300s
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    // 10:00:30 and 10:04:59 share bucket 10:00 -> windows start 09:55 + 10:00
+    assert(out(("2024-01-01 09:55:00.0", "a")) === 2)
+    assert(out(("2024-01-01 10:00:00.0", "a")) === 2)
+    // 10:05:00 is the NEXT bucket -> 10:00 + 10:05
+    assert(out(("2024-01-01 10:00:00.0", "b")) === 1)
+    assert(out(("2024-01-01 10:05:00.0", "b")) === 1)
+    assert(out.values.sum === 2 * 3, "each event in exactly 2 windows")
+  }
+
+  test("madOutliers: hand-computed lower-median, MAD, and Hampel flags") {
+    val ev = Seq(("k", 1L, 1.0), ("k", 2L, 2.0), ("k", 3L, 3.0),
+        ("k", 4L, 4.0), ("k", 5L, 100.0))
+      .toDF("event_type", "event_id", "value")
+    val out = Aggregates.madOutliers(ev, "event_type", "value", "event_id")
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    // micros sorted: 1e6 2e6 3e6 4e6 1e8, n=5 -> median rank 3 = 3e6
+    // devs: 2e6 1e6 0 1e6 97e6 sorted 0 1e6 1e6 2e6 97e6 -> MAD = 1e6
+    assert(out(1L) === ((1000000L, 3000000L, 1000000L, 0)))
+    assert(out(5L) === ((100000000L, 3000000L, 1000000L, 1)), "97e6 > 3*MAD")
+    assert(out.values.count(_._4 == 1) === 1, "only the planted spike flags")
+  }
+
+  test("madOutliers: even group size takes the LOWER median (percentile_disc rank (n+1) div 2)") {
+    val ev = Seq(("k", 1L, 1.0), ("k", 2L, 2.0), ("k", 3L, 3.0), ("k", 4L, 4.0))
+      .toDF("event_type", "event_id", "value")
+    val meds = Aggregates.madOutliers(ev, "event_type", "value", "event_id")
+      .select("med_micro").distinct().collect().map(_.getLong(0))
+    assert(meds.toSeq === Seq(2000000L))
+  }
 }

@@ -60,6 +60,39 @@ class RangeJoinSpec extends AnyFunSuite {
       naivePlan.contains("CartesianProduct"))
   }
 
+  test("byIntBin equals the naive inequality join, overlapping blocks included") {
+    val f = events.select(col("event_id"),
+      pmod(col("event_id") * 9973, lit(65536L)).as("ip"))
+    val r = spark.range(64).select(
+      col("id").as("block_id"),
+      (col("id") * 1024 + (col("id") * 37) % 512).as("lo"),
+      (col("id") * 1024 + (col("id") * 37) % 512 + 600 + (col("id") * 53) % 400).as("hi"))
+    val binned = RangeJoin.byIntBin(f, r, "ip", "lo", "hi", 256L)
+      .select("event_id", "block_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val naive = f.crossJoin(r)
+      .where(col("ip") >= col("lo") && col("ip") <= col("hi"))
+      .select("event_id", "block_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(binned == naive && binned.nonEmpty)
+    // the derived blocks deliberately overlap (offset+width can cross the
+    // next 1024 boundary): some ip matches 2 blocks, and both survive
+    val multi = binned.groupBy(_._1).filter(_._2.size > 1)
+    assert(multi.nonEmpty, "fixture should exercise overlapping ranges")
+    // plan stays an equi-join on the bin key
+    val plan = RangeJoin.byIntBin(f, r, "ip", "lo", "hi", 256L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("byIntBin hits inclusive integer bounds exactly (lo == hi singleton range)") {
+    val f = Seq(9L, 10L, 11L).toDF("v").select(col("v").as("event_id"), col("v").as("x"))
+    val r = Seq((1L, 10L, 10L)).toDF("rid", "lo", "hi")
+    val got = RangeJoin.byIntBin(f, r, "x", "lo", "hi", 4L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(10L))
+  }
+
   test("inverted intervals (start > end) are dropped, not exploded into a negative sequence") {
     val f = Seq((1L, "2024-01-01 10:00:00")).toDF("event_id", "ts")
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"))

@@ -56,4 +56,28 @@ class RetrievalSamplingSpec extends AnyFunSuite {
     val b = TextAnalysis.bm25(docs.repartition(13), q, k = 20).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(a.sameElements(b), "score must not depend on partitioning")
   }
+
+  test("rrfFuse: integer RRF terms, two-list agreement wins, single-list docs kept") {
+    import graft.ops.Similarity
+    val la = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val lb = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.rrfFuse(la, lb, kRrf = 60, topK = 10)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+    val t1 = 1000000000L / 61  // floor terms
+    val t2 = 1000000000L / 62
+    assert(out(11L) === ((t1 + t2, 2, 1)), "rank-1+rank-2 doc fuses on top")
+    assert(out(10L) === ((t1, 1, 2)))
+    assert(out(12L) === ((t2, 1, 3)))
+  }
+
+  test("rrfFuse ranks are per-query and deterministic under tie (neighbor id breaks)") {
+    import graft.ops.Similarity
+    val la = Seq((1L, 20L, 1), (2L, 30L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val lb = Seq((1L, 21L, 1), (2L, 31L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.rrfFuse(la, lb, kRrf = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(4)).toMap
+    // equal scores within each query: smaller neighbor id ranks first
+    assert(out((1L, 20L)) === 1 && out((1L, 21L)) === 2)
+    assert(out((2L, 30L)) === 1 && out((2L, 31L)) === 2)
+  }
 }
