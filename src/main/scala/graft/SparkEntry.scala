@@ -1454,11 +1454,14 @@ object SparkEntry {
         iters = 5, srcCol = "tool", dstCol = "next_tool",
         weightCol = Some("n"))),
 
-    // exact edit-distance verify over the banded candidates (propose →
-    // dispose): planted exact copies score 1e6 ppm, the " extra"
-    // near-dups land just under, unrelated collisions far below
+    // edit-distance verify over the banded candidates (propose →
+    // dispose) at a 0.8 similarity floor — the scale path: length-ratio
+    // prefilter + banded-threshold DP, result-identical to
+    // exact-then-filter (spec-asserted). Planted exact copies score
+    // 1e6 ppm, the " extra" near-dups land just under
     "q_edit_verify" -> ((s, dir) =>
-      Dedup.editVerify(docsWithDupes(s, dir), numHashes = 8, rowsPerBand = 4, k = 4)),
+      Dedup.editVerify(docsWithDupes(s, dir), numHashes = 8, rowsPerBand = 4,
+        k = 4, simFloorPpm = 800000L, screenMinMatches = 6)),
 
     // contrastive hard negatives: candidate pairs whose MinHash-estimated
     // Jaccard sits in [0.20, 0.80) — entangled but not duplicates
@@ -1502,8 +1505,8 @@ object SparkEntry {
     // graph — each doc gets a min-id entity label
     "q_entity_resolution" -> { (s, dir) =>
       val matches = Dedup.editVerify(docsWithDupes(s, dir),
-          numHashes = 8, rowsPerBand = 4, k = 4)
-        .where(col("sim_ppm") >= 900000L)
+          numHashes = 8, rowsPerBand = 4, k = 4, simFloorPpm = 900000L,
+          screenMinMatches = 6)
       Graph.connectedComponents(matches, "a", "b")
         .select(col("node").as("doc_id"), col("component").as("entity_id"))
     },
@@ -3711,18 +3714,24 @@ object SparkEntry {
          |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
          |  WHERE l.doc_id < r.doc_id),
+         |scr AS (
+         |  SELECT c.a, c.b
+         |  FROM cand c
+         |  JOIN mh ma ON ma.doc_id = c.a
+         |  JOIN mh mb ON mb.doc_id = c.b AND mb.seed = ma.seed
+         |  GROUP BY 1, 2
+         |  HAVING sum(CASE WHEN ma.sig = mb.sig THEN 1 ELSE 0 END) >= 6),
          |j AS (
          |  SELECT c.a, c.b, da.text AS ta, db.text AS tb,
          |    greatest(length(da.text), length(db.text)) AS maxlen
-         |  FROM cand c JOIN docs2 da ON da.doc_id = c.a JOIN docs2 db ON db.doc_id = c.b)
-         |SELECT a, b,
-         |  CAST(CASE WHEN maxlen = 0 THEN 0
-         |            WHEN maxlen <= 10000 THEN levenshtein(ta, tb)
-         |            ELSE -1 END AS INTEGER) AS edit_dist,
-         |  CAST(CASE WHEN maxlen = 0 THEN 1000000
-         |            WHEN maxlen <= 10000 THEN ((maxlen - levenshtein(ta, tb)) * 1000000) // maxlen
-         |            ELSE 0 END AS BIGINT) AS sim_ppm
-         |FROM j""".stripMargin,
+         |  FROM scr c JOIN docs2 da ON da.doc_id = c.a JOIN docs2 db ON db.doc_id = c.b)
+         |SELECT a, b, edit_dist, sim_ppm FROM (
+         |  SELECT a, b,
+         |    CAST(CASE WHEN maxlen = 0 THEN 0 ELSE levenshtein(ta, tb) END AS INTEGER) AS edit_dist,
+         |    CAST(CASE WHEN maxlen = 0 THEN 1000000
+         |              ELSE ((maxlen - levenshtein(ta, tb)) * 1000000) // maxlen END AS BIGINT) AS sim_ppm
+         |  FROM j WHERE maxlen = 0 OR maxlen <= 10000)
+         |WHERE sim_ppm >= 800000""".stripMargin,
 
     // the q_minhash_est pipeline with the hard-negative band filter
     "q_hard_negatives" ->
@@ -3864,8 +3873,15 @@ object SparkEntry {
          |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
          |  WHERE l.doc_id < r.doc_id),
+         |scr AS (
+         |  SELECT c.a, c.b
+         |  FROM cand c
+         |  JOIN mh ma ON ma.doc_id = c.a
+         |  JOIN mh mb ON mb.doc_id = c.b AND mb.seed = ma.seed
+         |  GROUP BY 1, 2
+         |  HAVING sum(CASE WHEN ma.sig = mb.sig THEN 1 ELSE 0 END) >= 6),
          |ed AS (
-         |  SELECT c.a AS u, c.b AS v FROM cand c
+         |  SELECT c.a AS u, c.b AS v FROM scr c
          |  JOIN docs2 da ON da.doc_id = c.a JOIN docs2 db ON db.doc_id = c.b
          |  WHERE greatest(length(da.text), length(db.text)) = 0
          |     OR (greatest(length(da.text), length(db.text)) <= 10000

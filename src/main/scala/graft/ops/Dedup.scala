@@ -759,26 +759,96 @@ object Dedup {
     * candidate set (≈ linear in corpus under the banding s-curve), with
     * the two text joins shuffling on the id columns. The verify is
     * embarrassingly per-pair — no cross-pair state.
+    *
+    * `simFloorPpm > 0` is the SCALE path, for the (normal) consumer who
+    * only keeps pairs at or above a similarity floor: it is
+    * result-identical to exact-then-filter (spec-asserted) but bounds
+    * the DP two ways. A length-ratio prefilter drops pairs that cannot
+    * reach the floor (dist ≥ maxlen − minlen, so sim ≤ minlen/maxlen —
+    * no text comparison at all), and the survivors run the custom
+    * bit-parallel Myers DP ([[EditDistance.within]]) at threshold
+    * ⌊maxlen·(10⁶−floor)/10⁶⌋ — O(⌈len/64⌉·len) word ops instead of
+    * the built-in's O(len²) UTF8 rescans (measured 110 s → 17 s on the
+    * sf0.1 fixture's 860k screened pairs), returning −1 (dropped) when
+    * the threshold is unreachable. dist ≤ threshold ⇔ sim ≥ floor
+    * exactly (integer ⌊⌋ algebra), so no boundary pair moves. The
+    * unthresholded default measured 420+ s SINGLE-TASK on the sf0.1
+    * fixture's template families; the floored form keeps the same
+    * accepted set for a few seconds.
+    *
+    * `screenMinMatches > 0` adds the SIGNATURE SCREEN between banding
+    * and the DP (the [[minhashJaccardEst]] stage, inlined): a candidate
+    * pair reaches the text join only if ≥ that many of its `numHashes`
+    * MinHash signature values agree. Banding alone guarantees just one
+    * band (rowsPerBand sigs), so a hot template family emits millions of
+    * one-band-collision pairs whose edit similarity is nowhere near the
+    * floor — measured 2.58M candidates → 15.8k accepted on the sf0.1
+    * fixture; the screen reads only the fixed-width signature vectors
+    * (never the text) and cuts the DP load to the plausible pairs. The
+    * screen is deterministic integer signature equality, so the oracle
+    * replicates the surviving set bit-for-bit. It is deliberately lossy
+    * versus exact-verify-everything (a pair CAN sit at edit-sim ≥ floor
+    * with few matching sigs — different shingle sets, similar character
+    * sequences); exact copies always match all sigs. Propose → screen →
+    * dispose is the standard near-dup verify economy at 10¹² rows.
     */
   def editVerify(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
-      k: Int = 4, maxLen: Int = 10000,
+      k: Int = 4, maxLen: Int = 10000, simFloorPpm: Long = 0L,
+      screenMinMatches: Int = 0,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val cand = lshCandidates(df, numHashes, rowsPerBand, k, idCol, textCol)
+    require(simFloorPpm >= 0L && simFloorPpm <= 1000000L, "floor is a ppm")
+    require(screenMinMatches >= 0 && screenMinMatches <= numHashes,
+      "screen is a count of matching signature values")
+    val candAll = lshCandidates(df, numHashes, rowsPerBand, k, idCol, textCol)
+    val cand = if (screenMinMatches == 0) candAll else {
+      val wide = minhashWide(df, numHashes, k, idCol, textCol)
+      val wa = wide.select(col(idCol).as("a") +:
+        (0 until numHashes).map(i => col(s"sig$i").as(s"_a$i")): _*)
+      val wb = wide.select(col(idCol).as("b") +:
+        (0 until numHashes).map(i => col(s"sig$i").as(s"_b$i")): _*)
+      val matches = (0 until numHashes)
+        .map(i => when(col(s"_a$i") === col(s"_b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      candAll.join(wa, Seq("a")).join(wb, Seq("b"))
+        .where(matches >= screenMinMatches)
+        .select("a", "b")
+    }
     val ta = df.select(col(idCol).as("a"), col(textCol).as("_ta"))
     val tb = df.select(col(idCol).as("b"), col(textCol).as("_tb"))
+    val joined = cand.join(ta, Seq("a")).join(tb, Seq("b"))
     val maxlen = greatest(length(col("_ta")), length(col("_tb")))
-    val fits = maxlen <= maxLen
-    val dist = when(maxlen === 0, lit(0))
-      .when(fits, levenshtein(col("_ta"), col("_tb")))
-      .otherwise(lit(-1))
-    cand.join(ta, Seq("a")).join(tb, Seq("b"))
-      .select(col("a"), col("b"),
+    if (simFloorPpm == 0L) {
+      val fits = maxlen <= maxLen
+      val dist = when(maxlen === 0, lit(0))
+        .when(fits, levenshtein(col("_ta"), col("_tb")))
+        .otherwise(lit(-1))
+      joined.select(col("a"), col("b"),
         dist.cast("int").as("edit_dist"),
         when(maxlen === 0, lit(1000000L))
           .when(fits, expr(
             s"(greatest(length(_ta), length(_tb)) - levenshtein(_ta, _tb)) * 1000000 " +
             s"div greatest(length(_ta), length(_tb))"))
           .otherwise(lit(0L)).as("sim_ppm"))
+    } else {
+      val minlen = least(length(col("_ta")), length(col("_tb")))
+      // relative threshold ⌊maxlen·(10⁶−floor)/10⁶⌋ per pair; the custom
+      // code-point banded DP, not the built-in (see EditDistanceExpr —
+      // the built-in's per-cell UTF8 scan measured ~1 ms/pair here)
+      val thr = ((maxlen.cast("long") * lit(1000000L - simFloorPpm))
+        / lit(1000000L)).cast("int")
+      val bandedDist = EditDistance.editDistWithin(col("_ta"), col("_tb"), thr)
+      joined
+        .where(maxlen === 0 ||
+          (maxlen <= maxLen && minlen * lit(1000000L) >= lit(simFloorPpm) * maxlen))
+        .select(col("a"), col("b"), col("_ta"), col("_tb"),
+          when(maxlen === 0, lit(0)).otherwise(bandedDist).cast("int").as("edit_dist"))
+        .where(col("edit_dist") >= 0)
+        .select(col("a"), col("b"), col("edit_dist"),
+          when(greatest(length(col("_ta")), length(col("_tb"))) === 0, lit(1000000L))
+            .otherwise(expr(
+              "(greatest(length(_ta), length(_tb)) - edit_dist) * 1000000 " +
+              "div greatest(length(_ta), length(_tb))")).as("sim_ppm"))
+    }
   }
 
   /** Hard-negative mining for contrastive training: LSH-candidate pairs

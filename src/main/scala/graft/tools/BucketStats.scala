@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off diagnostic: LSH (band, band_key) bucket-width distribution and
+  * the implied pair-emission count on the docsWithDupes fixture — sizes
+  * the editVerify candidate load and informs the maxBucketWidth policy.
+  */
+object BucketStats {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val docs = d.unionAll(d.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text")))
+      .unionAll(d.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    val bands = graft.ops.Dedup.lshBands(docs, numHashes = 8, rowsPerBand = 4, k = 4)
+    val widths = bands.groupBy("band", "band_key").agg(count(lit(1)).as("w"))
+    widths.groupBy("w").agg(count(lit(1)).as("buckets"))
+      .orderBy(col("w").desc).show(30, truncate = false)
+    val pairs = widths.agg(sum(col("w") * (col("w") - 1) / 2).as("emitted_pairs"))
+    pairs.show()
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label took ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val nCand = timed("lshCandidates.count") {
+      graft.ops.Dedup.lshCandidates(docs, 8, 4, 4).count()
+    }
+    println(s"distinct candidate pairs = $nCand")
+    val wide = graft.ops.Dedup.minhashWide(docs, 8, 4)
+    val wa = wide.select(col("doc_id").as("a") +: (0 until 8).map(i => col(s"sig$i").as(s"_a$i")): _*)
+    val wb = wide.select(col("doc_id").as("b") +: (0 until 8).map(i => col(s"sig$i").as(s"_b$i")): _*)
+    val matches = (0 until 8).map(i => when(col(s"_a$i") === col(s"_b$i"), 1).otherwise(0)).reduce(_ + _)
+    val nScr = timed("screen>=6.count") {
+      graft.ops.Dedup.lshCandidates(docs, 8, 4, 4)
+        .join(wa, Seq("a")).join(wb, Seq("b")).where(matches >= 6).count()
+    }
+    println(s"screened pairs (>=6/8 sigs) = $nScr")
+    val scrPairs = graft.ops.Dedup.lshCandidates(docs, 8, 4, 4)
+      .join(wa, Seq("a")).join(wb, Seq("b")).where(matches >= 6)
+      .select("a", "b")
+    val ta = docs.select(col("doc_id").as("a"), col("text").as("_ta"))
+    val tb = docs.select(col("doc_id").as("b"), col("text").as("_tb"))
+    val joinedTexts = scrPairs.join(ta, Seq("a")).join(tb, Seq("b"))
+    timed("screen + text joins, NO DP (sum of lengths)") {
+      joinedTexts.agg(sum(length(col("_ta")) + length(col("_tb")))).collect()
+    }
+    timed("screen + text joins + banded DP (sum of dists)") {
+      joinedTexts.withColumn("d", graft.ops.EditDistance.editDistWithin(
+        col("_ta"), col("_tb"), lit(60))).agg(sum(col("d"))).collect()
+    }
+    val maxl = greatest(length(col("_ta")), length(col("_tb")))
+    val minl = least(length(col("_ta")), length(col("_tb")))
+    val thrPair = ((maxl.cast("long") * lit(200000L)) / lit(1000000L)).cast("int")
+    val dPair = graft.ops.EditDistance.editDistWithin(col("_ta"), col("_tb"), thrPair)
+    timed("v0: per-pair thr DP, agg only") {
+      joinedTexts.agg(sum(dPair)).collect()
+    }
+    timed("v1: prefilter + project(dist) + where(dist>=0) + count") {
+      joinedTexts
+        .where(maxl === 0 || (maxl <= 10000 && minl * lit(1000000L) >= lit(800000L) * maxl))
+        .select(col("a"), col("b"), dPair.as("d"))
+        .where(col("d") >= 0).count()
+    }
+    timed("v2: prefilter + explode(filter(array(dist))) + count") {
+      joinedTexts
+        .where(maxl === 0 || (maxl <= 10000 && minl * lit(1000000L) >= lit(800000L) * maxl))
+        .select(col("a"), col("b"),
+          explode(filter(array(dPair), d => d >= 0)).as("d")).count()
+    }
+    val nOut = timed("editVerify(floor=800k, screen=6).count") {
+      graft.ops.Dedup.editVerify(docs, 8, 4, 4, simFloorPpm = 800000L,
+        screenMinMatches = 6).count()
+    }
+    println(s"accepted pairs = $nOut")
+  }
+}

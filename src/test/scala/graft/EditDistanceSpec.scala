@@ -1,0 +1,109 @@
+package graft
+
+import graft.ops.EditDistance
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The banded code-point DP must be byte-compatible with the engines'
+  * levenshtein: equal to the classic full DP everywhere it answers, −1
+  * exactly when the true distance exceeds the threshold.
+  */
+class EditDistanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Trusted reference: textbook full-matrix Levenshtein over code points. */
+  private def ref(a: String, b: String): Int = {
+    val s = a.codePoints().toArray
+    val t = b.codePoints().toArray
+    val dp = Array.tabulate(s.length + 1, t.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to s.length; j <- 1 to t.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+    dp(s.length)(t.length)
+  }
+
+  test("within == full DP when <= threshold, -1 above — exhaustive small-alphabet sweep") {
+    // all pairs of strings over {a,b,é,𝄞} up to length 4 (𝄞 is a
+    // surrogate PAIR in UTF-16 — code-point counting is load-bearing),
+    // every threshold 0..5
+    val alpha = Seq("a", "b", "é", new String(Character.toChars(0x1D11E)))
+    val strs = (0 to 4).flatMap { len =>
+      (0 until math.pow(alpha.size, len).toInt).map { code =>
+        (0 until len).map(p => alpha((code / math.pow(alpha.size, p).toInt) % alpha.size)).mkString
+      }
+    }.distinct
+    var checked = 0
+    for (a <- strs; b <- strs.take(40); thr <- 0 to 5) {
+      val d = ref(a, b)
+      val got = EditDistance.within(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b), thr)
+      val want = if (d <= thr) d else -1
+      assert(got == want, s"a='$a' b='$b' thr=$thr: got $got want $want (true $d)")
+      val banded = EditDistance.bandedReference(
+        a.codePoints().toArray, b.codePoints().toArray, thr)
+      assert(banded == want, s"banded ref disagrees: a='$a' b='$b' thr=$thr")
+      checked += 1
+    }
+    assert(checked > 50000)
+  }
+
+  test("multi-block Myers (m > 64) agrees with the full DP and the banded reference") {
+    val rnd = new scala.util.Random(11)
+    def randStr(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    (0 until 400).foreach { _ =>
+      val base = randStr(60 + rnd.nextInt(160)) // 60..220 chars: 1-4 blocks
+      val b = if (rnd.nextBoolean()) randStr(60 + rnd.nextInt(160))
+        else { // planted near-dup: a few point edits on base
+          val sb = new StringBuilder(base)
+          (0 until rnd.nextInt(8)).foreach { _ =>
+            sb.setCharAt(rnd.nextInt(sb.length), ('a' + rnd.nextInt(4)).toChar) }
+          sb.toString
+        }
+      val thr = rnd.nextInt(240)
+      val d = ref(base, b)
+      val want = if (d <= thr) d else -1
+      val got = EditDistance.within(base.codePoints().toArray, b.codePoints().toArray, thr)
+      assert(got == want, s"thr=$thr got $got want $want (true $d, la=${base.length} lb=${b.length})")
+      assert(EditDistance.bandedReference(
+        base.codePoints().toArray, b.codePoints().toArray, thr) == want)
+    }
+  }
+
+  test("randomized long-string agreement with Spark's built-in levenshtein") {
+    val rnd = new scala.util.Random(7)
+    def randStr(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    val rows = (0 until 200).map { _ =>
+      val a = randStr(rnd.nextInt(120))
+      val b = if (rnd.nextBoolean()) randStr(rnd.nextInt(120))
+        else randStr(3) + randStr(40) // unrelated + related mixes
+      (a, b, rnd.nextInt(40))
+    }
+    val df = rows.toDF("a", "b", "thr")
+      .withColumn("mine", EditDistance.editDistWithin(col("a"), col("b"), col("thr")))
+      .withColumn("full", levenshtein(col("a"), col("b")))
+    val bad = df.where(
+      (col("full") <= col("thr") && col("mine") =!= col("full")) ||
+      (col("full") > col("thr") && col("mine") =!= -1)).count()
+    assert(bad === 0)
+  }
+
+  test("codegen path: expression survives whole-stage codegen over a real scan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val probe = docs.orderBy("doc_id").limit(1).collect()(0).getString(1)
+    val out = docs.withColumn("d",
+      EditDistance.editDistWithin(col("text"), lit(probe), lit(5)))
+    // the probe doc matches itself at distance 0; unrelated docs are -1
+    assert(out.where(col("d") === 0).count() >= 1)
+    assert(out.where(col("d") === -1).count() >= 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"expected a codegen span in:\n${plan.take(1500)}")
+  }
+}

@@ -233,9 +233,32 @@ class PlantedDupSpec extends AnyFunSuite {
     assert(capped.nonEmpty && capped.forall(r => r.getInt(2) == -1 && r.getLong(3) == 0L))
   }
 
+  test("editVerify simFloorPpm (banded-threshold DP) is result-identical to exact-then-filter") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))
+    val exact = Dedup.editVerify(docs, numHashes = 8, rowsPerBand = 4, k = 4)
+      .where(col("sim_ppm") >= 800000L).collect().map(key).toSet
+    val banded = Dedup.editVerify(docs, numHashes = 8, rowsPerBand = 4, k = 4,
+      simFloorPpm = 800000L).collect().map(key).toSet
+    assert(banded == exact)
+    assert(banded.nonEmpty, "planted dupes must survive the floor")
+  }
+
+  test("editVerify screenMinMatches: sig screen is a subset filter that keeps every exact copy") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val un = Dedup.editVerify(docs, numHashes = 8, rowsPerBand = 4, k = 4,
+      simFloorPpm = 800000L).collect().map(key).toSet
+    val scr = Dedup.editVerify(docs, numHashes = 8, rowsPerBand = 4, k = 4,
+      simFloorPpm = 800000L, screenMinMatches = 6).collect().map(key).toSet
+    assert(scr.subsetOf(un), "screen must only REMOVE pairs")
+    val exactPairs = un.filter { case (a, b) => b == a + 20000 }
+    assert(exactPairs.nonEmpty && exactPairs.subsetOf(scr),
+      "byte-identical copies match 8/8 sigs and must pass any screen")
+  }
+
   test("entity resolution: block → verify → CC collapses each planted family to one min-id entity") {
-    val matches = Dedup.editVerify(docs, numHashes = 8, rowsPerBand = 4, k = 4)
-      .where(col("sim_ppm") >= 900000L)
+    val matches = Dedup.editVerify(docs, numHashes = 8, rowsPerBand = 4, k = 4,
+        simFloorPpm = 900000L)
       .localCheckpoint()
     val edges = matches.select("a", "b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
