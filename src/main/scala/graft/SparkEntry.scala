@@ -1553,7 +1553,26 @@ object SparkEntry {
         Similarity.bruteForceTopK(e, q, k = 10),
         Similarity.int8TopK(e, q, k = 10),
         kRrf = 60, topK = 10)
-    }
+    },
+
+    // Hilbert-curve layout key over two derived 8-bit dims — the
+    // locality-preserving alternative to q_zorder's Z-curve
+    "q_hilbert" -> ((s, dir) =>
+      graft.ops.Curation.hilbertKey(
+        events(s, dir).select(col("event_id"),
+          pmod(col("user_id") * 31, lit(256L)).as("hx"),
+          pmod(col("event_id") * 17, lit(256L)).as("hy")),
+        "hx", "hy", bits = 8)),
+
+    // corpus-level contamination matrix: distinct shared word 3-grams
+    // between every source pair + containment ppm vs the smaller side
+    "q_overlap_matrix" -> ((s, dir) =>
+      Dedup.crossSourceOverlap(documents(s, dir), "source", n = 3)),
+
+    // per-type quantile transform: value → rank/(n+1) in exact ppm
+    "q_rank_normalize" -> ((s, dir) =>
+      graft.agg.Aggregates.rankNormalize(events(s, dir), "event_type",
+        "value", "event_id"))
   )
 
   // --- oracle SQL (DuckDB) ----------------------------------------------
@@ -4014,6 +4033,39 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rrf_fp, n_lists, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_fp DESC, neighbor_id) AS INTEGER) AS rank
         |  FROM fused)
-        |WHERE rank <= 10""".stripMargin
+        |WHERE rank <= 10""".stripMargin,
+
+    // same xy2d level chain as stacked CTEs (Curation.hilbertSql)
+    "q_hilbert" ->
+      s"""WITH h8 AS (SELECT event_id,
+         |  (user_id * 31) % 256 AS x, (event_id * 17) % 256 AS y,
+         |  (user_id * 31) % 256 AS hx, (event_id * 17) % 256 AS hy,
+         |  CAST(0 AS BIGINT) AS d
+         |  FROM events),
+         |${graft.ops.Curation.hilbertSql(8, Seq("event_id", "hx", "hy"))}
+         |SELECT event_id, hx, hy, d AS hkey FROM h0""".stripMargin,
+
+    "q_overlap_matrix" ->
+      s"""WITH g0 AS (
+         |  SELECT source AS src, UNNEST(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS gram
+         |  FROM (SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents)),
+         |g AS (SELECT DISTINCT src, ${Dedup.gramHashSql("gram")} AS gram FROM g0),
+         |tot AS (SELECT src, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+         |p AS (
+         |  SELECT l.src AS source_a, r.src AS source_b, CAST(count(*) AS BIGINT) AS shared_grams
+         |  FROM g l JOIN g r ON l.gram = r.gram AND l.src < r.src
+         |  GROUP BY 1, 2)
+         |SELECT p.source_a, p.source_b, p.shared_grams, ta.n_grams AS a_grams, tb.n_grams AS b_grams,
+         |  (p.shared_grams * 1000000) // least(ta.n_grams, tb.n_grams) AS containment_ppm
+         |FROM p JOIN tot ta ON ta.src = p.source_a JOIN tot tb ON tb.src = p.source_b""".stripMargin,
+
+    "q_rank_normalize" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, event_id, value, (rn * 1000000) // (n + 1) AS rank_ppm FROM r""".stripMargin
   )
 }

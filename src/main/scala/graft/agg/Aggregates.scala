@@ -448,4 +448,22 @@ object Aggregates {
       .select(col(keyCol), col(ordCol), col("micro"), col("med_micro"),
         col("mad_micro"), col("outlier"))
   }
+
+  /** Per-key rank normalization (quantile transform): each value maps to
+    * rank/(n+1) — the feature-engineering step that makes any
+    * monotone-invariant model see a uniform marginal. Rendered in exact
+    * integer ppm (`rn·10⁶ div (n+1)`) with a deterministic `(value,
+    * ordCol)` tie-break, so the transform is engine-exact and
+    * permutation-stable. One hash exchange on the key + a per-key sort —
+    * never a global window.
+    */
+  def rankNormalize(df: DataFrame, keyCol: String, valueCol: String,
+      ordCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(valueCol), col(ordCol))
+    df.withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(keyCol)))
+      .select(col(keyCol), col(ordCol), col(valueCol),
+        expr("_rn * 1000000 div (_n + 1)").as("rank_ppm"))
+  }
 }

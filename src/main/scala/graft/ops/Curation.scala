@@ -278,6 +278,65 @@ object Curation {
     }.reduce(_ + _)
   }
 
+  /** Hilbert-curve layout key over two `bits`-bit dimensions — the
+    * locality-preserving alternative to [[zorderKey]] (Hilbert has no
+    * Z-curve "seams": consecutive keys are always grid neighbors, so
+    * range scans touch fewer file boundaries; it is what Delta/Iceberg
+    * offer as OPTIMIZE ... BY HILBERT). Classic xy2d: per level s =
+    * 2^(bits−1)..1, quadrant (rx, ry) contributes s²·((3·rx) xor ry) and
+    * the coordinate frame is rotated/flipped.
+    *
+    * Emitted as one PROJECTION PER LEVEL (a select chain carrying
+    * (x, y, d)), not one folded Column: each level reads x and y three
+    * times, so a single expression tree grows 3^bits nodes — the chained
+    * form stays linear and each level's outputs are plain attributes.
+    * All integer when/bitwise ops, codegen'd, zero shuffle. The DuckDB
+    * twin ([[hilbertSql]]) is the same chain as stacked CTEs.
+    */
+  def hilbertKey(df: DataFrame, xCol: String, yCol: String, bits: Int = 8,
+      outCol: String = "hkey"): DataFrame = {
+    require(bits >= 1 && bits <= 16, "bits must be in [1, 16]")
+    val mask = (1L << bits) - 1
+    val keep = df.columns.toSeq
+    var cur = df
+      .withColumn("_hx", col(xCol).cast("long").bitwiseAND(lit(mask)))
+      .withColumn("_hy", col(yCol).cast("long").bitwiseAND(lit(mask)))
+      .withColumn(outCol, lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = when(col("_hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(col("_hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val others = keep.map(col)
+      cur = cur.select(others ++ Seq(
+        when(ry === 0, when(rx === 1, lit(s - 1) - col("_hy")).otherwise(col("_hy")))
+          .otherwise(col("_hx")).as("_hx"),
+        when(ry === 0, when(rx === 1, lit(s - 1) - col("_hx")).otherwise(col("_hx")))
+          .otherwise(col("_hy")).as("_hy"),
+        (col(outCol) + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)).as(outCol)): _*)
+    }
+    cur.drop("_hx", "_hy")
+  }
+
+  /** DuckDB twin of [[hilbertKey]]: stacked CTEs `h{bits}..h0`, one per
+    * level, starting from a CTE named `h{bits}` with columns
+    * (`keyCols`..., x, y, d). Splice `WITH <yourBase>, ${hilbertSql(...)}
+    * SELECT ..., d AS hkey FROM h0`.
+    */
+  def hilbertSql(bits: Int, keyCols: Seq[String]): String = {
+    require(bits >= 1 && bits <= 16, "bits must be in [1, 16]")
+    val ks = keyCols.mkString(", ")
+    ((bits - 1) to 0 by -1).map { i =>
+      val s = 1L << i
+      val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""h$i AS (SELECT $ks,
+         |  CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${s - 1} - y ELSE y END) ELSE x END AS x,
+         |  CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${s - 1} - x ELSE x END) ELSE y END AS y,
+         |  d + ${s * s} * xor(3 * $rx, $ry) AS d
+         |FROM h${i + 1})""".stripMargin
+    }.mkString(",\n")
+  }
+
   /** C4-style corpus boilerplate removal: a LINE that appears in at
     * least `minDocs` DISTINCT documents is boilerplate (cookie banners,
     * nav menus, subscribe prompts — the lines a crawl repeats across

@@ -867,4 +867,38 @@ object Dedup {
     minhashJaccardEst(df, numHashes, rowsPerBand, k, idCol, textCol)
       .where(col("est_jaccard") * 100 >= loPct && col("est_jaccard") * 100 < hiPct)
   }
+
+  /** Cross-subset contamination matrix: for every pair of corpus groups
+    * (sources, dumps, train/eval splits), how many distinct word
+    * n-grams they share — the corpus-level generalization of
+    * [[decontaminate]] (which answers doc↔doc). Output per (a, b) pair
+    * with a < b: shared distinct gram count, each side's distinct gram
+    * total, and containment in ppm against the smaller side (1e6 ⇒ one
+    * subset's gram set is wholly inside the other's).
+    *
+    * Shape at 100 TB: grams collapse to DISTINCT (group, 48-bit hash)
+    * rows first — the explode never shuffles text, and the matrix join
+    * runs on 8-byte keys. The gram self-join fans out quadratically in
+    * the number of GROUPS sharing one gram (≤ |groups|²/2, i.e. a few
+    * hundred rows per gram for tens of sources), never in docs.
+    */
+  def crossSourceOverlap(df: DataFrame, groupCol: String = "source",
+      n: Int = 8, textCol: String = "text"): DataFrame = {
+    val grams = df.select(col(groupCol).as("src"),
+        explode(graft.ops.TextAnalysis.wordGrams(
+          split(lower(trim(col(textCol))), "\\s+"), n)).as("_g"))
+      .select(col("src"), gramHash(col("_g")).as("gram"))
+      .distinct()
+    val totals = grams.groupBy("src").agg(count(lit(1)).as("n_grams"))
+    val l = grams.select(col("src").as("source_a"), col("gram"))
+    val r = grams.select(col("src").as("source_b"), col("gram"))
+    l.join(r, Seq("gram")).where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(totals.select(col("src").as("source_a"), col("n_grams").as("a_grams"))), Seq("source_a"))
+      .join(broadcast(totals.select(col("src").as("source_b"), col("n_grams").as("b_grams"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        col("a_grams"), col("b_grams"),
+        expr("shared_grams * 1000000 div least(a_grams, b_grams)").as("containment_ppm"))
+  }
 }

@@ -131,6 +131,19 @@ class OlapAggSpec extends AnyFunSuite {
     assert(out.values.count(_._4 == 1) === 1, "only the planted spike flags")
   }
 
+  test("rankNormalize: ranks map to exact ppm quantiles with deterministic tie-break") {
+    val ev = Seq(("k", 1L, 30.0), ("k", 2L, 10.0), ("k", 3L, 20.0),
+        ("k", 4L, 20.0)) // tie on 20.0 → event_id breaks it
+      .toDF("event_type", "event_id", "value")
+    val out = Aggregates.rankNormalize(ev, "event_type", "value", "event_id")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // n=4 → rank/(n+1) ppm: 1/5, 2/5, 3/5, 4/5
+    assert(out(2L) === 200000L)
+    assert(out(3L) === 400000L, "tied 20.0: event_id 3 before 4")
+    assert(out(4L) === 600000L)
+    assert(out(1L) === 800000L)
+  }
+
   test("madOutliers: even group size takes the LOWER median (percentile_disc rank (n+1) div 2)") {
     val ev = Seq(("k", 1L, 1.0), ("k", 2L, 2.0), ("k", 3L, 3.0), ("k", 4L, 4.0))
       .toDF("event_type", "event_id", "value")

@@ -176,6 +176,39 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(0L, 1L, 2L, 15L, 0x55555555L, 0xAAAAAAAAL, 0L))
   }
 
+  test("hilbertKey: bijection on the grid and the defining neighbor property") {
+    val n = 8 // bits = 3
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("hx", "hy")
+    val out = Curation.hilbertKey(grid, "hx", "hy", bits = 3)
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1))).toMap
+    assert(out.keySet == (0L until 64L).toSet, "xy2d must be a bijection onto [0, 4^bits)")
+    // the Hilbert property (what z-order lacks): consecutive keys are
+    // always grid NEIGHBORS — no seams
+    (0L until 63L).foreach { d =>
+      val (x1, y1) = out(d); val (x2, y2) = out(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"d=$d maps ($x1,$y1) -> ($x2,$y2), not a unit step")
+    }
+    // first cell anchors the canonical orientation
+    assert(out(0L) == ((0L, 0L)))
+  }
+
+  test("crossSourceOverlap: planted subset/disjoint sources, containment exact") {
+    val docs = Seq(
+      ("A", "p q r s t u"),      // grams(3): pqr qrs rst stu
+      ("B", "p q r s"),          // grams: pqr qrs  — wholly inside A
+      ("C", "x y z w v"))        // disjoint
+      .toDF("source", "text")
+    val out = graft.ops.Dedup.crossSourceOverlap(docs, "source", n = 3)
+      .collect().map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("shared_grams"), r.getAs[Long]("a_grams"),
+          r.getAs[Long]("b_grams"), r.getAs[Long]("containment_ppm"))).toMap
+    assert(out.keySet == Set(("A", "B")), s"only (A,B) overlap; got $out")
+    assert(out(("A", "B")) == ((2L, 4L, 2L, 1000000L)),
+      "B's 3-gram set is wholly contained in A's")
+  }
+
   test("oovRate: rates against the bounded top-N vocabulary") {
     import graft.ops.TextAnalysis
     // letters only: the BPE-ish tokenizer splits digit runs into their
