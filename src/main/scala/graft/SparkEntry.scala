@@ -617,7 +617,7 @@ object SparkEntry {
     // bucketized interval join: events × overlapping 6h maintenance
     // windows (two shifted daily sets, so some events match two windows,
     // some none) — vs DuckDB's inequality join
-    "q_range_join" -> { (s, dir) =>
+    "q_interval_join" -> { (s, dir) =>
       val base = 1704067200L
       def ivSet(offset: Long, idOffset: Long) = s.range(30).select(
         (col("id") + idOffset).as("window_id"),
@@ -1572,7 +1572,83 @@ object SparkEntry {
     // per-type quantile transform: value → rank/(n+1) in exact ppm
     "q_rank_normalize" -> ((s, dir) =>
       graft.agg.Aggregates.rankNormalize(events(s, dir), "event_type",
-        "value", "event_id"))
+        "value", "event_id")),
+
+    // degree-oriented triangle counting over the mod-97 co-purchase
+    // projection (dense enough that triangles exist at sf0.001)
+    "q_triangles" -> ((s, dir) =>
+      Graph.triangles(
+        tpch(s, dir, "lineitem").where(col("l_orderkey") % 5 === 0)
+          .select((col("l_orderkey") % 97).as("src"),
+            (col("l_partkey") % 97).as("dst")))),
+
+    // incremental NEAR-dup ingestion: ledger = band keys of `documents`,
+    // batch = docsWithDupes ∪ guaranteed-fresh reversed-text rows; exact
+    // copies always hit the ledger, " extra" near-dups hit unless both
+    // bands flipped, reversed rows never hit
+    "q_incremental_neardup" -> { (s, dir) =>
+      val batch = docsWithDupes(s, dir).unionAll(
+        documents(s, dir).select((col("doc_id") + 30000).as("doc_id"),
+          concat(lit("fresh unseen payload nr "), col("doc_id").cast("string"),
+            lit(" "), reverse(col("text"))).as("text")))
+      Dedup.incrementalNearDup(
+        Dedup.bandLedger(documents(s, dir), numHashes = 8, rowsPerBand = 4, k = 4),
+        batch, numHashes = 8, rowsPerBand = 4, k = 4)
+    },
+
+    // gazetteer phrase tagging (flashtext semantics): broadcast 1/2-gram
+    // dictionary join, hits counted per (doc, tag)
+    "q_keyword_tag" -> ((s, dir) =>
+      TextAnalysis.keywordTag(documents(s, dir), Seq(
+        "spark" -> "tech", "batch" -> "tech", "fast table" -> "perf",
+        "slow" -> "perf", "customer query" -> "biz"))),
+
+    // k-anonymity / l-diversity audit: QI = (user cohort, day),
+    // sensitive = event_type, k = 5
+    "q_k_anon" -> ((s, dir) =>
+      graft.ops.Privacy.kAnonymity(
+        events(s, dir).select(
+          pmod(col("user_id"), lit(37L)).as("cohort"),
+          date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+          col("event_type")),
+        Seq("cohort", "dt"), "event_type", k = 5L)),
+
+    // suppression cost of a k=5 release over the same classes
+    "q_k_suppress" -> ((s, dir) =>
+      graft.ops.Privacy.suppressionReport(
+        graft.ops.Privacy.kAnonymity(
+          events(s, dir).select(
+            pmod(col("user_id"), lit(37L)).as("cohort"),
+            date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+            col("event_type")),
+          Seq("cohort", "dt"), "event_type", k = 5L),
+        k = 5L)),
+
+    // hourly OHLC bars per event type — open/close by deterministic
+    // (ts, event_id) order, exact fixed-point values
+    "q_ohlc" -> ((s, dir) =>
+      graft.agg.Aggregates.ohlcBars(events(s, dir), "event_type",
+        "value", "event_id", period = "1 hour")),
+
+    // inverted-index build: per-term posting lists (doc ids ascending),
+    // exploded rows, 20-posting cap
+    "q_postings" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(documents(s, dir), minDf = 2,
+        maxDf = 1000000L, cap = 20)),
+
+    // temperature-scaled (α = 0.5, exact IEEE sqrt) multilingual
+    // sampling quotas for a 1000-doc target mix
+    "q_temperature_mix" -> ((s, dir) =>
+      graft.ops.Curation.temperatureMixture(documents(s, dir),
+        targetTotal = 1000L)),
+
+    // sentence-window RAG chunker (3-sentence windows, stride 2) over
+    // the q_sentences punctuation fixture
+    "q_rag_chunks" -> ((s, dir) =>
+      graft.ops.Curation.sentenceWindows(
+        documents(s, dir).select(col("doc_id"),
+          regexp_replace(col("text"), " batch ", ". ").as("text")),
+        size = 3, stride = 2))
   )
 
   // --- oracle SQL (DuckDB) ----------------------------------------------
@@ -2200,7 +2276,7 @@ object SparkEntry {
         |SELECT e.event_id AS event_id, e.host AS host, d.ip AS ip
         |FROM e ASOF LEFT JOIN d ON e.host = d.host AND e.ts >= d.vts""".stripMargin,
 
-    "q_range_join" ->
+    "q_interval_join" ->
       """WITH iv AS (
         |  SELECT w AS window_id,
         |    make_timestamp((1704067200 + w * 86400) * 1000000) AS start_ts,
@@ -4066,6 +4142,154 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
         |    count(*) OVER (PARTITION BY event_type) AS n
         |  FROM events)
-        |SELECT event_type, event_id, value, (rn * 1000000) // (n + 1) AS rank_ppm FROM r""".stripMargin
+        |SELECT event_type, event_id, value, (rn * 1000000) // (n + 1) AS rank_ppm FROM r""".stripMargin,
+
+    // orientation-invariant ground truth: id-ordered 3-way join
+    // enumerates each triangle exactly once (a<b<c); the Spark side's
+    // degree orientation yields the identical triangle SET
+    "q_triangles" ->
+      """WITH raw AS (
+        |  SELECT CAST(l_orderkey % 97 AS BIGINT) AS a,
+        |    CAST(l_partkey % 97 AS BIGINT) AS b
+        |  FROM lineitem WHERE l_orderkey % 5 = 0),
+        |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |      FROM raw WHERE a <> b),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |GROUP BY 1""".stripMargin,
+
+    // joint banding over batch ∪ (offset-keyed) ledger corpus — band
+    // keys are pure functions of text, so separate-run keys collide
+    // exactly as this joint computation does; novel = batch ids with no
+    // cross hit
+    "q_incremental_neardup" ->
+      s"""WITH $DocsDupesSql,
+         |batchd AS (
+         |  SELECT doc_id, text FROM docs2
+         |  UNION ALL
+         |  SELECT doc_id + 30000 AS doc_id,
+         |    'fresh unseen payload nr ' || CAST(doc_id AS VARCHAR) || ' ' || reverse(text) AS text
+         |  FROM documents),
+         |comb AS (
+         |  SELECT doc_id, text FROM batchd
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+         |sh AS (
+         |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(length(text) - 3, 0)),
+         |    i -> substr(text, CAST(i AS INTEGER), 4))) AS shingle
+         |  FROM comb),
+         |${Dedup.minhashSql(8)},
+         |bands AS (
+         |  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         |    string_agg(CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR), '|'
+         |      ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR)) AS band_key
+         |  FROM mh GROUP BY 1, 2),
+         |hit AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM bands b JOIN bands l ON l.band = b.band AND l.band_key = b.band_key
+         |  WHERE b.doc_id < 1000000 AND l.doc_id >= 1000000)
+         |SELECT d.doc_id FROM batchd d LEFT JOIN hit h USING (doc_id)
+         |WHERE h.doc_id IS NULL""".stripMargin,
+
+    "q_keyword_tag" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |g1 AS (SELECT doc_id, unnest(toks) AS phrase FROM t),
+        |g2 AS (
+        |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS phrase
+        |  FROM t),
+        |allg AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+        |dict(phrase, tag) AS (VALUES
+        |  ('spark', 'tech'), ('batch', 'tech'), ('fast table', 'perf'),
+        |  ('slow', 'perf'), ('customer query', 'biz'))
+        |SELECT doc_id, tag, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM allg JOIN dict USING (phrase)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_k_anon" ->
+      """SELECT user_id % 37 AS cohort, strftime(ts, '%Y-%m-%d') AS dt,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS l_div,
+        |  (count(*) < 5 OR count(DISTINCT event_type) <= 1) AS at_risk
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_k_suppress" ->
+      """WITH c AS (
+        |  SELECT user_id % 37 AS cohort, strftime(ts, '%Y-%m-%d') AS dt,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS risky_classes,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS suppressed_rows
+        |FROM c""".stripMargin,
+
+    "q_ohlc" ->
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS win_start, ts, event_id,
+        |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS micro
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, win_start ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, win_start ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM b)
+        |SELECT event_type, win_start, CAST(count(*) AS BIGINT) AS n,
+        |  max(CASE WHEN ra = 1 THEN micro END) AS open_fp,
+        |  max(micro) AS high_fp,
+        |  min(micro) AS low_fp,
+        |  max(CASE WHEN rd = 1 THEN micro END) AS close_fp
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "q_postings" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '$BpeishRe')) AS term
+         |    FROM documents)),
+         |df AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1
+         |  HAVING count(*) >= 2 AND count(*) <= 1000000),
+         |r AS (
+         |  SELECT t.term, df.df, t.doc_id,
+         |    row_number() OVER (PARTITION BY t.term ORDER BY t.doc_id) AS pos
+         |  FROM tok t JOIN df USING (term))
+         |SELECT term, df, CAST(pos AS INTEGER) AS pos, doc_id
+         |FROM r WHERE pos <= 20""".stripMargin,
+
+    "q_temperature_mix" ->
+      """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n_docs,
+        |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w_fp
+        |      FROM n),
+        |t AS (SELECT CAST(sum(w_fp) AS BIGINT) AS w_tot FROM w)
+        |SELECT lang, n_docs, w_fp, (1000 * w_fp) // w_tot AS quota
+        |FROM w CROSS JOIN t""".stripMargin,
+
+    "q_rag_chunks" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(text, ' batch ', '. ', 'g') AS text
+        |           FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(list_transform(regexp_split_to_array(text, '[.!?]+\s+'),
+        |          x -> regexp_replace(trim(x), '[.!?]+$', '')), x -> len(x) > 0) AS ss
+        |      FROM d),
+        |s AS (SELECT doc_id, CAST(generate_subscripts(ss, 1) - 1 AS INTEGER) AS sent_idx,
+        |        unnest(ss) AS sentence
+        |      FROM p),
+        |m AS (SELECT doc_id, sent_idx, sentence,
+        |        UNNEST(generate_series(greatest(sent_idx - 1, 0) // 2, sent_idx // 2)) AS chunk_id
+        |      FROM s)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(count(*) AS INTEGER) AS n_sents,
+        |  string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text
+        |FROM m GROUP BY 1, 2""".stripMargin
   )
 }

@@ -466,4 +466,37 @@ object Aggregates {
       .select(col(keyCol), col(ordCol), col(valueCol),
         expr("_rn * 1000000 div (_n + 1)").as("rank_ppm"))
   }
+
+  /** Time-series downsampling to OHLC bars (the telemetry resample /
+    * candlestick shape): per (key, epoch-aligned window) the opening
+    * value, high, low, closing value, and row count. Open/close are
+    * first/last by the deterministic (ts, ordCol) event order — rendered
+    * as two row_number ranks over the SAME window partition (one hash
+    * exchange, two in-partition sorts), because "first" is undefined
+    * without a total order once timestamps collide (at 10¹² rows they
+    * always do). Values carried in exact fixed-point micro-units, so
+    * bars hash-compare across engines.
+    */
+  def ohlcBars(df: DataFrame, keyCol: String, valueCol: String,
+      ordCol: String, period: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol),
+      window(col("ts"), period).getField("start").as("win_start"),
+      col("ts"), col(ordCol),
+      floor(col(valueCol) * 1e6 + 0.5).cast("long").as("micro"))
+    val asc = Window.partitionBy(keyCol, "win_start")
+      .orderBy(col("ts"), col(ordCol))
+    val desc = Window.partitionBy(keyCol, "win_start")
+      .orderBy(col("ts").desc, col(ordCol).desc)
+    base
+      .withColumn("_ra", row_number().over(asc))
+      .withColumn("_rd", row_number().over(desc))
+      .groupBy(col(keyCol), col("win_start"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(when(col("_ra") === 1, col("micro"))).as("open_fp"),
+        max(col("micro")).as("high_fp"),
+        min(col("micro")).as("low_fp"),
+        max(when(col("_rd") === 1, col("micro"))).as("close_fp"))
+  }
 }

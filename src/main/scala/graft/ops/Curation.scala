@@ -795,4 +795,53 @@ object Curation {
           .when(col("tercile") === 2, "middle")
           .otherwise("tail").as("bucket"))
   }
+
+  /** Temperature-scaled multilingual sampling quotas (the mBERT /
+    * XLM-R exponent-smoothing recipe, Conneau & Lample 2019 §3.1,
+    * public): sample language ℓ proportionally to n_ℓ^α with α = 0.5 —
+    * flattening the head languages, boosting the tail. α = 0.5 makes
+    * the weight an IEEE `sqrt`, which is CORRECTLY ROUNDED by the
+    * standard (unlike `pow`/`ln`, whose last-ulp varies by libm) — so
+    * freezing it to fixed-point micros gives every engine the identical
+    * integer weight, and from there the quota arithmetic is pure
+    * integer floor division. One |langs|-row aggregate + a broadcast
+    * 1-row total: nothing here scales with the corpus.
+    */
+  def temperatureMixture(df: DataFrame, targetTotal: Long,
+      groupCol: String = "lang"): DataFrame = {
+    val cnt = df.groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_fp",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6 + 0.5).cast("long"))
+    val tot = cnt.agg(sum("w_fp").as("_w_tot"))
+    cnt.crossJoin(broadcast(tot)) // 1-row side: broadcast, not cartesian
+      .select(col(groupCol), col("n_docs"), col("w_fp"),
+        expr(s"($targetTotal * w_fp) div _w_tot").as("quota"))
+  }
+
+  /** Sentence-window RAG chunker: split into sentences, slide a window
+    * of `size` sentences with `stride` (overlap = size − stride), emit
+    * one chunk row per window with the text reassembled in order.
+    * Membership is computed CLOSED-FORM per sentence (window ids
+    * w ∈ [⌈(s−size+1)/stride⌉, ⌊s/stride⌋], clamped at 0, all operands
+    * kept non-negative so floor division agrees across engines) — a
+    * sentence explodes into ≤ ⌈size/stride⌉ rows, never one row per
+    * (sentence, any window). Reassembly is the sorted-struct collect
+    * (order carried in data, no window sort); the only exchange is the
+    * (doc, chunk) hash aggregate.
+    */
+  def sentenceWindows(df: DataFrame, size: Int = 3, stride: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      "need 1 <= stride <= size")
+    val lo = expr(s"greatest(sent_idx - ${size - stride}, 0) div $stride")
+    TextAnalysis.sentences(df, idCol, textCol)
+      .select(col(idCol), col("sent_idx"), col("sentence"),
+        explode(sequence(lo, expr(s"sent_idx div $stride"))).as("chunk_id"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_sents"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("sent_idx"), col("sentence")))),
+            x => x.getField("sentence")), " ").as("chunk_text"))
+  }
 }

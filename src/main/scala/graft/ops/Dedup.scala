@@ -60,6 +60,38 @@ object Dedup {
   def fingerprintLedger(df: DataFrame, textCol: String = "text"): DataFrame =
     df.select(md5(col(textCol)).as("text_md5")).distinct()
 
+  /** The NEAR-dup analogue of [[fingerprintLedger]]: the persisted state
+    * is the corpus's distinct LSH band keys — fixed-width strings, one
+    * row per (band, distinct signature-block) — never the text or even
+    * the signatures of historical docs. At 10¹² ingested docs the ledger
+    * is bounded by distinct band keys (heavily sub-linear on a
+    * duplicate-rich crawl) and each nightly batch pays O(batch) to
+    * compute its own bands plus one semi-join against the ledger.
+    */
+  def bandLedger(corpus: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 4,
+      k: Int = 4, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    lshBands(corpus, numHashes, rowsPerBand, k, idCol, textCol)
+      .select("band", "band_key").distinct()
+
+  /** Incremental NEAR-duplicate ingestion — the production shape for
+    * continuous crawling: never re-LSH the historical corpus. A batch
+    * doc is "near-known" if ANY of its band keys hits the ledger
+    * (identical collision rule to running banded LSH over
+    * ledger ∪ batch, restricted to cross pairs); the rest are novel.
+    * One left-semi join on (band, band_key) + one anti join on the id —
+    * both shuffle fixed-width keys only. Band keys are pure functions of
+    * the text, so ledger keys computed in an earlier run collide with
+    * batch keys exactly as a joint run would.
+    */
+  def incrementalNearDup(ledger: DataFrame, batch: DataFrame,
+      numHashes: Int = 8, rowsPerBand: Int = 4, k: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bands = lshBands(batch, numHashes, rowsPerBand, k, idCol, textCol)
+    val known = bands.join(ledger, Seq("band", "band_key"), "left_semi")
+      .select(col(idCol)).distinct()
+    batch.select(col(idCol)).join(known, Seq(idCol), "left_anti")
+  }
+
   /** Character k-gram shingles, exploded: (id, pos, shingle). Docs
     * shorter than k emit NO rows: Spark's sequence(1, 0) counts DOWN to
     * [1, 0] (two bogus positions) where the oracle's generate_series

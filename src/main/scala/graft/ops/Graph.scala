@@ -123,6 +123,54 @@ object Graph {
     * constant (the standard 5–20), so the whole job is O(iters) shuffles
     * of the edge list — the canonical Pregel-style plan without RDDs.
     */
+  /** Per-node triangle counts over an undirected edge list, by DEGREE
+    * ORIENTATION (Cohen, "Graph Twiddling in a MapReduce World", CiSE
+    * 2009; the standard wedge-count bound): direct every edge from its
+    * lower-(degree, id) endpoint to the higher one, enumerate wedges at
+    * each source (pairs of out-neighbors), and keep the wedges whose far
+    * endpoints are themselves connected. Out-degrees under this
+    * orientation are O(√m), so wedge volume is O(m^1.5) worst-case —
+    * vs O(Σ deg²) (quadratic in the hottest hub) for naive wedge
+    * enumeration. At 10¹² edges the orientation is the difference
+    * between a skew-bounded shuffle and one reducer receiving a
+    * celebrity node's 10⁸-neighbor adjacency square.
+    *
+    * Joins: two self-joins on node ids (shuffle-partitioned; the closing
+    * -edge probe joins wedges against the canonical edge set on the far
+    * pair). No adjacency list is ever collected. Output: (node, n_tri)
+    * for every node on ≥ 1 triangle — orientation-invariant, so any
+    * correct triangle enumeration (the oracle's id-ordered 3-way join)
+    * agrees exactly.
+    */
+  def triangles(edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val canon = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("node"))
+      .unionAll(canon.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = canon
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    // wedges at the low endpoint; (b, c) canonicalized by id so each
+    // unordered far pair appears once, then probed against the edge set
+    val wedges = oriented.select(col("s"), col("t").as("b"))
+      .join(oriented.select(col("s"), col("t").as("c")), Seq("s"))
+      .where(col("b") < col("c"))
+    val tris = wedges.join(canon,
+      wedges("b") === canon("u") && wedges("c") === canon("v"), "left_semi")
+    tris.select(explode(array(col("s"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
   def pagerank(edges: DataFrame, iters: Int = 5,
       srcCol: String = "src", dstCol: String = "dst",
       weightCol: Option[String] = None): DataFrame = {

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy / release-hygiene audits for datasets leaving the pipeline —
+  * the checks run before a telemetry extract or a training corpus is
+  * shared (Sweeney, "k-Anonymity: a model for protecting privacy",
+  * IJUFKS 2002; Machanavajjhala et al., "l-Diversity", ICDE 2006 —
+  * both public).
+  *
+  * Reference tie-in: Beats ships `drop_fields`/`rename` and the fingerprint
+  * processor as its anonymization surface (`libbeat/processors/actions/`);
+  * these operators are the corpus-level audit that tells you whether that
+  * field-dropping was ENOUGH — whether the remaining quasi-identifier
+  * combinations still isolate individuals.
+  */
+object Privacy {
+
+  /** k-anonymity / l-diversity audit: group by the quasi-identifier
+    * columns, count the equivalence class and its distinct sensitive
+    * values. A class with n < k re-identifies (k-anonymity violation);
+    * a class with 1 distinct sensitive value discloses the attribute
+    * even at large n (homogeneity attack — the l-diversity check).
+    *
+    * One hash aggregate over the QI key; count_distinct is exact (the
+    * sensitive domain per class is what's being measured — never
+    * approximate a privacy gate). At 10¹² rows the class table is
+    * bounded by distinct QI combinations; a skewed giant class is one
+    * combiner-friendly key, not a hot partition problem.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      k: Long = 5L): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("l_div"))
+      .withColumn("at_risk", col("n") < k || col("l_div") <= 1L)
+
+  /** Suppression summary over the [[kAnonymity]] classes: how much data
+    * a k-threshold release would have to drop. One further 1-row
+    * aggregate over the class table.
+    */
+  def suppressionReport(classes: DataFrame, k: Long = 5L): DataFrame =
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      sum(when(col("n") < k, lit(1L)).otherwise(0L)).as("risky_classes"),
+      sum("n").as("n_rows"),
+      sum(when(col("n") < k, col("n")).otherwise(0L)).as("suppressed_rows"))
+}

@@ -773,4 +773,54 @@ object TextAnalysis {
       .limit(topK)
       .select("token", "n_docs", "n_pos", "chi2_r6")
   }
+
+  /** Gazetteer phrase tagging — the batch form of a flashtext/Aho-
+    * Corasick dictionary tagger (topic keywords, PII term lists,
+    * compliance lexicons): tokenize, emit every word n-gram up to the
+    * longest dictionary phrase, equi-join against the broadcast
+    * dictionary, count hits per (doc, tag). Overlapping occurrences
+    * count independently (standard gazetteer semantics). The dictionary
+    * rides as a broadcast literal table — the corpus is never shuffled;
+    * the only exchange is the (doc, tag) hash aggregate, pre-combined
+    * map-side. At a 10⁵-phrase dictionary swap the broadcast join for
+    * the same join on gramHash keys; the plan shape is unchanged.
+    */
+  def keywordTag(df: DataFrame, dict: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(dict.nonEmpty, "empty dictionary")
+    val maxN = dict.map(_._1.trim.split("\\s+").length).max
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val grams = (1 to maxN).map(n => wordGrams(col("_toks"), n))
+      .reduce((a, b) => concat(a, b))
+    val exploded = df.select(col(idCol), toks.as("_toks"))
+      .select(col(idCol), explode(grams).as("phrase"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dictDf = dict.toDF("phrase", "tag")
+    exploded.join(broadcast(dictDf), Seq("phrase"))
+      .groupBy(col(idCol), col("tag"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Inverted-index build (the retrieval-serving artifact): per term
+    * with document frequency in [minDf, maxDf], the posting list as
+    * EXPLODED (term, df, pos, doc_id) rows, doc ids ascending, capped at
+    * `cap` postings per term. The df bounds run BEFORE the per-term rank
+    * window, so stopword-grade terms (the skew risk — one term =
+    * one window partition) never reach the sort; the cap bounds output
+    * per term. Shuffles: one (id, term) distinct, one df aggregate, one
+    * term-keyed window — all on term-hash partitions.
+    */
+  def invertedIndex(df: DataFrame, minDf: Long = 2, maxDf: Long = 1000,
+      cap: Int = 50, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = terms(df, idCol, textCol).distinct()
+    val dfreq = t.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf && col("df") <= maxDf)
+    val w = Window.partitionBy("term").orderBy(col(idCol))
+    t.join(dfreq, Seq("term"))
+      .withColumn("pos", row_number().over(w))
+      .where(col("pos") <= cap)
+      .select(col("term"), col("df"), col("pos").cast("int").as("pos"), col(idCol))
+  }
 }

@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc per-query timing: `runMain graft.tools.QTime <sfDir> q_a q_b ...`
+  * Times each named SparkEntry query with the bench estimator (noop-format
+  * write, materializes every output column), 2 reps, min reported. The
+  * CLAUDE.md rule this serves: no heavy operator is committed without an
+  * sf0.1 timing.
+  */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: QTime <sfDir> <query>...")
+    val sfDir = args(0)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warmup (untimed): JIT + codegen caches
+    graft.SparkEntry.queries(args(1))(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    for (q <- args.drop(1)) {
+      val reps = (1 to 2).map { _ =>
+        val df = graft.SparkEntry.queries(q)(spark, sfDir)
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"QTIME $q%-24s min=${reps.min}%8.3f s  (${reps.map(x => f"$x%.2f").mkString("/")})")
+    }
+    spark.stop()
+  }
+}

@@ -84,4 +84,36 @@ class GraphSpec extends AnyFunSuite {
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(a == b)
   }
+
+  private def triCounts(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangles(edges.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangles: K4 puts every node on 3 triangles; a path has none") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    assert(triCounts(k4) == (1L to 4L).map(_ -> 3L).toMap)
+    assert(triCounts((1L until 6L).map(i => (i, i + 1))).isEmpty)
+  }
+
+  test("triangles: hub graph counts exactly the closed wedges; triangle-free nodes are absent") {
+    // hub 0 — leaves 1..5, plus closing edges (1,2) and (3,4):
+    // triangles (0,1,2) and (0,3,4); node 5 is on none
+    val edges = (1L to 5L).map(h => (0L, h)) ++ Seq((1L, 2L), (3L, 4L))
+    val c = triCounts(edges)
+    assert(c == Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("triangles: duplicate, reversed, and self-loop edges don't inflate counts") {
+    val clean = triCounts(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val noisy = triCounts(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L),
+      (3L, 2L), (1L, 3L), (2L, 2L)))
+    assert(clean == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(noisy == clean)
+  }
+
+  test("triangles: two triangles sharing an edge double-count the shared endpoints") {
+    // (1,2,3) and (1,2,4): nodes 1,2 on two triangles; 3,4 on one
+    val c = triCounts(Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))
+    assert(c == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
 }

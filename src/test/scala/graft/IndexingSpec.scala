@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.{Curation, Dedup}
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gazetteer tagging, inverted-index build, sentence-window chunking,
+  * and the incremental near-dup ledger.
+  */
+class IndexingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("keywordTag counts unigram and bigram hits, overlapping occurrences independently") {
+    val docs = Seq(
+      (1L, "slow slow query on the fast table"),
+      (2L, "Fast Table scan"), // case-folded bigram hit
+      (3L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val dict = Seq("slow" -> "perf", "fast table" -> "perf", "scan" -> "io")
+    val out = TextAnalysis.keywordTag(docs, dict).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, "perf") -> 3L, (2L, "perf") -> 1L, (2L, "io") -> 1L))
+  }
+
+  test("keywordTag: a doc shorter than the longest phrase still matches its unigrams") {
+    val docs = Seq((1L, "slow")).toDF("doc_id", "text")
+    val out = TextAnalysis.keywordTag(docs, Seq("slow" -> "perf", "fast table" -> "perf"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, "perf") -> 1L))
+  }
+
+  test("invertedIndex: df bounds drop rare and stopword-grade terms BEFORE ranking; cap keeps lowest doc ids") {
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "common spark")) ++   // 'common','spark' df=10
+      Seq((11L, "spark rare"))                            // 'rare' df=1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, minDf = 2, maxDf = 10, cap = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val byTerm = out.groupBy(_._1)
+    assert(!byTerm.contains("rare"), "df=1 term must be dropped")
+    // 'spark' df=11 > maxDf → dropped before the window
+    assert(!byTerm.contains("spark"))
+    val common = byTerm("common").sortBy(_._3)
+    assert(common.map(_._4).toSeq == Seq(1L, 2L, 3L), "cap keeps the 3 smallest ids in order")
+    assert(common.forall(_._2 == 10L))
+  }
+
+  test("sentenceWindows: size 3 / stride 2 covers every sentence with the documented overlap") {
+    val docs = Seq((1L, "s0. s1. s2. s3. s4.")).toDF("doc_id", "text")
+    val out = Curation.sentenceWindows(docs, size = 3, stride = 2).collect()
+      .map(r => r.getLong(1) -> ((r.getInt(2), r.getString(3)))).toMap
+    assert(out == Map(
+      0L -> ((3, "s0 s1 s2")),
+      1L -> ((3, "s2 s3 s4")),
+      2L -> ((1, "s4"))))
+  }
+
+  test("sentenceWindows: a one-sentence doc is a single chunk; stride=size means no overlap") {
+    val one = Curation.sentenceWindows(Seq((1L, "only.")).toDF("doc_id", "text"),
+      size = 3, stride = 2).collect()
+    assert(one.length == 1 && one(0).getString(3) == "only")
+    val flat = Curation.sentenceWindows(
+      Seq((1L, "a. b. c. d.")).toDF("doc_id", "text"), size = 2, stride = 2)
+      .collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+    assert(flat == Map(0L -> "a b", 1L -> "c d"))
+  }
+
+  test("incrementalNearDup: ledger hits drop exact and near copies; fresh text survives") {
+    val corpus = (1 to 40).map(i =>
+      (i.toLong, s"the quick brown fox $i jumps over the lazy dog $i again and again"))
+      .toDF("doc_id", "text")
+    val batch = (
+      Seq((101L, "the quick brown fox 7 jumps over the lazy dog 7 again and again")) ++ // exact
+      Seq((102L, "the quick brown fox 9 jumps over the lazy dog 9 again and again extra")) ++ // near
+      Seq((103L, "completely different payload with zero shared character shingles XYZW"))
+    ).toDF("doc_id", "text")
+    val ledger = Dedup.bandLedger(corpus, numHashes = 8, rowsPerBand = 4, k = 4)
+    val novel = Dedup.incrementalNearDup(ledger, batch,
+      numHashes = 8, rowsPerBand = 4, k = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(!novel.contains(101L), "byte-exact copy must hit the ledger")
+    assert(novel.contains(103L), "fresh text must be novel")
+  }
+
+  test("incrementalNearDup equals joint banded LSH restricted to cross pairs") {
+    val corpus = (1 to 30).map(i =>
+      (i.toLong, s"alpha beta gamma delta $i epsilon zeta eta theta ${i * 7} iota kappa"))
+      .toDF("doc_id", "text")
+    val batch = (31 to 60).map(i =>
+      (i.toLong, if (i % 3 == 0)
+        s"alpha beta gamma delta ${i - 30} epsilon zeta eta theta ${(i - 30) * 7} iota kappa"
+      else s"unrelated content number $i with its own words ${i * 13}"))
+      .toDF("doc_id", "text")
+    val ledger = Dedup.bandLedger(corpus, numHashes = 8, rowsPerBand = 4, k = 4)
+    val novel = Dedup.incrementalNearDup(ledger, batch,
+      numHashes = 8, rowsPerBand = 4, k = 4)
+      .collect().map(_.getLong(0)).toSet
+    // joint run over corpus ∪ batch: cross candidate pairs by shared band key
+    val joint = Dedup.lshBands(corpus.unionAll(batch), numHashes = 8, rowsPerBand = 4, k = 4)
+    val l = joint.where(col("doc_id") <= 30).select(col("band"), col("band_key"))
+    val cross = joint.where(col("doc_id") > 30)
+      .join(l, Seq("band", "band_key"), "left_semi")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(novel == (31L to 60L).toSet -- cross)
+  }
+}

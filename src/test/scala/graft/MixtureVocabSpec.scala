@@ -92,4 +92,17 @@ class MixtureVocabSpec extends AnyFunSuite {
       (2, "ab", "ab", 4L),
       (3, "abab", "ab", 2L)))
   }
+
+  test("temperatureMixture: α=0.5 quotas follow sqrt weights with exact integer division") {
+    // counts 100 / 400 / 25 → sqrt weights 10 / 20 / 5 (exact doubles)
+    val docs = ((1 to 100).map(i => (i.toLong, "en")) ++
+      (101 to 500).map(i => (i.toLong, "de")) ++
+      (501 to 525).map(i => (i.toLong, "fr"))).toDF("doc_id", "lang")
+    val out = graft.ops.Curation.temperatureMixture(docs, targetTotal = 700L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("en") == ((100L, 10000000L, 200L)))
+    assert(out("de") == ((400L, 20000000L, 400L)))
+    assert(out("fr") == ((25L, 5000000L, 100L)))
+    // flattening: de has 4× the docs of en but only 2× the quota
+  }
 }

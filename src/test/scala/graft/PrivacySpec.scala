@@ -1,0 +1,45 @@
+package graft
+
+import graft.ops.Privacy
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** k-anonymity / l-diversity audit semantics on hand-built cohorts. */
+class PrivacySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (zip, age) quasi-identifiers, diagnosis sensitive:
+  //  class A: 6 rows, 3 distinct diagnoses  → safe at k=5
+  //  class B: 2 rows                        → k-violation
+  //  class C: 6 rows, ONE diagnosis         → homogeneity (l-div) violation
+  private lazy val rows = (
+    (1 to 6).map(i => ("94110", 30, s"dx${i % 3}")) ++
+    (1 to 2).map(_ => ("94User", 31, "dx9")) ++
+    (1 to 6).map(_ => ("02139", 44, "dx1"))
+  ).toDF("zip", "age", "diagnosis")
+
+  test("kAnonymity flags small classes and homogeneous classes, passes diverse large ones") {
+    val out = Privacy.kAnonymity(rows, Seq("zip", "age"), "diagnosis", k = 5L)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(("94110", 30)) == ((6L, 3L, false)))
+    assert(out(("94User", 31)) == ((2L, 1L, true)))
+    assert(out(("02139", 44)) == ((6L, 1L, true)), "homogeneous class must flag even at n >= k")
+  }
+
+  test("suppressionReport totals the k-threshold drop cost") {
+    val classes = Privacy.kAnonymity(rows, Seq("zip", "age"), "diagnosis", k = 5L)
+    val r = Privacy.suppressionReport(classes, k = 5L).collect()(0)
+    assert(r.getLong(0) == 3L) // classes
+    assert(r.getLong(1) == 1L) // only class B is below k
+    assert(r.getLong(2) == 14L)
+    assert(r.getLong(3) == 2L)
+  }
+
+  test("kAnonymity treats distinct sensitive values exactly (no sketch)") {
+    val df = (1 to 100).map(i => ("z", 1, s"dx$i")).toDF("zip", "age", "diagnosis")
+    val r = Privacy.kAnonymity(df, Seq("zip", "age"), "diagnosis", k = 5L).collect()(0)
+    assert(r.getLong(3) == 100L)
+  }
+}

@@ -114,4 +114,24 @@ class TelemetrySpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(out === Seq("internal", "outbound", "inbound", "external"))
   }
+
+  test("ohlcBars: open/close follow the (ts, ord) tie-break, windows are hour-aligned") {
+    val rows = Seq(
+      // two rows at the IDENTICAL timestamp — only event_id orders them
+      ("a", "2024-01-01 10:00:05", 7L, 3.5),
+      ("a", "2024-01-01 10:00:05", 2L, 1.25),
+      ("a", "2024-01-01 10:59:59", 9L, 9.0),
+      ("a", "2024-01-01 11:00:00", 4L, 5.0), // next bar
+      ("b", "2024-01-01 10:30:00", 1L, 2.0)
+    ).toDF("event_type", "ts_s", "event_id", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = Aggregates.ohlcBars(rows, "event_type", "value", "event_id")
+      .collect().map(r => (r.getString(0), r.getAs[java.sql.Timestamp](1).toString) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out(("a", "2024-01-01 10:00:00.0")) ==
+      ((3L, 1250000L, 9000000L, 1250000L, 9000000L)),
+      "open must be the event_id=2 row at the tied timestamp")
+    assert(out(("a", "2024-01-01 11:00:00.0")) == ((1L, 5000000L, 5000000L, 5000000L, 5000000L)))
+    assert(out(("b", "2024-01-01 10:00:00.0")) == ((1L, 2000000L, 2000000L, 2000000L, 2000000L)))
+  }
 }
