@@ -1648,7 +1648,36 @@ object SparkEntry {
       graft.ops.Curation.sentenceWindows(
         documents(s, dir).select(col("doc_id"),
           regexp_replace(col("text"), " batch ", ". ").as("text")),
-        size = 3, stride = 2))
+        size = 3, stride = 2)),
+
+    // PMI collocations over the document corpus, floor-log2 rendering,
+    // pairs seen >= 5 times
+    "q_pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(documents(s, dir), minCount = 5L)),
+
+    // Prometheus-style `for:` alerting: >= 2 events per 6h bucket,
+    // held >= 3 consecutive buckets, per event type
+    "q_alert_for" -> ((s, dir) =>
+      graft.agg.Aggregates.alertFor(events(s, dir), "event_type", "ts",
+        threshold = 2L, minConsecutive = 3, bucketSeconds = 21600L)),
+
+    // Luhn-validated card detection over documents with planted valid /
+    // invalid / wrong-length digit runs (the 20-digit run must NOT match)
+    "q_luhn_scan" -> ((s, dir) =>
+      graft.ops.Privacy.luhnScan(
+        documents(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0, lit(" card 4532015112830366"))
+              .when(col("doc_id") % 4 === 1, lit(" card 4532015112830367"))
+              .when(col("doc_id") % 4 === 2,
+                lit(" acct 4222222222222 ref 99999999999999999999"))
+              .otherwise(lit(""))).as("text")))),
+
+    // per-event-type KS drift between even and odd event-id cohorts
+    // (A/A-shaped split: expect small but exact ks_ppm)
+    "q_ks_drift" -> ((s, dir) =>
+      graft.agg.Aggregates.ksDrift(events(s, dir), "event_type", "value",
+        col("event_id") % 2 === 1))
   )
 
   // --- oracle SQL (DuckDB) ----------------------------------------------
@@ -4290,6 +4319,84 @@ object SparkEntry {
         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
         |  CAST(count(*) AS INTEGER) AS n_sents,
         |  string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text
-        |FROM m GROUP BY 1, 2""".stripMargin
+        |FROM m GROUP BY 1, 2""".stripMargin,
+
+    // tokens are whitespace-split so ' ' can never occur inside one —
+    // the space-joined pair string round-trips losslessly
+    "q_pmi_collocations" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |u AS (SELECT unnest(toks) AS w FROM t),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM u GROUP BY 1),
+        |nu AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM u),
+        |bi0 AS (
+        |  SELECT UNNEST(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS pr
+        |  FROM t),
+        |bi AS (SELECT string_split(pr, ' ')[1] AS w1, string_split(pr, ' ')[2] AS w2 FROM bi0),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bi),
+        |p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM bi
+        |      GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT p.w1, p.w2, p.n_pair,
+        |  CAST(floor(log2(p.n_pair)) + 2 * floor(log2(nu.nu)) - floor(log2(nb.nb))
+        |    - floor(log2(u1.cu)) - floor(log2(u2.cu)) AS BIGINT) AS pmi_fl2
+        |FROM p JOIN uni u1 ON u1.w = p.w1 JOIN uni u2 ON u2.w = p.w2
+        |CROSS JOIN nu CROSS JOIN nb""".stripMargin,
+
+    "q_alert_for" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(floor(epoch(ts) / 21600) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2 HAVING count(*) >= 2),
+        |g AS (SELECT *, bucket - row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS grp
+        |      FROM m)
+        |SELECT event_type, min(bucket) AS start_bucket, max(bucket) AS end_bucket,
+        |  CAST(count(*) AS INTEGER) AS n_buckets, CAST(sum(cnt) AS BIGINT) AS n_events
+        |FROM g GROUP BY event_type, grp HAVING count(*) >= 3""".stripMargin,
+
+    "q_luhn_scan" ->
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' card 4532015112830366'
+        |         WHEN doc_id % 4 = 1 THEN ' card 4532015112830367'
+        |         WHEN doc_id % 4 = 2 THEN ' acct 4222222222222 ref 99999999999999999999'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, UNNEST(list_filter(regexp_extract_all(text, '[0-9]+'),
+        |    x -> length(x) >= 13 AND length(x) <= 16)) AS candidate
+        |  FROM d)
+        |SELECT doc_id, candidate,
+        |  CAST(list_sum(list_transform(generate_series(0, length(candidate) - 1), i ->
+        |    CASE WHEN i % 2 = 1
+        |      THEN CASE WHEN (ascii(substr(reverse(candidate), i + 1, 1)) - 48) * 2 > 9
+        |             THEN (ascii(substr(reverse(candidate), i + 1, 1)) - 48) * 2 - 9
+        |             ELSE (ascii(substr(reverse(candidate), i + 1, 1)) - 48) * 2 END
+        |      ELSE ascii(substr(reverse(candidate), i + 1, 1)) - 48 END)) AS BIGINT) % 10 = 0
+        |    AS luhn_valid
+        |FROM c""".stripMargin,
+
+    "q_ks_drift" ->
+      """WITH per AS (
+        |  SELECT event_type, value AS v,
+        |    CAST(sum(CASE WHEN event_id % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, v,
+        |    CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER w AS BIGINT) AS cumb
+        |  FROM per
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_a,
+        |        CAST(sum(cb) AS BIGINT) AS n_b
+        |      FROM per GROUP BY 1)
+        |SELECT c.event_type AS event_type, t.n_a AS n_a, t.n_b AS n_b,
+        |  CAST(max(abs(c.cuma * t.n_b - c.cumb * t.n_a)) AS BIGINT) AS ks_num,
+        |  CAST(max(abs(c.cuma * t.n_b - c.cumb * t.n_a)) * 1000000 // (t.n_a * t.n_b) AS BIGINT) AS ks_ppm
+        |FROM c JOIN t USING (event_type)
+        |WHERE t.n_a > 0 AND t.n_b > 0
+        |GROUP BY 1, 2, 3""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.agg
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The reference's aggregation surface (SURVEY.md §2.8), as Spark
@@ -498,5 +498,85 @@ object Aggregates {
         max(col("micro")).as("high_fp"),
         min(col("micro")).as("low_fp"),
         max(when(col("_rd") === 1, col("micro"))).as("close_fp"))
+  }
+
+  /** Prometheus-style `for:`-duration alerting (the alert-rule shape
+    * Metricbeat feeds into: "fire only if the condition holds for N
+    * consecutive evaluation windows"): bucket events per (key,
+    * epoch-aligned bucket), keep buckets where the count meets
+    * `threshold`, then gaps-and-islands (bucket − row_number) to find
+    * runs of ≥ `minConsecutive` consecutive qualifying buckets. A
+    * missing/empty bucket breaks the run — exactly `for:` semantics.
+    *
+    * Bucket epoch is floor(ts-as-double / bucketSeconds): the q_flow_
+    * sessions lesson — Spark's unix_timestamp TRUNCATES to whole
+    * seconds while DuckDB's epoch() is fractional, so cast to double
+    * first and let both engines floor the identical IEEE value.
+    *
+    * Scale: one (key, bucket) hash aggregate with map-side combine,
+    * then one key-partitioned window over the (tiny) qualifying-bucket
+    * table. Nothing global, nothing driver-side.
+    */
+  def alertFor(df: DataFrame, keyCol: String, tsCol: String,
+      threshold: Long, minConsecutive: Int,
+      bucketSeconds: Long = 60L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = df.select(col(keyCol),
+        floor(col(tsCol).cast("timestamp").cast("double") / bucketSeconds)
+          .cast("long").as("bucket"))
+      .groupBy(col(keyCol), col("bucket")).agg(count(lit(1)).as("_cnt"))
+      .where(col("_cnt") >= threshold)
+    val w = Window.partitionBy(keyCol).orderBy("bucket")
+    m.withColumn("_grp", col("bucket") - row_number().over(w))
+      .groupBy(col(keyCol), col("_grp"))
+      .agg(min("bucket").as("start_bucket"), max("bucket").as("end_bucket"),
+        count(lit(1)).cast("int").as("n_buckets"),
+        sum("_cnt").as("n_events"))
+      .where(col("n_buckets") >= minConsecutive)
+      .drop("_grp")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic per key, exact in
+    * integer cross-multiplication: with per-distinct-value cumulative
+    * counts cumA, cumB and totals nA, nB,
+    *
+    *   KS = max over values of |cumA/nA − cumB/nB|
+    *      = max |cumA·nB − cumB·nA| / (nA·nB)
+    *
+    * reported as ks_num (the integer max) and ks_ppm (floor-divided) —
+    * no floating ECDF, so the statistic hash-compares across engines.
+    * Ties are handled per the ECDF definition (D evaluated at distinct
+    * values using counts ≤ v). Keys where either sample is empty are
+    * dropped (no comparison exists). This is the distribution-drift
+    * gate a telemetry pipeline runs between deploy cohorts and a
+    * training pipeline runs between data snapshots.
+    *
+    * Scale: one (key, value) aggregate, one key-partitioned cumulative
+    * window, one key-sized total join — parallel across keys.
+    * Integer bound: ks_num·10⁶ ≤ nA·nB·10⁶, so keep nA·nB below ~9·10¹²
+    * per key (pre-aggregate or sample beyond ~3·10⁶ rows per side per
+    * key — the statistic is already saturated far below that).
+    */
+  def ksDrift(df: DataFrame, keyCol: String, valueCol: String,
+      isB: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.select(col(keyCol), col(valueCol).as("_v"),
+        when(isB, lit(1L)).otherwise(lit(0L)).as("_b"))
+      .groupBy(col(keyCol), col("_v"))
+      .agg(sum(lit(1L) - col("_b")).as("_ca"), sum(col("_b")).as("_cb"))
+    val w = Window.partitionBy(keyCol).orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.groupBy(col(keyCol))
+      .agg(sum("_ca").as("n_a"), sum("_cb").as("n_b"))
+    per
+      .withColumn("_cuma", sum("_ca").over(w))
+      .withColumn("_cumb", sum("_cb").over(w))
+      .join(tot, Seq(keyCol))
+      .where(col("n_a") > 0 && col("n_b") > 0)
+      .groupBy(col(keyCol), col("n_a"), col("n_b"))
+      .agg(max(abs(col("_cuma") * col("n_b") - col("_cumb") * col("n_a")))
+        .as("ks_num"))
+      .select(col(keyCol), col("n_a"), col("n_b"), col("ks_num"),
+        expr("ks_num * 1000000 div (n_a * n_b)").as("ks_ppm"))
   }
 }

@@ -823,4 +823,47 @@ object TextAnalysis {
       .where(col("pos") <= cap)
       .select(col("term"), col("df"), col("pos").cast("int").as("pos"), col(idCol))
   }
+
+  /** PMI collocation mining (Church & Hanks, "Word Association Norms,
+    * Mutual Information, and Lexicography", CL 1990 — public): score
+    * adjacent word pairs by pointwise mutual information
+    * log2(p(w1,w2) / (p(w1)·p(w2))), rendered in the repo's no-ln
+    * integer form (the `dsirScores` / `lmBigramScore` rule — libm log
+    * differs in the last ulp across engines, floor(log2) over exact
+    * integer counts does not):
+    *
+    *   pmi_fl2 = ⌊log2 c12⌋ + 2⌊log2 nUni⌋ − ⌊log2 nBi⌋ − ⌊log2 c1⌋ − ⌊log2 c2⌋
+    *
+    * the term-by-term floor rendering of log2(c12·nUni² / (nBi·c1·c2))
+    * (within ±4 of the real-valued PMI's floor, deterministic and
+    * hash-comparable). `minCount` drops rare pairs — PMI's classic
+    * failure mode is hapax pairs scoring highest.
+    *
+    * Scale: tokens explode narrowly; one per-doc lead window (the same
+    * exchange every corpus op pays), then all aggregates are
+    * vocabulary-bounded (≪ corpus, broadcast candidates at any scale);
+    * the two 1-row totals are crossJoin-broadcast.
+    */
+  def pmiCollocations(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minCount: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("_p", "w")))
+    val w = Window.partitionBy(idCol).orderBy("_p")
+    val bi = toks.withColumn("w2", lead(col("w"), 1).over(w))
+      .where(col("w2").isNotNull)
+      .select(col("w").as("w1"), col("w2"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("_cu"))
+    val nUni = toks.agg(count(lit(1)).as("_nu"))
+    val nBi = bi.agg(count(lit(1)).as("_nb"))
+    bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("_cu").as("_c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("_cu").as("_c2")), Seq("w2"))
+      .crossJoin(nUni).crossJoin(nBi)
+      .select(col("w1"), col("w2"), col("n_pair"),
+        (floor(log2(col("n_pair"))) + lit(2) * floor(log2(col("_nu")))
+          - floor(log2(col("_nb"))) - floor(log2(col("_c1")))
+          - floor(log2(col("_c2")))).cast("long").as("pmi_fl2"))
+  }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import graft.agg.Aggregates
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `for:`-duration alerting and two-sample KS drift on hand-built series. */
+class DriftAlertSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // minutes (bucket 60s) for host h1: counts 3,3,3 at minutes 0,1,2
+  // (a 3-run), count 3 at minute 5 (isolated), count 1 at minute 6
+  // (below threshold); h2: 2-run only.
+  private lazy val alertRows = {
+    val h1 = Seq(0, 0, 0, 1, 1, 1, 2, 2, 2, 5, 5, 5, 6).map(m => ("h1", m))
+    val h2 = Seq(10, 10, 11, 11).map(m => ("h2", m))
+    (h1 ++ h2).toDF("host", "m")
+      .select(col("host"), timestamp_seconds(col("m") * 60 + 30).as("ts"))
+  }
+
+  test("alertFor fires only on runs >= minConsecutive of buckets >= threshold") {
+    val out = Aggregates.alertFor(alertRows, "host", "ts",
+        threshold = 2L, minConsecutive = 3, bucketSeconds = 60L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("h1", 0L, 2L, 3, 9L)),
+      s"only h1's 3-run fires; isolated and sub-threshold buckets break runs: ${out.toSeq}")
+  }
+
+  test("alertFor: an empty bucket breaks the run even when both sides qualify") {
+    // qualifying minutes 0,1 and 3,4 with minute 2 empty: no 3-run
+    val rows = Seq(0, 0, 1, 1, 3, 3, 4, 4).map(m => ("h", m)).toDF("host", "m")
+      .select(col("host"), timestamp_seconds(col("m") * 60).as("ts"))
+    val out = Aggregates.alertFor(rows, "host", "ts", 2L, 3, 60L).count()
+    assert(out == 0L)
+  }
+
+  test("alertFor buckets fractional timestamps by flooring the double epoch") {
+    // 59.9s and 60.1s land in different minutes — truncation via
+    // unix_timestamp would put 59.9 into minute 0 too (it does; floor of
+    // the DOUBLE matters for ts like -0.5 only; here assert the boundary)
+    val rows = Seq(59.9, 60.1, 60.2, 119.9, 125.0, 130.0, 180.5, 181.0)
+      .map(s => ("h", s)).toDF("host", "s")
+      .select(col("host"), col("s").cast("timestamp").as("ts"))
+    val out = Aggregates.alertFor(rows, "host", "ts", 2L, 2, 60L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    // minute 1 has 3 (60.1, 60.2, 119.9), minute 2 has 2, minute 3 has 2,
+    // minute 0 has 1 (below threshold) → run = minutes 1..3
+    assert(out.toSeq == Seq((1L, 3L, 3)))
+  }
+
+  test("ksDrift: identical samples give 0; disjoint samples give 1e6 ppm") {
+    val same = (1 to 50).flatMap(i => Seq(("k", i.toDouble, 0L), ("k", i.toDouble, 1L)))
+      .toDF("key", "value", "side")
+    val s1 = Aggregates.ksDrift(same, "key", "value", col("side") === 1)
+      .select("ks_ppm").as[Long].head()
+    assert(s1 == 0L)
+    val disjoint = ((1 to 30).map(i => ("k", i.toDouble, 0L)) ++
+      (31 to 70).map(i => ("k", i.toDouble, 1L))).toDF("key", "value", "side")
+    val s2 = Aggregates.ksDrift(disjoint, "key", "value", col("side") === 1)
+      .select("ks_ppm").as[Long].head()
+    assert(s2 == 1000000L)
+  }
+
+  test("ksDrift hand case with ties matches the ECDF definition") {
+    // A = {1, 2, 2, 4}, B = {2, 3}: D evaluated at distinct values
+    // v=1: |1/4 - 0|      = 1/4  → num |1*2 - 0*4| = 2
+    // v=2: |3/4 - 1/2|    = 1/4  → num |3*2 - 1*4| = 2
+    // v=3: |3/4 - 1|      = 1/4  → num |3*2 - 2*4| = 2
+    // v=4: |1 - 1|        = 0
+    // KS = 1/4 → 250000 ppm, ks_num = 2, n_a*n_b = 8
+    val rows = (Seq(1, 2, 2, 4).map(v => ("k", v.toDouble, 0L)) ++
+      Seq(2, 3).map(v => ("k", v.toDouble, 1L))).toDF("key", "value", "side")
+    val r = Aggregates.ksDrift(rows, "key", "value", col("side") === 1).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((4L, 2L, 2L, 250000L)))
+  }
+
+  test("ksDrift drops keys with an empty side") {
+    val rows = Seq(("a", 1.0, 0L), ("a", 2.0, 0L), ("b", 1.0, 0L), ("b", 2.0, 1L))
+      .toDF("key", "value", "side")
+    val keys = Aggregates.ksDrift(rows, "key", "value", col("side") === 1)
+      .select("key").as[String].collect().toSet
+    assert(keys == Set("b"))
+  }
+}

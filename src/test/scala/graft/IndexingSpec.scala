@@ -105,4 +105,33 @@ class IndexingSpec extends AnyFunSuite {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(novel == (31L to 60L).toSet -- cross)
   }
+
+  test("pmiCollocations: hand-computed floor-log2 scores, minCount drops hapax pairs") {
+    // corpus: "new york" ×8, "new day" ×8, filler "a b" ×16
+    // unigrams: new=16, york=8, day=8, a=16, b=16 → nUni=64
+    // bigrams within docs of 2 tokens each → nBi=32; pairs (new,york)=8,
+    // (new,day)=8, (a,b)=16
+    val docs = ((1 to 8).map(i => (i.toLong, "new york")) ++
+      (9 to 16).map(i => (i.toLong, "new day")) ++
+      (17 to 32).map(i => (i.toLong, "a b"))).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // fl2(c12) + 2*fl2(64) - fl2(32) - fl2(c1) - fl2(c2)
+    // (new,york): 3 + 12 - 5 - 4 - 3 = 3
+    // (a,b):      4 + 12 - 5 - 4 - 4 = 3
+    assert(out(("new", "york")) == ((8L, 3L)))
+    assert(out(("new", "day")) == ((8L, 3L)))
+    assert(out(("a", "b")) == ((16L, 3L)))
+    assert(out.size == 3, "pairs below minCount must not appear")
+  }
+
+  test("pmiCollocations: bigrams never cross document boundaries") {
+    val docs = Seq((1L, "p q"), (2L, "q p"), (3L, "p q"), (4L, "q p"),
+      (5L, "p q"), (6L, "q p"), (7L, "p q"), (8L, "q p")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.pmiCollocations(docs, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // only the in-doc bigrams (p,q)×4 and (q,p)×4 — never (q,q)/(p,p)
+    assert(pairs == Set(("p", "q", 4L), ("q", "p", 4L)))
+  }
 }

@@ -42,4 +42,43 @@ class PrivacySpec extends AnyFunSuite {
     val r = Privacy.kAnonymity(df, Seq("zip", "age"), "diagnosis", k = 5L).collect()(0)
     assert(r.getLong(3) == 100L)
   }
+
+  test("luhnScan validates known card checksums and ignores wrong-length runs") {
+    val df = Seq(
+      (1L, "pay 4532015112830366 now"),            // valid 16-digit
+      (2L, "pay 4532015112830367 now"),            // last digit off → invalid
+      (3L, "visa 4222222222222 ok"),               // valid 13-digit
+      (4L, "id 123456789012 and 99999999999999999999 end"), // 12 + 20 digits: no candidates
+      (5L, "two 4532015112830366 and 4222222222222 cards")  // two candidates, one row each
+    ).toDF("doc_id", "text")
+    val out = Privacy.luhnScan(df)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(out == Set(
+      (1L, "4532015112830366", true),
+      (2L, "4532015112830367", false),
+      (3L, "4222222222222", true),
+      (5L, "4532015112830366", true),
+      (5L, "4222222222222", true)))
+  }
+
+  test("luhnScan agrees with a reference Luhn implementation on random digit runs") {
+    def luhnRef(s: String): Boolean = {
+      val sum = s.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val dd = d * 2; if (dd > 9) dd - 9 else dd } else d
+      }.sum
+      sum % 10 == 0
+    }
+    val rng = new scala.util.Random(42)
+    val cands = (1 to 200).map { i =>
+      val len = 13 + rng.nextInt(4)
+      (i.toLong, (1 to len).map(_ => rng.nextInt(10)).mkString)
+    }
+    val df = cands.map { case (id, c) => (id, s"x $c y") }.toDF("doc_id", "text")
+    val out = Privacy.luhnScan(df)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    cands.foreach { case (id, c) =>
+      assert(out(id) == luhnRef(c), s"doc $id cand $c")
+    }
+  }
 }
