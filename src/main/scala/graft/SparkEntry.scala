@@ -1677,7 +1677,22 @@ object SparkEntry {
     // (A/A-shaped split: expect small but exact ks_ppm)
     "q_ks_drift" -> ((s, dir) =>
       graft.agg.Aggregates.ksDrift(events(s, dir), "event_type", "value",
-        col("event_id") % 2 === 1))
+        col("event_id") % 2 === 1)),
+
+    // multiwindow SLO burn: 10% error budget, 6h short / 24h long
+    // windows, 2x/1x factors, per user cohort; the 'error' event type
+    // is the budget consumer (~20% base rate, so the alert flag varies)
+    "q_slo_burn" -> ((s, dir) =>
+      graft.agg.Aggregates.sloBurnAlerts(
+        events(s, dir).select(pmod(col("user_id"), lit(4L)).as("cohort"),
+          col("ts"), col("event_type")),
+        "cohort", "ts", col("event_type") === "error",
+        budgetPpm = 100000L, bucketSeconds = 21600L, longBuckets = 4)),
+
+    // CUSUM changepoint over hourly event counts per type
+    "q_cusum" -> ((s, dir) =>
+      graft.agg.Aggregates.cusumChangepoint(events(s, dir), "event_type",
+        "ts", bucketSeconds = 3600L))
   )
 
   // --- oracle SQL (DuckDB) ----------------------------------------------
@@ -4397,6 +4412,49 @@ object SparkEntry {
         |  CAST(max(abs(c.cuma * t.n_b - c.cumb * t.n_a)) * 1000000 // (t.n_a * t.n_b) AS BIGINT) AS ks_ppm
         |FROM c JOIN t USING (event_type)
         |WHERE t.n_a > 0 AND t.n_b > 0
-        |GROUP BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // burn factor 1e12/budget = 1e7 exactly (enforced Spark-side)
+    "q_slo_burn" ->
+      """WITH b AS (
+        |  SELECT user_id % 4 AS cohort, CAST(floor(epoch(ts) / 21600) AS BIGINT) AS bucket,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs_s,
+        |    CAST(count(*) AS BIGINT) AS tot_s
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *,
+        |    CAST(sum(errs_s) OVER win AS BIGINT) AS errs_l,
+        |    CAST(sum(tot_s) OVER win AS BIGINT) AS tot_l
+        |  FROM b
+        |  WINDOW win AS (PARTITION BY cohort ORDER BY bucket
+        |                 RANGE BETWEEN 3 PRECEDING AND CURRENT ROW))
+        |SELECT cohort, bucket, errs_s, tot_s, errs_l, tot_l,
+        |  errs_s * 10000000 // tot_s AS burn_s_ppm,
+        |  errs_l * 10000000 // tot_l AS burn_l_ppm,
+        |  (errs_s * 1000000 >= 200000 * tot_s AND
+        |   errs_l * 1000000 >= 100000 * tot_l) AS alert
+        |FROM w""".stripMargin,
+
+    "q_cusum" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bucket,
+        |    CAST(sum(x) OVER w AS BIGINT) AS pre,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS k,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS s
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket ROWS UNBOUNDED PRECEDING)),
+        |r AS (
+        |  SELECT event_type, bucket, abs(n * pre - k * s) AS cu, n, s,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n * pre - k * s) DESC, bucket) AS rn
+        |  FROM c)
+        |SELECT event_type, bucket AS cp_bucket, CAST(cu AS BIGINT) AS cusum_abs,
+        |  n AS n_buckets, s AS total
+        |FROM r WHERE rn = 1""".stripMargin
   )
 }

@@ -579,4 +579,90 @@ object Aggregates {
       .select(col(keyCol), col("n_a"), col("n_b"), col("ks_num"),
         expr("ks_num * 1000000 div (n_a * n_b)").as("ks_ppm"))
   }
+
+  /** Multiwindow, multi-burn-rate SLO alerting (the Google SRE Workbook
+    * ch.5 policy — public): per key and short window, the error budget
+    * burn rate is (error_ratio / budget); an alert fires when the SHORT
+    * window burns ≥ `shortFactor`× budget AND the LONG window (a
+    * trailing `longBuckets`-bucket sum) burns ≥ `longFactor`× — the long
+    * window stops one noisy bucket from paging, the short window stops a
+    * long-resolved incident from still paging. Burn comparisons are
+    * exact integer cross-multiplications (errs·10⁶ ≥ factor·budget·total);
+    * the reported burn_ppm uses factor = 10¹²/budgetPpm (exact while
+    * budgetPpm divides 10¹², enforced), so both engines floor-divide the
+    * same integers.
+    *
+    * Scale: one (key, bucket) aggregate; the trailing sum is a key-
+    * partitioned RANGE window over bucket index — no self-join, no
+    * global ordering.
+    */
+  def sloBurnAlerts(df: DataFrame, keyCol: String, tsCol: String,
+      errorCond: Column, budgetPpm: Long, bucketSeconds: Long = 3600L,
+      longBuckets: Int = 4, shortFactor: Long = 2L,
+      longFactor: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(1000000000000L % budgetPpm == 0,
+      s"budgetPpm=$budgetPpm must divide 1e12 for exact integer burn_ppm")
+    val f = 1000000000000L / budgetPpm
+    val b = df.select(col(keyCol),
+        floor(col(tsCol).cast("timestamp").cast("double") / bucketSeconds)
+          .cast("long").as("bucket"),
+        when(errorCond, lit(1L)).otherwise(lit(0L)).as("_e"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(sum("_e").as("errs_s"), count(lit(1)).as("tot_s"))
+    val wl = Window.partitionBy(keyCol).orderBy("bucket")
+      .rangeBetween(-(longBuckets - 1L), 0L)
+    b.withColumn("errs_l", sum("errs_s").over(wl))
+      .withColumn("tot_l", sum("tot_s").over(wl))
+      .select(col(keyCol), col("bucket"), col("errs_s"), col("tot_s"),
+        col("errs_l"), col("tot_l"),
+        expr(s"errs_s * ${f}L div tot_s").as("burn_s_ppm"),
+        expr(s"errs_l * ${f}L div tot_l").as("burn_l_ppm"),
+        (col("errs_s") * lit(1000000L) >=
+            lit(shortFactor * budgetPpm) * col("tot_s") &&
+          col("errs_l") * lit(1000000L) >=
+            lit(longFactor * budgetPpm) * col("tot_l")).as("alert"))
+  }
+
+  /** CUSUM changepoint localization per key (Page 1954 — public): over
+    * the key's ordered bucket counts x₁..x_n with total S, the scaled
+    * cumulative deviation from the mean at position k is
+    *
+    *   cusum_k = n·(x₁+…+x_k) − k·S   ( = n·Σ(x_i − S/n), exactly )
+    *
+    * — multiplied through by n so the statistic stays an exact integer.
+    * The changepoint estimate is the bucket maximizing |cusum| (ties →
+    * earliest bucket), the classic single-changepoint least-squares
+    * location. Output: (key, cp_bucket, cusum_abs, n_buckets, total).
+    *
+    * Scale: one (key, bucket) aggregate, one key-partitioned cumulative
+    * window, one key-sized argmax via min(struct) — no global pass.
+    * Integer bound: n·S per key must stay below 2⁶³ (pre-aggregate to
+    * coarser buckets far before that).
+    */
+  def cusumChangepoint(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSeconds: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.select(col(keyCol),
+        floor(col(tsCol).cast("timestamp").cast("double") / bucketSeconds)
+          .cast("long").as("bucket"))
+      .groupBy(col(keyCol), col("bucket")).agg(count(lit(1)).as("_x"))
+    val wc = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wk = Window.partitionBy(keyCol)
+    b.withColumn("_pre", sum("_x").over(wc))
+      .withColumn("_k", row_number().over(
+        Window.partitionBy(keyCol).orderBy("bucket")))
+      .withColumn("_n", count(lit(1)).over(wk))
+      .withColumn("_s", sum("_x").over(wk))
+      .withColumn("_cusum", abs(col("_n") * col("_pre") - col("_k") * col("_s")))
+      .groupBy(col(keyCol))
+      .agg(
+        min(struct((col("_cusum") * lit(-1L)).as("neg"), col("bucket")))
+          .as("_best"),
+        max("_n").as("n_buckets"), max("_s").as("total"))
+      .select(col(keyCol), col("_best.bucket").as("cp_bucket"),
+        (col("_best.neg") * lit(-1L)).as("cusum_abs"),
+        col("n_buckets").cast("long").as("n_buckets"), col("total"))
+  }
 }

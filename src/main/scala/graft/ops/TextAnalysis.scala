@@ -866,4 +866,5 @@ object TextAnalysis {
           - floor(log2(col("_nb"))) - floor(log2(col("_c1")))
           - floor(log2(col("_c2")))).cast("long").as("pmi_fl2"))
   }
+
 }

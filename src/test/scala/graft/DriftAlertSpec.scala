@@ -84,4 +84,56 @@ class DriftAlertSpec extends AnyFunSuite {
       .select("key").as[String].collect().toSet
     assert(keys == Set("b"))
   }
+
+  test("sloBurnAlerts: short AND long windows must both exceed their factors") {
+    // bucket 0: 4 events 1 error (1x budget of 25%); bucket 1: 4 events
+    // 3 errors (3x). Short factor 2x fires only in bucket 1; long window
+    // (2 buckets) there is 4/8 = 2x >= 1x -> alert.
+    val rows = (Seq.fill(1)(("s", 0, "error")) ++ Seq.fill(3)(("s", 0, "ok")) ++
+      Seq.fill(3)(("s", 1, "error")) ++ Seq.fill(1)(("s", 1, "ok")))
+      .zipWithIndex.map { case ((k, b, e), i) => (k, b * 3600.0 + i, e) }
+      .toDF("key", "sec", "etype")
+      .select(col("key"), col("sec").cast("timestamp").as("ts"), col("etype"))
+    val out = Aggregates.sloBurnAlerts(rows, "key", "ts",
+        col("etype") === "error", budgetPpm = 250000L,
+        bucketSeconds = 3600L, longBuckets = 2)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(6), r.getLong(7), r.getBoolean(8)))
+    // (bucket, errs_s, errs_l, burn_s_ppm, burn_l_ppm, alert)
+    assert(out.toSeq == Seq(
+      (0L, 1L, 1L, 1000000L, 1000000L, false),
+      (1L, 3L, 4L, 3000000L, 2000000L, true)))
+  }
+
+  test("sloBurnAlerts rejects a budget that does not divide 1e12") {
+    val rows = Seq(("s", 0.0, "ok")).toDF("key", "sec", "etype")
+      .select(col("key"), col("sec").cast("timestamp").as("ts"), col("etype"))
+    assertThrows[IllegalArgumentException] {
+      Aggregates.sloBurnAlerts(rows, "key", "ts", col("etype") === "error",
+        budgetPpm = 333333L)
+    }
+  }
+
+  test("cusumChangepoint localizes the level shift, exact integer statistic") {
+    // counts per hourly bucket: 1,1,5,5 -> S=12, n=4, prefix 1,2,7,12;
+    // |4*pre - k*12| = 8,16,8,0 -> peak 16 at bucket 1 (the shift point)
+    val rows = (Seq.fill(1)(0) ++ Seq.fill(1)(1) ++ Seq.fill(5)(2) ++ Seq.fill(5)(3))
+      .zipWithIndex.map { case (b, i) => ("k", b * 3600.0 + i) }
+      .toDF("key", "sec")
+      .select(col("key"), col("sec").cast("timestamp").as("ts"))
+    // bucket 0 and 1 have 1 event each; buckets 2,3 have 5 each
+    val r = Aggregates.cusumChangepoint(rows, "key", "ts", 3600L).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((1L, 16L, 4L, 12L)))
+  }
+
+  test("cusumChangepoint breaks cusum ties on the earliest bucket") {
+    val rows = Seq(("k", 100.0), ("k", 200.0), ("k", 3700.0), ("k", 3800.0))
+      .toDF("key", "sec")
+      .select(col("key"), col("sec").cast("timestamp").as("ts"))
+    // counts 2,2: cusum = 0 at both k -> earliest bucket 0
+    val r = Aggregates.cusumChangepoint(rows, "key", "ts", 3600L).head()
+    assert((r.getLong(1), r.getLong(2)) == ((0L, 0L)))
+  }
 }
