@@ -1692,7 +1692,32 @@ object SparkEntry {
     // CUSUM changepoint over hourly event counts per type
     "q_cusum" -> ((s, dir) =>
       graft.agg.Aggregates.cusumChangepoint(events(s, dir), "event_type",
-        "ts", bucketSeconds = 3600L))
+        "ts", bucketSeconds = 3600L)),
+
+    // interval x interval overlap join: 1h windows at every 97th event
+    // vs 90-min windows at every 101st — bin-bucketed, canonical-bin
+    // emission (no distinct), vs DuckDB's plain inequality join
+    "q_overlap_join" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val a = ev.where(col("event_id") % 97 === 0)
+        .select(col("event_id").as("a_id"), col("ts").as("a_s"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("a_e"))
+      val b = ev.where(col("event_id") % 101 === 0)
+        .select(col("event_id").as("b_id"),
+          (col("ts") - expr("INTERVAL 30 MINUTES")).as("b_s"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("b_e"))
+      graft.ops.RangeJoin.overlaps(a, b, "a_s", "a_e", "b_s", "b_e", 3600L)
+        .select("a_id", "b_id")
+    },
+
+    // Neyman optimal stratified allocation over event values per type
+    "q_neyman" -> ((s, dir) =>
+      graft.ops.Curation.neymanAllocation(events(s, dir), "event_type",
+        "value", targetTotal = 10000L)),
+
+    // Benford first-digit audit of the value column
+    "q_benford" -> ((s, dir) =>
+      graft.agg.Aggregates.benfordAudit(events(s, dir), "value"))
   )
 
   // --- oracle SQL (DuckDB) ----------------------------------------------
@@ -4455,6 +4480,52 @@ object SparkEntry {
         |  FROM c)
         |SELECT event_type, bucket AS cp_bucket, CAST(cu AS BIGINT) AS cusum_abs,
         |  n AS n_buckets, s AS total
-        |FROM r WHERE rn = 1""".stripMargin
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // the binning + canonical-bin emission is physical-only: the oracle
+    // is the plain inclusive-overlap inequality join
+    "q_overlap_join" ->
+      """WITH a AS (
+        |  SELECT event_id AS a_id, ts AS a_s, ts + INTERVAL 1 HOUR AS a_e
+        |  FROM events WHERE event_id % 97 = 0),
+        |b AS (
+        |  SELECT event_id AS b_id, ts - INTERVAL 30 MINUTE AS b_s,
+        |    ts + INTERVAL 1 HOUR AS b_e
+        |  FROM events WHERE event_id % 101 = 0)
+        |SELECT a.a_id, b.b_id
+        |FROM a JOIN b ON a.a_s <= b.b_e AND b.b_s <= a.a_e""".stripMargin,
+
+    // IEEE sqrt is correctly rounded, so the w_fp rounding is exact
+    // cross-engine; deci-unit fixed point keeps n*s2 inside BIGINT
+    "q_neyman" ->
+      """WITH st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 10) AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(sum(CAST(floor(value * 10) AS BIGINT) * CAST(floor(value * 10) AS BIGINT)) AS BIGINT) AS s2
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT event_type, n, n * s2 - s1 * s1 AS var_num,
+        |        CAST(floor(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS w_fp
+        |      FROM st),
+        |t AS (SELECT CAST(sum(w_fp) AS BIGINT) AS w_tot FROM w)
+        |SELECT event_type, n, var_num, w_fp, (10000 * w_fp) // w_tot AS quota
+        |FROM w CROSS JOIN t""".stripMargin,
+
+    // leading digit via the exact integer's decimal string, never the
+    // double's rendering; expected ppm are integer constants
+    "q_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(abs(value) * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |o AS (
+        |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM c WHERE c > 0 GROUP BY 1),
+        |e(digit, exp_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM o)
+        |SELECT e.digit, CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+        |  CAST(coalesce(o.n, 0) * 1000000 // t.tt AS BIGINT) AS obs_ppm,
+        |  CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+        |  CAST(abs(coalesce(o.n, 0) * 1000000 // t.tt - e.exp_ppm) AS BIGINT) AS dev_ppm
+        |FROM e LEFT JOIN o USING (digit) CROSS JOIN t""".stripMargin
   )
 }

@@ -665,4 +665,42 @@ object Aggregates {
         (col("_best.neg") * lit(-1L)).as("cusum_abs"),
         col("n_buckets").cast("long").as("n_buckets"), col("total"))
   }
+
+  /** Benford first-digit data-quality audit (Newcomb 1881 / Benford 1938
+    * — public; the fraud/fabrication screen): distribution of the first
+    * significant digit of |value| against Benford's log10(1+1/d) law.
+    * Cross-engine exactness: the value is fixed-pointed to centi-units
+    * (floor(|v|·100 + 0.5), BIGINT), the leading digit is the first
+    * character of that integer's DECIMAL STRING (integer→string is exact
+    * everywhere; float→string is not), and the expected ppm per digit
+    * are hard-coded integer constants (they sum to exactly 10⁶). Zeros
+    * are excluded (no leading digit). Digits with zero observations
+    * still appear (right join against the 9-row constant table) —
+    * missing digits are the strongest fabrication signal. Output:
+    * (digit, n, obs_ppm, exp_ppm, dev_ppm).
+    *
+    * One 9-group hash aggregate with map-side combine; the constant
+    * table is broadcast. Nothing else.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // log10(1+1/d) in exact ppm; sums to 1,000,000
+    val expected = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L).toDF("digit", "exp_ppm")
+    val obs = df
+      .select(floor(abs(col(valueCol)) * 100 + 0.5).cast("long").as("_c"))
+      .where(col("_c") > 0)
+      .select(substring(col("_c").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = obs.agg(sum("n").as("_t"))
+    broadcast(expected).join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        expr("coalesce(n, 0L) * 1000000 div _t").as("obs_ppm"),
+        col("exp_ppm"),
+        abs(expr("coalesce(n, 0L) * 1000000 div _t") - col("exp_ppm"))
+          .as("dev_ppm"))
+  }
 }

@@ -818,6 +818,43 @@ object Curation {
         expr(s"($targetTotal * w_fp) div _w_tot").as("quota"))
   }
 
+  /** Neyman (optimal) stratified sample allocation (Neyman, JRSS 1934 —
+    * public): sample quota per stratum ∝ N_h·S_h, stratum size times
+    * standard deviation — the allocation minimizing the estimator's
+    * variance at fixed total sample size. Computed exactly cross-engine:
+    * values are fixed-pointed to DECI-units (floor(v·10)), the stratum
+    * keeps integer (n, Σx, Σx²), and since N_h here IS the stratum
+    * count n, the weight collapses to
+    *
+    *   N_h·S_h = n·(√(n·Σx² − (Σx)²)/n) = √(n·Σx² − (Σx)²)
+    *
+    * — one integer radicand. The only float op is IEEE-754 sqrt, which
+    * is CORRECTLY ROUNDED by spec (unlike ln/log), so
+    * floor(sqrt(radicand)·10³ + 0.5) is bit-identical in any compliant
+    * engine. Zero-variance strata get weight (and quota) 0 — constant
+    * strata need one sample in practice; Neyman's optimum assigns none
+    * (documented classic caveat). Integer bound: n·Σx² in deci² units
+    * must stay under 2⁶³ — holds to ~10⁸ rows × |v|≤10⁴ per stratum;
+    * coarsen the unit past that.
+    *
+    * One hash aggregate (map-side combined), one 1-row broadcast total.
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+      targetTotal: Long): DataFrame = {
+    val st = df
+      .withColumn("_d", floor(col(valueCol) * 10).cast("long"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n"), sum("_d").as("_s1"),
+        sum(col("_d") * col("_d")).as("_s2"))
+      .withColumn("var_num", col("n") * col("_s2") - col("_s1") * col("_s1"))
+      .withColumn("w_fp",
+        floor(sqrt(col("var_num").cast("double")) * 1e3 + 0.5).cast("long"))
+    val tot = st.agg(sum("w_fp").as("_w_tot"))
+    st.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("n"), col("var_num"), col("w_fp"),
+        expr(s"($targetTotal * w_fp) div _w_tot").as("quota"))
+  }
+
   /** Sentence-window RAG chunker: split into sentences, slide a window
     * of `size` sentences with `stride` (overlap = size − stride), emit
     * one chunk row per window with the text reassembled in order.

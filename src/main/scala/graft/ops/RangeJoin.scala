@@ -72,4 +72,33 @@ object RangeJoin {
       .where(col(valCol) >= col(loCol) && col(valCol) <= col(hiCol))
       .drop("_bin")
   }
+
+  /** Interval × interval OVERLAP join, same binning discipline: both
+    * sides explode to the coarse bins they span, the join runs on the
+    * bin key, and the exact `aS <= bE AND bS <= aE` (inclusive) runs as
+    * a residual. An overlapping pair collides in EVERY shared bin, so
+    * instead of a distinct (an extra shuffle over the whole result) each
+    * pair is emitted only from its canonical bin — the bin of
+    * max(aStart, bStart), the first bin both intervals occupy. This is
+    * the flow-correlation / span-intersection shape (which maintenance
+    * windows overlapped which incident intervals) at 10¹² rows.
+    */
+  def overlaps(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binSeconds: Long = 3600L): DataFrame = {
+    require(binSeconds > 0, "bin width must be positive")
+    def epoch(c: String) = col(c).cast("timestamp").cast("double")
+    def bins(s: String, e: String) = sequence(
+      floor(epoch(s) / binSeconds).cast("long"),
+      floor(epoch(e) / binSeconds).cast("long"))
+    val l = left.where(col(lStart) <= col(lEnd))
+      .withColumn("_bin", explode(bins(lStart, lEnd)))
+    val r = right.where(col(rStart) <= col(rEnd))
+      .withColumn("_bin", explode(bins(rStart, rEnd)))
+    l.join(r, Seq("_bin"))
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .where(col("_bin") ===
+        floor(greatest(epoch(lStart), epoch(rStart)) / binSeconds).cast("long"))
+      .drop("_bin")
+  }
 }

@@ -136,4 +136,24 @@ class DriftAlertSpec extends AnyFunSuite {
     val r = Aggregates.cusumChangepoint(rows, "key", "ts", 3600L).head()
     assert((r.getLong(1), r.getLong(2)) == ((0L, 0L)))
   }
+
+  test("benfordAudit: digit from the exact integer string, zero digits present, zeros excluded") {
+    // all nonzero values lead with digit 1 (0.1 → 10, 1.0 → 100,
+    // 199.0 → 19900, -12.5 → 1250 via abs); 0.0 is excluded entirely
+    val rows = Seq(0.1, 1.0, 199.0, -12.5, 0.0).toDF("value")
+    val out = Aggregates.benfordAudit(rows, "value")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == (1 to 9).toSet, "all nine digits must appear")
+    assert(out(1) == ((4L, 1000000L, 301030L, 698970L)))
+    assert(out(2) == ((0L, 0L, 176091L, 176091L)))
+    assert(out.values.map(_._1).sum == 4L)
+  }
+
+  test("benfordAudit expected ppm constants sum to exactly 1e6") {
+    val rows = Seq(1.0).toDF("value")
+    val s = Aggregates.benfordAudit(rows, "value")
+      .agg(sum("exp_ppm")).head().getLong(0)
+    assert(s == 1000000L)
+  }
 }

@@ -105,4 +105,18 @@ class MixtureVocabSpec extends AnyFunSuite {
     assert(out("fr") == ((25L, 5000000L, 100L)))
     // flattening: de has 4× the docs of en but only 2× the quota
   }
+
+  test("neymanAllocation: quotas follow n·sd exactly; zero-variance strata get zero") {
+    // a: {1,1,1} constant → var_num 0 → w 0
+    // b: {0, 2} → deci {0,20} → var_num = 2·400 − 400 = 400 → w = 20·1000
+    // c: {0, 4} → deci {0,40} → var_num = 2·1600 − 1600 = 1600 → w = 40·1000
+    val rows = (Seq.fill(3)(("a", 1.0)) ++ Seq(("b", 0.0), ("b", 2.0),
+      ("c", 0.0), ("c", 4.0))).toDF("stratum", "value")
+    val out = Curation.neymanAllocation(rows, "stratum", "value", targetTotal = 600L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") == ((3L, 0L, 0L, 0L)))
+    assert(out("b") == ((2L, 400L, 20000L, 200L)))
+    assert(out("c") == ((2L, 1600L, 40000L, 400L)))
+  }
 }

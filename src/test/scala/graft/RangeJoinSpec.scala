@@ -101,4 +101,41 @@ class RangeJoinSpec extends AnyFunSuite {
       .select(col("iv_id"), col("s").cast("timestamp").as("s"), col("e").cast("timestamp").as("e"))
     assert(RangeJoin.byTimeBin(f, iv, "ts", "s", "e", 600L).isEmpty)
   }
+
+  private def ivDf(rows: Seq[(Long, Double, Double)], id: String, s: String, e: String) =
+    rows.toDF(id, "_s", "_e").select(col(id),
+      col("_s").cast("timestamp").as(s), col("_e").cast("timestamp").as(e))
+
+  test("overlaps equals the naive inequality join, inclusive at touching endpoints") {
+    // A1 [0,100] overlaps B1 [50,150] and touches B2 [100,200] (inclusive);
+    // A2 [300,400] overlaps nothing; A3 [140,160] overlaps B1 and sits
+    // inside B2 (containment is an overlap too)
+    val a = ivDf(Seq((1L, 0.0, 100.0), (2L, 300.0, 400.0), (3L, 140.0, 160.0)),
+      "a_id", "a_s", "a_e")
+    val b = ivDf(Seq((10L, 50.0, 150.0), (20L, 100.0, 200.0)), "b_id", "b_s", "b_e")
+    val got = RangeJoin.overlaps(a, b, "a_s", "a_e", "b_s", "b_e", 60L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (1L, 20L), (3L, 10L), (3L, 20L)))
+    // and the naive inequality join agrees exactly
+    val naive = a.crossJoin(b)
+      .where(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+  }
+
+  test("overlaps emits each colliding pair exactly once despite multi-bin collisions") {
+    // long intervals with tiny bins: the pair shares many bins
+    val a = ivDf(Seq((1L, 0.0, 1000.0)), "a_id", "a_s", "a_e")
+    val b = ivDf(Seq((10L, 500.0, 1500.0)), "b_id", "b_s", "b_e")
+    val rows = RangeJoin.overlaps(a, b, "a_s", "a_e", "b_s", "b_e", 10L).count()
+    assert(rows == 1L)
+  }
+
+  test("overlaps plan has no nested-loop or cartesian join") {
+    val a = ivDf(Seq((1L, 0.0, 10.0)), "a_id", "a_s", "a_e")
+    val b = ivDf(Seq((10L, 5.0, 15.0)), "b_id", "b_s", "b_e")
+    val plan = RangeJoin.overlaps(a, b, "a_s", "a_e", "b_s", "b_e", 60L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
 }
