@@ -1717,7 +1717,69 @@ object SparkEntry {
 
     // Benford first-digit audit of the value column
     "q_benford" -> ((s, dir) =>
-      graft.agg.Aggregates.benfordAudit(events(s, dir), "value"))
+      graft.agg.Aggregates.benfordAudit(events(s, dir), "value")),
+
+    // AllPairs/PPJoin prefix-filter set-similarity join: exact 4-gram
+    // Jaccard >= 0.7, candidates from the rarest-shingle prefix only.
+    // Doc subset (% 17) because the templated fixture corpus has no
+    // rare tokens at all (see the prefixJaccard scaladoc) — measured
+    // 13M candidates on the full 15k-doc fixture vs 345k on the subset
+    "q_prefix_join" -> { (s, dir) =>
+      val base = documents(s, dir).where(col("doc_id") % 17 === 0)
+        .select("doc_id", "text")
+      val d2 = base
+        .unionAll(base.select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text")))
+        .unionAll(base.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      Dedup.prefixJaccard(d2, 7, 10, shingleK = Some(4))
+    },
+
+    // Apdex latency-SLI per event type, T = 25 (4T = 100)
+    "q_apdex" -> ((s, dir) =>
+      graft.agg.Aggregates.apdex(events(s, dir), "event_type", "value", 25.0)),
+
+    // seasonal-naive anomalies: value > 3x the (type, hour-of-day) mean
+    "q_seasonal_anomaly" -> ((s, dir) =>
+      graft.agg.Aggregates.seasonalAnomalies(events(s, dir), "event_type",
+        "ts", "value", factor = 3)),
+
+    // 2-D Pareto skyline over parts: maximize size, minimize price
+    "q_skyline" -> ((s, dir) =>
+      graft.agg.Aggregates.skyline2d(tpch(s, dir, "part"), "p_partkey",
+        "p_size", "p_retailprice")),
+
+    // two-proportion z^2: user-parity A/B split, conversion = purchase
+    "q_ab_zsq" -> ((s, dir) =>
+      graft.agg.Aggregates.abZSquared(events(s, dir),
+        pmod(col("user_id"), lit(2)),
+        (col("event_type") === "purchase").cast("int"))),
+
+    // zone-map stats per day + prunability of the predicate value >= 450
+    "q_zonemap" -> ((s, dir) =>
+      graft.ops.Lakehouse.zoneMap(events(s, dir),
+        date_format(col("ts"), "yyyy-MM-dd"),
+        "value", 450000000L, Long.MaxValue)),
+
+    // Bloom filter over even-doc texts probed with the odd docs
+    "q_bloom_bits" -> { (s, dir) =>
+      val d = documents(s, dir)
+      graft.ops.Sketches.bloomReport(
+        d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1))
+    },
+
+    // right-to-erasure propagation: tombstoned users (id % 13 = 0)
+    // anti-joined out; per-sink compliance counts
+    "q_tombstone_delete" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val tomb = ev.where(col("user_id") % 13 === 0).select("user_id")
+      val before = ev.groupBy("event_type").agg(count(lit(1)).as("rows_before"))
+      val after = graft.ops.Lakehouse.applyTombstones(ev, tomb, "user_id")
+        .groupBy("event_type").agg(count(lit(1)).as("rows_after"))
+      before.join(after, Seq("event_type"), "left")
+        .select(col("event_type"), col("rows_before"),
+          (col("rows_before") - coalesce(col("rows_after"), lit(0L))).as("rows_deleted"),
+          coalesce(col("rows_after"), lit(0L)).as("rows_after"))
+    }
   )
 
   // --- oracle SQL (DuckDB) ----------------------------------------------
@@ -4526,6 +4588,158 @@ object SparkEntry {
         |  CAST(coalesce(o.n, 0) * 1000000 // t.tt AS BIGINT) AS obs_ppm,
         |  CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
         |  CAST(abs(coalesce(o.n, 0) * 1000000 // t.tt - e.exp_ppm) AS BIGINT) AS dev_ppm
-        |FROM e LEFT JOIN o USING (digit) CROSS JOIN t""".stripMargin
+        |FROM e LEFT JOIN o USING (digit) CROSS JOIN t""".stripMargin,
+
+    // mirrors the prefix candidate generation; the size-ratio prefilter
+    // is omitted (verification makes it result-identical — it only drops
+    // pairs that cannot reach the threshold)
+    "q_prefix_join" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+        |docs2 AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 10000, text || ' extra' FROM base
+        |  UNION ALL SELECT doc_id + 20000, text FROM base),
+        |tk AS (
+        |  SELECT DISTINCT doc_id, UNNEST(list_transform(generate_series(1, greatest(length(text) - 3, 0)),
+        |    i -> substr(text, CAST(i AS INTEGER), 4))) AS token
+        |  FROM docs2),
+        |freq AS (SELECT token, count(*) AS df FROM tk GROUP BY 1),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tk GROUP BY 1),
+        |pref AS (
+        |  SELECT doc_id, token, sz FROM (
+        |    SELECT tk.doc_id, tk.token, sz.sz,
+        |      row_number() OVER (PARTITION BY tk.doc_id ORDER BY f.df, tk.token) AS rn
+        |    FROM tk JOIN freq f USING (token) JOIN sz USING (doc_id))
+        |  WHERE rn <= sz - (sz * 7 + 9) // 10 + 1),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sz AS sza, r.sz AS szb
+        |  FROM pref l JOIN pref r USING (token) WHERE l.doc_id < r.doc_id),
+        |inter AS (
+        |  SELECT c.a, c.b, c.sza, c.szb, CAST(count(*) AS BIGINT) AS inter
+        |  FROM cand c
+        |  JOIN tk ta ON ta.doc_id = c.a
+        |  JOIN tk tb ON tb.doc_id = c.b AND tb.token = ta.token
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT a, b, inter,
+        |  round(CAST(inter AS DOUBLE) / (sza + szb - inter), 6) AS jaccard
+        |FROM inter
+        |WHERE round(CAST(inter AS DOUBLE) / (sza + szb - inter), 6) >= 0.7""".stripMargin,
+
+    "q_apdex" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN vm <= 25000000 THEN 1 ELSE 0 END) AS BIGINT) AS satisfied,
+        |    CAST(sum(CASE WHEN vm > 25000000 AND vm <= 100000000 THEN 1 ELSE 0 END) AS BIGINT) AS tolerating
+        |  FROM v GROUP BY 1)
+        |SELECT event_type, total, satisfied, tolerating,
+        |  (2 * satisfied + tolerating) * 500000 // total AS apdex_ppm
+        |FROM a""".stripMargin,
+
+    // cross-multiplied integer anomaly test: vm*n > 3*sum — no division
+    "q_seasonal_anomaly" ->
+      """WITH r AS (
+        |  SELECT event_id, event_type, CAST(extract(hour FROM ts) AS INTEGER) AS hod,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, hod, CAST(sum(vm) AS BIGINT) AS sum_vm,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM r GROUP BY 1, 2)
+        |SELECT r.event_id, r.event_type, r.hod, r.vm AS value_micros,
+        |  b.sum_vm // b.n AS baseline_micros
+        |FROM r JOIN b USING (event_type, hod)
+        |WHERE r.vm * b.n > 3 * b.sum_vm""".stripMargin,
+
+    // the two-phase salted sort-scan is physical-only: the oracle is the
+    // definitional NOT EXISTS dominance test over distinct pairs
+    "q_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey, CAST(p_size AS BIGINT) AS max_v,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS min_c
+        |  FROM part),
+        |pr AS (
+        |  SELECT max_v, min_c, CAST(count(*) AS BIGINT) AS n_points,
+        |    min(p_partkey) AS min_id
+        |  FROM p GROUP BY 1, 2)
+        |SELECT max_v, min_c, n_points, min_id FROM pr a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pr b
+        |  WHERE b.max_v >= a.max_v AND b.min_c <= a.min_c
+        |    AND (b.max_v > a.max_v OR b.min_c < a.min_c))""".stripMargin,
+
+    // the z^2 ratio is the ONLY floating step; identical operand order
+    // on both sides, 6-dp round
+    "q_ab_zsq" ->
+      """WITH e AS (
+        |  SELECT user_id % 2 AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c
+        |  FROM events),
+        |a AS (
+        |  SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN v = 0 THEN c ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN v <> 0 THEN c ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM e)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  round(CAST((conv_a * n_b - conv_b * n_a) AS DOUBLE)
+        |      * CAST((conv_a * n_b - conv_b * n_a) AS DOUBLE) * (n_a + n_b)
+        |    / (CAST(n_a AS DOUBLE) * n_b * (conv_a + conv_b)
+        |      * (n_a + n_b - conv_a - conv_b)), 6) AS z_sq
+        |FROM a""".stripMargin,
+
+    "q_zonemap" ->
+      """WITH z AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS zone,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+        |  FROM events)
+        |SELECT zone, CAST(count(*) AS BIGINT) AS n_rows, min(vm) AS min_vm,
+        |  max(vm) AS max_vm,
+        |  CAST(CASE WHEN max(vm) < 450000000 OR min(vm) > 9223372036854775807
+        |       THEN 1 ELSE 0 END AS INTEGER) AS prunable
+        |FROM z GROUP BY 1""".stripMargin,
+
+    // double-hash positions (h1 + i*h2) mod m from md5 hex — the bit
+    // set is exact cross-engine, so membership answers are too
+    "q_bloom_bits" ->
+      """WITH ins AS (
+        |  SELECT DISTINCT md5(text) AS key FROM documents WHERE doc_id % 2 = 0),
+        |prb AS (
+        |  SELECT DISTINCT md5(text) AS key FROM documents WHERE doc_id % 2 = 1),
+        |ipos AS (
+        |  SELECT DISTINCT (('0x' || substr(key, 1, 8))::BIGINT
+        |    + i * ('0x' || substr(key, 9, 8))::BIGINT) % 65536 AS pos
+        |  FROM ins, (SELECT UNNEST(generate_series(0, 3)) AS i)),
+        |ppos AS (
+        |  SELECT DISTINCT key, (('0x' || substr(key, 1, 8))::BIGINT
+        |    + i * ('0x' || substr(key, 9, 8))::BIGINT) % 65536 AS pos
+        |  FROM prb, (SELECT UNNEST(generate_series(0, 3)) AS i)),
+        |hits AS (
+        |  SELECT key, count(*) AS npos,
+        |    sum(CASE WHEN pos IN (SELECT pos FROM ipos) THEN 1 ELSE 0 END) AS nhit
+        |  FROM ppos GROUP BY 1)
+        |SELECT CAST(65536 AS BIGINT) AS m, CAST(4 AS BIGINT) AS k,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ins) AS n_inserted,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ipos) AS bits_set,
+        |  CAST(count(*) AS BIGINT) AS n_probed,
+        |  CAST(sum(CASE WHEN nhit = npos THEN 1 ELSE 0 END) AS BIGINT) AS probe_hits,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ipos) * 1000000 // 65536 AS load_ppm
+        |FROM hits""".stripMargin,
+
+    "q_tombstone_delete" ->
+      """WITH t AS (
+        |  SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0),
+        |b AS (SELECT event_type, CAST(count(*) AS BIGINT) AS rows_before
+        |      FROM events GROUP BY 1),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS rows_after
+        |      FROM events WHERE user_id NOT IN (SELECT user_id FROM t)
+        |      GROUP BY 1)
+        |SELECT b.event_type, b.rows_before,
+        |  b.rows_before - coalesce(a.rows_after, 0) AS rows_deleted,
+        |  CAST(coalesce(a.rows_after, 0) AS BIGINT) AS rows_after
+        |FROM b LEFT JOIN a USING (event_type)""".stripMargin
   )
 }

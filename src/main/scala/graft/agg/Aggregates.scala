@@ -682,6 +682,112 @@ object Aggregates {
     * One 9-group hash aggregate with map-side combine; the constant
     * table is broadcast. Nothing else.
     */
+  /** Apdex score (Apdex Alliance spec — the standard latency-SLI
+    * summary): per group, satisfied = value ≤ T, tolerating = T < value
+    * ≤ 4T, apdex = (satisfied + tolerating/2) / total. Kept entirely in
+    * integers: apdex_ppm = (2·sat + tol)·500000 div total, so the score
+    * is exact cross-engine (no float division). T is fixed-pointed to
+    * micros once on the driver. One hash aggregate with map-side
+    * combine; |groups| rows out.
+    */
+  def apdex(df: DataFrame, keyCol: String, valueCol: String,
+      thresholdT: Double): DataFrame = {
+    val tMicros = math.floor(thresholdT * 1e6 + 0.5).toLong
+    val vm = floor(col(valueCol) * 1e6 + 0.5).cast("long")
+    df.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(vm <= tMicros, 1L).otherwise(0L)).as("satisfied"),
+        sum(when(vm > tMicros && vm <= 4L * tMicros, 1L).otherwise(0L))
+          .as("tolerating"))
+      .select(col(keyCol), col("total"), col("satisfied"), col("tolerating"),
+        expr("(2 * satisfied + tolerating) * 500000 div total").as("apdex_ppm"))
+  }
+
+  /** Seasonal-naive anomaly flags: baseline = per (group, hour-of-day)
+    * mean of the value, anomalies = rows whose value exceeds `factor` ×
+    * that baseline. The same-hour baseline is the standard first-line
+    * telemetry detector for daily-seasonal streams (traffic at 3 am is
+    * not comparable to 3 pm). Exactness: values are fixed-pointed to
+    * micros and the comparison is cross-multiplied — value_micros·n >
+    * factor·sum_micros — so no float division ever happens; the reported
+    * baseline is the integer-div mean. Baselines are one hash aggregate
+    * (≤ |groups|·24 rows, broadcast back); the stream is scanned once.
+    */
+  def seasonalAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, factor: Int = 3, idCol: String = "event_id"): DataFrame = {
+    val vm = floor(col(valueCol) * 1e6 + 0.5).cast("long").as("vm")
+    val rows = df.select(col(idCol), col(keyCol), col(tsCol), vm)
+      .withColumn("hod", hour(col(tsCol)).cast("int"))
+    val base = rows.groupBy(col(keyCol), col("hod"))
+      .agg(sum("vm").as("sum_vm"), count(lit(1)).as("n"))
+    rows.join(broadcast(base), Seq(keyCol, "hod"))
+      .where(col("vm") * col("n") > lit(factor.toLong) * col("sum_vm"))
+      .select(col(idCol), col(keyCol), col("hod"), col("vm").as("value_micros"),
+        expr("sum_vm div n").as("baseline_micros"))
+  }
+
+  /** 2-D Pareto skyline (Börzsönyi et al. ICDE'01): the points not
+    * dominated by any other — maximize `maxCol`, minimize `minCol`
+    * (dominator: ≥ on max-dim, ≤ on min-dim, strict in one). Classic
+    * sort-scan form on DISTINCT (max, min) pairs ordered by
+    * (max DESC, min ASC): a pair is on the skyline iff every preceding
+    * pair has a strictly larger min-value (running-min compare) — any
+    * dominator sorts strictly earlier, and on distinct pairs
+    * cummin ≤ v ⟺ dominated.
+    *
+    * Two-phase for scale: local skylines per salt partition first
+    * (skyline(∪ locals) = skyline(whole) — dominance is transitive and a
+    * global dominator survives its own local pass), then the global
+    * sort-scan runs only over the tiny union of local survivors. The
+    * single-partition window touches ~|skyline|·|salts| rows, never n.
+    * minCol is fixed-pointed to centi-units for exact cross-engine
+    * compares. Output: skyline (max_v, min_c) pairs + the member count
+    * and min id at each point.
+    */
+  def skyline2d(df: DataFrame, idCol: String, maxCol: String,
+      minCol: String, salts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(col(idCol).as("_id"), col(maxCol).cast("long").as("max_v"),
+      floor(col(minCol) * 100 + 0.5).cast("long").as("min_c"))
+    val pairs = pts.groupBy("max_v", "min_c")
+      .agg(count(lit(1)).as("n_points"), min("_id").as("min_id"))
+    def survivors(d: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) =
+      d.withColumn("_cm", min(col("min_c")).over(
+          w.orderBy(col("max_v").desc, col("min_c").asc)
+           .rowsBetween(Window.unboundedPreceding, -1)))
+        .where(col("_cm").isNull || col("_cm") > col("min_c"))
+        .drop("_cm")
+    val local = survivors(
+      pairs.withColumn("_salt", pmod(col("max_v") * 31 + col("min_c"), lit(salts.toLong))),
+      Window.partitionBy("_salt")).drop("_salt")
+    survivors(local, Window.partitionBy())
+      .select("max_v", "min_c", "n_points", "min_id")
+  }
+
+  /** Two-proportion z² statistic for an A/B split (the squared
+    * two-sample z-test for equal conversion rates, pooled variance —
+    * any stats text): z² = (c_a·n_b − c_b·n_a)²·N / (n_a·n_b·c·(N−c)),
+    * N = n_a+n_b, c = c_a+c_b. The numerator difference is computed as
+    * an EXACT integer; only the final ratio is floating (identical
+    * operation order on both engines, rounded to 6 dp). One pass, one
+    * 2-row aggregate, constant output.
+    */
+  def abZSquared(df: DataFrame, variantCol: Column, convertedCol: Column): DataFrame = {
+    val agg = df.select(variantCol.as("_v"), convertedCol.cast("long").as("_c"))
+      .groupBy()
+      .agg(
+        sum(when(col("_v") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("_v") === 0, col("_c")).otherwise(0L)).as("conv_a"),
+        sum(when(col("_v") =!= 0, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("_v") =!= 0, col("_c")).otherwise(0L)).as("conv_b"))
+    agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(
+        expr("CAST((conv_a * n_b - conv_b * n_a) AS DOUBLE) * CAST((conv_a * n_b - conv_b * n_a) AS DOUBLE) * (n_a + n_b)") /
+        expr("CAST(n_a AS DOUBLE) * n_b * (conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)"),
+        6).as("z_sq"))
+  }
+
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -914,6 +914,80 @@ object Dedup {
     * the number of GROUPS sharing one gram (≤ |groups|²/2, i.e. a few
     * hundred rows per gram for tens of sources), never in docs.
     */
+  /** PREFIX-FILTER set-similarity join (AllPairs / PPJoin family —
+    * Bayardo et al. WWW'07, Xiao et al. WWW'08): exact word-token Jaccard
+    * ≥ num/den, but candidates come from an inverted index over each
+    * doc's PREFIX only, not every token. Order every doc's distinct
+    * tokens by ascending global document frequency (rarest first, ties
+    * by token text); with prefix length p = |s| − ⌈θ·|s|⌉ + 1, any pair
+    * with J ≥ θ must share at least one PREFIX token — so indexing only
+    * the first p tokens per doc is lossless, and the indexed volume
+    * drops by ~θ of the corpus. This is a different (and at high θ much
+    * cheaper) scale path than [[ngramJaccard]]'s DF cap: the cap drops
+    * hot shingles and admits cap² pair rows per survivor; the prefix
+    * filter keeps ALL tokens for verification but only inverts the rare
+    * ~(1−θ) head of each doc, where bucket sizes are smallest by
+    * construction.
+    *
+    * θ is a rational num/den so both engines compute ⌈θ·sz⌉ as the exact
+    * integer (sz·num + den − 1) div den. Verification joins the
+    * candidate pairs back to the FULL token sets for the exact
+    * intersection count. A size-ratio prefilter (J ≤ min/max, same
+    * 1e-6-slack trick as ngramJaccard) prunes candidates before the
+    * verify join; result identical.
+    *
+    * Shape at 100 TB: token DF is one groupBy on the token; the per-doc
+    * ordering is a window PARTITIONED BY doc (never a global window);
+    * the candidate join runs over prefix buckets whose sizes shrink as
+    * the DF rank grows; verification shuffles only (a, b, token) rows
+    * for surviving candidates.
+    *
+    * The filter's selectivity assumes a ZIPFIAN token distribution
+    * (real text): each doc's rarest tokens index into small buckets.
+    * On a degenerate corpus where every token is corpus-hot (the
+    * synthetic fixture has a 31-word vocabulary / 1k distinct shingles)
+    * there ARE no rare tokens and every candidate bucket is O(n) —
+    * measured 13M candidates over 15k fixture docs — so the driver
+    * query runs on a doc subset. `shingleK = Some(k)` switches the
+    * token set to char k-gram shingles (the richer universe).
+    */
+  def prefixJaccard(df: DataFrame, num: Int = 7, den: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = shingleK match {
+      case Some(kk) =>
+        shingled(df, kk, idCol, textCol).select(col(idCol), col("shingle").as("token")).distinct()
+      case None =>
+        df.select(col(idCol),
+            explode(array_distinct(split(lower(trim(col(textCol))), "\\s+"))).as("token"))
+          .where(length(col("token")) > 0)
+    }
+    val freq = tk.groupBy("token").agg(count(lit(1)).as("df"))
+    val sz = tk.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val ordered = tk.join(freq, Seq("token")).join(sz, Seq(idCol))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("df"), col("token"))))
+    // prefix length p = sz - ceil(theta*sz) + 1, all-integer
+    val pref = ordered.where(col("rn") <=
+      col("sz") - expr(s"(sz * $num + ${den - 1}) div $den") + 1)
+    val l = pref.select(col(idCol).as("a"), col("token"), col("sz").as("sza"))
+    val r = pref.select(col(idCol).as("b"), col("token"), col("sz").as("szb"))
+    val cand = l.join(r, Seq("token")).where(col("a") < col("b"))
+      .where(least(col("sza"), col("szb")).cast("double") >=
+        lit(num.toDouble / den - 1e-6) * greatest(col("sza"), col("szb")).cast("double"))
+      .select("a", "b", "sza", "szb").distinct()
+    val ta = tk.select(col(idCol).as("a"), col("token"))
+    val tb = tk.select(col(idCol).as("b"), col("token"))
+    cand.join(ta, Seq("a")).join(tb, Seq("b", "token"))
+      .groupBy("a", "b", "sza", "szb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")).cast("double"), 6))
+      .where(col("jaccard") >= lit(num.toDouble / den))
+      .select("a", "b", "inter", "jaccard")
+  }
+
   def crossSourceOverlap(df: DataFrame, groupCol: String = "source",
       n: Int = 8, textCol: String = "text"): DataFrame = {
     val grams = df.select(col(groupCol).as("src"),

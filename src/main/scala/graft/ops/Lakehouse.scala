@@ -71,4 +71,36 @@ object Lakehouse {
       .where(col("change_type").isNotNull)
       .drop("_in_old", "_in_new")
   }
+
+  /** Zone-map statistics + data-skipping audit: per zone (a coarse
+    * layout bucket — day partition, file, row group) the min/max/count
+    * of a value column, plus whether a given range predicate
+    * [lo, hi] could PRUNE the whole zone (zone.max < lo or zone.min >
+    * hi — exactly the parquet row-group / Iceberg manifest skipping
+    * test). This is the audit you run before choosing a sort/layout key:
+    * sum(prunable rows)/total is the fraction of I/O a zone-mapped scan
+    * of that predicate skips. Values fixed-pointed to micros so min/max
+    * are exact cross-engine. One hash aggregate on the zone key.
+    */
+  def zoneMap(df: DataFrame, zoneCol: org.apache.spark.sql.Column,
+      valueCol: String, loMicros: Long, hiMicros: Long): DataFrame = {
+    val vm = floor(col(valueCol) * 1e6 + 0.5).cast("long")
+    df.select(zoneCol.as("zone"), vm.as("_vm"))
+      .groupBy("zone")
+      .agg(count(lit(1)).as("n_rows"), min("_vm").as("min_vm"),
+        max("_vm").as("max_vm"))
+      .withColumn("prunable",
+        (col("max_vm") < loMicros || col("min_vm") > hiMicros).cast("int"))
+  }
+
+  /** GDPR/right-to-erasure delete propagation: drop every row whose key
+    * is in the tombstone set. The tombstone side is the small one by
+    * nature (deletion requests), so the anti-join is BROADCAST — the
+    * table streams through once, no shuffle of the big side. Returns the
+    * purged table; pair with a count audit (rows_before/deleted/after)
+    * for the compliance report.
+    */
+  def applyTombstones(df: DataFrame, tombstones: DataFrame,
+      keyCol: String): DataFrame =
+    df.join(broadcast(tombstones.select(keyCol).distinct()), Seq(keyCol), "left_anti")
 }

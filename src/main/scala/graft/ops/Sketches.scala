@@ -182,6 +182,52 @@ object Sketches {
       .select(col("term"), col("freq").cast("long").as("freq"), col("cm_est"), col("rank"))
   }
 
+  /** Bloom-filter build + membership report (Bloom 1970): insert one
+    * key per `insert` row, probe with the `probe` rows, report the
+    * filter's occupancy and how many probes the filter claims as
+    * members. Double hashing (Kirsch-Mitzenmacher 2006): position_i =
+    * (h1 + i·h2) mod m for i < k, with h1/h2 the first/second 8 hex
+    * digits of md5(text) — both engines derive the identical integers,
+    * so the bit set (and therefore every membership answer) is exact
+    * cross-engine, not an estimate of an estimate. Probes that are
+    * genuine members come back positive by construction; on a disjoint
+    * probe set `probe_hits` IS the realized false-positive count, the
+    * quantity the (m, k) sizing trades off.
+    *
+    * Scale shape: the bit set is a DISTINCT on an m-bounded integer
+    * domain (map-side combine collapses to ≤ m rows per task); probes
+    * semi-join that m-bounded set; nothing is ever collected. This is
+    * the same filter `Dedup.decontaminate` applies as a pre-join
+    * reduction, surfaced as a first-class auditable artifact.
+    */
+  def bloomReport(insert: DataFrame, probe: DataFrame,
+      textCol: String = "text", m: Int = 65536, k: Int = 4): DataFrame = {
+    def positions(d: DataFrame): DataFrame =
+      d.select(md5(col(textCol)).as("key"))
+        .select(col("key"),
+          conv(substring(col("key"), 1, 8), 16, 10).cast("long").as("h1"),
+          conv(substring(col("key"), 9, 8), 16, 10).cast("long").as("h2"))
+        .select(col("key"), explode(sequence(lit(0), lit(k - 1))).as("i"),
+          col("h1"), col("h2"))
+        .select(col("key"),
+          pmod(col("h1") + col("i") * col("h2"), lit(m.toLong)).as("pos"))
+    val bits = positions(insert).select("pos").distinct()
+    val nIns = insert.select(md5(col(textCol)).as("key")).distinct()
+      .agg(count(lit(1)).as("n_inserted"))
+    val bitsSet = bits.agg(count(lit(1)).as("bits_set"))
+    val probePos = positions(probe).distinct()
+    val perKey = probePos.groupBy("key").agg(count(lit(1)).as("npos"))
+    val hits = probePos.join(bits, Seq("pos"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("nhit"))
+    val probeStats = perKey.join(hits, Seq("key"), "left")
+      .agg(count(lit(1)).as("n_probed"),
+        sum(when(col("nhit") === col("npos"), 1L).otherwise(0L)).as("probe_hits"))
+    nIns.crossJoin(bitsSet).crossJoin(probeStats)
+      .select(lit(m.toLong).as("m"), lit(k.toLong).as("k"),
+        col("n_inserted"), col("bits_set"), col("n_probed"), col("probe_hits"),
+        expr(s"bits_set * 1000000 div ${m}L").as("load_ppm"))
+  }
+
   /** DuckDB twin of [[cmTopTerms]] over `documents(text)` with the
     * given tokenizer regex.
     */

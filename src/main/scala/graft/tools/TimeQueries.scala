@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query timing harness: `runMain graft.tools.TimeQueries
+  * <sfDir> q_a q_b ...` — times each named SparkEntry query with the
+  * bench's noop-format write (materializes every output column), one
+  * warmup + 2 timed reps. The pre-commit gate for any new heavy
+  * operator (the session-5 lesson: q_edit_verify shipped unbenched and
+  * was a 420 s landmine at sf0.1).
+  */
+object TimeQueries {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1).toSeq
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (q <- names) {
+      val reps = (1 to 3).map { _ =>
+        val df = graft.SparkEntry.queries(q)(spark, sfDir)
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"TIMING $q%-24s warm=${reps.head}%8.2fs best=${reps.tail.min}%8.2fs")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,195 @@
+package graft
+
+import graft.agg.Aggregates
+import graft.ops.{Dedup, Lakehouse, Sketches}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 operators: prefix-filter similarity join, Apdex, seasonal
+  * anomalies, 2-D skyline, A/B z², zone maps, Bloom report, tombstone
+  * delete propagation.
+  */
+class AuditOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- prefixJaccard -----------------------------------------------------
+
+  /** Definitional word-token Jaccard computed in plain Scala. */
+  private def bruteJaccard(docs: Seq[(Long, String)], theta: Double): Set[(Long, Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    }.toMap
+    (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      ia = toks(a); ib = toks(b)
+      inter = (ia & ib).size
+      j = inter.toDouble / (ia.size + ib.size - inter)
+      if BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= theta
+    } yield (a, b, inter.toLong)).toSet
+  }
+
+  private val prefixDocs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "alpha beta gamma delta epsilon zeta extra"), // J = 6/7 ≈ 0.857
+    (3L, "alpha beta gamma delta epsilon zeta"),       // J(1,3) = 1.0
+    (4L, "omega psi chi phi upsilon tau"),             // disjoint
+    (5L, "alpha beta gamma nu xi omicron pi rho"),     // J(1,5) = 3/11 < 0.7
+    (6L, "one two three"),
+    (7L, "one two three four five six seven eight nine ten"), // containment, low J
+    (8L, "omega psi chi phi upsilon tau sigma")        // J(4,8) = 6/7
+  )
+
+  test("prefixJaccard equals the definitional full-pair Jaccard (prefix filter is lossless)") {
+    val df = prefixDocs.toDF("doc_id", "text")
+    val got = Dedup.prefixJaccard(df, 7, 10).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("inter"))).toSet
+    assert(got == bruteJaccard(prefixDocs, 0.7))
+    assert(got.contains((1L, 2L, 6L)) && got.contains((1L, 3L, 6L)) && got.contains((4L, 8L, 6L)))
+  }
+
+  test("prefixJaccard indexes only the prefix: indexed token volume < full inverted index") {
+    // 100 docs sharing a hot token head; prefix length for sz=10, θ=0.7 is
+    // 10 - ceil(7) + 1 = 4 of 10 tokens per doc
+    val docs = (1 to 100).map(i =>
+      (i.toLong, s"common1 common2 common3 common4 common5 common6 u${i}a u${i}b u${i}c u${i}d"))
+    val df = docs.toDF("doc_id", "text")
+    val out = Dedup.prefixJaccard(df, 7, 10).collect()
+    // docs share 6 of 14-union tokens: J = 6/14 < 0.7 → nothing passes
+    assert(out.isEmpty)
+    // and the brute-force agrees
+    assert(bruteJaccard(docs, 0.7).isEmpty)
+  }
+
+  test("prefixJaccard shingle mode equals definitional char-4-gram Jaccard") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog extra"),
+      (3L, "completely different content with other phrasing here"),
+      (4L, "the quick brown fox jumps over the lazy dog"))
+    val got = Dedup.prefixJaccard(docs.toDF("doc_id", "text"), 7, 10, shingleK = Some(4))
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("inter"))).toSet
+    val sh = docs.map { case (id, t) =>
+      id -> (0 to t.length - 4).map(i => t.substring(i, i + 4)).toSet
+    }.toMap
+    val brute = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      inter = (sh(a) & sh(b)).size
+      j = inter.toDouble / (sh(a).size + sh(b).size - inter)
+      if BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.7
+    } yield (a, b, inter.toLong)).toSet
+    assert(got == brute && got.contains((1L, 4L, sh(1L).size.toLong)))
+  }
+
+  test("prefixJaccard at θ=1/2 still matches brute force on overlapping docs") {
+    val got = Dedup.prefixJaccard(prefixDocs.toDF("doc_id", "text"), 1, 2).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("inter"))).toSet
+    assert(got == bruteJaccard(prefixDocs, 0.5))
+  }
+
+  // ---- apdex ---------------------------------------------------------------
+
+  test("apdex: satisfied/tolerating/frustrated buckets and exact ppm") {
+    val df = Seq(("svc", 10.0), ("svc", 25.0), ("svc", 50.0), ("svc", 100.0), ("svc", 101.0))
+      .toDF("k", "value")
+    val r = Aggregates.apdex(df, "k", "value", 25.0).collect().head
+    assert(r.getAs[Long]("total") == 5)
+    assert(r.getAs[Long]("satisfied") == 2)   // 10, 25 (boundary inclusive)
+    assert(r.getAs[Long]("tolerating") == 2)  // 50, 100 (4T inclusive)
+    // (2*2 + 2) * 500000 / 5 = 600000
+    assert(r.getAs[Long]("apdex_ppm") == 600000L)
+  }
+
+  // ---- seasonalAnomalies ----------------------------------------------------
+
+  test("seasonalAnomalies flags only the planted same-hour spike") {
+    val base = (1 to 40).map(i =>
+      (i.toLong, "t", java.sql.Timestamp.valueOf(f"2024-01-${i % 20 + 1}%02d 03:00:00"), 10.0))
+    val spike = Seq((99L, "t", java.sql.Timestamp.valueOf("2024-01-05 03:00:00"), 500.0))
+    val otherHour = Seq((98L, "t", java.sql.Timestamp.valueOf("2024-01-05 14:00:00"), 11.0))
+    val df = (base ++ spike ++ otherHour).toDF("event_id", "k", "ts", "value")
+    val out = Aggregates.seasonalAnomalies(df, "k", "ts", "value", factor = 3)
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Long]("event_id")).toSet == Set(99L))
+    val r = rows.head
+    assert(r.getAs[Int]("hod") == 3)
+    // baseline = (40*10 + 500) / 41 micros
+    assert(r.getAs[Long]("baseline_micros") == (900L * 1000000L / 41L))
+  }
+
+  // ---- skyline2d --------------------------------------------------------------
+
+  test("skyline2d matches brute-force dominance on a deterministic point cloud") {
+    val pts = (1 to 200).map { i =>
+      val size = (i * 37) % 50 + 1
+      val price = ((i * 91) % 400) / 4.0 + 10.0
+      (i.toLong, size, price)
+    }
+    val df = pts.toDF("id", "sz", "price")
+    val got = Aggregates.skyline2d(df, "id", "sz", "price", salts = 8).collect()
+      .map(r => (r.getAs[Long]("max_v"), r.getAs[Long]("min_c"))).toSet
+    val pairs = pts.map { case (_, s, p) => (s.toLong, math.floor(p * 100 + 0.5).toLong) }.distinct
+    val brute = pairs.filter { case (s, p) =>
+      !pairs.exists { case (s2, p2) => s2 >= s && p2 <= p && (s2 > s || p2 < p) }
+    }.toSet
+    assert(got == brute && got.nonEmpty)
+  }
+
+  test("skyline2d keeps coincident duplicate points as one pair with the member count") {
+    val df = Seq((1L, 10, 5.0), (2L, 10, 5.0), (3L, 9, 6.0)).toDF("id", "sz", "price")
+    val out = Aggregates.skyline2d(df, "id", "sz", "price", salts = 4).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_points") == 2 && out.head.getAs[Long]("min_id") == 1L)
+  }
+
+  // ---- abZSquared ----------------------------------------------------------------
+
+  test("abZSquared computes the pooled two-proportion z² exactly") {
+    // variant 0: n=2, conv=1; variant 1: n=2, conv=0
+    val df = Seq((0, 1), (0, 0), (1, 0), (1, 0)).toDF("v", "c")
+    val r = Aggregates.abZSquared(df, col("v"), col("c")).collect().head
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("conv_a") == 1)
+    assert(r.getAs[Long]("n_b") == 2 && r.getAs[Long]("conv_b") == 0)
+    // z² = (1·2 − 0·2)²·4 / (2·2·1·3) = 16/12
+    assert(math.abs(r.getAs[Double]("z_sq") - 1.333333) < 1e-9)
+  }
+
+  // ---- zoneMap -------------------------------------------------------------------
+
+  test("zoneMap per-zone min/max and prunability against the range predicate") {
+    val df = Seq(("z1", 1.0), ("z1", 4.0), ("z2", 400.0), ("z2", 500.0)).toDF("zone_in", "value")
+    val out = Lakehouse.zoneMap(df, col("zone_in"), "value", 450L * 1000000L, Long.MaxValue)
+      .orderBy("zone").collect()
+    assert(out(0).getAs[Int]("prunable") == 1, "z1 max 4.0 < 450 → prunable")
+    assert(out(1).getAs[Int]("prunable") == 0, "z2 straddles the bound")
+    assert(out(0).getAs[Long]("min_vm") == 1000000L && out(0).getAs[Long]("max_vm") == 4000000L)
+  }
+
+  // ---- bloomReport ----------------------------------------------------------------
+
+  test("bloomReport: members always hit; disjoint probes report the realized FP count") {
+    val ins = (1 to 500).map(i => s"member text $i").toDF("text")
+    val self = Sketches.bloomReport(ins, ins, m = 4096, k = 4).collect().head
+    assert(self.getAs[Long]("probe_hits") == self.getAs[Long]("n_probed"),
+      "every inserted key must test positive")
+    assert(self.getAs[Long]("n_inserted") == 500)
+    assert(self.getAs[Long]("bits_set") <= 2000 && self.getAs[Long]("bits_set") > 1000)
+
+    val probe = (1 to 500).map(i => s"other text $i").toDF("text")
+    val dis = Sketches.bloomReport(ins, probe, m = 4096, k = 4).collect().head
+    val load = dis.getAs[Long]("bits_set").toDouble / 4096
+    val expFp = 500 * math.pow(load, 4)
+    assert(dis.getAs[Long]("probe_hits") <= math.ceil(expFp * 10 + 5).toLong,
+      s"FP count ${dis.getAs[Long]("probe_hits")} far above the (m,k) expectation $expFp")
+  }
+
+  // ---- applyTombstones ------------------------------------------------------------
+
+  test("applyTombstones drops exactly the tombstoned keys") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong % 10)).toDF("row_id", "user_id")
+    val tomb = Seq(3L, 7L).toDF("user_id")
+    val out = Lakehouse.applyTombstones(df, tomb, "user_id")
+    assert(out.count() == 80)
+    assert(out.where(col("user_id").isin(3L, 7L)).count() == 0)
+  }
+}
