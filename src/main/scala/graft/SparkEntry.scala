@@ -1779,7 +1779,58 @@ object SparkEntry {
         .select(col("event_type"), col("rows_before"),
           (col("rows_before") - coalesce(col("rows_after"), lit(0L))).as("rows_deleted"),
           coalesce(col("rows_after"), lit(0L)).as("rows_after"))
-    }
+    },
+
+    // MULTICAST routing (tee topology): every matching rule emits a
+    // copy, vs q_route_sink's first-match selector; same default router
+    "q_route_multicast" -> ((s, dir) =>
+      Router.routeMulticast(Pipeline.defaultRouter,
+          Pipeline.parse(transcripts(s, dir), Tok))
+        .select("conv_id", "turn_idx", "sink")),
+
+    // dead-letter classification over planted corruption: bad JSON
+    // envelope (id%97), unknown type (id%89), negative value (id%101);
+    // first failing check wins, like the processor chain
+    "q_dlq_report" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val fixture = ev.select(
+        col("event_id"),
+        when(col("event_id") % 89 === 0, lit("mystery"))
+          .otherwise(col("event_type")).as("event_type"),
+        when(col("event_id") % 97 === 0, concat(lit("notjson"), col("props")))
+          .otherwise(col("props")).as("props"),
+        when(col("event_id") % 101 === 0, -col("value"))
+          .otherwise(col("value")).as("value"))
+      graft.enrich.Processors.deadLetterReport(fixture, Seq(
+        "bad_json" -> (col("props").startsWith("{") && col("props").endsWith("}")),
+        "unknown_type" -> col("event_type")
+          .isin("click", "view", "purchase", "signup", "error"),
+        "negative_value" -> (col("value") >= 0)), "event_id")
+    },
+
+    // backfill plan: missing-day ranges after dropping days 5, 12-13, 27
+    "q_backfill_plan" -> ((s, dir) =>
+      graft.ops.Lakehouse.backfillGaps(
+        events(s, dir).where(!dayofmonth(col("ts")).isin(5, 12, 13, 27)))),
+
+    // per-user watermark lateness audit: every (id%50=7) event's ts is
+    // pushed 48 h back, so it arrives far behind its user's running max
+    "q_lateness_audit" -> { (s, dir) =>
+      val fx = events(s, dir).withColumn("ts",
+        when(col("event_id") % 50 === 7, col("ts") - expr("INTERVAL 48 HOURS"))
+          .otherwise(col("ts")))
+      graft.agg.Aggregates.latenessAudit(fx, "user_id", "event_type",
+        "ts", "event_id", allowedLatenessSec = 600L)
+    },
+
+    // Pareto concentration: smallest user head producing 80% of events
+    "q_pareto_users" -> ((s, dir) =>
+      graft.agg.Aggregates.paretoConcentration(events(s, dir), "user_id", 4, 5)),
+
+    // lag-24 autocorrelation of hourly counts (daily-seasonality test)
+    "q_autocorr24" -> ((s, dir) =>
+      graft.agg.Aggregates.lagAutocorr(events(s, dir), "event_type", "ts",
+        lag = 24, bucketSeconds = 3600L))
   )
 
   // --- oracle SQL (DuckDB) ----------------------------------------------
@@ -4740,6 +4791,110 @@ object SparkEntry {
         |SELECT b.event_type, b.rows_before,
         |  b.rows_before - coalesce(a.rows_after, 0) AS rows_deleted,
         |  CAST(coalesce(a.rows_after, 0) AS BIGINT) AS rows_after
-        |FROM b LEFT JOIN a USING (event_type)""".stripMargin
+        |FROM b LEFT JOIN a USING (event_type)""".stripMargin,
+
+    // multicast = one UNION ALL branch per rule + the none-matched
+    // default branch; same rule predicates as the first-match router
+    "q_route_multicast" ->
+      s"""$R, mc AS (
+         |  SELECT conv_id, turn_idx, 'errors' AS sink FROM parsed
+         |    WHERE level IS NOT NULL AND regexp_matches(level, 'ERR.*')
+         |  UNION ALL
+         |  SELECT conv_id, turn_idx, 'tool_calls' FROM parsed WHERE role = 'tool'
+         |  UNION ALL
+         |  SELECT conv_id, turn_idx, 'assistant' FROM parsed
+         |    WHERE role = 'assistant' AND turn_idx >= 1
+         |  UNION ALL
+         |  SELECT conv_id, turn_idx, 'events' FROM parsed
+         |    WHERE NOT (level IS NOT NULL AND regexp_matches(level, 'ERR.*'))
+         |      AND NOT (role = 'tool')
+         |      AND NOT (role = 'assistant' AND turn_idx >= 1))
+         |SELECT conv_id, turn_idx, sink FROM mc""".stripMargin,
+
+    "q_dlq_report" ->
+      """WITH f AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 89 = 0 THEN 'mystery' ELSE event_type END AS event_type,
+        |    CASE WHEN event_id % 97 = 0 THEN 'notjson' || props ELSE props END AS props,
+        |    CASE WHEN event_id % 101 = 0 THEN -value ELSE value END AS value
+        |  FROM events),
+        |c AS (
+        |  SELECT event_id,
+        |    CASE WHEN NOT (props LIKE '{%' AND props LIKE '%}') THEN 'bad_json'
+        |         WHEN event_type NOT IN ('click','view','purchase','signup','error') THEN 'unknown_type'
+        |         WHEN NOT (value >= 0) THEN 'negative_value'
+        |         ELSE 'ok' END AS reason
+        |  FROM f)
+        |SELECT reason, CAST(count(*) AS BIGINT) AS n_rows, min(event_id) AS min_id
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q_backfill_plan" ->
+      """WITH d AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+        |  WHERE NOT (extract(day FROM ts) IN (5, 12, 13, 27))),
+        |g AS (SELECT d, lead(d, 1) OVER (ORDER BY d) AS nd FROM d)
+        |SELECT strftime(d + 1, '%Y-%m-%d') AS gap_start,
+        |  strftime(nd - 1, '%Y-%m-%d') AS gap_end,
+        |  CAST(nd - d - 1 AS BIGINT) AS n_days
+        |FROM g WHERE nd IS NOT NULL AND nd - d > 1""".stripMargin,
+
+    // exact epoch micros throughout (the q_flow_sessions fractional-ts
+    // lesson); running max per USER key in event_id arrival order
+    "q_lateness_audit" ->
+      """WITH fx AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CASE WHEN event_id % 50 = 7 THEN ts - INTERVAL 48 HOUR ELSE ts END AS ts
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS UNBOUNDED PRECEDING) AS mx
+        |  FROM fx)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS total,
+        |  CAST(sum(CASE WHEN mx - us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(max(mx - us) AS BIGINT) AS max_late_us
+        |FROM l GROUP BY 1""".stripMargin,
+
+    // integer cross-multiplied threshold: cum*5 >= tot*4 — no division
+    "q_pareto_users" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT n,
+        |    sum(n) OVER (ORDER BY n DESC, user_id ASC ROWS UNBOUNDED PRECEDING) AS cum,
+        |    row_number() OVER (ORDER BY n DESC, user_id ASC) AS rk
+        |  FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS nk FROM c)
+        |SELECT CAST(min(rk) AS BIGINT) AS keys_to_threshold,
+        |  max(nk) AS n_keys, max(tot) AS total_rows,
+        |  CAST(min(rk) * 1000000 // max(nk) AS BIGINT) AS head_ppm
+        |FROM r CROSS JOIN t WHERE cum * 5 >= tot * 4""".stripMargin,
+
+    // exact integer sums; the only floats are two correctly-rounded
+    // IEEE sqrts and one division in identical operand order
+    "q_autocorr24" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bk,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type, c, bk,
+        |    lead(c, 24) OVER (PARTITION BY event_type ORDER BY bk) AS cy,
+        |    lead(bk, 24) OVER (PARTITION BY event_type ORDER BY bk) AS nbk
+        |  FROM b),
+        |q AS (SELECT event_type, c, cy FROM p WHERE nbk = bk + 24),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(c) AS BIGINT) AS sx, CAST(sum(cy) AS BIGINT) AS sy,
+        |    CAST(sum(c * cy) AS BIGINT) AS sxy, CAST(sum(c * c) AS BIGINT) AS sxx,
+        |    CAST(sum(cy * cy) AS BIGINT) AS syy
+        |  FROM q GROUP BY 1)
+        |SELECT event_type, n_pairs, n_pairs * sxy - sx * sy AS cov_num,
+        |  CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+        |    THEN round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS r
+        |FROM a""".stripMargin
   )
 }

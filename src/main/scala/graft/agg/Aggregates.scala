@@ -682,6 +682,108 @@ object Aggregates {
     * One 9-group hash aggregate with map-side combine; the constant
     * table is broadcast. Nothing else.
     */
+  /** Out-of-orderness / watermark-lateness audit (the batch rendering of
+    * Flink/Structured-Streaming per-key watermarks): within each key's
+    * ARRIVAL order (`ordCol` — the ingestion sequence), lateness of an
+    * event is how far its event time sits behind the running max event
+    * time already seen for that key; events later than
+    * `allowedLatenessSec` are the ones a watermark with that bound would
+    * drop. All arithmetic in exact epoch MICROS (`unix_micros` /
+    * `epoch_us` — fractional-second safe, the q_flow_sessions lesson).
+    * One window partitioned BY KEY (never global), one aggregate.
+    * Output per group: total, n_late, max_late_us.
+    */
+  def latenessAudit(df: DataFrame, keyCol: String, groupCol: String,
+      tsCol: String, ordCol: String, allowedLatenessSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cast: parquet timestamps arrive NTZ; session TZ is UTC, so the
+    // NTZ→LTZ cast is the identity wall time DuckDB's epoch_us reads
+    val lateness = df
+      .withColumn("_us", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("_late", max(col("_us")).over(w) - col("_us"))
+    lateness.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("_late") > allowedLatenessSec * 1000000L, 1L)
+          .otherwise(0L)).as("n_late"),
+        max("_late").as("max_late_us"))
+  }
+
+  /** Pareto concentration report ("what fraction of keys produce 80% of
+    * the volume"): per-key counts ranked by (n DESC, key ASC), running
+    * share, and the smallest head size reaching `num/den` of the total.
+    * The global window runs over the POST-AGGREGATE key table (|keys|
+    * rows, not events) — that single-partition pass is the price of an
+    * exact order statistic and is bounded by the key cardinality; the
+    * event-scale work is one hash aggregate. Integer cross-multiplied
+    * threshold (cum·den ≥ total·num), no division.
+    */
+  def paretoConcentration(df: DataFrame, keyCol: String,
+      num: Int = 4, den: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("_cum", sum("n").over(w))
+      .withColumn("_rank", row_number().over(
+        Window.orderBy(col("n").desc, col(keyCol).asc)))
+      .crossJoin(broadcast(counts.agg(
+        sum("n").as("_tot"), count(lit(1)).as("n_keys"))))
+      .where(col("_cum") * den >= col("_tot") * num)
+      .agg(min("_rank").cast("long").as("keys_to_threshold"),
+        max("n_keys").cast("long").as("n_keys"),
+        max("_tot").cast("long").as("total_rows"))
+      .select(col("keys_to_threshold"), col("n_keys"), col("total_rows"),
+        expr(s"keys_to_threshold * 1000000 div n_keys").as("head_ppm"))
+  }
+
+  /** Lag-k autocorrelation of per-bucket counts (the seasonality
+    * diagnostic — lag 24 on hourly buckets tests daily periodicity):
+    * Pearson r over (c_t, c_{t+k}) pairs, computed from EXACT integer
+    * sums (Σx, Σy, Σxy, Σx², Σy², n); the only floating steps are two
+    * correctly-rounded IEEE sqrts and one division in identical operand
+    * order on both engines, rounded to 6 dp. Pairs come from a lead()
+    * window partitioned per key over the (tiny) bucket table; missing
+    * buckets break pairs rather than faking zeros.
+    */
+  def lagAutocorr(df: DataFrame, keyCol: String, tsCol: String,
+      lag: Int = 24, bucketSeconds: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // exact integer division (epoch_us ≥ 0 here), never floor(double /);
+    // NTZ→LTZ cast is the identity under the UTC session TZ
+    val buckets = df
+      .withColumn("_b",
+        expr(s"unix_micros(cast($tsCol as timestamp)) div ${bucketSeconds * 1000000L}"))
+      .groupBy(col(keyCol), col("_b")).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_b"))
+    val pairs = buckets
+      .withColumn("_cy", lead(col("_c"), lag).over(w))
+      .withColumn("_by", lead(col("_b"), lag).over(w))
+      // lead(lag) must be exactly `lag` buckets AHEAD in time, not just
+      // in row order — gaps in the bucket sequence would silently pair
+      // misaligned hours otherwise
+      .where(col("_by") === col("_b") + lag)
+    pairs.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("_c").as("sx"), sum("_cy").as("sy"),
+        sum(col("_c") * col("_cy")).as("sxy"),
+        sum(col("_c") * col("_c")).as("sxx"),
+        sum(col("_cy") * col("_cy")).as("syy"))
+      .select(col(keyCol), col("n_pairs"),
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        // zero-variance side ⇒ r undefined ⇒ NULL (explicit on both
+        // engines — ANSI Spark errors on /0, DuckDB would return ±inf)
+        when(col("n_pairs") * col("sxx") - col("sx") * col("sx") > 0 &&
+             col("n_pairs") * col("syy") - col("sy") * col("sy") > 0,
+          round(
+            (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"))),
+            6)).as("r"))
+  }
+
   /** Apdex score (Apdex Alliance spec — the standard latency-SLI
     * summary): per group, satisfied = value ≤ T, tolerating = T < value
     * ≤ 4T, apdex = (satisfied + tolerating/2) / total. Kept entirely in

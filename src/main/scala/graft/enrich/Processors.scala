@@ -61,4 +61,28 @@ object Processors {
       .where(col("_rl") <= limit)
       .drop("_rl")
   }
+
+  /** Dead-letter classification — the ES-output reject / `add_error_key`
+    * channel (libbeat/outputs/elasticsearch/client.go bulk rejects land
+    * in a dead-letter index; json reader sets `error.message`): each row
+    * is tagged with the FIRST failing validity check (ordered, like the
+    * processor chain), null = clean. `checks` are (reason, predicate-
+    * that-must-HOLD) pairs of plain Columns, so the whole classification
+    * is one narrow codegen projection — no UDF, no second scan.
+    */
+  def deadLetter(df: DataFrame, checks: Seq[(String, Column)],
+      reasonCol: String = "dlq_reason"): DataFrame =
+    df.withColumn(reasonCol,
+      coalesce(checks.map { case (name, ok) => when(!ok, lit(name)) }: _*))
+
+  /** Per-reason dead-letter report: row counts + the smallest offending
+    * id per reason (the triage pointer). One hash aggregate over the
+    * classified stream; clean rows are summarized under reason 'ok'.
+    */
+  def deadLetterReport(df: DataFrame, checks: Seq[(String, Column)],
+      idCol: String): DataFrame =
+    deadLetter(df, checks)
+      .withColumn("reason", coalesce(col("dlq_reason"), lit("ok")))
+      .groupBy("reason")
+      .agg(count(lit(1)).as("n_rows"), min(idCol).as("min_id"))
 }

@@ -103,4 +103,28 @@ object Lakehouse {
   def applyTombstones(df: DataFrame, tombstones: DataFrame,
       keyCol: String): DataFrame =
     df.join(broadcast(tombstones.select(keyCol).distinct()), Seq(keyCol), "left_anti")
+
+  /** Backfill plan: the missing day-partition RANGES between the oldest
+    * and newest day present (gaps-and-islands over the distinct-day
+    * table). This is partition-coverage planning — "which dt= ranges
+    * does the backfill job re-run" — not timeseries gap-FILLING (that is
+    * `Aggregates.gapFillHistogram`). The lead() window runs over the
+    * distinct-DAY table (bounded: ≤ retention-window rows, never event
+    * rows), so the global window is a constant-size driver-adjacent
+    * pass by construction. Days in/out as 'yyyy-MM-dd' strings for
+    * cross-engine parity. Output: (gap_start, gap_end, n_days) per run
+    * of consecutive missing days.
+    */
+  def backfillGaps(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = df.select(to_date(col(tsCol)).as("_d")).distinct()
+    val w = Window.orderBy(col("_d"))
+    days
+      .withColumn("_next", lead(col("_d"), 1).over(w))
+      .where(col("_next").isNotNull && datediff(col("_next"), col("_d")) > 1)
+      .select(
+        date_format(date_add(col("_d"), 1), "yyyy-MM-dd").as("gap_start"),
+        date_format(expr("date_add(_next, -1)"), "yyyy-MM-dd").as("gap_end"),
+        (datediff(col("_next"), col("_d")) - 1).cast("long").as("n_days"))
+  }
 }

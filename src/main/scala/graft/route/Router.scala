@@ -31,35 +31,39 @@ final case class RouterConfig(
 
 object Router {
 
-  /** Compile the router to the `sink` Column for this DataFrame. */
-  def sinkColumn(cfg: RouterConfig, df: DataFrame): Column = {
+  /** One rule's candidate sink value for this DataFrame (null = the
+    * rule does not match / yields empty). Shared by the first-match
+    * selector and the multicast fan-out.
+    */
+  private def ruleValue(r: Rule, df: DataFrame): Column = {
     val typed = Conditions.fieldResolver(df)
     val resolve = Conditions.resolver(df)
-
-    def ruleValue(r: Rule): Column = {
-      val raw = FormatStr.column(r.target, resolve)
-      val value = r.mappings match {
-        case Some(m) =>
-          // translate through the (small, driver-side) table; ANSI-safe
-          val mcol = try_element_at(typedLit(m.table), raw)
-          m.default match {
-            case Some(d) => when(raw.isNotNull, coalesce(mcol, lit(d)))
-            case None    => mcol
-          }
-        case None => raw
-      }
-      val gated = r.when match {
-        case Some(c) => when(Conditions.toColumn(c, typed), value)
-        case None    => value
-      }
-      // empty string = "selector yielded nothing" ⇒ fall through
-      when(gated.isNotNull && gated =!= lit(""), gated)
+    val raw = FormatStr.column(r.target, resolve)
+    val value = r.mappings match {
+      case Some(m) =>
+        // translate through the (small, driver-side) table; ANSI-safe
+        val mcol = try_element_at(typedLit(m.table), raw)
+        m.default match {
+          case Some(d) => when(raw.isNotNull, coalesce(mcol, lit(d)))
+          case None    => mcol
+        }
+      case None => raw
     }
+    val gated = r.when match {
+      case Some(c) => when(Conditions.toColumn(c, typed), value)
+      case None    => value
+    }
+    // empty string = "selector yielded nothing" ⇒ fall through
+    when(gated.isNotNull && gated =!= lit(""), gated)
+  }
 
-    val candidates = cfg.rules.map(ruleValue)
+  /** Compile the router to the `sink` Column for this DataFrame. */
+  def sinkColumn(cfg: RouterConfig, df: DataFrame): Column = {
+    val candidates = cfg.rules.map(ruleValue(_, df))
     val withDefault = cfg.default match {
-      case Some(d) => candidates :+ nullif(FormatStr.column(d, resolve), lit(""))
-      case None    => candidates
+      case Some(d) =>
+        candidates :+ nullif(FormatStr.column(d, Conditions.resolver(df)), lit(""))
+      case None => candidates
     }
     withDefault.reduceOption(coalesce(_, _)).getOrElse(lit(null).cast("string"))
   }
@@ -69,4 +73,29 @@ object Router {
     */
   def route(cfg: RouterConfig, df: DataFrame, sinkCol: String = "sink"): DataFrame =
     df.withColumn(sinkCol, sinkColumn(cfg, df)).where(col(sinkCol).isNotNull)
+
+  /** MULTICAST routing — the tee/copy topology: the row is emitted once
+    * per DISTINCT matching rule target (every output whose condition
+    * matches gets the event), vs [[route]]'s first-match-wins selector.
+    * Rows matching no rule fall to the default if present, else are
+    * dropped (explode of an empty array emits nothing).
+    *
+    * One narrow projection + one explode: the fan-out never re-scans the
+    * input per sink, and the per-row array is ≤ |rules| small constants,
+    * so the generate is cheap (the array-lambda bodies here are a bare
+    * IS NOT NULL — not the md5-per-position trap BASELINE.md documents).
+    */
+  def routeMulticast(cfg: RouterConfig, df: DataFrame,
+      sinkCol: String = "sink"): DataFrame = {
+    val matched = array_distinct(
+      filter(array(cfg.rules.map(ruleValue(_, df)): _*), x => x.isNotNull))
+    val sinks = cfg.default match {
+      case Some(d) =>
+        val dflt = nullif(FormatStr.column(d, Conditions.resolver(df)), lit(""))
+        when(size(matched) > 0, matched)
+          .otherwise(filter(array(dflt), x => x.isNotNull))
+      case None => matched
+    }
+    df.withColumn(sinkCol, explode(sinks))
+  }
 }

@@ -192,4 +192,123 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(out.count() == 80)
     assert(out.where(col("user_id").isin(3L, 7L)).count() == 0)
   }
+
+  // ---- routeMulticast ---------------------------------------------------------------
+
+  test("routeMulticast emits one copy per matching rule; unmatched rows take the default") {
+    import graft.run.Pipeline
+    val df = Seq(
+      ("c1", 1, "ERROR", "tool"),      // matches errors AND tool_calls
+      ("c2", 2, "INFO", "assistant"),  // matches assistant only
+      ("c3", 0, "INFO", "user"),       // matches nothing → default
+      ("c4", 5, "ERR42", "user")       // matches errors only
+    ).toDF("conv_id", "turn_idx", "level", "role")
+    val out = graft.route.Router.routeMulticast(Pipeline.defaultRouter, df)
+      .select("conv_id", "sink").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(
+      ("c1", "errors"), ("c1", "tool_calls"),
+      ("c2", "assistant"), ("c3", "events"), ("c4", "errors")))
+    // first-match routing is a subset: every first-match assignment
+    // appears among the multicast copies
+    val fm = graft.route.Router.route(Pipeline.defaultRouter, df)
+      .select("conv_id", "sink").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fm.subsetOf(out))
+  }
+
+  // ---- deadLetter -------------------------------------------------------------------
+
+  test("deadLetterReport tags the FIRST failing check, counts per reason") {
+    import graft.enrich.Processors
+    val df = Seq(
+      (1L, "{ok}", "click", 5.0),
+      (2L, "broken", "click", 5.0),       // bad_json
+      (3L, "broken", "mystery", -1.0),    // bad_json wins over the others
+      (4L, "{ok}", "mystery", 5.0),       // unknown_type
+      (5L, "{ok}", "click", -2.0)         // negative_value
+    ).toDF("event_id", "props", "event_type", "value")
+    val checks = Seq(
+      "bad_json" -> (col("props").startsWith("{") && col("props").endsWith("}")),
+      "unknown_type" -> col("event_type").isin("click"),
+      "negative_value" -> (col("value") >= 0))
+    val out = Processors.deadLetterReport(df, checks, "event_id").collect()
+      .map(r => r.getAs[String]("reason") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("min_id"))).toMap
+    assert(out == Map(
+      "ok" -> (1L, 1L), "bad_json" -> (2L, 2L),
+      "unknown_type" -> (1L, 4L), "negative_value" -> (1L, 5L)))
+  }
+
+  // ---- backfillGaps -------------------------------------------------------------------
+
+  test("backfillGaps finds the missing-day runs between present days") {
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-04",
+      "2024-01-08", "2024-01-09")
+    val df = days.map(d => java.sql.Timestamp.valueOf(s"$d 10:00:00")).toDF("ts")
+    val out = Lakehouse.backfillGaps(df).orderBy("gap_start").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-03", "2024-01-03", 1L),
+      ("2024-01-05", "2024-01-07", 3L)))
+  }
+
+  // ---- latenessAudit ------------------------------------------------------------------
+
+  test("latenessAudit measures event-time lag behind the per-key running max") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, "k1", "t", ts("2024-01-01 10:00:00")),
+      (2L, "k1", "t", ts("2024-01-01 11:00:00")),
+      (3L, "k1", "t", ts("2024-01-01 10:30:00")), // 30 min late
+      (4L, "k1", "t", ts("2024-01-01 10:55:00")), // 5 min late vs 11:00 — within bound? 5 min < 10 → not late
+      (5L, "k2", "t", ts("2024-01-01 09:00:00"))  // other key: never late
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val r = Aggregates.latenessAudit(df, "user_id", "event_type", "ts",
+      "event_id", allowedLatenessSec = 600L).collect().head
+    assert(r.getAs[Long]("total") == 5)
+    assert(r.getAs[Long]("n_late") == 1)            // only the 30-min lag
+    assert(r.getAs[Long]("max_late_us") == 30L * 60 * 1000000)
+  }
+
+  // ---- paretoConcentration ------------------------------------------------------------
+
+  test("paretoConcentration: smallest head reaching the threshold share") {
+    // counts: a=8, b=4, c=2, d=2 (total 16); 80% = 12.8 → a+b=12 < 12.8,
+    // a+b+c=14 ≥ → head of 3 keys
+    val df = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(2)("d")).toDF("k")
+    val r = Aggregates.paretoConcentration(df, "k", 4, 5).collect().head
+    assert(r.getAs[Long]("keys_to_threshold") == 3)
+    assert(r.getAs[Long]("n_keys") == 4 && r.getAs[Long]("total_rows") == 16)
+    assert(r.getAs[Long]("head_ppm") == 750000L)
+  }
+
+  // ---- lagAutocorr -----------------------------------------------------------------------
+
+  test("lagAutocorr: perfectly periodic counts give r = 1 at the period") {
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+      .toInstant.plusSeconds(m * 60L)
+    // hourly counts alternating 1,3,1,3,... over 12 hours → lag-2 r = 1
+    val rows = (0 until 12).flatMap { h =>
+      val n = if (h % 2 == 0) 1 else 3
+      (0 until n).map(m => (java.sql.Timestamp.from(t(h, m)), "k"))
+    }
+    val df = rows.toDF("ts", "k")
+    val r = Aggregates.lagAutocorr(df, "k", "ts", lag = 2, bucketSeconds = 3600L)
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") == 10)
+    assert(math.abs(r.getAs[Double]("r") - 1.0) < 1e-9)
+  }
+
+  test("lagAutocorr pairs only buckets exactly lag apart (gaps break pairs)") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // hours 0,1,2,5,6,7 — lead(2) in ROW order would pair 1→5 and 2→6;
+    // the bucket-distance guard must reject those
+    val df = Seq(0, 1, 2, 5, 6, 7).map(h => (ts(h), "k")).toDF("ts", "k")
+    val r = Aggregates.lagAutocorr(df, "k", "ts", lag = 2, bucketSeconds = 3600L)
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") == 2) // 0→2 and 5→7 only
+    assert(r.isNullAt(r.fieldIndex("r")), "zero variance ⇒ r is NULL, not ±inf")
+  }
 }
