@@ -1830,8 +1830,81 @@ object SparkEntry {
     // lag-24 autocorrelation of hourly counts (daily-seasonality test)
     "q_autocorr24" -> ((s, dir) =>
       graft.agg.Aggregates.lagAutocorr(events(s, dir), "event_type", "ts",
-        lag = 24, bucketSeconds = 3600L))
+        lag = 24, bucketSeconds = 3600L)),
+
+    // logfmt key=value extraction (the ES-ingest kv processor shape):
+    // quoted values keep spaces, a key absent on id%7 rows goes NULL,
+    // a duplicate trailing level= (id%11) proves first-match-wins
+    "q_kv_parse" -> { (s, dir) =>
+      val line = concat(
+        lit("ts="), date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"),
+        lit(" level="), upper(col("event_type")),
+        when(col("event_id") % 7 =!= 0,
+          concat(lit(" user=u"), col("user_id"))).otherwise(lit("")),
+        lit(" msg=\"evt "), col("event_type"), lit(" #"), col("event_id"), lit("\""),
+        when(col("event_id") % 11 === 0, lit(" level=DUP")).otherwise(lit("")))
+      graft.parse.Kv.parse(
+          events(s, dir).select(col("event_id"), line.as("line")),
+          "line", Seq("level", "user", "msg", "absent"))
+        .select("event_id", "kv_level", "kv_user", "kv_msg", "kv_absent", "n_pairs")
+    },
+
+    // longest-prefix-match CIDR lookup over a nested /0 ∪ /24 ∪ /28 ∪
+    // /32 route table — most-specific wins, never the bin range join
+    "q_cidr_lpm" -> { (s, dir) =>
+      val f = events(s, dir).select(col("event_id"),
+        pmod(col("event_id") * 9973, lit(65536L)).as("ip"))
+      graft.enrich.CidrLpm.lookup(f, "event_id", "ip", cidrRoutes(s))
+    },
+
+    // retention sweep: days past a 14-day TTL (vs the data's own max
+    // day), with user_id%37 keys under legal hold blocking full drops
+    "q_ttl_sweep" -> { (s, dir) =>
+      val holds = events(s, dir).select("user_id").where(col("user_id") % 37 === 0)
+      graft.ops.Lakehouse.retentionSweep(events(s, dir), "ts", "user_id",
+        holds, ttlDays = 14)
+    },
+
+    // first/last-touch attribution of every purchase to the user's
+    // prior non-purchase events, (ts, event_id)-deterministic
+    "q_attribution" -> ((s, dir) =>
+      graft.agg.Aggregates.touchAttribution(events(s, dir), "user_id",
+        "event_type", "ts", "event_id", convType = "purchase")),
+
+    // HLL inclusion–exclusion: estimated click∩view user overlap from
+    // three register sets, exact intersection alongside
+    "q_hll_intersect" -> ((s, dir) =>
+      Sketches.hllIntersectProof(events(s, dir), "user_id",
+        col("event_type") === "click", col("event_type") === "view")),
+
+    // per-column profiling report over a null-planted view (user_id
+    // nulled on id%17, props on id%13) — one pass, stack-unpivoted
+    "q_col_profile" -> { (s, dir) =>
+      val fx = events(s, dir).select(
+        col("event_id"),
+        when(col("event_id") % 17 =!= 0, col("user_id")).as("user_id"),
+        col("event_type"),
+        when(col("event_id") % 13 =!= 0, col("props")).as("props"))
+      graft.ops.Profile.columnProfile(fx,
+        Seq("event_id", "user_id", "event_type", "props"))
+    }
   )
+
+  /** Deterministic nested CIDR route table for q_cidr_lpm: a /0
+    * default, 128 even /24 blocks, 64 scattered /28s, 16 exact /32
+    * hosts — every derived 16-bit ip matches ≥ 1 level, many match 3.
+    */
+  private def cidrRoutes(s: SparkSession): DataFrame = {
+    val d = s.range(1).select(lit(0L).as("network"), lit(0).as("plen"),
+      lit("default").as("label"))
+    val r24 = s.range(128).select((col("id") * 512).as("network"),
+      lit(24).as("plen"), concat(lit("n24_"), col("id")).as("label"))
+    val r28 = s.range(64).select((col("id") * 1021 % 4096 * 16).as("network"),
+      lit(28).as("plen"), concat(lit("n28_"), col("id")).as("label"))
+    val r32 = s.range(16).select((col("id") * 9973 % 65536).as("network"),
+      lit(32).as("plen"), concat(lit("host_"), col("id")).as("label"))
+    d.unionAll(r24).unionAll(r28).unionAll(r32)
+  }
 
   // --- oracle SQL (DuckDB) ----------------------------------------------
 
@@ -4895,6 +4968,125 @@ object SparkEntry {
         |      (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
         |       * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
         |  END AS r
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // identical RE2 regexes on both engines (DuckDB strings don't
+    // process backslashes, so the single-backslash pattern is verbatim)
+    "q_kv_parse" ->
+      s"""WITH f AS (
+         |  SELECT event_id,
+         |    'ts=' || strftime(ts, '%Y-%m-%dT%H:%M:%S') ||
+         |    ' level=' || upper(event_type) ||
+         |    CASE WHEN event_id % 7 <> 0
+         |         THEN ' user=u' || CAST(user_id AS VARCHAR) ELSE '' END ||
+         |    ' msg="evt ' || event_type || ' #' || CAST(event_id AS VARCHAR) || '"' ||
+         |    CASE WHEN event_id % 11 = 0 THEN ' level=DUP' ELSE '' END AS line
+         |  FROM events)
+         |SELECT event_id,
+         |  ${graft.parse.Kv.oracleKeyExpr("line", "level", "kv_level")},
+         |  ${graft.parse.Kv.oracleKeyExpr("line", "user", "kv_user")},
+         |  ${graft.parse.Kv.oracleKeyExpr("line", "msg", "kv_msg")},
+         |  ${graft.parse.Kv.oracleKeyExpr("line", "absent", "kv_absent")},
+         |  ${graft.parse.Kv.oraclePairCount("line")}
+         |FROM f""".stripMargin,
+
+    // LPM = max plen among the per-length masked equi-matches; the
+    // row_number(plen DESC) pick mirrors Spark's max(struct(plen, …))
+    "q_cidr_lpm" ->
+      """WITH r AS (
+        |  SELECT CAST(0 AS BIGINT) AS network, 0 AS plen, 'default' AS label
+        |  UNION ALL SELECT i * 512, 24, 'n24_' || CAST(i AS VARCHAR)
+        |    FROM generate_series(0, 127) t(i)
+        |  UNION ALL SELECT (i * 1021 % 4096) * 16, 28, 'n28_' || CAST(i AS VARCHAR)
+        |    FROM generate_series(0, 63) t(i)
+        |  UNION ALL SELECT i * 9973 % 65536, 32, 'host_' || CAST(i AS VARCHAR)
+        |    FROM generate_series(0, 15) t(i)),
+        |f AS (SELECT event_id, (event_id * 9973) % 65536 AS ip FROM events),
+        |pl AS (SELECT DISTINCT plen FROM r),
+        |p AS (
+        |  SELECT f.event_id, f.ip, pl.plen,
+        |    (f.ip >> (32 - pl.plen)) << (32 - pl.plen) AS masked
+        |  FROM f CROSS JOIN pl),
+        |j AS (
+        |  SELECT p.event_id, p.ip, r.plen, r.label, r.network
+        |  FROM p JOIN r ON r.plen = p.plen AND r.network = p.masked)
+        |SELECT event_id, ip, plen, label, network FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY plen DESC) AS rn
+        |  FROM j)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_ttl_sweep" ->
+      """WITH c AS (SELECT max(CAST(ts AS DATE)) - 14 AS cutoff FROM events),
+        |h AS (SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0),
+        |e AS (
+        |  SELECT CAST(ts AS DATE) AS d, events.user_id FROM events, c
+        |  WHERE CAST(ts AS DATE) < cutoff),
+        |g AS (
+        |  SELECT strftime(d, '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS n_expired,
+        |    CAST(sum(CASE WHEN h.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_held,
+        |    CAST(sum(CASE WHEN h.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_droppable
+        |  FROM e LEFT JOIN h ON e.user_id = h.user_id
+        |  GROUP BY 1)
+        |SELECT day, n_expired, n_held, n_droppable, n_held = 0 AS full_drop
+        |FROM g""".stripMargin,
+
+    // same (ts, event_id) window order and [unbounded, -1] frame; the
+    // empty first frame gives NULL touches / count 0 on both engines
+    "q_attribution" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, event_type,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+        |    count(CASE WHEN event_type <> 'purchase' THEN 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_prior_touches
+        |  FROM events)
+        |SELECT event_id, user_id, first_touch, last_touch,
+        |  CAST(n_prior_touches AS BIGINT) AS n_prior_touches
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_hll_intersect" -> Sketches.hllIntersectSql("events", "user_id",
+      "event_type = 'click'", "event_type = 'view'"),
+
+    "q_col_profile" ->
+      """WITH fx AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 17 <> 0 THEN user_id END AS user_id,
+        |    event_type,
+        |    CASE WHEN event_id % 13 <> 0 THEN props END AS props
+        |  FROM events),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS total,
+        |    CAST(count(event_id) AS BIGINT) AS n1,
+        |    CAST(count(DISTINCT event_id) AS BIGINT) AS d1,
+        |    min(CAST(event_id AS VARCHAR)) AS mn1, max(CAST(event_id AS VARCHAR)) AS mx1,
+        |    CAST(coalesce(sum(len(CAST(event_id AS VARCHAR))), 0) AS BIGINT) AS l1,
+        |    CAST(count(user_id) AS BIGINT) AS n2,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS d2,
+        |    min(CAST(user_id AS VARCHAR)) AS mn2, max(CAST(user_id AS VARCHAR)) AS mx2,
+        |    CAST(coalesce(sum(len(CAST(user_id AS VARCHAR))), 0) AS BIGINT) AS l2,
+        |    CAST(count(event_type) AS BIGINT) AS n3,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS d3,
+        |    min(event_type) AS mn3, max(event_type) AS mx3,
+        |    CAST(coalesce(sum(len(event_type)), 0) AS BIGINT) AS l3,
+        |    CAST(count(props) AS BIGINT) AS n4,
+        |    CAST(count(DISTINCT props) AS BIGINT) AS d4,
+        |    min(props) AS mn4, max(props) AS mx4,
+        |    CAST(coalesce(sum(len(props)), 0) AS BIGINT) AS l4
+        |  FROM fx)
+        |SELECT 'event_id' AS col_name, total AS n_rows, n1 AS n_nonnull,
+        |  d1 AS n_distinct, mn1 AS min_str, mx1 AS max_str, l1 AS sum_len,
+        |  (total - n1) * 1000000 // total AS null_ppm FROM a
+        |UNION ALL SELECT 'user_id', total, n2, d2, mn2, mx2, l2,
+        |  (total - n2) * 1000000 // total FROM a
+        |UNION ALL SELECT 'event_type', total, n3, d3, mn3, mx3, l3,
+        |  (total - n3) * 1000000 // total FROM a
+        |UNION ALL SELECT 'props', total, n4, d4, mn4, mx4, l4,
+        |  (total - n4) * 1000000 // total FROM a""".stripMargin
   )
 }

@@ -710,6 +710,35 @@ object Aggregates {
         max("_late").as("max_late_us"))
   }
 
+  /** First/last-touch conversion attribution — the funnel-credit
+    * assignment every product-analytics stack runs over its event
+    * stream: for each conversion event (type == `convType`), which
+    * NON-conversion touch came first in the user's history and which
+    * came last before the conversion, plus the prior-touch count.
+    * Ordering is the deterministic (ts, ordCol) pair everywhere — the
+    * q_flow_sessions lesson: at 10¹² rows timestamps ALWAYS collide.
+    *
+    * One window partitioned BY USER (never global) with three frame-
+    * bounded aggregates (first/last ignoreNulls + conditional count)
+    * over rows [unbounded, -1] — single shuffle on user, no self-join,
+    * no per-conversion re-scan.
+    */
+  def touchAttribution(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, ordCol: String, convType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol) =!= convType, col(typeCol))
+    df
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .withColumn("n_prior_touches",
+        count(touch).over(w).cast("long"))
+      .where(col(typeCol) === convType)
+      .select(col(ordCol), col(userCol),
+        col("first_touch"), col("last_touch"), col("n_prior_touches"))
+  }
+
   /** Pareto concentration report ("what fraction of keys produce 80% of
     * the volume"): per-key counts ranked by (n DESC, key ASC), running
     * share, and the smallest head size reaching `num/den` of the total.

@@ -1,0 +1,54 @@
+package graft.enrich
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Longest-prefix-match CIDR lookup — routing-table / GeoIP-database
+  * semantics: of all prefixes containing an address, the MOST SPECIFIC
+  * (largest prefix length) wins. This is the correct resolution rule
+  * for nested CIDR sets, which `network_direction`'s any-match test
+  * (packetbeat's `internal_networks`, ref
+  * packetbeat/protos/applayer/applayer.go network classification) and
+  * the q_ip_range_lookup bin join don't express.
+  *
+  * Scale shape: the route table is broadcast-small by definition
+  * (routing tables / geo block indexes are ≤ millions of rows; the
+  * probe side is the 10¹²-row event stream). Each probe expands to one
+  * row per DISTINCT prefix length present in the table — ≤ 33 for IPv4,
+  * typically ≤ 6 in real tables — via a broadcast cross join (never a
+  * per-row collect), masks the address with exact shift arithmetic, and
+  * equi-joins broadcast on (plen, network). The winner is one map-side
+  * max(struct(plen, …)) per probe: |events|·|lens| narrow intermediate
+  * rows, zero range predicates, zero BNLJ.
+  */
+object CidrLpm {
+
+  /** `routes` must carry (netCol: long — the network address as an int,
+    * already masked; plenCol: int — prefix length 0..32; labelCol:
+    * string) with unique (network, plen). Output: one row per input row
+    * that matches ≥ 1 route (plant a 0.0.0.0/0 default to make the
+    * lookup total), with the winning (plen, label, network).
+    */
+  def lookup(df: DataFrame, idCol: String, ipCol: String, routes: DataFrame,
+      netCol: String = "network", plenCol: String = "plen",
+      labelCol: String = "label"): DataFrame = {
+    val lens = routes.select(col(plenCol).cast("int").as("_plen")).distinct()
+    val probes = df
+      .crossJoin(broadcast(lens))
+      .withColumn("_masked", expr(
+        s"shiftleft(shiftright(CAST($ipCol AS BIGINT), 32 - _plen), 32 - _plen)"))
+    val r = routes.select(
+      col(netCol).cast("long").as("_net"),
+      col(plenCol).cast("int").as("_rplen"),
+      col(labelCol).cast("string").as("_label"))
+    probes
+      .join(broadcast(r),
+        probes("_plen") === r("_rplen") && probes("_masked") === r("_net"))
+      .groupBy(col(idCol), col(ipCol))
+      .agg(max(struct(col("_rplen"), col("_label"), col("_net"))).as("_w"))
+      .select(col(idCol), col(ipCol),
+        col("_w._rplen").as("plen"),
+        col("_w._label").as("label"),
+        col("_w._net").as("network"))
+  }
+}

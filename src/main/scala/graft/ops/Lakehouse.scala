@@ -115,6 +115,34 @@ object Lakehouse {
     * cross-engine parity. Output: (gap_start, gap_end, n_days) per run
     * of consecutive missing days.
     */
+  /** Retention sweep plan — the TTL-expiry side of data-lifecycle
+    * compliance (the delete counterpart of [[applyTombstones]]'s
+    * right-to-erasure): per day-partition older than `ttlDays` before
+    * the newest day present, how many rows expire, how many are pinned
+    * by a LEGAL HOLD on their key (holds must survive TTL — the
+    * litigation-hold rule), and how many are actually droppable. "now"
+    * is the data's own max day (deterministic — never wall clock), the
+    * hold set is a broadcast semi-probe, and the plan is one filtered
+    * hash aggregate over (day): no full-table window, no driver loop.
+    * Partitions wholly past TTL with zero holds are full `dt=` drops;
+    * held rows force a rewrite-without-expired instead.
+    */
+  def retentionSweep(df: DataFrame, tsCol: String, keyCol: String,
+      holds: DataFrame, ttlDays: Int): DataFrame = {
+    val cutoff = df.agg(date_sub(max(to_date(col(tsCol))), ttlDays).as("_cutoff"))
+    val held = broadcast(holds.select(col(keyCol).cast("long").as("_hk")).distinct())
+    df.select(to_date(col(tsCol)).as("_d"), col(keyCol).cast("long").as("_k"))
+      .crossJoin(broadcast(cutoff))
+      .where(col("_d") < col("_cutoff"))
+      .join(held, col("_k") === col("_hk"), "left")
+      .groupBy(date_format(col("_d"), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_expired"),
+        sum(when(col("_hk").isNotNull, 1L).otherwise(0L)).as("n_held"),
+        sum(when(col("_hk").isNull, 1L).otherwise(0L)).as("n_droppable"))
+      .withColumn("full_drop", col("n_held") === 0L)
+  }
+
   def backfillGaps(df: DataFrame, tsCol: String = "ts"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val days = df.select(to_date(col(tsCol)).as("_d")).distinct()

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling report — the Deequ / Great-Expectations analyzer
+  * pass every lakehouse runs before publishing a table: per column,
+  * row/non-null/distinct counts, lexicographic min/max of the string
+  * rendering, total rendered length, and the null rate in exact ppm.
+  * This is the schema-level complement of the row-level DQ audit
+  * (`q_dq_audit`): that one flags bad ROWS against rules; this one
+  * summarizes COLUMNS so a human can write the rules.
+  *
+  * Shape: ONE aggregate over the raw data (5 aggregates per column in a
+  * single `agg` — Catalyst plans the multi-distinct via Expand, so the
+  * scan stays single-pass with map-side partials; the Expand factor is
+  * |cols|, a constant), producing a 1-row wide result that a `stack`
+  * generator unpivots into |cols| rows. No per-column re-scan, no
+  * driver loop, nothing global but the final 1-row exchange.
+  *
+  * min/max/length profile the STRING rendering (`CAST(c AS STRING)`) so
+  * one report row type covers every column type; keep doubles out of
+  * the profiled set when cross-engine rendering parity matters.
+  */
+object Profile {
+
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      val s = col(c).cast("string")
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(s).as(s"${c}__min"),
+        max(s).as(s"${c}__max"),
+        sum(length(s)).as(s"${c}__len"))
+    }
+    val one = df.agg(count(lit(1)).as("_total"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__n, ${c}__nd, ${c}__min, ${c}__max, ${c}__len").mkString(", ")
+    one
+      .selectExpr("_total",
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_nonnull, n_distinct, min_str, max_str, sum_len)")
+      .select(col("col_name"),
+        col("_total").as("n_rows"),
+        col("n_nonnull"), col("n_distinct"),
+        col("min_str"), col("max_str"),
+        coalesce(col("sum_len"), lit(0L)).as("sum_len"),
+        expr("(_total - n_nonnull) * 1000000 div _total").as("null_ppm"))
+  }
+}

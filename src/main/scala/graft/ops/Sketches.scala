@@ -152,6 +152,83 @@ object Sketches {
        |SELECT n_parts, hll_merged, hll_direct, exact_keys FROM np, me, de""".stripMargin
   }
 
+  /** HLL set-operation estimate via inclusion–exclusion — the question
+    * sketches exist to answer without raw data ("how many users did
+    * BOTH"): build one register set per population (rows matching
+    * `predA` / `predB`), union them by per-register max (exact for
+    * union — the HLL closure property), and estimate
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B). Intersection is the one
+    * operation HLL canNOT do exactly, so the exact countDistinct runs
+    * alongside as the fixture-scale honesty column.
+    *
+    * All three estimates come from the same two fixed-size register
+    * tables (one groupBy(set, bucket) over the raw rows, then O(m)
+    * merges); the ±/− arithmetic runs on 6-dp-rounded doubles in a
+    * fixed operand order, so both engines see identical inputs and
+    * identical IEEE ops.
+    */
+  def hllIntersectProof(df: DataFrame, keyCol: String, predA: Column,
+      predB: Column, bHex: Int = 2, rhoBits: Int = 40): DataFrame = {
+    val m = 1 << (4 * bHex)
+    val am2 = hllAlpha(m) * m * m
+    val h = md5(col(keyCol).cast("string"))
+    val w = conv(substring(h, bHex + 1, rhoBits / 4), 16, 10).cast("long")
+    val rho = when(w === 0, lit(rhoBits + 1))
+      .otherwise(instr(lpad(bin(w), rhoBits, "0"), "1")).cast("int")
+    val cells = df
+      .select(predA.as("_a"), predB.as("_b"),
+        conv(substring(h, 1, bHex), 16, 10).cast("long").as("bucket"),
+        rho.as("rho"), col(keyCol).cast("string").as("_k"))
+      .where(col("_a") || col("_b"))
+    def estimate(regs: DataFrame, out: String): DataFrame = regs.agg(
+      round(lit(am2) / (sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), r)")) +
+        (lit(m) - count(lit(1)))), 6).as(out))
+    val regsA = cells.where(col("_a")).groupBy("bucket").agg(max("rho").as("r"))
+    val regsB = cells.where(col("_b")).groupBy("bucket").agg(max("rho").as("r"))
+    val regsU = cells.groupBy("bucket").agg(max("rho").as("r"))
+    val exact = cells.agg(
+      countDistinct(when(col("_a") && col("_b"), col("_k"))).as("exact_both"))
+    exact
+      .crossJoin(estimate(regsA, "est_a"))
+      .crossJoin(estimate(regsB, "est_b"))
+      .crossJoin(estimate(regsU, "est_union"))
+      .select(
+        round(col("est_a") + col("est_b") - col("est_union"), 6).as("est_intersect"),
+        col("est_a"), col("est_b"), col("est_union"), col("exact_both"))
+  }
+
+  /** DuckDB twin of [[hllIntersectProof]]. `predASql`/`predBSql` are SQL
+    * renderings of the same predicates.
+    */
+  def hllIntersectSql(table: String, keyExpr: String, predASql: String,
+      predBSql: String, bHex: Int = 2, rhoBits: Int = 40): String = {
+    val m = 1 << (4 * bHex)
+    val am2 = hllAlpha(m) * m * m
+    def est(src: String) =
+      s"""SELECT round(CAST($am2 AS DOUBLE) /
+         |    (sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << r)) + ($m - count(*))), 6)
+         |  FROM $src""".stripMargin
+    s"""WITH cells AS (
+       |  SELECT ($predASql) AS a, ($predBSql) AS b,
+       |    ('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, $bHex))::BIGINT AS bucket,
+       |    CASE WHEN ('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), ${bHex + 1}, ${rhoBits / 4}))::BIGINT = 0
+       |         THEN ${rhoBits + 1}
+       |         ELSE strpos(lpad(bin(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), ${bHex + 1}, ${rhoBits / 4}))::BIGINT), $rhoBits, '0'), '1')
+       |    END AS rho,
+       |    CAST($keyExpr AS VARCHAR) AS k
+       |  FROM $table WHERE ($predASql) OR ($predBSql)),
+       |ra AS (SELECT bucket, max(rho) AS r FROM cells WHERE a GROUP BY 1),
+       |rb AS (SELECT bucket, max(rho) AS r FROM cells WHERE b GROUP BY 1),
+       |ru AS (SELECT bucket, max(rho) AS r FROM cells GROUP BY 1),
+       |ea AS (SELECT (${est("ra")}) AS est_a),
+       |eb AS (SELECT (${est("rb")}) AS est_b),
+       |eu AS (SELECT (${est("ru")}) AS est_union),
+       |ex AS (SELECT count(DISTINCT CASE WHEN a AND b THEN k END) AS exact_both FROM cells)
+       |SELECT round(est_a + est_b - est_union, 6) AS est_intersect,
+       |  est_a, est_b, est_union, exact_both
+       |FROM ex, ea, eb, eu""".stripMargin
+  }
+
   /** The d Count-Min cells of one key: (row j, column from the first
     * `widthHex` hex chars of md5("j:" || key)).
     */

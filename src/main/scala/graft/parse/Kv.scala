@@ -1,0 +1,70 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** logfmt / key=value field extraction — the Elasticsearch-ingest `kv`
+  * processor / Logstash `kv` filter surface that Beats users run
+  * immediately downstream of Filebeat (the reference ships the events;
+  * the KV split is the first thing the receiving pipeline does to
+  * them). Values are either BARE (no whitespace, no quote) or
+  * double-QUOTED (may contain spaces); the first occurrence of a key
+  * wins, matching `regexp_extract`'s leftmost-match semantics on both
+  * engines.
+  *
+  * Pure codegen regex projection — one pass, no UDF, no shuffle, no
+  * explode: each requested key compiles to one `regexp_extract` and the
+  * pair census to one `regexp_extract_all` + `size`, all inside
+  * whole-stage codegen. The pattern set is RE2-compatible (no
+  * lookbehind), so the DuckDB oracle runs the IDENTICAL regexes.
+  */
+object Kv {
+
+  /** `(?:^|\s)` prefix instead of lookbehind (RE2/DuckDB-safe): a pair
+    * starts at line start or after whitespace, so a token like
+    * `a=b=c`'s tail never matches. Known regex-parser limitation
+    * (shared with Logstash's default kv filter): a `k=v` token inside
+    * an earlier QUOTED value still matches — regexes don't track quote
+    * context; feed pre-split fields if that matters.
+    */
+  private def keyPattern(key: String): String =
+    "(?:^|\\s)" + java.util.regex.Pattern.quote(key) + "=(\"[^\"]*\"|[^\\s\"]+)"
+
+  /** All-pair census pattern (any word key). */
+  private val anyPair = "(?:^|\\s)\\w+=(\"[^\"]*\"|[^\\s\"]+)"
+
+  /** Extract `keys` from the logfmt text column into `prefix`-named
+    * string columns (absent key or empty value ⇒ NULL), plus `n_pairs` =
+    * total well-formed pairs on the line. Quotes are stripped from
+    * quoted values; empty quoted values (`k=""`) normalize to NULL so
+    * both engines agree on the no-value rendering.
+    */
+  def parse(df: DataFrame, textCol: String, keys: Seq[String],
+      prefix: String = "kv_"): DataFrame = {
+    val withKeys = keys.foldLeft(df) { (d, k) =>
+      val raw = regexp_extract(col(textCol), keyPattern(k), 1)
+      d.withColumn(prefix + k,
+        nullif(regexp_replace(raw, "^\"|\"$", ""), lit("")))
+    }
+    withKeys.withColumn("n_pairs",
+      size(expr(s"regexp_extract_all($textCol, '${anyPair.replace("\\", "\\\\")}', 0)"))
+        .cast("long"))
+  }
+
+  /** DuckDB twin of [[parse]] (same regexes, RE2 engine): SELECT-list
+    * fragment for one key — coalesce-to-''-then-nullif normalizes
+    * DuckDB's NULL-on-no-match to Spark's ''-on-no-match.
+    */
+  def oracleKeyExpr(textExpr: String, key: String, outCol: String): String = {
+    // DuckDB string literals do NOT process backslash escapes (Postgres
+    // standard strings), so the single-backslash regex goes in verbatim;
+    // the 'g' flag matches Spark's replace-ALL regexp_replace default
+    // (DuckDB's default is first-match-only)
+    val pat = keyPattern(key).replace("'", "''")
+    s"nullif(regexp_replace(coalesce(regexp_extract($textExpr, '$pat', 1), ''), '^\"|\"$$', '', 'g'), '') AS $outCol"
+  }
+
+  /** DuckDB twin of the `n_pairs` census. */
+  def oraclePairCount(textExpr: String): String =
+    s"CAST(len(regexp_extract_all($textExpr, '$anyPair', 0)) AS BIGINT) AS n_pairs"
+}

@@ -1,0 +1,179 @@
+package graft
+
+import graft.agg.Aggregates
+import graft.enrich.CidrLpm
+import graft.ops.{Lakehouse, Profile, Sketches}
+import graft.parse.Kv
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-8 operators: logfmt KV extraction, CIDR longest-prefix
+  * match, retention sweep, touch attribution, HLL intersection,
+  * column profiling.
+  */
+class SweepOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- Kv.parse ----------------------------------------------------------
+
+  test("kv: quoted values keep spaces, bare values stop at whitespace") {
+    val df = Seq(
+      (1L, """level=INFO msg="disk nearly full" host=web1"""),
+      (2L, """level=WARN msg=short host=web2 port=8080""")).toDF("id", "line")
+    val out = Kv.parse(df, "line", Seq("level", "msg", "host", "port"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("kv_msg") == "disk nearly full")
+    assert(out(0).getAs[String]("kv_host") == "web1")
+    assert(out(1).getAs[String]("kv_msg") == "short")
+    assert(out(1).getAs[String]("kv_port") == "8080")
+    assert(out(0).getAs[Long]("n_pairs") == 3L)
+    assert(out(1).getAs[Long]("n_pairs") == 4L)
+  }
+
+  test("kv: missing key and empty quoted value are NULL; first match wins") {
+    val df = Seq(
+      (1L, """a=1 a=2 b="" c=x"""),
+      (2L, """justtext no pairs here""")).toDF("id", "line")
+    val out = Kv.parse(df, "line", Seq("a", "b", "c", "zzz")).orderBy("id").collect()
+    assert(out(0).getAs[String]("kv_a") == "1") // first occurrence
+    assert(out(0).isNullAt(out(0).fieldIndex("kv_b"))) // empty quoted ⇒ NULL
+    assert(out(0).getAs[String]("kv_c") == "x")
+    assert(out(0).isNullAt(out(0).fieldIndex("kv_zzz")))
+    assert(out(1).getAs[Long]("n_pairs") == 0L)
+  }
+
+  test("kv: a=b=c style token only binds the first =") {
+    val df = Seq((1L, "k=a=b other=1")).toDF("id", "line")
+    val out = Kv.parse(df, "line", Seq("k", "other")).collect()(0)
+    assert(out.getAs[String]("kv_k") == "a=b")
+    assert(out.getAs[Long]("n_pairs") == 2L)
+  }
+
+  // ---- CidrLpm -----------------------------------------------------------
+
+  test("lpm: the most-specific matching prefix wins") {
+    // routes: /0 default; 10.0.0.0/8-analog (here: top byte of a 16-bit
+    // toy space); one /28; one /32 exact host
+    val routes = Seq(
+      (0L, 0, "default"),
+      (0x1200L, 24, "block24"), // covers 0x1200-0x12ff
+      (0x1230L, 28, "block28"), // covers 0x1230-0x123f
+      (0x1234L, 32, "host")).toDF("network", "plen", "label")
+    val ips = Seq((1L, 0x1234L), (2L, 0x1235L), (3L, 0x12aaL), (4L, 0x9999L))
+      .toDF("id", "ip")
+    val got = CidrLpm.lookup(ips, "id", "ip", routes)
+      .select("id", "label").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "host", 2L -> "block28", 3L -> "block24", 4L -> "default"))
+  }
+
+  test("lpm: plan broadcasts the route side (no shuffle of probes for the join)") {
+    val routes = Seq((0L, 0, "default"), (256L, 24, "b")).toDF("network", "plen", "label")
+    val ips = spark.range(100).select(col("id"), (col("id") * 7 % 1024).as("ip"))
+    val plan = CidrLpm.lookup(ips, "id", "ip", routes)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  // ---- retentionSweep ----------------------------------------------------
+
+  test("retention sweep: expired days, legal holds, full-drop flag") {
+    val rows = Seq(
+      // day 1: expired, no holds → full drop
+      (1L, "2024-01-01 10:00:00", 100L),
+      (2L, "2024-01-01 11:00:00", 101L),
+      // day 2: expired, one held key
+      (3L, "2024-01-02 10:00:00", 200L),
+      (4L, "2024-01-02 11:00:00", 101L),
+      // recent day inside TTL — not in the plan; also sets max day
+      (5L, "2024-01-20 10:00:00", 100L))
+      .toDF("id", "ts_s", "user_id")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val holds = Seq(200L).toDF("user_id")
+    val got = Lakehouse.retentionSweep(rows, "ts", "user_id", holds, ttlDays = 10)
+      .orderBy("day")
+      .select("day", "n_expired", "n_held", "n_droppable", "full_drop")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-01", 2L, 0L, 2L, true),
+      ("2024-01-02", 2L, 1L, 1L, false)))
+  }
+
+  // ---- touchAttribution ----------------------------------------------------
+
+  test("attribution: first/last prior non-conversion touch, tie-broken by ord") {
+    val rows = Seq(
+      (1L, 7L, "view", "2024-01-01 10:00:00"),
+      (2L, 7L, "click", "2024-01-01 10:05:00"),
+      (3L, 7L, "purchase", "2024-01-01 10:06:00"), // first=view last=click n=2
+      (4L, 7L, "click", "2024-01-01 10:07:00"),
+      (5L, 7L, "purchase", "2024-01-01 10:08:00"), // first=view last=click n=3
+      (6L, 8L, "purchase", "2024-01-01 09:00:00")) // no prior touches
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = Aggregates.touchAttribution(rows, "user_id", "event_type",
+        "ts", "event_id", "purchase")
+      .orderBy("event_id")
+      .collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[String]("first_touch") == "view")
+    assert(got(0).getAs[String]("last_touch") == "click")
+    assert(got(0).getAs[Long]("n_prior_touches") == 2L)
+    assert(got(1).getAs[String]("last_touch") == "click")
+    assert(got(1).getAs[Long]("n_prior_touches") == 3L)
+    assert(got(2).isNullAt(got(2).fieldIndex("first_touch")))
+    assert(got(2).getAs[Long]("n_prior_touches") == 0L)
+  }
+
+  // ---- hllIntersectProof ---------------------------------------------------
+
+  test("hll intersect: B ⊆ A makes union registers equal A's (est_union == est_a)") {
+    val df = spark.range(2000).select(col("id").as("k"),
+      (col("id") % 2 === 0).as("inB"))
+    val got = Sketches.hllIntersectProof(df, "k", lit(true), col("inB")).collect()(0)
+    assert(got.getAs[Double]("est_union") == got.getAs[Double]("est_a"))
+    assert(got.getAs[Long]("exact_both") == 1000L)
+    // inclusion–exclusion identity holds by construction
+    val lhs = got.getAs[Double]("est_intersect")
+    val rhs = BigDecimal(got.getAs[Double]("est_a") + got.getAs[Double]("est_b") -
+      got.getAs[Double]("est_union")).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(math.abs(lhs - rhs.toDouble) < 1e-9)
+  }
+
+  test("hll intersect: disjoint sets estimate near zero overlap") {
+    val df = spark.range(4000).select(col("id").as("k"),
+      (col("id") < 2000).as("a"), (col("id") >= 2000).as("b"))
+    val got = Sketches.hllIntersectProof(df, "k", col("a"), col("b")).collect()(0)
+    assert(got.getAs[Long]("exact_both") == 0L)
+    // estimate error for disjoint sets is bounded by HLL noise; with
+    // m=256 the relative error is ~6.5%, so |est| ≤ 25% of the union
+    assert(math.abs(got.getAs[Double]("est_intersect")) <
+      0.25 * got.getAs[Double]("est_union"))
+  }
+
+  // ---- columnProfile -------------------------------------------------------
+
+  test("column profile: counts, distinct, min/max, lengths, null ppm") {
+    val df = Seq(
+      (1L, Some("aa"), "x"),
+      (2L, None, "y"),
+      (3L, Some("bbb"), "x"),
+      (4L, Some("aa"), "z"))
+      .toDF("id", "s", "t")
+    val got = Profile.columnProfile(df, Seq("id", "s", "t"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val s = got("s")
+    assert(s.getAs[Long]("n_rows") == 4L)
+    assert(s.getAs[Long]("n_nonnull") == 3L)
+    assert(s.getAs[Long]("n_distinct") == 2L)
+    assert(s.getAs[String]("min_str") == "aa")
+    assert(s.getAs[String]("max_str") == "bbb")
+    assert(s.getAs[Long]("sum_len") == 7L)
+    assert(s.getAs[Long]("null_ppm") == 250000L)
+    val id = got("id")
+    assert(id.getAs[Long]("n_distinct") == 4L)
+    assert(id.getAs[String]("min_str") == "1")
+    assert(id.getAs[Long]("null_ppm") == 0L)
+    assert(got("t").getAs[Long]("n_distinct") == 3L)
+  }
+}
