@@ -1887,7 +1887,33 @@ object SparkEntry {
         when(col("event_id") % 13 =!= 0, col("props")).as("props"))
       graft.ops.Profile.columnProfile(fx,
         Seq("event_id", "user_id", "event_type", "props"))
-    }
+    },
+
+    // trace assembly: 16-span binary-heap trees (span i ← parent
+    // (i−1)/2), iterative frontier walk to the root; critical path =
+    // max span→root duration sum, exact integer cents
+    "q_trace_path" -> { (s, dir) =>
+      val idx = pmod(col("event_id"), lit(16L))
+      val spans = events(s, dir).select(
+        expr("event_id div 16").as("trace_id"),
+        idx.as("span_id"),
+        when(idx === 0, lit(null).cast("long"))
+          .otherwise(expr("(event_id % 16 - 1) div 2")).as("parent_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("dur"))
+      graft.ops.Traces.criticalPath(spans, "trace_id", "span_id",
+        "parent_id", "dur", maxDepth = 6)
+    },
+
+    // γ=2 DDSketch quantiles: bit-length buckets (log-free), fixed
+    // 64-register mergeable state per group, p50/p90/p99 from registers
+    "q_p2_quantiles" -> ((s, dir) =>
+      Sketches.p2QuantileSketch(events(s, dir), "value", Seq("event_type"))),
+
+    // bitmap index: two predicate bitsets packed 32 bits/word, boolean
+    // algebra via bit_or / popcount words, direct counts alongside
+    "q_bitmap_query" -> ((s, dir) =>
+      graft.ops.BitmapIndex.booleanReport(events(s, dir), "event_id",
+        col("value") >= 100, pmod(col("user_id"), lit(2)) === 0))
   )
 
   /** Deterministic nested CIDR route table for q_cidr_lpm: a /0
@@ -5087,6 +5113,58 @@ object SparkEntry {
         |UNION ALL SELECT 'event_type', total, n3, d3, mn3, mx3, l3,
         |  (total - n3) * 1000000 // total FROM a
         |UNION ALL SELECT 'props', total, n4, d4, mn4, mx4, l4,
-        |  (total - n4) * 1000000 // total FROM a""".stripMargin
+        |  (total - n4) * 1000000 // total FROM a""".stripMargin,
+
+    // recursive-CTE parent walk = the iterative frontier join; all-int
+    // duration cents so path sums are exact on both engines
+    "q_trace_path" ->
+      """WITH RECURSIVE spans AS (
+        |  SELECT event_id // 16 AS trace, event_id % 16 AS idx,
+        |    CASE WHEN event_id % 16 = 0 THEN NULL
+        |         ELSE (event_id % 16 - 1) // 2 END AS par,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS dur
+        |  FROM events),
+        |walk AS (
+        |  SELECT trace, par AS anc, dur AS acc, 0 AS depth FROM spans
+        |  UNION ALL
+        |  SELECT w.trace, s.par AS anc, w.acc + s.dur, w.depth + 1
+        |  FROM walk w JOIN spans s ON s.trace = w.trace AND s.idx = w.anc),
+        |done AS (SELECT trace, acc, depth FROM walk WHERE anc IS NULL),
+        |shape AS (
+        |  SELECT trace, count(*) AS n_spans,
+        |    CAST(sum(dur) AS BIGINT) AS total_dur,
+        |    max(CASE WHEN par IS NULL THEN dur END) AS root_dur
+        |  FROM spans GROUP BY 1)
+        |SELECT shape.trace AS trace_id, n_spans, total_dur, root_dur,
+        |  CAST(max(d.depth) AS INTEGER) AS max_depth,
+        |  CAST(max(d.acc) AS BIGINT) AS critical_dur,
+        |  false AS truncated
+        |FROM shape JOIN done d ON d.trace = shape.trace
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q_p2_quantiles" -> Sketches.p2QuantileSql("events", "value", "event_type"),
+
+    // DuckDB ^ is power — xor(a,b) is the bitwise form; words pack 32
+    // bits per BIGINT so masks/popcounts never touch the sign bit
+    "q_bitmap_query" ->
+      """WITH m AS (
+        |  SELECT event_id // 32 AS word_id,
+        |    (1::BIGINT << CAST(event_id % 32 AS INTEGER)) AS mask,
+        |    (value >= 100) AS pa, (user_id % 2 = 0) AS pb
+        |  FROM events),
+        |a AS (SELECT word_id, bit_or(mask) AS ba FROM m WHERE pa GROUP BY 1),
+        |b AS (SELECT word_id, bit_or(mask) AS bb FROM m WHERE pb GROUP BY 1),
+        |j AS (SELECT COALESCE(a.ba, 0) AS ba, COALESCE(b.bb, 0) AS bb
+        |      FROM a FULL OUTER JOIN b ON a.word_id = b.word_id),
+        |bits AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(bit_count(ba & bb)) AS BIGINT) AS and_rows,
+        |  CAST(sum(bit_count(ba | bb)) AS BIGINT) AS or_rows,
+        |  CAST(sum(bit_count(xor(ba, bb))) AS BIGINT) AS xor_rows,
+        |  CAST(sum(bit_count(ba & ~bb)) AS BIGINT) AS andnot_rows FROM j),
+        |direct AS (SELECT
+        |  CAST(sum(CASE WHEN value >= 100 AND user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS direct_and,
+        |  CAST(sum(CASE WHEN value >= 100 OR user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS direct_or
+        |  FROM events)
+        |SELECT * FROM bits, direct""".stripMargin
   )
 }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bitmap (bitset) secondary indexes over a dense row-id space — the
+  * roaring-bitmap pattern OLAP stores use for low-cardinality predicate
+  * evaluation: one bitmap per predicate value, boolean queries become
+  * bitwise AND/OR/XOR over 32-bit words + popcount, never touching the
+  * fact rows. Beats' nearest analog is the registrar's per-file state
+  * set (`filebeat/registrar/registrar.go`); the operator itself is the
+  * LLM-curation filter-combination primitive (quality ∧ language ∧
+  * not-dup as three precomputed bitmaps).
+  *
+  * Scale shape: building a bitmap is one narrow projection + one
+  * groupBy(word_id) with map-side combine — n rows shrink to n/32 words
+  * before the shuffle, and the bit_or merge is associative (streamable,
+  * mergeable across ingest batches). Querying joins word tables of size
+  * n/32 on the word id — co-partitioned if both bitmaps persist bucketed
+  * by word_id. Bits are packed 32-per-BIGINT (not 64) so every mask and
+  * popcount stays in non-negative range on engines with signed-only
+  * shifts.
+  */
+object BitmapIndex {
+
+  /** Pack `pred` over the dense non-negative id column into 32-bit
+    * words: (word_id, bitmap) with bit (id mod 32) set iff pred held on
+    * that id. Ids must be unique; absent words mean all-zero.
+    */
+  def build(df: DataFrame, idCol: String, pred: Column): DataFrame =
+    df.where(pred)
+      .select(expr(s"$idCol div 32").as("word_id"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($idCol % 32 AS INT))").as("mask"))
+      .groupBy("word_id")
+      .agg(expr("bit_or(mask)").as("bitmap"))
+
+  /** Build bitmaps for two predicates and evaluate AND / OR / XOR /
+    * ANDNOT entirely on the packed words, with the direct row-level
+    * counts alongside as the honesty check. Output is one row.
+    */
+  def booleanReport(df: DataFrame, idCol: String,
+      predA: Column, predB: Column): DataFrame = {
+    val a = build(df, idCol, predA).withColumnRenamed("bitmap", "ba")
+    val b = build(df, idCol, predB).withColumnRenamed("bitmap", "bb")
+    val joined = a.join(b, Seq("word_id"), "full_outer")
+      .select(coalesce(col("ba"), lit(0L)).as("ba"),
+        coalesce(col("bb"), lit(0L)).as("bb"))
+    val bitSide = joined.agg(
+      count(lit(1)).as("n_words"),
+      sum(bit_count(expr("ba & bb")).cast("long")).as("and_rows"),
+      sum(bit_count(expr("ba | bb")).cast("long")).as("or_rows"),
+      sum(bit_count(expr("ba ^ bb")).cast("long")).as("xor_rows"),
+      sum(bit_count(expr("ba & ~bb")).cast("long")).as("andnot_rows"))
+    val direct = df.agg(
+      sum(when(predA && predB, 1L).otherwise(0L)).as("direct_and"),
+      sum(when(predA || predB, 1L).otherwise(0L)).as("direct_or"))
+    bitSide.crossJoin(direct) // 1 row × 1 row
+  }
+}

@@ -328,4 +328,76 @@ object Sketches {
        |SELECT pb.term, pb.freq, min(cells.cnt) AS cm_est, pb.rank
        |FROM pb JOIN cells ON pb.j = cells.j AND pb.c = cells.c
        |GROUP BY 1, 2, 4""".stripMargin
+
+  /** DDSketch-family relative-error quantile sketch with γ = 2: the
+    * bucket of a positive integer v is its BIT LENGTH (bucket b covers
+    * [2^(b-1), 2^b−1]), so the register build needs no log() call — the
+    * bucket index is `length(bin(v))`, exact on both engines. Registers
+    * are (group, bucket) → count: FIXED size (≤ 64 buckets per group
+    * whatever the row count), merge by addition, and answer any quantile
+    * after the fact — the structure a 100 TB telemetry store keeps per
+    * (service, minute) instead of raw latencies. Mid-bucket estimate
+    * (3·2^(b−1)−1) div 2 is pure integer; worst-case relative error is
+    * γ−1 = 100% at bucket edges (γ=2 trades accuracy for a 64-register
+    * ceiling; production DDSketch uses γ≈1.02 and ~1k buckets — same
+    * algebra, log-free only for power-of-2 γ).
+    *
+    * Rank convention: quantile q picks the smallest bucket whose
+    * cumulative count ≥ floor(q·(n−1)) + 1 (the "lower" empirical
+    * quantile) — deterministic, no interpolation.
+    *
+    * Input `valCol` is a non-negative double, fixed-pointed to integer
+    * micros before bucketing (v = floor(x·1e6 + 0.5); v = 0 lands in
+    * bucket 1 alongside v = 1 — documented edge, bin(0) = "0").
+    */
+  def p2QuantileSketch(df: DataFrame, valCol: String, groupCols: Seq[String],
+      qsPpm: Seq[Int] = Seq(500000, 900000, 990000)): DataFrame = {
+    val gs = groupCols.map(col)
+    val v = floor(col(valCol).cast("double") * 1000000d + 0.5d).cast("long")
+    val regs = df
+      .select(gs :+ length(bin(v)).cast("int").as("bucket"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(gs: _*).orderBy(col("bucket"))
+    val cum = regs
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(gs: _*)))
+    val qdf = df.sparkSession.createDataFrame(
+      qsPpm.map(Tuple1(_))).toDF("q_ppm")
+    // registers per group are tiny (≤ 64) — the q fan-out is a broadcast
+    cum.join(broadcast(qdf))
+      .where(col("cum") >= expr("(q_ppm * (n - 1)) div 1000000 + 1"))
+      .groupBy((groupCols :+ "q_ppm").map(col): _*)
+      .agg(min(col("bucket")).as("bucket"), max(col("n")).as("n"))
+      .select(gs ++ Seq(col("q_ppm"), col("n"), col("bucket"),
+        expr("(3 * shiftleft(CAST(1 AS BIGINT), bucket - 1) - 1) div 2")
+          .as("est_micros")): _*)
+  }
+
+  /** DuckDB twin of [[p2QuantileSketch]] over `table` grouped by one
+    * column.
+    */
+  def p2QuantileSql(table: String, valExpr: String, groupCol: String,
+      qsPpm: Seq[Int] = Seq(500000, 900000, 990000)): String = {
+    val qList = qsPpm.mkString(", ")
+    s"""WITH v AS (
+       |  SELECT $groupCol AS g,
+       |    length(bin(CAST(floor(($valExpr) * 1000000 + 0.5) AS BIGINT))) AS bucket
+       |  FROM $table),
+       |regs AS (SELECT g, bucket, count(*) AS cnt FROM v GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT g, bucket, cnt,
+       |    sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+       |    sum(cnt) OVER (PARTITION BY g) AS n
+       |  FROM regs),
+       |qs AS (SELECT unnest([$qList]) AS q_ppm)
+       |SELECT cum.g AS $groupCol, qs.q_ppm,
+       |  CAST(max(cum.n) AS BIGINT) AS n,
+       |  CAST(min(cum.bucket) AS INTEGER) AS bucket,
+       |  CAST((3 * (1::BIGINT << (min(cum.bucket) - 1)) - 1) // 2 AS BIGINT) AS est_micros
+       |FROM cum CROSS JOIN qs
+       |WHERE cum.cum >= (qs.q_ppm * (cum.n - 1)) // 1000000 + 1
+       |GROUP BY 1, 2""".stripMargin
+  }
 }

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed-trace assembly: spans (trace_id, span_id, parent_span_id,
+  * duration) → per-trace shape + critical-path metrics. This is the
+  * observability-pipeline reduction Beats feeds but never computes
+  * (APM spans ride the same libbeat event path as logs,
+  * `libbeat/publisher/pipeline/pipeline.go`); the join-to-parent walk is
+  * the batch analog of an APM server's trace assembler.
+  *
+  * Scale shape: each round joins the still-walking frontier to the span
+  * table on (trace, ancestor) — a key-partitioned shuffle join whose
+  * frontier SHRINKS as walks reach their root (finished rows are banked,
+  * not re-joined). Rounds = trace depth, bounded by `maxDepth`; spans
+  * deeper than that surface as `truncated` rather than looping forever
+  * on a parent cycle. Per-round localCheckpoint truncates the
+  * doubling plan tree (the connectedComponents lesson). At 10¹² spans
+  * you'd pre-bucket both sides by trace_id so every round's join is
+  * co-located (see BucketedJoin) — the walk itself is already
+  * trace-local.
+  */
+object Traces {
+
+  /** Per-trace report over a span table.
+    *
+    * Output: (trace, n_spans, total_dur, root_dur, max_depth,
+    * critical_dur, truncated) where critical_dur = max over spans of the
+    * span→root duration sum (with non-negative durations this equals the
+    * classic critical path ending at the deepest-cost leaf), max_depth =
+    * hops from the deepest span to the root, and truncated flags traces
+    * whose walk did not reach a (parent IS NULL) root within `maxDepth`
+    * rounds (orphaned or cyclic parents).
+    */
+  def criticalPath(spans: DataFrame, traceCol: String, spanCol: String,
+      parentCol: String, durCol: String, maxDepth: Int = 16): DataFrame = {
+    val base = spans.select(
+        col(traceCol).cast("long").as("trace"),
+        col(spanCol).cast("long").as("node"),
+        col(parentCol).cast("long").as("par"),
+        col(durCol).cast("long").as("dur"))
+      .localCheckpoint() // read every round (join side) + by the shape agg
+
+    // walking state: (trace, anc = next ancestor to visit, acc = duration
+    // summed so far along node→…→current, depth = hops taken)
+    var frontier = base.select(col("trace"), col("par").as("anc"),
+      col("dur").as("acc"), lit(0).as("depth"))
+    var done = frontier.where(col("anc").isNull)
+      .withColumn("truncated", lit(false))
+    frontier = frontier.where(col("anc").isNotNull).localCheckpoint()
+
+    var round = 0
+    var pending = frontier.count()
+    while (pending > 0 && round < maxDepth) {
+      val stepped = frontier
+        .join(base.select(col("trace"), col("node"), col("par"),
+          col("dur").as("p_dur")), Seq("trace"))
+        .where(col("anc") === col("node"))
+        .select(col("trace"), col("par").as("anc"),
+          (col("acc") + col("p_dur")).as("acc"),
+          (col("depth") + 1).as("depth"))
+        .localCheckpoint()
+      done = done.unionAll(
+        stepped.where(col("anc").isNull).withColumn("truncated", lit(false)))
+      frontier = stepped.where(col("anc").isNotNull).localCheckpoint()
+      pending = frontier.count()
+      round += 1
+    }
+    // walks that never reached a root within maxDepth (orphan/cycle)
+    done = done.unionAll(frontier.withColumn("truncated", lit(true)))
+
+    val shape = base.groupBy("trace").agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("dur")).as("total_dur"),
+      max(when(col("par").isNull, col("dur"))).as("root_dur"))
+    val walk = done.groupBy("trace").agg(
+      max(col("depth")).as("max_depth"),
+      max(col("acc")).as("critical_dur"),
+      max(col("truncated")).as("truncated"))
+    shape.join(walk, Seq("trace"))
+      .select(col("trace").as("trace_id"), col("n_spans"), col("total_dur"),
+        col("root_dur"), col("max_depth"), col("critical_dur"),
+        col("truncated"))
+  }
+}

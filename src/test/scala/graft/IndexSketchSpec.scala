@@ -1,0 +1,113 @@
+package graft
+
+import graft.ops.{BitmapIndex, Sketches, Traces}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-9 operators: trace critical path, power-of-2 quantile
+  * sketch, bitmap index boolean algebra.
+  */
+class IndexSketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- Traces.criticalPath ------------------------------------------------
+
+  test("trace: critical path follows the heavier branch, depth is hops") {
+    // trace 1:      0(dur 10)
+    //            1(5)      2(100)
+    //          3(1)          4(7)
+    // critical = 4→2→0 = 117; total = 123; depth(4) = 2
+    val spans = Seq(
+      (1L, 0L, Option.empty[Long], 10L),
+      (1L, 1L, Some(0L), 5L),
+      (1L, 2L, Some(0L), 100L),
+      (1L, 3L, Some(1L), 1L),
+      (1L, 4L, Some(2L), 7L)).toDF("t", "s", "p", "d")
+    val out = Traces.criticalPath(spans, "t", "s", "p", "d", maxDepth = 8)
+      .collect()(0)
+    assert(out.getAs[Long]("n_spans") == 5L)
+    assert(out.getAs[Long]("total_dur") == 123L)
+    assert(out.getAs[Long]("root_dur") == 10L)
+    assert(out.getAs[Int]("max_depth") == 2)
+    assert(out.getAs[Long]("critical_dur") == 117L)
+    assert(!out.getAs[Boolean]("truncated"))
+  }
+
+  test("trace: parent cycle is flagged truncated, not an infinite loop") {
+    // 1 ⇄ 2 cycle with no root, plus a healthy single-span trace
+    val spans = Seq(
+      (7L, 1L, Some(2L), 3L),
+      (7L, 2L, Some(1L), 4L),
+      (8L, 0L, Option.empty[Long], 9L)).toDF("t", "s", "p", "d")
+    val out = Traces.criticalPath(spans, "t", "s", "p", "d", maxDepth = 4)
+      .collect().map(r => r.getAs[Long]("trace_id") -> r).toMap
+    assert(out(7L).getAs[Boolean]("truncated"))
+    assert(!out(8L).getAs[Boolean]("truncated"))
+    assert(out(8L).getAs[Long]("critical_dur") == 9L)
+  }
+
+  test("trace: two traces stay independent through the walk") {
+    val spans = Seq(
+      (1L, 0L, Option.empty[Long], 1L), (1L, 1L, Some(0L), 2L),
+      (2L, 0L, Option.empty[Long], 50L), (2L, 1L, Some(0L), 60L)
+    ).toDF("t", "s", "p", "d")
+    val out = Traces.criticalPath(spans, "t", "s", "p", "d")
+      .collect().map(r => r.getAs[Long]("trace_id") -> r.getAs[Long]("critical_dur")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 110L))
+  }
+
+  // ---- Sketches.p2QuantileSketch ------------------------------------------
+
+  test("p2 sketch: bucket estimate brackets the exact quantile within gamma=2") {
+    // 1000 values 1..1000 (milli-units → micros ×1000); p50 exact = 500.5
+    val df = spark.range(1, 1001).select(
+      lit("g").as("g"), (col("id") / 1000.0).as("v"))
+    val out = Sketches.p2QuantileSketch(df, "v", Seq("g"))
+      .collect().map(r => r.getAs[Int]("q_ppm") ->
+        (r.getAs[Int]("bucket"), r.getAs[Long]("est_micros"))).toMap
+    // q=0.5 → rank 500 → v_micros = 500000 → bucket = bitlen = 19
+    assert(out(500000)._1 == 19)
+    // est = midpoint of [2^18, 2^19-1] = 393215; true 500000 within [2^18, 2^19)
+    assert(out(500000)._2 == (3L * (1L << 18) - 1) / 2)
+    val est99 = out(990000)._2
+    assert(est99 >= 990000L / 2 && est99 <= 990000L * 2)
+  }
+
+  test("p2 sketch: registers are per-group and n is the group size") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 1000.0), ("b", 4.0))
+      .toDF("g", "v")
+    val out = Sketches.p2QuantileSketch(df, "v", Seq("g"), qsPpm = Seq(0, 999999))
+    val rows = out.collect().map(r =>
+      (r.getAs[String]("g"), r.getAs[Int]("q_ppm")) ->
+        (r.getAs[Long]("n"), r.getAs[Int]("bucket"))).toMap
+    assert(rows(("a", 0)) == ((3L, 20)))      // rank 1 → 1e6 micros, bitlen 20
+    assert(rows(("a", 999999)) == ((3L, 21))) // rank ⌊.999999·2⌋+1 = 2 → 2e6
+    assert(rows(("b", 0)) == ((1L, 22)))      // 4e6 micros < 2^22 → bitlen 22
+  }
+
+  // ---- BitmapIndex ---------------------------------------------------------
+
+  test("bitmap: boolean counts equal direct row counts across word boundaries") {
+    // ids 0..99 (spans 4 words): A = multiples of 3, B = multiples of 5
+    val df = spark.range(100).select(col("id"))
+    val out = BitmapIndex.booleanReport(df, "id",
+      pmod(col("id"), lit(3)) === 0, pmod(col("id"), lit(5)) === 0)
+      .collect()(0)
+    assert(out.getAs[Long]("and_rows") == 7L) // multiples of 15 in 0..99
+    assert(out.getAs[Long]("and_rows") == out.getAs[Long]("direct_and"))
+    assert(out.getAs[Long]("or_rows") == out.getAs[Long]("direct_or"))
+    // |A xor B| = |A| + |B| - 2|A∩B| = 34 + 20 - 14
+    assert(out.getAs[Long]("xor_rows") == 40L)
+    assert(out.getAs[Long]("andnot_rows") == 34L - 7L)
+  }
+
+  test("bitmap: build packs 32 bits per word and absent words are absent") {
+    val df = spark.range(70).select(col("id"))
+    val words = BitmapIndex.build(df, "id", col("id") < 33)
+      .collect().map(r => r.getAs[Long]("word_id") -> r.getAs[Long]("bitmap")).toMap
+    assert(words(0L) == 0xFFFFFFFFL)         // ids 0..31 all set
+    assert(words(1L) == 1L)                  // id 32 only
+    assert(!words.contains(2L))              // no ids ≥ 64 pass
+  }
+}
