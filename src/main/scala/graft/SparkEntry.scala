@@ -1913,7 +1913,41 @@ object SparkEntry {
     // algebra via bit_or / popcount words, direct counts alongside
     "q_bitmap_query" -> ((s, dir) =>
       graft.ops.BitmapIndex.booleanReport(events(s, dir), "event_id",
-        col("value") >= 100, pmod(col("user_id"), lit(2)) === 0))
+        col("value") >= 100, pmod(col("user_id"), lit(2)) === 0)),
+
+    // grid-bucketed spatial self-join (cell + 3×3 neighbor explode +
+    // exact integer residual); the oracle is the DEFINITIONAL brute
+    // force, proving the grid finds exactly the all-pairs answer
+    "q_spatial_join" -> { (s, dir) =>
+      val p = events(s, dir).where(col("event_id") % 10 === 0)
+        .select(col("event_id").as("id"),
+          expr("(event_id * 7919) % 50000").as("x"),
+          expr("(event_id * 104729) % 50000").as("y"))
+      graft.ops.Spatial.withinDistance(p, "id", "x", "y", r = 3000L)
+    },
+
+    // hierarchical path rollup: each hit counts toward every prefix of
+    // its 4-segment endpoint path — one posexplode, one groupBy
+    "q_path_rollup" -> { (s, dir) =>
+      val f = events(s, dir).select(
+        concat(lit("api/"), col("event_type"),
+          lit("/v"), (col("user_id") % 3).cast("string"),
+          lit("/p"), (col("event_id") % 7).cast("string")).as("path"),
+        col("user_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      graft.agg.Aggregates.pathRollup(f, "path", "user_id", col("cents"))
+    },
+
+    // encoding advisor: exact block-merged run counts + NDV per column
+    // → rle (50-wide runs) / dict (5-value type) / plain (md5 prefix)
+    "q_encoding_advisor" -> { (s, dir) =>
+      val fx = events(s, dir).select(
+        col("event_id"), col("event_type"),
+        expr("event_id div 50").cast("string").as("runny"),
+        substring(md5(col("event_id").cast("string")), 1, 8).as("hexid"))
+      graft.ops.Profile.encodingAdvisor(fx, "event_id",
+        Seq("event_type", "runny", "hexid"))
+    }
   )
 
   /** Deterministic nested CIDR route table for q_cidr_lpm: a /0
@@ -5165,6 +5199,64 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN value >= 100 AND user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS direct_and,
         |  CAST(sum(CASE WHEN value >= 100 OR user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS direct_or
         |  FROM events)
-        |SELECT * FROM bits, direct""".stripMargin
+        |SELECT * FROM bits, direct""".stripMargin,
+
+    // definitional all-pairs brute force — the grid join must match it
+    "q_spatial_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS id,
+        |    (event_id * 7919) % 50000 AS x, (event_id * 104729) % 50000 AS y
+        |  FROM events WHERE event_id % 10 = 0)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist_sq
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 9000000""".stripMargin,
+
+    "q_path_rollup" ->
+      """WITH f AS (
+        |  SELECT 'api/' || event_type || '/v' || CAST(user_id % 3 AS VARCHAR)
+        |      || '/p' || CAST(event_id % 7 AS VARCHAR) AS path,
+        |    user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |e AS (
+        |  SELECT array_to_string(list_slice(str_split(path, '/'), 1, i), '/') AS prefix,
+        |    CAST(i AS INTEGER) AS depth, user_id, cents
+        |  FROM f, (SELECT unnest(generate_series(1, 4)) AS i) g)
+        |SELECT prefix, depth, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS weight_sum
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // single global lag window — fine at oracle scale; the Spark side
+    // counts runs block-partitioned with boundary merging (exact)
+    "q_encoding_advisor" ->
+      """WITH fx AS (
+        |  SELECT event_id, event_type,
+        |    CAST(event_id // 50 AS VARCHAR) AS runny,
+        |    substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS hexid
+        |  FROM events),
+        |o AS (
+        |  SELECT event_type AS v1, runny AS v2, hexid AS v3,
+        |    lag(event_type) OVER w AS p1, lag(runny) OVER w AS p2,
+        |    lag(hexid) OVER w AS p3, row_number() OVER w AS rn
+        |  FROM fx WINDOW w AS (ORDER BY event_id)),
+        |a AS (
+        |  SELECT count(*) AS n,
+        |    count(DISTINCT v1) AS d1, count(DISTINCT v2) AS d2,
+        |    count(DISTINCT v3) AS d3,
+        |    1 + sum(CASE WHEN rn > 1 AND v1 IS DISTINCT FROM p1 THEN 1 ELSE 0 END) AS r1,
+        |    1 + sum(CASE WHEN rn > 1 AND v2 IS DISTINCT FROM p2 THEN 1 ELSE 0 END) AS r2,
+        |    1 + sum(CASE WHEN rn > 1 AND v3 IS DISTINCT FROM p3 THEN 1 ELSE 0 END) AS r3
+        |  FROM o),
+        |u AS (
+        |  SELECT 'event_type' AS col_name, n, d1 AS nd, r1 AS nr FROM a
+        |  UNION ALL SELECT 'runny', n, d2, r2 FROM a
+        |  UNION ALL SELECT 'hexid', n, d3, r3 FROM a)
+        |SELECT col_name, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(nd AS BIGINT) AS n_distinct, CAST(nr AS BIGINT) AS n_runs,
+        |  CAST(n * 1000000 // nr AS BIGINT) AS avg_run_ppm,
+        |  CASE WHEN n * 1000000 // nr >= 4000000 THEN 'rle'
+        |       WHEN nd * 100 <= n THEN 'dict' ELSE 'plain' END AS advice
+        |FROM u""".stripMargin
   )
 }

@@ -940,4 +940,29 @@ object Aggregates {
         abs(expr("coalesce(n, 0L) * 1000000 div _t") - col("exp_ppm"))
           .as("dev_ppm"))
   }
+
+  /** Hierarchical path rollup: every row contributes to EVERY prefix of
+    * its '/'-separated path (the URL/endpoint drill-down table log
+    * analytics UIs are built on — "all of /api", "/api/users",
+    * "/api/users/by-id" from one pass). Explode factor = path depth (a
+    * small constant), then one groupBy(prefix) with map-side combine;
+    * nothing is ever keyed on less than the full prefix string, so hot
+    * top-level prefixes skew the shuffle exactly as much as their true
+    * weight — salt via SkewJoin.saltedCount if one root dominates.
+    *
+    * Output: (prefix, depth, n_rows, n_users, weight_sum).
+    */
+  def pathRollup(df: DataFrame, pathCol: String, userCol: String,
+      weightCol: org.apache.spark.sql.Column): DataFrame = {
+    val segs = split(col(pathCol), "/")
+    df.select(col(userCol).as("_u"), weightCol.as("_w"), segs.as("_segs"))
+      .select(col("_u"), col("_w"), col("_segs"),
+        posexplode(col("_segs")).as(Seq("_i", "_seg")))
+      .select(col("_u"), col("_w"), (col("_i") + 1).as("depth"),
+        array_join(slice(col("_segs"), lit(1), col("_i") + 1), "/").as("prefix"))
+      .groupBy("prefix", "depth")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("_u")).as("n_users"),
+        sum(col("_w")).as("weight_sum"))
+  }
 }

@@ -48,4 +48,62 @@ object Profile {
         coalesce(col("sum_len"), lit(0L)).as("sum_len"),
         expr("(_total - n_nonnull) * 1000000 div _total").as("null_ppm"))
   }
+
+  /** Columnar-encoding advisor: per column, the EXACT run count in
+    * `orderCol` order plus NDV, yielding a dictionary/RLE/plain
+    * recommendation — the stats a lakehouse writer consults when picking
+    * parquet encodings for a rewrite (see Lakehouse.compactionPlan for
+    * the file-level sibling).
+    *
+    * The run count is computed scale-correctly: rows are blocked into
+    * `blockSize` groups of the (dense, non-negative) order column, runs
+    * are counted per block with a BLOCK-partitioned window, and adjacent
+    * blocks whose edge values match are merged by a second tiny window
+    * over the n/blockSize block-boundary table (exact — never a single
+    * global window over raw rows; at 10¹² rows pick blockSize near the
+    * parquet row-group row count so the boundary table is ~10⁶ rows).
+    *
+    * Rules (integer ppm arithmetic): avg run ≥ 4 ⇒ rle; else
+    * NDV ≤ 1% of rows ⇒ dict; else plain. NULL compares as a value
+    * (null-safe equality) inside runs; values compare as strings.
+    */
+  def encodingAdvisor(df: DataFrame, orderCol: String, cols: Seq[String],
+      blockSize: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCol = cols.map { c =>
+      val base = df.select(col(orderCol).cast("long").as("ord"),
+          col(c).cast("string").as("v"))
+        .withColumn("blk", expr(s"ord div $blockSize"))
+      val w = Window.partitionBy("blk").orderBy("ord")
+      val blocks = base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("chg",
+          when(col("rn") === 1, 0L)
+            .when(expr("v <=> lag(v) OVER (PARTITION BY blk ORDER BY ord)"), 0L)
+            .otherwise(1L))
+        .groupBy("blk")
+        .agg((sum("chg") + 1L).as("runs_in_blk"),
+          expr("min_by(v, ord)").as("first_v"),
+          expr("max_by(v, ord)").as("last_v"))
+      val wb = Window.orderBy("blk") // n/blockSize rows — the tiny table
+      val runsRaw = blocks
+        .withColumn("merge",
+          when(row_number().over(wb) === 1, 0L)
+            .when(expr("first_v <=> lag(last_v) OVER (ORDER BY blk)"), 1L)
+            .otherwise(0L))
+        .agg(sum(col("runs_in_blk")).as("rsum"), sum("merge").as("msum"))
+      val stats = df.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(c)).as("n_distinct"))
+      runsRaw.crossJoin(stats) // 1 row × 1 row
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_distinct"),
+          (col("rsum") - col("msum")).as("n_runs"))
+    }
+    perCol.reduce(_ unionAll _)
+      .select(col("col_name"), col("n_rows"), col("n_distinct"),
+        col("n_runs"),
+        expr("n_rows * 1000000 div n_runs").as("avg_run_ppm"),
+        when(expr("n_rows * 1000000 div n_runs") >= 4000000L, "rle")
+          .when(expr("n_distinct * 100 <= n_rows"), "dict")
+          .otherwise("plain").as("advice"))
+  }
 }

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Grid-bucketed spatial self-join over integer coordinates — the 2-D
+  * analog of the bin-bucketed range join (`RangeJoin.byIntBin`): bucket
+  * the plane into r×r cells, join each point's cell against the 3×3
+  * neighborhood of the other side, then apply the exact distance
+  * residual. Candidate blow-up is bounded by local density (points per
+  * cell), never n² — the same contract LSH gives text dedup.
+  *
+  * Correctness: if dist(A,B) ≤ r then |x_A − x_B| ≤ r, so their cell
+  * x-indices differ by at most 1 (same for y) — B's 9-cell neighborhood
+  * always contains A's cell, each candidate pair is emitted exactly once
+  * per direction, and the `a_id < b_id` keep leaves exactly one row per
+  * unordered pair. No trig, no doubles: squared Euclidean distance in
+  * integer arithmetic, exact on any engine.
+  *
+  * Geo note: for lon/lat data, pre-scale to integer micro-degrees and
+  * pick r in the metric of the scaled grid (or use a proper geohash at
+  * production latitudes); the operator itself is projection-agnostic.
+  */
+object Spatial {
+
+  /** All unordered point pairs with squared distance ≤ r².
+    * Output: (a_id, b_id, dist_sq). Coordinates must be non-negative
+    * (integer `div` truncates toward zero, which only equals the floor
+    * the cell math needs on non-negatives — shift upstream if signed).
+    */
+  def withinDistance(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, r: Long): DataFrame = {
+    val p = points.select(col(idCol).cast("long").as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val left = p.select(col("id").as("a_id"), col("x").as("ax"),
+      col("y").as("ay"),
+      expr(s"x div ${r}L").as("cx"), expr(s"y div ${r}L").as("cy"))
+    // the 3×3 neighborhood fan-out: a constant 9-row broadcast
+    val offsets = points.sparkSession.range(9).select(
+      (col("id") % 3 - 1).as("dx"), (expr("id div 3") - 1).as("dy"))
+    val right = p.select(col("id").as("b_id"), col("x").as("bx"),
+        col("y").as("by"))
+      .crossJoin(broadcast(offsets))
+      .select(col("b_id"), col("bx"), col("by"),
+        (expr(s"bx div ${r}L") + col("dx")).as("cx"),
+        (expr(s"by div ${r}L") + col("dy")).as("cy"))
+    left.join(right, Seq("cx", "cy"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        ((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+         (col("ay") - col("by")) * (col("ay") - col("by"))).as("dist_sq"))
+      .where(col("dist_sq") <= lit(r * r))
+  }
+}

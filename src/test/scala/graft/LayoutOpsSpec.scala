@@ -1,0 +1,89 @@
+package graft
+
+import graft.agg.Aggregates
+import graft.ops.{Profile, Spatial}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-9 operators: grid spatial join, path rollup, encoding
+  * advisor.
+  */
+class LayoutOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- Spatial.withinDistance ---------------------------------------------
+
+  test("spatial: finds exactly the within-r pairs, including across cells") {
+    // r=100: (1,2) d²=5000 ✓, (2,3) d²=7400 ✓, (1,3) d²=14400 ✗,
+    // (5,6) d²=4 ✓ straddles the cell boundary at x=100
+    val pts = Seq((1L, 0L, 0L), (2L, 50L, 50L), (3L, 120L, 0L),
+      (4L, 5000L, 5000L), (5L, 99L, 300L), (6L, 101L, 300L))
+      .toDF("id", "x", "y")
+    val pairs = Spatial.withinDistance(pts, "id", "x", "y", r = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L), (2L, 3L), (5L, 6L)))
+    assert(pairs((1L, 2L)) == 5000L)
+    assert(pairs((5L, 6L)) == 4L)
+  }
+
+  test("spatial: each pair is emitted exactly once (no 9x duplication)") {
+    val pts = Seq((1L, 10L, 10L), (2L, 12L, 10L)).toDF("id", "x", "y")
+    val rows = Spatial.withinDistance(pts, "id", "x", "y", r = 50L).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 2L)
+  }
+
+  // ---- Aggregates.pathRollup ----------------------------------------------
+
+  test("path rollup: every prefix accumulates its subtree") {
+    val df = Seq(("a/b/c", 1L, 10L), ("a/b/d", 2L, 5L), ("x/y", 1L, 7L))
+      .toDF("path", "user_id", "w")
+    val out = Aggregates.pathRollup(df, "path", "user_id", col("w"))
+      .collect().map(r => r.getAs[String]("prefix") ->
+        (r.getAs[Int]("depth"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("n_users"), r.getAs[Long]("weight_sum"))).toMap
+    assert(out("a") == ((1, 2L, 2L, 15L)))
+    assert(out("a/b") == ((2, 2L, 2L, 15L)))
+    assert(out("a/b/c") == ((3, 1L, 1L, 10L)))
+    assert(out("x") == ((1, 1L, 1L, 7L)))
+    assert(out("x/y") == ((2, 1L, 1L, 7L)))
+    assert(out.size == 6)
+  }
+
+  // ---- Profile.encodingAdvisor --------------------------------------------
+
+  test("encoding advisor: block-merged run count equals the global scan") {
+    // ord 0..7, blockSize 4: [x x x x | x y y z] → runs 3 (x-run spans
+    // the block boundary and must merge)
+    val df = Seq(0L -> "x", 1L -> "x", 2L -> "x", 3L -> "x",
+      4L -> "x", 5L -> "y", 6L -> "y", 7L -> "z").toDF("ord", "v")
+    val out = Profile.encodingAdvisor(df, "ord", Seq("v"), blockSize = 4)
+      .collect()(0)
+    assert(out.getAs[Long]("n_runs") == 3L)
+    assert(out.getAs[Long]("n_distinct") == 3L)
+    assert(out.getAs[Long]("avg_run_ppm") == 8L * 1000000 / 3)
+    assert(out.getAs[String]("advice") == "plain")
+  }
+
+  test("encoding advisor: constant column is rle, low-NDV shuffled is dict") {
+    val df = spark.range(1000).select(col("id").as("ord"),
+      lit("k").as("const"),
+      (col("id") % 7).cast("string").as("lowcard"))
+    val out = Profile.encodingAdvisor(df, "ord", Seq("const", "lowcard"),
+        blockSize = 64)
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(out("const").getAs[Long]("n_runs") == 1L)
+    assert(out("const").getAs[String]("advice") == "rle")
+    assert(out("lowcard").getAs[Long]("n_runs") == 1000L) // id%7 never repeats adjacently
+    assert(out("lowcard").getAs[String]("advice") == "dict")
+  }
+
+  test("encoding advisor: NULL joins the run of adjacent NULLs") {
+    val df = Seq((0L, Some("a")), (1L, None), (2L, None), (3L, Some("a")))
+      .toDF("ord", "v")
+    val out = Profile.encodingAdvisor(df, "ord", Seq("v"), blockSize = 2)
+      .collect()(0)
+    assert(out.getAs[Long]("n_runs") == 3L) // a | null null | a
+  }
+}
