@@ -1947,7 +1947,20 @@ object SparkEntry {
         substring(md5(col("event_id").cast("string")), 1, 8).as("hexid"))
       graft.ops.Profile.encodingAdvisor(fx, "event_id",
         Seq("event_type", "runny", "hexid"))
-    }
+    },
+
+    // perceptual dHash near-dup over opaque media payloads: strided
+    // byte gradient → 48-bit hash → pigeonhole block join → Hamming ≤ 3;
+    // the planted byte-identical copies (+20000) guarantee hamming-0 hits
+    "q_phash_neardup" -> ((s, dir) =>
+      Multimodal.phashNearDup(
+        Multimodal.asMedia(docsWithDupes(s, dir)), "media_id")),
+
+    // adjacent-period term-vector cosine drift (weights, not sets):
+    // integer dot/norms, one IEEE sqrt per side, round 6
+    "q_term_drift" -> ((s, dir) =>
+      TextAnalysis.termDrift(documents(s, dir), "text",
+        pmod(col("doc_id"), lit(7))))
   )
 
   /** Deterministic nested CIDR route table for q_cidr_lpm: a /0
@@ -5257,6 +5270,33 @@ object SparkEntry {
         |  CAST(n * 1000000 // nr AS BIGINT) AS avg_run_ppm,
         |  CASE WHEN n * 1000000 // nr >= 4000000 THEN 'rle'
         |       WHEN nd * 100 <= n THEN 'dict' ELSE 'plain' END AS advice
-        |FROM u""".stripMargin
+        |FROM u""".stripMargin,
+
+    // ASCII text ⇒ payload byte i = character code i (the
+    // q_media_features idiom); hash/blocking/verify generated by the
+    // same code that builds the Spark expressions
+    "q_phash_neardup" ->
+      s"""WITH $DocsDupesSql,
+         |${Multimodal.phashNearDupSql()}""".stripMargin,
+
+    "q_term_drift" ->
+      """WITH toks AS (
+        |  SELECT doc_id % 7 AS p,
+        |    UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT p, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks WHERE term <> '' GROUP BY 1, 2),
+        |norms AS (SELECT p, CAST(sum(c * c) AS BIGINT) AS nsq FROM tf GROUP BY 1),
+        |dots AS (
+        |  SELECT a.p AS p1, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |  FROM tf a JOIN tf b ON a.term = b.term AND b.p = a.p + 1
+        |  GROUP BY 1)
+        |SELECT n1.p AS p1, n2.p AS p2,
+        |  COALESCE(d.dot, 0) AS dot, n1.nsq AS n1sq, n2.nsq AS n2sq,
+        |  round(CAST(COALESCE(d.dot, 0) AS DOUBLE)
+        |    / (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE))), 6) AS cos_sim
+        |FROM norms n1 JOIN norms n2 ON n2.p = n1.p + 1
+        |LEFT JOIN dots d ON d.p1 = n1.p""".stripMargin
   )
 }

@@ -122,4 +122,90 @@ object Multimodal {
     df.withColumn("frames", sample(col("payload")))
       .withColumn("n_frames", size(col("frames")))
   }
+
+  /** Perceptual difference-hash (dHash) over the opaque payload: sample
+    * `bits`+1 byte positions strided across the payload (the byte-stream
+    * stand-in for resizing an image to a (bits+1)-pixel gradient row),
+    * set bit i iff sample(i) > sample(i+1), pack into one BIGINT. Robust
+    * to small local edits (most strided samples land on unchanged
+    * bytes), which is what makes Hamming distance on the hash a near-dup
+    * signal. 48 bits keeps every mask and the XOR inside non-negative
+    * BIGINT range on both engines. Pure codegen projection — 49 fixed
+    * substring/compare expressions, no explode, no UDF.
+    *
+    * A real image dHash replaces the strided byte read with a 9×8
+    * grayscale resize (the codec boundary, like [[stubDecodeFeatures]]);
+    * everything downstream — packing, pigeonhole blocking, Hamming
+    * verify — is byte-for-byte this operator.
+    */
+  def dHash(df: DataFrame, bits: Int = 48): DataFrame = {
+    val len = octet_length(col("payload"))
+    def sampleByte(i: Int): Column =
+      conv(hex(expr(s"substring(payload, 1 + ($i * (octet_length(payload) - 1)) div $bits, 1)")), 16, 10)
+        .cast("long")
+    val hash = (0 until bits).map { i =>
+      when(sampleByte(i) > sampleByte(i + 1), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("phash", when(len >= 2, hash))
+  }
+
+  /** Pigeonhole Hamming near-dup join on [[dHash]] output: split the
+    * hash into `pieces` equal blocks — any pair within Hamming distance
+    * `pieces`−1 shares ≥ 1 identical block (Manku et al., WWW 2007, the
+    * SimHash blocking argument) — join per block, verify exact Hamming
+    * via popcount(XOR), emit each pair once. Candidates are bounded by
+    * per-block bucket occupancy, never n².
+    */
+  def phashNearDup(media: DataFrame, idCol: String,
+      bits: Int = 48, pieces: Int = 4): DataFrame = {
+    val maxHamming = pieces - 1
+    val pieceBits = bits / pieces
+    val hashed = dHash(media, bits)
+      .select(col(idCol).as("id"), col("phash"))
+      .where(col("phash").isNotNull)
+    val pieced = hashed.select(col("id"), col("phash"),
+        posexplode(array((0 until pieces).map(j =>
+          expr(s"(phash div ${1L << (j * pieceBits)}L) % ${1L << pieceBits}L")): _*))
+          .as(Seq("piece_idx", "piece_val")))
+    val l = pieced.select(col("piece_idx"), col("piece_val"),
+      col("id").as("a_id"), col("phash").as("ha"))
+    val r = pieced.select(col("piece_idx"), col("piece_val"),
+      col("id").as("b_id"), col("phash").as("hb"))
+    l.join(r, Seq("piece_idx", "piece_val"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(expr("ha ^ hb")).cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** DuckDB twin of [[dHash]] + [[phashNearDup]] over a `docs2(doc_id,
+    * text)` CTE of ASCII text (payload bytes = character codes). Returns
+    * the SQL from `hash` onward; prepend the docs CTE.
+    */
+  def phashNearDupSql(bits: Int = 48, pieces: Int = 4): String = {
+    val pieceBits = bits / pieces
+    val terms = (0 until bits).map { i =>
+      def s(k: Int) =
+        s"ord(substring(text, CAST(1 + ($k * (length(text) - 1)) // $bits AS INTEGER), 1))"
+      s"(CASE WHEN ${s(i)} > ${s(i + 1)} THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val pieceList = (0 until pieces)
+      .map(j => s"(phash // ${1L << (j * pieceBits)}) % ${1L << pieceBits}")
+      .mkString(", ")
+    s"""hashed AS (
+       |  SELECT doc_id AS id, $terms AS phash
+       |  FROM docs2 WHERE length(text) >= 2),
+       |pieced AS (
+       |  SELECT id, phash,
+       |    UNNEST(generate_series(0, ${pieces - 1})) AS piece_idx,
+       |    UNNEST([$pieceList]) AS piece_val
+       |  FROM hashed)
+       |SELECT DISTINCT l.id AS a_id, r.id AS b_id,
+       |  CAST(bit_count(xor(l.phash, r.phash)) AS INTEGER) AS hamming
+       |FROM pieced l JOIN pieced r
+       |  ON l.piece_idx = r.piece_idx AND l.piece_val = r.piece_val
+       |  AND l.id < r.id
+       |WHERE bit_count(xor(l.phash, r.phash)) <= ${pieces - 1}""".stripMargin
+  }
 }

@@ -867,4 +867,46 @@ object TextAnalysis {
           - floor(log2(col("_c2")))).cast("long").as("pmi_fl2"))
   }
 
+  /** Corpus drift between ADJACENT periods: cosine similarity of the
+    * term-frequency vectors of period p and p+1 — the cheap "did the
+    * crawl/source mix shift this day?" monitor a training-data pipeline
+    * runs per ingest batch (sibling of the cross-source
+    * `overlapMatrix`, which compares SETS; this compares WEIGHTS).
+    *
+    * Numerics: dot product and both squared norms are exact LONG sums
+    * (order-independent); the only floating math is one IEEE-exact
+    * sqrt per side and one final round(·, 6) — the repo's cross-engine
+    * rule. Shape: one token explode → one (period, term) groupBy → a
+    * term-keyed equi-join restricted to period+1 (never all period
+    * pairs) → per-period-pair 1-row aggregates. Term vectors stay
+    * distributed end to end.
+    *
+    * Output: (p1, p2, dot, n1sq, n2sq, cos_sim); period pairs sharing
+    * no term at all still appear with dot = 0.
+    */
+  def termDrift(docs: DataFrame, textCol: String,
+      periodCol: org.apache.spark.sql.Column): DataFrame = {
+    val toks = docs.select(periodCol.cast("long").as("p"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy("p", "term").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // read 3× below (both join sides + norms)
+    val norms = tf.groupBy("p").agg(sum(col("c") * col("c")).as("nsq"))
+    val dots = tf.as("a")
+      .join(tf.as("b"),
+        col("a.term") === col("b.term") && col("b.p") === col("a.p") + 1)
+      .groupBy(col("a.p").as("p1"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+    val pairs = norms.as("n1")
+      .join(norms.as("n2"), col("n2.p") === col("n1.p") + 1)
+      .select(col("n1.p").as("p1"), col("n2.p").as("p2"),
+        col("n1.nsq").as("n1sq"), col("n2.nsq").as("n2sq"))
+    pairs.join(dots, Seq("p1"), "left")
+      .select(col("p1"), col("p2"),
+        coalesce(col("dot"), lit(0L)).as("dot"),
+        col("n1sq"), col("n2sq"),
+        round(coalesce(col("dot"), lit(0L)).cast("double")
+          / (sqrt(col("n1sq").cast("double")) * sqrt(col("n2sq").cast("double"))), 6)
+          .as("cos_sim"))
+  }
 }

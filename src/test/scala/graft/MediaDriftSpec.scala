@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.{Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-9 operators: perceptual dHash near-dup, term-vector drift. */
+class MediaDriftSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def media(rows: Seq[(Long, String)]) =
+    Multimodal.asMedia(rows.toDF("doc_id", "text"))
+
+  test("dhash: identical payloads hash identically; 1-char payloads are null") {
+    val df = media(Seq(1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog", 3L -> "x"))
+    val h = Multimodal.dHash(df).select("media_id", "phash")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(h(1L).isDefined && h(1L) == h(2L))
+    assert(h(3L).isEmpty)
+    assert(h(1L).get >= 0L && h(1L).get < (1L << 48))
+  }
+
+  test("phash near-dup matches the brute-force Hamming<=3 ground truth") {
+    val texts = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa", // exact dup of 1
+      3L -> "alpha beta gamma delta epsilon zeta eta theta iota kappz", // 1-char edit
+      4L -> "completely different content with other words entirely!!",
+      5L -> "numbers 1234567890 and symbols #$%^& fill this doc out ok")
+    val m = media(texts)
+    val hashes = Multimodal.dHash(m).select("media_id", "phash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = (for {
+      a <- texts.map(_._1); b <- texts.map(_._1) if a < b
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    val got = Multimodal.phashNearDup(m, "media_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == truth)
+    assert(truth.contains((1L, 2L, 0))) // the exact dup is found
+  }
+
+  test("term drift: hand-computed cosine and a zero-overlap pair") {
+    val docs = Seq((0L, "a a b"), (7L, "a b b"), (2L, "c c"))
+      .toDF("doc_id", "text")
+    // periods: 0 → {a:2,b:1}, 1 (doc 7 % 7 = 0?) — use doc_id directly % 7:
+    // doc 0 → p0, doc 7 → p0 too! Use explicit period column instead.
+    val out = TextAnalysis.termDrift(
+        Seq((0L, "a a b"), (1L, "a b b"), (2L, "c c")).toDF("p", "text"),
+        "text", col("p"))
+      .collect().map(r => r.getAs[Long]("p1") ->
+        (r.getAs[Long]("dot"), r.getAs[Long]("n1sq"),
+          r.getAs[Long]("n2sq"), r.getAs[Double]("cos_sim"))).toMap
+    assert(out(0L) == ((4L, 5L, 5L, 0.8))) // (2·1 + 1·2) / (√5·√5)
+    assert(out(1L)._1 == 0L)               // p1 vs p2 share no term
+    assert(out(1L)._4 == 0.0)
+    assert(out.size == 2)
+  }
+}
