@@ -1960,7 +1960,29 @@ object SparkEntry {
     // integer dot/norms, one IEEE sqrt per side, round 6
     "q_term_drift" -> ((s, dir) =>
       TextAnalysis.termDrift(documents(s, dir), "text",
-        pmod(col("doc_id"), lit(7))))
+        pmod(col("doc_id"), lit(7)))),
+
+    // union-of-intervals coverage: deterministic overlapping intervals
+    // per key, sweep-merged; touching intervals fuse (start == prev end)
+    "q_interval_union" -> { (s, dir) =>
+      val f = events(s, dir).select(
+        (col("user_id") % 20).as("key"),
+        expr("(event_id * 997) % 100000").as("s_us"),
+        (expr("(event_id * 997) % 100000") + 1 + col("event_id") % 500).as("e_us"),
+        col("event_id"))
+      graft.ops.Sessions.intervalCoverage(f, "key", "s_us", "e_us", "event_id")
+    },
+
+    // positional phrase search via offset votes (single groupBy, no
+    // k-way join); the self-repeating phrase exercises overlap counting
+    "q_phrase_query" -> ((s, dir) =>
+      TextAnalysis.phraseSearch(documents(s, dir), "text",
+        Seq("batch", "batch"))),
+
+    // market-basket association: distinct (user, event_type) baskets,
+    // pair supports and integer-ppm lift
+    "q_basket_lift" -> ((s, dir) =>
+      graft.agg.Aggregates.basketLift(events(s, dir), "user_id", "event_type"))
   )
 
   /** Deterministic nested CIDR route table for q_cidr_lpm: a /0
@@ -5297,6 +5319,69 @@ object SparkEntry {
         |  round(CAST(COALESCE(d.dot, 0) AS DOUBLE)
         |    / (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE))), 6) AS cos_sim
         |FROM norms n1 JOIN norms n2 ON n2.p = n1.p + 1
-        |LEFT JOIN dots d ON d.p1 = n1.p""".stripMargin
+        |LEFT JOIN dots d ON d.p1 = n1.p""".stripMargin,
+
+    // same two-level window: running max end (excl. current) → group
+    // flag → prefix-sum group id; unique (s_us, event_id) order
+    "q_interval_union" ->
+      """WITH f AS (
+        |  SELECT user_id % 20 AS key,
+        |    (event_id * 997) % 100000 AS s_us,
+        |    (event_id * 997) % 100000 + 1 + event_id % 500 AS e_us,
+        |    event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT key, s_us, e_us,
+        |    CASE WHEN max(e_us) OVER (PARTITION BY key ORDER BY s_us, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |           OR s_us > max(e_us) OVER (PARTITION BY key ORDER BY s_us, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         THEN 1 ELSE 0 END AS newg,
+        |    event_id
+        |  FROM f),
+        |h AS (
+        |  SELECT key, s_us, e_us,
+        |    sum(newg) OVER (PARTITION BY key ORDER BY s_us, event_id) AS grp
+        |  FROM g),
+        |m AS (
+        |  SELECT key, grp, count(*) AS n, min(s_us) AS s, max(e_us) AS e
+        |  FROM h GROUP BY 1, 2)
+        |SELECT key, CAST(sum(n) AS BIGINT) AS n_intervals,
+        |  CAST(count(*) AS BIGINT) AS n_merged,
+        |  CAST(sum(e - s) AS BIGINT) AS covered
+        |FROM m GROUP BY 1""".stripMargin,
+
+    // the offset-vote form, verbatim: each 'batch' token votes for
+    // anchors pos and pos−1; anchors holding both offsets are matches
+    "q_phrase_query" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok,
+        |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) - 1 AS pos
+        |  FROM documents),
+        |votes AS (
+        |  SELECT doc_id, pos - i AS anchor, i
+        |  FROM toks, (SELECT unnest([0, 1]) AS i) g
+        |  WHERE ((i = 0 AND tok = 'batch') OR (i = 1 AND tok = 'batch'))
+        |    AND pos - i >= 0),
+        |m AS (
+        |  SELECT doc_id, anchor FROM votes
+        |  GROUP BY 1, 2 HAVING count(DISTINCT i) = 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(min(anchor) AS INTEGER) AS first_pos
+        |FROM m GROUP BY 1""".stripMargin,
+
+    "q_basket_lift" ->
+      """WITH items AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),
+        |nb AS (SELECT count(DISTINCT user_id) AS n FROM events),
+        |s AS (SELECT i, CAST(count(*) AS BIGINT) AS n1 FROM items GROUP BY 1),
+        |p AS (
+        |  SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_ab, sa.n1 AS n_a, sb.n1 AS n_b,
+        |  CAST(n_ab * 1000000 // nb.n AS BIGINT) AS support_ppm,
+        |  CAST(n_ab * nb.n * 1000000 // (sa.n1 * sb.n1) AS BIGINT) AS lift_ppm
+        |FROM p JOIN s sa ON sa.i = item_a JOIN s sb ON sb.i = item_b
+        |CROSS JOIN nb""".stripMargin
   )
 }

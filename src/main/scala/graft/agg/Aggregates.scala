@@ -965,4 +965,40 @@ object Aggregates {
         countDistinct(col("_u")).as("n_users"),
         sum(col("_w")).as("weight_sum"))
   }
+
+  /** Market-basket co-occurrence with support and lift (integer ppm):
+    * for every unordered item pair, how many baskets contain both, and
+    * lift = P(a∧b)/(P(a)·P(b)) — the association signal behind
+    * "users who hit /login also hit /mfa" telemetry views. Baskets are
+    * first reduced to DISTINCT (basket, item) rows — the self-join is
+    * then bounded by (items per basket)², the per-basket fan-out, never
+    * |rows|². Lift in ppm via one integer division:
+    * lift_ppm = n_ab·N·10⁶ div (n_a·n_b) — order-independent, exact.
+    *
+    * Output: (item_a, item_b, n_ab, n_a, n_b, support_ppm, lift_ppm);
+    * lift_ppm > 10⁶ means positively associated.
+    */
+  def basketLift(df: DataFrame, basketCol: String, itemCol: String): DataFrame = {
+    val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
+      .localCheckpoint() // read 3×: pair join both sides + singles
+    val nBaskets = df.select(col(basketCol)).distinct()
+      .agg(count(lit(1)).as("_nb"))
+    val singles = items.groupBy("_i").agg(count(lit(1)).as("_n1"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a._b") === col("b._b") && col("a._i") < col("b._i"))
+      .groupBy(col("a._i").as("item_a"), col("b._i").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(singles).withColumnRenamed("_i", "item_a")
+        .withColumnRenamed("_n1", "n_a"), Seq("item_a"))
+      .join(broadcast(singles).withColumnRenamed("_i", "item_b")
+        .withColumnRenamed("_n1", "n_b"), Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        expr("n_ab * 1000000 div _nb").as("support_ppm"),
+        expr("n_ab * _nb * 1000000 div (n_a * n_b)").as("lift_ppm"))
+  }
 }

@@ -165,4 +165,38 @@ object Sessions {
        |     WHEN $d THEN 'inbound'
        |     ELSE 'external' END""".stripMargin
   }
+
+  /** Union-of-intervals coverage per key (the classic sweep): merge
+    * overlapping/touching [start, end) intervals and report how much of
+    * the timeline each key actually covers — distinct from `byGap`
+    * sessionization (which groups POINT events) in that inputs carry
+    * their own extents; the flow-analysis use is "total active time
+    * under concurrent flows" (`packetbeat/flows` reports per-interval,
+    * never deduped overlap).
+    *
+    * A new merged group starts where an interval's start exceeds the
+    * running max end of everything earlier (per key, ordered by
+    * (start, ord) — the deterministic tie-break rule, see byGap).
+    * Touching intervals (start == prev end) merge: [0,10)+[10,20) is
+    * seamless coverage. All arithmetic on integer units. One window +
+    * one groupBy, both partitioned by key — no global state.
+    *
+    * Output: (key, n_intervals, n_merged, covered).
+    */
+  def intervalCoverage(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      startCol: String, endCol: String, ordCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(startCol), col(ordCol))
+    val prevMax = max(col(endCol)).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val grouped = df
+      .withColumn("_new", when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("_grp", sum(col("_new")).over(w))
+      .groupBy(col(keyCol), col("_grp"))
+      .agg(count(lit(1)).as("_n"),
+        min(col(startCol)).as("_s"), max(col(endCol)).as("_e"))
+    grouped.groupBy(keyCol)
+      .agg(sum(col("_n")).as("n_intervals"),
+        count(lit(1)).as("n_merged"),
+        sum(col("_e") - col("_s")).as("covered"))
+  }
 }

@@ -909,4 +909,40 @@ object TextAnalysis {
           / (sqrt(col("n1sq").cast("double")) * sqrt(col("n2sq").cast("double"))), 6)
           .as("cos_sim"))
   }
+
+  /** Positional phrase search over an inverted index — WITHOUT the
+    * textbook k−1 self-joins. Each token matching phrase word i votes
+    * for anchor position (pos − i); an anchor that collects all k
+    * distinct offsets is a phrase occurrence. One explode + one
+    * groupBy((doc, anchor)) — the vote trick turns positional
+    * intersection into an aggregation, so a k-word phrase costs the
+    * same single shuffle as a 2-word one (the k-way join form costs
+    * k−1). Overlapping matches of self-repeating phrases count each
+    * anchor separately ("batch batch batch" matches "batch batch"
+    * twice). Only tokens IN the phrase survive the filter, so the
+    * shuffle carries matches, not the corpus.
+    *
+    * Output: (doc_id, n_matches, first_pos) for docs with ≥ 1 match.
+    */
+  def phraseSearch(docs: DataFrame, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    val k = phrase.size
+    val wordIdx = phrase.zipWithIndex // a word may appear at several i
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("pos", "tok")))
+    val votes = toks
+      .where(col("tok").isInCollection(phrase.distinct)) // prune pre-explode
+      .select(col("doc_id"), col("pos"),
+        explode(array(wordIdx.collect { case (wrd, i) =>
+          when(col("tok") === wrd, lit(i)).otherwise(lit(-1))
+        }: _*)).as("i"))
+      .where(col("i") >= 0 && col("pos") - col("i") >= 0)
+      .select(col("doc_id"), (col("pos") - col("i")).as("anchor"), col("i"))
+    votes.groupBy("doc_id", "anchor")
+      .agg(countDistinct(col("i")).as("_k"))
+      .where(col("_k") === k)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("anchor")).as("first_pos"))
+  }
 }

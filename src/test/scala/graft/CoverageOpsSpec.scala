@@ -1,0 +1,65 @@
+package graft
+
+import graft.agg.Aggregates
+import graft.ops.{Sessions, TextAnalysis}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-9 operators: interval-union coverage, offset-vote phrase
+  * search, basket lift.
+  */
+class CoverageOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("interval union: overlapping and touching intervals merge, gaps split") {
+    // [0,10) ∪ [5,20) ∪ [20,30) → [0,30); [40,50) stands alone
+    val df = Seq(("k", 0L, 10L, 1L), ("k", 5L, 20L, 2L),
+      ("k", 20L, 30L, 3L), ("k", 40L, 50L, 4L)).toDF("key", "s", "e", "id")
+    val out = Sessions.intervalCoverage(df, "key", "s", "e", "id").collect()(0)
+    assert(out.getAs[Long]("n_intervals") == 4L)
+    assert(out.getAs[Long]("n_merged") == 2L)
+    assert(out.getAs[Long]("covered") == 40L)
+  }
+
+  test("interval union: contained interval never extends coverage") {
+    val df = Seq(("k", 0L, 100L, 1L), ("k", 10L, 20L, 2L))
+      .toDF("key", "s", "e", "id")
+    val out = Sessions.intervalCoverage(df, "key", "s", "e", "id").collect()(0)
+    assert(out.getAs[Long]("n_merged") == 1L)
+    assert(out.getAs[Long]("covered") == 100L)
+  }
+
+  test("phrase search: overlapping self-repeating matches count per anchor") {
+    val docs = Seq(
+      (1L, "batch batch batch x"),   // anchors 0 and 1
+      (2L, "a batch batch"),         // anchor 1
+      (3L, "batch x batch"),         // none
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val out = TextAnalysis.phraseSearch(docs, "text", Seq("batch", "batch"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_matches"), r.getAs[Int]("first_pos"))).toMap
+    assert(out == Map(1L -> ((2L, 0)), 2L -> ((1L, 1))))
+  }
+
+  test("phrase search: distinct-word phrase, multiple occurrences") {
+    val docs = Seq((1L, "the fast dog then the fast cat"),
+      (2L, "fast the")).toDF("doc_id", "text")
+    val out = TextAnalysis.phraseSearch(docs, "text", Seq("the", "fast"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_matches"), r.getAs[Int]("first_pos"))).toMap
+    assert(out == Map(1L -> ((2L, 0)))) // "fast the" is NOT the phrase
+  }
+
+  test("basket lift: hand-checked support and lift ppm") {
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "a"), // dup row collapses
+      (2L, "a"), (2L, "b"), (3L, "a"), (4L, "c")).toDF("u", "item")
+    val out = Aggregates.basketLift(df, "u", "item")
+      .collect().map(r => (r.getAs[String]("item_a"), r.getAs[String]("item_b")) -> r).toMap
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("n_ab") == 2L)
+    assert(ab.getAs[Long]("n_a") == 3L && ab.getAs[Long]("n_b") == 2L)
+    assert(ab.getAs[Long]("support_ppm") == 500000L)     // 2/4
+    assert(ab.getAs[Long]("lift_ppm") == 2L * 4 * 1000000 / 6)
+    assert(!out.contains(("a", "c")))                    // no co-basket
+  }
+}
