@@ -1982,7 +1982,26 @@ object SparkEntry {
     // market-basket association: distinct (user, event_type) baskets,
     // pair supports and integer-ppm lift
     "q_basket_lift" -> ((s, dir) =>
-      graft.agg.Aggregates.basketLift(events(s, dir), "user_id", "event_type"))
+      graft.agg.Aggregates.basketLift(events(s, dir), "user_id", "event_type")),
+
+    // per-sink volume trend: OLS slope over hourly buckets, exact
+    // integer sufficient statistics + one rounded division
+    "q_trend_slope" -> ((s, dir) =>
+      graft.agg.Aggregates.trendSlope(events(s, dir), "event_type", "ts")),
+
+    // nonparametric A/B: Mann-Whitney rank-sum with doubled mid-ranks
+    // (exact integers; u_a_x2 + u_b_x2 = 2·n_a·n_b by construction)
+    "q_mannwhitney" -> ((s, dir) =>
+      graft.agg.Aggregates.mannWhitneyU(events(s, dir),
+        pmod(col("user_id"), lit(2)),
+        floor(col("value") * 1000 + 0.5))),
+
+    // trending-now: power-of-2 per-hour decayed counts, exact shifted
+    // Long weights, horizon-bounded
+    "q_decayed_topk" -> { (s, dir) =>
+      val f = events(s, dir).select(pmod(col("user_id"), lit(37)).as("key_u"), col("ts"))
+      graft.agg.Aggregates.decayedTopK(f, "key_u", "ts", k = 10)
+    }
   )
 
   /** Deterministic nested CIDR route table for q_cidr_lpm: a /0
@@ -5382,6 +5401,77 @@ object SparkEntry {
         |  CAST(n_ab * 1000000 // nb.n AS BIGINT) AS support_ppm,
         |  CAST(n_ab * nb.n * 1000000 // (sa.n1 * sb.n1) AS BIGINT) AS lift_ppm
         |FROM p JOIN s sa ON sa.i = item_a JOIN s sb ON sb.i = item_b
-        |CROSS JOIN nb""".stripMargin
+        |CROSS JOIN nb""".stripMargin,
+
+    // same bucket→relative-x→sufficient-stats shape; num/den exact
+    // BIGINT, one rounded division
+    "q_trend_slope" ->
+      """WITH b AS (
+        |  SELECT event_type AS key, date_trunc('hour', ts) AS w,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT key,
+        |    CAST((epoch(w) - min(epoch(w)) OVER (PARTITION BY key)) // 3600 AS BIGINT) AS x,
+        |    y
+        |  FROM b),
+        |s AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n_buckets,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM r GROUP BY 1)
+        |SELECT key, n_buckets, sx, sy, sxy, sxx,
+        |  n_buckets * sxy - sx * sy AS num,
+        |  n_buckets * sxx - sx * sx AS den,
+        |  CASE WHEN n_buckets * sxx - sx * sx > 0
+        |       THEN round(CAST(n_buckets * sxy - sx * sy AS DOUBLE)
+        |                  / (n_buckets * sxx - sx * sx), 6) END AS slope
+        |FROM s""".stripMargin,
+
+    // doubled mid-ranks over the DISTINCT-value table (2·cumBefore +
+    // tieSize + 1), exact integer U statistics
+    "q_mannwhitney" ->
+      """WITH v AS (
+        |  SELECT CAST(user_id % 2 AS INT) AS vr,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x
+        |  FROM events),
+        |vc AS (
+        |  SELECT x,
+        |    CAST(sum(CASE WHEN vr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN vr <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM v GROUP BY 1),
+        |rk AS (
+        |  SELECT ca, cb,
+        |    2 * COALESCE(sum(ca + cb) OVER (ORDER BY x
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + ca + cb + 1 AS rank2
+        |  FROM vc),
+        |a AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+        |    CAST(sum(ca * rank2) AS BIGINT) AS r_a_x2,
+        |    CAST(sum(cb * rank2) AS BIGINT) AS r_b_x2
+        |  FROM rk)
+        |SELECT n_a, n_b,
+        |  r_a_x2 - n_a * (n_a + 1) AS u_a_x2,
+        |  r_b_x2 - n_b * (n_b + 1) AS u_b_x2
+        |FROM a""".stripMargin,
+
+    // shifted-integer decay weights: 1::BIGINT << (32 - age), horizon 32
+    "q_decayed_topk" ->
+      """WITH b AS (
+        |  SELECT user_id % 37 AS key_u,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(b) AS b_max FROM b),
+        |s AS (
+        |  SELECT key_u,
+        |    CAST(sum(n * (CAST(1 AS BIGINT) << CAST(32 - (b_max - b) AS INT))) AS BIGINT) AS score,
+        |    CAST(sum(n) AS BIGINT) AS n_window
+        |  FROM b CROSS JOIN mx WHERE b_max - b <= 32 GROUP BY 1)
+        |SELECT key_u AS key, score, n_window, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, key_u) AS INTEGER) AS rank
+        |  FROM s)
+        |WHERE rank <= 10""".stripMargin
   )
 }

@@ -1001,4 +1001,114 @@ object Aggregates {
         expr("n_ab * 1000000 div _nb").as("support_ppm"),
         expr("n_ab * _nb * 1000000 div (n_a * n_b)").as("lift_ppm"))
   }
+
+  /** Per-key OLS trend over time buckets — "is this sink's volume
+    * drifting up?" (the Metricbeat counter-trend question). Events are
+    * bucketed per `bucket`, the per-(key, bucket) count is y, and x is
+    * the bucket index RELATIVE to the key's own first bucket (keeps x
+    * small: the sufficient statistics stay far from Long overflow —
+    * x ≤ #buckets, never epoch micros).
+    *
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), both sides EXACT Long
+    * sums (order-independent), emitted raw plus ONE rounded 6-dp
+    * division (identical IEEE op on both engines — the [[abZSquared]]
+    * discipline). Keys with a single bucket have den = 0 → slope NULL.
+    *
+    * Scale shape: two hash aggregates (events → (key,bucket) counts →
+    * per-key stats); no window, no sort, no driver state. At 10¹² rows
+    * the first groupBy is the only corpus-sized shuffle and it carries
+    * map-side partial counts.
+    */
+  def trendSlope(df: DataFrame, keyCol: String, tsCol: String,
+      bucket: String = "1 hour"): DataFrame = {
+    val bucketed = df
+      .groupBy(col(keyCol).as("key"),
+        window(col(tsCol), bucket).getField("start").as("_w"))
+      .agg(count(lit(1)).as("y"))
+    val rel = bucketed
+      .withColumn("_w0", min(unix_timestamp(col("_w")))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("key")))
+      .withColumn("x", ((unix_timestamp(col("_w")) - col("_w0")) / 3600L).cast("long"))
+    rel.groupBy("key")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("key"), col("n_buckets"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"),
+        (col("n_buckets") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n_buckets") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .withColumn("slope",
+        when(col("den") > 0,
+          round(col("num").cast("double") / col("den").cast("double"), 6)))
+  }
+
+  /** Mann-Whitney U rank-sum test for a two-variant split — the
+    * nonparametric sibling of [[abZSquared]] for skewed metrics
+    * (latencies) where a mean test misleads. All arithmetic EXACT:
+    * mid-ranks are carried doubled (2·avgRank of a tie group
+    * = 2·cumBefore + tieSize + 1, always an integer), so
+    * u_a_x2 = 2·R_a − 2·n_a(n_a+1)/2 is an exact Long and
+    * u_a_x2 + u_b_x2 = 2·n_a·n_b by construction (asserted cheaply by
+    * any consumer).
+    *
+    * Scale shape: the corpus collapses FIRST to one row per distinct
+    * value (groupBy with per-variant counts); the rank window then runs
+    * over that bounded value table only — for integer-ish metrics
+    * (latency ms, sizes) that is ≤ cardinality(value) rows on one
+    * partition, never the corpus. The deliberate tradeoff of a
+    * partitionless window over an aggregate vs a corpus sort.
+    */
+  def mannWhitneyU(df: DataFrame, variantCol: Column, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = df.select(variantCol.cast("int").as("_v"), valueCol.cast("long").as("_x"))
+      .groupBy("_x")
+      .agg(sum(when(col("_v") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("_v") =!= 0, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("_x").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vc
+      .withColumn("_cum", coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+      .withColumn("rank2", lit(2L) * col("_cum") + col("ca") + col("cb") + 1L)
+    ranked.agg(
+        sum("ca").as("n_a"), sum("cb").as("n_b"),
+        sum(col("ca") * col("rank2")).as("r_a_x2"),
+        sum(col("cb") * col("rank2")).as("r_b_x2"))
+      .select(col("n_a"), col("n_b"),
+        (col("r_a_x2") - col("n_a") * (col("n_a") + 1)).as("u_a_x2"),
+        (col("r_b_x2") - col("n_b") * (col("n_b") + 1)).as("u_b_x2"))
+  }
+
+  /** Time-decayed top-k keys with a power-of-2 half-life of exactly one
+    * bucket — trending-now over an event stream. Each (key, bucket)
+    * count is weighted 2^(H − age) where age = newestBucket − bucket
+    * (global newest, so scores are comparable across keys) and H bounds
+    * the horizon: older than H buckets contributes nothing. Shifted
+    * INTEGER weights keep the score an exact Long (headroom: count ≤
+    * 2^23 per bucket with H = 32 stays < 2^62 summed over the window) —
+    * no pow(), no float decay drift, cross-engine byte-equal.
+    *
+    * Scale shape: one corpus hash-aggregate to (key, bucket), a 1-row
+    * global max, then per-key sums; the rank window runs over |keys|
+    * aggregated rows. At 10¹² events only the first groupBy is big.
+    */
+  def decayedTopK(df: DataFrame, keyCol: String, tsCol: String,
+      k: Int = 10, horizon: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = df
+      .groupBy(col(keyCol).as("key"),
+        floor(unix_timestamp(col(tsCol)) / 3600L).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val newest = buckets.agg(max("b").as("b_max"))
+    val scored = buckets.crossJoin(broadcast(newest))
+      .withColumn("age", (col("b_max") - col("b")).cast("int"))
+      .where(col("age") <= horizon)
+      .withColumn("w", expr(s"shiftleft(CAST(1 AS BIGINT), $horizon - age)"))
+      .groupBy("key")
+      .agg(sum(col("n") * col("w")).as("score"), sum("n").as("n_window"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("key"))))
+      .where(col("rank") <= k)
+      .select("key", "score", "n_window", "rank")
+  }
 }

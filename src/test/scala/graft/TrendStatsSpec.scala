@@ -1,0 +1,103 @@
+package graft
+
+import graft.agg.Aggregates
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-8 statistics operators: per-key OLS trend slope,
+  * Mann-Whitney U rank-sum, power-of-2 decayed top-k.
+  */
+class TrendStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- trendSlope ---------------------------------------------------------
+
+  test("trendSlope: perfectly linear hourly counts give the exact slope") {
+    // key "up": counts 1,2,3,4 in consecutive hours -> slope 1.0
+    // key "flat": counts 5,5,5 -> slope 0.0
+    val rows =
+      (0 until 4).flatMap(h => Seq.fill(h + 1)(("up", s"2024-01-01 0$h:15:00"))) ++
+      (0 until 3).flatMap(h => Seq.fill(5)(("flat", s"2024-01-01 0$h:30:00")))
+    val df = rows.toDF("k", "ts_s").select(col("k"), col("ts_s").cast("timestamp").as("ts"))
+    val got = Aggregates.trendSlope(df, "k", "ts").collect()
+      .map(r => r.getAs[String]("key") -> r).toMap
+    assert(got("up").getAs[Double]("slope") == 1.0)
+    assert(got("flat").getAs[Double]("slope") == 0.0)
+    // sufficient stats for "up": x=0..3, y=1..4 -> n=4 sx=6 sy=10 sxy=20 sxx=14
+    assert(got("up").getAs[Long]("num") == 4 * 20 - 6 * 10)
+    assert(got("up").getAs[Long]("den") == 4 * 14 - 36)
+  }
+
+  test("trendSlope: a single-bucket key has den 0 and NULL slope") {
+    val df = Seq(("solo", "2024-01-01 10:00:01"), ("solo", "2024-01-01 10:59:59"))
+      .toDF("k", "ts_s").select(col("k"), col("ts_s").cast("timestamp").as("ts"))
+    val r = Aggregates.trendSlope(df, "k", "ts").collect().head
+    assert(r.getAs[Long]("den") == 0L && r.isNullAt(r.fieldIndex("slope")))
+  }
+
+  test("trendSlope: x is relative to the key's own first bucket (gap-robust)") {
+    // counts 2 then 4, 10 hours apart: slope = (4-2)/10 = 0.2
+    val rows = Seq.fill(2)(("g", "2024-01-01 00:10:00")) ++
+      Seq.fill(4)(("g", "2024-01-01 10:10:00"))
+    val df = rows.toDF("k", "ts_s").select(col("k"), col("ts_s").cast("timestamp").as("ts"))
+    val r = Aggregates.trendSlope(df, "k", "ts").collect().head
+    assert(r.getAs[Double]("slope") == 0.2)
+    assert(r.getAs[Long]("sx") == 10L) // not an epoch-scale number
+  }
+
+  // ---- mannWhitneyU -------------------------------------------------------
+
+  test("mannWhitneyU: textbook no-tie case (complete separation)") {
+    // group0 = {1,2}, group1 = {3,4}: U_a = 0, U_b = n_a*n_b = 4
+    val df = Seq((0, 1L), (0, 2L), (1, 3L), (1, 4L)).toDF("v", "x")
+    val r = Aggregates.mannWhitneyU(df, col("v"), col("x")).collect().head
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Long]("u_a_x2") == 0 && r.getAs[Long]("u_b_x2") == 8)
+  }
+
+  test("mannWhitneyU: ties get doubled mid-ranks; U_a + U_b = n_a*n_b holds") {
+    // group0 = {5}, group1 = {5}: shared rank 1.5 -> U_a = U_b = 0.5 -> x2 = 1
+    val df = Seq((0, 5L), (1, 5L)).toDF("v", "x")
+    val r = Aggregates.mannWhitneyU(df, col("v"), col("x")).collect().head
+    assert(r.getAs[Long]("u_a_x2") == 1 && r.getAs[Long]("u_b_x2") == 1)
+  }
+
+  test("mannWhitneyU: identity U_a + U_b = n_a*n_b on a mixed-tie sample") {
+    val vals = Seq((0, 3L), (0, 7L), (0, 7L), (0, 9L), (1, 1L), (1, 7L), (1, 9L), (1, 12L), (1, 12L))
+    val r = Aggregates.mannWhitneyU(vals.toDF("v", "x"), col("v"), col("x")).collect().head
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    assert(r.getAs[Long]("u_a_x2") + r.getAs[Long]("u_b_x2") == 2 * na * nb)
+    // brute mid-rank check: ranks of sorted [1,3,7,7,7,9,9,12,12]
+    // 1->1, 3->2, 7s->avg(3,4,5)=4, 9s->avg(6,7)=6.5, 12s->avg(8,9)=8.5
+    // R_a = 2 + 4 + 4 + 6.5 = 16.5 -> U_a = 16.5 - 4*5/2 = 6.5 -> x2 = 13
+    assert(r.getAs[Long]("u_a_x2") == 13)
+  }
+
+  // ---- decayedTopK --------------------------------------------------------
+
+  test("decayedTopK: recency beats raw volume; horizon cuts old mass") {
+    val rows =
+      // "old": 1000 events 40 hours before newest -> outside horizon 32, score 0 contribution
+      Seq.fill(1000)(("old", "2024-01-01 00:00:00")) ++
+      // "recent": 1 event in the newest bucket -> weight 2^32
+      Seq(("recent", "2024-01-02 16:30:00")) ++
+      // "mid": 3 events 2 hours old -> 3 * 2^30
+      Seq.fill(3)(("mid", "2024-01-02 14:30:00"))
+    val df = rows.toDF("k", "ts_s").select(col("k"), col("ts_s").cast("timestamp").as("ts"))
+    val got = Aggregates.decayedTopK(df, "k", "ts", k = 10).collect()
+      .map(r => r.getAs[String]("key") -> r).toMap
+    assert(!got.contains("old")) // fully aged out
+    assert(got("recent").getAs[Long]("score") == (1L << 32))
+    assert(got("mid").getAs[Long]("score") == 3L * (1L << 30))
+    assert(got("recent").getAs[Int]("rank") == 1 && got("mid").getAs[Int]("rank") == 2)
+  }
+
+  test("decayedTopK: equal scores break ties by key ascending") {
+    val rows = Seq(("b", "2024-01-01 05:30:00"), ("a", "2024-01-01 05:40:00"))
+    val df = rows.toDF("k", "ts_s").select(col("k"), col("ts_s").cast("timestamp").as("ts"))
+    val got = Aggregates.decayedTopK(df, "k", "ts", k = 10).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(got.map(_.getAs[String]("key")).toSeq == Seq("a", "b"))
+  }
+}
