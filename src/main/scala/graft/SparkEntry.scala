@@ -2001,7 +2001,22 @@ object SparkEntry {
     "q_decayed_topk" -> { (s, dir) =>
       val f = events(s, dir).select(pmod(col("user_id"), lit(37)).as("key_u"), col("ts"))
       graft.agg.Aggregates.decayedTopK(f, "key_u", "ts", k = 10)
-    }
+    },
+
+    // margin-based parallel-pair mining over the planted scaled-copy
+    // sides (each src's true counterpart sits in tgt at cos 1.0)
+    "q_margin_pairs" -> { (s, dir) =>
+      val e = embWithDupes(s, dir)
+      Similarity.marginPairs(
+        e.where(col("vec_id") < 200),
+        e.where(col("vec_id") >= 10000 && col("vec_id") < 10200),
+        k = 4, minMarginPpm = 1020000L)
+    },
+
+    // sorted-neighborhood blocking over the dup-planted corpus: O(n·w)
+    // candidates + exact word-Jaccard verify
+    "q_sorted_blocking" -> ((s, dir) =>
+      Dedup.sortedNeighborhood(docsWithDupes(s, dir), w = 3))
   )
 
   /** Deterministic nested CIDR route table for q_cidr_lpm: a /0
@@ -5472,6 +5487,59 @@ object SparkEntry {
         |SELECT key_u AS key, score, n_window, rank FROM (
         |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, key_u) AS INTEGER) AS rank
         |  FROM s)
-        |WHERE rank <= 10""".stripMargin
+        |WHERE rank <= 10""".stripMargin,
+
+    // double-rounded integer-micros cosines; top-4 sums exact BIGINT;
+    // margin = 2k·c6·1e6 // (Σx + Σy), rank after the filter
+    "q_margin_pairs" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (SELECT vec_id AS src_id, v AS av FROM e0 WHERE vec_id < 200),
+        |b AS (SELECT vec_id + 10000 AS tgt_id, list_transform(v, x -> x * 0.5) AS bv
+        |      FROM e0 WHERE vec_id + 10000 < 10200),
+        |sc AS (
+        |  SELECT src_id, tgt_id,
+        |    CAST(round(round(list_dot_product(av, bv)
+        |      / sqrt(list_dot_product(av, av) * list_dot_product(bv, bv)), 6)
+        |      * 1000000, 0) AS BIGINT) AS c6
+        |  FROM a CROSS JOIN b),
+        |sx AS (SELECT src_id, CAST(sum(c6) AS BIGINT) AS s_src FROM (
+        |  SELECT src_id, c6,
+        |    row_number() OVER (PARTITION BY src_id ORDER BY c6 DESC, tgt_id) AS r
+        |  FROM sc) WHERE r <= 4 GROUP BY 1),
+        |sy AS (SELECT tgt_id, CAST(sum(c6) AS BIGINT) AS s_tgt FROM (
+        |  SELECT tgt_id, c6,
+        |    row_number() OVER (PARTITION BY tgt_id ORDER BY c6 DESC, src_id) AS r
+        |  FROM sc) WHERE r <= 4 GROUP BY 1),
+        |m AS (
+        |  SELECT sc.src_id, sc.tgt_id, c6,
+        |    2 * 4 * c6 * 1000000 // (s_src + s_tgt) AS margin_ppm
+        |  FROM sc JOIN sx USING (src_id) JOIN sy USING (tgt_id)
+        |  WHERE s_src + s_tgt > 0)
+        |SELECT src_id, tgt_id, CAST(c6 AS DOUBLE) / 1000000 AS cos, margin_ppm,
+        |  CAST(row_number() OVER (PARTITION BY src_id
+        |    ORDER BY margin_ppm DESC, tgt_id) AS INTEGER) AS rank
+        |FROM m WHERE margin_ppm >= 1020000""".stripMargin,
+
+    // global rank by (prefix key, id) — the bucketed two-phase rank is
+    // order-identical because the bucket is a PREFIX of the sort key
+    "q_sorted_blocking" ->
+      s"""WITH $DocsDupesSql,
+        |k AS (SELECT doc_id AS id, text AS t,
+        |        lower(substring(text, 1, 24)) AS sk FROM docs2),
+        |r AS (SELECT id, t, row_number() OVER (ORDER BY sk, id) - 1 AS rank FROM k),
+        |p AS (SELECT a.id AS a, b.id AS b, CAST(b.rank - a.rank AS INT) AS dist
+        |      FROM r a JOIN r b ON b.rank > a.rank AND b.rank <= a.rank + 3),
+        |tok AS (SELECT id, unnest(list_distinct(
+        |          regexp_split_to_array(lower(trim(t)), '\\s+'))) AS tok FROM r),
+        |tok2 AS (SELECT id, tok FROM tok WHERE tok <> ''),
+        |sz AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM tok2 GROUP BY 1),
+        |i AS (SELECT p.a, p.b, p.dist, CAST(count(*) AS BIGINT) AS inter
+        |      FROM p JOIN tok2 ta ON ta.id = p.a
+        |             JOIN tok2 tb ON tb.id = p.b AND tb.tok = ta.tok
+        |      GROUP BY 1, 2, 3)
+        |SELECT a, b, dist, inter, sa.sz AS n_a, sb.sz AS n_b,
+        |  CAST(inter * 1000000 // (sa.sz + sb.sz - inter) AS BIGINT) AS j_ppm
+        |FROM i JOIN sz sa ON sa.id = a JOIN sz sb ON sb.id = b
+        |WHERE inter * 1000000 // (sa.sz + sb.sz - inter) >= 500000""".stripMargin
   )
 }

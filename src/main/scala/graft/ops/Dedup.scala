@@ -1007,4 +1007,62 @@ object Dedup {
         col("a_grams"), col("b_grams"),
         expr("shared_grams * 1000000 div least(a_grams, b_grams)").as("containment_ppm"))
   }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995 —
+    * the classic record-linkage alternative to LSH banding): sort the
+    * corpus by a fuzzy key, slide a width-`w` window over the sorted
+    * sequence, and emit only pairs within the window — O(n·w)
+    * candidates instead of O(n²). Near-duplicates cluster under a
+    * well-chosen key (here a lowercased text prefix), so copies land
+    * adjacent regardless of id distance.
+    *
+    * Global ranks WITHOUT a single-partition window: the blocking key's
+    * own 2-char prefix is the range bucket (a prefix of the sort key is
+    * order-compatible by construction), per-bucket counts give exact
+    * offsets over the tiny bucket table, and row_number runs per
+    * bucket — the [[graft.ops.Curation]] stableIds shape, but
+    * range-ordered. Window pairs then come from an equi-join on
+    * rank + d (d ∈ 1..w), never a sort-merge over the corpus.
+    *
+    * Each candidate pair is verified with exact distinct-word Jaccard
+    * (integer ppm); pairs under `minJaccardPpm` are dropped. At 10¹²
+    * docs every stage is a hash shuffle bounded by n·w.
+    */
+  def sortedNeighborhood(df: DataFrame, w: Int = 3,
+      minJaccardPpm: Long = 500000L, prefixLen: Int = 24,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(col(idCol).as("_id"), col(textCol).as("_t"))
+      .withColumn("_sk", lower(substring(col("_t"), 1, prefixLen)))
+      .withColumn("_b", substring(col("_sk"), 1, 2))
+    val offsets = keyed.groupBy("_b").agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(
+        sum("_n").over(Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("_b", "_off")
+    val ranked = keyed.join(broadcast(offsets), Seq("_b"))
+      .withColumn("rank", col("_off") +
+        row_number().over(Window.partitionBy("_b").orderBy("_sk", "_id")) - 1)
+      .select(col("_id"), col("_t"), col("rank"))
+      .localCheckpoint() // both sides of the window join + token explode
+    val pairs = ranked.select(col("_id").as("a"), col("rank"))
+      .crossJoin(ranked.sparkSession.range(1, w + 1).select(col("id").as("_d")))
+      .withColumn("rank", col("rank") + col("_d"))
+      .join(ranked.select(col("_id").as("b"), col("rank")), Seq("rank"))
+      .select(col("a"), col("b"), col("_d").cast("int").as("dist"))
+    val toks = ranked.select(col("_id"),
+        explode(array_distinct(split(lower(trim(col("_t"))), "\\s+"))).as("tok"))
+      .where(col("tok") =!= "")
+    val sizes = toks.groupBy("_id").agg(count(lit(1)).as("_sz"))
+    val inter = pairs
+      .join(toks.select(col("_id").as("a"), col("tok")), Seq("a"))
+      .join(toks.select(col("_id").as("b"), col("tok")), Seq("b", "tok"))
+      .groupBy("a", "b", "dist").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("_id").as("a"), col("_sz").as("n_a")), Seq("a"))
+      .join(sizes.select(col("_id").as("b"), col("_sz").as("n_b")), Seq("b"))
+      .withColumn("j_ppm", expr("inter * 1000000 div (n_a + n_b - inter)"))
+      .where(col("j_ppm") >= minJaccardPpm)
+      .select("a", "b", "dist", "inter", "n_a", "n_b", "j_ppm")
+  }
 }

@@ -602,4 +602,60 @@ object Similarity {
       .where(col("rank") <= topK)
       .select("query_id", "neighbor_id", "rrf_fp", "n_lists", "rank")
   }
+
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk, ACL 2019 —
+    * the LASER bitext-mining criterion): a cross-corpus pair (x, y)
+    * scores margin(x,y) = cos(x,y) / ((avgTopK(x) + avgTopK(y)) / 2),
+    * which normalizes away hubness — a vector whose whole neighborhood
+    * is hot must beat ITS OWN typical similarity, not a global
+    * threshold.
+    *
+    * Exactness: cosines are rounded to 6 dp then scaled to integer
+    * micros (round twice — the double round kills the *1e6 FP wobble);
+    * every avgTopK is a SUM of those integers (order-independent Long),
+    * and the margin is ONE integer division in ppm:
+    * margin_ppm = 2k·c6·10⁶ div (Σtopk(x) + Σtopk(y)). Pairs whose
+    * neighborhood sums are ≤ 0 are dropped (Spark `div` truncates
+    * toward zero while DuckDB `//` floors — identical only for
+    * positive denominators, and a non-positive neighborhood sum means
+    * no meaningful margin anyway).
+    *
+    * Scale shape: this is the SCORING stage; it consumes the all-pairs
+    * frame only at fixture scale. At 10⁹ vectors feed it the banded
+    * candidate set ([[lshTopK]]'s bucket join) instead of the cross
+    * join — the margin arithmetic is unchanged because avgTopK sums are
+    * computed from the candidate frame itself (retrieve-then-margin,
+    * standard practice). Both rank windows are per-vector, never
+    * global.
+    */
+  def marginPairs(src: DataFrame, tgt: DataFrame, k: Int = 4,
+      minMarginPpm: Long = 1050000L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = src.select(col(idCol).as("src_id"), asDouble(col(vecCol)).as("av"))
+    val b = tgt.select(col(idCol).as("tgt_id"), asDouble(col(vecCol)).as("bv"))
+    val scored = a.crossJoin(b)
+      .withColumn("c6",
+        round(round(cosine(col("av"), col("bv")), 6) * 1e6, 0).cast("long"))
+      .select("src_id", "tgt_id", "c6")
+      .localCheckpoint() // read 3×: both top-k sums + the pair emit
+    def topSum(side: String): DataFrame = {
+      val other = if (side == "src_id") "tgt_id" else "src_id"
+      val w = Window.partitionBy(side).orderBy(col("c6").desc, col(other))
+      scored.withColumn("_r", row_number().over(w)).where(col("_r") <= k)
+        .groupBy(side).agg(sum("c6").as(s"_sum_$side"))
+    }
+    scored
+      .join(topSum("src_id"), Seq("src_id"))
+      .join(topSum("tgt_id"), Seq("tgt_id"))
+      .withColumn("margin_ppm",
+        expr(s"2 * $k * c6 * 1000000 div (_sum_src_id + _sum_tgt_id)"))
+      .where(col("_sum_src_id") + col("_sum_tgt_id") > 0 &&
+        col("margin_ppm") >= minMarginPpm)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("src_id")
+          .orderBy(col("margin_ppm").desc, col("tgt_id"))).cast("int"))
+      .select(col("src_id"), col("tgt_id"),
+        (col("c6").cast("double") / 1e6).as("cos"), col("margin_ppm"), col("rank"))
+  }
 }

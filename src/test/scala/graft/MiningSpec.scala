@@ -1,0 +1,86 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-8 mining operators: margin-based parallel-pair mining
+  * (Artetxe & Schwenk) and sorted-neighborhood blocking
+  * (Hernández & Stolfo).
+  */
+class MiningSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- marginPairs --------------------------------------------------------
+
+  test("marginPairs: a planted reciprocal pair mines at rank 1 with cos 1.0") {
+    // src 0 and tgt 100 are the same direction; everything else is noise
+    // spread across other axes so neighborhoods are mediocre.
+    val src = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.2, 0.0)),
+      (2L, Seq(0.0, 0.2, 1.0, 0.0))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (100L, Seq(1.0, 0.0, 0.0, 0.0)),   // exact counterpart of src 0
+      (101L, Seq(0.0, 0.8, 0.6, 0.0)),
+      (102L, Seq(0.0, 0.0, 0.0, 1.0))).toDF("vec_id", "embedding")
+    val got = Similarity.marginPairs(src, tgt, k = 2, minMarginPpm = 1050000L)
+      .collect().map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"),
+        r.getAs[Double]("cos"), r.getAs[Long]("margin_ppm"), r.getAs[Int]("rank")))
+    val top = got.find(p => p._1 == 0L && p._2 == 100L)
+    assert(top.isDefined, s"planted pair missing from $got")
+    assert(top.get._3 == 1.0 && top.get._4 > 1050000L && top.get._5 == 1)
+  }
+
+  test("marginPairs: uniform cosines have margin exactly 1.0 — nothing passes") {
+    // every src-tgt cosine identical -> avgTopK == c6 -> margin_ppm = 1e6
+    val src = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val tgt = Seq((10L, Seq(1.0, 0.0)), (11L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    assert(Similarity.marginPairs(src, tgt, k = 2, minMarginPpm = 1000001L).count() == 0)
+    // and at threshold exactly 1e6 all pairs pass with margin_ppm = 1e6
+    val all = Similarity.marginPairs(src, tgt, k = 2, minMarginPpm = 1000000L).collect()
+    assert(all.length == 4 && all.forall(_.getAs[Long]("margin_ppm") == 1000000L))
+  }
+
+  test("marginPairs: non-positive neighborhood sums are dropped, not divided") {
+    val src = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val tgt = Seq((10L, Seq(-1.0, 0.0))).toDF("vec_id", "embedding") // cos -1
+    assert(Similarity.marginPairs(src, tgt, k = 1, minMarginPpm = 0L).count() == 0)
+  }
+
+  // ---- sortedNeighborhood -------------------------------------------------
+
+  test("sortedNeighborhood: id-distant exact copies sort adjacent and verify at J=1") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (99999L, "alpha beta gamma delta"),      // exact copy, far id
+      (50L, "zz completely different words here")).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhood(docs, w = 2).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("a") == 1L && r.getAs[Long]("b") == 99999L)
+    assert(r.getAs[Long]("j_ppm") == 1000000L && r.getAs[Int]("dist") == 1)
+  }
+
+  test("sortedNeighborhood: candidate volume is exactly n·w - w(w+1)/2") {
+    // all docs share token 'common' so no candidate is lost to inter=0
+    val n = 20; val w = 3
+    val docs = (1 to n).map(i => (i.toLong, s"common u${i}a u${i}b")).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhood(docs, w = w, minJaccardPpm = 0L).collect()
+    assert(got.length == n * w - w * (w + 1) / 2)
+  }
+
+  test("sortedNeighborhood: w bounds recall — copies > w apart in sort order are missed") {
+    // five identical texts: sort order is id order; w=1 pairs only neighbors
+    val docs = (1 to 5).map(i => (i.toLong, "same same text")).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhood(docs, w = 1).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(got == Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+  }
+
+  test("sortedNeighborhood: disjoint-token neighbors emit nothing") {
+    val docs = Seq((1L, "aaa bbb"), (2L, "aab ccc"), (3L, "aac ddd"))
+      .toDF("doc_id", "text")
+    assert(Dedup.sortedNeighborhood(docs, w = 2).count() == 0)
+  }
+}
