@@ -2016,8 +2016,40 @@ object SparkEntry {
     // sorted-neighborhood blocking over the dup-planted corpus: O(n·w)
     // candidates + exact word-Jaccard verify
     "q_sorted_blocking" -> ((s, dir) =>
-      Dedup.sortedNeighborhood(docsWithDupes(s, dir), w = 3))
+      Dedup.sortedNeighborhood(docsWithDupes(s, dir), w = 3)),
+
+    // per-conversation md5 hash chain: reorder/edit/drop of any turn
+    // changes the chain; one conv_id exchange, single left fold
+    "q_conv_merkle" -> ((s, dir) =>
+      graft.ops.Conversations.integrityChain(transcripts(s, dir))),
+
+    // rare-template incident surfacing over the planted FATAL lines
+    "q_rare_templates" -> ((s, dir) =>
+      TextAnalysis.rareTemplates(transcriptsWithRareLines(s, dir), maxPpm = 5000L)),
+
+    // Cohen's κ between two rule labelers (length vs token-count gates)
+    "q_classifier_kappa" -> ((s, dir) =>
+      graft.ops.Curation.raterAgreement(documents(s, dir),
+        length(col("text")) >= 400,
+        TextAnalysis.wsTokenCount(col("text")) >= 80))
   )
+
+  /** transcripts ∪ three planted FATAL lines sharing one never-seen
+    * template — the rare-template fixture (n = 3 of a corpus-sized
+    * total, far under the 5,000 ppm cut at every SF).
+    */
+  private def transcriptsWithRareLines(s: SparkSession, dir: String): DataFrame = {
+    val t = transcripts(s, dir)
+    val extra = s.range(3).select(
+      concat(lit("rare-conv-"), col("id")).as("conv_id"),
+      lit(0).cast("int").as("turn_idx"),
+      lit("system").as("role"),
+      concat(lit("FATAL [reactor-"), col("id"),
+        lit("] meltdown code "), col("id") * 7).as("text"),
+      lit(null).cast("string").as("tool"),
+      lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+    t.unionByName(extra)
+  }
 
   /** Deterministic nested CIDR route table for q_cidr_lpm: a /0
     * default, 128 even /24 blocks, 64 scattered /28s, 16 exact /32
@@ -5540,6 +5572,60 @@ object SparkEntry {
         |SELECT a, b, dist, inter, sa.sz AS n_a, sb.sz AS n_b,
         |  CAST(inter * 1000000 // (sa.sz + sb.sz - inter) AS BIGINT) AS j_ppm
         |FROM i JOIN sz sa ON sa.id = a JOIN sz sb ON sb.id = b
-        |WHERE inter * 1000000 // (sa.sz + sb.sz - inter) >= 500000""".stripMargin
+        |WHERE inter * 1000000 // (sa.sz + sb.sz - inter) >= 500000""".stripMargin,
+
+    // same seeded fold: list_reduce needs the '' seed PREPENDED
+    // (DuckDB's reduce uses element 0 as the accumulator otherwise)
+    "q_conv_merkle" ->
+      s"""$T SELECT conv_id,
+         |  list_reduce(list_prepend('', list(text ORDER BY turn_idx, text)),
+         |    (acc, x) -> md5(acc || x)) AS chain_hash,
+         |  CAST(count(*) AS INTEGER) AS n_turns
+         |FROM transcripts GROUP BY conv_id""".stripMargin,
+
+    "q_rare_templates" ->
+      s"""$T, lines AS (
+         |  SELECT text FROM transcripts
+         |  UNION ALL
+         |  SELECT 'FATAL [reactor-' || CAST(i AS VARCHAR) || '] meltdown code '
+         |    || CAST(i * 7 AS VARCHAR)
+         |  FROM (SELECT unnest([0, 1, 2]) AS i)),
+         |t AS (
+         |  SELECT regexp_replace(text, '[0-9]+', '#', 'g') AS template,
+         |    CAST(count(*) AS INTEGER) AS n, min(text) AS example
+         |  FROM lines GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM t)
+         |SELECT template, n, CAST(n AS BIGINT) * 1000000 // tot AS ppm, example
+         |FROM t CROSS JOIN tot
+         |WHERE CAST(n AS BIGINT) * 1000000 // tot < 5000""".stripMargin,
+
+    // κ numerator can be negative: mirror Spark's TRUNCATING div with
+    // the sign-split // (DuckDB // floors)
+    "q_classifier_kappa" ->
+      """WITH f AS (
+        |  SELECT length(text) >= 400 AS a,
+        |    (CASE WHEN trim(text) = '' THEN 0
+        |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END) >= 80 AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |  FROM f),
+        |d AS (
+        |  SELECT n, n11, n10, n01, n00,
+        |    (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10) AS pe,
+        |    ((n11 + n00) * n
+        |      - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))) * 1000000 AS knum
+        |  FROM c)
+        |SELECT n, n11, n10, n01, n00,
+        |  (n11 + n00) * 1000000 // n AS po_ppm,
+        |  pe * 1000000 // (n * n) AS pe_ppm,
+        |  CASE WHEN n * n <= pe THEN NULL
+        |       WHEN knum >= 0 THEN knum // (n * n - pe)
+        |       ELSE -((-knum) // (n * n - pe)) END AS kappa_ppm
+        |FROM d""".stripMargin
   )
 }

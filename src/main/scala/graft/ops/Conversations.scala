@@ -137,4 +137,28 @@ object Conversations {
         sum(col("n_tok")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
       .withColumn("kept", col("cum_from_end") <= budget || row_number().over(w) === 1)
   }
+
+  /** Per-conversation hash CHAIN (Merkle-style transcript integrity —
+    * the registrar/ACK idea applied to content): fold the turns in
+    * turn order through h ← md5(h ∥ text), seeded with the empty
+    * string. Any reorder, drop, or edit of any turn changes the chain
+    * hash; equal chains ⇔ byte-identical ordered turn sequences — a
+    * stronger receipt than the order-insensitive md5-of-concat because
+    * an attacker can't rebalance text across turn boundaries.
+    *
+    * Scale shape: ONE conv_id hash exchange (the same exchange the
+    * render/dedup path uses); the fold is `aggregate()` over the
+    * collected turn array — a single left fold, one md5 per turn (not
+    * the per-produced-element lambda re-evaluation trap: aggregate
+    * visits each element once). Conversations are bounded (~10²
+    * turns), so per-group work is constant-ish at any corpus size.
+    */
+  def integrityChain(df: DataFrame, convCol: String = "conv_id",
+      turnCol: String = "turn_idx", textCol: String = "text"): DataFrame =
+    df.groupBy(convCol)
+      .agg(array_sort(collect_list(struct(
+        col(turnCol).as("i"), col(textCol).as("t")))).as("_turns"))
+      .select(col(convCol),
+        expr("aggregate(_turns, '', (acc, x) -> md5(concat(acc, x.t)))").as("chain_hash"),
+        size(col("_turns")).cast("int").as("n_turns"))
 }

@@ -881,4 +881,35 @@ object Curation {
           transform(array_sort(collect_list(struct(col("sent_idx"), col("sentence")))),
             x => x.getField("sentence")), " ").as("chunk_text"))
   }
+
+  /** Cohen's κ agreement between two boolean labelers (rule filters,
+    * model classifiers, human raters) — the labeling-QA statistic:
+    * observed agreement corrected by the agreement two INDEPENDENT
+    * raters with these marginals would reach by chance. All counts are
+    * one 1-row aggregate; κ is exact integer arithmetic in ppm:
+    * κ_ppm = (po·n − pe)·10⁶ div (n² − pe) with po = n11+n00 and
+    * pe = a1·b1 + a0·b0 (the ×n² common denominator cleared).
+    *
+    * Overflow headroom: n²·10⁶ must fit a Long ⇒ n ≤ ~3·10⁶ rows. For
+    * a 10¹²-row corpus run it over a deterministic sample (hashSplit /
+    * sampleStratified) or swap the two products to DECIMAL(38,0) — the
+    * statistic needs a label SAMPLE, not the corpus.
+    */
+  def raterAgreement(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val c = df.select(aCol.cast("boolean").as("_a"), bCol.cast("boolean").as("_b"))
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("_a") && col("_b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("_a") && !col("_b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("_a") && col("_b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("_a") && !col("_b"), 1L).otherwise(0L)).as("n00"))
+    c.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("(n11 + n00) * 1000000 div n").as("po_ppm"),
+        expr("((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) * 1000000 div (n * n)").as("pe_ppm"),
+        expr("""CASE WHEN n * n > (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)
+                THEN ((n11 + n00) * n - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))) * 1000000
+                     div (n * n - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)))
+                END""").as("kappa_ppm"))
+  }
 }

@@ -417,6 +417,26 @@ object TextAnalysis {
       .groupBy("template")
       .agg(count(lit(1)).cast("int").as("n"), min(col(textCol)).as("example"))
 
+  /** Rare-template anomaly surfacing over [[logTemplates]]: templates
+    * whose corpus share falls under `maxPpm` — the "a log line shape we
+    * have (almost) never seen" incident signal (new error class, novel
+    * stack shape). Share is ONE integer division, n·10⁶ div total, so
+    * the cut is cross-engine exact.
+    *
+    * Scale shape: the template table is the bounded output of one
+    * corpus hash-aggregate; the total is a broadcast 1-row cross join.
+    * Nothing after the first groupBy is corpus-sized.
+    */
+  def rareTemplates(df: DataFrame, maxPpm: Long = 1000L,
+      textCol: String = "text"): DataFrame = {
+    val t = logTemplates(df, textCol)
+    val tot = t.agg(sum(col("n").cast("long")).as("_tot"))
+    t.crossJoin(broadcast(tot))
+      .withColumn("ppm", expr("CAST(n AS BIGINT) * 1000000 div _tot"))
+      .where(col("ppm") < maxPpm)
+      .select("template", "n", "ppm", "example")
+  }
+
   /** ES terms-aggregation-style top-k terms per group (e.g. per
     * language). The rank window runs over the (group, term) AGGREGATE —
     * bounded by vocabulary size per group — never over the corpus.

@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.{Conversations, Curation}
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-8 integrity/QA operators: conversation hash chains, rare
+  * log-template surfacing, Cohen's κ labeler agreement.
+  */
+class IntegrityOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // ---- integrityChain -------------------------------------------------------
+
+  test("integrityChain equals the hand-computed seeded md5 fold in turn order") {
+    val df = Seq(("c1", 2, "third"), ("c1", 0, "first"), ("c1", 1, "second"))
+      .toDF("conv_id", "turn_idx", "text")
+    val r = Conversations.integrityChain(df).collect().head
+    val expected = md5hex(md5hex(md5hex("" + "first") + "second") + "third")
+    assert(r.getAs[String]("chain_hash") == expected)
+    assert(r.getAs[Int]("n_turns") == 3)
+  }
+
+  test("integrityChain detects cross-boundary rebalancing that md5-of-concat misses") {
+    // "ab"+"c" and "a"+"bc" concat to the same string, but the chains differ
+    val x = Seq(("x", 0, "ab"), ("x", 1, "c")).toDF("conv_id", "turn_idx", "text")
+    val y = Seq(("y", 0, "a"), ("y", 1, "bc")).toDF("conv_id", "turn_idx", "text")
+    val hx = Conversations.integrityChain(x).collect().head.getAs[String]("chain_hash")
+    val hy = Conversations.integrityChain(y).collect().head.getAs[String]("chain_hash")
+    assert(hx != hy)
+  }
+
+  test("integrityChain: reordering two turns changes the chain; repartition does not") {
+    val a = Seq(("c", 0, "p"), ("c", 1, "q")).toDF("conv_id", "turn_idx", "text")
+    val b = Seq(("c", 0, "q"), ("c", 1, "p")).toDF("conv_id", "turn_idx", "text")
+    val ha = Conversations.integrityChain(a).collect().head.getAs[String]("chain_hash")
+    val hb = Conversations.integrityChain(b).collect().head.getAs[String]("chain_hash")
+    assert(ha != hb)
+    val ha2 = Conversations.integrityChain(a.repartition(7))
+      .collect().head.getAs[String]("chain_hash")
+    assert(ha == ha2)
+  }
+
+  // ---- rareTemplates --------------------------------------------------------
+
+  test("rareTemplates surfaces only templates under the ppm cut") {
+    // 998 lines of one hot template + 2 of a rare one: rare = 2000 ppm
+    val rows = (1 to 998).map(i => s"evt=click id=$i") ++
+      Seq("FATAL meltdown 1", "FATAL meltdown 2")
+    val df = rows.toDF("text")
+    val out = TextAnalysis.rareTemplates(df, maxPpm = 5000L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("template") == "FATAL meltdown #")
+    assert(r.getAs[Int]("n") == 2 && r.getAs[Long]("ppm") == 2000L)
+    assert(r.getAs[String]("example") == "FATAL meltdown 1")
+  }
+
+  test("rareTemplates: the cut is strict (< maxPpm, integer division)") {
+    // 2 rare of 1000 -> exactly 2000 ppm: excluded at maxPpm = 2000
+    val rows = (1 to 998).map(i => s"evt=click id=$i") ++
+      Seq("FATAL meltdown 1", "FATAL meltdown 2")
+    assert(TextAnalysis.rareTemplates(rows.toDF("text"), maxPpm = 2000L).count() == 0)
+  }
+
+  // ---- raterAgreement -------------------------------------------------------
+
+  test("raterAgreement: perfect agreement gives kappa 1e6, independence gives 0") {
+    val perfect = Seq((true, true), (false, false), (true, true), (false, false))
+      .toDF("a", "b")
+    val r1 = Curation.raterAgreement(perfect, col("a"), col("b")).collect().head
+    assert(r1.getAs[Long]("kappa_ppm") == 1000000L && r1.getAs[Long]("po_ppm") == 1000000L)
+    // 2x2 uniform table: po = pe = 1/2 -> kappa exactly 0
+    val indep = Seq((true, true), (true, false), (false, true), (false, false))
+      .toDF("a", "b")
+    val r2 = Curation.raterAgreement(indep, col("a"), col("b")).collect().head
+    assert(r2.getAs[Long]("kappa_ppm") == 0L)
+  }
+
+  test("raterAgreement: balanced complete disagreement gives kappa -1e6") {
+    val df = Seq((true, false), (false, true)).toDF("a", "b")
+    val r = Curation.raterAgreement(df, col("a"), col("b")).collect().head
+    assert(r.getAs[Long]("kappa_ppm") == -1000000L)
+  }
+
+  test("raterAgreement: negative kappa uses TRUNCATING integer division (pinned)") {
+    // n=5, n11=0 n10=2 n01=1 n00=2: pe = 2*1 + 3*4 = 14,
+    // num = (2*5 - 14)*1e6 = -4e6, den = 25 - 14 = 11
+    // -4000000 / 11 truncates to -363636 (floor would be -363637)
+    val df = Seq((true, false), (true, false), (false, true), (false, false), (false, false))
+      .toDF("a", "b")
+    val r = Curation.raterAgreement(df, col("a"), col("b")).collect().head
+    assert(r.getAs[Long]("kappa_ppm") == -363636L)
+  }
+
+  test("raterAgreement: degenerate marginals (pe = n²) yield NULL kappa") {
+    // both raters always true -> pe = n*n, kappa undefined
+    val df = Seq((true, true), (true, true)).toDF("a", "b")
+    val r = Curation.raterAgreement(df, col("a"), col("b")).collect().head
+    assert(r.isNullAt(r.fieldIndex("kappa_ppm")))
+  }
+}
