@@ -2031,7 +2031,22 @@ object SparkEntry {
     "q_classifier_kappa" -> ((s, dir) =>
       graft.ops.Curation.raterAgreement(documents(s, dir),
         length(col("text")) >= 400,
-        TextAnalysis.wsTokenCount(col("text")) >= 80))
+        TextAnalysis.wsTokenCount(col("text")) >= 80)),
+
+    // TextTiling-lite segmentation: adjacent-turn lexical cohesion in
+    // exact ppm, boundary where it drops under 0.3
+    "q_topic_segments" -> ((s, dir) =>
+      graft.ops.Conversations.segmentByShift(transcripts(s, dir),
+        minJaccardPpm = 300000L)),
+
+    // traffic-mix Gini impurity per hour — categorical drift monitor
+    "q_mix_gini" -> ((s, dir) =>
+      graft.agg.Aggregates.mixGini(events(s, dir), "event_type", "ts")),
+
+    // top-k consecutive event-type trigrams (bounded PrefixSpan slice)
+    "q_seq_patterns" -> ((s, dir) =>
+      graft.agg.Aggregates.seqPatterns(events(s, dir),
+        "user_id", "event_type", "event_id", k = 20))
   )
 
   /** transcripts ∪ three planted FATAL lines sharing one never-seen
@@ -5626,6 +5641,64 @@ object SparkEntry {
         |  CASE WHEN n * n <= pe THEN NULL
         |       WHEN knum >= 0 THEN knum // (n * n - pe)
         |       ELSE -((-knum) // (n * n - pe)) END AS kappa_ppm
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    // adjacent-turn equi-join (conv, turn+1), NULL-on-first-turn
+    // boundary convention, running boundary sum → seg_id
+    "q_topic_segments" ->
+      s"""$T, base AS (
+         |  SELECT conv_id AS conv, turn_idx AS turn,
+         |    list_distinct(list_filter(
+         |      regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')) AS toks
+         |  FROM transcripts),
+         |sz AS (SELECT conv, turn, CAST(len(toks) AS BIGINT) AS sz FROM base),
+         |tok AS (SELECT conv, turn, unnest(toks) AS tok FROM base),
+         |i AS (SELECT a.conv, a.turn + 1 AS turn, CAST(count(*) AS BIGINT) AS inter
+         |      FROM tok a JOIN tok b
+         |        ON b.conv = a.conv AND b.turn = a.turn + 1 AND b.tok = a.tok
+         |      GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT s.conv, s.turn,
+         |    CASE WHEN p.sz IS NULL THEN NULL
+         |         WHEN s.sz + p.sz - COALESCE(i.inter, 0) = 0 THEN 1000000
+         |         ELSE COALESCE(i.inter, 0) * 1000000
+         |              // (s.sz + p.sz - COALESCE(i.inter, 0)) END AS j_prev_ppm
+         |  FROM sz s
+         |  LEFT JOIN sz p ON p.conv = s.conv AND p.turn = s.turn - 1
+         |  LEFT JOIN i ON i.conv = s.conv AND i.turn = s.turn)
+         |SELECT conv AS conv_id, turn AS turn_idx, j_prev_ppm,
+         |  CAST(sum(CASE WHEN j_prev_ppm IS NULL OR j_prev_ppm < 300000
+         |                THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY conv ORDER BY turn) - 1 AS INTEGER) AS seg_id
+         |FROM sc""".stripMargin,
+
+    "q_mix_gini" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT window_start, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS INTEGER) AS n_categories,
+        |    CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM b GROUP BY 1)
+        |SELECT window_start, n, n_categories,
+        |  (n * n - ss) * 1000000 // (n * n) AS gini_ppm
+        |FROM g""".stripMargin,
+
+    "q_seq_patterns" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS e3
+        |  FROM events),
+        |c AS (
+        |  SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS support
+        |  FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT e1, e2, e3, support, rank FROM (
+        |  SELECT *, CAST(row_number()
+        |    OVER (ORDER BY support DESC, e1, e2, e3) AS INTEGER) AS rank
+        |  FROM c)
+        |WHERE rank <= 20""".stripMargin
   )
 }

@@ -1111,4 +1111,52 @@ object Aggregates {
       .where(col("rank") <= k)
       .select("key", "score", "n_window", "rank")
   }
+
+  /** Traffic-mix Gini impurity per time window: 1 − Σcᵢ²/n² over the
+    * categorical distribution (event types) inside each window — the
+    * "did the traffic mix collapse / diversify?" drift signal, sibling
+    * of the numeric [[ksDrift]]. Exact:
+    * gini_ppm = (n² − Σcᵢ²)·10⁶ div n², all Long (n per hour window and
+    * per-category counts — Σcᵢ² ≤ n² needs n ≤ ~3·10⁹/window before
+    * Long·10⁶ headroom matters; at that point window smaller or
+    * DECIMAL).
+    *
+    * Scale shape: one corpus hash-aggregate to (window, category), then
+    * a |windows·categories|-sized second aggregate. Nothing else.
+    */
+  def mixGini(df: DataFrame, catCol: String, tsCol: String,
+      period: String = "1 hour"): DataFrame =
+    df.groupBy(window(col(tsCol), period).getField("start").as("window_start"),
+        col(catCol).as("_c"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy("window_start")
+      .agg(sum("_n").as("n"),
+        count(lit(1)).cast("int").as("n_categories"),
+        sum(col("_n") * col("_n")).as("_ss"))
+      .select(col("window_start"), col("n"), col("n_categories"),
+        expr("(n * n - _ss) * 1000000 div (n * n)").as("gini_ppm"))
+
+  /** Top-k frequent length-3 behavioral sequences (sequential-pattern
+    * mining, the bounded-length slice of PrefixSpan): consecutive
+    * event-type trigrams per user in event order, counted across the
+    * corpus. Consecutive — not gapped — so support is a plain count of
+    * per-user window trigrams, exact everywhere.
+    *
+    * Scale shape: the lead() windows are per-user (the natural
+    * partitioning), the trigram table aggregates with map-side combine,
+    * and the rank window runs over the bounded distinct-trigram table.
+    */
+  def seqPatterns(df: DataFrame, userCol: String, typeCol: String,
+      ordCol: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(ordCol)
+    val tri = df.select(col(userCol), col(typeCol).as("e1"),
+        lead(col(typeCol), 1).over(w).as("e2"),
+        lead(col(typeCol), 2).over(w).as("e3"))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+    tri.groupBy("e1", "e2", "e3").agg(count(lit(1)).as("support"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("support").desc, col("e1"), col("e2"), col("e3"))).cast("int"))
+      .where(col("rank") <= k)
+  }
 }

@@ -161,4 +161,48 @@ object Conversations {
       .select(col(convCol),
         expr("aggregate(_turns, '', (acc, x) -> md5(concat(acc, x.t)))").as("chain_hash"),
         size(col("_turns")).cast("int").as("n_turns"))
+
+  /** TextTiling-lite topic segmentation: a turn starts a new segment
+    * when its distinct-word Jaccard to the PREVIOUS turn falls under
+    * `minJaccardPpm` (exact integer ppm — the adjacent-turn lexical
+    * cohesion signal; Hearst CL 1997 uses smoothed block cosine, this
+    * is its order-exact integer cousin). Segment ids are the running
+    * count of boundaries in turn order.
+    *
+    * Scale shape: adjacent-pair similarity is an equi-join on
+    * (conv, turn+1) — never all-pairs; both windows are per-conv.
+    * Output: one row per turn with `j_prev_ppm` (NULL on the first
+    * turn) and its `seg_id`.
+    */
+  def segmentByShift(df: DataFrame, minJaccardPpm: Long = 200000L,
+      convCol: String = "conv_id", turnCol: String = "turn_idx",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(convCol).as("conv"), col(turnCol).as("turn"),
+      array_distinct(filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => t =!= "")).as("_toks"))
+    val toks = base.select(col("conv"), col("turn"), explode(col("_toks")).as("tok"))
+    val sizes = base.select(col("conv"), col("turn"), size(col("_toks")).cast("long").as("_sz"))
+    val inter = toks.select(col("conv"), (col("turn") + 1).as("turn"), col("tok"))
+      .join(toks, Seq("conv", "turn", "tok"))
+      .groupBy("conv", "turn").agg(count(lit(1)).as("_inter"))
+    val scored = sizes
+      .join(sizes.select(col("conv"), (col("turn") + 1).as("turn"),
+        col("_sz").as("_psz")), Seq("conv", "turn"), "left")
+      .join(inter, Seq("conv", "turn"), "left")
+      .withColumn("j_prev_ppm",
+        when(col("_psz").isNotNull,
+          // two empty-token turns are identical by convention (den 0)
+          expr("""CASE WHEN _sz + _psz - coalesce(_inter, 0) = 0 THEN 1000000
+                  ELSE coalesce(_inter, 0) * 1000000 div (_sz + _psz - coalesce(_inter, 0)) END""")))
+    val w = Window.partitionBy("conv").orderBy("turn")
+    scored
+      .withColumn("_newseg",
+        when(col("j_prev_ppm").isNull || col("j_prev_ppm") < minJaccardPpm, 1L)
+          .otherwise(0L))
+      .withColumn("seg_id", (sum("_newseg").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)) - 1).cast("int"))
+      .select(col("conv").as(convCol), col("turn").as(turnCol),
+        col("j_prev_ppm"), col("seg_id"))
+  }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import graft.agg.Aggregates
+import graft.ops.Conversations
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 operators: TextTiling-lite topic segmentation, traffic-mix
+  * Gini impurity, and consecutive-trigram sequential patterns. All three
+  * are exact integer arithmetic — values below are hand-computed.
+  */
+class TopicSeqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- segmentByShift -----------------------------------------------------
+
+  test("segmentByShift: boundaries exactly where adjacent Jaccard drops under the floor") {
+    val t = Seq(
+      ("a", 0, "alpha beta gamma"),  // first turn: j NULL -> boundary, seg 0
+      ("a", 1, "alpha beta delta"),  // inter 2, union 4 -> 500000 >= thr -> seg 0
+      ("a", 2, "zulu yankee xray"),  // inter 0 -> 0 < thr -> seg 1
+      ("a", 3, "zulu zulu")          // toks {zulu}: inter 1, union 3 -> 333333 >= thr -> seg 1
+    ).toDF("conv_id", "turn_idx", "text")
+    val got = Conversations.segmentByShift(t, minJaccardPpm = 300000L)
+      .collect().map(r => r.getInt(1) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]), r.getInt(3)))).toMap
+    assert(got(0) === ((None, 0)))
+    assert(got(1) === ((Some(500000L), 0)))
+    assert(got(2) === ((Some(0L), 1)))
+    assert(got(3) === ((Some(333333L), 1)))
+  }
+
+  test("segmentByShift: two empty turns are identical by convention (den 0 -> 1e6)") {
+    val t = Seq(("e", 0, ""), ("e", 1, "  ")).toDF("conv_id", "turn_idx", "text")
+    val got = Conversations.segmentByShift(t, minJaccardPpm = 300000L)
+      .collect().map(r => r.getInt(1) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]), r.getInt(3)))).toMap
+    assert(got(0) === ((None, 0)))
+    assert(got(1) === ((Some(1000000L), 0)))
+  }
+
+  // ---- mixGini ------------------------------------------------------------
+
+  test("mixGini: exact ppm impurity per hour window") {
+    val t = Seq(
+      // hour 1: a,a,a,b -> n=4, ss=10, gini=(16-10)*1e6 div 16 = 375000
+      ("2024-01-01 10:00:01", "a"), ("2024-01-01 10:10:00", "a"),
+      ("2024-01-01 10:20:00", "a"), ("2024-01-01 10:59:59", "b"),
+      // hour 2: pure -> gini 0
+      ("2024-01-01 11:00:00", "c"), ("2024-01-01 11:30:00", "c")
+    ).toDF("ts_s", "event_type")
+      .selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "event_type")
+    val got = Aggregates.mixGini(t, "event_type", "ts")
+      .collect().map(r => r.getTimestamp(0).toString ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(got("2024-01-01 10:00:00.0") === ((4L, 2, 375000L)))
+    assert(got("2024-01-01 11:00:00.0") === ((2L, 1, 0L)))
+  }
+
+  // ---- seqPatterns --------------------------------------------------------
+
+  test("seqPatterns: consecutive trigram support counts, never gapped, rank tie-broken") {
+    val t = Seq(
+      ("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "c"),
+      ("u1", 4L, "a"), ("u1", 5L, "b"), ("u1", 6L, "c"),
+      ("u2", 1L, "a"), ("u2", 2L, "b"), ("u2", 3L, "c")
+    ).toDF("user_id", "event_id", "event_type")
+    val got = Aggregates.seqPatterns(t, "user_id", "event_type", "event_id", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getInt(4)))
+    // trigrams u1: abc, bca, cab, abc ; u2: abc -> abc support 3
+    assert(got.find(_._5 == 1).get === (("a", "b", "c", 3L, 1)))
+    assert(got.length === 3)
+    // the two support-1 trigrams tie-break lexicographically: bca before cab
+    assert(got.find(_._5 == 2).get === (("b", "c", "a", 1L, 2)))
+    assert(got.find(_._5 == 3).get === (("c", "a", "b", 1L, 3)))
+    // no trigram crosses users (u2 has exactly 3 events -> only abc)
+  }
+
+  test("seqPatterns: users shorter than 3 events contribute nothing") {
+    val t = Seq(("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "c"), ("u2", 1L, "x"))
+      .toDF("user_id", "event_id", "event_type")
+    assert(Aggregates.seqPatterns(t, "user_id", "event_type", "event_id").count() === 1)
+  }
+}
