@@ -1865,6 +1865,58 @@ object SparkEntry {
         holds, ttlDays = 14)
     },
 
+    // Iceberg-v2 MOR positional deletes: 16 synthetic data files keyed
+    // by event_id%16, pos = ordinal within file; error rows + id%23
+    // rows arrive as a position-delete file; per-file visibility audit
+    "q_pos_deletes" -> { (s, dir) =>
+      val filed = events(s, dir).select(
+        concat(lit("f"),
+          lpad(pmod(col("event_id"), lit(16)).cast("string"), 2, "0")).as("file"),
+        floor(col("event_id") / 16).cast("long").as("pos"),
+        col("event_type"), col("event_id"))
+      val dels = filed
+        .where(col("event_type") === "error" || col("event_id") % 23 === 0)
+        .select("file", "pos")
+      graft.ops.Lakehouse.posDeleteRead(filed, dels, "file", "pos")
+    },
+
+    // Iceberg-v2 MOR equality deletes with sequence visibility: data
+    // rows carry data_seq 1..5, user_id%11 keys carry a delete at seq
+    // 2..4 — only rows written strictly BEFORE their key's delete are
+    // struck; sum_ids pins the exact surviving row set
+    "q_mor_read" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val data = ev.select(col("event_id"), col("user_id"), col("event_type"),
+        (pmod(col("event_id"), lit(5)) + 1).as("data_seq"))
+      val dels = ev.where(col("user_id") % 11 === 0)
+        .select(col("user_id"), (pmod(col("user_id"), lit(3)) + 2).as("delete_seq"))
+      graft.ops.Lakehouse
+        .equalityDeleteRead(data, dels, "user_id", "data_seq", "delete_seq")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_visible"), sum("event_id").as("sum_ids"))
+    },
+
+    // snapshot-expiry plan: one synthetic snapshot per event hour;
+    // keep the 5 newest plus 7 days of retention vs the newest snapshot
+    "q_snapshot_expiry" -> { (s, dir) =>
+      val snaps = events(s, dir).select(
+        floor(unix_timestamp(col("ts")) / 3600).cast("long").as("snapshot_id"),
+        date_trunc("hour", col("ts")).as("snap_ts")).distinct()
+      graft.ops.Lakehouse.snapshotExpiry(snaps, "snapshot_id", "snap_ts",
+        keepLast = 5, retainDays = 7)
+    },
+
+    // partition-spec advisor over four candidate layouts: type (too
+    // coarse), day, hour, user%64 — count/skew-ppm evidence per spec
+    "q_partition_advisor" -> { (s, dir) =>
+      graft.ops.Lakehouse.partitionSpecAdvisor(events(s, dir), Seq(
+        "event_type" -> col("event_type"),
+        "day" -> date_format(col("ts"), "yyyy-MM-dd"),
+        "hour" -> date_format(col("ts"), "yyyy-MM-dd HH"),
+        "user_bucket64" -> pmod(col("user_id"), lit(64))),
+        loParts = 10L, hiParts = 800L, maxSkewPpm = 150000L)
+    },
+
     // first/last-touch attribution of every purchase to the user's
     // prior non-purchase events, (ts, event_id)-deterministic
     "q_attribution" -> ((s, dir) =>
@@ -5206,6 +5258,74 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT day, n_expired, n_held, n_droppable, n_held = 0 AS full_drop
         |FROM g""".stripMargin,
+
+    "q_pos_deletes" ->
+      """WITH d AS (
+        |  SELECT 'f' || lpad(CAST(event_id % 16 AS VARCHAR), 2, '0') AS file,
+        |    event_id // 16 AS pos, event_type, event_id
+        |  FROM events),
+        |del AS (
+        |  SELECT DISTINCT file, pos FROM d
+        |  WHERE event_type = 'error' OR event_id % 23 = 0)
+        |SELECT d.file, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN del.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        |  CAST(count(*) - sum(CASE WHEN del.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_visible
+        |FROM d LEFT JOIN del ON d.file = del.file AND d.pos = del.pos
+        |GROUP BY 1""".stripMargin,
+
+    "q_mor_read" ->
+      """WITH data AS (
+        |  SELECT event_id, user_id, event_type, event_id % 5 + 1 AS data_seq
+        |  FROM events),
+        |del AS (
+        |  SELECT user_id, max(user_id % 3 + 2) AS max_del_seq
+        |  FROM events WHERE user_id % 11 = 0 GROUP BY 1),
+        |vis AS (
+        |  SELECT data.event_id, data.event_type FROM data LEFT JOIN del USING (user_id)
+        |  WHERE max_del_seq IS NULL OR data_seq >= max_del_seq)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_visible,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM vis GROUP BY 1""".stripMargin,
+
+    "q_snapshot_expiry" ->
+      """WITH s AS (
+        |  SELECT DISTINCT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS snapshot_id,
+        |    date_trunc('hour', ts) AS snap_ts FROM events),
+        |r AS (
+        |  SELECT snapshot_id, snap_ts,
+        |    row_number() OVER (ORDER BY snap_ts DESC, snapshot_id DESC) AS age_rank,
+        |    max(CAST(snap_ts AS DATE)) OVER () - 7 AS cutoff
+        |  FROM s)
+        |SELECT snapshot_id, CAST(age_rank AS BIGINT) AS age_rank,
+        |  CASE WHEN age_rank <= 5 THEN 'retain'
+        |       WHEN CAST(snap_ts AS DATE) >= cutoff THEN 'retain'
+        |       ELSE 'expire' END AS action,
+        |  CASE WHEN age_rank <= 5 THEN 'keep_last'
+        |       WHEN CAST(snap_ts AS DATE) >= cutoff THEN 'in_retention'
+        |       ELSE 'aged_out' END AS reason
+        |FROM r""".stripMargin,
+
+    "q_partition_advisor" ->
+      """WITH g1 AS (SELECT event_type AS p, count(*) AS n FROM events GROUP BY 1),
+        |g2 AS (SELECT strftime(ts, '%Y-%m-%d') AS p, count(*) AS n FROM events GROUP BY 1),
+        |g3 AS (SELECT strftime(ts, '%Y-%m-%d %H') AS p, count(*) AS n FROM events GROUP BY 1),
+        |g4 AS (SELECT CAST(user_id % 64 AS VARCHAR) AS p, count(*) AS n FROM events GROUP BY 1),
+        |u AS (
+        |  SELECT 'event_type' AS candidate, CAST(count(*) AS BIGINT) AS n_partitions,
+        |    CAST(sum(n) AS BIGINT) AS total_rows, CAST(max(n) AS BIGINT) AS max_partition_rows FROM g1
+        |  UNION ALL
+        |  SELECT 'day', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT), CAST(max(n) AS BIGINT) FROM g2
+        |  UNION ALL
+        |  SELECT 'hour', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT), CAST(max(n) AS BIGINT) FROM g3
+        |  UNION ALL
+        |  SELECT 'user_bucket64', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT), CAST(max(n) AS BIGINT) FROM g4),
+        |k AS (
+        |  SELECT candidate, n_partitions, total_rows, max_partition_rows,
+        |    CAST(floor(max_partition_rows * 1000000 / total_rows) AS BIGINT) AS skew_ppm
+        |  FROM u)
+        |SELECT candidate, n_partitions, total_rows, max_partition_rows, skew_ppm,
+        |  (n_partitions BETWEEN 10 AND 800) AND skew_ppm <= 150000 AS recommended
+        |FROM k""".stripMargin,
 
     // same (ts, event_id) window order and [unbounded, -1] frame; the
     // empty first frame gives NULL touches / count 0 on both engines

@@ -143,6 +143,123 @@ object Lakehouse {
       .withColumn("full_drop", col("n_held") === 0L)
   }
 
+  /** Merge-on-read POSITIONAL-delete apply (Iceberg v2 delete-file
+    * semantics: a delete file lists (data_file, row_position) pairs and a
+    * reader must drop exactly those rows). Returns the per-file audit —
+    * rows in the data file, rows struck by position deletes, rows a MOR
+    * scan yields — which is also the compaction trigger input (files
+    * with a high deleted fraction get rewritten first).
+    *
+    * Scale shape: deletes are aggregated per file FIRST (map-side
+    * combinable count), and the strike test is a left join on the
+    * composite (file, pos) key — both sides hash-partition on the same
+    * key, no row ever fans out (positions are unique within a file on
+    * both sides by the Iceberg spec). No broadcast assumption: delete
+    * files can be table-sized after a big DELETE.
+    */
+  def posDeleteRead(data: DataFrame, deletes: DataFrame,
+      fileCol: String, posCol: String): DataFrame = {
+    val del = deletes.select(col(fileCol), col(posCol)).distinct()
+      .withColumn("_struck", lit(1L))
+    data.select(col(fileCol), col(posCol))
+      .join(del, Seq(fileCol, posCol), "left")
+      .groupBy(col(fileCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("_struck"), lit(0L))).as("n_deleted"))
+      .withColumn("n_visible", col("n_rows") - col("n_deleted"))
+  }
+
+  /** Merge-on-read EQUALITY-delete apply with sequence-number
+    * visibility (Iceberg v2: an equality delete carrying sequence
+    * number S strikes data rows whose key matches AND whose data
+    * sequence number is strictly LESS than S — rows written at or after
+    * the delete survive, which is what makes concurrent upsert-then-
+    * reinsert correct). Returns the visible rows.
+    *
+    * A row is struck iff max(delete seq over its key) > its data seq,
+    * so the delete side collapses to ONE row per distinct deleted key
+    * (a map-side-combinable max) before the join — the join side is
+    * bounded by distinct deleted keys no matter how many delete files
+    * stack up. Plain hash join (deletes after a big MERGE can be
+    * table-sized; AQE broadcasts small ones at runtime).
+    */
+  def equalityDeleteRead(data: DataFrame, deletes: DataFrame,
+      keyCol: String, dataSeqCol: String, deleteSeqCol: String): DataFrame = {
+    val del = deletes.groupBy(col(keyCol))
+      .agg(max(col(deleteSeqCol)).as("_max_del_seq"))
+    data.join(del, Seq(keyCol), "left")
+      .where(col("_max_del_seq").isNull ||
+        col(dataSeqCol) >= col("_max_del_seq"))
+      .drop("_max_del_seq")
+  }
+
+  /** Snapshot-expiry plan (Iceberg `expireSnapshots` semantics): retain
+    * the `keepLast` most recent snapshots unconditionally, plus every
+    * snapshot younger than `retainDays` before the NEWEST snapshot (the
+    * data's own clock — never wall time, so the plan is deterministic
+    * and replayable); everything else expires. Output: one row per
+    * snapshot with its age rank, action and reason.
+    *
+    * The window runs over the SNAPSHOT table — bounded by snapshot
+    * count (retention × commit rate, thousands at most), never by data
+    * rows, so the single-partition sort is a constant-size metadata
+    * pass by construction (same argument as [[backfillGaps]]).
+    */
+  def snapshotExpiry(snapshots: DataFrame, idCol: String, tsCol: String,
+      keepLast: Int, retainDays: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(tsCol).desc, col(idCol).desc)
+    snapshots
+      .withColumn("age_rank", row_number().over(w))
+      .withColumn("_cutoff",
+        date_sub(to_date(max(col(tsCol)).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))), retainDays))
+      .withColumn("action",
+        when(col("age_rank") <= keepLast, lit("retain"))
+          .when(to_date(col(tsCol)) >= col("_cutoff"), lit("retain"))
+          .otherwise(lit("expire")))
+      .withColumn("reason",
+        when(col("age_rank") <= keepLast, lit("keep_last"))
+          .when(to_date(col(tsCol)) >= col("_cutoff"), lit("in_retention"))
+          .otherwise(lit("aged_out")))
+      .select(col(idCol), col("age_rank").cast("long").as("age_rank"),
+        col("action"), col("reason"))
+  }
+
+  /** Partition-spec advisor: for each CANDIDATE partition expression,
+    * one pass computes the partition count, total rows, the largest
+    * partition, and the skew as integer ppm (max_partition_rows ×
+    * 10⁶ / total, exact cross-engine) — then flags the candidates whose
+    * partition count lands in [`loParts`, `hiParts`] and whose skew
+    * stays under `maxSkewPpm`. This is the layout decision an Iceberg
+    * table spec (or a Hive `PARTITIONED BY`) wants evidence for: too
+    * few partitions starves parallelism, too many drowns the metadata
+    * layer in small files, and one hot partition re-creates the skew
+    * the spec was meant to kill.
+    *
+    * Scale shape: one hash aggregate per candidate (groupBy value →
+    * count, then a 4-column reduce to ONE row per candidate), unioned —
+    * k candidates = k scans of the projected column only.
+    */
+  def partitionSpecAdvisor(df: DataFrame,
+      candidates: Seq[(String, org.apache.spark.sql.Column)],
+      loParts: Long, hiParts: Long, maxSkewPpm: Long): DataFrame = {
+    candidates.map { case (name, expr0) =>
+      df.select(expr0.cast("string").as("_p"))
+        .groupBy("_p").agg(count(lit(1)).as("_n"))
+        .agg(count(lit(1)).as("n_partitions"), sum("_n").as("total_rows"),
+          max("_n").as("max_partition_rows"))
+        .select(lit(name).as("candidate"), col("n_partitions"),
+          col("total_rows"), col("max_partition_rows"),
+          floor(col("max_partition_rows") * 1000000L / col("total_rows"))
+            .as("skew_ppm"))
+    }.reduce(_ unionAll _)
+      .withColumn("recommended",
+        col("n_partitions").between(loParts, hiParts) &&
+          col("skew_ppm") <= maxSkewPpm)
+  }
+
   def backfillGaps(df: DataFrame, tsCol: String = "ts"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val days = df.select(to_date(col(tsCol)).as("_d")).distinct()

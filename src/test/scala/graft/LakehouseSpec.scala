@@ -70,6 +70,68 @@ class LakehouseSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
 
+  test("posDeleteRead: strikes exactly the listed (file,pos) rows; dup delete rows count once") {
+    val data = Seq(
+      ("a", 0L), ("a", 1L), ("a", 2L),
+      ("b", 0L), ("b", 1L)
+    ).toDF("file", "pos")
+    val dels = Seq(
+      ("a", 1L), ("a", 1L), // duplicated delete entry → one strike
+      ("b", 0L),
+      ("c", 9L)             // delete against an absent file → no effect
+    ).toDF("file", "pos")
+    val out = Lakehouse.posDeleteRead(data, dels, "file", "pos")
+      .orderBy("file").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Array(("a", 3L, 1L, 2L), ("b", 2L, 1L, 1L)))
+  }
+
+  test("equalityDeleteRead: strictly-less sequence visibility, max over stacked deletes") {
+    val data = Seq(
+      (1L, 10L, 1L), (2L, 10L, 2L), (3L, 10L, 3L), (4L, 10L, 4L), // key 10, seqs 1-4
+      (5L, 20L, 1L)                                               // key 20, no delete
+    ).toDF("id", "k", "data_seq")
+    val dels = Seq(
+      (10L, 2L), (10L, 3L) // two delete files; max seq 3 governs
+    ).toDF("k", "delete_seq")
+    val vis = Lakehouse.equalityDeleteRead(data, dels, "k", "data_seq", "delete_seq")
+      .select("id").collect().map(_.getLong(0)).sorted
+    // seqs 1,2 < 3 struck; 3,4 >= 3 survive; key 20 untouched
+    assert(vis === Array(3L, 4L, 5L))
+  }
+
+  test("snapshotExpiry: keep_last beats age; retention window measured from newest snapshot") {
+    val snaps = (0 until 10).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"))
+    }.toDF("snapshot_id", "snap_ts")
+    val out = Lakehouse.snapshotExpiry(snaps, "snapshot_id", "snap_ts",
+        keepLast = 2, retainDays = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getString(3)))
+      .toMap
+    // newest = Jan 10 ⇒ cutoff Jan 7; ids 9,8 keep_last; 7,6 in_retention
+    // (Jan 8, Jan 7 ≥ cutoff); 0-5 aged_out
+    assert(out(9L) === ((1L, "retain", "keep_last")))
+    assert(out(8L) === ((2L, "retain", "keep_last")))
+    assert(out(7L) === ((3L, "retain", "in_retention")))
+    assert(out(6L) === ((4L, "retain", "in_retention")))
+    assert(out(5L)._2 === "expire" && out(5L)._3 === "aged_out")
+    assert(out(0L) === ((10L, "expire", "aged_out")))
+  }
+
+  test("partitionSpecAdvisor: exact skew ppm; cardinality and skew gates both enforced") {
+    // 8 rows: c1 has 2 partitions split 6/2 (skew 750000); c2 has 4
+    // partitions split 2/2/2/2 (skew 250000)
+    val df = (0 until 8).map(i => (if (i < 6) "x" else "y", i % 4)).toDF("c1", "c2")
+    val out = Lakehouse.partitionSpecAdvisor(df,
+        Seq("c1" -> col("c1"), "c2" -> col("c2")),
+        loParts = 3L, hiParts = 10L, maxSkewPpm = 300000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(out("c1") === ((2L, 8L, 6L, 750000L, false))) // too few parts AND too skewed
+    assert(out("c2") === ((4L, 8L, 2L, 250000L, true)))
+  }
+
   test("upsertLatest plans as hash aggregate — no window/sort funnel") {
     val s = finalPlan(
       Lakehouse.upsertLatest(base, base.withColumn("op", lit("U")), "k", "ver"))
