@@ -1917,6 +1917,48 @@ object SparkEntry {
         loParts = 10L, hiParts = 800L, maxSkewPpm = 150000L)
     },
 
+    // user-agent parse (the ES-ingest user_agent processor shape) over
+    // six deterministic UA templates: Chrome/Safari/Firefox desktop,
+    // iPhone mobile, curl + python-requests programmatic clients
+    "q_ua_parse" -> { (s, dir) =>
+      val v = (col("event_id") % 40 + 80).cast("string")
+      val m = (col("event_id") % 10).cast("string")
+      val ua = when(col("event_id") % 6 === 0, concat(
+          lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
+            "(KHTML, like Gecko) Chrome/"), v, lit(".0.0.0 Safari/537.36")))
+        .when(col("event_id") % 6 === 1, concat(
+          lit("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 " +
+            "(KHTML, like Gecko) Version/"), m, lit(".1 Safari/605.1.15")))
+        .when(col("event_id") % 6 === 2, concat(
+          lit("Mozilla/5.0 (X11; Linux x86_64; rv:"), v,
+          lit(".0) Gecko/20100101 Firefox/"), v, lit(".0")))
+        .when(col("event_id") % 6 === 3, concat(
+          lit("Mozilla/5.0 (iPhone; CPU iPhone OS 17_"), m,
+          lit(" like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148")))
+        .when(col("event_id") % 6 === 4, concat(lit("curl/8."), m, lit(".0")))
+        .otherwise(concat(lit("python-requests/2."), m, lit(".0")))
+      graft.parse.UserAgent.parse(
+        events(s, dir).select(col("event_id"), ua.as("ua")), "ua")
+    },
+
+    // first-order Markov transition matrix of per-user event types,
+    // (ts, event_id)-deterministic; row-conditional probability in ppm
+    "q_markov" -> ((s, dir) =>
+      graft.agg.Aggregates.markovTransitions(events(s, dir), "user_id",
+        "event_type", "ts", "event_id")),
+
+    // HdrHistogram-style log-linear value histogram (16 sub-buckets per
+    // octave, exact bin()-length exponents); id%31 rows negated to
+    // exercise the (-1,-1) underflow bucket
+    "q_hdr_histogram" -> ((s, dir) =>
+      graft.agg.Aggregates.hdrHistogram(events(s, dir).withColumn("value",
+        when(col("event_id") % 31 === 0, -col("value"))
+          .otherwise(col("value"))), "value")),
+
+    // DAU / trailing-28-day MAU stickiness per day, integer ppm
+    "q_dau_mau" -> ((s, dir) =>
+      graft.agg.Aggregates.dauMauStickiness(events(s, dir), "user_id", "ts")),
+
     // first/last-touch attribution of every purchase to the user's
     // prior non-purchase events, (ts, event_id)-deterministic
     "q_attribution" -> ((s, dir) =>
@@ -5258,6 +5300,84 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT day, n_expired, n_held, n_droppable, n_held = 0 AS full_drop
         |FROM g""".stripMargin,
+
+    "q_ua_parse" ->
+      """WITH f AS (
+        |  SELECT event_id,
+        |    CASE event_id % 6
+        |      WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/' || CAST(event_id % 40 + 80 AS VARCHAR) || '.0.0.0 Safari/537.36'
+        |      WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/' || CAST(event_id % 10 AS VARCHAR) || '.1 Safari/605.1.15'
+        |      WHEN 2 THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:' || CAST(event_id % 40 + 80 AS VARCHAR) || '.0) Gecko/20100101 Firefox/' || CAST(event_id % 40 + 80 AS VARCHAR) || '.0'
+        |      WHEN 3 THEN 'Mozilla/5.0 (iPhone; CPU iPhone OS 17_' || CAST(event_id % 10 AS VARCHAR) || ' like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148'
+        |      WHEN 4 THEN 'curl/8.' || CAST(event_id % 10 AS VARCHAR) || '.0'
+        |      ELSE 'python-requests/2.' || CAST(event_id % 10 AS VARCHAR) || '.0'
+        |    END AS ua
+        |  FROM events)
+        |SELECT event_id, ua,
+        |  CASE WHEN ua LIKE 'curl/%' THEN 'curl'
+        |       WHEN ua LIKE 'python-requests/%' THEN 'python-requests'
+        |       WHEN contains(ua, 'iPhone') THEN 'Mobile Safari'
+        |       WHEN contains(ua, 'Firefox/') THEN 'Firefox'
+        |       WHEN contains(ua, 'Chrome/') THEN 'Chrome'
+        |       WHEN contains(ua, 'Safari/') AND contains(ua, 'Version/') THEN 'Safari'
+        |       ELSE 'Other' END AS ua_family,
+        |  CASE WHEN ua LIKE 'curl/%' THEN regexp_extract(ua, '^curl/([0-9]+)', 1)
+        |       WHEN ua LIKE 'python-requests/%' THEN regexp_extract(ua, '^python-requests/([0-9]+)', 1)
+        |       WHEN contains(ua, 'iPhone') THEN regexp_extract(ua, 'OS ([0-9]+)', 1)
+        |       WHEN contains(ua, 'Firefox/') THEN regexp_extract(ua, 'Firefox/([0-9]+)', 1)
+        |       WHEN contains(ua, 'Chrome/') THEN regexp_extract(ua, 'Chrome/([0-9]+)', 1)
+        |       WHEN contains(ua, 'Version/') THEN regexp_extract(ua, 'Version/([0-9]+)', 1)
+        |       ELSE '' END AS ua_major,
+        |  CASE WHEN contains(ua, 'Windows NT') THEN 'Windows'
+        |       WHEN contains(ua, 'iPhone OS') THEN 'iOS'
+        |       WHEN contains(ua, 'Mac OS X') THEN 'Mac OS X'
+        |       WHEN contains(ua, 'Linux') THEN 'Linux'
+        |       ELSE 'Other' END AS ua_os,
+        |  CASE WHEN contains(ua, 'iPhone') THEN 'iPhone'
+        |       WHEN ua LIKE 'curl/%' OR ua LIKE 'python-requests/%' THEN 'Other'
+        |       ELSE 'Desktop' END AS ua_device
+        |FROM f""".stripMargin,
+
+    "q_markov" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+        |  FROM events),
+        |g AS (
+        |  SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n,
+        |  CAST(floor(n * 1000000 /
+        |    CAST(sum(n) OVER (PARTITION BY from_state) AS BIGINT)) AS BIGINT) AS p_ppm
+        |FROM g""".stripMargin,
+
+    "q_hdr_histogram" ->
+      """WITH v AS (
+        |  SELECT CAST(floor((CASE WHEN event_id % 31 = 0 THEN -value ELSE value END)
+        |    * 1e6 + 0.5) AS BIGINT) AS vm
+        |  FROM events),
+        |b AS (
+        |  SELECT vm,
+        |    CASE WHEN vm >= 1 THEN CAST(length(bin(vm)) - 1 AS BIGINT)
+        |         ELSE -1 END AS exponent,
+        |    CASE WHEN vm >= 1 THEN
+        |      CAST(floor(vm * 16 / floor(2 ** (length(bin(vm)) - 1))) AS BIGINT) - 16
+        |         ELSE -1 END AS sub_bucket
+        |  FROM v)
+        |SELECT exponent, sub_bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(vm) AS min_vm, max(vm) AS max_vm
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q_dau_mau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d FROM du),
+        |dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+        |mau AS (
+        |  SELECT t.d AS day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS mau
+        |  FROM days t JOIN du ON du.d BETWEEN t.d - 27 AND t.d GROUP BY 1)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+        |  CAST(floor(dau.dau * 1000000 / mau.mau) AS BIGINT) AS stickiness_ppm
+        |FROM dau JOIN mau USING (day)""".stripMargin,
 
     "q_pos_deletes" ->
       """WITH d AS (

@@ -1159,4 +1159,90 @@ object Aggregates {
         Window.orderBy(col("support").desc, col("e1"), col("e2"), col("e3"))).cast("int"))
       .where(col("rank") <= k)
   }
+
+  /** First-order Markov transition matrix over a per-key state sequence:
+    * for every (from_state, to_state) pair of CONSECUTIVE events within a
+    * key, the transition count and its row-conditional probability as
+    * integer ppm (floor(n·10⁶ / row total) — exact cross-engine, no
+    * float accumulation). The behavioral-model summary behind "what does
+    * a click usually lead to" / anomalous-sequence scoring.
+    *
+    * Scale shape: one lead() window per key (the natural partitioning,
+    * deterministic under the (ts, ord) tie-break), one map-side-combinable
+    * groupBy on the pair, and the normalizing row total is a window over
+    * the GROUPED |states|² table — bounded by the state alphabet, never
+    * by event rows.
+    */
+  def markovTransitions(df: DataFrame, keyCol: String, stateCol: String,
+      tsCol: String, ordCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
+    df.select(col(stateCol).as("from_state"),
+        lead(col(stateCol), 1).over(w).as("to_state"))
+      .where(col("to_state").isNotNull)
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+      .withColumn("p_ppm",
+        floor(col("n") * 1000000L /
+          sum(col("n")).over(Window.partitionBy(col("from_state")))))
+  }
+
+  /** Log-linear (HdrHistogram-style) value histogram: bucket =
+    * (exponent, linear sub-bucket within the octave), over the 1e-6
+    * fixed-point value. Constant relative error at every magnitude with
+    * a bounded bucket count — the latency-histogram layout — where the
+    * equi-WIDTH histogram wastes all its resolution on the tail's range
+    * and `equidepth` needs a full sort.
+    *
+    * Exponent = floor(log2(vm)) computed EXACTLY as length(bin(vm))-1 —
+    * a string-length of the binary rendering, not libm log2 (whose
+    * last-ulp at exact powers of two differs across engines); the
+    * sub-bucket is floor(vm·S/2^e)−S, again pure integer-derived. One
+    * map-side-combinable groupBy; non-positive values are counted into
+    * a dedicated (-1, -1) underflow bucket, as HdrHistogram does.
+    */
+  def hdrHistogram(df: DataFrame, valueCol: String,
+      subBuckets: Int = 16): DataFrame = {
+    val vm = floor(col(valueCol) * 1e6 + 0.5).cast("long")
+    val e = (length(bin(col("_vm"))) - 1).cast("long")
+    df.select(vm.as("_vm"))
+      .select(
+        when(col("_vm") >= 1L, e).otherwise(lit(-1L)).as("exponent"),
+        when(col("_vm") >= 1L,
+          floor(col("_vm") * subBuckets / floor(pow(lit(2.0), e))) - subBuckets)
+          .otherwise(lit(-1L)).as("sub_bucket"),
+        col("_vm"))
+      .groupBy("exponent", "sub_bucket")
+      .agg(count(lit(1)).as("n"), min("_vm").as("min_vm"), max("_vm").as("max_vm"))
+  }
+
+  /** DAU / trailing-window MAU stickiness per day: distinct actives that
+    * day, distinct actives over the trailing `windowDays` ending that
+    * day, and the ratio as integer ppm. The engagement metric every
+    * product-telemetry pipeline reports.
+    *
+    * Scale shape: the raw table collapses to distinct (day, user) FIRST
+    * (one exact-dedup shuffle — the only pass over event rows); the
+    * trailing window is then an explode of each day-user row into the
+    * ≤`windowDays` future days it keeps the user active in (a narrow,
+    * bounded fan-out of the already-deduped table — never a non-equi
+    * range join, which would plan as a broadcast nested loop), re-deduped
+    * and counted. Calendar days not present in the data are dropped via
+    * a broadcast semi-join with the bounded day list.
+    */
+  def dauMauStickiness(df: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 28): DataFrame = {
+    val du = df.select(to_date(col(tsCol)).as("_d"), col(userCol).as("_u")).distinct()
+    val days = du.select(col("_d").as("day")).distinct()
+    val dau = du.groupBy(col("_d").as("day")).agg(count(lit(1)).as("dau"))
+    val mau = du
+      .select(explode(sequence(col("_d"),
+        date_add(col("_d"), windowDays - 1))).as("day"), col("_u"))
+      .join(broadcast(days), Seq("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("mau"),
+        floor(col("dau") * 1000000L / col("mau")).as("stickiness_ppm"))
+  }
 }

@@ -1,0 +1,62 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** User-agent parsing — browser family + major version, OS family and
+  * device class from the raw `User-Agent` header string. The Beats
+  * ecosystem does this in the ES ingest `user_agent` processor (uap-core
+  * rules) downstream of the shipper; in a Spark-native pipeline the
+  * enrich belongs in the same stage as the other field decoders
+  * (`FieldDecoders`), so HTTP access-log events arrive at the router
+  * already faceted by browser/OS/device.
+  *
+  * Rule order mirrors the uap-core approach: most-specific token first
+  * (programmatic clients, then mobile, then the desktop browsers whose
+  * tokens embed each other — Chrome ships "Safari/" in its UA, Safari
+  * ships no "Chrome/", so Chrome must match first). Every rule is a
+  * substring guard + an anchored `regexp_extract` — plain codegen'd
+  * string ops, one narrow projection, no UDF, no join, no shuffle.
+  */
+object UserAgent {
+
+  private def extract(ua: Column, pattern: String): Column =
+    regexp_extract(ua, pattern, 1)
+
+  /** Adds ua_family / ua_major / ua_os / ua_device next to `uaCol`. */
+  def parse(df: DataFrame, uaCol: String): DataFrame = {
+    val ua = col(uaCol)
+    val family =
+      when(ua.startsWith("curl/"), lit("curl"))
+        .when(ua.startsWith("python-requests/"), lit("python-requests"))
+        .when(ua.contains("iPhone"), lit("Mobile Safari"))
+        .when(ua.contains("Firefox/"), lit("Firefox"))
+        .when(ua.contains("Chrome/"), lit("Chrome"))
+        .when(ua.contains("Safari/") && ua.contains("Version/"), lit("Safari"))
+        .otherwise(lit("Other"))
+    val major =
+      when(ua.startsWith("curl/"), extract(ua, "^curl/([0-9]+)"))
+        .when(ua.startsWith("python-requests/"),
+          extract(ua, "^python-requests/([0-9]+)"))
+        .when(ua.contains("iPhone"), extract(ua, "OS ([0-9]+)"))
+        .when(ua.contains("Firefox/"), extract(ua, "Firefox/([0-9]+)"))
+        .when(ua.contains("Chrome/"), extract(ua, "Chrome/([0-9]+)"))
+        .when(ua.contains("Version/"), extract(ua, "Version/([0-9]+)"))
+        .otherwise(lit(""))
+    val os =
+      when(ua.contains("Windows NT"), lit("Windows"))
+        .when(ua.contains("iPhone OS"), lit("iOS"))
+        .when(ua.contains("Mac OS X"), lit("Mac OS X"))
+        .when(ua.contains("Linux"), lit("Linux"))
+        .otherwise(lit("Other"))
+    val device =
+      when(ua.contains("iPhone"), lit("iPhone"))
+        .when(ua.startsWith("curl/") || ua.startsWith("python-requests/"),
+          lit("Other"))
+        .otherwise(lit("Desktop"))
+    df.withColumn("ua_family", family)
+      .withColumn("ua_major", major)
+      .withColumn("ua_os", os)
+      .withColumn("ua_device", device)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.agg.Aggregates
+import graft.parse.UserAgent
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 telemetry batch: user-agent parsing, Markov transitions,
+  * log-linear (HdrHistogram) bucketing, DAU/MAU stickiness.
+  */
+class UaMarkovHdrSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("UserAgent.parse: six template families, rule order disambiguates embedded tokens") {
+    val uas = Seq(
+      ("chrome", "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
+        "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"),
+      ("safari", "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 " +
+        "(KHTML, like Gecko) Version/17.1 Safari/605.1.15"),
+      ("firefox", "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0"),
+      ("iphone", "Mozilla/5.0 (iPhone; CPU iPhone OS 17_5 like Mac OS X) " +
+        "AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148"),
+      ("curl", "curl/8.4.0"),
+      ("requests", "python-requests/2.31.0")
+    ).toDF("id", "ua")
+    val out = UserAgent.parse(uas, "ua").collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(2), r.getString(3), r.getString(4), r.getString(5)))).toMap
+    // Chrome UA embeds "Safari/" — Chrome must win; Safari needs Version/
+    assert(out("chrome") === (("Chrome", "120", "Windows", "Desktop")))
+    assert(out("safari") === (("Safari", "17", "Mac OS X", "Desktop")))
+    assert(out("firefox") === (("Firefox", "121", "Linux", "Desktop")))
+    // iPhone UA embeds "Mac OS X" — iOS must win the OS chain
+    assert(out("iphone") === (("Mobile Safari", "17", "iOS", "iPhone")))
+    assert(out("curl") === (("curl", "8", "Other", "Other")))
+    assert(out("requests") === (("python-requests", "2", "Other", "Other")))
+  }
+
+  test("markovTransitions: consecutive pairs per key, exact ppm, ord tie-break") {
+    // user 1: a->b->a->b (ties on ts resolved by ord); user 2: b->c
+    val df = Seq(
+      (1L, "a", 0.0, 1L), (1L, "b", 0.0, 2L), (1L, "a", 1.0, 3L), (1L, "b", 2.0, 4L),
+      (2L, "b", 0.0, 1L), (2L, "c", 1.0, 2L)
+    ).toDF("k", "state", "ts", "ord")
+    val out = Aggregates.markovTransitions(df, "k", "state", "ts", "ord")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("a", "b")) === ((2L, 1000000L))) // a always goes to b
+    assert(out(("b", "a")) === ((1L, 500000L)))  // b: 1 of 2 to a, 1 of 2 to c
+    assert(out(("b", "c")) === ((1L, 500000L)))
+    assert(out.size === 3)
+  }
+
+  test("hdrHistogram: exact octave exponents and sub-buckets; underflow bucket") {
+    // micros: 1 -> (0,0); 3 -> (1,8); 1e6 -> (19,14); -5 -> (-1,-1)
+    val df = Seq(0.000001, 0.000003, 1.0, -0.000005).toDF("value")
+    val out = Aggregates.hdrHistogram(df, "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out((0L, 0L)) === ((1L, 1L, 1L)))
+    assert(out((1L, 8L)) === ((1L, 3L, 3L)))
+    // 2^19 = 524288; floor(16e6/524288) = 30 -> sub 14
+    assert(out((19L, 14L)) === ((1L, 1000000L, 1000000L)))
+    assert(out((-1L, -1L)) === ((1L, -5L, -5L)))
+  }
+
+  test("dauMauStickiness: trailing window counts each user once, ppm exact") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 11:00:00"),
+      (2L, "2024-01-02 10:00:00"), (2L, "2024-01-02 12:00:00"), // same user twice
+      (3L, "2024-01-03 10:00:00")
+    ).toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val out = Aggregates.dauMauStickiness(df, "user_id", "ts", windowDays = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("2024-01-01") === ((2L, 2L, 1000000L))) // {1,2} / {1,2}
+    assert(out("2024-01-02") === ((1L, 2L, 500000L)))  // {2} / {1,2}
+    assert(out("2024-01-03") === ((1L, 2L, 500000L)))  // {3} / {2,3}
+  }
+}
