@@ -1959,6 +1959,36 @@ object SparkEntry {
     "q_dau_mau" -> ((s, dir) =>
       graft.agg.Aggregates.dauMauStickiness(events(s, dir), "user_id", "ts")),
 
+    // tokenizer fertility (subword tokens per whitespace word, ppm) per
+    // document language — the cross-lingual token-budget metric
+    "q_tokenizer_fertility" -> ((s, dir) =>
+      graft.ops.TextAnalysis.tokenizerFertility(documents(s, dir), "lang", "text")),
+
+    // strictly-increasing severity runs (len >= 3) per host — the
+    // "errors are escalating" trend alert; sev derived as (id*7)%8
+    "q_severity_runs" -> { (s, dir) =>
+      val fx = events(s, dir).select((col("user_id") % 50).as("host"),
+        pmod(col("event_id") * 7, lit(8)).as("sev"), col("ts"), col("event_id"))
+      graft.agg.Aggregates.severityRuns(fx, "host", "sev", "ts", "event_id")
+    },
+
+    // Heartbeat-style availability: inter-event gaps > 30 min are
+    // outages; exact integer-microsecond ppm per host
+    "q_uptime" -> ((s, dir) =>
+      graft.agg.Aggregates.uptimeReport(
+        events(s, dir).withColumn("host", col("user_id") % 20),
+        "host", "ts", "event_id", gapUs = 1800L * 1000000L)),
+
+    // sort-order advisor: simulated zone-map prunability of value>=450
+    // under four candidate sort keys (value / ts / user_id / event_id)
+    "q_sort_advisor" -> ((s, dir) =>
+      graft.ops.Lakehouse.sortOrderAdvisor(events(s, dir), Seq(
+        "value" -> floor(col("value") * 1e6 + 0.5).cast("long"),
+        "ts" -> unix_micros(col("ts").cast("timestamp")),
+        "user_id" -> col("user_id"),
+        "event_id" -> col("event_id")),
+        col("value"), 450000000L, Long.MaxValue)),
+
     // first/last-touch attribution of every purchase to the user's
     // prior non-purchase events, (ts, event_id)-deterministic
     "q_attribution" -> ((s, dir) =>
@@ -5300,6 +5330,90 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT day, n_expired, n_held, n_droppable, n_held = 0 AS full_drop
         |FROM g""".stripMargin,
+
+    "q_tokenizer_fertility" ->
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    CAST((CASE WHEN trim(text) = '' THEN 0
+         |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS ws,
+         |    CAST(len(regexp_extract_all(text, '$BpeishRe')) AS BIGINT) AS sub
+         |  FROM documents),
+         |g AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         |    CAST(sum(sub) AS BIGINT) AS subword_tokens
+         |  FROM t GROUP BY 1)
+         |SELECT lang, n_docs, ws_tokens, subword_tokens,
+         |  CAST(floor(subword_tokens * 1000000 / ws_tokens) AS BIGINT) AS fertility_ppm
+         |FROM g WHERE ws_tokens > 0""".stripMargin,
+
+    "q_severity_runs" ->
+      """WITH f AS (
+        |  SELECT user_id % 50 AS host, (event_id * 7) % 8 AS sev, ts, event_id
+        |  FROM events),
+        |w AS (
+        |  SELECT host, ts, event_id,
+        |    CASE WHEN sev > lag(sev) OVER
+        |      (PARTITION BY host ORDER BY ts, event_id) THEN 1 ELSE 0 END AS up
+        |  FROM f),
+        |g AS (
+        |  SELECT host, sum(1 - up) OVER (PARTITION BY host ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM w),
+        |r AS (SELECT host, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_runs,
+        |  CAST(max(len) AS BIGINT) AS max_run_len
+        |FROM r WHERE len >= 3 GROUP BY 1""".stripMargin,
+
+    "q_uptime" ->
+      """WITH f AS (
+        |  SELECT user_id % 20 AS host, epoch_us(ts) AS tus, event_id FROM events),
+        |w AS (
+        |  SELECT host, tus,
+        |    tus - lag(tus) OVER (PARTITION BY host ORDER BY tus, event_id) AS gap
+        |  FROM f),
+        |g AS (
+        |  SELECT host, max(tus) - min(tus) AS span_us,
+        |    CAST(sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_outages,
+        |    CAST(sum(CASE WHEN gap > 1800000000 THEN gap ELSE 0 END) AS BIGINT) AS downtime_us
+        |  FROM w GROUP BY 1)
+        |SELECT host, span_us, n_outages, downtime_us,
+        |  (span_us - downtime_us) * 1000000 // span_us AS availability_ppm
+        |FROM g WHERE span_us > 0""".stripMargin,
+
+    "q_sort_advisor" ->
+      """WITH pv AS (
+        |  SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS pm,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS xv,
+        |    epoch_us(ts) AS xt, user_id AS xu, event_id AS xe
+        |  FROM events),
+        |z1 AS (SELECT (xv - mn) * 64 // (mx - mn + 1) AS z, pm
+        |       FROM pv, (SELECT min(xv) AS mn, max(xv) AS mx FROM pv)),
+        |g1 AS (SELECT z, count(*) AS n, min(pm) AS zmn, max(pm) AS zmx FROM z1 GROUP BY 1),
+        |a1 AS (SELECT 'value' AS candidate, CAST(count(*) AS BIGINT) AS n_zones,
+        |       CAST(sum(n) AS BIGINT) AS total_rows,
+        |       CAST(sum(CASE WHEN zmx < 450000000 THEN n ELSE 0 END) AS BIGINT) AS prunable_rows
+        |       FROM g1),
+        |z2 AS (SELECT (xt - mn) * 64 // (mx - mn + 1) AS z, pm
+        |       FROM pv, (SELECT min(xt) AS mn, max(xt) AS mx FROM pv)),
+        |g2 AS (SELECT z, count(*) AS n, min(pm) AS zmn, max(pm) AS zmx FROM z2 GROUP BY 1),
+        |a2 AS (SELECT 'ts', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
+        |       CAST(sum(CASE WHEN zmx < 450000000 THEN n ELSE 0 END) AS BIGINT) FROM g2),
+        |z3 AS (SELECT (xu - mn) * 64 // (mx - mn + 1) AS z, pm
+        |       FROM pv, (SELECT min(xu) AS mn, max(xu) AS mx FROM pv)),
+        |g3 AS (SELECT z, count(*) AS n, min(pm) AS zmn, max(pm) AS zmx FROM z3 GROUP BY 1),
+        |a3 AS (SELECT 'user_id', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
+        |       CAST(sum(CASE WHEN zmx < 450000000 THEN n ELSE 0 END) AS BIGINT) FROM g3),
+        |z4 AS (SELECT (xe - mn) * 64 // (mx - mn + 1) AS z, pm
+        |       FROM pv, (SELECT min(xe) AS mn, max(xe) AS mx FROM pv)),
+        |g4 AS (SELECT z, count(*) AS n, min(pm) AS zmn, max(pm) AS zmx FROM z4 GROUP BY 1),
+        |a4 AS (SELECT 'event_id', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
+        |       CAST(sum(CASE WHEN zmx < 450000000 THEN n ELSE 0 END) AS BIGINT) FROM g4),
+        |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |      UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4)
+        |SELECT candidate, n_zones, total_rows, prunable_rows,
+        |  CAST(floor(prunable_rows * 1000000 / total_rows) AS BIGINT) AS prune_ppm
+        |FROM u""".stripMargin,
 
     "q_ua_parse" ->
       """WITH f AS (

@@ -1215,6 +1215,63 @@ object Aggregates {
       .agg(count(lit(1)).as("n"), min("_vm").as("min_vm"), max("_vm").as("max_vm"))
   }
 
+  /** Monotone-escalation run detection (gaps-and-islands): per host,
+    * maximal runs of strictly INCREASING severity in event order, and
+    * how many reach `minLen` — the "errors are getting worse" signal a
+    * syslog pipeline alerts on, where any single severity threshold
+    * misses the trend. Returns per-host run count and longest run.
+    *
+    * Scale shape: two windows over the SAME per-host (ts, ord) sort —
+    * Spark plans them as one exchange + one sort — then a
+    * map-side-combinable groupBy on (host, run id). Deterministic under
+    * timestamp collisions via the ord tie-break.
+    */
+  def severityRuns(df: DataFrame, hostCol: String, sevCol: String,
+      tsCol: String, ordCol: String, minLen: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("host").orderBy(col("_t"), col("_o"))
+    df.select(col(hostCol).as("host"), col(sevCol).as("_s"),
+        col(tsCol).as("_t"), col(ordCol).as("_o"))
+      .withColumn("_up",
+        when(col("_s") > lag(col("_s"), 1).over(w), 1L).otherwise(0L))
+      .withColumn("_grp", sum(lit(1L) - col("_up"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("host", "_grp").agg(count(lit(1)).as("_len"))
+      .where(col("_len") >= minLen)
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_runs"), max("_len").as("max_run_len"))
+  }
+
+  /** Heartbeat/uptime availability per host (the Beats family's
+    * Heartbeat semantics): inter-event gaps above `gapUs` are outages;
+    * availability = (observed span − outage time) / span as integer
+    * ppm, all in exact epoch-microsecond arithmetic (integer `div`, not
+    * float division — spans overflow the 2⁵³ double mantissa at ppm
+    * scale). Hosts with a single event (zero span) are dropped — no
+    * availability is defined over an empty observation window.
+    *
+    * Scale shape: one per-host lag window ((ts, ord)-deterministic) and
+    * one map-side-combinable groupBy.
+    */
+  def uptimeReport(df: DataFrame, hostCol: String, tsCol: String,
+      ordCol: String, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("host").orderBy(col("_tus"), col("_o"))
+    // parquet timestamps arrive as TIMESTAMP_NTZ; unix_micros requires
+    // TIMESTAMP — the cast is value-identity under the UTC session TZ
+    df.select(col(hostCol).as("host"),
+        unix_micros(col(tsCol).cast("timestamp")).as("_tus"),
+        col(ordCol).as("_o"))
+      .withColumn("_gap", col("_tus") - lag(col("_tus"), 1).over(w))
+      .groupBy("host")
+      .agg((max("_tus") - min("_tus")).as("span_us"),
+        sum(when(col("_gap") > gapUs, 1L).otherwise(0L)).as("n_outages"),
+        sum(when(col("_gap") > gapUs, col("_gap")).otherwise(0L)).as("downtime_us"))
+      .where(col("span_us") > 0L)
+      .withColumn("availability_ppm",
+        expr("(span_us - downtime_us) * 1000000 div span_us"))
+  }
+
   /** DAU / trailing-window MAU stickiness per day: distinct actives that
     * day, distinct actives over the trailing `windowDays` ending that
     * day, and the ratio as integer ppm. The engagement metric every

@@ -260,6 +260,47 @@ object Lakehouse {
           col("skew_ppm") <= maxSkewPpm)
   }
 
+  /** Sort-order advisor — the layout decision [[zoneMap]] audits after
+    * the fact, evaluated BEFORE rewriting anything: for each candidate
+    * sort key, simulate the zone maps a file layout sorted by that key
+    * would produce (equi-width zones over the key's range — what sorted
+    * files give you for free) and measure what fraction of rows a fixed
+    * range predicate on `predCol` could then skip. Sorting by the
+    * predicate column itself should approach 100% pruning; an
+    * uncorrelated key approaches 0% — the ppm column is the evidence
+    * for choosing an Iceberg sort_order() / Z-order ahead of a
+    * table-sized rewrite.
+    *
+    * All zoning is exact integer arithmetic: candidate keys arrive as
+    * longs (epoch micros / ids / 1e-6 fixed-point), zone =
+    * (x−min)·Z `div` (max−min+1) — integer `div`, since microsecond
+    * spans × 64 overflow the 2⁵³ double mantissa. One (min,max) agg +
+    * one zone groupBy per candidate, each collapsing to a single row —
+    * k candidates = k cheap passes, no sort ever runs.
+    */
+  def sortOrderAdvisor(df: DataFrame,
+      candidates: Seq[(String, org.apache.spark.sql.Column)],
+      predCol: org.apache.spark.sql.Column, loMicros: Long, hiMicros: Long,
+      zones: Int = 64): DataFrame = {
+    val pm = floor(predCol * 1e6 + 0.5).cast("long")
+    candidates.map { case (name, sortKey) =>
+      val base = df.select(sortKey.cast("long").as("_x"), pm.as("_pm"))
+      val mm = base.agg(min("_x").as("_mn"), max("_x").as("_mx"))
+      base.crossJoin(broadcast(mm))
+        .select(expr(s"(_x - _mn) * $zones div (_mx - _mn + 1)").as("_z"),
+          col("_pm"))
+        .groupBy("_z")
+        .agg(count(lit(1)).as("_n"), min("_pm").as("_zmn"), max("_pm").as("_zmx"))
+        .agg(count(lit(1)).as("n_zones"), sum("_n").as("total_rows"),
+          sum(when(col("_zmx") < loMicros || col("_zmn") > hiMicros, col("_n"))
+            .otherwise(0L)).as("prunable_rows"))
+        .select(lit(name).as("candidate"), col("n_zones"), col("total_rows"),
+          col("prunable_rows"),
+          floor(col("prunable_rows") * 1000000L / col("total_rows"))
+            .as("prune_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
   def backfillGaps(df: DataFrame, tsCol: String = "ts"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val days = df.select(to_date(col(tsCol)).as("_d")).distinct()

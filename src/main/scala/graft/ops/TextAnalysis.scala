@@ -21,6 +21,27 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
 
+  /** Tokenizer fertility per language: subword (BPE-ish) tokens per
+    * whitespace word, as integer ppm. THE cross-lingual tokenizer-budget
+    * metric — a language whose fertility is 2× pays 2× the context
+    * window for the same text, so mixture weights and per-language
+    * length limits key off exactly this ratio. One narrow projection +
+    * one map-side-combinable groupBy on the bounded language column;
+    * languages with zero words (all-empty docs) are dropped rather than
+    * divided by.
+    */
+  def tokenizerFertility(docs: DataFrame, langCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(langCol).as("lang"),
+        wsTokenCount(col(textCol)).cast("long").as("_ws"),
+        bpeishTokenCount(col(textCol)).cast("long").as("_sub"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("_ws").as("ws_tokens"),
+        sum("_sub").as("subword_tokens"))
+      .where(col("ws_tokens") > 0L)
+      .withColumn("fertility_ppm",
+        floor(col("subword_tokens") * 1000000L / col("ws_tokens")))
+
   private val Stopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "for", "on", "with", "as", "by", "at", "this", "that")

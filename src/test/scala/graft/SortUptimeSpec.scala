@@ -1,0 +1,71 @@
+package graft
+
+import graft.agg.Aggregates
+import graft.ops.{Lakehouse, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 batch 3: sort-order advisor, severity-escalation runs,
+  * heartbeat availability, tokenizer fertility.
+  */
+class SortUptimeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokenizerFertility: exact subword/word ppm per lang; zero-word langs dropped") {
+    val docs = Seq(
+      ("en", "a b"),      // ws 2, sub 2
+      ("en", "x, y!"),    // ws 2, sub 4 (x , y !)
+      ("zz", "   ")       // ws 0 -> lang dropped
+    ).toDF("lang", "text")
+    val out = TextAnalysis.tokenizerFertility(docs, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map("en" -> ((2L, 4L, 6L, 1500000L))))
+  }
+
+  test("severityRuns: strictly-increasing islands, minLen gate, plateau breaks the run") {
+    val df = Seq(
+      (1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L), // run of 3
+      (1L, 1L, 4L), (1L, 2L, 5L),               // run of 2 -> below gate
+      (1L, 1L, 6L),
+      (2L, 5L, 1L), (2L, 5L, 2L), (2L, 6L, 3L)  // plateau: 5,5 not increasing
+    ).toDF("host", "sev", "ord").withColumn("ts", lit(0.0))
+    val out = Aggregates.severityRuns(df, "host", "sev", "ts", "ord")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(1L -> ((1L, 3L)))) // host 2 never reaches 3
+  }
+
+  test("uptimeReport: gap accounting in exact micros; single-event hosts dropped") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L),
+      (1L, "2024-01-01 00:00:10", 2L),
+      (1L, "2024-01-01 00:33:20", 3L), // gap 1990 s > 1800 s threshold
+      (2L, "2024-01-01 00:00:00", 1L)  // single event -> no span
+    ).toDF("host", "s", "ord")
+      .select(col("host"), col("s").cast("timestamp").as("ts"), col("ord"))
+    val out = Aggregates.uptimeReport(df, "host", "ts", "ord",
+        gapUs = 1800L * 1000000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // span 2000 s, downtime 1990 s, availability = 10/2000 = 5000 ppm
+    assert(out === Map(1L -> ((2000000000L, 1L, 1990000000L, 5000L))))
+  }
+
+  test("sortOrderAdvisor: sorting by the predicate column prunes; uncorrelated key doesn't") {
+    // values 1..8 (as micros after 1e-6 fixed-point), ids interleaved so
+    // every id-zone contains a value above the predicate lo
+    val df = Seq(
+      (1L, 1.0), (2L, 5.0), (3L, 2.0), (4L, 6.0),
+      (5L, 3.0), (6L, 7.0), (7L, 4.0), (8L, 8.0)
+    ).toDF("id", "value")
+    val out = Lakehouse.sortOrderAdvisor(df, Seq(
+        "value" -> floor(col("value") * 1e6 + 0.5).cast("long"),
+        "id" -> col("id")),
+        col("value"), loMicros = 4500000L, hiMicros = Long.MaxValue, zones = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("value") === ((4L, 8L, 4L, 500000L))) // zones {1,2},{3,4} prunable
+    assert(out("id") === ((4L, 8L, 0L, 0L)))         // every zone holds a big value
+  }
+}
