@@ -1989,6 +1989,56 @@ object SparkEntry {
         "event_id" -> col("event_id")),
         col("value"), 450000000L, Long.MaxValue)),
 
+    // longest-suffix domain blocklist (the DNS-hierarchy LPM): five
+    // fixture domains against a 4-rule policy; dev.example.com/review
+    // must override example.com/block for hosts under dev
+    "q_domain_block" -> { (s, dir) =>
+      val dom = when(col("event_id") % 5 === 0, lit("www.example.com"))
+        .when(col("event_id") % 5 === 1, lit("api.dev.example.com"))
+        .when(col("event_id") % 5 === 2, lit("cdn.test.org"))
+        .when(col("event_id") % 5 === 3, lit("a.b.c.io"))
+        .otherwise(lit("plain.net"))
+      graft.enrich.DomainBlock.lookup(
+        events(s, dir).select(col("event_id"), dom.as("domain")),
+        "event_id", "domain", domainRules(s))
+    },
+
+    // file-overlap (clustering) depth under two layouts: hash (id%64)
+    // files overlap maximally; range (64 value zones) approaches 1 —
+    // the OPTIMIZE/compaction evidence
+    "q_overlap_depth" -> { (s, dir) =>
+      val ev = events(s, dir).select(col("event_id"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("vm"))
+      val hashFiles = ev.groupBy((col("event_id") % 64).as("file"))
+        .agg(min("vm").as("lo"), max("vm").as("hi"))
+      val mm = ev.agg(min("vm").as("_mn"), max("vm").as("_mx"))
+      val rangeFiles = ev.crossJoin(broadcast(mm))
+        .select(expr("(vm - _mn) * 64 div (_mx - _mn + 1)").as("file"), col("vm"))
+        .groupBy("file").agg(min("vm").as("lo"), max("vm").as("hi"))
+      graft.ops.Lakehouse.overlapDepth(hashFiles, "lo", "hi")
+        .select(lit("hash").as("layout"), col("n_files"), col("max_depth"))
+        .unionAll(graft.ops.Lakehouse.overlapDepth(rangeFiles, "lo", "hi")
+          .select(lit("range").as("layout"), col("n_files"), col("max_depth")))
+    },
+
+    // classifier calibration: decile reliability table over a derived
+    // (score, label) pair whose label rate tracks the score
+    "q_calibration" -> { (s, dir) =>
+      val fx = events(s, dir).select(
+        pmod(col("event_id") * 37, lit(1000001L)).as("score_ppm"),
+        (pmod(col("event_id") * 91, lit(1000001L)) <
+          pmod(col("event_id") * 37, lit(1000001L))).cast("long").as("label"))
+      graft.ops.Curation.calibrationReport(fx, "score_ppm", "label")
+    },
+
+    // GDPR subject-access export for user_id%97 subjects: per-subject
+    // deterministic newline bundle of rendered events
+    "q_sar_export" -> ((s, dir) =>
+      graft.ops.Privacy.subjectAccessExport(
+        events(s, dir).where(col("user_id") % 97 === 0), "user_id",
+        concat(col("event_type"), lit("#"), col("event_id").cast("string")),
+        col("event_id"))),
+
     // first/last-touch attribution of every purchase to the user's
     // prior non-purchase events, (ts, event_id)-deterministic
     "q_attribution" -> ((s, dir) =>
@@ -2194,6 +2244,14 @@ object SparkEntry {
     * default, 128 even /24 blocks, 64 scattered /28s, 16 exact /32
     * hosts — every derived 16-bit ip matches ≥ 1 level, many match 3.
     */
+  /** Authored domain-policy rules for q_domain_block (policy tables are
+    * small by nature — the broadcast side of the suffix join). */
+  private def domainRules(s: SparkSession): DataFrame =
+    s.range(1).select(lit("example.com").as("rule_domain"), lit("block").as("action"))
+      .unionAll(s.range(1).select(lit("dev.example.com"), lit("review")))
+      .unionAll(s.range(1).select(lit("test.org"), lit("block")))
+      .unionAll(s.range(1).select(lit("io"), lit("allow_listed")))
+
   private def cidrRoutes(s: SparkSession): DataFrame = {
     val d = s.range(1).select(lit(0L).as("network"), lit(0).as("plen"),
       lit("default").as("label"))
@@ -5330,6 +5388,71 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT day, n_expired, n_held, n_droppable, n_held = 0 AS full_drop
         |FROM g""".stripMargin,
+
+    "q_domain_block" ->
+      """WITH rules(rule_domain, action) AS (VALUES
+        |  ('example.com', 'block'), ('dev.example.com', 'review'),
+        |  ('test.org', 'block'), ('io', 'allow_listed')),
+        |f AS (
+        |  SELECT event_id,
+        |    CASE event_id % 5 WHEN 0 THEN 'www.example.com'
+        |      WHEN 1 THEN 'api.dev.example.com' WHEN 2 THEN 'cdn.test.org'
+        |      WHEN 3 THEN 'a.b.c.io' ELSE 'plain.net' END AS domain
+        |  FROM events),
+        |p AS (SELECT event_id, domain, string_split(domain, '.') AS parts FROM f),
+        |s AS (
+        |  SELECT event_id, array_to_string(parts[1:], '.') AS suffix FROM p
+        |  UNION ALL SELECT event_id, array_to_string(parts[2:], '.') FROM p WHERE len(parts) >= 2
+        |  UNION ALL SELECT event_id, array_to_string(parts[3:], '.') FROM p WHERE len(parts) >= 3
+        |  UNION ALL SELECT event_id, array_to_string(parts[4:], '.') FROM p WHERE len(parts) >= 4),
+        |m AS (
+        |  SELECT s.event_id, arg_max(r.rule_domain, len(r.rule_domain)) AS matched_rule,
+        |    arg_max(r.action, len(r.rule_domain)) AS action
+        |  FROM s JOIN rules r ON s.suffix = r.rule_domain GROUP BY 1)
+        |SELECT f.event_id, f.domain, coalesce(m.matched_rule, '') AS matched_rule,
+        |  coalesce(m.action, 'allow') AS action
+        |FROM f LEFT JOIN m USING (event_id)""".stripMargin,
+
+    "q_overlap_depth" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm FROM events),
+        |hf AS (SELECT event_id % 64 AS file, min(vm) AS lo, max(vm) AS hi FROM ev GROUP BY 1),
+        |rz AS (SELECT (vm - mn) * 64 // (mx - mn + 1) AS file, vm
+        |       FROM ev, (SELECT min(vm) AS mn, max(vm) AS mx FROM ev)),
+        |rf AS (SELECT file, min(vm) AS lo, max(vm) AS hi FROM rz GROUP BY 1),
+        |hb AS (SELECT lo AS k, 1 AS d FROM hf UNION ALL SELECT hi, -1 FROM hf),
+        |hd AS (SELECT d, sum(d) OVER (ORDER BY k, d DESC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth FROM hb),
+        |rb AS (SELECT lo AS k, 1 AS d FROM rf UNION ALL SELECT hi, -1 FROM rf),
+        |rd AS (SELECT d, sum(d) OVER (ORDER BY k, d DESC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth FROM rb)
+        |SELECT 'hash' AS layout,
+        |  CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_files,
+        |  CAST(max(depth) AS BIGINT) AS max_depth FROM hd
+        |UNION ALL
+        |SELECT 'range', CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(max(depth) AS BIGINT) FROM rd""".stripMargin,
+
+    "q_calibration" ->
+      """WITH f AS (
+        |  SELECT (event_id * 37) % 1000001 AS score_ppm,
+        |    CASE WHEN (event_id * 91) % 1000001 < (event_id * 37) % 1000001
+        |         THEN 1 ELSE 0 END AS label
+        |  FROM events),
+        |g AS (
+        |  SELECT least(score_ppm // 100000, 9) AS bucket, count(*) AS n,
+        |    sum(label) AS n_pos, sum(score_ppm) AS ss
+        |  FROM f GROUP BY 1)
+        |SELECT bucket, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n_pos * 1000000 // n AS BIGINT) AS pos_ppm,
+        |  CAST(ss // n AS BIGINT) AS mean_score_ppm
+        |FROM g""".stripMargin,
+
+    "q_sar_export" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  string_agg(event_type || '#' || CAST(event_id AS VARCHAR),
+        |    chr(10) ORDER BY event_id) AS bundle
+        |FROM events WHERE user_id % 97 = 0 GROUP BY 1""".stripMargin,
 
     "q_tokenizer_fertility" ->
       s"""WITH t AS (

@@ -1,0 +1,49 @@
+package graft.enrich
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Longest-suffix domain blocklist lookup — the DNS-hierarchy analogue
+  * of [[CidrLpm]]'s longest-prefix IP match: a rule for `example.com`
+  * governs every subdomain beneath it, and the MOST SPECIFIC rule wins
+  * (`dev.example.com: review` overrides `example.com: block` for hosts
+  * under dev). This is how crawl pipelines apply domain-level
+  * allow/deny/review policy and how a Beats-style processor would tag
+  * events by `registered_domain` policy before routing.
+  *
+  * Scale shape: each domain explodes into its ≤ label-count suffixes
+  * (bounded fan-out — hostnames have a handful of labels), which
+  * broadcast-hash-join against the rule table (policy rules are
+  * authored, not derived — always the small side); one max_by groupBy
+  * on the row id picks the longest matched rule. Never a non-equi
+  * `ends_with` join, which would plan as a broadcast nested loop and
+  * evaluate every rule against every row.
+  */
+object DomainBlock {
+
+  /** `rules`: (rule_domain, action). Output: id, domain, matched_rule
+    * ('' when nothing matched), action ('allow' default).
+    */
+  def lookup(df: DataFrame, idCol: String, domainCol: String,
+      rules: DataFrame): DataFrame = {
+    val labels = split(col(domainCol), "\\.")
+    val sufx = df
+      .select(col(idCol), explode(sequence(lit(1), size(labels))).as("_i"),
+        labels.as("_ls"))
+      .select(col(idCol),
+        array_join(slice(col("_ls"), col("_i"),
+          size(col("_ls")) - col("_i") + 1), ".").as("_suffix"))
+    val matched = sufx
+      .join(broadcast(rules), col("_suffix") === col("rule_domain"))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("rule_domain"), col("action")),
+        length(col("rule_domain"))).as("_m"))
+      .select(col(idCol), col("_m.rule_domain").as("matched_rule"),
+        col("_m.action").as("_action"))
+    df.select(col(idCol), col(domainCol))
+      .join(matched, Seq(idCol), "left")
+      .select(col(idCol), col(domainCol),
+        coalesce(col("matched_rule"), lit("")).as("matched_rule"),
+        coalesce(col("_action"), lit("allow")).as("action"))
+  }
+}

@@ -895,6 +895,28 @@ object Curation {
     * sampleStratified) or swap the two products to DECIMAL(38,0) — the
     * statistic needs a label SAMPLE, not the corpus.
     */
+  /** Classifier calibration (reliability-diagram table): bucket the
+    * predicted score (integer ppm) into deciles and compare each
+    * bucket's predicted mean against its OBSERVED positive rate — the
+    * quality-classifier QA step before anyone trusts its threshold
+    * (q_quality_classifier's scores gate data; this measures whether
+    * "0.9" means 90%). All-integer: counts, `div`-ppm rates, and the
+    * mean predicted score as sum-div-count — no float accumulation, so
+    * the table is exact cross-engine. One map-side-combinable groupBy
+    * on the ≤10-row bucket key.
+    */
+  def calibrationReport(df: DataFrame, scorePpmCol: String,
+      labelCol: String): DataFrame =
+    df.select(
+        least(col(scorePpmCol) / 100000L, lit(9L)).cast("long").as("bucket"),
+        col(scorePpmCol).as("_s"),
+        col(labelCol).cast("long").as("_y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"), sum("_s").as("_ss"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000 div n").as("pos_ppm"),
+        expr("_ss div n").as("mean_score_ppm"))
+
   def raterAgreement(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
     val c = df.select(aCol.cast("boolean").as("_a"), bCol.cast("boolean").as("_b"))
       .groupBy()

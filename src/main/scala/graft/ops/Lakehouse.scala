@@ -301,6 +301,31 @@ object Lakehouse {
     }.reduce(_ unionAll _)
   }
 
+  /** File-overlap (clustering) depth — the metric behind "does this
+    * table need OPTIMIZE/compaction": given per-file key ranges
+    * [lo, hi], the maximum number of files any single key point falls
+    * inside. A perfectly clustered (range-sorted) layout has depth 1;
+    * a hash/ingest-ordered layout approaches depth = file count, which
+    * means every point lookup opens every file. Classic sweep-line:
+    * +1 at each lo, −1 at each hi, running-sum maximum — ordered so
+    * boundary-touching intervals count as overlapping.
+    *
+    * The single-partition window runs over the FILE-BOUNDARY table
+    * (2 rows per file — metadata-sized by construction, the same
+    * argument as [[backfillGaps]]); event rows are never windowed.
+    */
+  def overlapDepth(files: DataFrame, loCol: String, hiCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = files.select(col(loCol).as("_k"), lit(1L).as("_d"))
+      .unionAll(files.select(col(hiCol).as("_k"), lit(-1L).as("_d")))
+    val w = Window.orderBy(col("_k"), col("_d").desc)
+    bounds
+      .withColumn("_depth", sum("_d")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .agg(sum(when(col("_d") === 1L, 1L).otherwise(0L)).as("n_files"),
+        max("_depth").as("max_depth"))
+  }
+
   def backfillGaps(df: DataFrame, tsCol: String = "ts"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val days = df.select(to_date(col(tsCol)).as("_d")).distinct()

@@ -63,6 +63,25 @@ object Privacy {
     * constant work per candidate, same `list_reduce` twin the FNV
     * partitioner oracle uses. Narrow, no shuffle.
     */
+  /** GDPR subject-access-request export: one row per data subject with
+    * every record rendered to a stable line and concatenated in a
+    * DETERMINISTIC order (collect_list has no order guarantee — the
+    * array_sort over (ord, line) structs is what makes the bundle
+    * byte-reproducible across runs and engines, the same property the
+    * right-to-erasure audit [[graft.ops.Lakehouse.applyTombstones]]
+    * needs on its other side). One groupBy on the subject key; the
+    * bundle size is bounded by the subject's own record count.
+    */
+  def subjectAccessExport(df: DataFrame, userCol: String,
+      lineCol: org.apache.spark.sql.Column,
+      ordCol: org.apache.spark.sql.Column): DataFrame =
+    df.select(col(userCol).as("user_id"),
+        struct(ordCol.as("o"), lineCol.as("l")).as("_s"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(array_sort(collect_list(col("_s"))),
+          x => x.getField("l")), "\n").as("bundle"))
+
   def luhnScan(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     df.select(col(idCol),

@@ -1,0 +1,80 @@
+package graft
+
+import graft.enrich.DomainBlock
+import graft.ops.{Curation, Lakehouse, Privacy}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 batch 4: domain-suffix policy lookup, file-overlap depth,
+  * classifier calibration, subject-access export.
+  */
+class DomainPolicySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rules = Seq(
+    ("example.com", "block"), ("dev.example.com", "review"),
+    ("test.org", "block"), ("io", "allow_listed")
+  ).toDF("rule_domain", "action")
+
+  test("DomainBlock.lookup: longest suffix wins; unmatched defaults to allow") {
+    val df = Seq(
+      (1L, "www.example.com"),     // example.com -> block
+      (2L, "api.dev.example.com"), // dev.example.com beats example.com
+      (3L, "cdn.test.org"),
+      (4L, "a.b.c.io"),            // TLD-level rule
+      (5L, "plain.net"),           // no rule -> allow
+      (6L, "example.com")          // exact match, no subdomain
+    ).toDF("id", "domain")
+    val out = DomainBlock.lookup(df, "id", "domain", rules)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getString(3)))).toMap
+    assert(out(1L) === (("example.com", "block")))
+    assert(out(2L) === (("dev.example.com", "review")))
+    assert(out(3L) === (("test.org", "block")))
+    assert(out(4L) === (("io", "allow_listed")))
+    assert(out(5L) === (("", "allow")))
+    assert(out(6L) === (("example.com", "block")))
+  }
+
+  test("DomainBlock.lookup plans as broadcast hash join — never a nested loop over rules") {
+    val df = (1L to 100L).map(i => (i, s"h$i.example.com")).toDF("id", "domain")
+    val plan = DomainBlock.lookup(df, "id", "domain", rules)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("overlapDepth: sweep-line max depth; touching ranges count as overlapping") {
+    val over = Seq((1L, 0L, 10L), (2L, 5L, 20L), (3L, 15L, 30L)).toDF("f", "lo", "hi")
+    val o = Lakehouse.overlapDepth(over, "lo", "hi").collect()(0)
+    assert((o.getLong(0), o.getLong(1)) === ((3L, 2L)))
+    val disjoint = Seq((1L, 0L, 1L), (2L, 2L, 3L)).toDF("f", "lo", "hi")
+    val d = Lakehouse.overlapDepth(disjoint, "lo", "hi").collect()(0)
+    assert((d.getLong(0), d.getLong(1)) === ((2L, 1L)))
+    val touch = Seq((1L, 0L, 10L), (2L, 10L, 20L)).toDF("f", "lo", "hi")
+    val t = Lakehouse.overlapDepth(touch, "lo", "hi").collect()(0)
+    assert(t.getLong(1) === 2L) // a point query at 10 opens both files
+  }
+
+  test("calibrationReport: decile bucketing (1e6 clamps into bucket 9), exact integer rates") {
+    val df = Seq(
+      (50000L, 0L), (950000L, 1L), (999999L, 1L), (1000000L, 1L)
+    ).toDF("score_ppm", "label")
+    val out = Curation.calibrationReport(df, "score_ppm", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) === ((1L, 0L, 0L, 50000L)))
+    // mean = floor((950000 + 999999 + 1000000) / 3) = 983333
+    assert(out(9L) === ((3L, 3L, 1000000L, 983333L)))
+  }
+
+  test("subjectAccessExport: bundle lines sorted by ord regardless of input order") {
+    val df = Seq(
+      (7L, "c#3", 3L), (7L, "a#1", 1L), (7L, "b#2", 2L), (8L, "x#9", 9L)
+    ).toDF("user_id", "line", "ord")
+    val out = Privacy.subjectAccessExport(df, "user_id", col("line"), col("ord"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(7L) === ((3L, "a#1\nb#2\nc#3")))
+    assert(out(8L) === ((1L, "x#9")))
+  }
+}
