@@ -1989,6 +1989,37 @@ object SparkEntry {
         "event_id" -> col("event_id")),
         col("value"), 450000000L, Long.MaxValue)),
 
+    // percolation / reverse search: 5 stored term-conjunction rules
+    // matched against every document via the postings join (never
+    // per-row rule evaluation); rule 4's term never occurs
+    "q_percolate" -> ((s, dir) =>
+      graft.route.Percolate.matchRules(
+        documents(s, dir), "doc_id", "text", percolateRules)),
+
+    // rendezvous (HRW) host assignment + stability: dropping host e
+    // from a 5-host fleet must move ONLY the keys that lived on e
+    "q_rendezvous" -> { (s, dir) =>
+      val hosts5 = Seq("sink-a", "sink-b", "sink-c", "sink-d", "sink-e")
+      graft.route.Rendezvous.stability(
+        events(s, dir).select(col("event_id").cast("string").as("key")),
+        "key", hosts5, hosts5.init)
+    },
+
+    // survivorship merge: golden record per user_id%50 entity; value
+    // survives from the best (priority, ts, event_id) record overall,
+    // rare_k only competes where k%7=0 (the null-skip rule)
+    "q_golden_record" -> ((s, dir) =>
+      graft.ops.Survivorship.goldenRecord(
+        events(s, dir).select(
+          pmod(col("user_id"), lit(50L)).as("entity"),
+          col("event_type"), col("ts"), col("event_id"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("vm"),
+          when(get_json_object(col("props"), "$.k").cast("int") % 7 === 0,
+            get_json_object(col("props"), "$.k").cast("int")).as("rk")),
+        "entity", "event_type", "ts", "event_id",
+        Map("purchase" -> 4, "signup" -> 3, "click" -> 2, "view" -> 1),
+        Seq("best_value" -> col("vm"), "rare_k" -> col("rk")))),
+
     // longest-suffix domain blocklist (the DNS-hierarchy LPM): five
     // fixture domains against a 4-rule policy; dev.example.com/review
     // must override example.com/block for hosts under dev
@@ -2244,6 +2275,16 @@ object SparkEntry {
     * default, 128 even /24 blocks, 64 scattered /28s, 16 exact /32
     * hosts — every derived 16-bit ip matches ≥ 1 level, many match 3.
     */
+  /** Authored stored-search conjunctions for q_percolate (saved
+    * searches are config — the broadcast postings side). Rule 4 names a
+    * term outside the corpus vocabulary so the zero-hit path is live. */
+  private val percolateRules: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "join"),
+    2L -> Seq("customer", "query", "slow"),
+    3L -> Seq("vector", "stream"),
+    4L -> Seq("zzznever"),
+    5L -> Seq("table"))
+
   /** Authored domain-policy rules for q_domain_block (policy tables are
     * small by nature — the broadcast side of the suffix join). */
   private def domainRules(s: SparkSession): DataFrame =
@@ -5388,6 +5429,62 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT day, n_expired, n_held, n_droppable, n_held = 0 AS full_drop
         |FROM g""".stripMargin,
+
+    "q_percolate" ->
+      """WITH rules(rule_id, term) AS (VALUES
+        |  (1, 'spark'), (1, 'join'), (2, 'customer'), (2, 'query'),
+        |  (2, 'slow'), (3, 'vector'), (3, 'stream'), (4, 'zzznever'),
+        |  (5, 'table')),
+        |sizes AS (SELECT rule_id, count(*) AS n_terms FROM rules GROUP BY 1),
+        |tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''),
+        |m AS (
+        |  SELECT doc_id, rule_id, count(*) AS n_matched
+        |  FROM dt JOIN rules USING (term) GROUP BY 1, 2)
+        |SELECT doc_id, CAST(rule_id AS BIGINT) AS rule_id
+        |FROM m JOIN sizes USING (rule_id) WHERE n_matched = n_terms""".stripMargin,
+
+    "q_rendezvous" ->
+      s"""WITH k AS (SELECT CAST(event_id AS VARCHAR) AS key FROM events),
+         |h5(host) AS (VALUES ('sink-a'), ('sink-b'), ('sink-c'), ('sink-d'), ('sink-e')),
+         |w5 AS (
+         |  SELECT key, host,
+         |    ${graft.ops.Dedup.gramHashSql("(key || '|' || host)")} * 8 +
+         |    CASE host WHEN 'sink-a' THEN 0 WHEN 'sink-b' THEN 1
+         |      WHEN 'sink-c' THEN 2 WHEN 'sink-d' THEN 3 ELSE 4 END AS w
+         |  FROM k CROSS JOIN h5),
+         |a5 AS (SELECT key, arg_max(host, w) AS host_before FROM w5 GROUP BY 1),
+         |a4 AS (SELECT key, arg_max(host, w) AS host_after
+         |       FROM w5 WHERE host <> 'sink-e' GROUP BY 1)
+         |SELECT key, host_before, host_after,
+         |  CAST(host_before <> host_after AS INTEGER) AS moved
+         |FROM a5 JOIN a4 USING (key)""".stripMargin,
+
+    "q_golden_record" ->
+      """WITH base AS (
+        |  SELECT user_id % 50 AS entity_id,
+        |    CASE event_type WHEN 'purchase' THEN 4 WHEN 'signup' THEN 3
+        |      WHEN 'click' THEN 2 WHEN 'view' THEN 1 ELSE 0 END AS p,
+        |    epoch_us(ts) AS t, event_id AS i, event_type,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm,
+        |    CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 = 0
+        |         THEN CAST(json_extract_string(props, '$.k') AS INTEGER) END AS rk
+        |  FROM events),
+        |f1 AS (SELECT entity_id, vm AS best_value FROM (
+        |  SELECT entity_id, vm, row_number() OVER (PARTITION BY entity_id
+        |    ORDER BY p DESC, t DESC, i DESC) AS rn
+        |  FROM base WHERE vm IS NOT NULL) WHERE rn = 1),
+        |f2 AS (SELECT entity_id, rk AS rare_k FROM (
+        |  SELECT entity_id, rk, row_number() OVER (PARTITION BY entity_id
+        |    ORDER BY p DESC, t DESC, i DESC) AS rn
+        |  FROM base WHERE rk IS NOT NULL) WHERE rn = 1),
+        |c AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_sources
+        |  FROM base GROUP BY 1)
+        |SELECT c.entity_id, f1.best_value, f2.rare_k, c.n_records, c.n_sources
+        |FROM c LEFT JOIN f1 USING (entity_id) LEFT JOIN f2 USING (entity_id)""".stripMargin,
 
     "q_domain_block" ->
       """WITH rules(rule_domain, action) AS (VALUES

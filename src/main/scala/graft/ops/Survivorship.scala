@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Survivorship (golden-record construction) — the step AFTER entity
+  * resolution ([[Dedup]]'s LSH-block → verify → connected-components
+  * path): a resolved entity has several raw records from sources of
+  * differing trust, and the golden record takes each field from the
+  * best-ranked record that HAS it. "Best" is a total order — source
+  * priority, then recency, then a unique id tie-break — because at
+  * 10¹² rows every (priority, ts) pair collides somewhere and an
+  * arg_max without the unique key is nondeterministic across engines
+  * AND across runs (the q_flow_sessions lesson).
+  *
+  * Scale shape: one map-side-combinable groupBy on the entity key;
+  * each field is a `max_by(value, struct(rank...))` aggregate, so the
+  * whole merge is a single shuffle regardless of how many fields
+  * survive. Records with a NULL field simply don't compete for it —
+  * max_by skips null values — which is exactly the "most-trusted
+  * non-null wins" MDM rule.
+  */
+object Survivorship {
+
+  /** `priority`: source → rank (higher wins; unlisted sources rank 0).
+    * `fields`: output name → value column. Output: one row per entity
+    * with each field's surviving value plus n_records / n_sources.
+    */
+  def goldenRecord(df: DataFrame, entityCol: String, sourceCol: String,
+      tsCol: String, idCol: String, priority: Map[String, Int],
+      fields: Seq[(String, Column)]): DataFrame = {
+    val rank = priority.foldLeft(lit(0)) { case (acc, (src, p)) =>
+      when(col(sourceCol) === src, lit(p)).otherwise(acc)
+    }
+    val key = struct(rank.as("p"),
+      unix_micros(col(tsCol).cast("timestamp")).as("t"), col(idCol).as("i"))
+    val aggs = fields.map { case (name, value) =>
+      max_by(value, when(value.isNotNull, key)).as(name)
+    } ++ Seq(
+      count(lit(1)).as("n_records"),
+      countDistinct(col(sourceCol)).as("n_sources"))
+    df.groupBy(col(entityCol).as("entity_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.route
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Percolation — reverse search: a SMALL authored table of saved
+  * searches (each a conjunction of required terms) matched against a
+  * LARGE document stream, answering "which stored queries fire on this
+  * document". This is the batch analogue of evaluating Beats' routing
+  * `Conditions` (`libbeat/conditions/conditions.go`) for every
+  * registered rule per event — but instead of running R condition
+  * trees per row (O(rows × rules)), the conjunctions are decomposed
+  * into (rule, term) postings and matching becomes ONE equi-join.
+  *
+  * Scale shape: documents tokenize and dedup terms once (narrow
+  * explode); the (rule_id, term) postings table is authored config —
+  * always the broadcast side; the join emits at most
+  * (matched terms per doc) rows, and the (doc, rule) groupBy checks
+  * `n_matched = n_terms` for the conjunction. No rule regex runs per
+  * row, no cross product, one shuffle on the (doc, rule) key whose
+  * cardinality is bounded by actual matches — the shape that survives
+  * 10¹² docs × 10⁴ rules where per-row rule evaluation cannot.
+  */
+object Percolate {
+
+  /** `rules`: (rule_id, terms) conjunctions. Output: one row per
+    * (doc, rule) hit where the doc's token set contains EVERY rule
+    * term.
+    */
+  def matchRules(docs: DataFrame, idCol: String, textCol: String,
+      rules: Seq[(Long, Seq[String])]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val postings = rules
+      .flatMap { case (rid, terms) => terms.distinct.map(t => (rid, t)) }
+      .toDF("rule_id", "term")
+    val ruleSizes = rules.map { case (rid, terms) =>
+      (rid, terms.distinct.size.toLong) }.toDF("rule_id", "n_terms")
+    val docTerms = docs
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(col("term") =!= "").distinct()
+    docTerms
+      .join(broadcast(postings), Seq("term"))
+      .groupBy(col(idCol), col("rule_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .join(broadcast(ruleSizes), Seq("rule_id"))
+      .where(col("n_matched") === col("n_terms"))
+      .select(col(idCol), col("rule_id"))
+  }
+}

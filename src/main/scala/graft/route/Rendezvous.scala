@@ -1,0 +1,53 @@
+package graft.route
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rendezvous (highest-random-weight) hashing — deterministic sticky
+  * assignment of a key to one host from a configured host list, the
+  * scale-safe alternative to Beats' per-batch load balancing over
+  * `hosts` (`libbeat/outputs/hosts.go:23-46` reads the list; the
+  * round-robin balancer gives no stickiness, and `hash`-mod
+  * partitioning reshuffles EVERY key when a host is added). HRW hashes
+  * (key, host) per host and takes the argmax: each key lands on
+  * exactly one host, and removing/adding one host moves only ~1/N of
+  * the keys — the property that matters when a 1000-executor writer
+  * fans out to a sink fleet and one sink is drained.
+  *
+  * Scale shape: the host list is a per-row literal array (authored
+  * config, a handful of entries — same bound as Beats' `hosts:`), so
+  * the whole assignment is one narrow codegen'd projection: no explode,
+  * no join, no shuffle. The weight is the repo's portable 48-bit
+  * md5-prefix integer (`conv(substr(md5, 1, 12), 16, 10)` — exactly
+  * [[graft.ops.Dedup.gramHashSql]]'s twin), so DuckDB reproduces the
+  * argmax bit-for-bit. `array_max` over `struct(weight, host)` breaks
+  * weight ties by host name — deterministic even in the astronomically
+  * unlikely 48-bit collision.
+  */
+object Rendezvous {
+
+  /** 48-bit portable weight for (key, host). */
+  private def weight(key: Column, host: Column): Column =
+    conv(substring(md5(concat(key, lit("|"), host)), 1, 12), 16, 10)
+      .cast("long")
+
+  /** Column: the winning host for `key` among `hosts`. */
+  def assign(key: Column, hosts: Seq[String]): Column = {
+    require(hosts.nonEmpty, "rendezvous needs at least one host")
+    val candidates = array(hosts.map(h =>
+      struct(weight(key, lit(h)).as("w"), lit(h).as("host"))): _*)
+    array_max(candidates).getField("host")
+  }
+
+  /** Assignment over two host lists at once, with the moved flag — the
+    * rendezvous stability report: how many keys change host when
+    * `hostsAfter` replaces `hostsBefore` (expected ≈ |removed|/N plus
+    * 1/(N+1) per added host, NOT the ~100% a mod-N scheme pays).
+    */
+  def stability(df: DataFrame, keyCol: String, hostsBefore: Seq[String],
+      hostsAfter: Seq[String]): DataFrame =
+    df.select(col(keyCol),
+        assign(col(keyCol), hostsBefore).as("host_before"),
+        assign(col(keyCol), hostsAfter).as("host_after"))
+      .withColumn("moved", (col("host_before") =!= col("host_after")).cast("int"))
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.ops.Survivorship
+import graft.route.{Percolate, Rendezvous}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 batch 5: percolation (reverse search), rendezvous hashing,
+  * survivorship merge.
+  */
+class ReverseSearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rules = Seq(
+    1L -> Seq("alpha", "beta"), 2L -> Seq("gamma"), 3L -> Seq("alpha", "zzz"))
+
+  test("Percolate.matchRules: conjunction fires only when ALL terms present") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),   // rules 1, 2
+      (2L, "alpha alpha beta"),   // rule 1 (dup tokens count once)
+      (3L, "beta gamma"),         // rule 2 only
+      (4L, "nothing here")        // none
+    ).toDF("doc_id", "text")
+    val hits = Percolate.matchRules(docs, "doc_id", "text", rules)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits === Set((1L, 1L), (1L, 2L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("Percolate plans the postings join as broadcast — no per-row rule scan") {
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val plan = Percolate.matchRules(docs, "doc_id", "text", rules)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("Rendezvous.stability: removing one host moves exactly that host's keys") {
+    val hosts = Seq("h1", "h2", "h3", "h4")
+    val keys = (1 to 400).map(i => s"k$i").toDF("key")
+    val st = Rendezvous.stability(keys, "key", hosts, hosts.filterNot(_ == "h3"))
+      .collect()
+    st.foreach { r =>
+      val (before, after, moved) = (r.getString(1), r.getString(2), r.getInt(3))
+      if (before == "h3") assert(moved === 1, s"key on h3 must move: $r")
+      else { assert(moved === 0, s"key not on h3 must stay: $r")
+             assert(after === before) }
+      assert(after !== "h3")
+    }
+    // every host owns a nontrivial share (weights are uniform-ish)
+    val byHost = st.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byHost.keySet === hosts.toSet)
+    assert(byHost.values.forall(_ > 40), byHost.toString)
+  }
+
+  test("Rendezvous.assign is a narrow projection — no shuffle, no join") {
+    val keys = (1 to 10).map(i => s"k$i").toDF("key")
+    val plan = keys.select(Rendezvous.assign(col("key"), Seq("a", "b", "c")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("Survivorship.goldenRecord: priority > recency > id; null fields don't compete") {
+    val df = Seq(
+      // entity 1: crm beats web on priority despite older ts; crm's email
+      // is null so email survives from the best non-null (web, newest)
+      (1L, "crm", "2024-01-01 00:00:00", 10L, Option("Crm Name"), Option.empty[String]),
+      (1L, "web", "2024-06-01 00:00:00", 11L, Option("Web Name"), Option("old@x.com")),
+      (1L, "web", "2024-07-01 00:00:00", 12L, Option.empty[String], Option("new@x.com")),
+      // entity 2: same source+ts → event id 21 beats 20
+      (2L, "web", "2024-01-01 00:00:00", 20L, Option("A"), Option("a@x.com")),
+      (2L, "web", "2024-01-01 00:00:00", 21L, Option("B"), Option("b@x.com"))
+    ).toDF("entity", "src", "ts", "rec_id", "name", "email")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Survivorship.goldenRecord(df, "entity", "src", "ts", "rec_id",
+        Map("crm" -> 2, "web" -> 1),
+        Seq("name" -> col("name"), "email" -> col("email")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === (("Crm Name", "new@x.com", 3L, 2L)))
+    assert(out(2L) === (("B", "b@x.com", 2L, 1L)))
+  }
+
+  test("goldenRecord is a single-shuffle aggregate regardless of field count") {
+    val df = Seq((1L, "web", "2024-01-01 00:00:00", 1L, "n", "e"))
+      .toDF("entity", "src", "ts", "rec_id", "name", "email")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val plan = Survivorship.goldenRecord(df, "entity", "src", "ts", "rec_id",
+        Map("web" -> 1), Seq("name" -> col("name"), "email" -> col("email")))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 2, plan) // partial+final agg pair
+  }
+}
