@@ -2020,6 +2020,54 @@ object SparkEntry {
         Map("purchase" -> 4, "signup" -> 3, "click" -> 2, "view" -> 1),
         Seq("best_value" -> col("vm"), "rare_k" -> col("rk")))),
 
+    // item-item co-occurrence similarity: cohort-structured items
+    // (user_id%5 picks a 10-item block, k%17 adds cross-cohort noise),
+    // power-user cap at 12 distinct items, squared-cosine ppm
+    "q_item_cf" -> { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      val item = when(k % 17 === 0, (k % 50).cast("long"))
+        .otherwise((k % 10).cast("long") + pmod(col("user_id"), lit(5L)) * 10L)
+      graft.ops.ItemCf.cosinePairs(
+        events(s, dir).select(col("user_id").as("u0"), item.as("item0")),
+        "u0", "item0", maxItemsPerUser = 12L, minCo = 2L)
+    },
+
+    // deploy impact: ±2h event windows around 3 authored deploy times
+    // via the binned interval join; before/after mean in exact micros
+    "q_deploy_impact" -> { (s, dir) =>
+      val deploys = s.range(1).select(lit(1L).as("deploy_id"),
+          lit("2024-01-08 12:00:00").cast("timestamp").as("dts"))
+        .unionAll(s.range(1).select(lit(2L),
+          lit("2024-01-15 00:30:00").cast("timestamp")))
+        .unionAll(s.range(1).select(lit(3L),
+          lit("2024-01-22 18:45:00").cast("timestamp")))
+        .select(col("deploy_id"), col("dts"),
+          (col("dts") - expr("INTERVAL 2 HOURS")).as("w_start"),
+          (col("dts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+      graft.ops.RangeJoin.byTimeBin(
+          events(s, dir).select(col("ts"),
+            floor(col("value") * 1e6 + 0.5).cast("long").as("vm")),
+          deploys, "ts", "w_start", "w_end")
+        .withColumn("after", (col("ts") >= col("dts")).cast("int"))
+        .groupBy("deploy_id")
+        .agg(sum(when(col("after") === 0, 1L).otherwise(0L)).as("n_before"),
+          sum(when(col("after") === 1, 1L).otherwise(0L)).as("n_after"),
+          sum(when(col("after") === 0, col("vm"))).as("_sb"),
+          sum(when(col("after") === 1, col("vm"))).as("_sa"))
+        .select(col("deploy_id"), col("n_before"), col("n_after"),
+          expr("CASE WHEN n_before > 0 THEN _sb div n_before END").as("mean_before_u"),
+          expr("CASE WHEN n_after > 0 THEN _sa div n_after END").as("mean_after_u"),
+          expr("CASE WHEN n_before > 0 AND n_after > 0 " +
+            "THEN _sa div n_after - _sb div n_before END").as("delta_u"))
+    },
+
+    // constellation fingerprint matching over the media payload bytes:
+    // planted exact/near dups must surface as high-overlap pairs
+    "q_audio_constellation" -> ((s, dir) =>
+      graft.ops.Multimodal.fingerprintMatches(
+        graft.ops.Multimodal.asMedia(docsWithDupes(s, dir)),
+        window = 32, maxFpDf = 50L, minShared = 4L)),
+
     // longest-suffix domain blocklist (the DNS-hierarchy LPM): five
     // fixture domains against a 4-rule policy; dev.example.com/review
     // must override example.com/block for hosts under dev
@@ -5485,6 +5533,79 @@ object SparkEntry {
         |  FROM base GROUP BY 1)
         |SELECT c.entity_id, f1.best_value, f2.rare_k, c.n_records, c.n_sources
         |FROM c LEFT JOIN f1 USING (entity_id) LEFT JOIN f2 USING (entity_id)""".stripMargin,
+
+    "q_item_cf" ->
+      """WITH inter AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CASE WHEN k % 17 = 0 THEN CAST(k % 50 AS BIGINT)
+        |         ELSE CAST(k % 10 AS BIGINT) + 10 * (user_id % 5) END AS item
+        |  FROM (SELECT user_id,
+        |          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |        FROM events)),
+        |kept AS (SELECT * FROM inter
+        |         QUALIFY count(*) OVER (PARTITION BY u) <= 12),
+        |deg AS (SELECT item, count(*) AS deg FROM kept GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS co
+        |  FROM kept a JOIN kept b ON a.u = b.u AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |f AS (SELECT * FROM pairs WHERE co >= 2)
+        |SELECT item_a, item_b, CAST(co AS BIGINT) AS co,
+        |  CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+        |  CAST(co * co * 1000000 // (da.deg * db.deg) AS BIGINT) AS cos2_ppm
+        |FROM f JOIN deg da ON f.item_a = da.item
+        |       JOIN deg db ON f.item_b = db.item""".stripMargin,
+
+    "q_deploy_impact" ->
+      """WITH deploys(deploy_id, dts) AS (VALUES
+        |  (1, TIMESTAMP '2024-01-08 12:00:00'),
+        |  (2, TIMESTAMP '2024-01-15 00:30:00'),
+        |  (3, TIMESTAMP '2024-01-22 18:45:00')),
+        |j AS (
+        |  SELECT d.deploy_id, d.dts, e.ts,
+        |    CAST(floor(e.value * 1e6 + 0.5) AS BIGINT) AS vm
+        |  FROM events e JOIN deploys d
+        |    ON e.ts >= d.dts - INTERVAL 2 HOUR AND e.ts <= d.dts + INTERVAL 2 HOUR),
+        |g AS (
+        |  SELECT deploy_id,
+        |    sum(CASE WHEN ts < dts THEN 1 ELSE 0 END) AS n_before,
+        |    sum(CASE WHEN ts >= dts THEN 1 ELSE 0 END) AS n_after,
+        |    sum(CASE WHEN ts < dts THEN vm END) AS sb,
+        |    sum(CASE WHEN ts >= dts THEN vm END) AS sa
+        |  FROM j GROUP BY 1)
+        |SELECT CAST(deploy_id AS BIGINT) AS deploy_id,
+        |  CAST(n_before AS BIGINT) AS n_before, CAST(n_after AS BIGINT) AS n_after,
+        |  CAST(CASE WHEN n_before > 0 THEN sb // n_before END AS BIGINT) AS mean_before_u,
+        |  CAST(CASE WHEN n_after > 0 THEN sa // n_after END AS BIGINT) AS mean_after_u,
+        |  CAST(CASE WHEN n_before > 0 AND n_after > 0
+        |       THEN sa // n_after - sb // n_before END AS BIGINT) AS delta_u
+        |FROM g""".stripMargin,
+
+    "q_audio_constellation" ->
+      s"""WITH $DocsDupesSql,
+         |pos AS (
+         |  SELECT doc_id AS media_id,
+         |    unnest(generate_series(1, len(text))) AS p, text
+         |  FROM docs2),
+         |s AS (
+         |  SELECT media_id, (p - 1) // 32 AS win, (p - 1) % 32 AS bin,
+         |    ord(substr(text, CAST(p AS INTEGER), 1)) AS v
+         |  FROM pos),
+         |pk AS (
+         |  SELECT media_id, win,
+         |    arg_max(v * 32 + bin, v * 32 + (31 - bin)) AS peak
+         |  FROM s GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT media_id, peak * 8192 +
+         |    lead(peak) OVER (PARTITION BY media_id ORDER BY win) AS fp
+         |  FROM pk),
+         |fps AS (SELECT DISTINCT media_id, fp FROM pr WHERE fp IS NOT NULL),
+         |cap AS (SELECT fp FROM fps GROUP BY 1 HAVING count(*) <= 50),
+         |fc AS (SELECT fps.* FROM fps JOIN cap USING (fp))
+         |SELECT a.media_id AS media_a, b.media_id AS media_b,
+         |  count(*) AS n_shared
+         |FROM fc a JOIN fc b ON a.fp = b.fp AND a.media_id < b.media_id
+         |GROUP BY 1, 2 HAVING count(*) >= 4""".stripMargin,
 
     "q_domain_block" ->
       """WITH rules(rule_domain, action) AS (VALUES

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Item-item collaborative filtering over an interaction log — the
+  * "users who touched A also touched B" co-occurrence similarity that
+  * powers related-items and telemetry correlation ("hosts that emit
+  * error X also emit error Y"). Co-occurrence is counted per USER
+  * self-join, so the quadratic term is bounded per user, not per item:
+  * an item seen by 10⁸ users never materializes 10¹⁶ pairs; a user who
+  * touched k items contributes C(k,2).
+  *
+  * Scale levers, in order:
+  *  - interactions dedup to (user, item) first — multiplicity is
+  *    deliberately NOT similarity signal here (one binge ≠ affinity);
+  *  - the power-user cap drops users with > maxItemsPerUser distinct
+  *    items BEFORE the self-join (a 10⁵-item bot contributes 5·10⁹
+  *    pairs of near-zero information; the standard fix is cap or
+  *    sample — we cap, and item degrees are computed AFTER the cap so
+  *    the cosine stays internally consistent);
+  *  - minCo prunes the long tail before the degree join.
+  *
+  * Similarity is the SQUARED cosine in ppm — co²·10⁶ div (deg_a·deg_b)
+  * — because the true cosine needs a sqrt, and integer div of exact
+  * LONG counts is reproducible cross-engine to the last digit while
+  * sqrt doubles are not (the repo's no-libm oracle rule). Monotone in
+  * the real cosine, so ranking/thresholding semantics are identical.
+  */
+object ItemCf {
+
+  def cosinePairs(df: DataFrame, userCol: String, itemCol: String,
+      maxItemsPerUser: Long = 1000L, minCo: Long = 2L): DataFrame = {
+    val inter = df.select(col(userCol).as("u"), col(itemCol).as("item")).distinct()
+    val kept = inter
+      .withColumn("_k", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("u")))
+      .where(col("_k") <= maxItemsPerUser).drop("_k")
+    val deg = kept.groupBy("item").agg(count(lit(1)).as("deg"))
+    val a = kept.select(col("u"), col("item").as("item_a"))
+    val b = kept.select(col("u"), col("item").as("item_b"))
+    a.join(b, Seq("u")).where(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("co"))
+      .where(col("co") >= minCo)
+      .join(deg.select(col("item").as("item_a"), col("deg").as("deg_a")), Seq("item_a"))
+      .join(deg.select(col("item").as("item_b"), col("deg").as("deg_b")), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("co"), col("deg_a"), col("deg_b"),
+        expr("co * co * 1000000 div (deg_a * deg_b)").as("cos2_ppm"))
+  }
+}

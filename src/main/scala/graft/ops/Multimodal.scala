@@ -208,4 +208,62 @@ object Multimodal {
        |  AND l.id < r.id
        |WHERE bit_count(xor(l.phash, r.phash)) <= ${pieces - 1}""".stripMargin
   }
+
+  /** Constellation (Shazam-style) audio fingerprint over the opaque
+    * payload bytes: frame the byte stream into fixed windows, take each
+    * window's PEAK (argmax byte — the stub stand-in for a spectrogram's
+    * dominant frequency bin; a real codec would land mel-bin peaks in
+    * the same (window, bin) shape), pair consecutive peaks into
+    * landmark hashes, and match media by shared hashes through an
+    * inverted index. The peak argmax encodes its tie-break into one
+    * integer key (v·W + (W−1−bin) ⇒ highest value, then lowest bin) so
+    * Spark's max_by and DuckDB's arg_max resolve ties identically.
+    *
+    * Scale shape: byte explode is narrow; peaks are one (media, window)
+    * groupBy; landmark pairing is a per-media window function (never a
+    * global sort); matching is the SAME inverted-index discipline as
+    * [[graft.ops.Dedup]]'s n-gram path — a landmark shared by more than
+    * maxFpDf media is dropped as non-discriminative BEFORE the
+    * self-join (real fingerprint systems do exactly this; a hash every
+    * track contains identifies nothing and would emit df² pairs).
+    */
+  def constellation(media: DataFrame, window: Int = 32): DataFrame = {
+    require(window > 1 && window <= 256, "window must be in (1, 256]")
+    val peaks = media
+      .select(col("media_id"),
+        explode(sequence(lit(1), octet_length(col("payload")))).as("p"),
+        col("payload"))
+      .select(col("media_id"),
+        ((col("p") - 1) / window).cast("long").as("win"),
+        ((col("p") - 1) % window).cast("int").as("bin"),
+        conv(hex(expr("substring(payload, p, 1)")), 16, 10).cast("int").as("v"))
+      .groupBy("media_id", "win")
+      // the landmark keeps the peak VALUE as well as its bin (v·W + bin):
+      // a bin-only landmark has W² possible pair hashes and saturates at
+      // corpus scale — every hash exceeds any df cap and matching goes
+      // silent (measured: 0 matches at sf0.1 with bin-only 32² hashes)
+      .agg(max_by(col("v") * window + col("bin"),
+        col("v") * window + (lit(window - 1) - col("bin"))).as("peak"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("win")
+    peaks
+      .select(col("media_id"),
+        (col("peak") * (256 * window) + lead("peak", 1).over(w)).as("fp"))
+      .where(col("fp").isNotNull)
+      .distinct()
+  }
+
+  /** Media pairs sharing ≥ minShared discriminative landmarks. */
+  def fingerprintMatches(media: DataFrame, window: Int = 32,
+      maxFpDf: Long = 50L, minShared: Long = 4L): DataFrame = {
+    val fps = constellation(media, window)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxFpDf).select("fp")
+    val kept = fps.join(rare, Seq("fp"))
+    val a = kept.select(col("fp"), col("media_id").as("media_a"))
+    val b = kept.select(col("fp"), col("media_id").as("media_b"))
+    a.join(b, Seq("fp")).where(col("media_a") < col("media_b"))
+      .groupBy("media_a", "media_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

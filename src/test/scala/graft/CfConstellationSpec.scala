@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.{ItemCf, Multimodal}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 batch 6: item-item CF and constellation fingerprinting. */
+class CfConstellationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ItemCf.cosinePairs: exact co-occurrence, degrees, squared-cosine ppm") {
+    // u1:{a,b}, u2:{a,b}, u3:{a,c} (duplicate interaction collapses)
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (2L, "b"),
+      (3L, "a"), (3L, "c")).toDF("u", "item")
+    val out = ItemCf.cosinePairs(df, "u", "item", maxItemsPerUser = 10, minCo = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // only (a,b) has co >= 2: co=2, deg_a=3, deg_b=2 -> 4e6/6 = 666666
+    assert(out === Map(("a", "b") -> ((2L, 3L, 2L, 666666L))))
+  }
+
+  test("ItemCf power-user cap: capped user contributes no pairs, no degrees") {
+    val bot = (1 to 20).map(i => (9L, s"i$i"))
+    val df = (Seq((1L, "i1"), (1L, "i2"), (2L, "i1"), (2L, "i2")) ++ bot)
+      .toDF("u", "item")
+    val out = ItemCf.cosinePairs(df, "u", "item", maxItemsPerUser = 5, minCo = 2)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    // bot excluded BEFORE degree count: deg_a = deg_b = 2, not 3
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((2L, 2L, 2L)))
+  }
+
+  private def media(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").transform(d => Multimodal.asMedia(d))
+
+  test("constellation: identical payloads share every distinct landmark") {
+    // varied content so windows peak at different bins (a repeating
+    // string collapses to ONE distinct landmark — distinct() is real)
+    val base = (0 until 160).map(i => ('a' + ((i * i + 3 * i) % 26)).toChar).mkString
+    val m = media(1L -> base, 2L -> base)
+    val nf = Multimodal.constellation(media(1L -> base), window = 32).count()
+    assert(nf >= 2, s"fixture should yield several distinct landmarks, got $nf")
+    val hits = Multimodal.fingerprintMatches(m, window = 32, maxFpDf = 50, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq === Seq((1L, 2L, nf)))
+  }
+
+  test("constellation peak tie-break: equal max bytes -> lowest bin wins") {
+    // window of 32 'a's: every byte ties; peak must be (v='a')*32 + bin 0
+    val m = media(1L -> ("a" * 64))
+    val fps = Multimodal.constellation(m, window = 32).collect()
+    val k = 'a'.toInt * 32
+    assert(fps.map(_.getAs[Int]("fp")).toSeq === Seq(k * 8192 + k))
+  }
+
+  test("fingerprintMatches df-cap: a landmark shared by everyone identifies no one") {
+    val txt = "abcdefgh" * 20
+    val m = media((1L to 60L).map(i => i -> txt): _*)
+    val hits = Multimodal.fingerprintMatches(m, window = 32, maxFpDf = 50, minShared = 1)
+    assert(hits.count() === 0L) // all fps have df=60 > 50
+  }
+}
