@@ -2020,6 +2020,14 @@ object SparkEntry {
         Map("purchase" -> 4, "signup" -> 3, "click" -> 2, "view" -> 1),
         Seq("best_value" -> col("vm"), "rare_k" -> col("rk")))),
 
+    // native session_window (batch mode): 300s-gap sessions per user —
+    // the built-in twin of q_flow_sessions' lag-island form; a gap of
+    // EXACTLY 300s starts a new session (window is [start, last+gap))
+    "q_session_window" -> ((s, dir) =>
+      graft.streaming.StreamingPipeline.sessionWindowAgg(
+        events(s, dir).select(col("user_id"), col("ts")),
+        keyCol = "user_id", gapSeconds = 300)),
+
     // item-item co-occurrence similarity: cohort-structured items
     // (user_id%5 picks a 10-item block, k%17 adds cross-cohort noise),
     // power-user cap at 12 distinct items, squared-cosine ppm
@@ -5533,6 +5541,19 @@ object SparkEntry {
         |  FROM base GROUP BY 1)
         |SELECT c.entity_id, f1.best_value, f2.rare_k, c.n_records, c.n_sources
         |FROM c LEFT JOIN f1 USING (entity_id) LEFT JOIN f2 USING (entity_id)""".stripMargin,
+
+    "q_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS e, event_id FROM events),
+        |l AS (SELECT *, lag(e) OVER (PARTITION BY user_id
+        |      ORDER BY e, event_id) AS pe FROM o),
+        |g AS (SELECT *, CASE WHEN pe IS NULL OR e - pe >= 300000000
+        |      THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |      ORDER BY e, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "q_item_cf" ->
       """WITH inter AS (

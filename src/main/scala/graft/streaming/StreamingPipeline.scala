@@ -95,6 +95,29 @@ object StreamingPipeline {
     * last + gap (event-time timeout) — exactly "report after
     * inactivity". Exact same output as the batch `ops.Sessions.byGap`.
     */
+  /** Native `session_window` twin of [[sessionFlows]]: the built-in
+    * session operator (merge events whose gap < gapSeconds; a gap of
+    * EXACTLY gapSeconds starts a new session — the window is
+    * [start, last+gap)). Prefer THIS path when the output is plain
+    * per-session aggregates: it stays in Catalyst (codegen'd, state
+    * store managed by the engine, mergeable across micro-batches and
+    * usable unchanged in BATCH queries); [[sessionFlows]]' GroupState
+    * form exists for session logic the aggregate surface can't express
+    * (per-event folds, custom emission). Same fixture ⇒ identical
+    * sessions — asserted in `StreamingSpec`.
+    */
+  def sessionWindowAgg(
+      df: DataFrame,
+      keyCol: String = "conv_id",
+      gapSeconds: Long = 30,
+      watermarkDelay: String = "10 seconds"): DataFrame =
+    df.withWatermark("ts", watermarkDelay)
+      .groupBy(col(keyCol).as("key"),
+        session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("first_ts"), max("ts").as("last_ts"))
+      .select("key", "n_events", "first_ts", "last_ts")
+
   def sessionFlows(
       df: DataFrame,
       keyCol: String = "conv_id",

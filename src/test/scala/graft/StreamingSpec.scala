@@ -122,6 +122,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("native session_window agg emits the same closed sessions as the GroupState path") {
+    import graft.ops.Sessions
+    import graft.streaming.StreamingPipeline.sessionWindowAgg
+    val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def t(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val noTool = Option.empty[String]
+    val rows = Seq(
+      ("a", 0, "user", "x", noTool, t(0)),
+      ("a", 1, "user", "x", noTool, t(10)),
+      ("a", 2, "user", "x", noTool, t(110)),
+      ("a", 3, "user", "x", noTool, t(120)),
+      ("b", 0, "user", "x", noTool, t(5)))
+    val df = rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val future = Seq(("zz", 0, "user", "x", noTool, t(864000))).toDF(
+      "conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+    val stage = TestSpark.tmpDir("swin-stage")
+    val watch = TestSpark.tmpDir("swin-watch")
+    val out = TestSpark.tmpDir("swin-out")
+    df.write.parquet(s"$stage/b1")
+    future.write.parquet(s"$stage/b2")
+    feed(s"$stage/b1", watch, "batch1")
+
+    def stream = spark.readStream.schema(Turn.schema).parquet(watch)
+    def runOnce(): Unit =
+      sessionWindowAgg(stream, gapSeconds = 30).writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append")
+        .option("checkpointLocation", s"$out/_cp")
+        .format("parquet").option("path", s"$out/flows")
+        .start().awaitTermination()
+
+    runOnce()
+    feed(s"$stage/b2", watch, "batch2")
+    runOnce()
+
+    val got = spark.read.parquet(s"$out/flows")
+      .collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("n_events"),
+        r.getAs[java.sql.Timestamp]("first_ts"), r.getAs[java.sql.Timestamp]("last_ts")))
+      .toSet
+    val expected = Sessions.byGap(df.unionAll(future), gapSeconds = 30)
+      .collect()
+      .map(r => (r.getAs[String]("conv_id"), r.getAs[Long]("n_events"),
+        r.getAs[java.sql.Timestamp]("first_ts"), r.getAs[java.sql.Timestamp]("last_ts")))
+      .toSet
+    assert(got == expected.filterNot(_._1 == "zz"), s"got=$got expected=$expected")
+    assert(got.size == 3)
+  }
+
   test("streaming conversation close-out renders identically to batch renderChat") {
     import graft.streaming.StreamingPipeline.conversationCloseout
     val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
