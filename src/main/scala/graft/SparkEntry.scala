@@ -2020,6 +2020,31 @@ object SparkEntry {
         Map("purchase" -> 4, "signup" -> 3, "click" -> 2, "view" -> 1),
         Seq("best_value" -> col("vm"), "rare_k" -> col("rk")))),
 
+    // bounded-hop BFS over the order↔part graph from ~1/500 seed
+    // orders: frontier loop, 3 rounds, min-hop per node
+    "q_bfs_dist" -> { (s, dir) =>
+      val li = tpch(s, dir, "lineitem")
+      Graph.bfsDistances(
+        li.where(col("l_orderkey") % 50 === 0)
+          .select((col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst")),
+        li.where(col("l_orderkey") % 500 === 0)
+          .select((col("l_orderkey") * 2).as("node")).distinct(),
+        maxHops = 3)
+    },
+
+    // RFM segmentation of purchasers as of 2024-02-01: quintile scores
+    // on the per-user aggregate table, classic segment buckets
+    "q_rfm" -> ((s, dir) =>
+      graft.agg.Aggregates.rfmSegments(
+        events(s, dir).where(col("event_type") === "purchase"),
+        "user_id", "ts", "value", lit("2024-02-01"))),
+
+    // bigram-LM self-prediction accuracy per language (corpus
+    // memorizability — the complement of q_bigram_novelty)
+    "q_bigram_predict" -> ((s, dir) =>
+      TextAnalysis.bigramPredict(documents(s, dir))),
+
     // native session_window (batch mode): 300s-gap sessions per user —
     // the built-in twin of q_flow_sessions' lag-island form; a gap of
     // EXACTLY 300s starts a new session (window is [start, last+gap))
@@ -5541,6 +5566,68 @@ object SparkEntry {
         |  FROM base GROUP BY 1)
         |SELECT c.entity_id, f1.best_value, f2.rare_k, c.n_records, c.n_sources
         |FROM c LEFT JOIN f1 USING (entity_id) LEFT JOIN f2 USING (entity_id)""".stripMargin,
+
+    "q_bfs_dist" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT l_orderkey * 2 AS u, l_partkey * 2 + 1 AS v
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |e AS (SELECT DISTINCT u, v FROM (
+        |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0) WHERE u <> v),
+        |seeds AS (SELECT DISTINCT l_orderkey * 2 AS node
+        |          FROM lineitem WHERE l_orderkey % 500 = 0),
+        |walk(node, d) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT e.v, walk.d + 1 FROM walk JOIN e ON walk.node = e.u
+        |  WHERE walk.d < 3)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY 1""".stripMargin,
+
+    "q_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    date_diff('day', CAST(max(ts) AS DATE), DATE '2024-02-01') AS recency_days,
+        |    count(*) AS freq,
+        |    sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS monetary_u
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |sc AS (SELECT user_id, recency_days, freq, monetary_u,
+        |  ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+        |  ntile(5) OVER (ORDER BY freq, user_id) AS f_score,
+        |  ntile(5) OVER (ORDER BY monetary_u, user_id) AS m_score
+        |  FROM per)
+        |SELECT user_id, CAST(recency_days AS INTEGER) AS recency_days,
+        |  CAST(freq AS BIGINT) AS freq, CAST(monetary_u AS BIGINT) AS monetary_u,
+        |  CAST(r_score AS INTEGER) AS r_score, CAST(f_score AS INTEGER) AS f_score,
+        |  CAST(m_score AS INTEGER) AS m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+        |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+        |       WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+        |       ELSE 'regular' END AS segment
+        |FROM sc""".stripMargin,
+
+    "q_bigram_predict" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, unnest(toks) AS w1,
+        |        unnest(generate_series(1, len(toks))) AS pos FROM t),
+        |tk AS (SELECT * FROM tok WHERE w1 <> ''),
+        |bg AS (SELECT doc_id, lang, w1,
+        |       lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tk),
+        |b AS (SELECT * FROM bg WHERE w2 IS NOT NULL),
+        |cnt AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY 1, 2),
+        |model AS (SELECT w1,
+        |  arg_max(w2, lpad(CAST(n AS VARCHAR), 10, '0') || w2) AS pred
+        |  FROM cnt GROUP BY 1),
+        |g AS (
+        |  SELECT lang, count(*) AS n_pairs,
+        |    sum(CASE WHEN w2 = pred THEN 1 ELSE 0 END) AS n_correct
+        |  FROM b JOIN model USING (w1) GROUP BY 1)
+        |SELECT lang, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(n_correct AS BIGINT) AS n_correct,
+        |  CAST(n_correct * 1000000 // n_pairs AS BIGINT) AS acc_ppm
+        |FROM g""".stripMargin,
 
     "q_session_window" ->
       """WITH o AS (

@@ -1302,4 +1302,37 @@ object Aggregates {
         col("dau"), col("mau"),
         floor(col("dau") * 1000000L / col("mau")).as("stickiness_ppm"))
   }
+
+  /** RFM (recency / frequency / monetary) user segmentation: per-user
+    * aggregates quintile-scored 1–5 (5 best on every axis) and bucketed
+    * into the classic segments. The ntile runs over the AGGREGATED
+    * per-user table, not the event stream — |users| rows, typically
+    * 10³–10⁶× smaller than the log — and every ORDER BY carries the
+    * user id tie-break, because quintile boundaries over tied metrics
+    * are otherwise engine-dependent (the q_flow_sessions rule applied
+    * to ranks). At 10⁹+ users the single-partition ntile sort becomes
+    * the bottleneck; the swap-in is the bucket-rank + offset form
+    * `Curation.stableIds` already implements — same scores, two passes.
+    * Monetary is the exact micro-unit LONG sum (order-independent).
+    */
+  def rfmSegments(df: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, asOf: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(userCol).as("user_id"))
+      .agg(datediff(to_date(asOf), to_date(max(col(tsCol)))).as("recency_days"),
+        count(lit(1)).as("freq"),
+        sum(floor(col(valueCol) * 1e6 + 0.5).cast("long")).as("monetary_u"))
+    val r = ntile(5).over(
+      Window.orderBy(col("recency_days").desc, col("user_id")))
+    val f = ntile(5).over(Window.orderBy(col("freq"), col("user_id")))
+    val m = ntile(5).over(Window.orderBy(col("monetary_u"), col("user_id")))
+    per.select(col("user_id"), col("recency_days"), col("freq"),
+        col("monetary_u"), r.as("r_score"), f.as("f_score"), m.as("m_score"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 &&
+          col("m_score") >= 4, "champion")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "new")
+          .otherwise("regular"))
+  }
 }

@@ -201,4 +201,45 @@ object Graph {
     }
     rank
   }
+
+  /** Bounded-hop BFS from a seed set over the undirected graph: returns
+    * (node, dist) with dist = minimum hop count ≤ maxHops — blast-radius
+    * queries ("everything within 3 hops of the failing hosts"), feature
+    * neighborhoods, contamination spread. Pregel-lite frontier loop: each
+    * round joins ONLY the current frontier against the edge list (never
+    * the visited set), anti-joins out already-visited nodes, and
+    * localCheckpoints both sides so round k's plan doesn't re-execute
+    * rounds 1..k−1 (the connectedComponents doubling lesson). maxHops
+    * bounds the rounds, so the job count is fixed at plan time; per
+    * round the shuffle is |frontier ⋈ edges| — the same frontier-bounded
+    * cost any BSP graph engine pays.
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node", maxHops: Int = 3): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .unionAll(edges
+        .select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var visited = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = visited
+    var hop = 0
+    while (hop < maxHops) {
+      hop += 1
+      val next = frontier.join(sym, frontier("node") === sym("u"))
+        .select(sym("v").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(hop.toLong).as("dist"))
+        .localCheckpoint()
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
 }

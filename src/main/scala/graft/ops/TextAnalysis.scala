@@ -986,4 +986,44 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_matches"), min(col("anchor")).as("first_pos"))
   }
+
+  /** Bigram-LM next-token prediction accuracy per language: train
+    * corpus-wide bigram counts, predict each position's successor as
+    * the argmax continuation of its predecessor, score against the
+    * actual token. Self-scored on the training corpus this measures LM
+    * memorizability — a corpus-quality / repetitiveness signal (highly
+    * templated text predicts near-perfectly; diverse text doesn't) that
+    * complements [[bigramNovelty]]'s unseen-bigram rate.
+    *
+    * The argmax tie-break is encoded into ONE sortable string —
+    * lpad(count) || token, so higher count wins, then the
+    * lexicographically larger token — because two-key argmax orderings
+    * don't exist in DuckDB's arg_max and unordered ties are the
+    * cross-engine nondeterminism trap. Shapes: tokenize once, one
+    * window (per-doc, partitioned) for adjacency, one groupBy for the
+    * model, one broadcast-sized argmax table joined back on w1.
+    */
+  def bigramPredict(docs: DataFrame, langCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col(langCol).as("lang"),
+        posexplode(split(lower(trim(col(textCol))), "\\s+")))
+      .where(col("col") =!= "")
+      .select(col("doc_id"), col("lang"), col("pos"), col("col").as("w1"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val bigrams = toks
+      .withColumn("w2", lead("w1", 1).over(w))
+      .where(col("w2").isNotNull)
+    val model = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .groupBy("w1")
+      .agg(max_by(col("w2"),
+        concat(lpad(col("n").cast("string"), 10, "0"), col("w2"))).as("pred"))
+    bigrams.join(model, Seq("w1"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("w2") === col("pred"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("lang"), col("n_pairs"), col("n_correct"),
+        expr("n_correct * 1000000 div n_pairs").as("acc_ppm"))
+  }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import graft.agg.Aggregates
+import graft.ops.{Graph, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 batch 7: bounded BFS, RFM segmentation, bigram prediction. */
+class GraphRfmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bfsDistances: min-hop per node, bound respected, unreachable absent") {
+    // path 1-2-3-4-5 plus shortcut 1-4; island 9-10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (9L, 10L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = Graph.bfsDistances(edges, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 4 via the shortcut is 1 hop, 5 is 2; island unreachable
+    assert(out === Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+  }
+
+  test("bfsDistances: maxHops truncates the frontier") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.bfsDistances(edges, Seq(1L).toDF("node"), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("rfmSegments: quintiles with id tie-break; champion and at_risk buckets") {
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // 5 users, strictly ordered on every axis: user u has u purchases of
+    // value u on day u*5 (u=1..5) → all three scores equal u
+    val rows = for (u <- 1 to 5; _ <- 1 to u)
+      yield (u.toLong, t(u * 5), u.toDouble)
+    val df = rows.toDF("user_id", "ts", "value")
+    val out = Aggregates.rfmSegments(df, "user_id", "ts", "value",
+        lit("2024-02-01"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))).toMap
+    (1 to 5).foreach { u =>
+      assert(out(u.toLong)._1 === u, s"r_score for $u")
+      assert(out(u.toLong)._2 === u, s"f_score for $u")
+      assert(out(u.toLong)._3 === u, s"m_score for $u")
+    }
+    assert(out(5L)._4 === "champion")
+    assert(out(1L)._4 === "regular")
+  }
+
+  test("bigramPredict: argmax ties break to the larger token; exact accuracy") {
+    val df = Seq((1L, "a b a c", "en")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.bigramPredict(df).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // model: a -> {b:1, c:1} tie -> 'c'; b -> a. pairs (a,b) wrong,
+    // (b,a) right, (a,c) right => 2/3
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      (("en", 3L, 2L, 666666L)))
+  }
+}
