@@ -2020,6 +2020,49 @@ object SparkEntry {
         Map("purchase" -> 4, "signup" -> 3, "click" -> 2, "view" -> 1),
         Seq("best_value" -> col("vm"), "rare_k" -> col("rk")))),
 
+    // agent loop detection: longest same-tool run per conversation,
+    // runs >= 3 counted as loops; non-tool turns break runs
+    "q_agent_loops" -> ((s, dir) =>
+      graft.ops.Conversations.loopRuns(transcripts(s, dir))),
+
+    // CSV reader with the corrupt-record channel: 1/97 lines carry a
+    // non-numeric id; PERMISSIVE parse keeps the good fields and routes
+    // the raw line to _corrupt (the q_json_reader twin for CSV logs)
+    "q_csv_reader" -> { (s, dir) =>
+      val line = when(col("event_id") % 97 === 0,
+          concat(lit("oops,"), col("event_type"), lit(","),
+            col("user_id").cast("string")))
+        .otherwise(concat(col("event_id").cast("string"), lit(","),
+          col("event_type"), lit(","), col("user_id").cast("string")))
+      val sch = org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, etype STRING, uid BIGINT, _corrupt STRING")
+      events(s, dir).select(col("event_id").as("orig_id"), line.as("line"))
+        .select(col("orig_id"),
+          from_csv(col("line"), sch, Map(
+            "mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt")).as("d"))
+        .select(col("orig_id"), col("d.id").as("id"),
+          col("d.etype").as("etype"), col("d.uid").as("uid"),
+          col("d._corrupt").isNotNull.as("is_corrupt"))
+    },
+
+    // JSON key schema drift: 'src' appears only after day 15, 'retry'
+    // only before — the per-period key-presence audit catches both
+    "q_json_schema_drift" -> { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k")
+      val late = dayofmonth(col("ts")) > 15
+      val j = concat(lit("{\"k\": "), k,
+        when(col("event_id") % 3 === 0 && late,
+          lit(", \"src\": \"web\"")).otherwise(lit("")),
+        when(col("event_id") % 7 === 0 && !late,
+          lit(", \"retry\": true")).otherwise(lit("")),
+        lit("}"))
+      graft.ops.Profile.jsonKeyProfile(
+        events(s, dir).select(j.as("payload"),
+          when(late, "p2").otherwise("p1").as("pd")),
+        "payload", col("pd"))
+    },
+
     // bounded-hop BFS over the order↔part graph from ~1/500 seed
     // orders: frontier loop, 3 rounds, min-hop per node
     "q_bfs_dist" -> { (s, dir) =>
@@ -5566,6 +5609,46 @@ object SparkEntry {
         |  FROM base GROUP BY 1)
         |SELECT c.entity_id, f1.best_value, f2.rare_k, c.n_records, c.n_sources
         |FROM c LEFT JOIN f1 USING (entity_id) LEFT JOIN f2 USING (entity_id)""".stripMargin,
+
+    "q_agent_loops" ->
+      s"""$T,
+         |tl AS (SELECT conv_id, turn_idx, tool,
+         |  lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pt
+         |  FROM transcripts),
+         |b AS (SELECT *, CASE WHEN pt IS NULL OR pt <> tool OR tool IS NULL
+         |      THEN 1 ELSE 0 END AS brk FROM tl),
+         |r AS (SELECT *, sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+         |      ROWS UNBOUNDED PRECEDING) AS run FROM b),
+         |runs AS (SELECT conv_id, run, min(tool) AS tool, count(*) AS len,
+         |  min(turn_idx) AS strt FROM r WHERE tool IS NOT NULL GROUP BY 1, 2)
+         |SELECT conv_id, CAST(max(len) AS BIGINT) AS max_run,
+         |  arg_max(tool, len * 1000000000 - strt) AS loop_tool,
+         |  CAST(sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_loops
+         |FROM runs GROUP BY 1""".stripMargin,
+
+    "q_csv_reader" ->
+      """SELECT event_id AS orig_id,
+        |  CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_id END AS id,
+        |  event_type AS etype, user_id AS uid,
+        |  event_id % 97 = 0 AS is_corrupt
+        |FROM events""".stripMargin,
+
+    "q_json_schema_drift" ->
+      """WITH p AS (
+        |  SELECT CASE WHEN day(ts) > 15 THEN 'p2' ELSE 'p1' END AS period,
+        |    '{"k": ' || regexp_extract(props, '[0-9]+') ||
+        |    CASE WHEN event_id % 3 = 0 AND day(ts) > 15
+        |         THEN ', "src": "web"' ELSE '' END ||
+        |    CASE WHEN event_id % 7 = 0 AND day(ts) <= 15
+        |         THEN ', "retry": true' ELSE '' END || '}' AS j
+        |  FROM events),
+        |t AS (SELECT period, count(*) AS n_payloads FROM p GROUP BY 1),
+        |k AS (SELECT period, unnest(json_keys(j)) AS key FROM p),
+        |g AS (SELECT period, key, count(*) AS n_present FROM k GROUP BY 1, 2)
+        |SELECT g.period, g.key, CAST(n_present AS BIGINT) AS n_present,
+        |  CAST(n_payloads AS BIGINT) AS n_payloads,
+        |  CAST(n_present * 1000000 // n_payloads AS BIGINT) AS present_ppm
+        |FROM g JOIN t USING (period)""".stripMargin,
 
     "q_bfs_dist" ->
       """WITH RECURSIVE e0 AS (

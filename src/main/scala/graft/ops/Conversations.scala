@@ -205,4 +205,38 @@ object Conversations {
       .select(col("conv").as(convCol), col("turn").as(turnCol),
         col("j_prev_ppm"), col("seg_id"))
   }
+
+  /** Agent loop detection: per conversation, the longest run of
+    * CONSECUTIVE tool turns invoking the same tool — the "agent stuck
+    * retrying the same call" smell that transcript-quality gates filter
+    * before SFT ingestion. Gaps-and-islands per conversation (lag over
+    * the (conv, turn_idx) window — partitioned, never global), then one
+    * run-level aggregate. The longest-run argmax packs (run_len,
+    * −start_turn) into a single integer key — longest wins, earliest
+    * start breaks ties — the cross-engine-safe single-key arg_max
+    * discipline. `n_loops` counts runs ≥ loopLen; non-tool turns break
+    * runs by construction (they get their own islands and are dropped).
+    */
+  def loopRuns(df: DataFrame, convCol: String = "conv_id",
+      turnCol: String = "turn_idx", toolCol: String = "tool",
+      loopLen: Long = 3L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(convCol).orderBy(turnCol)
+    val runs = df
+      .withColumn("_brk",
+        when(lag(col(toolCol), 1).over(w).isNull ||
+          lag(col(toolCol), 1).over(w) =!= col(toolCol) ||
+          col(toolCol).isNull, 1L).otherwise(0L))
+      .withColumn("_run", sum("_brk").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .where(col(toolCol).isNotNull)
+      .groupBy(col(convCol), col("_run"))
+      .agg(min(col(toolCol)).as("_tool"),
+        count(lit(1)).as("_len"), min(col(turnCol)).as("_start"))
+    runs.groupBy(convCol)
+      .agg(max("_len").as("max_run"),
+        max_by(col("_tool"),
+          col("_len") * 1000000000L - col("_start")).as("loop_tool"),
+        sum(when(col("_len") >= loopLen, 1L).otherwise(0L)).as("n_loops"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling report — the Deequ / Great-Expectations analyzer
@@ -105,5 +105,27 @@ object Profile {
         when(expr("n_rows * 1000000 div n_runs") >= 4000000L, "rle")
           .when(expr("n_distinct * 100 <= n_rows"), "dict")
           .otherwise("plain").as("advice"))
+  }
+
+  /** Semi-structured schema-drift audit: per (period, JSON key), how
+    * many payloads carry the key and the presence rate in ppm — the
+    * detector for "a producer added/dropped a field mid-stream", which
+    * on a schemaless JSON column is invisible to any fixed-schema
+    * check. One narrow `json_object_keys` explode (no parsing into
+    * structs, no schema inference pass over 10¹² rows), one groupBy on
+    * the small (period, key) domain, and a broadcast join against the
+    * per-period totals. Reading the output across periods — new keys,
+    * vanished keys, ppm cliffs — is the drift report.
+    */
+  def jsonKeyProfile(df: DataFrame, jsonCol: String,
+      periodCol: Column): DataFrame = {
+    val rows = df.select(periodCol.as("period"), col(jsonCol).as("_j"))
+    val totals = rows.groupBy("period").agg(count(lit(1)).as("n_payloads"))
+    rows
+      .select(col("period"), explode(json_object_keys(col("_j"))).as("key"))
+      .groupBy("period", "key").agg(count(lit(1)).as("n_present"))
+      .join(broadcast(totals), Seq("period"))
+      .select(col("period"), col("key"), col("n_present"), col("n_payloads"),
+        expr("n_present * 1000000 div n_payloads").as("present_ppm"))
   }
 }

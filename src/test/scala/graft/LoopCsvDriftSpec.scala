@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.{Conversations, Profile}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 batch 8: agent loop detection, CSV corrupt channel,
+  * JSON key drift.
+  */
+class LoopCsvDriftSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("loopRuns: non-tool turns break runs; longest-run argmax ties to earliest start") {
+    val t = Option.apply[String] _
+    val rows = Seq(
+      // conv A: t1 x3, user turn breaks, then t1 again (run of 1), t2 x2
+      ("A", 0, t("t1")), ("A", 1, t("t1")), ("A", 2, t("t1")),
+      ("A", 3, Option.empty[String]),
+      ("A", 4, t("t1")), ("A", 5, t("t2")), ("A", 6, t("t2")),
+      // conv B: two equal runs of 2 -> earliest (t9 at turn 0) wins
+      ("B", 0, t("t9")), ("B", 1, t("t9")),
+      ("B", 2, t("t3")), ("B", 3, t("t3")))
+      .toDF("conv_id", "turn_idx", "tool")
+    val out = Conversations.loopRuns(rows).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(out("A") === ((3L, "t1", 1L)))
+    assert(out("B") === ((2L, "t9", 0L)))
+  }
+
+  test("from_csv PERMISSIVE: bad field -> null + corrupt channel, good fields kept") {
+    val sch = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, etype STRING, uid BIGINT, _corrupt STRING")
+    val df = Seq("12,click,5", "oops,view,7").toDF("line")
+      .select(from_csv(col("line"), sch, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt")).as("d"))
+      .select(col("d.id"), col("d.etype"), col("d.uid"),
+        col("d._corrupt").isNotNull.as("bad"))
+      .collect()
+    assert(df(0).getLong(0) === 12L)
+    assert((df(0).getString(1), df(0).getLong(2), df(0).getBoolean(3)) ===
+      (("click", 5L, false)))
+    assert(df(1).isNullAt(0), "bad id must parse to null")
+    // the parser keeps the well-typed fields of a partially-bad row
+    assert((df(1).getString(1), df(1).getLong(2), df(1).getBoolean(3)) ===
+      (("view", 7L, true)))
+  }
+
+  test("jsonKeyProfile: per-period key presence in exact ppm") {
+    val df = Seq(
+      ("p1", """{"k": 1, "retry": true}"""),
+      ("p1", """{"k": 2}"""),
+      ("p1", """{"k": 3}"""),
+      ("p2", """{"k": 4, "src": "web"}"""))
+      .toDF("pd", "payload")
+    val out = Profile.jsonKeyProfile(df, "payload", col("pd"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("p1", "k")) === ((3L, 3L, 1000000L)))
+    assert(out(("p1", "retry")) === ((1L, 3L, 333333L)))
+    assert(out(("p2", "src")) === ((1L, 1L, 1000000L)))
+    assert(!out.contains(("p2", "retry")))
+  }
+}
