@@ -2020,6 +2020,44 @@ object SparkEntry {
         Map("purchase" -> 4, "signup" -> 3, "click" -> 2, "view" -> 1),
         Seq("best_value" -> col("vm"), "rare_k" -> col("rk")))),
 
+    // KMV sketch set algebra over per-event-type user sets: distinct /
+    // union / intersection estimates, exact below k=64 (sf0.001 takes
+    // the exact path, sf0.01+ the estimator path)
+    "q_kmv_distinct" -> ((s, dir) =>
+      graft.ops.Sketches.kmvSetAlgebra(
+        events(s, dir).select(col("event_type"), col("user_id")),
+        "event_type", "user_id", k = 64)),
+
+    // DNS tunneling: exfil.dev carries unique 24-hex first labels,
+    // the other domains repeat www/api/mail/cdn — only exfil flags
+    "q_dns_tunnel" -> { (s, dir) =>
+      val reg = element_at(typedLit(Seq("example.com", "corp.io",
+        "shop.net", "blog.org", "app.dev")),
+        (pmod(col("user_id"), lit(5L)) + 1).cast("int"))
+      val label = element_at(typedLit(Seq("www", "api", "mail", "cdn")),
+        (pmod(col("event_id"), lit(4L)) + 1).cast("int"))
+      val qname = when(col("event_id") % 11 === 0,
+          concat(substring(md5(col("event_id").cast("string")), 1, 24),
+            lit(".exfil.dev")))
+        .otherwise(concat(label, lit("."), reg))
+      graft.ops.Sessions.dnsTunnelReport(
+        events(s, dir).select(qname.as("qname")), "qname")
+    },
+
+    // contact canonicalization ahead of entity resolution: +tags,
+    // gmail dots, phone formatting all collapse
+    "q_contact_canon" -> { (s, dir) =>
+      val email = concat(lit("U.Ser"), col("user_id").cast("string"),
+        when(col("event_id") % 3 === 0, lit("+promo")).otherwise(lit("")),
+        lit("@"),
+        when(col("user_id") % 2 === 0, lit("GMail.com")).otherwise(lit("Corp.io")))
+      val phone = concat(lit("+1 (415) 555-"),
+        lpad((col("event_id") % 10000).cast("string"), 4, "0"))
+      graft.ops.Privacy.contactCanon(
+        events(s, dir).select(col("event_id"), email.as("em"), phone.as("ph")),
+        "event_id", "em", "ph")
+    },
+
     // agent loop detection: longest same-tool run per conversation,
     // runs >= 3 counted as loops; non-tool turns break runs
     "q_agent_loops" -> ((s, dir) =>
@@ -5609,6 +5647,88 @@ object SparkEntry {
         |  FROM base GROUP BY 1)
         |SELECT c.entity_id, f1.best_value, f2.rare_k, c.n_records, c.n_sources
         |FROM c LEFT JOIN f1 USING (entity_id) LEFT JOIN f2 USING (entity_id)""".stripMargin,
+
+    "q_kmv_distinct" ->
+      s"""WITH hashed AS (
+         |  SELECT DISTINCT event_type AS s,
+         |    ${graft.ops.Dedup.gramHashSql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |sk AS (SELECT s, h FROM (
+         |  SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn
+         |  FROM hashed) WHERE rn <= 64),
+         |est AS (SELECT s,
+         |  CAST(CASE WHEN count(*) < 64 THEN count(*)
+         |       ELSE (63 * 281474976710656) // max(h) END AS BIGINT) AS est
+         |  FROM sk GROUP BY 1),
+         |pairs AS (SELECT a.s AS set_a, b.s AS set_b
+         |  FROM (SELECT DISTINCT s FROM sk) a, (SELECT DISTINCT s FROM sk) b
+         |  WHERE a.s < b.s),
+         |uh AS (SELECT DISTINCT p.set_a, p.set_b, k.h
+         |  FROM pairs p JOIN sk k ON k.s = p.set_a OR k.s = p.set_b),
+         |uk AS (SELECT set_a, set_b, h FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY set_a, set_b ORDER BY h) AS rn
+         |  FROM uh) WHERE rn <= 64),
+         |two AS (SELECT a.s AS set_a, b.s AS set_b, a.h
+         |  FROM sk a JOIN sk b ON a.h = b.h AND a.s < b.s),
+         |cm AS (SELECT u.set_a, u.set_b, count(*) AS n_common
+         |  FROM uk u JOIN two USING (set_a, set_b, h) GROUP BY 1, 2),
+         |us AS (SELECT set_a, set_b, count(*) AS n_min, max(h) AS kth
+         |  FROM uk GROUP BY 1, 2),
+         |ue AS (SELECT set_a, set_b,
+         |  CAST(CASE WHEN n_min < 64 THEN n_min
+         |       ELSE (63 * 281474976710656) // kth END AS BIGINT) AS union_est,
+         |  n_min FROM us)
+         |SELECT ue.set_a, ue.set_b, ea.est AS est_a, eb.est AS est_b,
+         |  union_est,
+         |  CAST(coalesce(cm.n_common, 0) * union_est // ue.n_min AS BIGINT)
+         |    AS inter_est
+         |FROM ue LEFT JOIN cm USING (set_a, set_b)
+         |JOIN est ea ON ea.s = ue.set_a
+         |JOIN est eb ON eb.s = ue.set_b""".stripMargin,
+
+    "q_dns_tunnel" ->
+      """WITH q AS (
+        |  SELECT CASE WHEN event_id % 11 = 0
+        |    THEN substr(md5(CAST(event_id AS VARCHAR)), 1, 24) || '.exfil.dev'
+        |    ELSE (CASE event_id % 4 WHEN 0 THEN 'www' WHEN 1 THEN 'api'
+        |          WHEN 2 THEN 'mail' ELSE 'cdn' END) || '.' ||
+        |         (CASE user_id % 5 WHEN 0 THEN 'example.com' WHEN 1 THEN 'corp.io'
+        |          WHEN 2 THEN 'shop.net' WHEN 3 THEN 'blog.org' ELSE 'app.dev' END)
+        |    END AS qname
+        |  FROM events),
+        |p AS (SELECT regexp_replace(qname, '^[^.]+\.', '') AS domain,
+        |             regexp_extract(qname, '^[^.]+') AS label FROM q),
+        |g AS (SELECT domain, count(*) AS n_queries,
+        |  count(DISTINCT label) AS n_labels, sum(len(label)) AS sum_len
+        |  FROM p GROUP BY 1)
+        |SELECT domain, CAST(n_queries AS BIGINT) AS n_queries,
+        |  CAST(n_labels AS BIGINT) AS n_labels,
+        |  CAST(sum_len * 1000000 // n_queries AS BIGINT) AS avg_len_u,
+        |  CAST(n_labels * 1000000 // n_queries AS BIGINT) AS uniq_ppm,
+        |  sum_len * 1000000 // n_queries >= 16000000
+        |    AND n_labels * 1000000 // n_queries >= 900000 AS suspect
+        |FROM g""".stripMargin,
+
+    "q_contact_canon" ->
+      """WITH raw AS (
+        |  SELECT event_id,
+        |    'U.Ser' || CAST(user_id AS VARCHAR) ||
+        |      CASE WHEN event_id % 3 = 0 THEN '+promo' ELSE '' END || '@' ||
+        |      CASE WHEN user_id % 2 = 0 THEN 'GMail.com' ELSE 'Corp.io' END AS em,
+        |    '+1 (415) 555-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') AS ph
+        |  FROM events),
+        |e AS (SELECT event_id,
+        |  regexp_replace(regexp_extract(lower(em), '^[^@]+'), '\+.*$', '') AS local,
+        |  regexp_extract(lower(em), '@(.+)$', 1) AS domain,
+        |  regexp_replace(ph, '[^0-9]', '', 'g') AS digits
+        |  FROM raw)
+        |SELECT event_id,
+        |  (CASE WHEN domain = 'gmail.com'
+        |        THEN regexp_replace(local, '\.', '', 'g') ELSE local END)
+        |    || '@' || domain AS email_canon,
+        |  CASE WHEN len(digits) = 11 AND digits LIKE '1%'
+        |       THEN substr(digits, 2) ELSE digits END AS phone_canon
+        |FROM e""".stripMargin,
 
     "q_agent_loops" ->
       s"""$T,

@@ -96,4 +96,34 @@ object Privacy {
                     (ascii(substring(_rev, i + 1, 1)) - 48) * 2)
             ELSE ascii(substring(_rev, i + 1, 1)) - 48 END)) % 10 = 0"""))
       .drop("_rev")
+
+  /** Contact canonicalization — the normalization pass that runs BEFORE
+    * entity resolution / survivorship so trivially-equal identities
+    * actually collide: emails lowercase, sub-address tags (`+promo`)
+    * stripped, gmail's ignore-the-dots rule applied to the local part
+    * ONLY for gmail.com (dots are significant at other providers);
+    * phones collapse to digits with the NANP leading-1 dropped from
+    * 11-digit numbers. Pure codegen'd column expressions — narrow, no
+    * shuffle, safe inside any ingest projection.
+    */
+  def canonEmail(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val l = lower(c)
+    val local = regexp_replace(regexp_extract(l, "^[^@]+", 0), "\\+.*$", "")
+    val domain = regexp_extract(l, "@(.+)$", 1)
+    val local2 = when(domain === "gmail.com",
+      regexp_replace(local, "\\.", "")).otherwise(local)
+    concat(local2, lit("@"), domain)
+  }
+
+  def canonPhone(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val digits = regexp_replace(c, "[^0-9]", "")
+    when(length(digits) === 11 && digits.startsWith("1"),
+      substring(digits, 2, 10)).otherwise(digits)
+  }
+
+  def contactCanon(df: DataFrame, idCol: String, emailCol: String,
+      phoneCol: String): DataFrame =
+    df.select(col(idCol),
+      canonEmail(col(emailCol)).as("email_canon"),
+      canonPhone(col(phoneCol)).as("phone_canon"))
 }

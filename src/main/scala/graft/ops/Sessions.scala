@@ -199,4 +199,30 @@ object Sessions {
         count(lit(1)).as("n_merged"),
         sum(col("_e") - col("_s")).as("covered"))
   }
+
+  /** DNS-tunneling detector over query names: data exfiltrated through
+    * DNS rides in the FIRST label (long, high-entropy, unique per
+    * query), so per registered domain the tells are mean first-label
+    * length and the distinct-label ratio — a CDN's `www`/`api` labels
+    * repeat endlessly, a tunnel's never do. This is the security-
+    * analytics consumer of the repo's `registered_domain` processor
+    * (the reference ships that extraction as a Beats processor; this is
+    * what a SOC does with its output). All-integer: micro-unit mean
+    * length and ppm uniqueness, one groupBy on the domain key.
+    */
+  def dnsTunnelReport(df: DataFrame, qnameCol: String,
+      minAvgLenMicros: Long = 16000000L,
+      minUniqPpm: Long = 900000L): DataFrame =
+    df.select(
+        regexp_replace(col(qnameCol), "^[^.]+\\.", "").as("domain"),
+        regexp_extract(col(qnameCol), "^[^.]+", 0).as("_label"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_queries"),
+        countDistinct(col("_label")).as("n_labels"),
+        sum(length(col("_label"))).as("_sum_len"))
+      .select(col("domain"), col("n_queries"), col("n_labels"),
+        expr("_sum_len * 1000000 div n_queries").as("avg_len_u"),
+        expr("n_labels * 1000000 div n_queries").as("uniq_ppm"))
+      .withColumn("suspect",
+        col("avg_len_u") >= minAvgLenMicros && col("uniq_ppm") >= minUniqPpm)
 }

@@ -400,4 +400,80 @@ object Sketches {
        |WHERE cum.cum >= (qs.q_ppm * (cum.n - 1)) // 1000000 + 1
        |GROUP BY 1, 2""".stripMargin
   }
+
+  /** KMV (k-minimum-values) distinct sketch with PAIRWISE set algebra —
+    * the sketch family member HLL lacks: a KMV's k smallest hashes are
+    * a uniform SAMPLE of the set, so two sketches support union AND
+    * intersection estimates (Beyer et al. 2007, SIGMOD) where HLL
+    * intersection must go through inclusion–exclusion error stacking.
+    * Hashes are the repo's portable 48-bit md5 prefix, so every
+    * estimate is integer arithmetic both engines reproduce exactly:
+    * |S| ≈ (k−1)·2⁴⁸ div kth_min (exact count when the set is smaller
+    * than k), Ĵ = |A_k ∩ B_k ∩ U_k| / k over the merged k-minimum set,
+    * |A∩B| ≈ Ĵ·|A∪B|.
+    *
+    * Scale shape: the per-set k-smallest selection here is a
+    * row_number window per set key — a per-key sort. At 10¹² rows the
+    * swap-in is a typed bounded-heap Aggregator (k longs of state,
+    * map-side combinable); the sketch CONTENTS and every downstream
+    * estimate are identical, which is the property the oracle pins.
+    */
+  def kmvSetAlgebra(df: DataFrame, setCol: String, elemCol: String,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "kmv needs k >= 2")
+    val two48 = 1L << 48
+    val hashed = df
+      .select(col(setCol).as("s"),
+        conv(substring(md5(col(elemCol).cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val sk = hashed
+      .withColumn("_rn", row_number().over(Window.partitionBy("s").orderBy("h")))
+      .where(col("_rn") <= k)
+      .localCheckpoint() // read 3× below (per-set stats, left, right)
+    val est = sk.groupBy("s")
+      .agg(count(lit(1)).as("n_min"), max("h").as("kth"))
+      .select(col("s"),
+        when(col("n_min") < k, col("n_min"))
+          .otherwise(expr(s"(${k - 1} * ${two48}L) div kth")).as("est"))
+    val a = sk.select(col("s").as("set_a"), col("h"))
+    val b = sk.select(col("s").as("set_b"), col("h"))
+    val merged = a.join(b, Seq("h")).where(col("set_a") < col("set_b"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("set_a", "set_b").orderBy("h")))
+    // merged k-minimum of A ∪ B = k smallest of (A_k ∪ B_k); hashes in
+    // BOTH k-sets appear once post-join, hashes in one side only are
+    // recovered via the union pass below
+    val unionMin = sk.select(col("s"), col("h"))
+    val pairs = a.select(col("set_a")).distinct()
+      .crossJoin(b.select(col("set_b")).distinct())
+      .where(col("set_a") < col("set_b"))
+    val uk = pairs.join(unionMin.select(col("s").as("set_a"), col("h")), Seq("set_a"))
+      .unionByName(pairs.join(
+        unionMin.select(col("s").as("set_b"), col("h")), Seq("set_b"))
+        .select(col("set_a"), col("set_b"), col("h")))
+      .select(col("set_a"), col("set_b"), col("h")).distinct()
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("set_a", "set_b").orderBy("h")))
+      .where(col("_rn") <= k)
+    val common = uk.drop("_rn")
+      .join(merged.select(col("set_a"), col("set_b"), col("h")),
+        Seq("set_a", "set_b", "h"))
+      .groupBy("set_a", "set_b").agg(count(lit(1)).as("n_common"))
+    val ustat = uk.groupBy("set_a", "set_b")
+      .agg(count(lit(1)).as("n_min"), max("h").as("kth"))
+      .select(col("set_a"), col("set_b"),
+        when(col("n_min") < k, col("n_min"))
+          .otherwise(expr(s"(${k - 1} * ${two48}L) div kth")).as("union_est"),
+        col("n_min"))
+    ustat
+      .join(common, Seq("set_a", "set_b"), "left")
+      .join(est.select(col("s").as("set_a"), col("est").as("est_a")), Seq("set_a"))
+      .join(est.select(col("s").as("set_b"), col("est").as("est_b")), Seq("set_b"))
+      .select(col("set_a"), col("set_b"), col("est_a"), col("est_b"),
+        col("union_est"),
+        expr("coalesce(n_common, CAST(0 AS BIGINT)) * union_est div n_min")
+          .as("inter_est"))
+  }
 }

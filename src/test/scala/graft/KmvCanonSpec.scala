@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.{Privacy, Sessions, Sketches}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 batch 9: KMV set algebra, DNS tunnel detection, contact
+  * canonicalization.
+  */
+class KmvCanonSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("kmvSetAlgebra: below k everything is EXACT set algebra") {
+    val df = ((1 to 10).map(i => ("A", i.toLong)) ++
+      (6 to 15).map(i => ("B", i.toLong))).toDF("s", "e")
+    val out = Sketches.kmvSetAlgebra(df, "s", "e", k = 64).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) === (("A", "B")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+      ((10L, 10L, 15L, 5L)))
+  }
+
+  test("kmvSetAlgebra: estimator path lands near the true cardinality") {
+    val df = ((1 to 500).map(i => ("A", i.toLong)) ++
+      (251 to 750).map(i => ("B", i.toLong))).toDF("s", "e")
+    val r = Sketches.kmvSetAlgebra(df, "s", "e", k = 64).collect().head
+    def within(got: Long, truth: Long, tolPct: Int): Unit =
+      assert(math.abs(got - truth) <= truth * tolPct / 100,
+        s"got $got for truth $truth")
+    // k=64 ⇒ ~12.5% relative std; these are fixed md5 draws (est_a
+    // lands at 676, a 2.8σ draw) — the bound is a sanity rail, not a
+    // statistical claim
+    within(r.getLong(2), 500, 45) // est_a
+    within(r.getLong(3), 500, 45) // est_b
+    within(r.getLong(4), 750, 45) // union
+    within(r.getLong(5), 250, 80) // intersection (J-hat compounding)
+  }
+
+  test("dnsTunnelReport: unique long labels flag, repeating short labels don't") {
+    val qs = (1 to 50).map(i => f"payload$i%020d.exfil.dev") ++
+      (1 to 50).map(i => s"www.example.com") ++
+      (1 to 50).map(i => s"api.example.com")
+    val out = Sessions.dnsTunnelReport(qs.toDF("qname"), "qname")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(5)))).toMap
+    assert(out("exfil.dev") === ((50L, 50L, true)))
+    assert(out("example.com") === ((100L, 2L, false)))
+  }
+
+  test("canonEmail/canonPhone: tags, gmail dots, NANP leading 1") {
+    val df = Seq(
+      ("J.Doe+Spam@GMail.com", "+1 (415) 555-0042"),
+      ("J.Doe@corp.io", "415-555-0042"),
+      ("jdoe@gmail.com", "14155550042")
+    ).toDF("em", "ph")
+      .select(Privacy.canonEmail(col("em")).as("e"),
+        Privacy.canonPhone(col("ph")).as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(df(0) === (("jdoe@gmail.com", "4155550042")))
+    assert(df(1) === (("j.doe@corp.io", "4155550042"))) // dots stay at corp.io
+    assert(df(2) === (("jdoe@gmail.com", "4155550042")))
+  }
+}
