@@ -2020,6 +2020,56 @@ object SparkEntry {
         Map("purchase" -> 4, "signup" -> 3, "click" -> 2, "view" -> 1),
         Seq("best_value" -> col("vm"), "rare_k" -> col("rk")))),
 
+    // URL query-param analytics: str_to_map parse of the query string,
+    // per-(param, value) frequencies
+    "q_query_params" -> { (s, dir) =>
+      val src = element_at(typedLit(Seq("google", "email", "direct")),
+        (pmod(col("event_id"), lit(3L)) + 1).cast("int"))
+      val med = element_at(typedLit(Seq("cpc", "organic")),
+        (pmod(col("event_id"), lit(2L)) + 1).cast("int"))
+      val url = concat(lit("https://x.test/p?utm_source="), src,
+        lit("&utm_medium="), med,
+        when(col("event_id") % 5 === 0,
+          concat(lit("&ref=partner"), pmod(col("user_id"), lit(4L))))
+          .otherwise(lit("")))
+      events(s, dir).select(url.as("url"))
+        .select(explode(expr(
+          "str_to_map(substring_index(url, '?', -1), '&', '=')"))
+          .as(Seq("param", "value")))
+        .groupBy("param", "value").agg(count(lit(1)).as("n"))
+    },
+
+    // functional-dependency audit over derived columns: user→cohort
+    // and cohort→parity hold; etype→cohort and user→etype don't
+    "q_fd_discovery" -> ((s, dir) =>
+      graft.ops.Profile.fdAudit(
+        events(s, dir).select(col("user_id"), col("event_type").as("etype"),
+          pmod(col("user_id"), lit(10L)).as("cohort"),
+          pmod(col("user_id"), lit(2L)).as("parity")),
+        Seq("user_id" -> "cohort", "cohort" -> "parity",
+          "etype" -> "cohort", "user_id" -> "etype"))),
+
+    // nested-JSON shredding: order header + 1..3 line items per event,
+    // from_json schema parse + posexplode to the child table
+    "q_json_shred" -> { (s, dir) =>
+      def item(i: Int) = concat(lit("{\"sku\": \"s"),
+        pmod(col("event_id") + i, lit(50L)), lit("\", \"qty\": "),
+        pmod(col("event_id") + i, lit(7L)) + 1, lit("}"))
+      val n = pmod(col("event_id"), lit(3L)) + 1
+      val j = concat(lit("{\"order\": {\"id\": "), col("event_id"),
+        lit("}, \"items\": ["), item(1),
+        when(n >= 2, concat(lit(", "), item(2))).otherwise(lit("")),
+        when(n >= 3, concat(lit(", "), item(3))).otherwise(lit("")),
+        lit("]}"))
+      val sch = org.apache.spark.sql.types.StructType.fromDDL(
+        "order STRUCT<id: BIGINT>, items ARRAY<STRUCT<sku: STRING, qty: BIGINT>>")
+      events(s, dir).select(col("event_id"), from_json(j, sch).as("d"))
+        .select(col("event_id"), col("d.order.id").as("order_id"),
+          posexplode(col("d.items")).as(Seq("item_idx", "item")))
+        .select(col("event_id"), col("order_id"), col("item_idx"),
+          col("item.sku").as("sku"), col("item.qty").as("qty"))
+    },
+
     // KMV sketch set algebra over per-event-type user sets: distinct /
     // union / intersection estimates, exact below k=64 (sf0.001 takes
     // the exact path, sf0.01+ the estimator path)
@@ -5647,6 +5697,58 @@ object SparkEntry {
         |  FROM base GROUP BY 1)
         |SELECT c.entity_id, f1.best_value, f2.rare_k, c.n_records, c.n_sources
         |FROM c LEFT JOIN f1 USING (entity_id) LEFT JOIN f2 USING (entity_id)""".stripMargin,
+
+    "q_query_params" ->
+      """WITH u AS (
+        |  SELECT 'utm_source=' ||
+        |    (CASE event_id % 3 WHEN 0 THEN 'google' WHEN 1 THEN 'email'
+        |     ELSE 'direct' END) ||
+        |    '&utm_medium=' ||
+        |    (CASE event_id % 2 WHEN 0 THEN 'cpc' ELSE 'organic' END) ||
+        |    CASE WHEN event_id % 5 = 0
+        |         THEN '&ref=partner' || CAST(user_id % 4 AS VARCHAR)
+        |         ELSE '' END AS qs
+        |  FROM events),
+        |kv AS (SELECT unnest(string_split(qs, '&')) AS pair FROM u)
+        |SELECT string_split(pair, '=')[1] AS param,
+        |  string_split(pair, '=')[2] AS value,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM kv GROUP BY 1, 2""".stripMargin,
+
+    "q_fd_discovery" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type AS etype, user_id % 10 AS cohort,
+        |    user_id % 2 AS parity
+        |  FROM events),
+        |p1 AS (SELECT DISTINCT user_id AS det, CAST(cohort AS VARCHAR) AS dep FROM base),
+        |p2 AS (SELECT DISTINCT cohort AS det, CAST(parity AS VARCHAR) AS dep FROM base),
+        |p3 AS (SELECT DISTINCT etype AS det, CAST(cohort AS VARCHAR) AS dep FROM base),
+        |p4 AS (SELECT DISTINCT user_id AS det, etype AS dep FROM base),
+        |r1 AS (SELECT count(*) AS ng, sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS nv,
+        |       max(n) AS mf FROM (SELECT det, count(*) AS n FROM p1 GROUP BY 1)),
+        |r2 AS (SELECT count(*) AS ng, sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS nv,
+        |       max(n) AS mf FROM (SELECT det, count(*) AS n FROM p2 GROUP BY 1)),
+        |r3 AS (SELECT count(*) AS ng, sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS nv,
+        |       max(n) AS mf FROM (SELECT det, count(*) AS n FROM p3 GROUP BY 1)),
+        |r4 AS (SELECT count(*) AS ng, sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS nv,
+        |       max(n) AS mf FROM (SELECT det, count(*) AS n FROM p4 GROUP BY 1))
+        |SELECT 'user_id' AS det, 'cohort' AS dep, CAST(ng AS BIGINT) AS n_groups,
+        |  CAST(nv AS BIGINT) AS n_violating, CAST(mf AS BIGINT) AS max_fanout,
+        |  nv = 0 AS holds FROM r1
+        |UNION ALL SELECT 'cohort', 'parity', CAST(ng AS BIGINT),
+        |  CAST(nv AS BIGINT), CAST(mf AS BIGINT), nv = 0 FROM r2
+        |UNION ALL SELECT 'etype', 'cohort', CAST(ng AS BIGINT),
+        |  CAST(nv AS BIGINT), CAST(mf AS BIGINT), nv = 0 FROM r3
+        |UNION ALL SELECT 'user_id', 'etype', CAST(ng AS BIGINT),
+        |  CAST(nv AS BIGINT), CAST(mf AS BIGINT), nv = 0 FROM r4""".stripMargin,
+
+    "q_json_shred" ->
+      """SELECT event_id, event_id AS order_id, CAST(i - 1 AS INTEGER) AS item_idx,
+        |  's' || CAST((event_id + i) % 50 AS VARCHAR) AS sku,
+        |  CAST((event_id + i) % 7 + 1 AS BIGINT) AS qty
+        |FROM (SELECT event_id,
+        |      unnest(generate_series(1, event_id % 3 + 1)) AS i
+        |      FROM events)""".stripMargin,
 
     "q_kmv_distinct" ->
       s"""WITH hashed AS (

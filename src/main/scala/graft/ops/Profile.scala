@@ -128,4 +128,27 @@ object Profile {
       .select(col("period"), col("key"), col("n_present"), col("n_payloads"),
         expr("n_present * 1000000 div n_payloads").as("present_ppm"))
   }
+
+  /** Functional-dependency audit: for each candidate (determinant →
+    * dependent) pair, does every determinant value map to exactly one
+    * dependent value? The data-profiling primitive behind key
+    * discovery, denormalization checks, and "is this column derivable"
+    * questions. One map-side-combinable (det, dep) distinct + groupBy
+    * per pair — each candidate is an independent aggregation over two
+    * columns (column-pruned scans), unioned into one report. A pair
+    * HOLDS when no determinant group sees a second dependent value;
+    * violating groups and the worst fan-out quantify how broken a
+    * near-FD is.
+    */
+  def fdAudit(df: DataFrame, pairs: Seq[(String, String)]): DataFrame =
+    pairs.map { case (det, dep) =>
+      df.select(col(det).as("_det"), col(dep).as("_dep")).distinct()
+        .groupBy("_det").agg(count(lit(1)).as("_n"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("_n") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max("_n").as("max_fanout"))
+        .select(lit(det).as("det"), lit(dep).as("dep"), col("n_groups"),
+          col("n_violating"), col("max_fanout"),
+          (col("n_violating") === 0L).as("holds"))
+    }.reduce(_ unionAll _)
 }

@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.Profile
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 batch 10: FD audit, query-param parse, JSON shredding. */
+class FdShredSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fdAudit: held and violated dependencies with exact fan-out") {
+    val df = Seq(
+      (1L, "a", 10L), (1L, "a", 10L), // dup rows collapse
+      (2L, "b", 20L),
+      (3L, "a", 30L), (3L, "c", 30L)  // id 3 -> two letters
+    ).toDF("id", "letter", "ten")
+    val out = Profile.fdAudit(df, Seq("id" -> "ten", "id" -> "letter"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(("id", "ten")) === ((3L, 0L, 1L, true)))
+    assert(out(("id", "letter")) === ((3L, 1L, 2L, false)))
+  }
+
+  test("str_to_map query-string parse: all pairs survive") {
+    val out = Seq("a=1&b=2&c=3").toDF("qs")
+      .select(explode(expr("str_to_map(qs, '&', '=')")).as(Seq("k", "v")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("a" -> "1", "b" -> "2", "c" -> "3"))
+  }
+
+  test("from_json + posexplode shreds nested items with stable indices") {
+    val sch = org.apache.spark.sql.types.StructType.fromDDL(
+      "order STRUCT<id: BIGINT>, items ARRAY<STRUCT<sku: STRING, qty: BIGINT>>")
+    val out = Seq("""{"order": {"id": 7}, "items": [{"sku": "x", "qty": 2}, {"sku": "y", "qty": 1}]}""")
+      .toDF("j")
+      .select(from_json(col("j"), sch).as("d"))
+      .select(col("d.order.id").as("oid"),
+        posexplode(col("d.items")).as(Seq("idx", "it")))
+      .select(col("oid"), col("idx"), col("it.sku"), col("it.qty"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq((7L, 0, "x", 2L), (7L, 1, "y", 1L)))
+  }
+}
