@@ -2020,6 +2020,29 @@ object SparkEntry {
         Map("purchase" -> 4, "signup" -> 3, "click" -> 2, "view" -> 1),
         Seq("best_value" -> col("vm"), "rare_k" -> col("rk")))),
 
+    // forward-fill imputation: only 1/4 of readings carry a value;
+    // LOCF per user_id%20 series, pre-first-observation rows stay null
+    "q_ffill" -> ((s, dir) =>
+      graft.agg.Aggregates.forwardFill(
+        events(s, dir).select(pmod(col("user_id"), lit(20L)).as("sid"),
+          col("ts"), col("event_id"),
+          when(col("event_id") % 4 === 0,
+            floor(col("value") * 1e6 + 0.5).cast("long")).as("v")),
+        "sid", "ts", "event_id", "v")),
+
+    // M4 chart decimation: hourly min/max/first/last per event type
+    "q_m4_downsample" -> ((s, dir) =>
+      graft.agg.Aggregates.m4Downsample(
+        events(s, dir).select(col("event_type"), col("ts"),
+          col("event_id"), col("value")),
+        "event_type", "ts", "event_id", "value", bucketSeconds = 3600L)),
+
+    // Q10 shape: top-20 customers by returned-item revenue, H1 1996
+    "q_star_custrev" -> ((s, dir) =>
+      StarQueries.custReturnRevenue(
+        tpch(s, dir, "customer"), tpch(s, dir, "nation"),
+        tpch(s, dir, "orders"), tpch(s, dir, "lineitem"))),
+
     // URL query-param analytics: str_to_map parse of the query string,
     // per-(param, value) frequencies
     "q_query_params" -> { (s, dir) =>
@@ -5697,6 +5720,46 @@ object SparkEntry {
         |  FROM base GROUP BY 1)
         |SELECT c.entity_id, f1.best_value, f2.rare_k, c.n_records, c.n_sources
         |FROM c LEFT JOIN f1 USING (entity_id) LEFT JOIN f2 USING (entity_id)""".stripMargin,
+
+    "q_ffill" ->
+      """WITH s AS (
+        |  SELECT user_id % 20 AS sid, ts, event_id,
+        |    CASE WHEN event_id % 4 = 0
+        |         THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) END AS v
+        |  FROM events)
+        |SELECT sid, ts, event_id, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY sid
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM s""".stripMargin,
+
+    "q_m4_downsample" ->
+      """WITH b AS (
+        |  SELECT event_type AS series,
+        |    (epoch_us(ts) - 1704067200000000) // 3600000000 AS bucket,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v,
+        |    (epoch_us(ts) - 1704067200000000) * 1000000 + event_id AS k
+        |  FROM events)
+        |SELECT series, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(v) AS v_min_u, max(v) AS v_max_u,
+        |  arg_min(v, k) AS v_first_u, arg_max(v, k) AS v_last_u
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q_star_custrev" ->
+      s"""WITH f AS (
+         |  SELECT o.o_custkey,
+         |    ${StarQueries.discMicroSql("l.l_extendedprice", "l.l_discount")} AS rm
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o.o_orderdate < TIMESTAMP '1996-07-01'
+         |    AND l.l_returnflag = 'R'),
+         |g AS (SELECT o_custkey, CAST(sum(rm) AS BIGINT) AS revenue_micro
+         |      FROM f GROUP BY 1)
+         |SELECT c.c_custkey, c.c_name, n.n_name, g.revenue_micro
+         |FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+         |JOIN nation n ON n.n_nationkey = c.c_nationkey
+         |ORDER BY revenue_micro DESC, c.c_custkey LIMIT 20""".stripMargin,
 
     "q_query_params" ->
       """WITH u AS (

@@ -1303,6 +1303,53 @@ object Aggregates {
         floor(col("dau") * 1000000L / col("mau")).as("stickiness_ppm"))
   }
 
+  /** Forward-fill imputation (LOCF — last observation carried forward):
+    * per series, replace nulls with the most recent non-null value in
+    * (ts, ord) order — the sensor/metric gap-patching step before any
+    * window math that can't tolerate holes. One per-series window
+    * (partitioned, never global) using `last(_, ignoreNulls)` over the
+    * unbounded-preceding frame; rows before the first observation stay
+    * null (no backward fill — that would leak the future). The ord
+    * tie-break is mandatory: colliding timestamps otherwise make the
+    * carried value run-order-dependent.
+    */
+  def forwardFill(df: DataFrame, keyCol: String, tsCol: String,
+      ordCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(s"${valCol}_filled",
+      last(col(valCol), ignoreNulls = true).over(w))
+  }
+
+  /** M4 downsampling: per (series, time bucket) keep min / max / first /
+    * last — the decimation that preserves the EXACT rendered shape of a
+    * line chart (Jugel et al. 2014, VLDB: min/max catch the spikes,
+    * first/last the bucket-boundary slopes; an avg-only downsample
+    * erases spikes, which for monitoring is the signal). First/last use
+    * the single-integer arg key rel_µs·10⁶ + ord — micros RELATIVE to
+    * epochBase so the product stays inside a long (absolute epoch
+    * micros × 10⁶ overflows) — making both engines pick identical rows
+    * on timestamp collisions. One map-side-combinable groupBy.
+    */
+  def m4Downsample(df: DataFrame, keyCol: String, tsCol: String,
+      ordCol: String, valCol: String, bucketSeconds: Long = 3600L,
+      epochBase: String = "2024-01-01 00:00:00"): DataFrame = {
+    val baseUs = java.sql.Timestamp.valueOf(epochBase).getTime * 1000L
+    val relKey = (unix_micros(col(tsCol).cast("timestamp")) - baseUs) *
+      1000000L + col(ordCol)
+    val vm = floor(col(valCol) * 1e6 + 0.5).cast("long")
+    df.select(col(keyCol).as("series"),
+        floor((unix_micros(col(tsCol).cast("timestamp")) - baseUs) /
+          (bucketSeconds * 1000000L)).cast("long").as("bucket"),
+        vm.as("_v"), relKey.as("_k"))
+      .groupBy("series", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min("_v").as("v_min_u"), max("_v").as("v_max_u"),
+        min_by(col("_v"), col("_k")).as("v_first_u"),
+        max_by(col("_v"), col("_k")).as("v_last_u"))
+  }
+
   /** RFM (recency / frequency / monetary) user segmentation: per-user
     * aggregates quintile-scored 1–5 (5 best on every axis) and bucketed
     * into the classic segments. The ntile runs over the AGGREGATED

@@ -92,4 +92,35 @@ object StarQueries {
       .groupBy("n_name")
       .agg(sum(discMicro(col("l_extendedprice"), col("l_discount"))).cast("long")
         .as("revenue_micro"))
+
+  /** Top-k customers by RETURNED-item revenue in a date window (Q10
+    * shape): the "who is returning the most merchandise" report.
+    * Ordering matters for scale: the fact⋈fact orders⋈lineitem join and
+    * the per-customer aggregate run FIRST, so the customer/nation dims
+    * broadcast-join against an already-aggregated side of ≤ |customers|
+    * rows instead of decorating every lineitem. Top-k plans as
+    * TakeOrderedAndProject with the custkey tiebreak.
+    */
+  def custReturnRevenue(customer: DataFrame, nation: DataFrame,
+      orders: DataFrame, lineitem: DataFrame,
+      dateStart: String = "1996-01-01", dateEnd: String = "1996-07-01",
+      k: Int = 20): DataFrame =
+    orders.where(col("o_orderdate") >= lit(dateStart).cast("timestamp") &&
+        col("o_orderdate") < lit(dateEnd).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+      .join(lineitem.where(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(discMicro(col("l_extendedprice"), col("l_discount"))).cast("long")
+        .as("revenue_micro"))
+      // customer is NOT broadcast-hinted: at warehouse scale it's a
+      // 10⁷⁺-row dimension and the aggregated left side is comparable —
+      // let the optimizer pick (AQE converts to broadcast at small SF);
+      // nation is config-sized and always broadcasts
+      .join(customer, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(nation), col("n_nationkey") === col("c_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("revenue_micro"))
+      .orderBy(col("revenue_micro").desc, col("c_custkey"))
+      .limit(k)
 }

@@ -1,0 +1,56 @@
+package graft
+
+import graft.agg.Aggregates
+import graft.ops.StarQueries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 batch 11: forward fill, M4 downsampling, Q10 star shape. */
+class FfillM4Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(sec: Int) =
+    new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + sec * 1000L)
+
+  test("forwardFill: LOCF per series, leading nulls stay null, ts-tie via ord") {
+    val df = Seq(
+      (1L, t(0), 1L, Option.empty[Long]),  // before first obs -> null
+      (1L, t(1), 2L, Option(10L)),
+      (1L, t(2), 3L, Option.empty[Long]),  // -> 10
+      (1L, t(2), 4L, Option(20L)),         // same ts, later ord
+      (1L, t(3), 5L, Option.empty[Long]),  // -> 20
+      (2L, t(0), 6L, Option(7L))
+    ).toDF("sid", "ts", "event_id", "v")
+    val out = Aggregates.forwardFill(df, "sid", "ts", "event_id", "v")
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(out === Map(1L -> -1L, 2L -> 10L, 3L -> 10L, 4L -> 20L,
+      5L -> 20L, 6L -> 7L))
+  }
+
+  test("m4Downsample: min/max/first/last per bucket, ord breaks ts ties") {
+    val df = Seq(
+      ("a", t(10), 1L, 5.0), ("a", t(20), 2L, 9.0), ("a", t(30), 3L, 1.0),
+      ("a", t(30), 4L, 7.0), // same ts as id 3: last must be id 4
+      ("a", t(3700), 5L, 2.0) // next hour bucket
+    ).toDF("k", "ts", "event_id", "value")
+    val out = Aggregates.m4Downsample(df, "k", "ts", "event_id", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out(("a", 0L)) === ((4L, 1000000L, 9000000L, 5000000L, 7000000L)))
+    assert(out(("a", 1L)) === ((1L, 2000000L, 2000000L, 2000000L, 2000000L)))
+  }
+
+  test("custReturnRevenue plans top-k as TakeOrderedAndProject with broadcast nation") {
+    val dir = "/root/testdata/sf0.001"
+    def rd(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val plan = StarQueries.custReturnRevenue(rd("customer"), rd("nation"),
+      rd("orders"), rd("lineitem")).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)")
+      || plan.contains("EqualTo(l_returnflag,R)"), plan)
+  }
+}
