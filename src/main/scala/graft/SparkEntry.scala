@@ -2020,6 +2020,44 @@ object SparkEntry {
         Map("purchase" -> 4, "signup" -> 3, "click" -> 2, "view" -> 1),
         Seq("best_value" -> col("vm"), "rare_k" -> col("rk")))),
 
+    // RAG context packing: 5 synthetic queries × hashed relevance over
+    // documents; greedy admit by rank under a 500-token budget
+    "q_context_budget" -> { (s, dir) =>
+      val qd = documents(s, dir).select(col("doc_id"), col("text"))
+        .crossJoin(broadcast(s.range(1, 6).select(col("id").as("query_id"))))
+      val score = conv(substring(md5(concat(col("query_id"), lit("|"),
+        col("doc_id"))), 1, 6), 16, 10).cast("long")
+      val ntok = when(trim(col("text")) === "", 0L)
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+      graft.ops.Curation.contextBudget(
+          qd.select(col("query_id"), col("doc_id"), score.as("score"),
+            ntok.as("n_tokens")),
+          "query_id", "doc_id", "score", "n_tokens", budget = 500L)
+        .select("query_id", "doc_id", "score", "n_tokens", "rank", "cum_tokens")
+    },
+
+    // prefix-cache reuse: planted exact/near dups share block-aligned
+    // prefixes; reuse ppm per depth 1..4 (64-char blocks)
+    "q_prefix_cache" -> ((s, dir) =>
+      graft.ops.Curation.prefixCacheReport(docsWithDupes(s, dir), "text")),
+
+    // kNN label consistency @5 (embedding-quality eval): 1/10 vectors
+    // as queries, exact cosine neighbors, per-label agreement ppm
+    "q_knn_labels" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+      val lbl = e.select(col("vec_id"), col("label"))
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") % 10 === 0), k = 5)
+        .join(lbl.select(col("vec_id").as("query_id"),
+          col("label").as("q_lbl")), Seq("query_id"))
+        .join(lbl.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_lbl")), Seq("neighbor_id"))
+        .groupBy("q_lbl")
+        .agg(countDistinct("query_id").as("n_queries"),
+          sum(when(col("q_lbl") === col("n_lbl"), 1L).otherwise(0L)).as("n_agree"))
+        .select(col("q_lbl").as("label"), col("n_queries"), col("n_agree"),
+          expr("n_agree * 1000000 div (n_queries * 5)").as("agree_ppm"))
+    },
+
     // forward-fill imputation: only 1/4 of readings carry a value;
     // LOCF per user_id%20 series, pre-first-observation rows stay null
     "q_ffill" -> ((s, dir) =>
@@ -5720,6 +5758,66 @@ object SparkEntry {
         |  FROM base GROUP BY 1)
         |SELECT c.entity_id, f1.best_value, f2.rare_k, c.n_records, c.n_sources
         |FROM c LEFT JOIN f1 USING (entity_id) LEFT JOIN f2 USING (entity_id)""".stripMargin,
+
+    "q_context_budget" ->
+      s"""WITH q AS (SELECT unnest(generate_series(1, 5)) AS query_id),
+         |c AS (
+         |  SELECT q.query_id, d.doc_id,
+         |    CAST(${graft.ops.Dedup.baseHashSql(
+                 "(CAST(q.query_id AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR))")}
+              AS BIGINT) AS score,
+         |    CAST(CASE WHEN trim(d.text) = '' THEN 0
+         |         ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END
+         |         AS BIGINT) AS n_tokens
+         |  FROM documents d, q),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER w AS INTEGER) AS rank,
+         |    sum(n_tokens) OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM c WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, doc_id))
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, n_tokens,
+         |  rank, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM r WHERE cum <= 500""".stripMargin,
+
+    "q_prefix_cache" ->
+      s"""WITH $DocsDupesSql,
+         |d AS (
+         |  SELECT text, unnest(generate_series(1,
+         |    least(4, CAST(len(text) // 64 AS INTEGER)))) AS depth
+         |  FROM docs2 WHERE len(text) >= 64),
+         |h AS (SELECT depth, md5(substr(text, 1, depth * 64)) AS ph FROM d),
+         |g AS (SELECT depth, count(*) AS n_requests,
+         |  count(DISTINCT ph) AS n_distinct FROM h GROUP BY 1)
+         |SELECT CAST(depth AS INTEGER) AS depth,
+         |  CAST(n_requests AS BIGINT) AS n_requests,
+         |  CAST(n_distinct AS BIGINT) AS n_distinct,
+         |  CAST((n_requests - n_distinct) * 1000000 // n_requests AS BIGINT)
+         |    AS reuse_ppm
+         |FROM g""".stripMargin,
+
+    "q_knn_labels" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, q.label AS q_lbl, c.label AS n_lbl,
+        |    round(list_dot_product(q.v, c.v) /
+        |      sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)), 6)
+        |      AS cos,
+        |    c.vec_id AS neighbor_id
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 10 = 0),
+        |top AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+        |  WHERE rank <= 5),
+        |g AS (SELECT q_lbl, count(DISTINCT query_id) AS n_queries,
+        |  sum(CASE WHEN q_lbl = n_lbl THEN 1 ELSE 0 END) AS n_agree
+        |  FROM top GROUP BY 1)
+        |SELECT q_lbl AS label, CAST(n_queries AS BIGINT) AS n_queries,
+        |  CAST(n_agree AS BIGINT) AS n_agree,
+        |  CAST(n_agree * 1000000 // (n_queries * 5) AS BIGINT) AS agree_ppm
+        |FROM g""".stripMargin,
 
     "q_ffill" ->
       """WITH s AS (

@@ -934,4 +934,53 @@ object Curation {
                      div (n * n - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)))
                 END""").as("kappa_ppm"))
   }
+
+  /** RAG context assembly under a token budget: per query, admit chunks
+    * in relevance order (score desc, chunk id as the deterministic
+    * tiebreak) while the RUNNING token total — including the candidate —
+    * stays within budget. Greedy-by-rank is the standard context packer;
+    * the running sum is a per-query window (partitioned, bounded by
+    * chunks-per-query, never global). Admission is the maximal RANK
+    * PREFIX that fits: once the running total overflows, everything
+    * after is out — skip-the-big-one-and-keep-trying semantics would
+    * need sequential state; this prefix form is the simple
+    * cross-engine-reproducible contract.
+    */
+  def contextBudget(chunks: DataFrame, queryCol: String, chunkCol: String,
+      scoreCol: String, tokensCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(queryCol)
+      .orderBy(col(scoreCol).desc, col(chunkCol))
+    chunks
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_tokens", sum(col(tokensCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .where(col("cum_tokens") <= budget)
+  }
+
+  /** Prefix-cache reuse report: block-align each request's text and
+    * hash the cumulative prefix at every block boundary; requests that
+    * share a depth-k prefix hash would hit a prefix cache (vLLM-style
+    * block KV reuse) for those k blocks. Per depth: request count,
+    * distinct prefixes, and reuse ppm = (n − distinct)/n — the upper
+    * bound on block-level cache hits an inference tier could see on
+    * this workload. Narrow ×maxDepth explode + one small groupBy.
+    */
+  def prefixCacheReport(df: DataFrame, textCol: String,
+      blockChars: Int = 64, maxDepth: Int = 4): DataFrame =
+    df.select(col(textCol).as("_t"),
+        // sequence(1, 0) counts DOWN (the documented shingled() trap):
+        // texts shorter than one block produce a null -> explode drops
+        explode(when(
+          least(lit(maxDepth), (length(col(textCol)) / blockChars).cast("int")) >= 1,
+          sequence(lit(1), least(lit(maxDepth),
+            (length(col(textCol)) / blockChars).cast("int"))))).as("depth"))
+      .select(col("depth"),
+        md5(expr(s"substring(_t, 1, depth * $blockChars)")).as("prefix_hash"))
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_requests"),
+        countDistinct(col("prefix_hash")).as("n_distinct"))
+      .select(col("depth"), col("n_requests"), col("n_distinct"),
+        expr("(n_requests - n_distinct) * 1000000 div n_requests")
+          .as("reuse_ppm"))
 }

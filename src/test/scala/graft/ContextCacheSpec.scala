@@ -1,0 +1,48 @@
+package graft
+
+import graft.ops.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 batch 12: context budgeting, prefix-cache report. */
+class ContextCacheSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("contextBudget: maximal rank prefix within budget, inclusive boundary") {
+    val chunks = Seq(
+      (1L, 10L, 100L, 40L), // rank 1 (score 100), cum 40
+      (1L, 11L, 90L, 60L),  // rank 2, cum 100 == budget -> kept
+      (1L, 12L, 80L, 1L),   // rank 3, cum 101 -> dropped
+      (1L, 13L, 70L, 1L),   // after overflow: dropped (prefix semantics)
+      (2L, 20L, 50L, 99L)   // other query independent
+    ).toDF("q", "chunk", "score", "n_tokens")
+    val out = Curation.contextBudget(chunks, "q", "chunk", "score", "n_tokens", 100L)
+      .select("q", "chunk", "rank", "cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(out.toSet === Set((1L, 10L, 1, 40L), (1L, 11L, 2, 100L),
+      (2L, 20L, 1, 99L)))
+  }
+
+  test("contextBudget: equal scores tie-break by chunk id") {
+    val chunks = Seq((1L, 5L, 10L, 1L), (1L, 3L, 10L, 1L)).toDF("q", "chunk", "score", "n_tokens")
+    val out = Curation.contextBudget(chunks, "q", "chunk", "score", "n_tokens", 10L)
+      .select("chunk", "rank").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(3L -> 1, 5L -> 2))
+  }
+
+  test("prefixCacheReport: shared blocks count as reuse; short texts drop out") {
+    val a = "x" * 64 // one block
+    val df = Seq(
+      a + ("p" * 64),  // doc1: blocks [x, p]
+      a + ("q" * 64),  // doc2: blocks [x, q] -> depth1 shared, depth2 not
+      "short"          // < 1 block: excluded entirely
+    ).toDF("text")
+    val out = Curation.prefixCacheReport(df, "text")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      1 -> ((2L, 1L, 500000L)), // both share the depth-1 prefix
+      2 -> ((2L, 2L, 0L))))     // depth-2 prefixes diverge
+  }
+}
