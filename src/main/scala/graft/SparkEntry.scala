@@ -2020,6 +2020,30 @@ object SparkEntry {
         Map("purchase" -> 4, "signup" -> 3, "click" -> 2, "view" -> 1),
         Seq("best_value" -> col("vm"), "rare_k" -> col("rk")))),
 
+    // Fano factor burstiness over hourly counts per event type
+    "q_fano" -> ((s, dir) =>
+      graft.agg.Aggregates.fanoFactor(
+        events(s, dir).select(col("event_type").as("k0"), col("ts")),
+        "k0", "ts")),
+
+    // Zipf octave report over the document token frequencies
+    "q_zipf" -> ((s, dir) =>
+      graft.agg.Aggregates.zipfOctaves(documents(s, dir))),
+
+    // robots.txt path policy: longest prefix wins, Allow beats
+    // Disallow at equal length, unmatched paths allowed
+    "q_robots_block" -> { (s, dir) =>
+      val domain = element_at(typedLit(Seq("a.com", "b.com", "c.com")),
+        (pmod(col("user_id"), lit(3L)) + 1).cast("int"))
+      val path = element_at(typedLit(Seq("/", "/private/x",
+        "/private/pub/y", "/img/1.png", "/api/v1")),
+        (pmod(col("event_id"), lit(5L)) + 1).cast("int"))
+      graft.enrich.Robots(
+        events(s, dir).select(col("event_id"), domain.as("domain"),
+          path.as("path")),
+        "event_id", "domain", "path", robotsRules(s))
+    },
+
     // RAG context packing: 5 synthetic queries × hashed relevance over
     // documents; greedy admit by rank under a 500-token budget
     "q_context_budget" -> { (s, dir) =>
@@ -2557,6 +2581,14 @@ object SparkEntry {
     3L -> Seq("vector", "stream"),
     4L -> Seq("zzznever"),
     5L -> Seq("table"))
+
+  /** Authored robots path rules for q_robots_block. */
+  private def robotsRules(s: SparkSession): DataFrame =
+    s.range(1).select(lit("a.com").as("rule_domain"),
+        lit("/private").as("path_prefix"), lit(false).as("allow"))
+      .unionAll(s.range(1).select(lit("a.com"), lit("/private/pub"), lit(true)))
+      .unionAll(s.range(1).select(lit("b.com"), lit("/"), lit(false)))
+      .unionAll(s.range(1).select(lit("c.com"), lit("/api"), lit(false)))
 
   /** Authored domain-policy rules for q_domain_block (policy tables are
     * small by nature — the broadcast side of the suffix join). */
@@ -5758,6 +5790,62 @@ object SparkEntry {
         |  FROM base GROUP BY 1)
         |SELECT c.entity_id, f1.best_value, f2.rare_k, c.n_records, c.n_sources
         |FROM c LEFT JOIN f1 USING (entity_id) LEFT JOIN f2 USING (entity_id)""".stripMargin,
+
+    "q_fano" ->
+      """WITH b AS (
+        |  SELECT event_type AS key,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bk
+        |  FROM events),
+        |c AS (SELECT key, bk, count(*) AS c FROM b GROUP BY 1, 2),
+        |g AS (SELECT key, count(*) AS n_buckets, sum(c) AS total,
+        |      sum(c * c) AS q FROM c GROUP BY 1)
+        |SELECT key, CAST(n_buckets AS BIGINT) AS n_buckets,
+        |  CAST(total AS BIGINT) AS total,
+        |  CAST(total * 1000000 // n_buckets AS BIGINT) AS mean_u,
+        |  CAST((n_buckets * q - total * total) * 1000000
+        |       // (n_buckets * total) AS BIGINT) AS fano_ppm
+        |FROM g""".stripMargin,
+
+    "q_zipf" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, count(*) AS f FROM tok WHERE tok <> '' GROUP BY 1),
+        |o AS (SELECT length(bin(f)) - 1 AS octave, count(*) AS n_types,
+        |      sum(f) AS n_tokens FROM f GROUP BY 1)
+        |SELECT CAST(octave AS INTEGER) AS octave,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN lag(n_types) OVER (ORDER BY octave) > 0
+        |       THEN n_types * 1000000 // lag(n_types) OVER (ORDER BY octave)
+        |       END AS BIGINT) AS decay_ppm
+        |FROM o""".stripMargin,
+
+    "q_robots_block" ->
+      """WITH rules(rule_domain, path_prefix, allow) AS (VALUES
+        |  ('a.com', '/private', false), ('a.com', '/private/pub', true),
+        |  ('b.com', '/', false), ('c.com', '/api', false)),
+        |f AS (
+        |  SELECT event_id,
+        |    CASE user_id % 3 WHEN 0 THEN 'a.com' WHEN 1 THEN 'b.com'
+        |      ELSE 'c.com' END AS domain,
+        |    CASE event_id % 5 WHEN 0 THEN '/' WHEN 1 THEN '/private/x'
+        |      WHEN 2 THEN '/private/pub/y' WHEN 3 THEN '/img/1.png'
+        |      ELSE '/api/v1' END AS path
+        |  FROM events),
+        |m AS (
+        |  SELECT f.event_id,
+        |    arg_max(r.path_prefix,
+        |      len(r.path_prefix) * 2 + CAST(r.allow AS INTEGER)) AS mp,
+        |    arg_max(r.allow,
+        |      len(r.path_prefix) * 2 + CAST(r.allow AS INTEGER)) AS al
+        |  FROM f JOIN rules r ON f.domain = r.rule_domain
+        |    AND starts_with(f.path, r.path_prefix)
+        |  GROUP BY 1)
+        |SELECT f.event_id, f.domain, f.path,
+        |  coalesce(m.mp, '') AS matched_prefix,
+        |  coalesce(m.al, true) AS allowed
+        |FROM f LEFT JOIN m USING (event_id)""".stripMargin,
 
     "q_context_budget" ->
       s"""WITH q AS (SELECT unnest(generate_series(1, 5)) AS query_id),

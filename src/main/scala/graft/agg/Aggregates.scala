@@ -1303,6 +1303,58 @@ object Aggregates {
         floor(col("dau") * 1000000L / col("mau")).as("stickiness_ppm"))
   }
 
+  /** Fano factor (index of dispersion) per key over bucketed counts:
+    * var/mean of the per-bucket event counts — the burstiness test
+    * (Poisson arrivals ⇒ 1; clumped traffic ≫ 1; metronomic heartbeats
+    * ≪ 1). Exact integer form: with n buckets, S = Σc, Q = Σc²,
+    * fano·10⁶ = (n·Q − S²)·10⁶ div (n·S) — counts are small so Q stays
+    * far inside a long (10⁴-per-bucket counts × 10⁵ buckets ⇒ Q ≤ 10¹²)
+    * and the whole statistic is one map-side-combinable groupBy chain
+    * with zero float ops. Only OBSERVED buckets count — a key silent
+    * for a bucket contributes no zero cell (add a gap-fill upstream if
+    * absence should count).
+    */
+  def fanoFactor(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSeconds: Long = 3600L): DataFrame =
+    df.select(col(keyCol).as("key"),
+        floor(col(tsCol).cast("timestamp").cast("double") / bucketSeconds)
+          .cast("long").as("_b"))
+      .groupBy("key", "_b").agg(count(lit(1)).as("_c"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_buckets"), sum("_c").as("total"),
+        sum(col("_c") * col("_c")).as("_q"))
+      .select(col("key"), col("n_buckets"), col("total"),
+        expr("total * 1000000 div n_buckets").as("mean_u"),
+        expr("(n_buckets * _q - total * total) * 1000000 div (n_buckets * total)")
+          .as("fano_ppm"))
+
+  /** Zipf octave report: token frequencies bucketed by power-of-two
+    * octave (floor(log2 f) computed as length(bin(f)) − 1 — NEVER
+    * libm's log2, whose last-ulp behavior at exact powers of two
+    * differs across engines), with type and token mass per octave and
+    * the type-count ratio to the previous octave. A Zipfian corpus
+    * halves its type count per octave (ratio ≈ 500000 ppm); template
+    * spam shows up as mass piling into one octave. The final lag runs
+    * over the ~40-row octave table — metadata-sized by construction.
+    */
+  def zipfOctaves(df: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    val oct = freq
+      .select((length(bin(col("f"))) - 1).as("octave"), col("f"))
+      .groupBy("octave")
+      .agg(count(lit(1)).as("n_types"), sum("f").as("n_tokens"))
+    oct
+      .withColumn("_prev", lag("n_types", 1).over(Window.orderBy("octave")))
+      .select(col("octave").cast("int").as("octave"), col("n_types"),
+        col("n_tokens"),
+        expr("CASE WHEN _prev IS NOT NULL AND _prev > 0 " +
+          "THEN n_types * 1000000 div _prev END").as("decay_ppm"))
+  }
+
   /** Forward-fill imputation (LOCF — last observation carried forward):
     * per series, replace nulls with the most recent non-null value in
     * (ts, ord) order — the sensor/metric gap-patching step before any

@@ -1,0 +1,41 @@
+package graft.enrich
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** robots.txt-style path policy: per domain, a small authored set of
+  * (path_prefix, allow) rules; the LONGEST matching prefix governs and
+  * at equal length Allow wins (the published REP tie-break, RFC 9309
+  * §2.2.2); an unmatched path is allowed. The crawl-pipeline gate that
+  * runs after [[DomainBlock]]'s domain-level policy.
+  *
+  * Scale shape: rules are authored config — broadcast; the join is an
+  * EQUI-join on the domain key (never a prefix theta-join across
+  * domains), with the startswith check as a residual over that
+  * domain's handful of rules; one max_by groupBy picks the winner. The
+  * winner key packs (prefix length, allow) into one integer so the
+  * longest-then-allow tie-break is a single cross-engine max.
+  */
+object Robots {
+
+  /** `rules`: (rule_domain, path_prefix, allow). Output: id, domain,
+    * path, matched_prefix ('' if none), allowed.
+    */
+  def apply(df: DataFrame, idCol: String, domainCol: String,
+      pathCol: String, rules: DataFrame): DataFrame = {
+    val matched = df
+      .select(col(idCol), col(domainCol), col(pathCol))
+      .join(broadcast(rules), col(domainCol) === col("rule_domain"))
+      .where(col(pathCol).startsWith(col("path_prefix")))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("path_prefix"), col("allow")),
+        length(col("path_prefix")) * 2 + col("allow").cast("int")).as("_m"))
+      .select(col(idCol), col("_m.path_prefix").as("matched_prefix"),
+        col("_m.allow").as("_allow"))
+    df.select(col(idCol), col(domainCol), col(pathCol))
+      .join(matched, Seq(idCol), "left")
+      .select(col(idCol), col(domainCol), col(pathCol),
+        coalesce(col("matched_prefix"), lit("")).as("matched_prefix"),
+        coalesce(col("_allow"), lit(true)).as("allowed"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.agg.Aggregates
+import graft.enrich.Robots
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 batch 13: robots path policy, Fano factor, Zipf octaves. */
+class RobotsZipfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("Robots: longest prefix wins, Allow beats Disallow at equal length, default allow") {
+    val rules = Seq(
+      ("x.com", "/private", false), ("x.com", "/private/pub", true),
+      ("x.com", "/docs", false), ("x.com", "/docs", true) // REP tie: allow wins
+    ).toDF("rule_domain", "path_prefix", "allow")
+    val df = Seq(
+      (1L, "x.com", "/private/a"),     // disallow
+      (2L, "x.com", "/private/pub/b"), // deeper allow overrides
+      (3L, "x.com", "/docs/c"),        // equal-length tie -> allow
+      (4L, "x.com", "/open"),          // no rule -> allow
+      (5L, "y.com", "/private/a")      // other domain, no rules -> allow
+    ).toDF("id", "domain", "path")
+    val out = Robots(df, "id", "domain", "path", rules)
+      .collect().map(r => r.getLong(0) -> ((r.getString(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === (("/private", false)))
+    assert(out(2L) === (("/private/pub", true)))
+    assert(out(3L) === (("/docs", true)))
+    assert(out(4L) === (("", true)))
+    assert(out(5L) === (("", true)))
+  }
+
+  test("Robots plans as broadcast hash join on the domain key") {
+    val rules = Seq(("x.com", "/p", false)).toDF("rule_domain", "path_prefix", "allow")
+    val df = (1L to 50L).map(i => (i, "x.com", s"/p/$i")).toDF("id", "domain", "path")
+    val plan = Robots(df, "id", "domain", "path", rules)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("fanoFactor: constant series -> 0; bursty -> > 1e6") {
+    def t(h: Int, i: Int) =
+      new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        + h * 3600000L + i * 1000L)
+    val rows = // A: 2 events in each of 3 hours; B: 1 then 5
+      (for (h <- 0 until 3; i <- 0 until 2) yield ("A", t(h, i))) ++
+      Seq(("B", t(0, 0))) ++ (0 until 5).map(i => ("B", t(1, i)))
+    val out = Aggregates.fanoFactor(rows.toDF("k", "ts"), "k", "ts")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(out("A") === ((3L, 6L, 0L)))
+    // B: n=2, S=6, Q=26 -> (2*26-36)*1e6/(2*6) = 1333333
+    assert(out("B") === ((2L, 6L, 1333333L)))
+  }
+
+  test("zipfOctaves: octave = floor(log2 f) via bin length; decay vs previous octave") {
+    val df = Seq("a a a b b c").toDF("text")
+    val out = Aggregates.zipfOctaves(df)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out(0) === ((1L, 1L, -1L)))       // c (f=1)
+    assert(out(1) === ((2L, 5L, 2000000L)))  // a (f=3), b (f=2)
+  }
+}
