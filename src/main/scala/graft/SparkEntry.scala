@@ -2020,6 +2020,37 @@ object SparkEntry {
         Map("purchase" -> 4, "signup" -> 3, "click" -> 2, "view" -> 1),
         Seq("best_value" -> col("vm"), "rare_k" -> col("rk")))),
 
+    // dictionary entity linking: ambiguous aliases resolved by
+    // prior + context votes, smallest entity id breaks ties
+    "q_entity_linking" -> ((s, dir) =>
+      TextAnalysis.entityLinking(documents(s, dir),
+        aliases = Seq(("spark", 1, "spark_engine", 3L),
+          ("spark", 2, "spark_plug", 3L), ("table", 3, "table_db", 4L),
+          ("table", 4, "table_furniture", 2L), ("vector", 5, "vector_math", 3L)),
+        contexts = Seq(1 -> "batch", 1 -> "query", 1 -> "data",
+          2 -> "merge", 2 -> "sort", 3 -> "scan", 3 -> "row",
+          4 -> "wood", 5 -> "column"))),
+
+    // embedding drift: per-label centroid shift between the two
+    // vec_id-parity periods, exact fixed-point squared L2
+    "q_embed_drift" -> ((s, dir) =>
+      Similarity.embedDrift(embeddings(s, dir), "label",
+        pmod(col("vec_id"), lit(2L)))),
+
+    // top conversion paths: the 3 events leading into each purchase
+    "q_conversion_paths" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("p1", lag("event_type", 1).over(w))
+        .withColumn("p2", lag("event_type", 2).over(w))
+        .withColumn("p3", lag("event_type", 3).over(w))
+        .where(col("event_type") === "purchase" && col("p3").isNotNull)
+        .groupBy(concat_ws(">", col("p3"), col("p2"), col("p1")).as("path"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // Fano factor burstiness over hourly counts per event type
     "q_fano" -> ((s, dir) =>
       graft.agg.Aggregates.fanoFactor(
@@ -5790,6 +5821,64 @@ object SparkEntry {
         |  FROM base GROUP BY 1)
         |SELECT c.entity_id, f1.best_value, f2.rare_k, c.n_records, c.n_sources
         |FROM c LEFT JOIN f1 USING (entity_id) LEFT JOIN f2 USING (entity_id)""".stripMargin,
+
+    "q_entity_linking" ->
+      """WITH al(alias, entity_id, entity, prior) AS (VALUES
+        |  ('spark', 1, 'spark_engine', 3), ('spark', 2, 'spark_plug', 3),
+        |  ('table', 3, 'table_db', 4), ('table', 4, 'table_furniture', 2),
+        |  ('vector', 5, 'vector_math', 3)),
+        |cx(entity_id, term) AS (VALUES (1, 'batch'), (1, 'query'),
+        |  (1, 'data'), (2, 'merge'), (2, 'sort'), (3, 'scan'), (3, 'row'),
+        |  (4, 'wood'), (5, 'column')),
+        |tk0 AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT DISTINCT doc_id, tok FROM tk0 WHERE tok <> ''),
+        |m AS (SELECT doc_id, alias, entity_id, entity, prior
+        |      FROM tk JOIN al ON tok = alias),
+        |v AS (SELECT doc_id, entity_id, count(*) AS votes
+        |      FROM tk JOIN cx ON tok = term GROUP BY 1, 2),
+        |sc AS (SELECT m.doc_id, m.alias, m.entity, m.entity_id,
+        |       m.prior + coalesce(v.votes, 0) AS score
+        |       FROM m LEFT JOIN v
+        |         ON v.doc_id = m.doc_id AND v.entity_id = m.entity_id)
+        |SELECT doc_id, alias,
+        |  arg_max(entity, score * 100 + (99 - entity_id)) AS entity,
+        |  CAST(max(score) AS BIGINT) AS score
+        |FROM sc GROUP BY 1, 2""".stripMargin,
+
+    "q_embed_drift" ->
+      """WITH x0 AS (
+        |  SELECT label, vec_id % 2 AS period, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings),
+        |c AS (SELECT label, period, i - 1 AS dim,
+        |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xm
+        |  FROM x0),
+        |g AS (SELECT label, period, dim, sum(xm) AS s, count(*) AS n
+        |      FROM c GROUP BY 1, 2, 3),
+        |ct AS (SELECT label, period, dim,
+        |       (s + n * 10000000) // n - 10000000 AS cc FROM g),
+        |p AS (SELECT label, dim,
+        |      max(CASE WHEN period = 0 THEN cc END) AS c0,
+        |      max(CASE WHEN period = 1 THEN cc END) AS c1
+        |      FROM ct GROUP BY 1, 2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_dims,
+        |  CAST(sum((c1 - c0) * (c1 - c0)) AS BIGINT) AS dist2_u2
+        |FROM p GROUP BY 1""".stripMargin,
+
+    "q_conversion_paths" ->
+      """WITH l AS (
+        |  SELECT event_type,
+        |    lag(event_type, 1) OVER w AS p1,
+        |    lag(event_type, 2) OVER w AS p2,
+        |    lag(event_type, 3) OVER w AS p3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT p3 || '>' || p2 || '>' || p1 AS path,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM l WHERE event_type = 'purchase' AND p3 IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     "q_fano" ->
       """WITH b AS (

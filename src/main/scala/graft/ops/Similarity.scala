@@ -658,4 +658,34 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"),
         (col("c6").cast("double") / 1e6).as("cos"), col("margin_ppm"), col("rank"))
   }
+
+  /** Embedding drift monitor: squared L2 distance between per-label
+    * centroids of two periods — the "did the upstream encoder / data
+    * distribution move" alarm an embedding pipeline watches. Exactness
+    * discipline: components snap to 1e-6 fixed point, per-(label,
+    * period, dim) LONG sums, and the centroid division SHIFTS INTO THE
+    * POSITIVE RANGE first ((s + n·10⁷) div n − 10⁷) because Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors — they
+    * disagree exactly on the negative means an embedding table is full
+    * of. One narrow posexplode, one (label, period, dim) groupBy, one
+    * |labels|·|dims| pivot — never a per-vector pairwise pass.
+    */
+  def embedDrift(df: DataFrame, labelCol: String, periodCol: Column,
+      vecCol: String = "embedding"): DataFrame = {
+    val comps = df
+      .select(col(labelCol).as("label"), periodCol.as("period"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("label", "period", "dim")
+      .agg(sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("_s"),
+        count(lit(1)).as("_n"))
+      .select(col("label"), col("period"), col("dim"),
+        expr("(_s + _n * 10000000) div _n - 10000000").as("_c"))
+    comps.groupBy("label", "dim")
+      .agg(max(when(col("period") === 0, col("_c"))).as("_c0"),
+        max(when(col("period") === 1, col("_c"))).as("_c1"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_dims"),
+        sum((col("_c1") - col("_c0")) * (col("_c1") - col("_c0")))
+          .as("dist2_u2"))
+  }
 }

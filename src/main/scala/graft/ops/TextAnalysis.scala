@@ -1003,6 +1003,45 @@ object TextAnalysis {
     * window (per-doc, partitioned) for adjacency, one groupBy for the
     * model, one broadcast-sized argmax table joined back on w1.
     */
+  /** Dictionary entity linking with context disambiguation: mentions
+    * surface via an alias→entity gazetteer (broadcast, the keywordTag
+    * discipline — never a regex per entity), and an ambiguous alias
+    * resolves by prior + context votes (count of the entity's context
+    * terms present in the document's token SET). The winner key packs
+    * (score, 99 − entity_id) into one integer — highest score, then
+    * smallest entity id — the single-key arg_max discipline.
+    *
+    * Scale shape: one distinct-token explode; two broadcast joins
+    * (gazetteer, context terms); the vote count is a (doc, entity)
+    * groupBy bounded by |context terms| matches; no per-entity scan of
+    * the corpus.
+    */
+  def entityLinking(docs: DataFrame,
+      aliases: Seq[(String, Int, String, Long)], // (alias, entity_id, entity, prior)
+      contexts: Seq[(Int, String)], // (entity_id, context term)
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val aliasDf = aliases.toDF("alias", "entity_id", "entity", "prior")
+    val ctxDf = contexts.toDF("entity_id", "term")
+    val toks = docs
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "").distinct()
+      .localCheckpoint() // read twice: mentions and votes
+    val mentions = toks.join(broadcast(aliasDf), col("tok") === col("alias"))
+      .select(col(idCol), col("alias"), col("entity_id"), col("entity"), col("prior"))
+    val votes = toks.join(broadcast(ctxDf), col("tok") === col("term"))
+      .groupBy(col(idCol), col("entity_id"))
+      .agg(count(lit(1)).as("votes"))
+    mentions
+      .join(votes, Seq(idCol, "entity_id"), "left")
+      .withColumn("score", col("prior") + coalesce(col("votes"), lit(0L)))
+      .groupBy(col(idCol), col("alias"))
+      .agg(max_by(col("entity"),
+        col("score") * 100 + (lit(99) - col("entity_id"))).as("entity"),
+        max("score").as("score"))
+  }
+
   def bigramPredict(docs: DataFrame, langCol: String = "lang",
       textCol: String = "text"): DataFrame = {
     val toks = docs

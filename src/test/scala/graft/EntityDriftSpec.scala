@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.{Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 batch 14: entity linking, embedding drift. */
+class EntityDriftSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val aliases = Seq(
+    ("spark", 1, "engine", 3L), ("spark", 2, "plug", 3L),
+    ("table", 3, "db", 4L), ("table", 4, "furniture", 2L))
+  private val contexts = Seq(
+    1 -> "batch", 1 -> "query", 2 -> "merge", 2 -> "sort", 4 -> "wood")
+
+  test("entityLinking: context votes flip the winner; equal score -> smaller id") {
+    val docs = Seq(
+      (1L, "spark batch query runs"), // engine 5 vs plug 3
+      (2L, "spark merge sort files"), // plug 5 vs engine 3
+      (3L, "spark alone"),            // 3 vs 3 tie -> engine (id 1)
+      (4L, "table wood grain")        // furniture 3 vs db prior 4 -> db
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.entityLinking(docs, aliases, contexts)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(out((1L, "spark")) === (("engine", 5L)))
+    assert(out((2L, "spark")) === (("plug", 5L)))
+    assert(out((3L, "spark")) === (("engine", 3L)))
+    assert(out((4L, "table")) === (("db", 4L)))
+  }
+
+  test("entityLinking: duplicate tokens vote once (distinct token set)") {
+    val docs = Seq((1L, "spark merge merge merge")).toDF("doc_id", "text")
+    val out = TextAnalysis.entityLinking(docs, aliases, contexts).collect()
+    // plug = 3 + 1 (merge counted once) = 4, engine = 3
+    assert(out.head.getString(2) === "plug")
+    assert(out.head.getLong(3) === 4L)
+  }
+
+  test("embedDrift: exact centroid shift, negative components safe") {
+    // label 0: period0 centroid (1.0, -1.0), period1 (1.5, -2.0)
+    // diff micros (500000, -1000000) -> dist2 = 25e10 + 1e12
+    val rows = Seq(
+      (0L, 0, Seq(1.0f, -1.0f)), (2L, 0, Seq(1.0f, -1.0f)),   // period 0
+      (1L, 0, Seq(1.5f, -2.0f)), (3L, 0, Seq(1.5f, -2.0f)))   // period 1
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.embedDrift(rows, "label", pmod(col("vec_id"), lit(2L)))
+      .collect()
+    assert(out.length === 1)
+    assert((out.head.getInt(0), out.head.getLong(1), out.head.getLong(2)) ===
+      ((0, 2L, 250000000000L + 1000000000000L)))
+  }
+}
