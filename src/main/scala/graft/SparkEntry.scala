@@ -2020,6 +2020,41 @@ object SparkEntry {
         Map("purchase" -> 4, "signup" -> 3, "click" -> 2, "view" -> 1),
         Seq("best_value" -> col("vm"), "rare_k" -> col("rk")))),
 
+    // SymSpell deletion-index typo pairs: corpus vocab (freq>=2,
+    // len>=4) + planted z-substitution typos; codegen verify at d=1
+    "q_symspell" -> { (s, dir) =>
+      val toks = documents(s, dir)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("f"))
+        .where(col("f") >= 2 && length(col("tok")) >= 4)
+        .select("tok")
+      val typos = toks.where(substring(col("tok"), 1, 1) =!= "z")
+        .select(concat(lit("z"),
+          expr("substring(tok, 2, length(tok))")).as("tok"))
+      TextAnalysis.symspellPairs(toks.unionAll(typos), "tok")
+    },
+
+    // Beats config literal parsing: durations to micros, sizes to bytes
+    "q_duration_parse" -> { (s, dir) =>
+      val dur = concat((col("event_id") % 3600 + 1).cast("string"),
+        element_at(typedLit(Seq("us", "ms", "s", "m", "h")),
+          (pmod(col("event_id"), lit(5L)) + 1).cast("int")))
+      val raw = when(col("event_id") % 97 === 0, lit("soon")).otherwise(dur)
+      val sz = concat((col("event_id") % 1024 + 1).cast("string"),
+        element_at(typedLit(Seq("b", "kb", "mb", "gb")),
+          (pmod(col("event_id"), lit(4L)) + 1).cast("int")))
+      events(s, dir).select(col("event_id"), raw.as("dur_raw"), sz.as("sz_raw"))
+        .select(col("event_id"), col("dur_raw"),
+          graft.parse.FieldDecoders.durationMicros(col("dur_raw")).as("micros"),
+          col("sz_raw"),
+          graft.parse.FieldDecoders.sizeBytes(col("sz_raw")).as("bytes"))
+    },
+
+    // id-sequence integrity per event type: dups and range gaps
+    "q_id_audit" -> ((s, dir) =>
+      graft.ops.Profile.sequenceAudit(events(s, dir), "event_type", "event_id")),
+
     // dictionary entity linking: ambiguous aliases resolved by
     // prior + context votes, smallest entity id breaks ties
     "q_entity_linking" -> ((s, dir) =>
@@ -5821,6 +5856,61 @@ object SparkEntry {
         |  FROM base GROUP BY 1)
         |SELECT c.entity_id, f1.best_value, f2.rare_k, c.n_records, c.n_sources
         |FROM c LEFT JOIN f1 USING (entity_id) LEFT JOIN f2 USING (entity_id)""".stripMargin,
+
+    "q_symspell" ->
+      """WITH tk AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |vb AS (SELECT tok FROM (
+        |  SELECT tok, count(*) AS f FROM tk WHERE tok <> '' GROUP BY 1)
+        |  WHERE f >= 2 AND len(tok) >= 4),
+        |ty AS (SELECT 'z' || substr(tok, 2) AS tok FROM vb
+        |       WHERE substr(tok, 1, 1) <> 'z'),
+        |vv AS (SELECT DISTINCT tok FROM (
+        |  SELECT tok FROM vb UNION ALL SELECT tok FROM ty)
+        |  WHERE len(tok) >= 4),
+        |vi AS (SELECT tok, unnest(generate_series(0, len(tok))) AS i FROM vv),
+        |var AS (SELECT DISTINCT tok,
+        |  CASE WHEN i = 0 THEN tok
+        |       ELSE substr(tok, 1, CAST(i - 1 AS INTEGER)) ||
+        |            substr(tok, CAST(i + 1 AS INTEGER)) END AS v
+        |  FROM vi),
+        |p AS (SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+        |      FROM var a JOIN var b ON a.v = b.v AND a.tok < b.tok)
+        |SELECT tok_a, tok_b, CAST(levenshtein(tok_a, tok_b) AS INTEGER) AS dist
+        |FROM p WHERE levenshtein(tok_a, tok_b) = 1""".stripMargin,
+
+    "q_duration_parse" ->
+      """WITH f AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 97 = 0 THEN 'soon'
+        |         ELSE CAST(event_id % 3600 + 1 AS VARCHAR) ||
+        |           (CASE event_id % 5 WHEN 0 THEN 'us' WHEN 1 THEN 'ms'
+        |            WHEN 2 THEN 's' WHEN 3 THEN 'm' ELSE 'h' END) END AS dur_raw,
+        |    CAST(event_id % 1024 + 1 AS VARCHAR) ||
+        |      (CASE event_id % 4 WHEN 0 THEN 'b' WHEN 1 THEN 'kb'
+        |       WHEN 2 THEN 'mb' ELSE 'gb' END) AS sz_raw
+        |  FROM events)
+        |SELECT event_id, dur_raw,
+        |  CASE WHEN dur_raw = 'soon' THEN NULL
+        |       ELSE CAST(event_id % 3600 + 1 AS BIGINT) *
+        |         (CASE event_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 1000
+        |          WHEN 2 THEN 1000000 WHEN 3 THEN 60000000
+        |          ELSE 3600000000 END) END AS micros,
+        |  sz_raw,
+        |  CAST(event_id % 1024 + 1 AS BIGINT) *
+        |    (CASE event_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 1024
+        |     WHEN 2 THEN 1048576 ELSE 1073741824 END) AS bytes
+        |FROM f""".stripMargin,
+
+    "q_id_audit" ->
+      """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |  min(event_id) AS id_min, max(event_id) AS id_max,
+        |  CAST(max(event_id) - min(event_id) + 1 - count(DISTINCT event_id)
+        |       AS BIGINT) AS n_gaps,
+        |  CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dups
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_entity_linking" ->
       """WITH al(alias, entity_id, entity, prior) AS (VALUES

@@ -151,4 +151,19 @@ object Profile {
           col("n_violating"), col("max_fanout"),
           (col("n_violating") === 0L).as("holds"))
     }.reduce(_ unionAll _)
+
+  /** Id-sequence integrity audit per key: duplicates and range gaps in
+    * an allegedly monotonically-assigned id column — the ingest QA that
+    * catches replayed batches (dups) and dropped batches (gaps) without
+    * materializing the full expected range: gaps = span − distinct,
+    * dups = rows − distinct, both from one groupBy.
+    */
+  def sequenceAudit(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"), countDistinct(col(idCol)).as("n_distinct"),
+        min(col(idCol)).as("id_min"), max(col(idCol)).as("id_max"))
+      .select(col("key"), col("n"), col("n_distinct"), col("id_min"),
+        col("id_max"),
+        (col("id_max") - col("id_min") + 1 - col("n_distinct")).as("n_gaps"),
+        (col("n") - col("n_distinct")).as("n_dups"))
 }

@@ -1003,6 +1003,35 @@ object TextAnalysis {
     * window (per-doc, partitioned) for adjacency, one groupBy for the
     * model, one broadcast-sized argmax table joined back on w1.
     */
+  /** SymSpell-style typo candidate generation: every vocabulary term
+    * emits itself plus each single-DELETION variant; two terms within
+    * edit distance 1 necessarily share a variant (a substitution shares
+    * the same-position deletion; an insert/delete pair shares the
+    * shorter form), so candidate generation is ONE equi-join on the
+    * variant key — never an all-pairs distance matrix. Candidates are
+    * then verified with the codegen [[EditDistance]] expression
+    * (threshold 1 ⇒ Myers early-exit, constant work per pair). Variant
+    * fan-out is len+1 per term — linear in corpus vocabulary; a df cap
+    * on pathological variants is the same lever as the n-gram path's.
+    */
+  def symspellPairs(vocab: DataFrame, tokCol: String): DataFrame = {
+    val t = vocab.select(col(tokCol).as("tok")).distinct()
+      .where(length(col("tok")) >= 4)
+    val variants = t
+      .select(col("tok"), explode(sequence(lit(0), length(col("tok")))).as("i"))
+      .select(col("tok"), when(col("i") === 0, col("tok"))
+        .otherwise(concat(expr("substring(tok, 1, i - 1)"),
+          expr("substring(tok, i + 1, length(tok))"))).as("v"))
+      .distinct()
+    val a = variants.select(col("tok").as("tok_a"), col("v"))
+    val b = variants.select(col("tok").as("tok_b"), col("v"))
+    a.join(b, Seq("v")).where(col("tok_a") < col("tok_b"))
+      .select("tok_a", "tok_b").distinct()
+      .withColumn("dist",
+        EditDistance.editDistWithin(col("tok_a"), col("tok_b"), lit(1)))
+      .where(col("dist") === 1)
+  }
+
   /** Dictionary entity linking with context disambiguation: mentions
     * surface via an alias→entity gazetteer (broadcast, the keywordTag
     * discipline — never a regex per entity), and an ambiguous alias

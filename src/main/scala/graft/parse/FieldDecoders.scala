@@ -138,4 +138,30 @@ object FieldDecoders {
           lit("."), col("_m.s")).as(out))
     df.join(broadcast(mapping), Seq(hostCol), "left")
   }
+
+  /** Go-style duration literal → exact micros ("250us", "1500ms", "2s",
+    * "3m", "1h" — the grammar Beats configs use for every timeout /
+    * backoff / TTL knob, `time.ParseDuration` units). Unknown units and
+    * non-numeric input yield null (the error channel, not a guess).
+    * Pure codegen'd regexp + CASE — narrow.
+    */
+  def durationMicros(c: Column): Column = {
+    val num = regexp_extract(c, "^([0-9]+)", 1)
+    val unit = regexp_extract(c, "^[0-9]+(us|ms|s|m|h)$", 1)
+    when(num =!= "" && unit =!= "",
+      num.cast("long") * when(unit === "us", 1L)
+        .when(unit === "ms", 1000L).when(unit === "s", 1000000L)
+        .when(unit === "m", 60000000L).otherwise(3600000000L))
+  }
+
+  /** Size literal → bytes ("512b", "4kb", "16mb", "2gb"; 1024-based as
+    * humanize/units libraries parse Beats' bulk/queue size knobs). */
+  def sizeBytes(c: Column): Column = {
+    val num = regexp_extract(c, "^([0-9]+)", 1)
+    val unit = regexp_extract(c, "^[0-9]+(b|kb|mb|gb)$", 1)
+    when(num =!= "" && unit =!= "",
+      num.cast("long") * when(unit === "b", 1L)
+        .when(unit === "kb", 1024L).when(unit === "mb", 1048576L)
+        .otherwise(1073741824L))
+  }
 }

@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.{Profile, TextAnalysis}
+import graft.parse.FieldDecoders
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 batch 15: SymSpell pairs, config-literal parsing, id audit. */
+class SymspellSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("symspellPairs: substitution and insertion pairs surface, d=2 pairs don't") {
+    val vocab = Seq("table", "cable", "tables", "chair", "spark", "szark")
+      .toDF("tok")
+    val out = TextAnalysis.symspellPairs(vocab, "tok")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // table~cable (subst), table~tables (insert), spark~szark? s-z-a...
+    // spark -> szark is substitution at pos 2 -> d=1
+    assert(out === Set(("cable", "table", 1), ("table", "tables", 1),
+      ("spark", "szark", 1)))
+  }
+
+  test("symspellPairs: d=2 neighbors sharing no deletion variant are absent") {
+    val vocab = Seq("abcd", "abef").toDF("tok") // distance 2
+    assert(TextAnalysis.symspellPairs(vocab, "tok").count() === 0L)
+  }
+
+  test("durationMicros / sizeBytes: unit table exact, garbage -> null") {
+    val out = Seq("250us", "1500ms", "2s", "3m", "1h", "soon", "5x")
+      .toDF("d").select(FieldDecoders.durationMicros(col("d")))
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    assert(out.toSeq === Seq(250L, 1500000L, 2000000L, 180000000L,
+      3600000000L, -1L, -1L))
+    val sz = Seq("512b", "4kb", "16mb", "2gb", "oops")
+      .toDF("s").select(FieldDecoders.sizeBytes(col("s")))
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    assert(sz.toSeq === Seq(512L, 4096L, 16777216L, 2147483648L, -1L))
+  }
+
+  test("sequenceAudit: gaps and dups from one aggregate") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 5L), ("b", 10L))
+      .toDF("k", "id")
+    val out = Profile.sequenceAudit(df, "k", "id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6)))).toMap
+    // a: ids {1,2,2,5}: n=4, distinct=3, span 5 -> gaps 2 (3,4), dups 1
+    assert(out("a") === ((4L, 3L, 2L, 1L)))
+    assert(out("b") === ((1L, 1L, 0L, 0L)))
+  }
+}
