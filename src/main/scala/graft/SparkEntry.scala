@@ -2020,6 +2020,70 @@ object SparkEntry {
         Map("purchase" -> 4, "signup" -> 3, "click" -> 2, "view" -> 1),
         Seq("best_value" -> col("vm"), "rare_k" -> col("rk")))),
 
+    // schema-evolution adapter: v1 {amount_cents, cur} and v2
+    // {amount:{value_micros, currency}} payloads normalize to one shape
+    "q_schema_migrate" -> { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val version = (pmod(col("event_id"), lit(2L)) + 1).cast("int")
+      val payload = when(version === 1,
+          concat(lit("{\"amount_cents\": "), k, lit(", \"cur\": \"usd\"}")))
+        .otherwise(concat(lit("{\"amount\": {\"value_micros\": "),
+          k * 10000 + 13, lit(", \"currency\": \"eur\"}}")))
+      val s1 = org.apache.spark.sql.types.StructType.fromDDL(
+        "amount_cents BIGINT, cur STRING")
+      val s2 = org.apache.spark.sql.types.StructType.fromDDL(
+        "amount STRUCT<value_micros: BIGINT, currency: STRING>")
+      events(s, dir)
+        .select(col("event_id"), version.as("version"), payload.as("p"))
+        .select(col("event_id"), col("version"),
+          from_json(col("p"), s1).as("v1"), from_json(col("p"), s2).as("v2"))
+        .select(col("event_id"), col("version"),
+          when(col("version") === 1, col("v1.amount_cents") * 10000)
+            .otherwise(col("v2.amount.value_micros")).as("amount_micros"),
+          upper(when(col("version") === 1, col("v1.cur"))
+            .otherwise(col("v2.amount.currency"))).as("currency"))
+    },
+
+    // pre-aggregation cascade: raw -> 1m -> 5m -> 1h; the oracle
+    // aggregates raw directly to 1h — hash equality PROVES additive
+    // metrics re-aggregate losslessly through the cascade
+    "q_agg_cascade" -> { (s, dir) =>
+      val base = events(s, dir).select(col("event_type"),
+        floor(col("ts").cast("timestamp").cast("double") / 60).cast("long").as("m1"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("vm"))
+      val min1 = base.groupBy("event_type", "m1")
+        .agg(count(lit(1)).as("n"), sum("vm").as("s"))
+      val min5 = min1.groupBy(col("event_type"),
+          expr("m1 div 5").as("m5"))
+        .agg(sum("n").as("n"), sum("s").as("s"))
+      min5.groupBy(col("event_type"), expr("m5 div 12").as("hour"))
+        .agg(sum("n").as("n"), sum("s").as("sum_u"))
+    },
+
+    // sparse×dense topic scoring: doc term counts × broadcast topic
+    // weight matrix; best topic per doc (score, then topic-id order)
+    "q_topic_scores" -> { (s, dir) =>
+      import s.implicits._
+      val topics = Seq(
+        (1, "perf", "slow", 3L), (1, "perf", "fast", 2L),
+        (1, "perf", "scan", 1L), (2, "sqlops", "query", 3L),
+        (2, "sqlops", "table", 1L), (2, "sqlops", "join", 2L),
+        (3, "dataeng", "batch", 2L), (3, "dataeng", "stream", 2L),
+        (3, "dataeng", "merge", 1L)).toDF("topic_id", "topic", "term", "w")
+      val counts = documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      counts.join(broadcast(topics), Seq("term"))
+        .groupBy("doc_id", "topic_id", "topic")
+        .agg(sum(col("c") * col("w")).as("score"))
+        .groupBy("doc_id")
+        .agg(max_by(col("topic"),
+          col("score") * 100 + (lit(99) - col("topic_id"))).as("topic"),
+          max("score").as("score"))
+    },
+
     // SymSpell deletion-index typo pairs: corpus vocab (freq>=2,
     // len>=4) + planted z-substitution typos; codegen verify at d=1
     "q_symspell" -> { (s, dir) =>
@@ -5856,6 +5920,47 @@ object SparkEntry {
         |  FROM base GROUP BY 1)
         |SELECT c.entity_id, f1.best_value, f2.rare_k, c.n_records, c.n_sources
         |FROM c LEFT JOIN f1 USING (entity_id) LEFT JOIN f2 USING (entity_id)""".stripMargin,
+
+    "q_schema_migrate" ->
+      """WITH f AS (
+        |  SELECT event_id,
+        |    CAST(event_id % 2 + 1 AS INTEGER) AS version,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_id, version,
+        |  CASE WHEN version = 1 THEN k * 10000 ELSE k * 10000 + 13 END
+        |    AS amount_micros,
+        |  CASE WHEN version = 1 THEN 'USD' ELSE 'EUR' END AS currency
+        |FROM f""".stripMargin,
+
+    "q_agg_cascade" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+        |  FROM events)
+        |SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(vm) AS BIGINT) AS sum_u
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q_topic_scores" ->
+      """WITH tw(topic_id, topic, term, w) AS (VALUES
+        |  (1, 'perf', 'slow', 3), (1, 'perf', 'fast', 2),
+        |  (1, 'perf', 'scan', 1), (2, 'sqlops', 'query', 3),
+        |  (2, 'sqlops', 'table', 1), (2, 'sqlops', 'join', 2),
+        |  (3, 'dataeng', 'batch', 2), (3, 'dataeng', 'stream', 2),
+        |  (3, 'dataeng', 'merge', 1)),
+        |tk AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT doc_id, term, count(*) AS c FROM tk
+        |      WHERE term <> '' GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, topic_id, topic, sum(c.c * tw.w) AS score
+        |       FROM c JOIN tw USING (term) GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |  arg_max(topic, score * 100 + (99 - topic_id)) AS topic,
+        |  CAST(max(score) AS BIGINT) AS score
+        |FROM sc GROUP BY 1""".stripMargin,
 
     "q_symspell" ->
       """WITH tk AS (

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 batch 16: cascade re-aggregation, schema adapter, topic argmax. */
+class CascadeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("1m->5m->1h cascade equals direct hourly aggregation (additive metrics)") {
+    val rows = (0 until 500).map { i =>
+      (s"t${i % 3}", i * 37 % 7200, (i * 13 % 100).toLong) // seconds, value
+    }.toDF("k", "sec", "v")
+    val base = rows.select(col("k"),
+      expr("sec div 60").as("m1"), col("v"))
+    val min1 = base.groupBy("k", "m1").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val min5 = min1.groupBy(col("k"), expr("m1 div 5").as("m5"))
+      .agg(sum("n").as("n"), sum("s").as("s"))
+    val cascade = min5.groupBy(col("k"), expr("m5 div 12").as("h"))
+      .agg(sum("n").as("n"), sum("s").as("s"))
+    val direct = rows.groupBy(col("k"), expr("sec div 3600").as("h"))
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    assert(cascade.exceptAll(direct).isEmpty && direct.exceptAll(cascade).isEmpty)
+  }
+
+  test("schema adapter: v1 cents and v2 micros normalize to one currency shape") {
+    val s1 = org.apache.spark.sql.types.StructType.fromDDL(
+      "amount_cents BIGINT, cur STRING")
+    val s2 = org.apache.spark.sql.types.StructType.fromDDL(
+      "amount STRUCT<value_micros: BIGINT, currency: STRING>")
+    val df = Seq(
+      (1, """{"amount_cents": 250, "cur": "usd"}"""),
+      (2, """{"amount": {"value_micros": 2500013, "currency": "eur"}}"""))
+      .toDF("version", "p")
+      .select(col("version"), from_json(col("p"), s1).as("v1"),
+        from_json(col("p"), s2).as("v2"))
+      .select(
+        when(col("version") === 1, col("v1.amount_cents") * 10000)
+          .otherwise(col("v2.amount.value_micros")).as("m"),
+        upper(when(col("version") === 1, col("v1.cur"))
+          .otherwise(col("v2.amount.currency"))).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(df.toSeq === Seq((2500000L, "USD"), (2500013L, "EUR")))
+  }
+
+  test("topic argmax: score wins, then smaller topic id") {
+    val sc = Seq((1L, 1, "a", 5L), (1L, 2, "b", 5L), (1L, 3, "c", 4L))
+      .toDF("doc_id", "topic_id", "topic", "score")
+    val out = sc.groupBy("doc_id")
+      .agg(max_by(col("topic"),
+        col("score") * 100 + (lit(99) - col("topic_id"))).as("t"))
+      .collect().head.getString(1)
+    assert(out === "a") // tie at 5 -> topic_id 1
+  }
+}
