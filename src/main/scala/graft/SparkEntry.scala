@@ -2020,6 +2020,69 @@ object SparkEntry {
         Map("purchase" -> 4, "signup" -> 3, "click" -> 2, "view" -> 1),
         Seq("best_value" -> col("vm"), "rare_k" -> col("rk")))),
 
+    // CEP pattern: purchase preceded by a view within 10min with no
+    // error in between — window-based match_recognize shape
+    "q_cep_pattern" -> { (s, dir) =>
+      val key = (unix_micros(col("ts").cast("timestamp")) -
+        1704067200000000L) * 1000000L + col("event_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), key.as("k"))
+        .withColumn("last_a",
+          max(when(col("event_type") === "view", col("k"))).over(w))
+        .withColumn("last_c",
+          max(when(col("event_type") === "error", col("k"))).over(w))
+        .where(col("event_type") === "purchase" && col("last_a").isNotNull &&
+          (col("last_c").isNull || col("last_c") < col("last_a")) &&
+          expr("k div 1000000 - last_a div 1000000") <= 600000000L)
+        .select(col("user_id"), col("event_id"),
+          expr("k div 1000000 - last_a div 1000000").as("gap_us"))
+    },
+
+    // per-tenant quota burndown: cumulative usage vs a fixed quota,
+    // first exhausting event id (sf0.001 stays under quota)
+    "q_quota_burn" -> { (s, dir) =>
+      val quota = 100000000000L
+      val key = (unix_micros(col("ts").cast("timestamp")) -
+        1704067200000000L) * 1000000L + col("event_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("tenant").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      events(s, dir)
+        .select(pmod(col("user_id"), lit(10L)).as("tenant"), col("ts"),
+          col("event_id"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("vm"), key.as("k"))
+        .withColumn("cum", sum("vm").over(w))
+        .groupBy("tenant")
+        .agg(count(lit(1)).as("n_events"), sum("vm").as("total_u"),
+          min(when(col("cum") > quota, col("k"))).as("_xk"))
+        .select(col("tenant"), col("n_events"), col("total_u"),
+          col("_xk").isNotNull.as("exhausted"),
+          (col("_xk") % 1000000L).as("exhaust_event_id"))
+    },
+
+    // schema inference over string columns: int/double/bool/date/mixed
+    "q_csv_infer" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val a = ev.select(lit("a").as("c"), col("event_id").cast("string").as("v"))
+      val b = ev.select(lit("b").as("c"),
+        concat((col("event_id") % 500).cast("string"), lit("."),
+          lpad((col("event_id") % 100).cast("string"), 2, "0")).as("v"))
+      val cc = ev.select(lit("c").as("c"),
+        element_at(typedLit(Seq("true", "false")),
+          (pmod(col("event_id"), lit(2L)) + 1).cast("int")).as("v"))
+      val d = ev.select(lit("d").as("c"),
+        date_format(col("ts"), "yyyy-MM-dd").as("v"))
+      val e = ev.select(lit("e").as("c"),
+        when(col("event_id") % 3 === 0, lit("x9"))
+          .otherwise(col("event_id").cast("string")).as("v"))
+      graft.ops.Profile.inferTypes(
+        a.unionAll(b).unionAll(cc).unionAll(d).unionAll(e), "c", "v")
+    },
+
     // schema-evolution adapter: v1 {amount_cents, cur} and v2
     // {amount:{value_micros, currency}} payloads normalize to one shape
     "q_schema_migrate" -> { (s, dir) =>
@@ -5920,6 +5983,72 @@ object SparkEntry {
         |  FROM base GROUP BY 1)
         |SELECT c.entity_id, f1.best_value, f2.rare_k, c.n_records, c.n_sources
         |FROM c LEFT JOIN f1 USING (entity_id) LEFT JOIN f2 USING (entity_id)""".stripMargin,
+
+    "q_cep_pattern" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    (epoch_us(ts) - 1704067200000000) * 1000000 + event_id AS k
+        |  FROM events),
+        |w AS (SELECT *,
+        |  max(CASE WHEN event_type = 'view' THEN k END) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_a,
+        |  max(CASE WHEN event_type = 'error' THEN k END) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_c
+        |  FROM b)
+        |SELECT user_id, event_id,
+        |  CAST(k // 1000000 - last_a // 1000000 AS BIGINT) AS gap_us
+        |FROM w WHERE event_type = 'purchase' AND last_a IS NOT NULL
+        |  AND (last_c IS NULL OR last_c < last_a)
+        |  AND k // 1000000 - last_a // 1000000 <= 600000000""".stripMargin,
+
+    "q_quota_burn" ->
+      """WITH b AS (
+        |  SELECT user_id % 10 AS tenant, ts, event_id,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm,
+        |    (epoch_us(ts) - 1704067200000000) * 1000000 + event_id AS k
+        |  FROM events),
+        |c AS (SELECT *, sum(vm) OVER (PARTITION BY tenant
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM b)
+        |SELECT tenant, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(vm) AS BIGINT) AS total_u,
+        |  min(CASE WHEN cum > 100000000000 THEN k END) IS NOT NULL AS exhausted,
+        |  CAST(min(CASE WHEN cum > 100000000000 THEN k END) % 1000000
+        |       AS BIGINT) AS exhaust_event_id
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q_csv_infer" ->
+      """WITH v AS (
+        |  SELECT 'a' AS co, CAST(event_id AS VARCHAR) AS v FROM events
+        |  UNION ALL
+        |  SELECT 'b', CAST(event_id % 500 AS VARCHAR) || '.' ||
+        |    lpad(CAST(event_id % 100 AS VARCHAR), 2, '0') FROM events
+        |  UNION ALL
+        |  SELECT 'c', CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'd', strftime(ts, '%Y-%m-%d') FROM events
+        |  UNION ALL
+        |  SELECT 'e', CASE WHEN event_id % 3 = 0 THEN 'x9'
+        |              ELSE CAST(event_id AS VARCHAR) END FROM events),
+        |g AS (
+        |  SELECT co AS "column", count(*) AS n,
+        |    sum(CASE WHEN regexp_full_match(v, '-?[0-9]+') THEN 1 ELSE 0 END) AS n_int,
+        |    sum(CASE WHEN regexp_full_match(v, '-?[0-9]+(\.[0-9]+)?') THEN 1 ELSE 0 END) AS n_double,
+        |    sum(CASE WHEN v IN ('true', 'false') THEN 1 ELSE 0 END) AS n_bool,
+        |    sum(CASE WHEN regexp_full_match(v, '[0-9]{4}-[0-9]{2}-[0-9]{2}')
+        |        THEN 1 ELSE 0 END) AS n_date
+        |  FROM v GROUP BY 1)
+        |SELECT "column", CAST(n AS BIGINT) AS n, CAST(n_int AS BIGINT) AS n_int,
+        |  CAST(n_double AS BIGINT) AS n_double, CAST(n_bool AS BIGINT) AS n_bool,
+        |  CAST(n_date AS BIGINT) AS n_date,
+        |  CASE WHEN n_bool = n THEN 'BOOLEAN' WHEN n_int = n THEN 'BIGINT'
+        |       WHEN n_double = n THEN 'DOUBLE' WHEN n_date = n THEN 'DATE'
+        |       ELSE 'STRING' END AS inferred
+        |FROM g""".stripMargin,
 
     "q_schema_migrate" ->
       """WITH f AS (

@@ -152,6 +152,30 @@ object Profile {
           (col("n_violating") === 0L).as("holds"))
     }.reduce(_ unionAll _)
 
+  /** Schema inference over string columns (the CSV/ingest "guess the
+    * types" report): per column, count values matching each candidate
+    * pattern and infer the MOST SPECIFIC type that matches every
+    * non-null value (bool ⊃ nothing, int ⊂ double — the standard
+    * lattice; anything else falls to STRING). Runs over the long
+    * (column, value) form so one aggregate covers any column count;
+    * patterns are codegen'd rlike, no per-type pass.
+    */
+  def inferTypes(df: DataFrame, colCol: String, valCol: String): DataFrame =
+    df.select(col(colCol).as("column"), col(valCol).as("_v"))
+      .where(col("_v").isNotNull)
+      .groupBy("column")
+      .agg(count(lit(1)).as("n"),
+        sum(col("_v").rlike("^-?[0-9]+$").cast("long")).as("n_int"),
+        sum(col("_v").rlike("^-?[0-9]+(\\.[0-9]+)?$").cast("long")).as("n_double"),
+        sum(col("_v").rlike("^(true|false)$").cast("long")).as("n_bool"),
+        sum(col("_v").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$").cast("long")).as("n_date"))
+      .withColumn("inferred",
+        when(col("n_bool") === col("n"), "BOOLEAN")
+          .when(col("n_int") === col("n"), "BIGINT")
+          .when(col("n_double") === col("n"), "DOUBLE")
+          .when(col("n_date") === col("n"), "DATE")
+          .otherwise("STRING"))
+
   /** Id-sequence integrity audit per key: duplicates and range gaps in
     * an allegedly monotonically-assigned id column — the ingest QA that
     * catches replayed batches (dups) and dropped batches (gaps) without

@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.Profile
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 batch 17: CEP pattern, quota burndown, type inference. */
+class CepQuotaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(sec: Long) =
+    new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + sec * 1000)
+
+  test("CEP view→purchase within 10min, no error between") {
+    val rows = Seq(
+      (1L, 1L, "view", t(0)), (1L, 2L, "purchase", t(60)),     // match, gap 60s
+      (2L, 3L, "view", t(0)), (2L, 4L, "error", t(30)),
+      (2L, 5L, "purchase", t(60)),                              // error between -> no
+      (3L, 6L, "purchase", t(0)),                               // no prior view -> no
+      (4L, 7L, "view", t(0)), (4L, 8L, "purchase", t(700))      // > 10min -> no
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val key = (unix_micros(col("ts")) - 1704067200000000L) * 1000000L + col("event_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val out = rows.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), key.as("k"))
+      .withColumn("last_a", max(when(col("event_type") === "view", col("k"))).over(w))
+      .withColumn("last_c", max(when(col("event_type") === "error", col("k"))).over(w))
+      .where(col("event_type") === "purchase" && col("last_a").isNotNull &&
+        (col("last_c").isNull || col("last_c") < col("last_a")) &&
+        expr("k div 1000000 - last_a div 1000000") <= 600000000L)
+      .select(col("event_id"), expr("k div 1000000 - last_a div 1000000").as("gap"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((2L, 60000000L)))
+  }
+
+  test("quota burndown: first crossing event, under-quota tenant stays unexhausted") {
+    val rows = Seq(
+      (1L, 1L, 60.0, t(0)), (1L, 2L, 50.0, t(10)), (1L, 3L, 1.0, t(20)),
+      (2L, 4L, 5.0, t(0)))
+      .toDF("tenant", "event_id", "value", "ts")
+    val key = (unix_micros(col("ts")) - 1704067200000000L) * 1000000L + col("event_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("tenant").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val out = rows
+      .select(col("tenant"), col("ts"), col("event_id"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("vm"), key.as("k"))
+      .withColumn("cum", sum("vm").over(w))
+      .groupBy("tenant")
+      .agg(min(when(col("cum") > 100000000L, col("k"))).as("xk")) // quota 100 units
+      .select(col("tenant"), col("xk").isNotNull.as("ex"),
+        (col("xk") % 1000000L).as("eid"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out(1L) === ((true, 2L))) // 60+50 crosses at event 2
+    assert(out(2L) === ((false, -1L)))
+  }
+
+  test("inferTypes: most-specific lattice, mixed falls to STRING") {
+    val df = Seq(
+      ("i", "42"), ("i", "-7"),
+      ("f", "42"), ("f", "1.5"),     // int ⊂ double
+      ("m", "42"), ("m", "hello"),
+      ("b", "true"), ("b", "false"),
+      ("d", "2024-01-31")
+    ).toDF("c", "v")
+    val out = Profile.inferTypes(df, "c", "v")
+      .collect().map(r => r.getString(0) -> r.getString(6)).toMap
+    assert(out === Map("i" -> "BIGINT", "f" -> "DOUBLE", "m" -> "STRING",
+      "b" -> "BOOLEAN", "d" -> "DATE"))
+  }
+}
