@@ -2020,6 +2020,33 @@ object SparkEntry {
         Map("purchase" -> 4, "signup" -> 3, "click" -> 2, "view" -> 1),
         Seq("best_value" -> col("vm"), "rare_k" -> col("rk")))),
 
+    // order-independent table checksum per event type (sum + xor of
+    // canonical row hashes — replication verification without movement)
+    "q_table_checksum" -> { (s, dir) =>
+      val canon = concat_ws("|", col("event_id"),
+        unix_micros(col("ts").cast("timestamp")), col("user_id"),
+        col("event_type"), floor(col("value") * 1e6 + 0.5).cast("long"),
+        col("props"))
+      graft.ops.Lakehouse.tableChecksum(events(s, dir), "event_type", canon)
+    },
+
+    // IP pseudonymization: /24 truncation + salted stable pseudonym
+    "q_ip_anon" -> { (s, dir) =>
+      val ip = concat(lit("10."), pmod(col("user_id"), lit(256L)), lit("."),
+        pmod(col("event_id"), lit(256L)), lit("."),
+        pmod(col("event_id"), lit(97L)))
+      events(s, dir).select(col("event_id"), ip.as("ip"))
+        .select(col("event_id"), col("ip"),
+          graft.ops.Privacy.ipTruncate(col("ip")).as("ip_trunc"),
+          graft.ops.Privacy.ipPseudonym(col("ip"), "pepper").as("pseudo"))
+    },
+
+    // policy-driven column masking: the analyst view of the event log
+    "q_column_mask" -> ((s, dir) =>
+      graft.ops.Privacy.maskProjection(events(s, dir), Seq(
+        "event_id" -> "keep", "user_id" -> "hash", "ts" -> "day",
+        "event_type" -> "keep", "value" -> "cents", "props" -> "drop"))),
+
     // CEP pattern: purchase preceded by a view within 10min with no
     // error in between — window-based match_recognize shape
     "q_cep_pattern" -> { (s, dir) =>
@@ -5983,6 +6010,36 @@ object SparkEntry {
         |  FROM base GROUP BY 1)
         |SELECT c.entity_id, f1.best_value, f2.rare_k, c.n_records, c.n_sources
         |FROM c LEFT JOIN f1 USING (entity_id) LEFT JOIN f2 USING (entity_id)""".stripMargin,
+
+    "q_table_checksum" ->
+      s"""WITH h AS (
+         |  SELECT event_type AS grp,
+         |    ${graft.ops.Dedup.gramHashSql(
+               "(CAST(event_id AS VARCHAR) || '|' || CAST(epoch_us(ts) AS VARCHAR) || '|' || CAST(user_id AS VARCHAR) || '|' || event_type || '|' || CAST(CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS VARCHAR) || '|' || props)")} AS hh
+         |  FROM events)
+         |SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(hh) AS BIGINT) AS hash_sum,
+         |  CAST(bit_xor(hh) AS BIGINT) AS hash_xor
+         |FROM h GROUP BY 1""".stripMargin,
+
+    "q_ip_anon" ->
+      """WITH f AS (
+        |  SELECT event_id,
+        |    '10.' || CAST(user_id % 256 AS VARCHAR) || '.' ||
+        |    CAST(event_id % 256 AS VARCHAR) || '.' ||
+        |    CAST(event_id % 97 AS VARCHAR) AS ip
+        |  FROM events)
+        |SELECT event_id, ip,
+        |  regexp_extract(ip, '^([0-9]+\.[0-9]+\.[0-9]+)\.', 1) || '.0' AS ip_trunc,
+        |  substr(md5(ip || '|' || 'pepper'), 1, 8) AS pseudo
+        |FROM f""".stripMargin,
+
+    "q_column_mask" ->
+      """SELECT event_id,
+        |  substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS user_id_hash,
+        |  strftime(ts, '%Y-%m-%d') AS ts_day, event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+        |FROM events""".stripMargin,
 
     "q_cep_pattern" ->
       """WITH b AS (

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table-mutation semantics over immutable snapshots — the MERGE INTO /
@@ -325,6 +325,23 @@ object Lakehouse {
       .agg(sum(when(col("_d") === 1L, 1L).otherwise(0L)).as("n_files"),
         max("_depth").as("max_depth"))
   }
+
+  /** Order-independent table checksum (pt-table-checksum style): hash a
+    * CANONICAL rendering of every row to the portable 48-bit md5
+    * integer, then take per-group count + SUM + BIT_XOR — both
+    * aggregates are commutative, so the checksum is identical no matter
+    * how rows are partitioned or ordered, which is what lets two sides
+    * of a replication / migration / engine-swap compare tables without
+    * moving them. Sum and xor together: a sum alone misses swapped-row
+    * pairs that cancel; xor alone misses duplicated rows.
+    */
+  def tableChecksum(df: DataFrame, groupCol: String,
+      canonical: Column): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        conv(substring(md5(canonical), 1, 12), 16, 10).cast("long").as("_h"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"), sum("_h").as("hash_sum"),
+        expr("bit_xor(_h)").as("hash_xor"))
 
   def backfillGaps(df: DataFrame, tsCol: String = "ts"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

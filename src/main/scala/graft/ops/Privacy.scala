@@ -126,4 +126,44 @@ object Privacy {
     df.select(col(idCol),
       canonEmail(col(emailCol)).as("email_canon"),
       canonPhone(col(phoneCol)).as("phone_canon"))
+
+  /** IP pseudonymization for retained logs: zero the host octet (the
+    * /24 truncation most privacy guidance accepts for coarse geo/ASN
+    * analytics) AND derive a salted stable pseudonym so per-client
+    * joins still work without the raw address. Both are narrow codegen
+    * expressions; the salt is caller-supplied config — rotate it and
+    * every pseudonym severs from history by construction.
+    */
+  def ipTruncate(ip: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(regexp_extract(ip, "^([0-9]+\\.[0-9]+\\.[0-9]+)\\.", 1), lit(".0"))
+
+  def ipPseudonym(ip: org.apache.spark.sql.Column,
+      salt: String): org.apache.spark.sql.Column =
+    substring(md5(concat(ip, lit("|"), lit(salt))), 1, 8)
+
+  /** Declarative column-masking projection — the governance layer that
+    * produces a role's view of a table: per column, `keep` passes
+    * through, `hash` replaces with a 16-hex md5 pseudonym, `day`
+    * truncates a timestamp to its date string, `cents` coarsens a
+    * double to integer cents, `drop` omits the column. A policy TABLE
+    * drives the projection, so audits read the policy, not the code.
+    */
+  def maskProjection(df: DataFrame,
+      policy: Seq[(String, String)]): DataFrame = {
+    val cols = policy.flatMap { case (name, rule) =>
+      rule match {
+        case "keep" => Some(col(name))
+        case "hash" => Some(substring(md5(col(name).cast("string")), 1, 16)
+          .as(s"${name}_hash"))
+        case "day" => Some(date_format(col(name).cast("timestamp"),
+          "yyyy-MM-dd").as(s"${name}_day"))
+        case "cents" => Some(floor(col(name) * 100 + 0.5).cast("long")
+          .as(s"${name}_cents"))
+        case "drop" => None
+        case other => throw new IllegalArgumentException(
+          s"unknown mask rule '$other' for column $name")
+      }
+    }
+    df.select(cols: _*)
+  }
 }

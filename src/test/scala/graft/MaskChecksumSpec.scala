@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.{Lakehouse, Privacy}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 batch 18: table checksum, IP anonymization, column masks. */
+class MaskChecksumSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tableChecksum: invariant under row order and partitioning; sensitive to edits") {
+    val df = (1 to 100).map(i => ("g", s"row-$i")).toDF("k", "payload")
+    def chk(d: org.apache.spark.sql.DataFrame) =
+      Lakehouse.tableChecksum(d, "k", col("payload"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    val base = chk(df)
+    assert(chk(df.orderBy(col("payload").desc).repartition(7)) === base)
+    val edited = df.withColumn("payload",
+      when(col("payload") === "row-50", "row-50x").otherwise(col("payload")))
+    assert(chk(edited) !== base)
+    // a duplicated row: xor of the pair cancels, count and sum catch it
+    val dup = df.unionAll(df.limit(1))
+    val d = chk(dup)
+    assert(d._1 === base._1 + 1)
+    assert(d._2 !== base._2)
+  }
+
+  test("ipTruncate zeroes the host octet; pseudonym is salt-stable") {
+    val out = Seq("10.1.2.3", "192.168.0.77").toDF("ip")
+      .select(Privacy.ipTruncate(col("ip")).as("t"),
+        Privacy.ipPseudonym(col("ip"), "s1").as("p1"),
+        Privacy.ipPseudonym(col("ip"), "s2").as("p2"))
+      .collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("10.1.2.0", "192.168.0.0"))
+    out.foreach(r => assert(r.getString(1) !== r.getString(2),
+      "different salts must sever pseudonyms"))
+  }
+
+  test("maskProjection: rules applied per policy, drop omits, bad rule throws") {
+    val df = Seq((1L, 42L, "2024-03-05 10:11:12", 1.25, "secret"))
+      .toDF("id", "uid", "ts", "v", "props")
+    val out = Privacy.maskProjection(df, Seq("id" -> "keep", "uid" -> "hash",
+      "ts" -> "day", "v" -> "cents", "props" -> "drop"))
+    assert(out.columns.toSeq === Seq("id", "uid_hash", "ts_day", "v_cents"))
+    val r = out.collect().head
+    assert(r.getLong(0) === 1L)
+    assert(r.getString(1).length === 16)
+    assert(r.getString(2) === "2024-03-05")
+    assert(r.getLong(3) === 125L)
+    intercept[IllegalArgumentException] {
+      Privacy.maskProjection(df, Seq("id" -> "scramble"))
+    }
+  }
+}
