@@ -2020,6 +2020,60 @@ object SparkEntry {
         Map("purchase" -> 4, "signup" -> 3, "click" -> 2, "view" -> 1),
         Seq("best_value" -> col("vm"), "rare_k" -> col("rk")))),
 
+    // sample-ratio mismatch: hash-balanced experiments 0/1 pass, the
+    // deliberately 80/20 experiment 2 flags (chi^2 vs 50/50 in ppm)
+    "q_srm" -> { (s, dir) =>
+      val exp = pmod(col("event_id"), lit(3L))
+      val hv = conv(substring(md5(concat(col("user_id"), lit("|"), exp)),
+        1, 6), 16, 10).cast("long")
+      val variant = when(exp === 2,
+          when(col("event_id") % 5 === 0, "b").otherwise("a"))
+        .otherwise(when(hv % 2 === 0, "a").otherwise("b"))
+      events(s, dir).select(exp.as("experiment"), variant.as("variant"))
+        .groupBy("experiment")
+        .agg(sum(when(col("variant") === "a", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === "b", 1L).otherwise(0L)).as("n_b"))
+        .select(col("experiment"), col("n_a"), col("n_b"),
+          expr("(n_a - n_b) * (n_a - n_b) * 1000000 div (n_a + n_b)")
+            .as("chi2_ppm"))
+        .withColumn("srm_flag", col("chi2_ppm") >= 3841000L)
+    },
+
+    // largest-remainder revenue allocation: every order's cents split
+    // across its 1..3 weighted categories, totals reconcile exactly
+    "q_alloc_bridge" -> { (s, dir) =>
+      val cats = events(s, dir).select(col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("rev_cents"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          explode(sequence(lit(1L),
+            pmod(col("event_id"), lit(3L)) + 1)).as("cat_idx"))
+        .withColumn("w", pmod(col("k") + col("cat_idx"), lit(5L)) + 1)
+      graft.agg.Aggregates.largestRemainderAlloc(
+        cats, "event_id", "rev_cents", "w", "cat_idx")
+    },
+
+    // event-sourcing replay: balance folded from +purchase/-view with
+    // signup as a RESET (only amounts after the last reset count)
+    "q_event_replay" -> { (s, dir) =>
+      val key = (unix_micros(col("ts").cast("timestamp")) -
+        1704067200000000L) * 1000000L + col("event_id")
+      val vm = floor(col("value") * 1e6 + 0.5).cast("long")
+      val amt = when(col("event_type") === "purchase", vm)
+        .when(col("event_type") === "view", -vm).otherwise(lit(0L))
+      val base = events(s, dir).select(
+        pmod(col("user_id"), lit(20L)).as("account"),
+        col("event_type"), key.as("k"), amt.as("amt"))
+      val resets = base.groupBy("account")
+        .agg(max(when(col("event_type") === "signup", col("k"))).as("rk"),
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+            .as("n_resets"))
+      base.join(resets, Seq("account"))
+        .groupBy("account")
+        .agg(sum(when(col("rk").isNull || col("k") > col("rk"), col("amt"))
+          .otherwise(0L)).as("balance_u"),
+          max("n_resets").as("n_resets"))
+    },
+
     // order-independent table checksum per event type (sum + xor of
     // canonical row hashes — replication verification without movement)
     "q_table_checksum" -> { (s, dir) =>
@@ -6010,6 +6064,63 @@ object SparkEntry {
         |  FROM base GROUP BY 1)
         |SELECT c.entity_id, f1.best_value, f2.rare_k, c.n_records, c.n_sources
         |FROM c LEFT JOIN f1 USING (entity_id) LEFT JOIN f2 USING (entity_id)""".stripMargin,
+
+    "q_srm" ->
+      s"""WITH f AS (
+         |  SELECT event_id % 3 AS experiment,
+         |    CASE WHEN event_id % 3 = 2 THEN
+         |      (CASE WHEN event_id % 5 = 0 THEN 'b' ELSE 'a' END)
+         |    ELSE (CASE WHEN ${graft.ops.Dedup.baseHashSql(
+               "(CAST(user_id AS VARCHAR) || '|' || CAST(event_id % 3 AS VARCHAR))")} % 2 = 0
+         |          THEN 'a' ELSE 'b' END) END AS variant
+         |  FROM events),
+         |g AS (SELECT experiment,
+         |  sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END) AS n_a,
+         |  sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END) AS n_b
+         |  FROM f GROUP BY 1)
+         |SELECT experiment, CAST(n_a AS BIGINT) AS n_a,
+         |  CAST(n_b AS BIGINT) AS n_b,
+         |  CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) AS BIGINT)
+         |    AS chi2_ppm,
+         |  (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) >= 3841000
+         |    AS srm_flag
+         |FROM g""".stripMargin,
+
+    "q_alloc_bridge" ->
+      """WITH c AS (
+        |  SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS rev,
+        |    unnest(generate_series(1, event_id % 3 + 1)) AS cat_idx,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |w AS (SELECT event_id, cat_idx, rev, (k + cat_idx) % 5 + 1 AS w FROM c),
+        |t AS (SELECT *, sum(w) OVER (PARTITION BY event_id) AS wt FROM w),
+        |b AS (SELECT *, (rev * w) // wt AS base, (rev * w) % wt AS md FROM t),
+        |r AS (SELECT *, rev - sum(base) OVER (PARTITION BY event_id) AS rem,
+        |      row_number() OVER (PARTITION BY event_id
+        |        ORDER BY md DESC, cat_idx) AS rk FROM b)
+        |SELECT event_id, CAST(cat_idx AS BIGINT) AS cat_idx,
+        |  CAST(w AS BIGINT) AS w,
+        |  CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT) AS share
+        |FROM r""".stripMargin,
+
+    "q_event_replay" ->
+      """WITH b AS (
+        |  SELECT user_id % 20 AS account, event_type,
+        |    (epoch_us(ts) - 1704067200000000) * 1000000 + event_id AS k,
+        |    CASE event_type
+        |      WHEN 'purchase' THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+        |      WHEN 'view' THEN -CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+        |      ELSE 0 END AS amt
+        |  FROM events),
+        |rs AS (SELECT account,
+        |  max(CASE WHEN event_type = 'signup' THEN k END) AS rk,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_resets
+        |  FROM b GROUP BY 1)
+        |SELECT b.account,
+        |  CAST(sum(CASE WHEN rs.rk IS NULL OR b.k > rs.rk THEN b.amt
+        |       ELSE 0 END) AS BIGINT) AS balance_u,
+        |  CAST(max(rs.n_resets) AS BIGINT) AS n_resets
+        |FROM b JOIN rs USING (account) GROUP BY 1""".stripMargin,
 
     "q_table_checksum" ->
       s"""WITH h AS (

@@ -1303,6 +1303,31 @@ object Aggregates {
         floor(col("dau") * 1000000L / col("mau")).as("stickiness_ppm"))
   }
 
+  /** Largest-remainder integer allocation: split each key's integer
+    * total across its weighted members so the shares RECONCILE EXACTLY
+    * (Σ shares = total, always) — the finance/bridge-table rule where
+    * floor-only allocation leaks cents and float allocation never adds
+    * back up. Per member: floor(total·w ÷ W); the leftover units go to
+    * the members with the largest remainders (total·w mod W), ties to
+    * the smaller member index — Hamilton's method, all-integer, so both
+    * engines agree to the unit. Windows are per allocation key (a few
+    * members each), never global.
+    */
+  def largestRemainderAlloc(df: DataFrame, keyCol: String, totalCol: String,
+      weightCol: String, idxCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wsum = Window.partitionBy(keyCol)
+    val wrank = Window.partitionBy(keyCol)
+      .orderBy(expr(s"($totalCol * $weightCol) % _wt").desc, col(idxCol))
+    df.withColumn("_wt", sum(weightCol).over(wsum))
+      .withColumn("_base", expr(s"($totalCol * $weightCol) div _wt"))
+      .withColumn("_rem", col(totalCol) - sum("_base").over(wsum))
+      .withColumn("_rk", row_number().over(wrank))
+      .select(col(keyCol), col(idxCol), col(weightCol),
+        (col("_base") + when(col("_rk") <= col("_rem"), 1L).otherwise(0L))
+          .as("share"))
+  }
+
   /** Fano factor (index of dispersion) per key over bucketed counts:
     * var/mean of the per-bucket event counts — the burstiness test
     * (Poisson arrivals ⇒ 1; clumped traffic ≫ 1; metronomic heartbeats

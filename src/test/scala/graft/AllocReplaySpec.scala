@@ -1,0 +1,58 @@
+package graft
+
+import graft.agg.Aggregates
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 batch 19: largest-remainder allocation, event replay. */
+class AllocReplaySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("largestRemainderAlloc: Hamilton shares, ties to smaller index, exact total") {
+    val df = Seq(
+      (1L, 10L, 1L, 1L), (1L, 10L, 1L, 2L), (1L, 10L, 1L, 3L), // 10 over 1:1:1
+      (2L, 100L, 3L, 1L), (2L, 100L, 1L, 2L)                   // 100 over 3:1
+    ).toDF("key", "total", "w", "idx")
+    val out = Aggregates.largestRemainderAlloc(df, "key", "total", "w", "idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(out((1L, 1L)) === 4L) // equal remainders -> smallest idx wins
+    assert(out((1L, 2L)) === 3L)
+    assert(out((1L, 3L)) === 3L)
+    assert(out((2L, 1L)) === 75L)
+    assert(out((2L, 2L)) === 25L)
+  }
+
+  test("largestRemainderAlloc reconciles exactly on arbitrary weights") {
+    val rows = for (k <- 1L to 50L; i <- 1L to (k % 4 + 1))
+      yield (k, 1000L + k * 7, (k * i) % 9 + 1, i)
+    val df = rows.toDF("key", "total", "w", "idx")
+    val bad = Aggregates.largestRemainderAlloc(df, "key", "total", "w", "idx")
+      .groupBy("key").agg(sum("share").as("s"))
+      .join(df.groupBy("key").agg(first("total").as("t")), Seq("key"))
+      .where(col("s") =!= col("t")).count()
+    assert(bad === 0L)
+  }
+
+  test("event replay: reset zeroes history, later amounts count") {
+    val df = Seq(
+      (1L, "purchase", 10L, 100L), (1L, "view", 20L, 30L),
+      (1L, "signup", 30L, 0L),     // reset
+      (1L, "purchase", 40L, 7L),
+      (2L, "purchase", 10L, 5L))   // no reset
+      .toDF("account", "event_type", "k", "v")
+    val amt = when(col("event_type") === "purchase", col("v"))
+      .when(col("event_type") === "view", -col("v")).otherwise(lit(0L))
+    val base = df.select(col("account"), col("event_type"), col("k"), amt.as("amt"))
+    val resets = base.groupBy("account")
+      .agg(max(when(col("event_type") === "signup", col("k"))).as("rk"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_resets"))
+    val out = base.join(resets, Seq("account"))
+      .groupBy("account")
+      .agg(sum(when(col("rk").isNull || col("k") > col("rk"), col("amt"))
+        .otherwise(0L)).as("bal"), max("n_resets").as("nr"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((7L, 1L)))  // only the post-reset purchase
+    assert(out(2L) === ((5L, 0L)))
+  }
+}
