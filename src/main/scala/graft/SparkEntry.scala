@@ -2020,6 +2020,76 @@ object SparkEntry {
         Map("purchase" -> 4, "signup" -> 3, "click" -> 2, "view" -> 1),
         Seq("best_value" -> col("vm"), "rare_k" -> col("rk")))),
 
+    // per-class precision/recall of 1-NN label prediction (the eval
+    // layer over the exact neighbor search)
+    "q_confusion" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+      val lbl = e.select(col("vec_id"), col("label"))
+      val pred = Similarity.bruteForceTopK(e,
+          e.where(col("vec_id") % 10 === 0), k = 1)
+        .join(lbl.select(col("vec_id").as("query_id"),
+          col("label").as("gold")), Seq("query_id"))
+        .join(lbl.select(col("vec_id").as("neighbor_id"),
+          col("label").as("pred")), Seq("neighbor_id"))
+      val gold = pred.groupBy(col("gold").as("class"))
+        .agg(count(lit(1)).as("n_gold"),
+          sum(when(col("pred") === col("gold"), 1L).otherwise(0L)).as("tp"))
+      val predicted = pred.groupBy(col("pred").as("class"))
+        .agg(count(lit(1)).as("n_pred"))
+      gold.join(predicted, Seq("class"), "left")
+        .select(col("class"), col("n_gold"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"), col("tp"),
+          expr("CASE WHEN coalesce(n_pred, CAST(0 AS BIGINT)) > 0 " +
+            "THEN tp * 1000000 div n_pred END").as("precision_ppm"),
+          expr("tp * 1000000 div n_gold").as("recall_ppm"))
+    },
+
+    // Flesch-shape readability in exact milli-units (vowel-group
+    // syllable proxy; the synthetic docs are single-sentence)
+    "q_readability" -> { (s, dir) =>
+      val w = when(trim(col("text")) === "", 0L)
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+      val syl = (size(split(col("text"), "[aeiouy]+")) - 1).cast("long")
+      val sent = (lit(1L) +
+        (length(col("text")) - length(regexp_replace(col("text"), "\\.", ""))))
+        .cast("long")
+      documents(s, dir).select(col("doc_id"), w.as("n_words"),
+          syl.as("n_syllables"), sent.as("n_sentences"))
+        .withColumn("fre_milli",
+          when(col("n_words") > 0,
+            lit(206835L) - expr("(1015 * n_words) div n_sentences") -
+              expr("(84600 * n_syllables) div n_words")))
+        .withColumn("band",
+          when(col("fre_milli") >= 90000L, "very_easy")
+            .when(col("fre_milli") >= 60000L, "standard")
+            .when(col("fre_milli") >= 30000L, "difficult")
+            .otherwise("very_difficult"))
+    },
+
+    // JSON structural diff between the v1/v2 payload generations:
+    // added/removed keys plus value changes on the shared key
+    "q_json_diff" -> { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val v1 = concat(lit("{\"k\": "), k,
+        when(col("event_id") % 7 === 0, lit(", \"retry\": true"))
+          .otherwise(lit("")), lit("}"))
+      val v2 = concat(lit("{\"k\": "),
+        when(col("event_id") % 13 === 0, k + 1).otherwise(k),
+        when(col("event_id") % 3 === 0, lit(", \"src\": \"web\""))
+          .otherwise(lit("")), lit("}"))
+      val base = events(s, dir).select(v1.as("a"), v2.as("b"))
+      val added = base.select(explode(array_except(json_object_keys(col("b")),
+        json_object_keys(col("a")))).as("key"), lit("added").as("change"))
+      val removed = base.select(explode(array_except(json_object_keys(col("a")),
+        json_object_keys(col("b")))).as("key"), lit("removed").as("change"))
+      val changed = base
+        .where(get_json_object(col("a"), "$.k") =!=
+          get_json_object(col("b"), "$.k"))
+        .select(lit("k").as("key"), lit("changed").as("change"))
+      added.unionAll(removed).unionAll(changed)
+        .groupBy("key", "change").agg(count(lit(1)).as("n"))
+    },
+
     // sample-ratio mismatch: hash-balanced experiments 0/1 pass, the
     // deliberately 80/20 experiment 2 flags (chi^2 vs 50/50 in ppm)
     "q_srm" -> { (s, dir) =>
@@ -6064,6 +6134,76 @@ object SparkEntry {
         |  FROM base GROUP BY 1)
         |SELECT c.entity_id, f1.best_value, f2.rare_k, c.n_records, c.n_sources
         |FROM c LEFT JOIN f1 USING (entity_id) LEFT JOIN f2 USING (entity_id)""".stripMargin,
+
+    "q_confusion" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, q.label AS gold, c.label AS pred,
+        |    round(list_dot_product(q.v, c.v) /
+        |      sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)), 6)
+        |      AS cos,
+        |    c.vec_id AS neighbor_id
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 10 = 0),
+        |top AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+        |  WHERE rank = 1),
+        |g AS (SELECT gold AS class, count(*) AS n_gold,
+        |      sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS tp
+        |      FROM top GROUP BY 1),
+        |p AS (SELECT pred AS class, count(*) AS n_pred FROM top GROUP BY 1)
+        |SELECT g.class, CAST(n_gold AS BIGINT) AS n_gold,
+        |  CAST(coalesce(p.n_pred, 0) AS BIGINT) AS n_pred,
+        |  CAST(tp AS BIGINT) AS tp,
+        |  CAST(CASE WHEN coalesce(p.n_pred, 0) > 0
+        |       THEN tp * 1000000 // p.n_pred END AS BIGINT) AS precision_ppm,
+        |  CAST(tp * 1000000 // n_gold AS BIGINT) AS recall_ppm
+        |FROM g LEFT JOIN p USING (class)""".stripMargin,
+
+    "q_readability" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_words,
+        |    CAST(len(regexp_split_to_array(text, '[aeiouy]+')) - 1
+        |      AS BIGINT) AS n_syllables,
+        |    CAST(1 + len(text) - len(replace(text, '.', '')) AS BIGINT)
+        |      AS n_sentences
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_syllables, n_sentences,
+        |  CASE WHEN n_words > 0 THEN 206835 - (1015 * n_words) // n_sentences
+        |       - (84600 * n_syllables) // n_words END AS fre_milli,
+        |  CASE WHEN n_words > 0 AND 206835 - (1015 * n_words) // n_sentences
+        |         - (84600 * n_syllables) // n_words >= 90000 THEN 'very_easy'
+        |       WHEN n_words > 0 AND 206835 - (1015 * n_words) // n_sentences
+        |         - (84600 * n_syllables) // n_words >= 60000 THEN 'standard'
+        |       WHEN n_words > 0 AND 206835 - (1015 * n_words) // n_sentences
+        |         - (84600 * n_syllables) // n_words >= 30000 THEN 'difficult'
+        |       ELSE 'very_difficult' END AS band
+        |FROM f""".stripMargin,
+
+    "q_json_diff" ->
+      """WITH f AS (
+        |  SELECT event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |d AS (
+        |  SELECT
+        |    CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS has_src,
+        |    CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS has_retry,
+        |    CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END AS k_changed
+        |  FROM f)
+        |SELECT 'src' AS key, 'added' AS change,
+        |  CAST(sum(has_src) AS BIGINT) AS n FROM d HAVING sum(has_src) > 0
+        |UNION ALL
+        |SELECT 'retry', 'removed', CAST(sum(has_retry) AS BIGINT)
+        |FROM d HAVING sum(has_retry) > 0
+        |UNION ALL
+        |SELECT 'k', 'changed', CAST(sum(k_changed) AS BIGINT)
+        |FROM d HAVING sum(k_changed) > 0""".stripMargin,
 
     "q_srm" ->
       s"""WITH f AS (

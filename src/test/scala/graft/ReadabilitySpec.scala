@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 batch 20: readability arithmetic, JSON diff key algebra. */
+class ReadabilitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("Flesch milli-units: integer formula, vowel-group syllable proxy") {
+    // "the cat sat. it ran." -> 5 words, 2 sentences (1 + 2 periods = 3
+    // by the period-count convention), vowel groups: e,a,a,i,a = 5
+    val df = Seq((1L, "the cat sat. it ran.")).toDF("doc_id", "text")
+    val w = size(split(trim(col("text")), "\\s+")).cast("long")
+    val syl = (size(split(col("text"), "[aeiouy]+")) - 1).cast("long")
+    val sent = (lit(1L) + (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.", "")))).cast("long")
+    val out = df.select(w.as("w"), syl.as("s"), sent.as("n"),
+        (lit(206835L) - expr("(1015 * w) div n") -
+          expr("(84600 * s) div w")).as("fre"))
+      .collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) === ((5L, 5L, 3L)))
+    // 206835 - (5075 div 3) - (423000 div 5) = 206835 - 1691 - 84600
+    assert(out.getLong(3) === 120544L)
+  }
+
+  test("json key diff: added/removed via array_except, both directions") {
+    val df = Seq((
+      """{"k": 1, "retry": true}""",
+      """{"k": 1, "src": "web"}""")).toDF("a", "b")
+    val added = df.select(explode(array_except(json_object_keys(col("b")),
+      json_object_keys(col("a")))).as("x")).collect().map(_.getString(0))
+    val removed = df.select(explode(array_except(json_object_keys(col("a")),
+      json_object_keys(col("b")))).as("x")).collect().map(_.getString(0))
+    assert(added.toSeq === Seq("src"))
+    assert(removed.toSeq === Seq("retry"))
+  }
+}
