@@ -2020,6 +2020,61 @@ object SparkEntry {
         Map("purchase" -> 4, "signup" -> 3, "click" -> 2, "view" -> 1),
         Seq("best_value" -> col("vm"), "rare_k" -> col("rk")))),
 
+    // activity survival curve: users active in >= k distinct weeks
+    "q_survival" -> { (s, dir) =>
+      val week = floor(col("ts").cast("timestamp").cast("double") / 604800)
+        .cast("long")
+      val perUser = events(s, dir)
+        .select(col("user_id"), week.as("wk")).distinct()
+        .groupBy("user_id").agg(count(lit(1)).as("w"))
+      val total = perUser.agg(count(lit(1)).as("n_total"))
+      perUser
+        .select(explode(sequence(lit(1L), col("w"))).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(total))
+        .select(col("k"), col("n_users"),
+          expr("n_users * 1000000 div n_total").as("survival_ppm"))
+    },
+
+    // negative CEP: views NOT followed by a purchase within 1h
+    "q_abandon" -> { (s, dir) =>
+      val key = (unix_micros(col("ts").cast("timestamp")) -
+        1704067200000000L) * 1000000L + col("event_id")
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), key.as("k"))
+        .withColumn("next_p",
+          min(when(col("event_type") === "purchase", col("k"))).over(wf))
+        .where(col("event_type") === "view")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_views"),
+          sum(when(col("next_p").isNull ||
+            expr("next_p div 1000000 - k div 1000000") > 3600000000L, 1L)
+            .otherwise(0L)).as("n_abandoned"))
+        .select(col("user_id"), col("n_views"), col("n_abandoned"),
+          expr("n_abandoned * 1000000 div n_views").as("abandon_ppm"))
+    },
+
+    // daily novelty trend: first-ever (user, k) pairs vs repeats
+    "q_novelty_trend" -> { (s, dir) =>
+      val pairKey = concat(col("user_id"), lit("|"),
+        get_json_object(col("props"), "$.k"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("pk").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("ts"), col("event_id"), pairKey.as("pk"))
+        .withColumn("novel",
+          (row_number().over(w) === 1).cast("long"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_events"), sum("novel").as("n_novel"))
+        .select(col("day"), col("n_events"), col("n_novel"),
+          expr("n_novel * 1000000 div n_events").as("novel_ppm"))
+    },
+
     // per-class precision/recall of 1-NN label prediction (the eval
     // layer over the exact neighbor search)
     "q_confusion" -> { (s, dir) =>
@@ -6134,6 +6189,56 @@ object SparkEntry {
         |  FROM base GROUP BY 1)
         |SELECT c.entity_id, f1.best_value, f2.rare_k, c.n_records, c.n_sources
         |FROM c LEFT JOIN f1 USING (entity_id) LEFT JOIN f2 USING (entity_id)""".stripMargin,
+
+    "q_survival" ->
+      """WITH pu AS (
+        |  SELECT user_id, count(*) AS w FROM (
+        |    SELECT DISTINCT user_id,
+        |      CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+        |    FROM events) GROUP BY 1),
+        |t AS (SELECT count(*) AS n_total FROM pu),
+        |k AS (SELECT unnest(generate_series(1, w)) AS k FROM pu),
+        |g AS (SELECT k, count(*) AS n_users FROM k GROUP BY 1)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(n_users * 1000000 // n_total AS BIGINT) AS survival_ppm
+        |FROM g, t""".stripMargin,
+
+    "q_abandon" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    (epoch_us(ts) - 1704067200000000) * 1000000 + event_id AS k
+        |  FROM events),
+        |w AS (SELECT *,
+        |  min(CASE WHEN event_type = 'purchase' THEN k END) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p
+        |  FROM b),
+        |g AS (
+        |  SELECT user_id, count(*) AS n_views,
+        |    sum(CASE WHEN next_p IS NULL
+        |        OR next_p // 1000000 - k // 1000000 > 3600000000
+        |        THEN 1 ELSE 0 END) AS n_abandoned
+        |  FROM w WHERE event_type = 'view' GROUP BY 1)
+        |SELECT user_id, CAST(n_views AS BIGINT) AS n_views,
+        |  CAST(n_abandoned AS BIGINT) AS n_abandoned,
+        |  CAST(n_abandoned * 1000000 // n_views AS BIGINT) AS abandon_ppm
+        |FROM g""".stripMargin,
+
+    "q_novelty_trend" ->
+      """WITH b AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, ts, event_id,
+        |    CAST(user_id AS VARCHAR) || '|' ||
+        |      json_extract_string(props, '$.k') AS pk
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY pk
+        |      ORDER BY ts, event_id) AS rn FROM b),
+        |g AS (SELECT day, count(*) AS n_events,
+        |      sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_novel
+        |      FROM r GROUP BY 1)
+        |SELECT day, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_novel AS BIGINT) AS n_novel,
+        |  CAST(n_novel * 1000000 // n_events AS BIGINT) AS novel_ppm
+        |FROM g""".stripMargin,
 
     "q_confusion" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-7 batch 21: survival curve, abandonment, novelty trend. */
+class SurvivalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(sec: Long) =
+    new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + sec * 1000)
+
+  test("survival curve: explode-to-k counts users active >= k periods") {
+    val perUser = Seq((1L, 3L), (2L, 1L), (3L, 2L)).toDF("user_id", "w")
+    val out = perUser.select(explode(sequence(lit(1L), col("w"))).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 2L, 3L -> 1L)) // monotone survival
+  }
+
+  test("abandonment: view without purchase within 1h counts; purchase later than 1h still abandons") {
+    val rows = Seq(
+      (1L, 1L, "view", t(0)), (1L, 2L, "purchase", t(600)),   // converted
+      (1L, 3L, "view", t(10000)),                              // no purchase after
+      (2L, 4L, "view", t(0)), (2L, 5L, "purchase", t(4000)))   // > 1h -> abandoned
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val key = (unix_micros(col("ts")) - 1704067200000000L) * 1000000L + col("event_id")
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val out = rows.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), key.as("k"))
+      .withColumn("next_p", min(when(col("event_type") === "purchase", col("k"))).over(wf))
+      .where(col("event_type") === "view")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("nv"),
+        sum(when(col("next_p").isNull ||
+          expr("next_p div 1000000 - k div 1000000") > 3600000000L, 1L)
+          .otherwise(0L)).as("na"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((2L, 1L)))
+    assert(out(2L) === ((1L, 1L)))
+  }
+
+  test("novelty: first occurrence per pair marks novel, repeats don't") {
+    val rows = Seq(
+      ("p1", t(0), 1L), ("p1", t(10), 2L), ("p2", t(5), 3L))
+      .toDF("pk", "ts", "event_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pk").orderBy(col("ts"), col("event_id"))
+    val out = rows.withColumn("novel", (row_number().over(w) === 1).cast("long"))
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 0L, 3L -> 1L))
+  }
+}
