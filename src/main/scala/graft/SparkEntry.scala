@@ -2947,7 +2947,53 @@ object SparkEntry {
     // top-k consecutive event-type trigrams (bounded PrefixSpan slice)
     "q_seq_patterns" -> ((s, dir) =>
       graft.agg.Aggregates.seqPatterns(events(s, dir),
-        "user_id", "event_type", "event_id", k = 20))
+        "user_id", "event_type", "event_id", k = 20)),
+
+    // CDC changelog → net-effect compaction (the batch MERGE input):
+    // signup/purchase/other → I/D/U ops keyed by user
+    "q_cdc_net" -> { (s, dir) =>
+      val op = when(col("event_type") === "signup", "I")
+        .when(col("event_type") === "purchase", "D").otherwise("U")
+      val log = events(s, dir).select(col("user_id"), op.as("op"),
+        expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)").as("vm"),
+        col("ts"), col("event_id"))
+      graft.ops.Lakehouse.netChanges(log, "user_id", "op", "vm",
+        Seq(col("ts"), col("event_id")))
+    },
+
+    // retrieval eval: per-class MRR + hits@10 + relevant@10 over exact
+    // cosine top-10 (relevant = same label as the query)
+    "q_mrr" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+      val lbl = e.select(col("vec_id"), col("label"))
+      val top = Similarity.bruteForceTopK(e,
+          e.where(col("vec_id") % 10 === 0), k = 10)
+        .join(lbl.select(col("vec_id").as("query_id"),
+          col("label").as("gold")), Seq("query_id"))
+        .join(lbl.select(col("vec_id").as("neighbor_id"),
+          col("label").as("pred")), Seq("neighbor_id"))
+      val per = top.groupBy(col("query_id"), col("gold"))
+        .agg(min(when(col("pred") === col("gold"), col("rank")))
+            .as("first_rel"),
+          sum(when(col("pred") === col("gold"), 1L).otherwise(0L))
+            .as("n_rel"))
+      per.groupBy(col("gold").as("class"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("first_rel").isNotNull, 1L).otherwise(0L))
+            .as("n_hits"),
+          sum(coalesce(expr("1000000 div first_rel"), lit(0L))).as("sum_rr"),
+          sum("n_rel").as("sum_rel"))
+        .select(col("class"), col("n_queries"), col("n_hits"),
+          expr("sum_rr div n_queries").as("mrr_ppm"),
+          expr("sum_rel * 1000000 div (n_queries * 10)").as("rel_at10_ppm"))
+    },
+
+    // ROUGE-1 P/R/F1 between each doc and its planted near-dup rendering
+    "q_rouge" -> ((s, dir) =>
+      TextAnalysis.rouge1(documents(s, dir).select(
+        col("doc_id").as("id"),
+        col("text").as("ref_text"),
+        concat(col("text"), lit(" extra")).as("cand_text"))))
   )
 
   /** transcripts ∪ three planted FATAL lines sharing one never-seen
@@ -7882,6 +7928,89 @@ object SparkEntry {
         |  SELECT *, CAST(row_number()
         |    OVER (ORDER BY support DESC, e1, e2, e3) AS INTEGER) AS rank
         |  FROM c)
-        |WHERE rank <= 20""".stripMargin
+        |WHERE rank <= 20""".stripMargin,
+
+    "q_cdc_net" ->
+      """WITH log AS (
+        |  SELECT user_id AS key,
+        |    CASE event_type WHEN 'signup' THEN 'I'
+        |      WHEN 'purchase' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm, ts, event_id
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY ts, event_id) AS rn FROM log),
+        |g AS (SELECT key, arg_min(op, rn) AS first_op,
+        |      arg_max(op, rn) AS last_op, arg_max(vm, rn) AS last_val,
+        |      count(*) AS n_changes FROM r GROUP BY 1),
+        |n AS (SELECT key, first_op, last_op,
+        |  CASE WHEN first_op <> 'I' AND last_op = 'D' THEN 'DELETE'
+        |       WHEN first_op <> 'I' THEN 'UPDATE'
+        |       WHEN last_op = 'D' THEN 'NONE' ELSE 'INSERT' END AS net_op,
+        |  last_val, n_changes FROM g)
+        |SELECT key, first_op, last_op, net_op,
+        |  CASE WHEN net_op IN ('INSERT', 'UPDATE') THEN last_val END
+        |    AS new_value,
+        |  CAST(n_changes AS BIGINT) AS n_changes
+        |FROM n""".stripMargin,
+
+    "q_mrr" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, q.label AS gold, c.label AS pred,
+        |    c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, c.v) /
+        |      sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)), 6)
+        |      AS cos
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 10 = 0),
+        |top AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+        |  WHERE rank <= 10),
+        |per AS (SELECT query_id, gold,
+        |  min(CASE WHEN pred = gold THEN rank END) AS first_rel,
+        |  sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS n_rel
+        |  FROM top GROUP BY 1, 2),
+        |g AS (SELECT gold AS class, count(*) AS n_queries,
+        |  sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+        |  sum(coalesce(1000000 // first_rel, 0)) AS sum_rr,
+        |  sum(n_rel) AS sum_rel FROM per GROUP BY 1)
+        |SELECT class, CAST(n_queries AS BIGINT) AS n_queries,
+        |  CAST(n_hits AS BIGINT) AS n_hits,
+        |  CAST(sum_rr // n_queries AS BIGINT) AS mrr_ppm,
+        |  CAST(sum_rel * 1000000 // (n_queries * 10) AS BIGINT)
+        |    AS rel_at10_ppm
+        |FROM g""".stripMargin,
+
+    "q_rouge" ->
+      """WITH pairs AS (SELECT doc_id AS id, text AS ref_text,
+        |  text || ' extra' AS cand_text FROM documents),
+        |rt AS (SELECT id, UNNEST(regexp_split_to_array(lower(trim(ref_text)),
+        |  '\s+')) AS tok FROM pairs WHERE trim(ref_text) <> ''),
+        |rc AS (SELECT id, tok, count(*) AS c FROM rt GROUP BY 1, 2),
+        |ct AS (SELECT id, UNNEST(regexp_split_to_array(lower(trim(cand_text)),
+        |  '\s+')) AS tok FROM pairs WHERE trim(cand_text) <> ''),
+        |cc AS (SELECT id, tok, count(*) AS c FROM ct GROUP BY 1, 2),
+        |ov AS (SELECT id, sum(least(rc.c, cc.c)) AS overlap
+        |  FROM rc JOIN cc USING (id, tok) GROUP BY 1),
+        |nr AS (SELECT id, sum(c) AS n_ref FROM rc GROUP BY 1),
+        |nc AS (SELECT id, sum(c) AS n_cand FROM cc GROUP BY 1),
+        |j AS (SELECT p.id, coalesce(n_ref, 0) AS n_ref,
+        |  coalesce(n_cand, 0) AS n_cand, coalesce(overlap, 0) AS overlap
+        |  FROM (SELECT DISTINCT id FROM pairs) p
+        |  LEFT JOIN nr USING (id) LEFT JOIN nc USING (id)
+        |  LEFT JOIN ov USING (id))
+        |SELECT id, CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(n_cand AS BIGINT) AS n_cand,
+        |  CAST(overlap AS BIGINT) AS overlap,
+        |  CAST(CASE WHEN n_cand > 0 THEN overlap * 1000000 // n_cand END
+        |    AS BIGINT) AS p_ppm,
+        |  CAST(CASE WHEN n_ref > 0 THEN overlap * 1000000 // n_ref END
+        |    AS BIGINT) AS r_ppm,
+        |  CAST(CASE WHEN n_ref + n_cand > 0
+        |    THEN 2 * overlap * 1000000 // (n_ref + n_cand) END
+        |    AS BIGINT) AS f1_ppm
+        |FROM j""".stripMargin
   )
 }

@@ -343,6 +343,51 @@ object Lakehouse {
       .agg(count(lit(1)).as("n_rows"), sum("_h").as("hash_sum"),
         expr("bit_xor(_h)").as("hash_xor"))
 
+  /** CDC changelog compaction: collapse an ordered I/U/D change log into
+    * the NET effect per key between two checkpoints — the batch form of a
+    * Debezium topic → lakehouse MERGE apply (one MERGE with the net rows
+    * beats replaying every intermediate version row-by-row). Whether a
+    * key pre-existed the window is read off its FIRST op in the log
+    * (first 'I' ⇒ born inside the window):
+    *
+    *   pre-existing + last D  → DELETE
+    *   pre-existing + last ¬D → UPDATE   (intermediate versions dropped)
+    *   born inside  + last D  → NONE     (insert+delete cancel; kept for audit)
+    *   born inside  + last ¬D → INSERT
+    *
+    * Reference tie-in: Beats ships at-least-once with registrar offsets
+    * (`filebeat/registrar/registrar.go`) but never compacts — net-effect
+    * folding is what the downstream table needs at replay time.
+    *
+    * Scale: one row_number window + one groupBy, both shuffling on the
+    * key — no driver state, no per-version join. At 10¹² change rows the
+    * window and the agg share the hash partitioning (one exchange reused);
+    * bucket the target table by the same key so the MERGE co-locates.
+    * Ordering MUST include a unique tie-break (ts alone collides at
+    * scale — the q_flow_sessions lesson).
+    */
+  def netChanges(log: DataFrame, keyCol: String, opCol: String,
+      valCol: String, order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(order: _*)
+    log.withColumn("rn", row_number().over(w))
+      .groupBy(col(keyCol).as("key"))
+      .agg(
+        expr(s"min_by($opCol, rn)").as("first_op"),
+        expr(s"max_by($opCol, rn)").as("last_op"),
+        expr(s"max_by($valCol, rn)").as("last_val"),
+        count(lit(1)).as("n_changes"))
+      .withColumn("net_op",
+        when(col("first_op") =!= "I" && col("last_op") === "D", "DELETE")
+          .when(col("first_op") =!= "I", "UPDATE")
+          .when(col("last_op") === "D", "NONE")
+          .otherwise("INSERT"))
+      .select(col("key"), col("first_op"), col("last_op"), col("net_op"),
+        when(col("net_op").isin("INSERT", "UPDATE"), col("last_val"))
+          .as("new_value"),
+        col("n_changes"))
+  }
+
   def backfillGaps(df: DataFrame, tsCol: String = "ts"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val days = df.select(to_date(col(tsCol)).as("_d")).distinct()

@@ -1094,4 +1094,51 @@ object TextAnalysis {
       .select(col("lang"), col("n_pairs"), col("n_correct"),
         expr("n_correct * 1000000 div n_pairs").as("acc_ppm"))
   }
+
+  /** ROUGE-1 (clipped unigram overlap) precision/recall/F1 per pair, in
+    * exact ppm — the summarization/SFT eval primitive (Lin 2004, public):
+    * overlap = Σ_tok min(count_ref(tok), count_cand(tok)).
+    *
+    * Input: one row per pair (idCol, refCol, candCol). All-integer (the
+    * clipped counts sum exactly; ppm ratios are floor divisions), so the
+    * score is bit-identical across engines and partitionings. Empty or
+    * whitespace-only sides tokenize to zero tokens (NOT [""] — the
+    * wsTokenCount rule), and their ratio is NULL rather than a division
+    * blowup.
+    *
+    * Scale shape: tokenize → per-(id, tok) counts (one shuffle on the
+    * pair id+token) → overlap join on (id, tok) — co-partitioned with the
+    * counts, never all-pairs. At 10¹² pairs everything keys on the pair
+    * id; no broadcast, no driver state. Degenerate mega-documents cost
+    * their own token count only.
+    */
+  def rouge1(pairs: DataFrame, idCol: String = "id",
+      refCol: String = "ref_text", candCol: String = "cand_text"): DataFrame = {
+    def counts(c: String): DataFrame = pairs
+      .select(col(idCol).as("id"),
+        when(trim(col(c)) === "", array().cast("array<string>"))
+          .otherwise(split(lower(trim(col(c))), "\\s+")).as("toks"))
+      .select(col("id"), explode(col("toks")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+    val rc = counts(refCol)
+    val cc = counts(candCol)
+    val ov = rc.join(cc.withColumnRenamed("c", "c2"), Seq("id", "tok"))
+      .groupBy("id").agg(sum(least(col("c"), col("c2"))).as("overlap"))
+    val nr = rc.groupBy("id").agg(sum("c").as("n_ref"))
+    val nc = cc.groupBy("id").agg(sum("c").as("n_cand"))
+    pairs.select(col(idCol).as("id")).distinct()
+      .join(nr, Seq("id"), "left")
+      .join(nc, Seq("id"), "left")
+      .join(ov, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .withColumn("p_ppm",
+        expr("CASE WHEN n_cand > 0 THEN overlap * 1000000 div n_cand END"))
+      .withColumn("r_ppm",
+        expr("CASE WHEN n_ref > 0 THEN overlap * 1000000 div n_ref END"))
+      .withColumn("f1_ppm", expr(
+        "CASE WHEN n_ref + n_cand > 0 THEN 2 * overlap * 1000000 div (n_ref + n_cand) END"))
+  }
 }

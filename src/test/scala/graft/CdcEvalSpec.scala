@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Lakehouse, TextAnalysis}
+
+/** Session-8 batch 22: CDC net-effect compaction, ROUGE-1, MRR eval. */
+class CdcEvalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("netChanges: all four net cases + insert-delete cancellation") {
+    val log = Seq(
+      (1L, "I", 10L, 1L), (1L, "U", 20L, 2L),             // born + updated -> INSERT(20)
+      (2L, "U", 30L, 1L), (2L, "D", 0L, 2L),              // pre-existing deleted -> DELETE
+      (3L, "I", 40L, 1L), (3L, "D", 0L, 2L),              // born + deleted -> NONE
+      (4L, "D", 0L, 1L),                                   // first op D => pre-existing -> DELETE
+      (5L, "U", 50L, 1L), (5L, "U", 60L, 2L))             // pre-existing updated -> UPDATE(60)
+      .toDF("k", "op", "vm", "seq")
+    val out = Lakehouse.netChanges(log, "k", "op", "vm", Seq(col("seq")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(3), Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5)))).toMap
+    assert(out(1L) === (("INSERT", Some(20L), 2L)))
+    assert(out(2L) === (("DELETE", None, 2L)))
+    assert(out(3L) === (("NONE", None, 2L)))
+    assert(out(4L) === (("DELETE", None, 1L)))
+    assert(out(5L) === (("UPDATE", Some(60L), 2L)))
+  }
+
+  test("netChanges: order column decides last version, not row order") {
+    val log = Seq((1L, "U", 99L, 2L), (1L, "U", 7L, 5L), (1L, "U", 42L, 3L))
+      .toDF("k", "op", "vm", "seq")
+    val out = Lakehouse.netChanges(log, "k", "op", "vm", Seq(col("seq"))).collect()(0)
+    assert(out.getAs[Long]("new_value") === 7L) // seq=5 wins
+    assert(out.getAs[String]("net_op") === "UPDATE")
+  }
+
+  test("rouge1: clipped overlap, hand-computed ppm") {
+    val pairs = Seq((1L, "a b b c", "b b d"), (2L, "x", "x"), (3L, "", "y"))
+      .toDF("id", "ref_text", "cand_text")
+    val out = TextAnalysis.rouge1(pairs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // pair 1: overlap = min(2,2) for 'b' = 2; n_ref=4, n_cand=3
+    assert(out(1L).getAs[Long]("overlap") === 2L)
+    assert(out(1L).getAs[Long]("p_ppm") === 2L * 1000000L / 3L)
+    assert(out(1L).getAs[Long]("r_ppm") === 500000L)
+    assert(out(1L).getAs[Long]("f1_ppm") === 2L * 2L * 1000000L / 7L)
+    // identical one-token pair: perfect score
+    assert(out(2L).getAs[Long]("f1_ppm") === 1000000L)
+    // empty ref: zero tokens (not [""]), recall NULL, precision 0
+    assert(out(3L).getAs[Long]("n_ref") === 0L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("r_ppm")))
+    assert(out(3L).getAs[Long]("p_ppm") === 0L)
+  }
+
+  test("mrr aggregation: reciprocal-rank ppm and hits from ranked hits") {
+    // per-(query, gold) min relevant rank -> class rollup, as q_mrr does
+    val top = Seq(
+      (1L, 0, 0, 1), (1L, 0, 1, 2),   // q1 gold=0: first_rel=1
+      (2L, 0, 1, 1), (2L, 0, 0, 3),   // q2 gold=0: first_rel=3
+      (3L, 1, 0, 1), (3L, 1, 0, 2))   // q3 gold=1: no relevant
+      .toDF("query_id", "gold", "pred", "rank")
+    val per = top.groupBy(col("query_id"), col("gold"))
+      .agg(min(when(col("pred") === col("gold"), col("rank"))).as("first_rel"),
+        sum(when(col("pred") === col("gold"), 1L).otherwise(0L)).as("n_rel"))
+    val out = per.groupBy(col("gold").as("class"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("first_rel").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        sum(coalesce(expr("1000000 div first_rel"), lit(0L))).as("sum_rr"))
+      .withColumn("mrr_ppm", expr("sum_rr div n_queries"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getAs[Long]("n_hits") === 2L)
+    assert(out(0).getAs[Long]("mrr_ppm") === (1000000L + 333333L) / 2L)
+    assert(out(1).getAs[Long]("n_hits") === 0L)
+    assert(out(1).getAs[Long]("mrr_ppm") === 0L)
+  }
+}
