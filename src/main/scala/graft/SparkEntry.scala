@@ -2993,7 +2993,54 @@ object SparkEntry {
       TextAnalysis.rouge1(documents(s, dir).select(
         col("doc_id").as("id"),
         col("text").as("ref_text"),
-        concat(col("text"), lit(" extra")).as("cand_text"))))
+        concat(col("text"), lit(" extra")).as("cand_text")))),
+
+    // bitemporal as-of: state as KNOWN at the Jan-15 tx cutoff vs as
+    // known now, both valid as of Jan-14 (late corrections differ)
+    "q_bitemporal" -> { (s, dir) =>
+      val txUs = unix_micros(col("ts").cast("timestamp"))
+      val log = events(s, dir).select((col("user_id") % 50).as("ent"),
+        txUs.as("tx_us"),
+        (txUs - (col("event_id") % 49) * 3600000000L).as("valid_us"),
+        expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)").as("vm"),
+        col("event_id"))
+      val validCut = 1705190400000000L // 2024-01-14 00:00:00 UTC
+      val txCut = 1705276800000000L    // 2024-01-15 00:00:00 UTC
+      val atCut = graft.ops.Lakehouse.bitemporalAsOf(log, "ent", "valid_us",
+          "tx_us", "event_id", "vm", validCut, txCut)
+        .select(col("key"), col("value").as("v_at_cut"),
+          col("n_versions").as("n_at_cut"))
+      val now = graft.ops.Lakehouse.bitemporalAsOf(log, "ent", "valid_us",
+          "tx_us", "event_id", "vm", validCut, Long.MaxValue)
+        .select(col("key"), col("value").as("v_now"),
+          col("n_versions").as("n_now"))
+      now.join(atCut, Seq("key"), "left")
+        .select(col("key"), col("v_at_cut"), col("v_now"),
+          coalesce(col("n_at_cut"), lit(0L)).as("n_at_cut"), col("n_now"),
+          (coalesce(col("v_at_cut"), lit(-1L)) =!= col("v_now"))
+            .cast("int").as("corrected"))
+    },
+
+    // exponential-backoff retry-chain detection over error events, with
+    // one planted perfect gap-doubling sequence
+    "q_backoff" -> { (s, dir) =>
+      val errs = events(s, dir).where(col("event_type") === "error")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_id"))
+      val planted = s.range(7).select(lit(99999L).as("user_id"),
+        timestamp_micros(lit(1704412800000000L) +
+          expr("shiftleft(1L, CAST(id AS INT))") * 60000000L).as("ts"),
+        (col("id") + 9000000L).as("event_id"))
+      graft.agg.Aggregates.backoffChains(errs.unionAll(planted),
+        "user_id", "ts", "event_id")
+    },
+
+    // bounded k-core peel of the user×item engagement graph
+    "q_kcore" -> ((s, dir) =>
+      Graph.kcorePeel(events(s, dir).select(col("user_id").as("src"),
+        (get_json_object(col("props"), "$.k").cast("long") % 50 + 10000L)
+          .as("dst")),
+        k = 12L, rounds = 3))
   )
 
   /** transcripts ∪ three planted FATAL lines sharing one never-seen
@@ -8011,6 +8058,92 @@ object SparkEntry {
         |  CAST(CASE WHEN n_ref + n_cand > 0
         |    THEN 2 * overlap * 1000000 // (n_ref + n_cand) END
         |    AS BIGINT) AS f1_ppm
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+
+    "q_bitemporal" ->
+      """WITH log AS (
+        |  SELECT user_id % 50 AS ent, epoch_us(ts) AS tx_us,
+        |    epoch_us(ts) - (event_id % 49) * 3600000000 AS valid_us,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm, event_id
+        |  FROM events),
+        |a AS (SELECT ent, vm, row_number() OVER (PARTITION BY ent
+        |    ORDER BY valid_us, tx_us, event_id) AS rn
+        |  FROM log WHERE valid_us <= 1705190400000000
+        |    AND tx_us <= 1705276800000000),
+        |ag AS (SELECT ent AS key, arg_max(vm, rn) AS v_at_cut,
+        |  count(*) AS n_at_cut FROM a GROUP BY 1),
+        |b AS (SELECT ent, vm, row_number() OVER (PARTITION BY ent
+        |    ORDER BY valid_us, tx_us, event_id) AS rn
+        |  FROM log WHERE valid_us <= 1705190400000000),
+        |bg AS (SELECT ent AS key, arg_max(vm, rn) AS v_now,
+        |  count(*) AS n_now FROM b GROUP BY 1)
+        |SELECT bg.key, ag.v_at_cut, bg.v_now,
+        |  CAST(coalesce(ag.n_at_cut, 0) AS BIGINT) AS n_at_cut,
+        |  CAST(bg.n_now AS BIGINT) AS n_now,
+        |  CAST(coalesce(ag.v_at_cut, -1) <> bg.v_now AS INTEGER) AS corrected
+        |FROM bg LEFT JOIN ag USING (key)""".stripMargin,
+
+    "q_backoff" ->
+      """WITH base AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT 99999, make_timestamp(1704412800000000 + (1 << i) * 60000000),
+        |    i + 9000000
+        |  FROM (SELECT unnest(generate_series(0, 6)) AS i)),
+        |g AS (SELECT user_id AS key, epoch_us(ts) AS tus, event_id AS o,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM base),
+        |p AS (SELECT *, lag(gap) OVER (PARTITION BY key ORDER BY tus, o)
+        |  AS pgap FROM g),
+        |f AS (SELECT *, CASE WHEN pgap > 0 AND gap > 0
+        |    AND gap * 2 >= pgap * 3 AND gap <= pgap * 3
+        |  THEN 1 ELSE 0 END AS ok FROM p),
+        |r AS (SELECT *, sum(1 - ok) OVER (PARTITION BY key ORDER BY tus, o
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM f),
+        |runs AS (SELECT key, grp, count(*) AS len FROM r WHERE ok = 1
+        |  GROUP BY 1, 2),
+        |pk AS (SELECT key, sum(CASE WHEN len >= 2 THEN 1 ELSE 0 END)
+        |    AS n_chains, max(len + 1) AS max_chain_gaps
+        |  FROM runs GROUP BY 1),
+        |tot AS (SELECT key,
+        |  sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END) AS n_gaps,
+        |  sum(ok) AS n_ok FROM f GROUP BY 1)
+        |SELECT t.key, CAST(n_gaps AS BIGINT) AS n_gaps,
+        |  CAST(n_ok AS BIGINT) AS n_ok,
+        |  CAST(coalesce(n_chains, 0) AS BIGINT) AS n_chains,
+        |  CAST(coalesce(max_chain_gaps, 0) AS BIGINT) AS max_chain_gaps
+        |FROM tot t LEFT JOIN pk USING (key)""".stripMargin,
+
+    "q_kcore" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT
+        |    least(user_id,
+        |      CAST(json_extract_string(props, '$.k') AS BIGINT) % 50 + 10000)
+        |      AS u,
+        |    greatest(user_id,
+        |      CAST(json_extract_string(props, '$.k') AS BIGINT) % 50 + 10000)
+        |      AS v
+        |  FROM events
+        |  WHERE user_id <>
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 50 + 10000),
+        |d0 AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+        |k0 AS (SELECT node FROM d0 WHERE deg >= 12),
+        |e1 AS (SELECT e0.u, e0.v FROM e0
+        |  JOIN k0 a ON e0.u = a.node JOIN k0 b ON e0.v = b.node),
+        |d1 AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
+        |k1 AS (SELECT node FROM d1 WHERE deg >= 12),
+        |e2 AS (SELECT e1.u, e1.v FROM e1
+        |  JOIN k1 a ON e1.u = a.node JOIN k1 b ON e1.v = b.node),
+        |d2 AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
+        |k2 AS (SELECT node FROM d2 WHERE deg >= 12),
+        |e3 AS (SELECT e2.u, e2.v FROM e2
+        |  JOIN k2 a ON e2.u = a.node JOIN k2 b ON e2.v = b.node)
+        |SELECT node, CAST(deg AS BIGINT) AS deg, deg >= 12 AS in_core
+        |FROM (SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3) GROUP BY 1)""".stripMargin
   )
 }

@@ -1272,6 +1272,53 @@ object Aggregates {
         expr("(span_us - downtime_us) * 1000000 div span_us"))
   }
 
+  /** Exponential-backoff chain detector: per key, flag consecutive
+    * inter-event gap PAIRS whose ratio sits in [1.5, 3] (integer
+    * cross-multiplication — 2·gap ≥ 3·prev ∧ gap ≤ 3·prev — no float
+    * division), then reduce maximal runs of flagged pairs. A run of
+    * ≥ `minOkPairs` flagged pairs is a backoff chain — the signature a
+    * client retrying with exponential backoff leaves in a log (Beats
+    * outputs themselves emit this shape: `libbeat/outputs/backoff.go`
+    * doubles the wait per failure). Detecting it separates "service was
+    * down, clients were polite" from genuine retry storms.
+    *
+    * Output per key: n_gaps, n_ok (flagged pairs), n_chains,
+    * max_chain_gaps (gaps in the longest chain = run length + 1; 0 when
+    * none). Zero and negative gaps never flag (`prev > 0 ∧ gap > 0`).
+    *
+    * Scale shape: two stacked lags + one running sum on a single
+    * (key, ts, ord) window — one exchange — then two map-side-combinable
+    * groupBys. Deterministic under timestamp collisions via `ordCol`.
+    */
+  def backoffChains(df: DataFrame, keyCol: String, tsCol: String,
+      ordCol: String, minOkPairs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy(col("_tus"), col("_o"))
+    val flagged = df.select(col(keyCol).as("key"),
+        unix_micros(col(tsCol).cast("timestamp")).as("_tus"),
+        col(ordCol).as("_o"))
+      .withColumn("_gap", col("_tus") - lag(col("_tus"), 1).over(w))
+      .withColumn("_pgap", lag(col("_gap"), 1).over(w))
+      .withColumn("_ok", when(col("_pgap") > 0L && col("_gap") > 0L &&
+          col("_gap") * 2 >= col("_pgap") * 3 &&
+          col("_gap") <= col("_pgap") * 3, 1L).otherwise(0L))
+      .withColumn("_grp", sum(lit(1L) - col("_ok"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = flagged.where(col("_ok") === 1L)
+      .groupBy("key", "_grp").agg(count(lit(1)).as("_len"))
+      .groupBy("key")
+      .agg(sum(when(col("_len") >= minOkPairs, 1L).otherwise(0L))
+          .as("n_chains"),
+        max(col("_len") + 1).as("max_chain_gaps"))
+    flagged.groupBy("key")
+      .agg(sum(when(col("_gap").isNotNull, 1L).otherwise(0L)).as("n_gaps"),
+        sum("_ok").as("n_ok"))
+      .join(runs, Seq("key"), "left")
+      .select(col("key"), col("n_gaps"), col("n_ok"),
+        coalesce(col("n_chains"), lit(0L)).as("n_chains"),
+        coalesce(col("max_chain_gaps"), lit(0L)).as("max_chain_gaps"))
+  }
+
   /** DAU / trailing-window MAU stickiness per day: distinct actives that
     * day, distinct actives over the trailing `windowDays` ending that
     * day, and the ratio as integer ppm. The engagement metric every

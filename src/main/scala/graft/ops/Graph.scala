@@ -242,4 +242,46 @@ object Graph {
     }
     visited
   }
+
+  /** Bounded k-core peel (Seidman 1983, public): repeat `rounds` times —
+    * compute degrees on the surviving edge set, keep nodes with
+    * degree ≥ k, keep edges with BOTH endpoints kept. Returns the nodes
+    * still carrying an edge after the last peel with their CURRENT
+    * degree plus `in_core` (a node can end under k when its neighbors
+    * fell in the same round it survived — converged ⟺ every row has
+    * in_core true; with rounds ≥ the peel depth this is the exact
+    * k-core).
+    *
+    * The k-core is the engagement/abuse-analysis primitive (dense
+    * subgraph of users×items that survives mutual-support pruning);
+    * peeling is inherently iterative, so like connectedComponents the
+    * round count is the price — each round is one degree groupBy + two
+    * semi-joins, all keyed on node ids, nothing collected. At 10¹²
+    * edges: localCheckpoint per round truncates the doubling plan, hub
+    * skew lands in the degree agg (map-side combinable) not a join
+    * explosion.
+    */
+  def kcorePeel(edges: DataFrame, k: Long, rounds: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    var alive = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    def degrees(e: DataFrame): DataFrame = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    var round = 0
+    while (round < rounds) {
+      val keep = degrees(alive).where(col("deg") >= k).select("node")
+      alive = alive
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+      round += 1
+    }
+    degrees(alive).select(col("node"), col("deg"),
+      (col("deg") >= k).as("in_core"))
+  }
 }

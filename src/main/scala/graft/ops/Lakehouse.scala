@@ -388,6 +388,33 @@ object Lakehouse {
         col("n_changes"))
   }
 
+  /** Bitemporal as-of reconstruction (Snodgrass, "Developing
+    * Time-Oriented Database Applications in SQL", 1999 — public): the
+    * state of each key as it was KNOWN at transaction time `txCut`,
+    * VALID as of `validCut`. Both time axes are epoch-microsecond longs
+    * (timestamps collide at 10¹² rows; `ordCol` is the final unique
+    * tie-break). Winner per key = the record with max (valid, tx, ord)
+    * among those with valid ≤ validCut and tx ≤ txCut — late-arriving
+    * corrections (tx ≫ valid) change past reports, which is exactly what
+    * re-running with a later txCut exposes.
+    *
+    * Scale: one filtered window + one groupBy on the key sharing the
+    * same hash partitioning; cutoffs are pushed-down scan predicates
+    * (partition-prunable when the table is laid out by tx day).
+    */
+  def bitemporalAsOf(log: DataFrame, keyCol: String, validCol: String,
+      txCol: String, ordCol: String, valCol: String,
+      validCut: Long, txCut: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(validCol), col(txCol), col(ordCol))
+    log.where(col(validCol) <= validCut && col(txCol) <= txCut)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col(keyCol).as("key"))
+      .agg(expr(s"max_by($valCol, rn)").as("value"),
+        count(lit(1)).as("n_versions"))
+  }
+
   def backfillGaps(df: DataFrame, tsCol: String = "ts"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val days = df.select(to_date(col(tsCol)).as("_d")).distinct()

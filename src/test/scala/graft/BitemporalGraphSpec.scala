@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Graph, Lakehouse}
+import graft.agg.Aggregates
+
+/** Session-8 batch 23: bitemporal as-of, k-core peel, backoff chains. */
+class BitemporalGraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("kcorePeel: clique survives, pendant chain peels off") {
+    // 4-clique {1,2,3,4} + pendant path 4-5-6
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val out = Graph.kcorePeel(edges, k = 3L, rounds = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out.values.toSet === Set((3L, true))) // exact 3-core: the clique
+  }
+
+  test("kcorePeel: bounded rounds expose partial peel, more rounds finish it") {
+    // path 1-2-3-4-5 with k=2: full peel empties it; one round leaves
+    // the middle with sub-k degrees (documented in_core=false state)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val one = Graph.kcorePeel(path, k = 2L, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(one === Set((2L, 1L, false), (3L, 2L, true), (4L, 1L, false)))
+    assert(Graph.kcorePeel(path, k = 2L, rounds = 3).count() === 0L)
+  }
+
+  test("bitemporalAsOf: late correction invisible at tx cutoff, visible now") {
+    val log = Seq(
+      (1L, 10L, 10L, 100L, 1L),  // key 1: valid 10, tx 10, v=100
+      (1L, 5L, 20L, 200L, 2L),   // late correction: valid 5, recorded tx 20
+      (2L, 1L, 1L, 300L, 3L),
+      (2L, 2L, 2L, 400L, 4L))
+      .toDF("k", "valid_us", "tx_us", "vm", "oid")
+    // as known at tx<=15, valid<=7: key 1 has NO qualifying row
+    val early = Lakehouse.bitemporalAsOf(log, "k", "valid_us", "tx_us",
+      "oid", "vm", validCut = 7L, txCut = 15L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(early === Map(2L -> 400L))
+    // as known now (tx unbounded): the correction surfaces for key 1
+    val now = Lakehouse.bitemporalAsOf(log, "k", "valid_us", "tx_us",
+      "oid", "vm", validCut = 7L, txCut = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(now === Map(1L -> 200L, 2L -> 400L))
+  }
+
+  test("bitemporalAsOf: winner is max (valid, tx, ord), not insert order") {
+    val log = Seq((1L, 10L, 99L, 111L, 1L), (1L, 20L, 1L, 222L, 2L))
+      .toDF("k", "valid_us", "tx_us", "vm", "oid")
+    val out = Lakehouse.bitemporalAsOf(log, "k", "valid_us", "tx_us",
+      "oid", "vm", validCut = 100L, txCut = 100L).collect()(0)
+    assert(out.getLong(1) === 222L) // higher valid time wins despite lower tx
+    assert(out.getLong(2) === 2L)
+  }
+
+  test("backoffChains: doubling gaps chain; constant gaps never flag") {
+    def t(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000)
+    // user 1: events at 0, 60, 180, 420 -> gaps 60, 120, 240 (x2, x2: 2 ok pairs)
+    // user 2: constant 60 s gaps (ratio 1 < 1.5: no flags)
+    val rows = Seq(
+      (1L, t(0), 1L), (1L, t(60), 2L), (1L, t(180), 3L), (1L, t(420), 4L),
+      (2L, t(0), 5L), (2L, t(60), 6L), (2L, t(120), 7L), (2L, t(180), 8L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Aggregates.backoffChains(rows, "user_id", "ts", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((3L, 2L, 1L, 3L))) // 3 gaps, 2 ok, 1 chain of 3 gaps
+    assert(out(2L) === ((3L, 0L, 0L, 0L)))
+  }
+
+  test("backoffChains: ratio window is [1.5, 3] inclusive, zero gaps excluded") {
+    def t(ms: Long) = new java.sql.Timestamp(1704067200000L + ms)
+    // gaps: 100, 150 (1.5x ok), 450 (3x ok), 2000 (>3x break), 2000 (1x no)
+    val rows = Seq(0L, 100L, 250L, 700L, 2700L, 4700L).zipWithIndex
+      .map { case (ms, i) => (7L, t(ms), i.toLong) }
+      .toDF("user_id", "ts", "event_id")
+    val out = Aggregates.backoffChains(rows, "user_id", "ts", "event_id")
+      .collect()(0)
+    assert(out.getLong(1) === 5L) // n_gaps
+    assert(out.getLong(2) === 2L) // n_ok: 1.5x and 3.0x both inclusive
+    assert(out.getLong(3) === 1L) // one chain (2 consecutive ok pairs)
+    assert(out.getLong(4) === 3L) // spanning 3 gaps
+  }
+}
