@@ -3040,7 +3040,39 @@ object SparkEntry {
       Graph.kcorePeel(events(s, dir).select(col("user_id").as("src"),
         (get_json_object(col("props"), "$.k").cast("long") % 50 + 10000L)
           .as("dst")),
-        k = 12L, rounds = 3))
+        k = 12L, rounds = 3)),
+
+    // integer Haar pyramid over the first 16 hourly counts per type
+    "q_haar" -> { (s, dir) =>
+      val idx = expr(
+        "(unix_micros(CAST(ts AS TIMESTAMP)) - 1704067200000000) div 3600000000")
+      val series = events(s, dir)
+        .select(col("event_type").as("key"), idx.as("idx"))
+        .where(col("idx") >= 0 && col("idx") < 16)
+        .groupBy("key", "idx").agg(count(lit(1)).as("v"))
+      graft.agg.Aggregates.haarDecompose(series, "key", "idx", "v", levels = 4)
+    },
+
+    // weekly total-variation drift of the event-type mix vs week 0
+    "q_tv_drift" -> { (s, dir) =>
+      val wk = expr(
+        "(unix_micros(CAST(ts AS TIMESTAMP)) - 1704067200000000) div 604800000000")
+      graft.agg.Aggregates.tvDrift(
+        events(s, dir).withColumn("wk", wk), "event_type", "wk")
+    },
+
+    // write-audit-publish gate per staged day, with one planted bad
+    // partition (dupes + corrupt rows + tiny volume)
+    "q_wap" -> { (s, dir) =>
+      val real = events(s, dir).select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_id"),
+        get_json_object(col("props"), "$.k").isNull.cast("int").as("bad"))
+      val planted = s.range(10).select(lit("2024-02-01").as("day"),
+        (lit(5000000L) + col("id") % 5).as("event_id"),
+        (col("id") < 3).cast("int").as("bad"))
+      graft.ops.Lakehouse.wapAudit(real.unionAll(planted), col("day"),
+        "event_id", col("bad") === 1, maxCorruptPpm = 100000L)
+    }
   )
 
   /** transcripts ∪ three planted FATAL lines sharing one never-seen
@@ -8144,6 +8176,97 @@ object SparkEntry {
         |  JOIN k2 a ON e2.u = a.node JOIN k2 b ON e2.v = b.node)
         |SELECT node, CAST(deg AS BIGINT) AS deg, deg >= 12 AS in_core
         |FROM (SELECT node, count(*) AS deg FROM (
-        |  SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3) GROUP BY 1)""".stripMargin
+        |  SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3) GROUP BY 1)""".stripMargin,
+
+    "q_haar" ->
+      """WITH c0 AS (
+        |  SELECT event_type AS key,
+        |    (epoch_us(ts) - 1704067200000000) // 3600000000 AS idx,
+        |    count(*) AS v
+        |  FROM events
+        |  WHERE (epoch_us(ts) - 1704067200000000) // 3600000000
+        |    BETWEEN 0 AND 15
+        |  GROUP BY 1, 2),
+        |l1 AS (SELECT key, bidx AS idx, v, d FROM (
+        |  SELECT key, idx // 2 AS bidx, sum(v) AS v,
+        |    sum(CASE WHEN idx % 2 = 0 THEN v ELSE -v END) AS d
+        |  FROM c0 GROUP BY 1, 2)),
+        |l2 AS (SELECT key, bidx AS idx, v, d FROM (
+        |  SELECT key, idx // 2 AS bidx, sum(v) AS v,
+        |    sum(CASE WHEN idx % 2 = 0 THEN v ELSE -v END) AS d
+        |  FROM l1 GROUP BY 1, 2)),
+        |l3 AS (SELECT key, bidx AS idx, v, d FROM (
+        |  SELECT key, idx // 2 AS bidx, sum(v) AS v,
+        |    sum(CASE WHEN idx % 2 = 0 THEN v ELSE -v END) AS d
+        |  FROM l2 GROUP BY 1, 2)),
+        |l4 AS (SELECT key, bidx AS idx, v, d FROM (
+        |  SELECT key, idx // 2 AS bidx, sum(v) AS v,
+        |    sum(CASE WHEN idx % 2 = 0 THEN v ELSE -v END) AS d
+        |  FROM l3 GROUP BY 1, 2))
+        |SELECT key, CAST(1 AS INTEGER) AS level, CAST(idx AS BIGINT) AS idx,
+        |  CAST(d AS BIGINT) AS coef FROM l1
+        |UNION ALL SELECT key, 2, CAST(idx AS BIGINT), CAST(d AS BIGINT) FROM l2
+        |UNION ALL SELECT key, 3, CAST(idx AS BIGINT), CAST(d AS BIGINT) FROM l3
+        |UNION ALL SELECT key, 4, CAST(idx AS BIGINT), CAST(d AS BIGINT) FROM l4
+        |UNION ALL SELECT key, 0, CAST(idx AS BIGINT), CAST(v AS BIGINT) FROM l4"""
+        .stripMargin,
+
+    "q_tv_drift" ->
+      """WITH e AS (SELECT event_type AS cat,
+        |  (epoch_us(ts) - 1704067200000000) // 604800000000 AS bkt
+        |  FROM events),
+        |c AS (SELECT bkt, cat, count(*) AS c FROM e GROUP BY 1, 2),
+        |n AS (SELECT bkt, sum(c) AS n FROM c GROUP BY 1),
+        |b AS (SELECT cat, c AS cb FROM c WHERE bkt = 0),
+        |nbt AS (SELECT n AS nb FROM n WHERE bkt = 0),
+        |cats AS (SELECT DISTINCT cat FROM c),
+        |g AS (SELECT n.bkt, n.n, cats.cat FROM n CROSS JOIN cats
+        |  WHERE n.bkt <> 0),
+        |j AS (SELECT g.bkt, g.n, coalesce(c.c, 0) AS cw,
+        |    coalesce(b.cb, 0) AS cb
+        |  FROM g LEFT JOIN c ON c.bkt = g.bkt AND c.cat = g.cat
+        |  LEFT JOIN b ON b.cat = g.cat),
+        |s AS (SELECT bkt, n, sum(abs(cw * nbt.nb - cb * n)) AS s,
+        |    max(nbt.nb) AS nb
+        |  FROM j CROSS JOIN nbt GROUP BY 1, 2)
+        |SELECT bkt, CAST(n AS BIGINT) AS n_events,
+        |  CAST(s * 1000000 // (2 * n * nb) AS BIGINT) AS tv_ppm
+        |FROM s""".stripMargin,
+
+    "q_wap" ->
+      """WITH staged AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS part, event_id,
+        |    CASE WHEN json_extract_string(props, '$.k') IS NULL
+        |      THEN 1 ELSE 0 END AS bad
+        |  FROM events
+        |  UNION ALL
+        |  SELECT '2024-02-01', 5000000 + i % 5,
+        |    CASE WHEN i < 3 THEN 1 ELSE 0 END
+        |  FROM (SELECT unnest(generate_series(0, 9)) AS i)),
+        |pp AS (SELECT part, count(*) AS n_rows, sum(bad) AS n_corrupt
+        |  FROM staged GROUP BY 1),
+        |dp AS (SELECT part, sum(c - 1) AS n_dupes FROM (
+        |  SELECT part, event_id, count(*) AS c FROM staged GROUP BY 1, 2)
+        |  WHERE c > 1 GROUP BY 1),
+        |md AS (SELECT v AS med FROM (
+        |  SELECT n_rows AS v, row_number() OVER (ORDER BY n_rows) AS rn,
+        |    count(*) OVER () AS nn FROM pp) WHERE rn = (nn + 1) // 2),
+        |j AS (SELECT pp.part, pp.n_rows,
+        |    coalesce(dp.n_dupes, 0) AS n_dupes, pp.n_corrupt,
+        |    n_corrupt * 1000000 // n_rows AS corrupt_ppm,
+        |    pp.n_rows * 1000000 >= md.med * 500000
+        |      AND pp.n_rows * 1000000 <= md.med * 2000000 AS vol_ok
+        |  FROM pp LEFT JOIN dp USING (part) CROSS JOIN md)
+        |SELECT part, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_dupes AS BIGINT) AS n_dupes,
+        |  CAST(n_corrupt AS BIGINT) AS n_corrupt,
+        |  CAST(corrupt_ppm AS BIGINT) AS corrupt_ppm, vol_ok,
+        |  CASE WHEN n_dupes = 0 AND corrupt_ppm <= 100000 AND vol_ok
+        |    THEN 'publish' ELSE 'quarantine' END AS verdict,
+        |  concat_ws(',',
+        |    CASE WHEN n_dupes > 0 THEN 'dupes' END,
+        |    CASE WHEN corrupt_ppm > 100000 THEN 'corrupt' END,
+        |    CASE WHEN NOT vol_ok THEN 'volume' END) AS reasons
+        |FROM j""".stripMargin
   )
 }

@@ -1290,6 +1290,83 @@ object Aggregates {
     * (key, ts, ord) window — one exchange — then two map-side-combinable
     * groupBys. Deterministic under timestamp collisions via `ordCol`.
     */
+  /** Unnormalized Haar wavelet decomposition (Haar 1910; the Mallat
+    * pyramid, public) of a 2^levels-point integer series per key: level l
+    * detail coefficients are pairwise DIFFERENCES of the level-(l−1)
+    * approximations, approximations are pairwise SUMS — the sum/diff
+    * (not avg) form keeps every coefficient an exact integer, so the
+    * transform is bit-reproducible across engines and the inverse is
+    * exact integer arithmetic too. Output rows: (key, level, idx, coef)
+    * with level 1..levels = details (coarser as level grows) and level 0
+    * = the final approximations (for a complete series: one row, the
+    * series total). This is the compressed-telemetry primitive: top-|coef|
+    * truncation of the detail tree is the classic piecewise
+    * reconstruction bound.
+    *
+    * Missing indices simply don't contribute (a lone pair member keeps
+    * its sign) — gap-fill upstream for strict dyadic semantics.
+    *
+    * Scale shape: `levels` groupBys, each halving the row count, all
+    * keyed on (key, idx div 2) — map-side combinable, no windows, no
+    * driver state; 10¹² series run as `levels` shuffles of shrinking
+    * size.
+    */
+  def haarDecompose(df: DataFrame, keyCol: String, idxCol: String,
+      valCol: String, levels: Int): DataFrame = {
+    var cur = df.select(col(keyCol).as("key"),
+      col(idxCol).cast("long").as("idx"), col(valCol).cast("long").as("v"))
+    var out: DataFrame = null
+    for (l <- 1 to levels) {
+      val lvl = cur.groupBy(col("key"), expr("idx div 2").as("bidx"))
+        .agg(sum("v").as("v"),
+          sum(when(expr("idx % 2") === 0, col("v")).otherwise(-col("v")))
+            .as("d"))
+        .withColumnRenamed("bidx", "idx")
+      val details = lvl.select(col("key"), lit(l).as("level"), col("idx"),
+        col("d").as("coef"))
+      out = if (out == null) details else out.unionAll(details)
+      cur = lvl.select("key", "idx", "v")
+    }
+    out.unionAll(cur.select(col("key"), lit(0).as("level"), col("idx"),
+      col("v").as("coef")))
+  }
+
+  /** Total-variation distance drift monitor: per bucket (e.g. week),
+    * TV(bucket ‖ baseline) = ½ Σ_cat |p_cat − q_cat| over the category
+    * distribution, in exact integer ppm — the common-denominator form
+    * |c_w·n_b − c_b·n_w| · 10⁶ div (2·n_w·n_b) never touches a float, so
+    * the score is engine- and partitioning-exact (the repo's no-ln rule:
+    * KL/PSI need logs; TV is the drift metric you can oracle-check).
+    * Categories absent on either side contribute their full mass.
+    *
+    * Scale shape: one (bucket, cat) count shuffle over the events, then
+    * everything is per-bucket × per-category rows (tiny); baseline
+    * counts and the category dimension broadcast.
+    */
+  def tvDrift(df: DataFrame, catCol: String, bucketCol: String,
+      baselineBucket: Long = 0L): DataFrame = {
+    val c = df.groupBy(col(bucketCol).cast("long").as("bkt"),
+        col(catCol).as("cat"))
+      .agg(count(lit(1)).as("c"))
+    val n = c.groupBy("bkt").agg(sum("c").as("n"))
+    val base = c.where(col("bkt") === baselineBucket)
+      .select(col("cat"), col("c").as("cb"))
+    val nb = n.where(col("bkt") === baselineBucket)
+      .select(col("n").as("nb"))
+    n.where(col("bkt") =!= baselineBucket)
+      .crossJoin(broadcast(c.select("cat").distinct()))
+      .join(c, Seq("bkt", "cat"), "left")
+      .join(broadcast(base), Seq("cat"), "left")
+      .crossJoin(broadcast(nb))
+      .select(col("bkt"), col("n"), col("nb"),
+        (coalesce(col("c"), lit(0L)) * col("nb") -
+          coalesce(col("cb"), lit(0L)) * col("n")).as("_diff"))
+      .groupBy("bkt", "n", "nb")
+      .agg(sum(abs(col("_diff"))).as("_s"))
+      .select(col("bkt"), col("n").as("n_events"),
+        expr("_s * 1000000 div (2 * n * nb)").as("tv_ppm"))
+  }
+
   def backoffChains(df: DataFrame, keyCol: String, tsCol: String,
       ordCol: String, minOkPairs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -388,6 +388,52 @@ object Lakehouse {
         col("n_changes"))
   }
 
+  /** Write-audit-publish gate (the Iceberg/Nessie WAP pattern, public):
+    * staged partitions are audited BEFORE the snapshot publish — per
+    * partition: duplicate-id count, corrupt-row ppm, and a volume sanity
+    * band around the lower-median partition volume (a partition at 10×
+    * or 0.1× its peers is a backfill bug or an upstream outage, not
+    * data). Verdict `publish` only when all three pass; `reasons` lists
+    * the failed checks in a fixed order so the row is diffable.
+    *
+    * Scale shape: two groupBys on the partition key (the dup check keys
+    * on (part, id) first — the only row-cardinality shuffle); the median
+    * runs on the per-PARTITION table (one row per partition — a
+    * single-partition window over thousands of rows, documented
+    * bounded), then broadcasts back. No driver state, no collect.
+    */
+  def wapAudit(staged: DataFrame, partCol: Column, idCol: String,
+      corrupt: Column, maxCorruptPpm: Long = 100000L,
+      volLoPpm: Long = 500000L, volHiPpm: Long = 2000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = staged.select(partCol.as("part"), col(idCol).as("_id"),
+      corrupt.cast("long").as("_bad"))
+    val perPart = base.groupBy("part").agg(
+      count(lit(1)).as("n_rows"), sum("_bad").as("n_corrupt"))
+    val dupes = base.groupBy("part", "_id").agg(count(lit(1)).as("_c"))
+      .where(col("_c") > 1)
+      .groupBy("part").agg(sum(col("_c") - 1).as("n_dupes"))
+    val med = perPart.select(col("n_rows").as("_v"))
+      .withColumn("_rn", row_number().over(Window.orderBy(col("_v"))))
+      .withColumn("_nn", count(lit(1)).over(Window.partitionBy()))
+      .where(col("_rn") === expr("(_nn + 1) div 2"))
+      .select(col("_v").as("med"))
+    perPart.join(dupes, Seq("part"), "left")
+      .crossJoin(broadcast(med))
+      .select(col("part"), col("n_rows"),
+        coalesce(col("n_dupes"), lit(0L)).as("n_dupes"), col("n_corrupt"),
+        expr("n_corrupt * 1000000 div n_rows").as("corrupt_ppm"),
+        (col("n_rows") * 1000000L >= col("med") * volLoPpm &&
+          col("n_rows") * 1000000L <= col("med") * volHiPpm).as("vol_ok"))
+      .withColumn("verdict",
+        when(col("n_dupes") === 0L && col("corrupt_ppm") <= maxCorruptPpm &&
+          col("vol_ok"), "publish").otherwise("quarantine"))
+      .withColumn("reasons", concat_ws(",",
+        when(col("n_dupes") > 0L, "dupes"),
+        when(col("corrupt_ppm") > maxCorruptPpm, "corrupt"),
+        when(!col("vol_ok"), "volume")))
+  }
+
   /** Bitemporal as-of reconstruction (Snodgrass, "Developing
     * Time-Oriented Database Applications in SQL", 1999 — public): the
     * state of each key as it was KNOWN at transaction time `txCut`,

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.agg.Aggregates
+import graft.ops.Lakehouse
+
+/** Session-8 batch 24: Haar pyramid, TV drift, write-audit-publish gate. */
+class WaveletWapSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("haarDecompose: textbook sum/diff pyramid on [1,2,3,4]") {
+    val df = Seq(("a", 0L, 1L), ("a", 1L, 2L), ("a", 2L, 3L), ("a", 3L, 4L))
+      .toDF("key", "idx", "v")
+    val out = Aggregates.haarDecompose(df, "key", "idx", "v", levels = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(out === Map(
+      (1, 0L) -> -1L, (1, 1L) -> -1L, // level-1 diffs: 1-2, 3-4
+      (2, 0L) -> -4L,                 // level-2 diff: 3-7
+      (0, 0L) -> 10L))                // approximation = series total
+  }
+
+  test("haarDecompose: lone pair member keeps its sign") {
+    val df = Seq(("a", 0L, 5L), ("b", 1L, 7L)).toDF("key", "idx", "v")
+    val out = Aggregates.haarDecompose(df, "key", "idx", "v", levels = 1)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(out(("a", 1)) === 5L)  // even slot: +v
+    assert(out(("b", 1)) === -7L) // odd slot: -v
+  }
+
+  test("tvDrift: hand-computed distance, absent categories count full mass") {
+    val df = Seq.fill(3)(("a", 0L)) ++ Seq(("b", 0L)) ++
+      Seq(("a", 1L), ("b", 1L), ("c", 1L), ("c", 1L))
+    val out = Aggregates.tvDrift(df.toDF("cat", "wk"), "cat", "wk")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // week1: p=(1/4,1/4,2/4) vs q=(3/4,1/4,0) -> TV = 1/2
+    assert(out === Map(1L -> ((4L, 500000L))))
+  }
+
+  test("wapAudit: clean publishes; dupes, corrupt and volume each flag") {
+    val p1 = (0 until 10).map(i => ("p1", i.toLong, 0))
+    val p2 = (0 until 10).map(i => ("p2", (i % 8).toLong, 0)) // 2 dupes
+    val p3 = Seq(("p3", 100L, 1), ("p3", 101L, 0))            // tiny + corrupt
+    val staged = (p1 ++ p2 ++ p3).toDF("day", "id", "bad")
+    val out = Lakehouse.wapAudit(staged, col("day"), "id", col("bad") === 1,
+        maxCorruptPpm = 100000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[String]("verdict"), r.getAs[String]("reasons"),
+          r.getAs[Long]("n_dupes")))).toMap
+    assert(out("p1") === (("publish", "", 0L)))
+    assert(out("p2") === (("quarantine", "dupes", 2L)))
+    assert(out("p3") === (("quarantine", "corrupt,volume", 0L)))
+  }
+}
