@@ -3061,6 +3061,32 @@ object SparkEntry {
         events(s, dir).withColumn("wk", wk), "event_type", "wk")
     },
 
+    // DBSCAN-lite: dense 1/16-cells of the embedding (dim1, dim2) plane,
+    // 4-adjacent blobs labeled by 5-round min-label propagation
+    "q_grid_density" -> { (s, dir) =>
+      val e = embeddings(s, dir).select(
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      graft.ops.Spatial.gridDensityClusters(e, "x", "y", mult = 16,
+        minPts = 5L, rounds = 5)
+    },
+
+    // hash-deterministic uniform negative sampling over the user×item
+    // positives (anti-joined against real positives, first 2 of 6 tries)
+    "q_neg_sample" -> { (s, dir) =>
+      val pos = events(s, dir).select(col("user_id"),
+        (get_json_object(col("props"), "$.k").cast("long") % 50).as("item"))
+      graft.ops.Curation.negativeSample(pos, "user_id", "item",
+        nItems = 50, attempts = 6, keep = 2)
+    },
+
+    // leak-free churn-label builder: 7-day features before Jan 22,
+    // 7-day activity label after
+    "q_label_build" -> ((s, dir) =>
+      graft.ops.Curation.labelBuild(events(s, dir), "user_id", "ts",
+        "event_type", cutUs = 1705881600000000L,
+        histUs = 604800000000L, horizonUs = 604800000000L)),
+
     // write-audit-publish gate per staged day, with one planted bad
     // partition (dupes + corrupt rows + tiny volume)
     "q_wap" -> { (s, dir) =>
@@ -3300,7 +3326,72 @@ object SparkEntry {
        |$finalSelect""".stripMargin
   }
 
+  /** 5-round min-label grid-density oracle (the lshClustersSql pattern):
+    * dense cells → 4-adjacency edges → bounded label propagation.
+    */
+  private def gridDensitySql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""l$i AS (
+         |  SELECT l.cx, l.cy, least(l.lbl, coalesce(min(n2.lbl), l.lbl)) AS lbl
+         |  FROM l${i - 1} l LEFT JOIN e ON e.cx = l.cx AND e.cy = l.cy
+         |  LEFT JOIN l${i - 1} n2 ON n2.cx = e.nx AND n2.cy = e.ny
+         |  GROUP BY l.cx, l.cy, l.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cells AS (SELECT CAST(floor(v[1] * 16) AS BIGINT) AS cx,
+       |  CAST(floor(v[2] * 16) AS BIGINT) AS cy, count(*) AS n
+       |  FROM pts GROUP BY 1, 2),
+       |dense AS (SELECT * FROM cells WHERE n >= 5),
+       |e AS (SELECT a.cx, a.cy, b.cx AS nx, b.cy AS ny
+       |  FROM dense a JOIN dense b
+       |  ON abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1),
+       |l0 AS (SELECT cx, cy, (cx + 512) * 1024 + (cy + 512) AS lbl
+       |  FROM dense),
+       |$rounds
+       |SELECT d.cx, d.cy, CAST(d.n AS BIGINT) AS n_points,
+       |  CAST(l5.lbl AS BIGINT) AS cluster
+       |FROM dense d JOIN l5 ON l5.cx = d.cx AND l5.cy = d.cy""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_grid_density" -> gridDensitySql,
+
+    "q_neg_sample" ->
+      s"""WITH p AS (SELECT DISTINCT user_id AS uid,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) % 50
+         |      AS pos_item
+         |  FROM events),
+         |c AS (SELECT uid, pos_item, i AS attempt,
+         |    ${graft.ops.Dedup.gramHashSql(
+              "CAST(uid AS VARCHAR) || '|' || CAST(pos_item AS VARCHAR) " +
+              "|| '|' || CAST(i AS VARCHAR)")} % 50 AS neg_item
+         |  FROM p CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS i)),
+         |a AS (SELECT c.* FROM c
+         |  LEFT JOIN p p2 ON p2.uid = c.uid AND p2.pos_item = c.neg_item
+         |  WHERE p2.uid IS NULL),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY uid, pos_item
+         |    ORDER BY attempt) AS rank FROM a)
+         |SELECT uid, pos_item, neg_item, CAST(attempt AS INTEGER) AS attempt,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 2""".stripMargin,
+
+    "q_label_build" ->
+      """WITH b AS (SELECT user_id AS uid, epoch_us(ts) AS tus,
+        |    event_type AS etype FROM events),
+        |h AS (SELECT uid, count(*) AS n_events,
+        |    sum(CASE WHEN etype = 'purchase' THEN 1 ELSE 0 END)
+        |      AS n_purchases,
+        |    (1705881600000000 - max(tus)) // 3600000000 AS recency_hours
+        |  FROM b WHERE tus >= 1705276800000000 AND tus < 1705881600000000
+        |  GROUP BY 1),
+        |f AS (SELECT DISTINCT uid, 1 AS label FROM b
+        |  WHERE tus >= 1705881600000000 AND tus < 1706486400000000)
+        |SELECT h.uid, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_purchases AS BIGINT) AS n_purchases,
+        |  CAST(recency_hours AS BIGINT) AS recency_hours,
+        |  CAST(coalesce(f.label, 0) AS INTEGER) AS label
+        |FROM h LEFT JOIN f USING (uid)""".stripMargin,
+
     "q_transcripts_scan" ->
       s"$T SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
 

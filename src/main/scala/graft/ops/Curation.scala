@@ -983,4 +983,72 @@ object Curation {
       .select(col("depth"), col("n_requests"), col("n_distinct"),
         expr("(n_requests - n_distinct) * 1000000 div n_requests")
           .as("reuse_ppm"))
+
+  /** Hash-deterministic uniform negative sampling for contrastive /
+    * two-tower training pairs: per distinct positive (uid, pos_item),
+    * derive `attempts` candidate items as md5-hash(uid|pos|attempt) mod
+    * nItems, anti-join out candidates that are REAL positives for that
+    * user (the false-negative filter every recsys loss needs), rank
+    * surviving candidates by attempt index and keep the first `keep`.
+    * No rand(): the sample is a pure function of the keys, so it is
+    * identical across engines, retries and resumed runs — the property
+    * rand()-based samplers lose on any speculative re-execution.
+    *
+    * Scale shape: explode ×attempts on the positive table, one anti-join
+    * on (uid, item) — both keyed shuffles; the per-positive window ranks
+    * ≤ attempts rows. Users whose positives cover most of the item space
+    * legitimately yield fewer (or zero) negatives.
+    */
+  def negativeSample(positives: DataFrame, userCol: String, itemCol: String,
+      nItems: Int, attempts: Int = 6, keep: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = positives.select(col(userCol).as("uid"),
+      col(itemCol).as("pos_item")).distinct()
+    val cand = p.select(col("uid"), col("pos_item"),
+        explode(sequence(lit(0), lit(attempts - 1))).as("attempt"))
+      .withColumn("neg_item", pmod(Dedup.gramHash(
+        concat(col("uid").cast("string"), lit("|"),
+          col("pos_item").cast("string"), lit("|"),
+          col("attempt").cast("string"))), lit(nItems.toLong)))
+    val w = Window.partitionBy("uid", "pos_item").orderBy("attempt")
+    cand.join(p.select(col("uid"), col("pos_item").as("neg_item")),
+        Seq("uid", "neg_item"), "left_anti")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= keep)
+      .select("uid", "pos_item", "neg_item", "attempt", "rank")
+  }
+
+  /** Leak-free supervised label construction at a time cutoff: features
+    * aggregate STRICTLY before `cutUs` (trailing `histUs` window), the
+    * label looks STRICTLY at [cutUs, cutUs+horizonUs) — the temporal
+    * train/serve split whose violation (feature window touching the
+    * label window) is the classic silent model-quality bug. Population =
+    * users with ≥1 feature-window event, exactly the set the model would
+    * score at the cutoff.
+    *
+    * Output: (uid, n_events, n_purchases, recency_hours, label). All
+    * epoch-microsecond integer arithmetic; both windows are pushed-down
+    * scan predicates (partition-prunable on a date-laid-out table).
+    */
+  def labelBuild(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, cutUs: Long, histUs: Long,
+      horizonUs: Long): DataFrame = {
+    val base = events.select(col(userCol).as("uid"),
+      unix_micros(col(tsCol).cast("timestamp")).as("tus"),
+      col(typeCol).as("etype"))
+    val hist = base
+      .where(col("tus") >= cutUs - histUs && col("tus") < cutUs)
+      .groupBy("uid").agg(count(lit(1)).as("n_events"),
+        sum(when(col("etype") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        max("tus").as("_last"))
+      .select(col("uid"), col("n_events"), col("n_purchases"),
+        expr(s"(${cutUs}L - _last) div 3600000000").as("recency_hours"))
+    val fut = base
+      .where(col("tus") >= cutUs && col("tus") < cutUs + horizonUs)
+      .select("uid").distinct().withColumn("label", lit(1))
+    hist.join(fut, Seq("uid"), "left")
+      .select(col("uid"), col("n_events"), col("n_purchases"),
+        col("recency_hours"), coalesce(col("label"), lit(0)).as("label"))
+  }
 }

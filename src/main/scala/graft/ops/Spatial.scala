@@ -51,4 +51,57 @@ object Spatial {
          (col("ay") - col("by")) * (col("ay") - col("by"))).as("dist_sq"))
       .where(col("dist_sq") <= lit(r * r))
   }
+
+  /** Grid-density clustering (the GriDBSCAN reduction of DBSCAN, Ester
+    * et al. 1996 — public): bucket points into cells of width 1/mult,
+    * keep cells holding ≥ minPts points (DENSE — everything else is
+    * DBSCAN noise and is dropped), connect 4-adjacent dense cells, and
+    * label each dense cell with the min cell id reachable within
+    * `rounds` hops of min-label propagation. With rounds ≥ the widest
+    * blob's diameter the labels are the exact connected components;
+    * fewer rounds give a deterministic refinement (bounded-rounds
+    * contract, as `Graph.kcorePeel`).
+    *
+    * Output: (cx, cy, n_points, cluster) over dense cells only; cluster
+    * = (cx+512)·1024 + (cy+512) of the blob minimum (valid for
+    * |cell| < 512).
+    *
+    * Scale shape: ONE (cell) count shuffle runs at point cardinality;
+    * every later step runs on the dense-CELL table, whose size is
+    * bounded by the grid (data-independent), with equi-joins on shifted
+    * cell keys — never a distance cross join, never a BNLJ. This is the
+    * embedding-space dedup/clustering path that stays flat as rows grow
+    * 100×: only cell counts change.
+    */
+  def gridDensityClusters(points: DataFrame, xCol: String, yCol: String,
+      mult: Int, minPts: Long, rounds: Int = 5): DataFrame = {
+    val dense = points.select(
+        floor(col(xCol) * mult).cast("long").as("cx"),
+        floor(col(yCol) * mult).cast("long").as("cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("n_points"))
+      .where(col("n_points") >= minPts)
+      .localCheckpoint() // read by edges (×5), labels, and the final join
+    val edges = Seq((0, 1), (0, -1), (1, 0), (-1, 0))
+      .map { case (dx, dy) =>
+        dense.select(col("cx"), col("cy"),
+          (col("cx") + dx).as("nx"), (col("cy") + dy).as("ny")) }
+      .reduce(_ unionAll _)
+      .join(dense.select(col("cx").as("nx"), col("cy").as("ny")),
+        Seq("nx", "ny"), "left_semi")
+      .localCheckpoint()
+    var lab = dense.select(col("cx"), col("cy"),
+      ((col("cx") + 512L) * 1024L + (col("cy") + 512L)).as("lbl"))
+    for (_ <- 1 to rounds) {
+      val nl = edges.join(lab.select(col("cx").as("nx"),
+          col("cy").as("ny"), col("lbl").as("nlbl")), Seq("nx", "ny"))
+        .groupBy("cx", "cy").agg(min("nlbl").as("minn"))
+      lab = lab.join(nl, Seq("cx", "cy"), "left")
+        .select(col("cx"), col("cy"),
+          least(col("lbl"), coalesce(col("minn"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+    }
+    dense.join(lab, Seq("cx", "cy"))
+      .select(col("cx"), col("cy"), col("n_points"),
+        col("lbl").as("cluster"))
+  }
 }

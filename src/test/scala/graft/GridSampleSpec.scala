@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Curation, Spatial}
+
+/** Session-8 batch 25: grid-density clustering, negative sampling,
+  * leak-free label builder.
+  */
+class GridSampleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cellPoints(cx: Int, cy: Int, n: Int): Seq[(Double, Double)] =
+    Seq.fill(n)((cx / 16.0 + 0.01, cy / 16.0 + 0.01))
+
+  test("gridDensityClusters: adjacent dense cells merge, sparse cells drop") {
+    val pts = (cellPoints(0, 0, 6) ++ cellPoints(1, 0, 5) ++
+      cellPoints(5, 5, 5) ++ cellPoints(3, 3, 2)).toDF("x", "y")
+    val out = Spatial.gridDensityClusters(pts, "x", "y", mult = 16,
+        minPts = 5L, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set((0L, 0L), (1L, 0L), (5L, 5L))) // (3,3) is noise
+    assert(out((0L, 0L))._1 === 6L)
+    assert(out((0L, 0L))._2 === out((1L, 0L))._2) // one blob
+    assert(out((0L, 0L))._2 !== out((5L, 5L))._2) // separate blob
+  }
+
+  test("gridDensityClusters: bounded rounds refine, enough rounds converge") {
+    // four dense cells in a row: diameter 3
+    val pts = (0 to 3).flatMap(i => cellPoints(i, 0, 5)).toDF("x", "y")
+    def labels(rounds: Int) =
+      Spatial.gridDensityClusters(pts, "x", "y", 16, 5L, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val one = labels(1)
+    assert(one(0L) === one(1L)) // neighbor pulled down in one hop
+    assert(one(2L) !== one(0L)) // not yet converged across the chain
+    val five = labels(5)
+    assert(five.values.toSet.size === 1) // single chain cluster
+  }
+
+  test("negativeSample: never returns a positive, deterministic, ranked") {
+    // user 1 owns items 0..48 of 50: the only legal negative is 49
+    val pos = ((0 to 48).map(i => (1L, i.toLong)) ++ Seq((2L, 7L)))
+      .toDF("uid", "item")
+    def run() = Curation.negativeSample(pos, "uid", "item", nItems = 50,
+      attempts = 6, keep = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    val out = run()
+    assert(out.toSeq === run().toSeq) // pure function of the keys
+    out.foreach { case (uid, _, neg, _, rank) =>
+      if (uid == 1L) assert(neg === 49L)
+      if (uid == 2L) assert(neg !== 7L)
+      assert(rank >= 1 && rank <= 2)
+    }
+    val u2 = out.filter(_._1 == 2L).map(_._4)
+    assert(u2.sorted === u2) // ranked by attempt order
+  }
+
+  test("labelBuild: features strictly before cut, label strictly after") {
+    val rows = Seq(
+      (1L, 600L, "click"), (1L, 1200L, "view"),     // hist + future -> label 1
+      (2L, 700L, "purchase"),                        // hist only -> label 0
+      (3L, 100L, "click"), (3L, 1100L, "view"))      // pre-window: excluded
+      .toDF("uid", "tus", "etype")
+      .select(col("uid"), timestamp_micros(col("tus")).as("ts"), col("etype"))
+    val out = Curation.labelBuild(rows, "uid", "ts", "etype",
+        cutUs = 1000L, histUs = 500L, horizonUs = 500L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(out.keySet === Set(1L, 2L)) // user 3 has no feature-window row
+    assert(out(1L) === ((1L, 0L, 0L, 1)))
+    assert(out(2L) === ((1L, 1L, 0L, 0)))
+  }
+}
