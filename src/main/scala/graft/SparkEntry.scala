@@ -3061,6 +3061,31 @@ object SparkEntry {
         events(s, dir).withColumn("wk", wk), "event_type", "wk")
     },
 
+    // consistent-hash ring (8 vnodes/host): movement matrix when sink-e
+    // leaves — only sink-e's arc should move
+    "q_hash_ring" -> { (s, dir) =>
+      val hosts5 = Seq("sink-a", "sink-b", "sink-c", "sink-d", "sink-e")
+      val k = col("event_id").cast("string")
+      events(s, dir).select(
+          graft.route.Rendezvous.ringAssign(k, hosts5, 8).as("host_before"),
+          graft.route.Rendezvous.ringAssign(k, hosts5.init, 8)
+            .as("host_after"))
+        .groupBy("host_before", "host_after")
+        .agg(count(lit(1)).as("n_keys"))
+    },
+
+    // Rocchio-style pseudo-relevance-feedback query expansion over BM25
+    "q_prf_expand" -> ((s, dir) =>
+      TextAnalysis.prfExpand(documents(s, dir),
+        queryTerms = Seq("spark", "vector", "customer"), fbDocs = 10,
+        k = 15)),
+
+    // leak-safe lag/rolling feature frame per user (windows end at the
+    // previous row)
+    "q_lag_features" -> ((s, dir) =>
+      graft.agg.Aggregates.lagFeatures(events(s, dir), "user_id", "ts",
+        "event_id", "value")),
+
     // DBSCAN-lite: dense 1/16-cells of the embedding (dim1, dim2) plane,
     // 4-adjacent blobs labeled by 5-round min-label propagation
     "q_grid_density" -> { (s, dir) =>
@@ -3355,6 +3380,40 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_grid_density" -> gridDensitySql,
+
+    "q_hash_ring" -> {
+      val hosts5 = Seq("sink-a", "sink-b", "sink-c", "sink-d", "sink-e")
+      val before = graft.route.Rendezvous.ringAssignSql(
+        "CAST(event_id AS VARCHAR)", hosts5, 8)
+      val after = graft.route.Rendezvous.ringAssignSql(
+        "CAST(event_id AS VARCHAR)", hosts5.init, 8)
+      s"""SELECT host_before, host_after, CAST(count(*) AS BIGINT) AS n_keys
+         |FROM (SELECT $before AS host_before, $after AS host_after
+         |      FROM events)
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    "q_prf_expand" -> TextAnalysis.prfExpandSql(BpeishRe,
+      queryTerms = Seq("spark", "vector", "customer"), fbDocs = 10, k = 15),
+
+    "q_lag_features" ->
+      """WITH b AS (SELECT user_id AS key, epoch_us(ts) AS tus,
+        |    event_id AS o, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS micro
+        |  FROM events),
+        |w AS (SELECT key, o, micro,
+        |    lag(micro, 1) OVER win AS lag1,
+        |    lag(micro, 2) OVER win AS lag2,
+        |    lag(micro, 3) OVER win AS lag3,
+        |    count(micro) OVER (PARTITION BY key ORDER BY tus, o
+        |      ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS roll4_n,
+        |    sum(micro) OVER (PARTITION BY key ORDER BY tus, o
+        |      ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS roll4_sum
+        |  FROM b WINDOW win AS (PARTITION BY key ORDER BY tus, o))
+        |SELECT key, o, micro, lag1, lag2, lag3,
+        |  CAST(roll4_n AS BIGINT) AS roll4_n,
+        |  CAST(CASE WHEN roll4_n > 0 THEN roll4_sum // roll4_n END AS BIGINT)
+        |    AS roll4_mean
+        |FROM w""".stripMargin,
 
     "q_neg_sample" ->
       s"""WITH p AS (SELECT DISTINCT user_id AS uid,

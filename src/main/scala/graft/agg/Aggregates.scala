@@ -1290,6 +1290,37 @@ object Aggregates {
     * (key, ts, ord) window — one exchange — then two map-side-combinable
     * groupBys. Deterministic under timestamp collisions via `ordCol`.
     */
+  /** Leak-safe per-key lag/rolling feature frame — the time-series
+    * feature-engineering primitive: lags 1..3 of the fixed-point value
+    * plus a trailing 4-row mean, every window ending at the PREVIOUS row
+    * (rowsBetween(−4, −1)), so the current value can never leak into its
+    * own features (the training/serving-skew bug `Curation.labelBuild`
+    * guards on the label side, applied to features). All integer micros;
+    * the rolling mean is a floor division of exact sums.
+    *
+    * Scale shape: one (key, ts, ord) window exchange serves every lag
+    * AND the rolling frame (Catalyst reuses the sort); deterministic
+    * under timestamp collisions via `ordCol`.
+    */
+  def lagFeatures(df: DataFrame, keyCol: String, tsCol: String,
+      ordCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy(col("_tus"), col("o"))
+    df.select(col(keyCol).as("key"),
+        unix_micros(col(tsCol).cast("timestamp")).as("_tus"),
+        col(ordCol).as("o"),
+        floor(col(valCol) * 1e6 + 0.5).cast("long").as("micro"))
+      .withColumn("lag1", lag(col("micro"), 1).over(w))
+      .withColumn("lag2", lag(col("micro"), 2).over(w))
+      .withColumn("lag3", lag(col("micro"), 3).over(w))
+      .withColumn("roll4_n", count(col("micro")).over(w.rowsBetween(-4, -1)))
+      .withColumn("_roll4_sum", sum(col("micro")).over(w.rowsBetween(-4, -1)))
+      .withColumn("roll4_mean",
+        when(col("roll4_n") > 0L, expr("_roll4_sum div roll4_n")))
+      .select("key", "o", "micro", "lag1", "lag2", "lag3", "roll4_n",
+        "roll4_mean")
+  }
+
   /** Unnormalized Haar wavelet decomposition (Haar 1910; the Mallat
     * pyramid, public) of a 2^levels-point integer series per key: level l
     * detail coefficients are pairwise DIFFERENCES of the level-(l−1)

@@ -299,6 +299,77 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("score_fp").desc, col(idCol))).cast("int"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio 1971, public):
+    * run [[bm25]], treat its top `fbDocs` hits as relevant, and rank
+    * candidate expansion terms by how concentrated they are in the
+    * feedback set vs the corpus — score = fb_df · 10⁶ div corpus_df, an
+    * exact integer ratio (the no-ln substitute for the usual idf-scaled
+    * Rocchio weight). Terms must appear in ≥ `minFbDf` feedback docs (the
+    * noise floor) and not already be query terms.
+    *
+    * Scale shape: the feedback set is k docs (semi-join, broadcastable);
+    * corpus document frequency is the one vocabulary-sized shuffle —
+    * joined on `term`, never broadcast (the tfidf lesson). Final top-k
+    * is orderBy+limit (TakeOrdered), with the rank window over ≤ k rows.
+    */
+  def prfExpand(df: DataFrame, queryTerms: Seq[String], fbDocs: Int = 10,
+      k: Int = 15, minFbDf: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = bm25(df, queryTerms, fbDocs, idCol, textCol).select(col(idCol))
+    val t = terms(df, idCol, textCol)
+    val fbdf = t.join(top, Seq(idCol), "left_semi")
+      .select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("fb_df"))
+    val cdf = t.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("corpus_df"))
+    val cand = fbdf.join(cdf, Seq("term"))
+      .where(col("fb_df") >= minFbDf && !col("term").isin(queryTerms: _*))
+      .withColumn("score_ppm", expr("fb_df * 1000000 div corpus_df"))
+      .orderBy(col("score_ppm").desc, col("fb_df").desc, col("term"))
+      .limit(k)
+    cand.withColumn("rank", row_number().over(
+        Window.orderBy(col("score_ppm").desc, col("fb_df").desc, col("term")))
+      .cast("int"))
+      .select("term", "fb_df", "corpus_df", "score_ppm", "rank")
+  }
+
+  /** DuckDB twin of [[prfExpand]] over `documents(doc_id, text)`. */
+  def prfExpandSql(tokenRe: String, queryTerms: Seq[String],
+      fbDocs: Int = 10, k: Int = 15, minFbDf: Long = 2L): String = {
+    val qlist = queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '$tokenRe')) AS term
+       |  FROM documents),
+       |tot AS (SELECT (SELECT count(*) FROM documents) AS n_docs, count(*) AS tl FROM t),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+       |qt AS (SELECT doc_id, term FROM t WHERE term IN ($qlist)),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+       |pt AS (
+       |  SELECT tf.doc_id,
+       |    floor(CAST(n_docs * 44 * tf * tl AS DOUBLE) /
+       |          CAST(df * (20 * tf * tl + 6 * tl + 18 * n_docs * dl) AS DOUBLE)
+       |          * 1000000.0 + 0.5)::BIGINT AS term_fp
+       |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), tot),
+       |sc AS (SELECT doc_id, sum(term_fp) AS score_fp FROM pt GROUP BY 1),
+       |top AS (SELECT doc_id FROM sc ORDER BY score_fp DESC, doc_id LIMIT $fbDocs),
+       |fbdf AS (SELECT term, count(*) AS fb_df FROM (
+       |  SELECT DISTINCT t.doc_id, t.term FROM t JOIN top USING (doc_id))
+       |  GROUP BY 1),
+       |cdf AS (SELECT term, count(DISTINCT doc_id) AS corpus_df FROM t GROUP BY 1),
+       |cand AS (
+       |  SELECT f.term, fb_df, corpus_df, fb_df * 1000000 // corpus_df AS score_ppm
+       |  FROM fbdf f JOIN cdf USING (term)
+       |  WHERE fb_df >= $minFbDf AND f.term NOT IN ($qlist))
+       |SELECT term, CAST(fb_df AS BIGINT) AS fb_df,
+       |  CAST(corpus_df AS BIGINT) AS corpus_df,
+       |  CAST(score_ppm AS BIGINT) AS score_ppm,
+       |  CAST(row_number() OVER (ORDER BY score_ppm DESC, fb_df DESC, term)
+       |    AS INTEGER) AS rank
+       |FROM cand ORDER BY score_ppm DESC, fb_df DESC, term LIMIT $k""".stripMargin
+  }
+
   /** DuckDB twin of [[bm25]] over `documents(doc_id, text)`. */
   def bm25Sql(tokenRe: String, queryTerms: Seq[String], k: Int = 10): String = {
     val qlist = queryTerms.map(t => s"'$t'").mkString(", ")

@@ -50,4 +50,43 @@ object Rendezvous {
         assign(col(keyCol), hostsBefore).as("host_before"),
         assign(col(keyCol), hostsAfter).as("host_after"))
       .withColumn("moved", (col("host_before") =!= col("host_after")).cast("int"))
+
+  /** Consistent-hash RING with virtual nodes (Karger et al., STOC 1997 —
+    * public): each host plants `vnodes` points on the 48-bit md5 ring
+    * ("host#i" hashes, rendered as 12-hex strings so lexicographic order
+    * IS ring order); a key belongs to the first vnode clockwise from its
+    * own hash, wrapping to the ring minimum. The vnode table is bounded
+    * (hosts × vnodes), so it lives as a SORTED LITERAL ARRAY inside one
+    * codegen expression — per key: one md5 + one filter/array_min over
+    * the constant array; no join, no shuffle, no global sort (a naive
+    * set-based union-and-window form would be a single-partition window
+    * over all keys — the exact anti-pattern this avoids).
+    *
+    * vs [[assign]] (HRW): both are O(|points|) per key here; the ring
+    * adds native weighting (vnode count per host) and is what memcached/
+    * Cassandra-style topologies actually run, so a migration parity
+    * check needs it.
+    */
+  def ringAssign(key: Column, hosts: Seq[String], vnodes: Int): Column = {
+    require(hosts.nonEmpty && vnodes > 0, "ring needs hosts and vnodes")
+    val points = for { h <- hosts; i <- 0 until vnodes }
+      yield concat(substring(md5(lit(s"$h#$i")), 1, 12), lit("|"), lit(h))
+    val ring = array_sort(array(points: _*))
+    val khex = substring(md5(key), 1, 12)
+    val next = array_min(filter(ring, v => substring(v, 1, 12) >= khex))
+    split(coalesce(next, element_at(ring, 1)), "\\|").getItem(1)
+  }
+
+  /** DuckDB twin of [[ringAssign]]: correlated min over the vnode VALUES
+    * list, with the ring-minimum wrap. `keyExpr` must be a VARCHAR
+    * expression; emits one scalar expression usable in a SELECT.
+    */
+  def ringAssignSql(keyExpr: String, hosts: Seq[String], vnodes: Int): String = {
+    val rows = (for { h <- hosts; i <- 0 until vnodes }
+      yield s"substr(md5('$h#$i'), 1, 12) || '|' || '$h'").mkString(", ")
+    s"""str_split(coalesce(
+       |  (SELECT min(p) FROM unnest([$rows]) AS t(p)
+       |   WHERE substr(p, 1, 12) >= substr(md5($keyExpr), 1, 12)),
+       |  (SELECT min(p) FROM unnest([$rows]) AS t(p))), '|')[2]""".stripMargin
+  }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.agg.Aggregates
+import graft.route.Rendezvous
+import graft.ops.TextAnalysis
+
+/** Session-8 batch 26: consistent-hash ring, PRF query expansion,
+  * lag/rolling feature frame.
+  */
+class RingPrfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ringAssign: total on hosts, stable when an unrelated host leaves") {
+    val hosts = Seq("a", "b", "c")
+    val keys = (0 until 200).map(_.toString).toDF("k")
+    val out = keys.select(col("k"),
+        Rendezvous.ringAssign(col("k"), hosts, 8).as("h3"),
+        Rendezvous.ringAssign(col("k"), Seq("a", "b"), 8).as("h2"))
+      .collect()
+    out.foreach { r =>
+      assert(hosts.contains(r.getString(1)))
+      // consistency: keys NOT on the departed host keep their assignment
+      if (r.getString(1) != "c") assert(r.getString(2) === r.getString(1))
+    }
+    // all three hosts own something at 200 keys / 8 vnodes
+    assert(out.map(_.getString(1)).toSet === hosts.toSet)
+  }
+
+  test("ringAssign: wrap-around picks the ring minimum") {
+    // single host, single vnode: everything maps to it regardless of hash
+    val keys = (0 until 50).map(_.toString).toDF("k")
+    val out = keys.select(Rendezvous.ringAssign(col("k"), Seq("solo"), 1))
+      .distinct().collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("solo"))
+  }
+
+  test("prfExpand: expansion terms come from feedback docs, exclude query terms") {
+    val docs = (
+      (1 to 12).map(i => (i.toLong, "spark cluster shuffle tuning")) ++
+      (13 to 24).map(i => (i.toLong, "gardening soil compost advice")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.prfExpand(docs, Seq("spark"), fbDocs = 10, k = 5)
+      .collect().map(r => r.getString(0)).toSet
+    assert(out.subsetOf(Set("cluster", "shuffle", "tuning")))
+    assert(!out.contains("spark"))    // query term excluded
+    assert(!out.contains("gardening")) // non-feedback vocabulary excluded
+  }
+
+  test("lagFeatures: lags and trailing mean never include the current row") {
+    def t(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000)
+    val rows = (1 to 6).map(i => (1L, t(i), i.toLong, i.toDouble))
+      .toDF("uid", "ts", "event_id", "value")
+    val out = Aggregates.lagFeatures(rows, "uid", "ts", "event_id", "value")
+      .collect().map(r => r.getLong(1) -> r).toMap
+    // row 1: no history at all
+    assert(out(1L).isNullAt(3))
+    assert(out(1L).getLong(6) === 0L)
+    assert(out(1L).isNullAt(7))
+    // row 6: lags 5,4,3 (micros); mean of 2..5 = 3.5 -> floor 3500000
+    assert(out(6L).getLong(3) === 5000000L)
+    assert(out(6L).getLong(4) === 4000000L)
+    assert(out(6L).getLong(5) === 3000000L)
+    assert(out(6L).getLong(6) === 4L)
+    assert(out(6L).getLong(7) === 3500000L)
+    // row 5: trailing frame is rows 1..4 -> mean 2.5 -> 2500000
+    assert(out(5L).getLong(7) === 2500000L)
+  }
+}
