@@ -3061,6 +3061,42 @@ object SparkEntry {
         events(s, dir).withColumn("wk", wk), "event_type", "wk")
     },
 
+    // Unicode-homograph spoof pairs: planted Cyrillic lookalike handles
+    // collapse onto their victims' confusable skeleton
+    "q_confusables" -> { (s, dir) =>
+      val users = events(s, dir).select(col("user_id")).distinct()
+      val legit = users.select(col("user_id").as("id"),
+        concat(lit("user-"), col("user_id")).as("name"))
+      val spoof = users.where(col("user_id") % 7 === 0)
+        .select((col("user_id") + 100000L).as("id"),
+          concat(lit("uѕеr-"), col("user_id")).as("name"))
+      graft.ops.Privacy.spoofPairs(legit.unionAll(spoof), "id", "name")
+    },
+
+    // leave-one-out target encoding of event_type against the value
+    "q_target_encode" -> ((s, dir) =>
+      graft.ops.Curation.targetEncodeLoo(events(s, dir), "event_type",
+        "event_id", "value")),
+
+    // CUPED variance-reduced A/B readout: week-0 spend is the covariate,
+    // weeks-1+ spend the metric, hash-split variants
+    "q_cuped" -> { (s, dir) =>
+      val wk = expr(
+        "(unix_micros(CAST(ts AS TIMESTAMP)) - 1704067200000000) div 604800000000")
+      val micro = expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)")
+      val units = events(s, dir)
+        .select(col("user_id"), wk.as("wk"), micro.as("m"))
+        .groupBy("user_id")
+        .agg(expr("sum(CASE WHEN wk = 0 THEN m ELSE CAST(0 AS BIGINT) END)" +
+            " div 1000").as("x"),
+          expr("sum(CASE WHEN wk > 0 THEN m ELSE CAST(0 AS BIGINT) END)" +
+            " div 1000").as("y"))
+        .withColumn("variant",
+          when(pmod(Dedup.gramHash(col("user_id").cast("string")),
+            lit(2L)) === 0, "a").otherwise("b"))
+      graft.agg.Aggregates.cuped(units, "variant", "x", "y")
+    },
+
     // consistent-hash ring (8 vnodes/host): movement matrix when sink-e
     // leaves — only sink-e's arc should move
     "q_hash_ring" -> { (s, dir) =>
@@ -3395,6 +3431,63 @@ object SparkEntry {
 
     "q_prf_expand" -> TextAnalysis.prfExpandSql(BpeishRe,
       queryTerms = Seq("spark", "vector", "customer"), fbDocs = 10, k = 15),
+
+    "q_confusables" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |h AS (SELECT user_id AS id,
+         |    'user-' || CAST(user_id AS VARCHAR) AS name FROM u
+         |  UNION ALL
+         |  SELECT user_id + 100000, 'uѕеr-' || CAST(user_id AS VARCHAR)
+         |  FROM u WHERE user_id % 7 = 0),
+         |s AS (SELECT id, name,
+         |    ${graft.ops.Privacy.confusableSkeletonSql("name")} AS skeleton
+         |  FROM h)
+         |SELECT a.skeleton, a.id AS id_a, a.name AS name_a,
+         |  b.id AS id_b, b.name AS name_b
+         |FROM s a JOIN s b ON a.skeleton = b.skeleton
+         |  AND a.id < b.id AND a.name <> b.name""".stripMargin,
+
+    "q_target_encode" ->
+      """WITH b AS (SELECT event_type AS cat, event_id AS id,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS micro FROM events),
+        |s AS (SELECT cat, sum(micro) AS sm, count(*) AS n_cat
+        |  FROM b GROUP BY 1)
+        |SELECT id, b.cat, micro, CAST(n_cat AS BIGINT) AS n_cat,
+        |  CAST(CASE WHEN n_cat > 1 THEN (sm - micro) // (n_cat - 1) END
+        |    AS BIGINT) AS loo_micro
+        |FROM b JOIN s USING (cat)""".stripMargin,
+
+    "q_cuped" ->
+      s"""WITH e AS (SELECT user_id,
+         |    (epoch_us(ts) - 1704067200000000) // 604800000000 AS wk,
+         |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS m FROM events),
+         |u AS (SELECT user_id,
+         |    CAST(sum(CASE WHEN wk = 0 THEN m ELSE 0 END) AS BIGINT) // 1000
+         |      AS x,
+         |    CAST(sum(CASE WHEN wk > 0 THEN m ELSE 0 END) AS BIGINT) // 1000
+         |      AS y,
+         |    CASE WHEN ${graft.ops.Dedup.gramHashSql(
+               "CAST(user_id AS VARCHAR)")} % 2 = 0
+         |      THEN 'a' ELSE 'b' END AS variant
+         |  FROM e GROUP BY 1),
+         |g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx FROM u),
+         |t AS (SELECT CASE WHEN n * sxx - sx * sx <> 0
+         |    THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+         |         CAST(n * sxx - sx * sx AS DOUBLE)
+         |    ELSE 0.0 END AS theta,
+         |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar FROM g),
+         |v AS (SELECT variant, count(*) AS n_units,
+         |    CAST(sum(x) AS BIGINT) AS vx, CAST(sum(y) AS BIGINT) AS vy
+         |  FROM u GROUP BY 1)
+         |SELECT variant, CAST(n_units AS BIGINT) AS n_units,
+         |  round(CAST(vy AS DOUBLE) / n_units / 1e3, 6) AS raw_mean,
+         |  round((CAST(vy AS DOUBLE) / n_units -
+         |    theta * (CAST(vx AS DOUBLE) / n_units - xbar)) / 1e3, 6)
+         |    AS adj_mean
+         |FROM v CROSS JOIN t""".stripMargin,
 
     "q_lag_features" ->
       """WITH b AS (SELECT user_id AS key, epoch_us(ts) AS tus,

@@ -1290,6 +1290,48 @@ object Aggregates {
     * (key, ts, ord) window — one exchange — then two map-side-combinable
     * groupBys. Deterministic under timestamp collisions via `ordCol`.
     */
+  /** CUPED variance-reduced experiment readout (Deng, Xu, Kohavi, Walker,
+    * WSDM 2013 — public): adjust each variant's post-period mean by the
+    * pooled pre-period covariate, adj = ȳ_v − θ·(x̄_v − x̄), with
+    * θ = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) pooled over ALL units (the
+    * unbiasedness requirement — per-variant θ would re-introduce
+    * selection). Every Σ is an exact integer sum of milli-scaled unit
+    * metrics (order-independent, engine-exact); θ and the means are then
+    * a fixed chain of SCALAR IEEE double ops — deterministic on both
+    * engines because no cross-row float accumulation ever happens. The
+    * input must be one row per unit: (unit, variant, x, y) in integer
+    * milli units.
+    *
+    * Scale shape: one global 1-row aggregate (map-side combinable) +
+    * one per-variant aggregate over the unit table; no windows, no
+    * joins at unit cardinality. Milli scale keeps n·Σxy inside int64 up
+    * to ~10⁷ units × 10⁶-milli metrics — rescale upstream beyond that.
+    */
+  def cuped(units: DataFrame, variantCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val u = units.select(col(variantCol).as("variant"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val g = u.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(expr("x * y")).as("sxy"),
+      sum(expr("x * x")).as("sxx"))
+    val theta = when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0L,
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .otherwise(lit(0.0))
+    u.groupBy("variant")
+      .agg(count(lit(1)).as("n_units"), sum("x").as("vx"),
+        sum("y").as("vy"))
+      .crossJoin(broadcast(g.select(theta.as("_theta"),
+        (col("sx").cast("double") / col("n").cast("double")).as("_xbar"))))
+      .select(col("variant"), col("n_units"),
+        round(col("vy").cast("double") / col("n_units").cast("double") / 1e3,
+          6).as("raw_mean"),
+        round((col("vy").cast("double") / col("n_units").cast("double") -
+          col("_theta") * (col("vx").cast("double") /
+            col("n_units").cast("double") - col("_xbar"))) / 1e3, 6)
+          .as("adj_mean"))
+  }
+
   /** Leak-safe per-key lag/rolling feature frame — the time-series
     * feature-engineering primitive: lags 1..3 of the fixed-point value
     * plus a trailing 4-row mean, every window ending at the PREVIOUS row

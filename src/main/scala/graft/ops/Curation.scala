@@ -1018,6 +1018,32 @@ object Curation {
       .select("uid", "pos_item", "neg_item", "attempt", "rank")
   }
 
+  /** Leave-one-out target encoding (Micci-Barreca, SIGKDD Expl. 2001 —
+    * public): encode a categorical feature as the mean target of the
+    * OTHER rows in its category — (Σ_cat − own) div (n_cat − 1) — the
+    * standard high-cardinality categorical transform, with the
+    * leave-one-out correction that stops a row's own label leaking into
+    * its own feature (the same leakage family `labelBuild` and
+    * `lagFeatures` guard). Exact integer micros, floor division;
+    * singleton categories encode NULL (no peers to borrow from — the
+    * caller blends a global prior downstream).
+    *
+    * Scale shape: one category groupBy + one join back on the category
+    * key (never broadcast — category cardinality is unbounded at 100 TB,
+    * the tfidf document-frequency rule).
+    */
+  def targetEncodeLoo(df: DataFrame, catCol: String, idCol: String,
+      valCol: String): DataFrame = {
+    val base = df.select(col(catCol).as("cat"), col(idCol).as("id"),
+      floor(col(valCol) * 1e6 + 0.5).cast("long").as("micro"))
+    val stats = base.groupBy("cat")
+      .agg(sum("micro").as("_sum"), count(lit(1)).as("n_cat"))
+    base.join(stats, Seq("cat"))
+      .select(col("id"), col("cat"), col("micro"), col("n_cat"),
+        when(col("n_cat") > 1L,
+          expr("(_sum - micro) div (n_cat - 1)")).as("loo_micro"))
+  }
+
   /** Leak-free supervised label construction at a time cutoff: features
     * aggregate STRICTLY before `cutUs` (trailing `histUs` window), the
     * label looks STRICTLY at [cutUs, cutUs+horizonUs) — the temporal

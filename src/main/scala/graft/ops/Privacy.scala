@@ -166,4 +166,43 @@ object Privacy {
     }
     df.select(cols: _*)
   }
+
+  /** Homoglyph confusable map (a practical slice of Unicode TR#39's
+    * confusables.txt, public): Cyrillic/Greek lookalikes plus the 0/1
+    * digit spoofs, folded to their ASCII skeleton after lowercasing.
+    * Both Spark's and DuckDB's `translate` operate per code point, so
+    * the same from/to strings produce identical skeletons.
+    */
+  private val ConfusableFrom = "еоаѕісрυ01"
+  private val ConfusableTo = "eoasicpuol"
+
+  /** ASCII skeleton of an identifier for spoof detection. */
+  def confusableSkeleton(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    translate(lower(c), ConfusableFrom, ConfusableTo)
+
+  /** DuckDB twin of [[confusableSkeleton]]. */
+  def confusableSkeletonSql(e: String): String =
+    s"translate(lower($e), '$ConfusableFrom', '$ConfusableTo')"
+
+  /** Unicode-spoof pair detection (the IDN-homograph audit for handles /
+    * domains / tool names): distinct raw names that collapse to the same
+    * confusable skeleton. Output one row per unordered pair
+    * (skeleton, id_a, name_a, id_b, name_b) with id_a < id_b.
+    *
+    * Scale shape: one skeleton groupBy-key self-join — pair emission is
+    * quadratic only within one skeleton bucket, which is bounded by the
+    * homograph family size (legitimate identifiers skeleton-collide
+    * rarely); the LSH bucket-cap lesson applies if an adversary floods
+    * one skeleton.
+    */
+  def spoofPairs(df: DataFrame, idCol: String, nameCol: String): DataFrame = {
+    val sk = df.select(col(idCol).as("id"), col(nameCol).as("name"))
+      .withColumn("skeleton", confusableSkeleton(col("name")))
+    val a = sk.select(col("skeleton"), col("id").as("id_a"),
+      col("name").as("name_a"))
+    val b = sk.select(col("skeleton"), col("id").as("id_b"),
+      col("name").as("name_b"))
+    a.join(b, Seq("skeleton"))
+      .where(col("id_a") < col("id_b") && col("name_a") =!= col("name_b"))
+  }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.agg.Aggregates
+import graft.ops.{Curation, Privacy}
+
+/** Session-8 batch 27: confusable spoof pairs, LOO target encoding,
+  * CUPED readout.
+  */
+class ConfusableCupedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("spoofPairs: Cyrillic homographs collide, honest names don't") {
+    val names = Seq(
+      (1L, "paypal"), (2L, "pаypal"),   // Cyrillic а spoof of 1
+      (3L, "admin"), (4L, "admln"),     // plain-ASCII near-miss: no pair
+      (5L, "user10"), (6L, "userlo"))   // 1->l, 0->o digit-spoof collides
+      .toDF("id", "name")
+    val out = Privacy.spoofPairs(names, "id", "name")
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(out === Set((1L, 2L), (5L, 6L)))
+  }
+
+  test("confusableSkeleton: idempotent on its own output") {
+    val df = Seq("pаypаl", "uѕеr-12", "plain").toDF("s")
+    val once = df.select(Privacy.confusableSkeleton(col("s")).as("k"))
+    val twice = once.select(Privacy.confusableSkeleton(col("k")))
+      .collect().map(_.getString(0))
+    assert(twice.toSeq === once.collect().map(_.getString(0)).toSeq)
+  }
+
+  test("targetEncodeLoo: excludes the row's own target; singletons null") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 6.0),
+        ("b", 4L, 5.0))
+      .toDF("cat", "id", "value")
+    val out = Curation.targetEncodeLoo(df, "cat", "id", "value")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(4) === 4000000L) // (2+6)/2
+    assert(out(2L).getLong(4) === 3500000L) // (1+6)/2
+    assert(out(3L).getLong(4) === 1500000L) // (1+2)/2
+    assert(out(4L).isNullAt(4))             // singleton category
+  }
+
+  test("cuped: perfectly correlated covariate removes all variance") {
+    // y = x exactly: theta = 1, adj mean = pooled xbar for every variant
+    val units = Seq(("a", 1000L, 1000L), ("a", 3000L, 3000L),
+        ("b", 2000L, 2000L), ("b", 6000L, 6000L))
+      .toDF("variant", "x", "y")
+    val out = Aggregates.cuped(units, "variant", "x", "y")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("a")._1 === 2.0) // raw means differ: 2 vs 4
+    assert(out("b")._1 === 4.0)
+    assert(out("a")._2 === 3.0) // adjusted means collapse to xbar = 3
+    assert(out("b")._2 === 3.0)
+  }
+
+  test("cuped: zero-variance covariate degrades to raw means (theta 0)") {
+    val units = Seq(("a", 5L, 1000L), ("b", 5L, 3000L))
+      .toDF("variant", "x", "y")
+    val out = Aggregates.cuped(units, "variant", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out === Map("a" -> 1.0, "b" -> 3.0))
+  }
+}
