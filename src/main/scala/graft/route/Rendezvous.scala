@@ -69,12 +69,22 @@ object Rendezvous {
     */
   def ringAssign(key: Column, hosts: Seq[String], vnodes: Int): Column = {
     require(hosts.nonEmpty && vnodes > 0, "ring needs hosts and vnodes")
-    val points = for { h <- hosts; i <- 0 until vnodes }
-      yield concat(substring(md5(lit(s"$h#$i")), 1, 12), lit("|"), lit(h))
-    val ring = array_sort(array(points: _*))
+    // the ring is a plan-time constant: hash the vnodes HERE (JVM md5 ==
+    // Spark md5 == DuckDB md5 on the same bytes) and compile the lookup
+    // to a sorted CASE chain — pure codegen string compares, where the
+    // first cut (filter/array_min over an array literal) was an
+    // interpreted higher-order function per row (the bruteForceTopK
+    // lesson; measured 6.1 s → sub-second on the 2×100k sf0.1 matrix)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    def hex12(s: String): String =
+      digest.digest(s.getBytes("UTF-8"))
+        .take(6).map(b => f"${b & 0xff}%02x").mkString
+    val ring = (for { h <- hosts; i <- 0 until vnodes }
+      yield (hex12(s"$h#$i"), h)).sortBy(_._1)
     val khex = substring(md5(key), 1, 12)
-    val next = array_min(filter(ring, v => substring(v, 1, 12) >= khex))
-    split(coalesce(next, element_at(ring, 1)), "\\|").getItem(1)
+    ring.foldRight(lit(ring.head._2): Column) { case ((hx, host), acc) =>
+      when(khex <= lit(hx), lit(host)).otherwise(acc)
+    }
   }
 
   /** DuckDB twin of [[ringAssign]]: correlated min over the vnode VALUES
