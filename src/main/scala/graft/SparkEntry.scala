@@ -3061,6 +3061,41 @@ object SparkEntry {
         events(s, dir).withColumn("wk", wk), "event_type", "wk")
     },
 
+    // trailing-24h frequency cap per user (RANGE frame ending 1 µs back)
+    "q_freq_cap" -> ((s, dir) =>
+      graft.agg.Aggregates.freqCap(events(s, dir), "user_id", "ts",
+        "event_id", windowUs = 86400000000L, cap = 5L)),
+
+    // code-vs-prose router with planted code docs (kw + indent path)
+    "q_code_detect" -> { (s, dir) =>
+      val snippet = "def handler(x):\n    if x > 0:\n" +
+        "        return [x, 1]\n    import os\n    val = {\"k\": 1};\n"
+      val code = documents(s, dir).where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          concat(lit(snippet), col("text")).as("text"))
+      TextAnalysis.codeDetect(
+        documents(s, dir).select("doc_id", "text").unionAll(code))
+    },
+
+    // secret scanner with planted AKIA / 40-hex / key=value credentials
+    "q_secret_scan" -> { (s, dir) =>
+      val d = documents(s, dir)
+      val aws = d.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 60000).as("doc_id"),
+          concat(col("text"), lit(" AKIA"),
+            upper(substring(md5(col("doc_id").cast("string")), 1, 16)))
+            .as("text"))
+      val hex = d.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 70000).as("doc_id"),
+          concat(col("text"), lit(" token deadbeef"),
+            substring(md5(col("doc_id").cast("string")), 1, 32)).as("text"))
+      val kv = d.where(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 80000).as("doc_id"),
+          concat(col("text"), lit(" password=hunter2hunter2")).as("text"))
+      graft.ops.Privacy.secretScan(d.select("doc_id", "text")
+        .unionAll(aws).unionAll(hex).unionAll(kv))
+    },
+
     // Unicode-homograph spoof pairs: planted Cyrillic lookalike handles
     // collapse onto their victims' confusable skeleton
     "q_confusables" -> { (s, dir) =>
@@ -3431,6 +3466,74 @@ object SparkEntry {
 
     "q_prf_expand" -> TextAnalysis.prfExpandSql(BpeishRe,
       queryTerms = Seq("spark", "vector", "customer"), fbDocs = 10, k = 15),
+
+    "q_freq_cap" ->
+      """WITH b AS (SELECT user_id AS key, event_id AS id, epoch_us(ts) AS tus
+        |  FROM events),
+        |w AS (SELECT key, id, count(*) OVER (PARTITION BY key ORDER BY tus
+        |  RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING) AS n_prior
+        |  FROM b)
+        |SELECT key, id, CAST(n_prior AS BIGINT) AS n_prior,
+        |  n_prior >= 5 AS suppressed
+        |FROM w""".stripMargin,
+
+    "q_code_detect" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 50000,
+        |    'def handler(x):' || chr(10) || '    if x > 0:' || chr(10) ||
+        |    '        return [x, 1]' || chr(10) || '    import os' ||
+        |    chr(10) || '    val = {"k": 1};' || chr(10) || text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |f AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+        |  CAST(len(text) - len(translate(text, '[]{}();=<>', ''))
+        |    AS BIGINT) AS sym,
+        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl,
+        |  CAST(len(list_filter(string_split(text, chr(10)),
+        |    l -> regexp_matches(l, '^(  |\t)'))) AS BIGINT) AS ind,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b(def|class|import|return|if|for|while|function|val|var)\b'))
+        |    AS BIGINT) AS kw_hits
+        |  FROM base),
+        |p AS (SELECT doc_id, n_chars,
+        |  CAST(CASE WHEN n_chars > 0 THEN sym * 1000000 // n_chars
+        |    ELSE 0 END AS BIGINT) AS sym_ppm,
+        |  CAST(CASE WHEN nl > 0 THEN ind * 1000000 // nl
+        |    ELSE 0 END AS BIGINT) AS indent_ppm,
+        |  kw_hits FROM f)
+        |SELECT doc_id, n_chars, sym_ppm, indent_ppm, kw_hits,
+        |  (sym_ppm >= 30000 OR (kw_hits >= 2 AND indent_ppm >= 200000))
+        |    AS is_code
+        |FROM p""".stripMargin,
+
+    "q_secret_scan" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 60000, text || ' AKIA' ||
+        |    upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 70000, text || ' token deadbeef' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 32)
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 80000, text || ' password=hunter2hunter2'
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |f AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'AKIA[0-9A-Z]{16}'))
+        |    AS BIGINT) AS n_aws,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9a-f]{40}\b'))
+        |    AS BIGINT) AS n_hex40,
+        |  CAST(len(regexp_extract_all(text,
+        |    '(?i)(api[_-]?key|secret|token|passwd|password)\s*[:=]\s*\S{8,}'))
+        |    AS BIGINT) AS n_kv
+        |  FROM base)
+        |SELECT doc_id, n_aws, n_hex40, n_kv,
+        |  CASE WHEN n_aws + n_hex40 > 0 THEN 'high'
+        |       WHEN n_kv > 0 THEN 'review' ELSE 'clean' END AS severity
+        |FROM f""".stripMargin,
 
     "q_confusables" ->
       s"""WITH u AS (SELECT DISTINCT user_id FROM events),

@@ -1290,6 +1290,30 @@ object Aggregates {
     * (key, ts, ord) window — one exchange — then two map-side-combinable
     * groupBys. Deterministic under timestamp collisions via `ordCol`.
     */
+  /** Trailing-window frequency cap: per key, how many events landed in
+    * the preceding `windowUs` microseconds (STRICTLY before the current
+    * instant — a RANGE frame ending at −1 µs, so simultaneous events
+    * never count each other and the result is deterministic without a
+    * tie-break), and whether this event breaches `cap`. This is the
+    * ad-frequency / notification-fatigue / API-abuse primitive: unlike
+    * the tumbling/hopping counters, the window trails each EVENT, so a
+    * burst is caught mid-burst, not at the next window boundary.
+    *
+    * Scale shape: one RANGE window on (key, ts) — a value-based frame
+    * the sort already serves; no state, no joins, no explode.
+    */
+  def freqCap(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      windowUs: Long, cap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy(col("_tus"))
+      .rangeBetween(-windowUs, -1L)
+    df.select(col(keyCol).as("key"), col(idCol).as("id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("_tus"))
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .select(col("key"), col("id"), col("n_prior"),
+        (col("n_prior") >= cap).as("suppressed"))
+  }
+
   /** CUPED variance-reduced experiment readout (Deng, Xu, Kohavi, Walker,
     * WSDM 2013 — public): adjust each variant's post-period mean by the
     * pooled pre-period covariate, adj = ȳ_v − θ·(x̄_v − x̄), with

@@ -184,6 +184,30 @@ object Privacy {
   def confusableSkeletonSql(e: String): String =
     s"translate(lower($e), '$ConfusableFrom', '$ConfusableTo')"
 
+  /** Credential / secret scanner over a text corpus — the pre-release
+    * hygiene pass next to [[luhnScan]]: three public pattern families
+    * (AWS-style `AKIA` access-key ids, bare 40-hex tokens, and
+    * `key=value` assignments on secret-ish names), counted per document
+    * with regexp_extract_all. Patterns are RE2-safe (no lookaround), so
+    * Spark's Java regex and DuckDB's RE2 count identical matches.
+    * Severity: `high` when a structured credential (AKIA / 40-hex)
+    * appears, `review` for generic assignments, `clean` otherwise.
+    */
+  def secretScan(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def hits(re: String) =
+      size(regexp_extract_all(col(textCol), lit(re), lit(0))).cast("long")
+    df.select(col(idCol),
+        hits("AKIA[0-9A-Z]{16}").as("n_aws"),
+        hits("\\b[0-9a-f]{40}\\b").as("n_hex40"),
+        hits("(?i)(api[_-]?key|secret|token|passwd|password)\\s*[:=]\\s*\\S{8,}")
+          .as("n_kv"))
+      .withColumn("severity",
+        when(col("n_aws") + col("n_hex40") > 0L, "high")
+          .when(col("n_kv") > 0L, "review")
+          .otherwise("clean"))
+  }
+
   /** Unicode-spoof pair detection (the IDN-homograph audit for handles /
     * domains / tool names): distinct raw names that collapse to the same
     * confusable skeleton. Output one row per unordered pair

@@ -299,6 +299,43 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("score_fp").desc, col(idCol))).cast("int"))
   }
 
+  /** Code-vs-prose detection for corpus curation (the heuristic family
+    * behind every pretraining "code fence" router): three cheap surface
+    * features — syntax-symbol density, indented-line ratio, programming
+    * keyword hits — combined into a verdict. All integer ppm (counts via
+    * `translate`-delete and regexp_extract_all, identical in DuckDB), no
+    * model weights, so the router is oracle-checkable and runs inside
+    * one narrow projection + one small lines HOF per doc.
+    *
+    * Verdict: symbols ≥ 3% of chars, OR (≥ 2 keywords AND ≥ 20% of
+    * lines indented).
+    */
+  def codeDetect(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("long")
+    val sym = (nChars - length(translate(t, "[]{}();=<>", ""))).cast("long")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val indented = size(filter(lines, l => l.rlike("^(  |\t)"))).cast("long")
+    val kw = size(regexp_extract_all(t,
+      lit("\\b(def|class|import|return|if|for|while|function|val|var)\\b"),
+      lit(0))).cast("long")
+    df.select(col(idCol), nChars.as("n_chars"), sym.as("_sym"),
+        nLines.as("_nl"), indented.as("_ind"), kw.as("kw_hits"))
+      .withColumn("sym_ppm",
+        expr("CASE WHEN n_chars > 0 THEN _sym * 1000000 div n_chars" +
+          " ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("indent_ppm",
+        expr("CASE WHEN _nl > 0 THEN _ind * 1000000 div _nl" +
+          " ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("is_code",
+        col("sym_ppm") >= 30000L ||
+          (col("kw_hits") >= 2L && col("indent_ppm") >= 200000L))
+      .select(idCol, "n_chars", "sym_ppm", "indent_ppm", "kw_hits",
+        "is_code")
+  }
+
   /** Pseudo-relevance-feedback query expansion (Rocchio 1971, public):
     * run [[bm25]], treat its top `fbDocs` hits as relevant, and rank
     * candidate expansion terms by how concentrated they are in the
