@@ -3061,6 +3061,27 @@ object SparkEntry {
         events(s, dir).withColumn("wk", wk), "event_type", "wk")
     },
 
+    // IPv6 parse + /64 prefix rollup (full-form fixture; '::' handled by
+    // the same operator, spec-covered)
+    "q_ipv6_prefix" -> { (s, dir) =>
+      val ip = concat(lit("2001:db8:"), lower(hex(col("user_id") % 256)),
+        lit(":"),
+        lower(hex(get_json_object(col("props"), "$.k").cast("long") % 16)),
+        lit(":0:0:"), lower(hex(col("event_id") % 65536)), lit(":1"))
+      events(s, dir).select(ip.as("ip"))
+        .select(graft.ops.Sessions.ipv6Hi(col("ip")).as("prefix64"),
+          graft.ops.Sessions.ipv6Lo(col("ip")).as("iface"))
+        .groupBy("prefix64")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("iface")).as("n_ifaces"))
+    },
+
+    // degree assortativity of the user×item engagement graph
+    "q_assortativity" -> ((s, dir) =>
+      Graph.assortativity(events(s, dir).select(col("user_id").as("src"),
+        (get_json_object(col("props"), "$.k").cast("long") % 50 + 10000L)
+          .as("dst")))),
+
     // trailing-24h frequency cap per user (RANGE frame ending 1 µs back)
     "q_freq_cap" -> ((s, dir) =>
       graft.agg.Aggregates.freqCap(events(s, dir), "user_id", "ts",
@@ -3466,6 +3487,53 @@ object SparkEntry {
 
     "q_prf_expand" -> TextAnalysis.prfExpandSql(BpeishRe,
       queryTerms = Seq("spark", "vector", "customer"), fbDocs = 10, k = 15),
+
+    "q_ipv6_prefix" ->
+      """WITH e AS (SELECT '2001:db8:' || lower(hex(user_id % 256)) || ':' ||
+        |    lower(hex(CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |      % 16)) ||
+        |    ':0:0:' || lower(hex(event_id % 65536)) || ':1' AS ip
+        |  FROM events),
+        |g AS (SELECT string_split(ip, ':') AS gs FROM e),
+        |p AS (SELECT
+        |  ((CAST('0x' || gs[1] AS BIGINT) * 65536 +
+        |    CAST('0x' || gs[2] AS BIGINT)) * 65536 +
+        |    CAST('0x' || gs[3] AS BIGINT)) * 65536 +
+        |    CAST('0x' || gs[4] AS BIGINT) AS prefix64,
+        |  ((CAST('0x' || gs[5] AS BIGINT) * 65536 +
+        |    CAST('0x' || gs[6] AS BIGINT)) * 65536 +
+        |    CAST('0x' || gs[7] AS BIGINT)) * 65536 +
+        |    CAST('0x' || gs[8] AS BIGINT) AS iface
+        |  FROM g)
+        |SELECT prefix64, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT iface) AS BIGINT) AS n_ifaces
+        |FROM p GROUP BY 1""".stripMargin,
+
+    "q_assortativity" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT
+        |    least(user_id,
+        |      CAST(json_extract_string(props, '$.k') AS BIGINT) % 50 + 10000)
+        |      AS u,
+        |    greatest(user_id,
+        |      CAST(json_extract_string(props, '$.k') AS BIGINT) % 50 + 10000)
+        |      AS v
+        |  FROM events
+        |  WHERE user_id <>
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 50 + 10000),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+        |o AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        |j AS (SELECT d1.deg AS du, d2.deg AS dv FROM o
+        |  JOIN deg d1 ON d1.node = o.u JOIN deg d2 ON d2.node = o.v),
+        |s AS (SELECT count(*) AS n, CAST(sum(du) AS BIGINT) AS sx,
+        |  CAST(sum(du * dv) AS BIGINT) AS sxy,
+        |  CAST(sum(du * du) AS BIGINT) AS sxx FROM j)
+        |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |    round(CAST(n * sxy - sx * sx AS DOUBLE) /
+        |          CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS assortativity
+        |FROM s""".stripMargin,
 
     "q_freq_cap" ->
       """WITH b AS (SELECT user_id AS key, event_id AS id, epoch_us(ts) AS tus

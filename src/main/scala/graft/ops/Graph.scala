@@ -284,4 +284,43 @@ object Graph {
     degrees(alive).select(col("node"), col("deg"),
       (col("deg") >= k).as("in_core"))
   }
+
+  /** Degree assortativity coefficient (Newman, PRL 2002 — public): the
+    * Pearson correlation of endpoint degrees over edges. Positive =
+    * hubs attach to hubs (social), negative = hubs attach to leaves
+    * (infrastructure, bipartite star shapes) — the one-number topology
+    * fingerprint for the engagement graph.
+    *
+    * Every edge contributes BOTH orientations, so by symmetry
+    * Sy = Sx and Syy = Sxx and r = (n·Σxy − Sx²) / (n·Σxx − Sx²).
+    * All Σ are exact integer sums (order-independent, engine-exact);
+    * r is then a fixed chain of scalar double ops rounded to 6 dp —
+    * the CUPED determinism pattern. Degenerate graphs (all degrees
+    * equal, zero denominator) report NULL.
+    *
+    * Scale shape: degree groupBy + two key-partitioned joins back to
+    * the edge list + a 1-row aggregate; no windows, no collect.
+    */
+  def assortativity(edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val canon = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("node"))
+      .unionAll(canon.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val ordered = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+    val j = ordered
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    j.agg(count(lit(1)).as("n"), sum("du").as("sx"),
+        sum(expr("du * dv")).as("sxy"), sum(expr("du * du")).as("sxx"))
+      .select(expr("n div 2").as("n_edges"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0L,
+          round((col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+          .as("assortativity"))
+  }
 }

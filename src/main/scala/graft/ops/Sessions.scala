@@ -225,4 +225,40 @@ object Sessions {
         expr("n_labels * 1000000 div n_queries").as("uniq_ppm"))
       .withColumn("suspect",
         col("avg_len_u") >= minAvgLenMicros && col("uniq_ppm") >= minUniqPpm)
+
+  /** IPv6 group expansion: full or '::'-zero-compressed textual address
+    * → 8 hex-group strings (RFC 4291 §2.2, public). The '::' run is
+    * rebuilt with array HOFs (split on '::', pad the middle with "0"
+    * groups) — a narrow projection, no UDF. Malformed inputs yield
+    * short/long arrays → NULL halves downstream, the usual error
+    * channel.
+    */
+  def ipv6Groups(ip: Column): Column = {
+    val two = split(ip, "::")
+    val l = filter(split(element_at(two, 1), ":"), p => p =!= "")
+    val r = when(size(two) > 1,
+        filter(split(element_at(two, 2), ":"), p => p =!= ""))
+      .otherwise(array().cast("array<string>"))
+    val mid = array_repeat(lit("0"), lit(8) - size(l) - size(r))
+    concat(l, mid, r)
+  }
+
+  private def ipv6Half(groups: Column, offset: Int): Column = {
+    def at(i: Int): Column =
+      conv(element_at(groups, offset + i), 16, 10).cast("long")
+    // bit shifts, not multiplication: groups are < 2^16 so OR == add,
+    // and shifts wrap bit-63 without tripping ANSI overflow checks
+    shiftleft(at(1), 48).bitwiseOR(shiftleft(at(2), 32))
+      .bitwiseOR(shiftleft(at(3), 16)).bitwiseOR(at(4))
+  }
+
+  /** High 64 bits (the routing /64 prefix) of an IPv6 address. Wraps
+    * negative for first-nibble ≥ 8 addresses (ff00::/8 etc.) — the
+    * uint64 bit-63 convention the parity spec pins; the wrapped value
+    * stays injective, so grouping/joining on it is exact.
+    */
+  def ipv6Hi(ip: Column): Column = ipv6Half(ipv6Groups(ip), 0)
+
+  /** Low 64 bits (the interface identifier) of an IPv6 address. */
+  def ipv6Lo(ip: Column): Column = ipv6Half(ipv6Groups(ip), 4)
 }

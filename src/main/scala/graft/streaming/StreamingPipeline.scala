@@ -52,6 +52,9 @@ final case class RateOut(
     delta: Option[Long])
 
 /** Open-conversation state: turns accumulated so far + last event time. */
+final case class CapState(timesUs: Seq[Long])
+final case class CapOut(key: Long, id: Long, n_prior: Long,
+  suppressed: Boolean)
 final case class ConvState(turns: Seq[(Int, String, String)], lastMs: Long)
 
 /** A closed-out conversation, rendered with the SAME layout as the batch
@@ -163,6 +166,48 @@ object StreamingPipeline {
             runs.init.iterator.map(s =>
               Flow(key, s.n, new java.sql.Timestamp(s.firstMs), new java.sql.Timestamp(s.lastMs)))
           }
+      }
+  }
+
+  /** Streaming twin of `Aggregates.freqCap`: per key, a GroupState
+    * buffer of recent event instants answers "how many in my trailing
+    * `windowUs`, strictly before me" as events arrive — the online form
+    * of the batch RANGE window, for enforcement at ingest time rather
+    * than report time. Within a micro-batch events are sorted by
+    * (ts, id) before folding (iterator order is not event order), and
+    * instants older than the window are evicted on every fold, so state
+    * is bounded by the per-key event rate × window. In-order fixtures
+    * produce byte-identical output to the batch operator — asserted in
+    * `StreamingSpec`; late data past the watermark is the usual
+    * streaming caveat.
+    */
+  def freqCapStream(df: DataFrame, windowUs: Long, cap: Long,
+      keyCol: String = "key", idCol: String = "id",
+      watermarkDelay: String = "1 hour"): Dataset[CapOut] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.withWatermark("ts", watermarkDelay)
+      .select(col(keyCol).cast("long").as("key"),
+        col(idCol).cast("long").as("id"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CapState, CapOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[CapState]) =>
+          var times = state.getOption.map(_.timesUs).getOrElse(Seq.empty)
+          def micros(ts: java.sql.Timestamp): Long =
+            ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+          val out = rows.toSeq
+            .sortBy { case (_, id, ts) => (micros(ts), id) }
+            .map { case (_, id, ts) =>
+              val tus = micros(ts)
+              val prior = times.count(t => t >= tus - windowUs && t < tus)
+              times = (times :+ tus).filter(_ > tus - windowUs)
+              CapOut(key, id, prior, prior >= cap)
+            }
+          state.update(CapState(times))
+          out.iterator
       }
   }
 
