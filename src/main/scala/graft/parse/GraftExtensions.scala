@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.ipToIntFunction)
     ext.injectFunction(GraftExtensions.netDirectionFunction)
     ext.injectFunction(GraftExtensions.normalizeUnicodeFunction)
+    // bounded levenshtein(a,b) <= k predicates → the Myers banded kernel
+    ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshtein)
   }
 }
 

@@ -1,0 +1,70 @@
+package graft.plans
+
+import graft.ops.EditDistanceWithin
+import org.apache.spark.sql.catalyst.expressions.{Expression, GreaterThan,
+  GreaterThanOrEqual, LessThan, LessThanOrEqual, Levenshtein, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Catalyst optimizer rule: rewrite bounded Levenshtein predicates —
+  * `levenshtein(a, b) <= k` and every comparison/operand-order variant
+  * with a literal integer bound — into the Myers bit-parallel
+  * [[EditDistanceWithin]] kernel. The built-in `Levenshtein` rescans
+  * UTF8String bytes per DP cell (effectively O(len³); the session-6
+  * measurement that drove the entity-resolution verify from 110 s to
+  * 17.5 s), and it cannot use the bound to stop early; the replacement
+  * decodes codepoints once and runs the threshold-banded bit-parallel
+  * DP — with this rule a user's plain
+  * `spark.sql("... WHERE levenshtein(a, b) <= 3")` gets the fast kernel
+  * with no code change.
+  *
+  * Correctness: `EditDistanceWithin(a, b, k)` returns the distance when
+  * it is ≤ k and −1 otherwise, so with distances non-negative
+  *   d ≤ k ⟺ within(k) ≥ 0,   d > k ⟺ within(k) < 0,
+  * and strict/shifted forms reduce to those with k∓1. NULL inputs stay
+  * NULL through both shapes (both comparisons are null-propagating).
+  * Only literal integer bounds rewrite — the threshold fixes the DP
+  * band at plan time; `levenshtein(a, b, k)`'s own three-arg form (a
+  * threshold expression the built-in clamps with) is left untouched.
+  *
+  * Register via `spark.sql.extensions=graft.parse.GraftExtensions`
+  * (injectOptimizerRule) or `spark.experimental.extraOptimizations`.
+  */
+object BoundedLevenshtein extends Rule[LogicalPlan] {
+
+  private def within(a: Expression, b: Expression, k: Int): Expression =
+    EditDistanceWithin(a, b, Literal(k))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      // d <= k  /  k >= d   ⟺   within(k) >= 0
+      case LessThanOrEqual(Levenshtein(a, b, None),
+          Literal(k: Int, IntegerType)) if k >= 0 =>
+        GreaterThanOrEqual(within(a, b, k), Literal(0))
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType),
+          Levenshtein(a, b, None)) if k >= 0 =>
+        GreaterThanOrEqual(within(a, b, k), Literal(0))
+      // d < k  /  k > d   ⟺   within(k-1) >= 0
+      case LessThan(Levenshtein(a, b, None),
+          Literal(k: Int, IntegerType)) if k >= 1 =>
+        GreaterThanOrEqual(within(a, b, k - 1), Literal(0))
+      case GreaterThan(Literal(k: Int, IntegerType),
+          Levenshtein(a, b, None)) if k >= 1 =>
+        GreaterThanOrEqual(within(a, b, k - 1), Literal(0))
+      // d > k  /  k < d   ⟺   within(k) < 0
+      case GreaterThan(Levenshtein(a, b, None),
+          Literal(k: Int, IntegerType)) if k >= 0 =>
+        LessThan(within(a, b, k), Literal(0))
+      case LessThan(Literal(k: Int, IntegerType),
+          Levenshtein(a, b, None)) if k >= 0 =>
+        LessThan(within(a, b, k), Literal(0))
+      // d >= k  /  k <= d   ⟺   within(k-1) < 0
+      case GreaterThanOrEqual(Levenshtein(a, b, None),
+          Literal(k: Int, IntegerType)) if k >= 1 =>
+        LessThan(within(a, b, k - 1), Literal(0))
+      case LessThanOrEqual(Literal(k: Int, IntegerType),
+          Levenshtein(a, b, None)) if k >= 1 =>
+        LessThan(within(a, b, k - 1), Literal(0))
+    }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.BoundedLevenshtein
+
+/** Session-8: the bounded-Levenshtein optimizer rule (injectable via
+  * GraftExtensions) swaps the O(len³)-effective built-in for the Myers
+  * banded kernel on every literal-bound comparison shape, results
+  * unchanged.
+  */
+class LevRuleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val ready: Unit = {
+    // shared test session: register on the user-rule extension point
+    // (same rule object GraftExtensions.injectOptimizerRule installs)
+    if (!spark.experimental.extraOptimizations.contains(BoundedLevenshtein))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BoundedLevenshtein
+    // parquet-backed view: over a LocalRelation the optimizer folds the
+    // whole filter away and there is no plan left to inspect
+    val dir = TestSpark.tmpDir("lev-rule")
+    Seq(("kitten", "sitten"), ("kitten", "kitten"), ("abc", "xyz"),
+      (null.asInstanceOf[String], "x"))
+      .toDF("a", "b").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("lv")
+  }
+
+  private def optimized(sql: String): String = {
+    ready
+    spark.sql(sql).queryExecution.optimizedPlan.toString
+  }
+
+  private def rows(sql: String): Set[(String, String)] = {
+    ready
+    spark.sql(sql).collect().map(r => (r.getString(0), r.getString(1))).toSet
+  }
+
+  test("<= literal rewrites to the banded kernel; results unchanged") {
+    val sql = "SELECT a, b FROM lv WHERE levenshtein(a, b) <= 1"
+    assert(!optimized(sql).toLowerCase.contains("levenshtein"))
+    assert(optimized(sql).contains("edit_dist_within"))
+    assert(rows(sql) === Set(("kitten", "sitten"), ("kitten", "kitten")))
+  }
+
+  test("every comparison shape and operand order rewrites with equal results") {
+    val variants = Seq(
+      "levenshtein(a, b) < 2" -> Set(("kitten", "sitten"), ("kitten", "kitten")),
+      "2 > levenshtein(a, b)" -> Set(("kitten", "sitten"), ("kitten", "kitten")),
+      "1 >= levenshtein(a, b)" -> Set(("kitten", "sitten"), ("kitten", "kitten")),
+      "levenshtein(a, b) > 0" -> Set(("kitten", "sitten"), ("abc", "xyz")),
+      "0 < levenshtein(a, b)" -> Set(("kitten", "sitten"), ("abc", "xyz")),
+      "levenshtein(a, b) >= 2" -> Set(("abc", "xyz")),
+      "2 <= levenshtein(a, b)" -> Set(("abc", "xyz")))
+    for ((pred, expected) <- variants) {
+      val sql = s"SELECT a, b FROM lv WHERE $pred"
+      assert(!optimized(sql).toLowerCase.contains("levenshtein"),
+        s"no rewrite fired for: $pred")
+      assert(rows(sql) === expected, s"wrong rows for: $pred")
+    }
+  }
+
+  test("non-literal bound is left to the built-in (band needs a plan-time k)") {
+    val sql = "SELECT a, b FROM lv WHERE levenshtein(a, b) <= length(b) - 2"
+    assert(optimized(sql).toLowerCase.contains("levenshtein"))
+    assert(rows(sql) === Set(("kitten", "sitten"), ("kitten", "kitten")))
+  }
+}

@@ -142,4 +142,73 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"))
     assert(s.contains("BroadcastHashJoin"), s"region/nation must broadcast:\n$s")
   }
+
+  /** Exchange count in the FINAL adaptive plan only — the AQE plan
+    * string repeats every node under "== Initial Plan ==".
+    */
+  private def finalExchanges(df: DataFrame): Int = {
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    "Exchange hashpartitioning".r.findAllIn(s).length
+  }
+
+  test("negativeSample anti-join keys on (uid, item) — never quadratic") {
+    import graft.ops.Curation
+    val pos = (0 until 200).map(i => (i.toLong % 20, i.toLong % 37))
+      .toDF("uid", "item")
+    val s = planNoBroadcast(
+      Curation.negativeSample(pos, "uid", "item", nItems = 37))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"negative sampling must stay key-partitioned:\n$s")
+    assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"),
+      s"expected a shuffled anti-join with broadcast off:\n$s")
+  }
+
+  test("netChanges: the row_number window and the groupBy share ONE exchange") {
+    import graft.ops.Lakehouse
+    import org.apache.spark.sql.functions.col
+    val log = (0 until 300).map(i => (i.toLong % 30, "U", i.toLong, i.toLong))
+      .toDF("k", "op", "vm", "seq")
+    val d = Lakehouse.netChanges(log, "k", "op", "vm", Seq(col("seq")))
+    d.collect()
+    val exchanges = finalExchanges(d)
+    assert(exchanges == 1,
+      s"expected exactly one hash exchange (window + agg co-partitioned), got $exchanges")
+  }
+
+  test("freqCap is one window over one exchange — no joins, no state") {
+    val rows = (0 until 300).map(i =>
+      (i.toLong % 10, new java.sql.Timestamp(1704067200000L + i * 1000L), i.toLong))
+      .toDF("uid", "ts", "event_id")
+    val d = Aggregates.freqCap(rows, "uid", "ts", "event_id", 60000000L, 3L)
+    d.collect()
+    val s = d.queryExecution.executedPlan.toString
+    assert(!s.contains("Join"), s"freqCap must not join:\n$s")
+    val exchanges = finalExchanges(d)
+    assert(exchanges == 1, s"expected one key exchange, got $exchanges")
+  }
+
+  test("lagFeatures: all lags + the rolling frame reuse a single exchange") {
+    val rows = (0 until 300).map(i =>
+      (i.toLong % 10, new java.sql.Timestamp(1704067200000L + i * 1000L), i.toLong, i.toDouble))
+      .toDF("uid", "ts", "event_id", "value")
+    val d = Aggregates.lagFeatures(rows, "uid", "ts", "event_id", "value")
+    d.collect()
+    val exchanges = finalExchanges(d)
+    assert(exchanges == 1,
+      s"lags and rolling frames must share the (key, ts, ord) sort, got $exchanges")
+  }
+
+  test("ringAssign compiles to a pure projection — no join, no exchange, no HOF") {
+    import graft.route.Rendezvous
+    import org.apache.spark.sql.functions.col
+    val keys = (0 until 100).map(_.toString).toDF("k")
+    val d = keys.select(Rendezvous.ringAssign(col("k"), Seq("a", "b", "c"), 8))
+    d.collect()
+    val s = d.queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange") && !s.contains("Join"),
+      s"ring assignment must be narrow:\n$s")
+    assert(!s.toLowerCase.contains("arrayfilter"),
+      s"ring lookup must not be an interpreted HOF:\n$s")
+  }
 }
