@@ -3061,6 +3061,76 @@ object SparkEntry {
         events(s, dir).withColumn("wk", wk), "event_type", "wk")
     },
 
+    // System-R join cardinality estimate (n_a·n_b / max ndv — Selinger
+    // 1979) vs the actual orders⋈lineitem size, error in ppm
+    "q_join_estimate" -> { (s, dir) =>
+      val o = tpch(s, dir, "orders").select(col("o_orderkey"))
+      val l = tpch(s, dir, "lineitem").select(col("l_orderkey"))
+      val stats = o.agg(count(lit(1)).as("n_o"),
+          countDistinct(col("o_orderkey")).as("ndv_o"))
+        .crossJoin(l.agg(count(lit(1)).as("n_l"),
+          countDistinct(col("l_orderkey")).as("ndv_l")))
+      val actual = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("actual"))
+      stats.crossJoin(actual)
+        .select(col("n_o"), col("n_l"), col("ndv_o"), col("ndv_l"),
+          col("actual"),
+          expr("n_o * n_l div greatest(ndv_o, ndv_l)").as("estimate"))
+        .withColumn("err_ppm",
+          expr("abs(estimate - actual) * 1000000 div actual"))
+    },
+
+    // funnel time-to-convert: first view -> first purchase after it,
+    // exact lower-order-statistic quartiles in whole seconds
+    "q_funnel_ttc" -> { (s, dir) =>
+      val tus = unix_micros(col("ts").cast("timestamp"))
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        tus.as("tus"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tus").as("v_us"))
+      val conv = e.where(col("event_type") === "purchase")
+        .join(v, Seq("user_id"))
+        .where(col("tus") >= col("v_us"))
+        .groupBy("user_id").agg(min("tus").as("p_us"), min("v_us").as("v2"))
+        .select(col("user_id"), expr("(p_us - v2) div 1000000").as("ttc_s"))
+      // quantiles over the PER-USER table (3 orders smaller than events);
+      // at 10^12 rows swap the global rank for a two-pass count+offset
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ttc_s"), col("user_id"))
+      conv.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .groupBy(col("n").as("n_converted"))
+        .agg(
+          min(when(col("rn") === expr("(n + 3) div 4"), col("ttc_s")))
+            .as("ttc_p25_s"),
+          min(when(col("rn") === expr("(n + 1) div 2"), col("ttc_s")))
+            .as("ttc_p50_s"),
+          min(when(col("rn") === expr("(3 * n + 1) div 4"), col("ttc_s")))
+            .as("ttc_p75_s"))
+    },
+
+    // dedup storage economics per source (planted per-source exact
+    // copies: bytes before vs after exact dedup)
+    "q_dedup_savings" -> { (s, dir) =>
+      val d = documents(s, dir).select(col("source"), col("text"))
+      val staged = d.unionAll(d.where(col("doc_id") % 3 === 0)
+        .select(col("source"), col("text")))
+      val base = staged.select(col("source"), col("text"),
+        md5(col("text")).as("h"), length(col("text")).cast("long").as("b"))
+      val uniq = base.groupBy("source", "h")
+        .agg(max("b").as("ub"), count(lit(1)).as("copies"))
+      base.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("b").as("bytes"))
+        .join(uniq.groupBy("source")
+          .agg(count(lit(1)).as("n_unique"), sum("ub").as("bytes_unique"),
+            sum(col("copies") - 1).as("n_dupes")), Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          col("n_dupes"), col("bytes"), col("bytes_unique"),
+          expr("(bytes - bytes_unique) * 1000000 div bytes")
+            .as("saved_ppm"))
+    },
+
     // IPv6 parse + /64 prefix rollup (full-form fixture; '::' handled by
     // the same operator, spec-covered)
     "q_ipv6_prefix" -> { (s, dir) =>
@@ -3487,6 +3557,63 @@ object SparkEntry {
 
     "q_prf_expand" -> TextAnalysis.prfExpandSql(BpeishRe,
       queryTerms = Seq("spark", "vector", "customer"), fbDocs = 10, k = 15),
+
+    "q_join_estimate" ->
+      """WITH so AS (SELECT count(*) AS n_o,
+        |  count(DISTINCT o_orderkey) AS ndv_o FROM orders),
+        |sl AS (SELECT count(*) AS n_l,
+        |  count(DISTINCT l_orderkey) AS ndv_l FROM lineitem),
+        |a AS (SELECT count(*) AS actual FROM orders o
+        |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+        |SELECT CAST(n_o AS BIGINT) AS n_o, CAST(n_l AS BIGINT) AS n_l,
+        |  CAST(ndv_o AS BIGINT) AS ndv_o, CAST(ndv_l AS BIGINT) AS ndv_l,
+        |  CAST(actual AS BIGINT) AS actual,
+        |  CAST(n_o * n_l // greatest(ndv_o, ndv_l) AS BIGINT) AS estimate,
+        |  CAST(abs(n_o * n_l // greatest(ndv_o, ndv_l) - actual)
+        |    * 1000000 // actual AS BIGINT) AS err_ppm
+        |FROM so, sl, a""".stripMargin,
+
+    "q_funnel_ttc" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+        |  FROM events),
+        |v AS (SELECT user_id, min(tus) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id,
+        |    (min(e.tus) - min(v.v_us)) // 1000000 AS ttc_s
+        |  FROM e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tus >= v.v_us
+        |  GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY ttc_s, user_id) AS rn,
+        |  count(*) OVER () AS n FROM c)
+        |SELECT CAST(n AS BIGINT) AS n_converted,
+        |  CAST(min(CASE WHEN rn = (n + 3) // 4 THEN ttc_s END) AS BIGINT)
+        |    AS ttc_p25_s,
+        |  CAST(min(CASE WHEN rn = (n + 1) // 2 THEN ttc_s END) AS BIGINT)
+        |    AS ttc_p50_s,
+        |  CAST(min(CASE WHEN rn = (3 * n + 1) // 4 THEN ttc_s END)
+        |    AS BIGINT) AS ttc_p75_s
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q_dedup_savings" ->
+      """WITH d AS (SELECT doc_id, source, text FROM documents),
+        |staged AS (SELECT source, text FROM d
+        |  UNION ALL SELECT source, text FROM d WHERE doc_id % 3 = 0),
+        |b AS (SELECT source, md5(text) AS h,
+        |  CAST(len(text) AS BIGINT) AS bt FROM staged),
+        |u AS (SELECT source, h, max(bt) AS ub, count(*) AS copies
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT source, count(*) AS n_docs, sum(bt) AS bytes
+        |  FROM b GROUP BY 1),
+        |g AS (SELECT source, count(*) AS n_unique, sum(ub) AS bytes_unique,
+        |  sum(copies - 1) AS n_dupes FROM u GROUP BY 1)
+        |SELECT t.source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_unique AS BIGINT) AS n_unique,
+        |  CAST(n_dupes AS BIGINT) AS n_dupes,
+        |  CAST(bytes AS BIGINT) AS bytes,
+        |  CAST(bytes_unique AS BIGINT) AS bytes_unique,
+        |  CAST((bytes - bytes_unique) * 1000000 // bytes AS BIGINT)
+        |    AS saved_ppm
+        |FROM t JOIN g USING (source)""".stripMargin,
 
     "q_ipv6_prefix" ->
       """WITH e AS (SELECT '2001:db8:' || lower(hex(user_id % 256)) || ':' ||

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-8 batch 30: join-cardinality estimate, time-to-convert
+  * quartiles, dedup storage economics (inline-query core logic).
+  */
+class EconTtcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("System-R estimate: exact when the key is a PK-FK join") {
+    // orders: 4 unique keys; lineitem: 12 rows over those 4 keys
+    val o = (1 to 4).map(_.toLong).toDF("k")
+    val l = (1 to 12).map(i => (i % 4 + 1).toLong).toDF("k")
+    val stats = o.agg(count(lit(1)).as("n_o"), countDistinct(col("k")).as("ndv_o"))
+      .crossJoin(l.agg(count(lit(1)).as("n_l"), countDistinct(col("k")).as("ndv_l")))
+      .withColumn("estimate", expr("n_o * n_l div greatest(ndv_o, ndv_l)"))
+      .collect()(0)
+    assert(stats.getAs[Long]("estimate") === 12L) // 4*12/4 — exact for PK-FK
+  }
+
+  test("ttc quartiles: lower order statistics at (n+3)/4, (n+1)/2, (3n+1)/4") {
+    val ttc = Seq(70L, 10L, 30L, 50L, 20L, 60L, 40L).zipWithIndex
+      .map { case (t, u) => (u.toLong, t) }.toDF("user_id", "ttc_s")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ttc_s"), col("user_id"))
+    val out = ttc.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .groupBy(col("n"))
+      .agg(min(when(col("rn") === expr("(n + 3) div 4"), col("ttc_s"))).as("p25"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("ttc_s"))).as("p50"),
+        min(when(col("rn") === expr("(3 * n + 1) div 4"), col("ttc_s"))).as("p75"))
+      .collect()(0)
+    assert(out.getLong(0) === 7L)
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) === ((20L, 40L, 50L)))
+  }
+
+  test("dedup savings: planted copies only inflate bytes, not bytes_unique") {
+    val d = Seq((1L, "s1", "aaaa"), (2L, "s1", "bb"), (3L, "s2", "cccc"))
+      .toDF("doc_id", "source", "text")
+    val staged = d.select("source", "text")
+      .unionAll(d.where(col("doc_id") % 3 === 0).select("source", "text"))
+    val base = staged.select(col("source"), md5(col("text")).as("h"),
+      length(col("text")).cast("long").as("b"))
+    val uniq = base.groupBy("source", "h")
+      .agg(max("b").as("ub"), count(lit(1)).as("copies"))
+    val out = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("b").as("bytes"))
+      .join(uniq.groupBy("source")
+        .agg(count(lit(1)).as("n_unique"), sum("ub").as("bytes_unique")),
+        Seq("source"))
+      .withColumn("saved_ppm",
+        expr("(bytes - bytes_unique) * 1000000 div bytes"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // s2: doc 3 duplicated -> 8 bytes staged, 4 unique, 50% saved
+    assert(out("s2") === ((2L, 1L, 4L, 500000L)))
+    // s1: no planted copy -> nothing saved
+    assert(out("s1") === ((2L, 2L, 6L, 0L)))
+  }
+}
