@@ -3061,6 +3061,67 @@ object SparkEntry {
         events(s, dir).withColumn("wk", wk), "event_type", "wk")
     },
 
+    // time-series peak detection: hourly count that beats both row
+    // neighbors and 1.5x the per-key lower median
+    "q_peak_detect" -> { (s, dir) =>
+      val hr = expr(
+        "(unix_micros(CAST(ts AS TIMESTAMP)) - 1704067200000000) div 3600000000")
+      val c = eventsWithSpike(s, dir)
+        .select(col("event_type").as("key"), hr.as("hr"))
+        .groupBy("key", "hr").agg(count(lit(1)).as("c"))
+      val wo = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy("hr")
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col("c"), col("hr"))
+      val med = c.withColumn("rn", row_number().over(wr))
+        .withColumn("nn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("key")))
+        .where(col("rn") === expr("(nn + 1) div 2"))
+        .select(col("key"), col("c").as("med"))
+      c.withColumn("p1", coalesce(lag(col("c"), 1).over(wo), lit(0L)))
+        .withColumn("n1", coalesce(lead(col("c"), 1).over(wo), lit(0L)))
+        .join(med, Seq("key"))
+        .where(col("c") > col("p1") && col("c") > col("n1") &&
+          col("c") * 2 >= col("med") * 3)
+        .select("key", "hr", "c", "med")
+    },
+
+    // completeness matrix: expected (day x type) grid vs observed, with
+    // one planted hole (error events removed on Jan 10)
+    "q_coverage_matrix" -> { (s, dir) =>
+      val day = date_format(col("ts"), "yyyy-MM-dd")
+      val e = events(s, dir).select(day.as("day"), col("event_type"))
+        .where(!(col("day") === "2024-01-10" &&
+          col("event_type") === "error"))
+      val days = e.select("day").distinct()
+      val types = e.select("event_type").distinct()
+      val present = e.distinct()
+      days.crossJoin(broadcast(types))
+        .join(present, Seq("day", "event_type"), "left_anti")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_missing"),
+          concat_ws(",", array_sort(collect_list(col("event_type"))))
+            .as("missing_types"))
+    },
+
+    // feed-freshness audit: per-feed lag behind the global max ts, with
+    // two feeds silenced for the last two days
+    "q_staleness" -> { (s, dir) =>
+      val feed = col("user_id") % 24
+      val e = events(s, dir)
+        .select(feed.as("feed"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"))
+        .where(!(col("feed").isin(3L, 7L) &&
+          col("tus") >= 1706486400000000L)) // 2024-01-29 00:00 UTC
+      val anchor = e.agg(max("tus").as("anchor"))
+      e.groupBy("feed").agg(max("tus").as("last_us"),
+          count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(anchor))
+        .select(col("feed"), col("n_events"),
+          expr("(anchor - last_us) div 60000000").as("lag_minutes"))
+        .withColumn("stale", col("lag_minutes") > 120L)
+    },
+
     // System-R join cardinality estimate (n_a·n_b / max ndv — Selinger
     // 1979) vs the actual orders⋈lineitem size, error in ppm
     "q_join_estimate" -> { (s, dir) =>
@@ -3557,6 +3618,60 @@ object SparkEntry {
 
     "q_prf_expand" -> TextAnalysis.prfExpandSql(BpeishRe,
       queryTerms = Seq("spark", "vector", "customer"), fbDocs = 10, k = 15),
+
+    "q_peak_detect" ->
+      s"""WITH spiked AS (
+         |  SELECT event_type, ts FROM events
+         |  UNION ALL
+         |  SELECT 'click', TIMESTAMP '2024-01-15 12:30:00' FROM events
+         |  WHERE event_id < 50),
+         |c AS (SELECT event_type AS key,
+         |    (epoch_us(ts) - 1704067200000000) // 3600000000 AS hr,
+         |    count(*) AS c
+         |  FROM spiked GROUP BY 1, 2),
+         |m AS (SELECT key, c AS med FROM (
+         |  SELECT key, c, row_number() OVER (PARTITION BY key
+         |      ORDER BY c, hr) AS rn,
+         |    count(*) OVER (PARTITION BY key) AS nn FROM c)
+         |  WHERE rn = (nn + 1) // 2),
+         |n AS (SELECT c.*, coalesce(lag(c.c) OVER w, 0) AS p1,
+         |    coalesce(lead(c.c) OVER w, 0) AS n1
+         |  FROM c WINDOW w AS (PARTITION BY key ORDER BY hr))
+         |SELECT n.key, CAST(hr AS BIGINT) AS hr, CAST(c AS BIGINT) AS c,
+         |  CAST(med AS BIGINT) AS med
+         |FROM n JOIN m ON m.key = n.key
+         |WHERE c > p1 AND c > n1 AND c * 2 >= med * 3""".stripMargin,
+
+    "q_coverage_matrix" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type
+        |  FROM events
+        |  WHERE NOT (strftime(ts, '%Y-%m-%d') = '2024-01-10'
+        |    AND event_type = 'error')),
+        |days AS (SELECT DISTINCT day FROM e),
+        |types AS (SELECT DISTINCT event_type FROM e),
+        |present AS (SELECT DISTINCT day, event_type FROM e),
+        |missing AS (SELECT d.day, t.event_type
+        |  FROM days d CROSS JOIN types t
+        |  LEFT JOIN present p
+        |    ON p.day = d.day AND p.event_type = t.event_type
+        |  WHERE p.day IS NULL)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_missing,
+        |  array_to_string(list_sort(list(event_type)), ',')
+        |    AS missing_types
+        |FROM missing GROUP BY 1""".stripMargin,
+
+    "q_staleness" ->
+      """WITH e AS (SELECT user_id % 24 AS feed, epoch_us(ts) AS tus
+        |  FROM events),
+        |f AS (SELECT * FROM e
+        |  WHERE NOT (feed IN (3, 7) AND tus >= 1706486400000000)),
+        |a AS (SELECT max(tus) AS anchor FROM f),
+        |g AS (SELECT feed, max(tus) AS last_us, count(*) AS n_events
+        |  FROM f GROUP BY 1)
+        |SELECT feed, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST((anchor - last_us) // 60000000 AS BIGINT) AS lag_minutes,
+        |  (anchor - last_us) // 60000000 > 120 AS stale
+        |FROM g CROSS JOIN a""".stripMargin,
 
     "q_join_estimate" ->
       """WITH so AS (SELECT count(*) AS n_o,

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-8 batch 31: peak detection, completeness matrix, feed
+  * staleness (inline-query core logic).
+  */
+class PeakCoverageSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("peak detection: spike beats neighbors and the 1.5x-median bar") {
+    val c = Seq(("a", 0L, 2L), ("a", 1L, 2L), ("a", 2L, 9L), ("a", 3L, 2L),
+      ("a", 4L, 3L)) // 3 > 2 neighbors but 6 < 3*2? 2*3=6 >= 3*2=6: passes bar
+      .toDF("key", "hr", "c")
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("hr")
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("c"), col("hr"))
+    val med = c.withColumn("rn", row_number().over(wr))
+      .withColumn("nn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("key")))
+      .where(col("rn") === expr("(nn + 1) div 2"))
+      .select(col("key"), col("c").as("med"))
+    val peaks = c
+      .withColumn("p1", coalesce(lag(col("c"), 1).over(wo), lit(0L)))
+      .withColumn("n1", coalesce(lead(col("c"), 1).over(wo), lit(0L)))
+      .join(med, Seq("key"))
+      .where(col("c") > col("p1") && col("c") > col("n1") &&
+        col("c") * 2 >= col("med") * 3)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(peaks === Set(2L, 4L)) // the 9-spike; the trailing 3 is a row-end peak
+  }
+
+  test("coverage matrix: only the punched hole goes missing") {
+    val e = Seq(("d1", "x"), ("d1", "y"), ("d2", "x")).toDF("day", "event_type")
+    val days = e.select("day").distinct()
+    val types = e.select("event_type").distinct()
+    val out = days.crossJoin(types)
+      .join(e.distinct(), Seq("day", "event_type"), "left_anti")
+      .groupBy("day")
+      .agg(concat_ws(",", array_sort(collect_list(col("event_type"))))
+        .as("missing"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("d2" -> "y"))
+  }
+
+  test("staleness: silenced feed lags the anchor, live feed does not") {
+    val e = Seq((1L, 1000L * 60000000L), (2L, 940L * 60000000L),
+      (1L, 100L * 60000000L)).toDF("feed", "tus")
+    val anchor = e.agg(max("tus").as("anchor"))
+    val out = e.groupBy("feed").agg(max("tus").as("last_us"))
+      .crossJoin(anchor)
+      .select(col("feed"), expr("(anchor - last_us) div 60000000").as("lag"))
+      .withColumn("stale", col("lag") > 50L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((0L, false)))
+    assert(out(2L) === ((60L, true)))
+  }
+}
