@@ -3061,6 +3061,73 @@ object SparkEntry {
         events(s, dir).withColumn("wk", wk), "event_type", "wk")
     },
 
+    // bot-cadence detection: relative gap variance in ppm (bots tick at
+    // near-constant intervals); one planted metronome user
+    "q_bot_cadence" -> { (s, dir) =>
+      val real = events(s, dir).select(col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"))
+      val bot = s.range(40).select(lit(88888L).as("user_id"),
+        timestamp_micros(lit(1704499200000000L) + col("id") * 60000000L)
+          .as("ts"),
+        (col("id") + 8000000L).as("event_id"))
+      real.unionAll(bot)
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"),
+          col("event_id"))
+        .withColumn("gap_s",
+          expr("(tus - lag(tus) OVER (PARTITION BY user_id " +
+            "ORDER BY tus, event_id)) div 1000000"))
+        .where(col("gap_s").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), sum("gap_s").as("sg"),
+          sum(expr("gap_s * gap_s")).as("sgg"))
+        // ppm via a PRE-SCALED denominator: (n·sgg − sg²)·10⁶ overflows
+        // int64 for heavy-tailed humans; dividing by (sg² div 10⁶)
+        // keeps every intermediate in range (floor-of-floor, mirrored
+        // exactly in the oracle). sg ≥ 1000 s keeps the denominator > 0.
+        .where(col("n_gaps") >= 10L && col("sg") >= 1000L)
+        .select(col("user_id"), col("n_gaps"),
+          expr("sg div n_gaps").as("mean_gap_s"),
+          expr("(n_gaps * sgg - sg * sg) div ((sg * sg) div 1000000)")
+            .as("relvar_ppm"))
+        .withColumn("bot_like", col("relvar_ppm") < 10000L)
+    },
+
+    // double-fire debounce audit: same (user, type) again within 5 s
+    "q_double_fire" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type")
+        .orderBy(col("tus"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"),
+          col("event_id"))
+        .withColumn("prev", lag(col("tus"), 1).over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("tus") - col("prev") <= 5000000L, 1L)
+            .otherwise(0L)).as("n_double"))
+        .select(col("event_type"), col("n_events"), col("n_double"),
+          expr("n_double * 1000000 div n_events").as("double_ppm"))
+    },
+
+    // Wilson 95% lower bound on per-cohort purchase rate (the
+    // small-sample-safe proportion ranking; exact sums -> scalar doubles)
+    "q_wilson" -> { (s, dir) =>
+      val z = 1.959964
+      val g = events(s, dir).groupBy((col("user_id") % 10).as("cohort"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("k"))
+      val p = col("k").cast("double") / col("n").cast("double")
+      val nn = col("n").cast("double")
+      val lb = (p + lit(z * z) / (nn * 2) -
+        lit(z) * sqrt(p * (lit(1.0) - p) / nn +
+          lit(z * z) / (nn * nn * 4))) / (lit(1.0) + lit(z * z) / nn)
+      g.select(col("cohort"), col("n"), col("k"),
+        round(p, 6).as("rate"), round(lb, 6).as("wilson_lb"))
+    },
+
     // time-series peak detection: hourly count that beats both row
     // neighbors and 1.5x the per-key lower median
     "q_peak_detect" -> { (s, dir) =>
@@ -3618,6 +3685,54 @@ object SparkEntry {
 
     "q_prf_expand" -> TextAnalysis.prfExpandSql(BpeishRe,
       queryTerms = Seq("spark", "vector", "customer"), fbDocs = 10, k = 15),
+
+    "q_bot_cadence" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id FROM events
+        |  UNION ALL
+        |  SELECT 88888, 1704499200000000 + i * 60000000, i + 8000000
+        |  FROM (SELECT unnest(generate_series(0, 39)) AS i)),
+        |g AS (SELECT user_id, (tus - lag(tus) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id)) // 1000000 AS gap_s FROM base),
+        |a AS (SELECT user_id, count(*) AS n_gaps, sum(gap_s) AS sg,
+        |  sum(gap_s * gap_s) AS sgg FROM g WHERE gap_s IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+        |  CAST(sg // n_gaps AS BIGINT) AS mean_gap_s,
+        |  CAST((n_gaps * sgg - sg * sg) // ((sg * sg) // 1000000)
+        |    AS BIGINT) AS relvar_ppm,
+        |  (n_gaps * sgg - sg * sg) // ((sg * sg) // 1000000) < 10000
+        |    AS bot_like
+        |FROM a WHERE n_gaps >= 10 AND sg >= 1000""".stripMargin,
+
+    "q_double_fire" ->
+      """WITH b AS (SELECT user_id, event_type, epoch_us(ts) AS tus,
+        |  event_id FROM events),
+        |w AS (SELECT *, lag(tus) OVER (PARTITION BY user_id, event_type
+        |  ORDER BY tus, event_id) AS prev FROM b),
+        |g AS (SELECT event_type, count(*) AS n_events,
+        |  sum(CASE WHEN tus - prev <= 5000000 THEN 1 ELSE 0 END)
+        |    AS n_double
+        |  FROM w GROUP BY 1)
+        |SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_double AS BIGINT) AS n_double,
+        |  CAST(n_double * 1000000 // n_events AS BIGINT) AS double_ppm
+        |FROM g""".stripMargin,
+
+    "q_wilson" ->
+      """WITH g AS (SELECT user_id % 10 AS cohort, count(*) AS n,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT cohort, CAST(n AS BIGINT) AS n,
+        |  CAST(k AS BIGINT) AS k,
+        |  CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |  CAST(n AS DOUBLE) AS nn FROM g)
+        |SELECT cohort, n, k, round(p, 6) AS rate,
+        |  round((p + (1.959964 * 1.959964) / (nn * 2) -
+        |    1.959964 * sqrt(p * (1.0 - p) / nn +
+        |      (1.959964 * 1.959964) / (nn * nn * 4))) /
+        |    (1.0 + (1.959964 * 1.959964) / nn), 6) AS wilson_lb
+        |FROM c""".stripMargin,
 
     "q_peak_detect" ->
       s"""WITH spiked AS (

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-8 batch 32: bot cadence, double-fire debounce, Wilson lower
+  * bound (inline-query core logic).
+  */
+class CadenceWilsonSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bot cadence: constant gaps give relvar 0, jittered gaps don't") {
+    // user 1: metronome every 600 s; user 2: gaps 300/900/300/900...
+    val rows = (0 until 12).map(i => (1L, i * 600L, i.toLong)) ++
+      (0 until 12).map(i => (2L, (i / 2) * 1200L + (i % 2) * 300L, 100L + i))
+    val df = rows.toDF("uid", "sec", "event_id")
+      .select(col("uid"), timestamp_micros(col("sec") * 1000000L).as("ts"),
+        col("event_id"))
+    val out = df.select(col("uid"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      .withColumn("gap_s",
+        expr("(tus - lag(tus) OVER (PARTITION BY uid " +
+          "ORDER BY tus, event_id)) div 1000000"))
+      .where(col("gap_s").isNotNull)
+      .groupBy("uid")
+      .agg(count(lit(1)).as("n"), sum("gap_s").as("sg"),
+        sum(expr("gap_s * gap_s")).as("sgg"))
+      .where(col("sg") >= 1000L)
+      .select(col("uid"),
+        expr("(n * sgg - sg * sg) div ((sg * sg) div 1000000)").as("rv"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 0L)
+    assert(out(2L) > 100000L) // alternating 300/900 is heavily dispersed
+  }
+
+  test("double fire: only the within-5s repeat counts") {
+    val rows = Seq((1L, "click", 0L, 1L), (1L, "click", 3L, 2L),
+      (1L, "click", 100L, 3L), (1L, "view", 4L, 4L))
+    val df = rows.toDF("uid", "etype", "sec", "event_id")
+      .select(col("uid"), col("etype"),
+        (col("sec") * 1000000L).as("tus"), col("event_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("uid", "etype").orderBy(col("tus"), col("event_id"))
+    val out = df.withColumn("prev", lag(col("tus"), 1).over(w))
+      .groupBy("etype")
+      .agg(sum(when(col("tus") - col("prev") <= 5000000L, 1L)
+        .otherwise(0L)).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("click" -> 1L, "view" -> 0L))
+  }
+
+  test("wilson lower bound: shrinks toward zero for tiny n, brackets p") {
+    val z = 1.959964
+    def lb(k: Long, n: Long): Double = {
+      val p = k.toDouble / n
+      val nn = n.toDouble
+      (p + z * z / (nn * 2) -
+        z * math.sqrt(p * (1.0 - p) / nn + z * z / (nn * nn * 4))) /
+        (1.0 + z * z / nn)
+    }
+    assert(lb(1, 2) < 0.10)          // 50% on n=2 is worthless evidence
+    assert(lb(500, 1000) > 0.46)     // 50% on n=1000 holds up
+    assert(lb(500, 1000) < 0.5)      // always below the point estimate
+    assert(math.abs(lb(0, 10)) < 1e-9)
+  }
+}
