@@ -3061,6 +3061,53 @@ object SparkEntry {
         events(s, dir).withColumn("wk", wk), "event_type", "wk")
     },
 
+    // weekly-cohort revenue retention matrix (NDR-style, exact ppm of
+    // the cohort's week-0 revenue)
+    "q_revenue_retention" -> { (s, dir) =>
+      val wk = expr(
+        "(unix_micros(CAST(ts AS TIMESTAMP)) - 1704067200000000) div 604800000000")
+      val e = events(s, dir).select(col("user_id"), wk.as("p"),
+        expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)").as("vm"))
+      val cohort = e.groupBy("user_id").agg(min("p").as("cohort"))
+      val g = e.join(cohort, Seq("user_id"))
+        .groupBy("cohort", "p")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          sum("vm").as("rev"))
+      val base = g.where(col("p") === col("cohort"))
+        .select(col("cohort"), col("rev").as("base_rev"))
+      g.join(base, Seq("cohort"))
+        .select(col("cohort"), col("p"), col("n_users"), col("rev"),
+          expr("rev * 1000000 div base_rev").as("retention_ppm"))
+    },
+
+    // weekly Herfindahl concentration of events across users (traffic
+    // dominated by few users flags scraping / abuse)
+    "q_hhi" -> { (s, dir) =>
+      val wk = expr(
+        "(unix_micros(CAST(ts AS TIMESTAMP)) - 1704067200000000) div 604800000000")
+      events(s, dir).groupBy(wk.as("wk"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("wk")
+        .agg(count(lit(1)).as("n_users"), sum("c").as("n"),
+          sum(expr("c * c")).as("ss"))
+        .select(col("wk"), col("n_users"), col("n"),
+          expr("ss * 1000000 div (n * n)").as("hhi_ppm"))
+    },
+
+    // longest consecutive-day activity streak per user (gaps-and-islands
+    // via the d - row_number group key)
+    "q_streak" -> { (s, dir) =>
+      val day = expr(
+        "(unix_micros(CAST(ts AS TIMESTAMP)) - 1704067200000000) div 86400000000")
+      val d = events(s, dir).select(col("user_id"), day.as("d")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("d")
+      d.withColumn("grp", col("d") - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("longest_streak"), count(lit(1)).as("n_streaks"))
+    },
+
     // bot-cadence detection: relative gap variance in ppm (bots tick at
     // near-constant intervals); one planted metronome user
     "q_bot_cadence" -> { (s, dir) =>
@@ -3685,6 +3732,43 @@ object SparkEntry {
 
     "q_prf_expand" -> TextAnalysis.prfExpandSql(BpeishRe,
       queryTerms = Seq("spark", "vector", "customer"), fbDocs = 10, k = 15),
+
+    "q_revenue_retention" ->
+      """WITH e AS (SELECT user_id,
+        |    (epoch_us(ts) - 1704067200000000) // 604800000000 AS p,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm FROM events),
+        |ch AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY 1),
+        |g AS (SELECT cohort, p, count(DISTINCT e.user_id) AS n_users,
+        |    sum(vm) AS rev
+        |  FROM e JOIN ch ON ch.user_id = e.user_id GROUP BY 1, 2),
+        |b AS (SELECT cohort, rev AS base_rev FROM g WHERE p = cohort)
+        |SELECT g.cohort, g.p, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(rev AS BIGINT) AS rev,
+        |  CAST(rev * 1000000 // base_rev AS BIGINT) AS retention_ppm
+        |FROM g JOIN b ON b.cohort = g.cohort""".stripMargin,
+
+    "q_hhi" ->
+      """WITH c AS (SELECT
+        |    (epoch_us(ts) - 1704067200000000) // 604800000000 AS wk,
+        |    user_id, count(*) AS c FROM events GROUP BY 1, 2),
+        |g AS (SELECT wk, count(*) AS n_users, sum(c) AS n,
+        |  sum(c * c) AS ss FROM c GROUP BY 1)
+        |SELECT wk, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(ss * 1000000 // (n * n) AS BIGINT) AS hhi_ppm
+        |FROM g""".stripMargin,
+
+    "q_streak" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS d
+        |  FROM events),
+        |i AS (SELECT user_id,
+        |    d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        |  FROM d),
+        |runs AS (SELECT user_id, grp, count(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(count(*) AS BIGINT) AS n_streaks
+        |FROM runs GROUP BY 1""".stripMargin,
 
     "q_bot_cadence" ->
       """WITH base AS (

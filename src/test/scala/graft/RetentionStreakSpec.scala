@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-8 batch 33: cohort revenue retention, HHI concentration,
+  * activity streaks (inline-query core logic).
+  */
+class RetentionStreakSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("revenue retention: week-0 is 1e6 ppm by construction, decay is exact") {
+    val e = Seq((1L, 0L, 100L), (2L, 0L, 300L), // cohort 0 week 0: 400
+      (1L, 1L, 100L),                            // cohort 0 week 1: 100
+      (3L, 1L, 50L))                             // cohort 1 week 1: 50
+      .toDF("uid", "p", "vm")
+    val cohort = e.groupBy("uid").agg(min("p").as("cohort"))
+    val g = e.join(cohort, Seq("uid")).groupBy("cohort", "p")
+      .agg(sum("vm").as("rev"))
+    val base = g.where(col("p") === col("cohort"))
+      .select(col("cohort"), col("rev").as("b"))
+    val out = g.join(base, Seq("cohort"))
+      .select(col("cohort"), col("p"), expr("rev * 1000000 div b").as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((0L, 0L)) === 1000000L)
+    assert(out((0L, 1L)) === 250000L)
+    assert(out((1L, 1L)) === 1000000L)
+  }
+
+  test("HHI: monopoly is 1e6 ppm, uniform split is 1e6/n") {
+    val c = Seq((0L, 1L, 10L),                       // week 0: one user
+      (1L, 1L, 5L), (1L, 2L, 5L), (1L, 3L, 5L), (1L, 4L, 5L))
+      .toDF("wk", "uid", "c")
+    val out = c.groupBy("wk")
+      .agg(sum("c").as("n"), sum(expr("c * c")).as("ss"))
+      .select(col("wk"), expr("ss * 1000000 div (n * n)").as("hhi"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) === 1000000L)
+    assert(out(1L) === 250000L)
+  }
+
+  test("streaks: islands split exactly at the missing day") {
+    val d = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 5L), (1L, 6L), (2L, 9L))
+      .toDF("uid", "d")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("uid").orderBy("d")
+    val out = d.withColumn("grp", col("d") - row_number().over(w))
+      .groupBy("uid", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("uid")
+      .agg(max("len").as("longest"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((3L, 2L))) // 1-2-3 then 5-6
+    assert(out(2L) === ((1L, 1L)))
+  }
+}
