@@ -3061,6 +3061,74 @@ object SparkEntry {
         events(s, dir).withColumn("wk", wk), "event_type", "wk")
     },
 
+    // growth accounting: per week, users split into new / retained
+    // (active previous week) / reactivated (dormant >= 2 weeks)
+    "q_growth_accounting" -> { (s, dir) =>
+      val wk = expr(
+        "(unix_micros(CAST(ts AS TIMESTAMP)) - 1704067200000000) div 604800000000")
+      val uw = events(s, dir).select(col("user_id"), wk.as("wk")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("wk")
+      uw.withColumn("prev", lag(col("wk"), 1).over(w))
+        .withColumn("status",
+          when(col("prev").isNull, "new")
+            .when(col("wk") - col("prev") === 1L, "retained")
+            .otherwise("reactivated"))
+        .groupBy("wk")
+        .agg(sum(when(col("status") === "new", 1L).otherwise(0L))
+            .as("n_new"),
+          sum(when(col("status") === "retained", 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("status") === "reactivated", 1L).otherwise(0L))
+            .as("n_reactivated"))
+    },
+
+    // FIFO lot matching per item: views stock one unit, purchases
+    // consume oldest-first; report remaining lots + oldest age
+    "q_fifo_lots" -> { (s, dir) =>
+      val tus = unix_micros(col("ts").cast("timestamp"))
+      val item = get_json_object(col("props"), "$.k").cast("long") % 10
+      val e = events(s, dir).select(item.as("item"),
+        col("event_type"), tus.as("tus"), col("event_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("item").orderBy(col("tus"), col("event_id"))
+      val lots = e.where(col("event_type") === "view")
+        .withColumn("rn", row_number().over(w))
+      val consumed = e.where(col("event_type") === "purchase")
+        .groupBy("item").agg(count(lit(1)).as("n_consumed"))
+      val anchor = e.agg(max("tus").as("anchor"))
+      lots.join(consumed, Seq("item"), "left")
+        .withColumn("c", coalesce(col("n_consumed"), lit(0L)))
+        .groupBy(col("item"), col("c"))
+        .agg(count(lit(1)).as("n_received"),
+          min(when(col("rn") > col("c"), col("tus"))).as("_oldest"))
+        .crossJoin(broadcast(anchor))
+        .select(col("item"), col("n_received"),
+          least(col("c"), col("n_received")).as("n_consumed"),
+          greatest(col("n_received") - col("c"), lit(0L))
+            .as("n_remaining"),
+          expr("(anchor - _oldest) div 3600000000").as("oldest_age_h"))
+    },
+
+    // power-of-two histogram of inter-event gaps (bucket = bin-string
+    // length, the no-log2 floor(log2))
+    "q_gap_histogram" -> { (s, dir) =>
+      val tus = unix_micros(col("ts").cast("timestamp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), tus.as("tus"), col("event_id"))
+        .withColumn("gap_s",
+          expr("(tus - lag(tus) OVER (PARTITION BY user_id " +
+            "ORDER BY tus, event_id)) div 1000000"))
+        .where(col("gap_s").isNotNull)
+        .withColumn("bucket",
+          (length(bin(greatest(col("gap_s"), lit(1L)))) - 1).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_gaps"))
+        .withColumn("lo_s", expr("shiftleft(1L, CAST(bucket AS INT))"))
+    },
+
     // weekly-cohort revenue retention matrix (NDR-style, exact ppm of
     // the cohort's week-0 revenue)
     "q_revenue_retention" -> { (s, dir) =>
@@ -3732,6 +3800,60 @@ object SparkEntry {
 
     "q_prf_expand" -> TextAnalysis.prfExpandSql(BpeishRe,
       queryTerms = Seq("spark", "vector", "customer"), fbDocs = 10, k = 15),
+
+    "q_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    (epoch_us(ts) - 1704067200000000) // 604800000000 AS wk
+        |  FROM events),
+        |l AS (SELECT user_id, wk,
+        |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev
+        |  FROM uw),
+        |c AS (SELECT wk,
+        |  CASE WHEN prev IS NULL THEN 'new'
+        |       WHEN wk - prev = 1 THEN 'retained'
+        |       ELSE 'reactivated' END AS status FROM l)
+        |SELECT wk,
+        |  CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_retained,
+        |  CAST(sum(CASE WHEN status = 'reactivated' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_reactivated
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q_fifo_lots" ->
+      """WITH e AS (SELECT
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS item,
+        |    event_type, epoch_us(ts) AS tus, event_id FROM events),
+        |lots AS (SELECT item, tus, row_number() OVER (PARTITION BY item
+        |    ORDER BY tus, event_id) AS rn
+        |  FROM e WHERE event_type = 'view'),
+        |cons AS (SELECT item, count(*) AS n_consumed FROM e
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |anc AS (SELECT max(tus) AS anchor FROM e),
+        |g AS (SELECT l.item, coalesce(c.n_consumed, 0) AS c,
+        |    count(*) AS n_received,
+        |    min(CASE WHEN l.rn > coalesce(c.n_consumed, 0) THEN l.tus END)
+        |      AS oldest
+        |  FROM lots l LEFT JOIN cons c ON c.item = l.item GROUP BY 1, 2)
+        |SELECT item, CAST(n_received AS BIGINT) AS n_received,
+        |  CAST(least(c, n_received) AS BIGINT) AS n_consumed,
+        |  CAST(greatest(n_received - c, 0) AS BIGINT) AS n_remaining,
+        |  CAST((anchor - oldest) // 3600000000 AS BIGINT) AS oldest_age_h
+        |FROM g CROSS JOIN anc""".stripMargin,
+
+    "q_gap_histogram" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS tus, event_id
+        |  FROM events),
+        |g AS (SELECT (tus - lag(tus) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id)) // 1000000 AS gap_s FROM b),
+        |h AS (SELECT length(bin(greatest(gap_s, 1))) - 1 AS bucket
+        |  FROM g WHERE gap_s IS NOT NULL),
+        |g2 AS (SELECT bucket, count(*) AS n_gaps FROM h GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(n_gaps AS BIGINT) AS n_gaps,
+        |  CAST(1 << bucket AS BIGINT) AS lo_s
+        |FROM g2""".stripMargin,
 
     "q_revenue_retention" ->
       """WITH e AS (SELECT user_id,

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-8 batch 34: growth accounting, FIFO lot matching, pow2 gap
+  * histogram (inline-query core logic).
+  */
+class GrowthFifoSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("growth accounting: new, retained, dormant-then-back classified") {
+    // user 1: weeks 0,1,3 -> new, retained, reactivated
+    // user 2: week 1 only -> new
+    val uw = Seq((1L, 0L), (1L, 1L), (1L, 3L), (2L, 1L)).toDF("uid", "wk")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("uid").orderBy("wk")
+    val out = uw.withColumn("prev", lag(col("wk"), 1).over(w))
+      .withColumn("status", when(col("prev").isNull, "new")
+        .when(col("wk") - col("prev") === 1L, "retained")
+        .otherwise("reactivated"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3)).toMap
+    assert(out((1L, 0L)) === "new")
+    assert(out((1L, 1L)) === "retained")
+    assert(out((1L, 3L)) === "reactivated")
+    assert(out((2L, 1L)) === "new")
+  }
+
+  test("FIFO lots: oldest lots consumed first, remaining age from the head") {
+    // item 1: 4 receipts at t=10,20,30,40; 2 consumed -> lots 30,40 remain
+    val lots = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L), (1L, 40L, 4L))
+      .toDF("item", "tus", "event_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("item").orderBy(col("tus"), col("event_id"))
+    val out = lots.withColumn("rn", row_number().over(w))
+      .withColumn("c", lit(2L))
+      .groupBy("item", "c")
+      .agg(count(lit(1)).as("n_received"),
+        min(when(col("rn") > col("c"), col("tus"))).as("oldest"))
+      .collect()(0)
+    assert(out.getAs[Long]("n_received") === 4L)
+    assert(out.getAs[Long]("oldest") === 30L) // head of the remaining queue
+  }
+
+  test("pow2 gap buckets: bin-length floor(log2), zero gap folds into bucket 0") {
+    val gaps = Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L).toDF("gap_s")
+    val out = gaps.withColumn("bucket",
+        (length(bin(greatest(col("gap_s"), lit(1L)))) - 1).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) === 0L)
+    assert(out(1L) === 0L)
+    assert(out(2L) === 1L)
+    assert(out(3L) === 1L)
+    assert(out(4L) === 2L)
+    assert(out(7L) === 2L)
+    assert(out(8L) === 3L)
+    assert(out(1023L) === 9L)
+    assert(out(1024L) === 10L)
+  }
+}
