@@ -3061,6 +3061,54 @@ object SparkEntry {
         events(s, dir).withColumn("wk", wk), "event_type", "wk")
     },
 
+    // corpus-mixing diagnostic: pairwise Jaccard of each source's
+    // top-50 vocabulary (ties broken by term)
+    "q_vocab_overlap" -> { (s, dir) =>
+      val t = documents(s, dir).select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("c").desc, col("term"))
+      val top = t.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 50).select("source", "term")
+      val inter = top.select(col("source").as("a"), col("term"))
+        .join(top.select(col("source").as("b"), col("term")), Seq("term"))
+        .where(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      inter.select(col("a"), col("b"), col("n_common"),
+        expr("n_common * 1000000 div (100 - n_common)").as("jaccard_ppm"))
+    },
+
+    // hour-of-day traffic profile per type: share ppm + the peak hour
+    "q_hour_profile" -> { (s, dir) =>
+      val hr = expr(
+        "(unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000) % 24")
+      val c = events(s, dir).groupBy(col("event_type"), hr.as("hour"))
+        .agg(count(lit(1)).as("c"))
+      val t = c.groupBy("event_type").agg(sum("c").as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("c").desc, col("hour"))
+      c.join(t, Seq("event_type"))
+        .withColumn("share_ppm", expr("c * 1000000 div n"))
+        .withColumn("is_peak", row_number().over(w) === 1)
+        .select("event_type", "hour", "c", "share_ppm", "is_peak")
+    },
+
+    // id-space sizing audit: actual 16-bit-hash collisions vs the
+    // birthday-bound expectation n(n-1)/2^(k+1)
+    "q_hash_collisions" -> { (s, dir) =>
+      val h = pmod(Dedup.gramHash(col("user_id").cast("string")),
+        lit(65536L))
+      val users = events(s, dir).select(col("user_id")).distinct()
+        .select(h.as("bucket"))
+      val coll = users.groupBy("bucket").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_buckets"), sum("c").as("n_ids"),
+          sum(expr("c - 1")).as("n_collisions"))
+      coll.select(col("n_ids"), col("n_buckets"), col("n_collisions"),
+        expr("n_ids * (n_ids - 1) * 1000000 div 131072")
+          .as("expected_collisions_u"))
+    },
+
     // growth accounting: per week, users split into new / retained
     // (active previous week) / reactivated (dormant >= 2 weeks)
     "q_growth_accounting" -> { (s, dir) =>
@@ -3800,6 +3848,52 @@ object SparkEntry {
 
     "q_prf_expand" -> TextAnalysis.prfExpandSql(BpeishRe,
       queryTerms = Seq("spark", "vector", "customer"), fbDocs = 10, k = 15),
+
+    "q_vocab_overlap" ->
+      """WITH t AS (SELECT source,
+        |    UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT source, term, count(*) AS c FROM t GROUP BY 1, 2),
+        |top AS (SELECT source, term FROM (
+        |  SELECT source, term, row_number() OVER (PARTITION BY source
+        |    ORDER BY c DESC, term) AS rn FROM c)
+        |  WHERE rn <= 50),
+        |i AS (SELECT a.source AS a, b.source AS b, count(*) AS n_common
+        |  FROM top a JOIN top b ON a.term = b.term AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(n_common * 1000000 // (100 - n_common) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM i""".stripMargin,
+
+    "q_hour_profile" ->
+      """WITH c AS (SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(c) AS n FROM c GROUP BY 1),
+        |r AS (SELECT c.event_type, hour, c.c, n,
+        |    row_number() OVER (PARTITION BY c.event_type
+        |      ORDER BY c.c DESC, hour) AS rn
+        |  FROM c JOIN t ON t.event_type = c.event_type)
+        |SELECT event_type, CAST(hour AS BIGINT) AS hour,
+        |  CAST(c AS BIGINT) AS c,
+        |  CAST(c * 1000000 // n AS BIGINT) AS share_ppm,
+        |  rn = 1 AS is_peak
+        |FROM r""".stripMargin,
+
+    "q_hash_collisions" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |b AS (SELECT ${graft.ops.Dedup.gramHashSql(
+            "CAST(user_id AS VARCHAR)")} % 65536 AS bucket FROM u),
+         |g AS (SELECT bucket, count(*) AS c FROM b GROUP BY 1),
+         |a AS (SELECT count(*) AS n_buckets, sum(c) AS n_ids,
+         |  sum(c - 1) AS n_collisions FROM g)
+         |SELECT CAST(n_ids AS BIGINT) AS n_ids,
+         |  CAST(n_buckets AS BIGINT) AS n_buckets,
+         |  CAST(n_collisions AS BIGINT) AS n_collisions,
+         |  CAST(n_ids * (n_ids - 1) * 1000000 // 131072 AS BIGINT)
+         |    AS expected_collisions_u
+         |FROM a""".stripMargin,
 
     "q_growth_accounting" ->
       """WITH uw AS (SELECT DISTINCT user_id,

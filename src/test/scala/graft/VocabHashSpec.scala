@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Dedup
+
+/** Session-8 batch 35: vocabulary overlap, hour profile, hash-collision
+  * audit (inline-query core logic).
+  */
+class VocabHashSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("vocab overlap: identical top sets give full Jaccard, disjoint give none") {
+    // tiny top-2 variant of the same pipeline
+    val top = Seq(("s1", "a"), ("s1", "b"), ("s2", "a"), ("s2", "b"),
+      ("s3", "x"), ("s3", "y")).toDF("source", "term")
+    val inter = top.select(col("source").as("a"), col("term"))
+      .join(top.select(col("source").as("b"), col("term")), Seq("term"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      .withColumn("j", expr("n_common * 1000000 div (4 - n_common)"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(inter === Map(("s1", "s2") -> 1000000L)) // disjoint pairs absent
+  }
+
+  test("hour profile: shares sum to ~1e6 and peak is the max hour") {
+    val c = Seq(("x", 0L, 10L), ("x", 1L, 30L), ("x", 2L, 60L))
+      .toDF("event_type", "hour", "c")
+    val t = c.groupBy("event_type").agg(sum("c").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("c").desc, col("hour"))
+    val out = c.join(t, Seq("event_type"))
+      .withColumn("share_ppm", expr("c * 1000000 div n"))
+      .withColumn("is_peak", row_number().over(w) === 1)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(2L) === ((600000L, true)))
+    assert(out(0L) === ((100000L, false)))
+    assert(out.values.map(_._1).sum === 1000000L)
+  }
+
+  test("hash collisions: distinct ids, collisions = ids minus occupied buckets") {
+    val ids = (0 until 300).map(_.toLong).toDF("user_id")
+    val out = ids.select(pmod(Dedup.gramHash(col("user_id").cast("string")),
+        lit(65536L)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_buckets"), sum("c").as("n_ids"),
+        sum(expr("c - 1")).as("n_collisions"))
+      .collect()(0)
+    assert(out.getLong(1) === 300L)
+    assert(out.getLong(2) === out.getLong(1) - out.getLong(0))
+    // birthday bound: 300 ids in 65536 buckets expect ~0.68 collisions
+    assert(out.getLong(2) <= 4L)
+  }
+}
