@@ -3061,6 +3061,66 @@ object SparkEntry {
         events(s, dir).withColumn("wk", wk), "event_type", "wk")
     },
 
+    // sybil detection: users sharing an identical full event-type
+    // sequence fingerprint (one planted clone of user 42)
+    "q_sybil_groups" -> { (s, dir) =>
+      val tus = unix_micros(col("ts").cast("timestamp"))
+      val base = events(s, dir).select(col("user_id"), tus.as("tus"),
+        col("event_id"), col("event_type"))
+      val clone = base.where(col("user_id") === 7L)
+        .select(lit(99999L).as("user_id"), col("tus"),
+          (col("event_id") + 7000000L).as("event_id"), col("event_type"))
+      val fp = base.unionAll(clone)
+        .groupBy("user_id")
+        .agg(md5(concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("tus"), col("event_id"),
+              col("event_type").as("et")))),
+            x => x.getField("et")))).as("fp"))
+      fp.groupBy("fp")
+        .agg(count(lit(1)).as("n_users"), min("user_id").as("min_user"))
+        .where(col("n_users") >= 2L)
+    },
+
+    // week-over-week top-20 user rank movers (activity leaderboard delta)
+    "q_rank_movers" -> { (s, dir) =>
+      val wk = expr(
+        "(unix_micros(CAST(ts AS TIMESTAMP)) - 1704067200000000) div 604800000000")
+      val c = events(s, dir).groupBy(wk.as("wk"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("wk").orderBy(col("c").desc, col("user_id"))
+      val ranked = c.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 20)
+      ranked.select(col("wk"), col("user_id"), col("rank"))
+        .join(ranked.select((col("wk") + 1).as("wk"), col("user_id"),
+          col("rank").as("prev_rank")), Seq("wk", "user_id"), "left")
+        .where(col("wk") > 0)
+        .select(col("wk"), col("user_id"), col("rank"), col("prev_rank"),
+          when(col("prev_rank").isNull, lit("entered"))
+            .when(col("prev_rank") > col("rank"), lit("up"))
+            .when(col("prev_rank") < col("rank"), lit("down"))
+            .otherwise(lit("flat")).as("movement"))
+    },
+
+    // week-over-week volume change alerts per event type (|delta| > 30%)
+    "q_wow_change" -> { (s, dir) =>
+      val wk = expr(
+        "(unix_micros(CAST(ts AS TIMESTAMP)) - 1704067200000000) div 604800000000")
+      val c = events(s, dir).groupBy(col("event_type"), wk.as("wk"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("wk")
+      c.withColumn("prev", lag(col("c"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("event_type"), col("wk"), col("c"), col("prev"),
+          // (c·10⁶ div prev) − 10⁶: the dividend stays non-negative, so
+          // Spark's truncating div and DuckDB's flooring // agree (the
+          // embedDrift shift-positive lesson)
+          expr("c * 1000000 div prev - 1000000").as("delta_ppm"))
+        .withColumn("alert", abs(col("delta_ppm")) > 300000L)
+    },
+
     // corpus-mixing diagnostic: pairwise Jaccard of each source's
     // top-50 vocabulary (ties broken by term)
     "q_vocab_overlap" -> { (s, dir) =>
@@ -3848,6 +3908,49 @@ object SparkEntry {
 
     "q_prf_expand" -> TextAnalysis.prfExpandSql(BpeishRe,
       queryTerms = Seq("spark", "vector", "customer"), fbDocs = 10, k = 15),
+
+    "q_sybil_groups" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 99999, epoch_us(ts), event_id + 7000000, event_type
+        |  FROM events WHERE user_id = 7),
+        |fp AS (SELECT user_id,
+        |    md5(string_agg(event_type, ',' ORDER BY tus, event_id)) AS fp
+        |  FROM base GROUP BY 1)
+        |SELECT fp, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(min(user_id) AS BIGINT) AS min_user
+        |FROM fp GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q_rank_movers" ->
+      """WITH c AS (SELECT
+        |    (epoch_us(ts) - 1704067200000000) // 604800000000 AS wk,
+        |    user_id, count(*) AS c FROM events GROUP BY 1, 2),
+        |r AS (SELECT wk, user_id, row_number() OVER (PARTITION BY wk
+        |    ORDER BY c DESC, user_id) AS rank FROM c),
+        |t AS (SELECT * FROM r WHERE rank <= 20)
+        |SELECT a.wk, a.user_id, CAST(a.rank AS INTEGER) AS rank,
+        |  CAST(b.rank AS INTEGER) AS prev_rank,
+        |  CASE WHEN b.rank IS NULL THEN 'entered'
+        |       WHEN b.rank > a.rank THEN 'up'
+        |       WHEN b.rank < a.rank THEN 'down'
+        |       ELSE 'flat' END AS movement
+        |FROM t a LEFT JOIN t b
+        |  ON b.user_id = a.user_id AND b.wk = a.wk - 1
+        |WHERE a.wk > 0""".stripMargin,
+
+    "q_wow_change" ->
+      """WITH c AS (SELECT event_type,
+        |    (epoch_us(ts) - 1704067200000000) // 604800000000 AS wk,
+        |    count(*) AS c FROM events GROUP BY 1, 2),
+        |l AS (SELECT *, lag(c) OVER (PARTITION BY event_type ORDER BY wk)
+        |    AS prev FROM c)
+        |SELECT event_type, wk, CAST(c AS BIGINT) AS c,
+        |  CAST(prev AS BIGINT) AS prev,
+        |  CAST(c * 1000000 // prev - 1000000 AS BIGINT) AS delta_ppm,
+        |  abs(c * 1000000 // prev - 1000000) > 300000 AS alert
+        |FROM l WHERE prev IS NOT NULL""".stripMargin,
 
     "q_vocab_overlap" ->
       """WITH t AS (SELECT source,

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-8 batch 36: sybil fingerprints, rank movers, WoW change
+  * alerts (inline-query core logic).
+  */
+class SybilMoversSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sybil fingerprint: identical sequences collide, order matters") {
+    val rows = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"),
+      (3L, 5L, 3L, "a"), (3L, 6L, 4L, "b"),   // same sequence as user 1
+      (2L, 10L, 5L, "b"), (2L, 20L, 6L, "a")) // reversed: different fp
+      .toDF("uid", "tus", "event_id", "event_type")
+    val fp = rows.groupBy("uid")
+      .agg(md5(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("tus"), col("event_id"),
+          col("event_type").as("et")))),
+        x => x.getField("et")))).as("fp"))
+    val groups = fp.groupBy("fp")
+      .agg(count(lit(1)).as("n"), min("uid").as("m"))
+      .where(col("n") >= 2L)
+      .collect()
+    assert(groups.length === 1)
+    assert(groups(0).getLong(1) === 2L)
+    assert(groups(0).getLong(2) === 1L)
+  }
+
+  test("rank movers: up/down/entered labels against last week's board") {
+    val t = Seq((0L, 10L, 1), (0L, 20L, 2),             // week 0 board
+      (1L, 20L, 1), (1L, 30L, 2), (1L, 10L, 3))         // week 1 board
+      .toDF("wk", "uid", "rank")
+    val out = t.join(t.select((col("wk") + 1).as("wk"), col("uid"),
+        col("rank").as("prev")), Seq("wk", "uid"), "left")
+      .where(col("wk") > 0)
+      .withColumn("movement", when(col("prev").isNull, "entered")
+        .when(col("prev") > col("rank"), "up")
+        .when(col("prev") < col("rank"), "down").otherwise("flat"))
+      .collect().map(r => r.getLong(1) -> r.getString(4)).toMap
+    assert(out === Map(20L -> "up", 30L -> "entered", 10L -> "down"))
+  }
+
+  test("wow delta: shifted-positive division agrees on negative changes") {
+    val c = Seq(("x", 10L, 13L), ("y", 10L, 14L), ("z", 10L, 6L))
+      .toDF("t", "prev", "c")
+    val out = c.select(col("t"),
+        expr("c * 1000000 div prev - 1000000").as("d"))
+      .withColumn("alert", abs(col("d")) > 300000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out("x") === ((300000L, false)))  // +30% is the fence, not over it
+    assert(out("y") === ((400000L, true)))
+    assert(out("z") === ((-400000L, true)))  // floor-free: exact -40%
+  }
+}
