@@ -3061,6 +3061,58 @@ object SparkEntry {
         events(s, dir).withColumn("wk", wk), "event_type", "wk")
     },
 
+    // conversation first-response latency: first user turn -> first
+    // assistant turn at or after it, in whole seconds
+    "q_first_response" -> { (s, dir) =>
+      val t = transcripts(s, dir).select(col("conv_id"), col("role"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+      val u = t.where(col("role") === "user")
+        .groupBy("conv_id").agg(min("tus").as("u_us"))
+      val a = t.where(col("role") === "assistant")
+        .join(u, Seq("conv_id"))
+        .where(col("tus") >= col("u_us"))
+        .groupBy("conv_id").agg(min("tus").as("a_us"), min("u_us").as("u2"))
+      u.join(a.select(col("conv_id"), col("a_us"), col("u2")),
+          Seq("conv_id"), "left")
+        .select(col("conv_id"),
+          expr("(a_us - u2) div 1000000").as("latency_s"),
+          col("a_us").isNotNull.as("answered"))
+    },
+
+    // unanswered streaks: maximal runs of consecutive user turns per
+    // conversation (the bot-went-silent lint)
+    "q_unanswered_streak" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("conv_id").orderBy("turn_idx")
+      val runs = transcripts(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          (col("role") === "user").cast("long").as("u"))
+        .withColumn("grp", sum(lit(1L) - col("u"))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .where(col("u") === 1L)
+        .groupBy("conv_id", "grp").agg(count(lit(1)).as("len"))
+      runs.groupBy("conv_id")
+        .agg(max("len").as("max_streak"),
+          sum(when(col("len") >= 2L, 1L).otherwise(0L)).as("n_silences"))
+    },
+
+    // agentic tool-chain depth: longest run of consecutive tool turns
+    "q_tool_chain" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("conv_id").orderBy("turn_idx")
+      val runs = transcripts(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          col("tool").isNotNull.cast("long").as("t"))
+        .withColumn("grp", sum(lit(1L) - col("t"))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .where(col("t") === 1L)
+        .groupBy("conv_id", "grp").agg(count(lit(1)).as("len"))
+      runs.groupBy("conv_id")
+        .agg(max("len").as("max_chain"), sum("len").as("n_tool_turns"))
+    },
+
     // sybil detection: users sharing an identical full event-type
     // sequence fingerprint (one planted clone of user 42)
     "q_sybil_groups" -> { (s, dir) =>
@@ -3908,6 +3960,50 @@ object SparkEntry {
 
     "q_prf_expand" -> TextAnalysis.prfExpandSql(BpeishRe,
       queryTerms = Seq("spark", "vector", "customer"), fbDocs = 10, k = 15),
+
+    "q_first_response" ->
+      s"""$T,
+         |t AS (SELECT conv_id, role, epoch_us(ts) AS tus FROM transcripts),
+         |u AS (SELECT conv_id, min(tus) AS u_us FROM t
+         |  WHERE role = 'user' GROUP BY 1),
+         |a AS (SELECT t.conv_id, min(tus) AS a_us, min(u_us) AS u2
+         |  FROM t JOIN u ON u.conv_id = t.conv_id
+         |  WHERE role = 'assistant' AND tus >= u_us GROUP BY 1)
+         |SELECT u.conv_id,
+         |  CAST((a_us - u2) // 1000000 AS BIGINT) AS latency_s,
+         |  a_us IS NOT NULL AS answered
+         |FROM u LEFT JOIN a ON a.conv_id = u.conv_id""".stripMargin,
+
+    "q_unanswered_streak" ->
+      s"""$T,
+         |b AS (SELECT conv_id, turn_idx,
+         |    CASE WHEN role = 'user' THEN 1 ELSE 0 END AS u
+         |  FROM transcripts),
+         |r AS (SELECT *, sum(1 - u) OVER (PARTITION BY conv_id
+         |    ORDER BY turn_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM b),
+         |runs AS (SELECT conv_id, grp, count(*) AS len FROM r
+         |  WHERE u = 1 GROUP BY 1, 2)
+         |SELECT conv_id, CAST(max(len) AS BIGINT) AS max_streak,
+         |  CAST(sum(CASE WHEN len >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_silences
+         |FROM runs GROUP BY 1""".stripMargin,
+
+    "q_tool_chain" ->
+      s"""$T,
+         |b AS (SELECT conv_id, turn_idx,
+         |    CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS t
+         |  FROM transcripts),
+         |r AS (SELECT *, sum(1 - t) OVER (PARTITION BY conv_id
+         |    ORDER BY turn_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM b),
+         |runs AS (SELECT conv_id, grp, count(*) AS len FROM r
+         |  WHERE t = 1 GROUP BY 1, 2)
+         |SELECT conv_id, CAST(max(len) AS BIGINT) AS max_chain,
+         |  CAST(sum(len) AS BIGINT) AS n_tool_turns
+         |FROM runs GROUP BY 1""".stripMargin,
 
     "q_sybil_groups" ->
       """WITH base AS (

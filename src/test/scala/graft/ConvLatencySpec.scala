@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-8 batch 37: first-response latency, unanswered streaks,
+  * tool-chain depth (inline-query core logic over transcript shape).
+  */
+class ConvLatencySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("first response: earliest assistant at-or-after the first user turn") {
+    val t = Seq(
+      ("c1", "assistant", 0L),  // pre-question greeting: not the answer? it IS >= ? no: before user
+      ("c1", "user", 10L), ("c1", "assistant", 25L),
+      ("c2", "user", 0L))       // never answered
+      .toDF("conv_id", "role", "tus")
+    val u = t.where(col("role") === "user").groupBy("conv_id")
+      .agg(min("tus").as("u_us"))
+    val a = t.where(col("role") === "assistant").join(u, Seq("conv_id"))
+      .where(col("tus") >= col("u_us"))
+      .groupBy("conv_id").agg(min("tus").as("a_us"), min("u_us").as("u2"))
+    val out = u.join(a.select("conv_id", "a_us", "u2"), Seq("conv_id"), "left")
+      .select(col("conv_id"), (col("a_us") - col("u2")).as("lat"),
+        col("a_us").isNotNull.as("answered"))
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2)))).toMap
+    assert(out("c1") === ((Some(15L), true))) // the t=0 greeting doesn't count
+    assert(out("c2") === ((None, false)))
+  }
+
+  test("streak runs: consecutive marked turns split on any other role") {
+    val t = Seq(("c", 0, 1L), ("c", 1, 1L), ("c", 2, 0L), ("c", 3, 1L),
+      ("c", 4, 1L), ("c", 5, 1L)).toDF("conv_id", "turn_idx", "u")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy("turn_idx")
+    val runs = t.withColumn("grp", sum(lit(1L) - col("u"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .where(col("u") === 1L)
+      .groupBy("conv_id", "grp").agg(count(lit(1)).as("len"))
+    val out = runs.groupBy("conv_id")
+      .agg(max("len").as("mx"), count(lit(1)).as("n"))
+      .collect()(0)
+    assert(out.getLong(1) === 3L) // turns 3-5
+    assert(out.getLong(2) === 2L) // two islands
+  }
+
+  test("tool-chain on the real transcript derivation stays consistent") {
+    val t = graft.data.Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+      .select(col("conv_id"), col("turn_idx"),
+        col("tool").isNotNull.cast("long").as("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy("turn_idx")
+    val runs = t.withColumn("grp", sum(lit(1L) - col("t"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .where(col("t") === 1L)
+      .groupBy("conv_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("conv_id")
+      .agg(max("len").as("mx"), sum("len").as("total"))
+    val rows = runs.collect()
+    assert(rows.nonEmpty)
+    // invariant: the longest chain never exceeds the total tool turns
+    rows.foreach(r => assert(r.getLong(1) <= r.getLong(2)))
+  }
+}
