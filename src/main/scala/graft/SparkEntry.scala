@@ -3061,6 +3061,53 @@ object SparkEntry {
         events(s, dir).withColumn("wk", wk), "event_type", "wk")
     },
 
+    // tool co-occurrence lift within conversations (which tools travel
+    // together)
+    "q_tool_cooccurrence" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val ct = t.where(col("tool").isNotNull)
+        .select(col("conv_id"), col("tool")).distinct()
+      val n = ct.groupBy("tool").agg(count(lit(1)).as("n"))
+      val total = t.select("conv_id").distinct()
+        .agg(count(lit(1)).as("n_convs"))
+      ct.select(col("conv_id"), col("tool").as("a"))
+        .join(ct.select(col("conv_id"), col("tool").as("b")), Seq("conv_id"))
+        .where(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        .join(n.select(col("tool").as("a"), col("n").as("n_a")), Seq("a"))
+        .join(n.select(col("tool").as("b"), col("n").as("n_b")), Seq("b"))
+        .crossJoin(broadcast(total))
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("n_ab * n_convs * 1000000 div (n_a * n_b)").as("lift_ppm"))
+    },
+
+    // dissect-component traffic profile (parse health by component)
+    "q_component_traffic" -> { (s, dir) =>
+      val d = DissectFunctions.dissect(Tok)(col("text"))
+      val parsed = transcripts(s, dir)
+        .select(col("conv_id"),
+          coalesce(d.getField("fields").getItem("component"),
+            lit("(unparsed)")).as("component"))
+      val total = parsed.agg(count(lit(1)).as("n_total"))
+      parsed.groupBy("component")
+        .agg(count(lit(1)).as("n_turns"),
+          countDistinct(col("conv_id")).as("n_convs"))
+        .crossJoin(broadcast(total))
+        .select(col("component"), col("n_turns"), col("n_convs"),
+          expr("n_turns * 1000000 div n_total").as("share_ppm"))
+    },
+
+    // conversation-length distribution in power-of-two buckets
+    "q_conv_size_hist" -> { (s, dir) =>
+      val sizes = transcripts(s, dir).groupBy("conv_id")
+        .agg(count(lit(1)).as("n_turns"))
+      sizes.withColumn("bucket",
+          (length(bin(greatest(col("n_turns"), lit(1L)))) - 1).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_convs"), sum("n_turns").as("n_turns"))
+        .withColumn("lo", expr("shiftleft(1L, CAST(bucket AS INT))"))
+    },
+
     // conversation first-response latency: first user turn -> first
     // assistant turn at or after it, in whole seconds
     "q_first_response" -> { (s, dir) =>
@@ -3960,6 +4007,50 @@ object SparkEntry {
 
     "q_prf_expand" -> TextAnalysis.prfExpandSql(BpeishRe,
       queryTerms = Seq("spark", "vector", "customer"), fbDocs = 10, k = 15),
+
+    "q_tool_cooccurrence" ->
+      s"""$T,
+         |ct AS (SELECT DISTINCT conv_id, tool FROM transcripts
+         |  WHERE tool IS NOT NULL),
+         |n AS (SELECT tool, count(*) AS n FROM ct GROUP BY 1),
+         |tt AS (SELECT count(DISTINCT conv_id) AS n_convs FROM transcripts),
+         |p AS (SELECT a.tool AS a, b.tool AS b, count(*) AS n_ab
+         |  FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.tool < b.tool
+         |  GROUP BY 1, 2)
+         |SELECT p.a, p.b, CAST(n_ab AS BIGINT) AS n_ab,
+         |  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+         |  CAST(n_ab * n_convs * 1000000 // (na.n * nb.n) AS BIGINT)
+         |    AS lift_ppm
+         |FROM p JOIN n na ON na.tool = p.a JOIN n nb ON nb.tool = p.b
+         |CROSS JOIN tt""".stripMargin,
+
+    "q_component_traffic" ->
+      s"""$T,
+         |p AS (SELECT conv_id,
+         |  coalesce(CASE WHEN strpos(text, ' [') > 0
+         |    AND strpos(substr(text, strpos(text, ' [') + 2), '] ') > 0
+         |    THEN substr(text, strpos(text, ' [') + 2,
+         |      strpos(substr(text, strpos(text, ' [') + 2), '] ') - 1) END,
+         |  '(unparsed)') AS component FROM transcripts),
+         |t2 AS (SELECT count(*) AS n_total FROM p)
+         |SELECT component, CAST(count(*) AS BIGINT) AS n_turns,
+         |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+         |  CAST(count(*) * 1000000 // n_total AS BIGINT) AS share_ppm
+         |FROM p CROSS JOIN t2 GROUP BY component, n_total""".stripMargin,
+
+    "q_conv_size_hist" ->
+      s"""$T,
+         |s2 AS (SELECT conv_id, count(*) AS n_turns FROM transcripts
+         |  GROUP BY 1),
+         |h AS (SELECT length(bin(greatest(n_turns, 1))) - 1 AS bucket,
+         |  n_turns FROM s2),
+         |g AS (SELECT bucket, count(*) AS n_convs, sum(n_turns) AS n_turns
+         |  FROM h GROUP BY 1)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(n_convs AS BIGINT) AS n_convs,
+         |  CAST(n_turns AS BIGINT) AS n_turns,
+         |  CAST(1 << bucket AS BIGINT) AS lo
+         |FROM g""".stripMargin,
 
     "q_first_response" ->
       s"""$T,

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-8 batch 38: tool co-occurrence lift, component traffic,
+  * conversation-size histogram (inline-query core logic).
+  */
+class ToolTrafficSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tool co-occurrence: independent tools sit at lift 1e6, paired above") {
+    // 4 convs: {x,y} twice together, z alone twice -> x,y perfectly paired
+    val ct = Seq(("c1", "x"), ("c1", "y"), ("c2", "x"), ("c2", "y"),
+      ("c3", "z"), ("c4", "z")).toDF("conv_id", "tool")
+    val n = ct.groupBy("tool").agg(count(lit(1)).as("n"))
+    val out = ct.select(col("conv_id"), col("tool").as("a"))
+      .join(ct.select(col("conv_id"), col("tool").as("b")), Seq("conv_id"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .join(n.select(col("tool").as("a"), col("n").as("n_a")), Seq("a"))
+      .join(n.select(col("tool").as("b"), col("n").as("n_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        expr("n_ab * 4 * 1000000 div (n_a * n_b)").as("lift"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("x", "y") -> 2000000L)) // 2·4/(2·2) = 2x lift
+  }
+
+  test("component traffic: parse failures land in the (unparsed) bucket") {
+    val d = graft.parse.DissectFunctions.dissect("%{level} [%{component}] %{body}")(col("text"))
+    val rows = Seq(("c1", "INFO [db] connected"), ("c1", "garbage"),
+      ("c2", "WARN [db] slow"), ("c2", "ERROR [api] 500"))
+      .toDF("conv_id", "text")
+    val out = rows.select(col("conv_id"),
+        coalesce(d.getField("fields").getItem("component"),
+          lit("(unparsed)")).as("component"))
+      .groupBy("component").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("db" -> 2L, "api" -> 1L, "(unparsed)" -> 1L))
+  }
+
+  test("conv-size histogram: dyadic buckets cover every conversation once") {
+    val sizes = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 8L), ("e", 9L))
+      .toDF("conv_id", "n_turns")
+    val out = sizes.withColumn("bucket",
+        (length(bin(greatest(col("n_turns"), lit(1L)))) - 1).cast("long"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 1L, 1L -> 2L, 3L -> 2L))
+  }
+}
