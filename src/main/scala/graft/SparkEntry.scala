@@ -3061,6 +3061,21 @@ object SparkEntry {
         events(s, dir).withColumn("wk", wk), "event_type", "wk")
     },
 
+    // Q6 shape: pure filter+aggregate forecast revenue (no joins)
+    "q_star_forecast" -> ((s, dir) =>
+      StarQueries.forecastRevenue(tpch(s, dir, "lineitem"))),
+
+    // Q13 shape: customer distribution by order count incl. the
+    // zero-order tail (left join, double groupBy)
+    "q_star_custdist" -> ((s, dir) =>
+      StarQueries.custOrderDistribution(tpch(s, dir, "customer"),
+        tpch(s, dir, "orders"))),
+
+    // Q14 shape: ECONOMY-class revenue share in one month
+    "q_star_promo" -> ((s, dir) =>
+      StarQueries.classRevenueShare(tpch(s, dir, "part"),
+        tpch(s, dir, "lineitem"))),
+
     // tool co-occurrence lift within conversations (which tools travel
     // together)
     "q_tool_cooccurrence" -> { (s, dir) =>
@@ -4007,6 +4022,42 @@ object SparkEntry {
 
     "q_prf_expand" -> TextAnalysis.prfExpandSql(BpeishRe,
       queryTerms = Seq("spark", "vector", "customer"), fbDocs = 10, k = 15),
+
+    "q_star_forecast" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000
+        |    + 0.5) AS BIGINT)) AS BIGINT) AS revenue_micro,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_star_custdist" ->
+      """WITH cc AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1)
+        |SELECT CAST(c_count AS BIGINT) AS c_count,
+        |  CAST(count(*) AS BIGINT) AS custdist
+        |FROM cc GROUP BY 1""".stripMargin,
+
+    "q_star_promo" ->
+      s"""WITH j AS (
+         |  SELECT ${StarQueries.discMicroSql("l_extendedprice",
+              "l_discount")} AS m,
+         |    p_type = 'ECONOMY' AS promo
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-02-01'),
+         |g AS (SELECT CAST(sum(CASE WHEN promo THEN m ELSE 0 END) AS BIGINT)
+         |    AS promo_micro,
+         |  CAST(sum(m) AS BIGINT) AS total_micro FROM j)
+         |SELECT promo_micro, total_micro,
+         |  CAST(CASE WHEN total_micro >= 1000000 THEN
+         |    promo_micro // (total_micro // 1000000) END AS BIGINT)
+         |    AS promo_ppm
+         |FROM g""".stripMargin,
 
     "q_tool_cooccurrence" ->
       s"""$T,

@@ -123,4 +123,54 @@ object StarQueries {
         col("revenue_micro"))
       .orderBy(col("revenue_micro").desc, col("c_custkey"))
       .limit(k)
+
+  /** Q6 shape: forecast-revenue-change — the pure filter+aggregate star
+    * query (no joins at all): every predicate reaches the parquet scan,
+    * the aggregate is one map-side-combinable pass. Fixed-point money
+    * (price·disc micro units) keeps the sum engine-exact.
+    */
+  def forecastRevenue(lineitem: DataFrame,
+      dateStart: String = "1996-01-01", dateEnd: String = "1997-01-01",
+      discLo: Double = 0.05, discHi: Double = 0.07,
+      qtyMax: Double = 24): DataFrame =
+    lineitem.where(col("l_shipdate") >= lit(dateStart).cast("timestamp") &&
+        col("l_shipdate") < lit(dateEnd).cast("timestamp") &&
+        col("l_discount") >= discLo && col("l_discount") <= discHi &&
+        col("l_quantity") < qtyMax)
+      .agg(sum(floor(col("l_extendedprice") * col("l_discount") * 10000
+          + 0.5).cast("long")).cast("long").as("revenue_micro"),
+        count(lit(1)).as("n_items"))
+
+  /** Q13 shape: customers by order count INCLUDING the zero-order tail —
+    * the left-join-then-double-groupBy distribution (the outer join is
+    * what separates it from a plain fact rollup; dropping it silently
+    * loses the empty-customer bucket).
+    */
+  def custOrderDistribution(customer: DataFrame,
+      orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+
+  /** Q14 shape: class revenue share in one month — fact⋈part with a
+    * conditional aggregate; the share uses the pre-scaled-denominator
+    * division so promo·10⁶ can never overflow at warehouse scale.
+    */
+  def classRevenueShare(part: DataFrame, lineitem: DataFrame,
+      dateStart: String = "1996-01-01", dateEnd: String = "1996-02-01",
+      promoType: String = "ECONOMY"): DataFrame =
+    lineitem.where(col("l_shipdate") >= lit(dateStart).cast("timestamp") &&
+        col("l_shipdate") < lit(dateEnd).cast("timestamp"))
+      .join(part.select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .select(discMicro(col("l_extendedprice"), col("l_discount")).as("m"),
+        (col("p_type") === promoType).as("promo"))
+      .agg(sum(when(col("promo"), col("m")).otherwise(0L)).cast("long")
+          .as("promo_micro"),
+        sum("m").cast("long").as("total_micro"))
+      .withColumn("promo_ppm",
+        expr("CASE WHEN total_micro >= 1000000 THEN " +
+          "promo_micro div (total_micro div 1000000) END"))
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.StarQueries
+
+/** Session-8 batch 39: TPC-H Q6/Q13/Q14 shapes on the sf0.001 star. */
+class StarBattery2Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+
+  test("Q6 forecast: filter-only plan, predicates reach the scan") {
+    val q = StarQueries.forecastRevenue(t("lineitem"))
+    val row = q.collect()(0)
+    assert(row.getLong(1) > 0L)          // fixture window is populated
+    assert(row.getLong(0) > 0L)
+    val s = q.queryExecution.executedPlan.toString
+    assert(!s.contains("Join"), s"Q6 must not join:\n$s")
+    assert(s.contains("PushedFilters") || s.contains("l_shipdate"),
+      s"date filter must reach the scan:\n$s")
+  }
+
+  test("Q13 custdist: zero-order customers survive the left join") {
+    val out = StarQueries.custOrderDistribution(t("customer"), t("orders"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.sum === t("customer").count()) // partition of customers
+    // with ~1.5k orders over 150 customers someone has none or few — the
+    // distribution must cover more than one bucket
+    assert(out.size > 1)
+  }
+
+  test("Q14 promo share: ppm between 0 and 1e6, components reconcile") {
+    val r = StarQueries.classRevenueShare(t("part"), t("lineitem"))
+      .collect()(0)
+    val (promo, total, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(promo >= 0L)
+    assert(promo <= total)
+    assert(ppm >= 0L && ppm <= 1000000L)
+    // pre-scaled denominator: ppm ~ promo/total within integer slack
+    val approx = promo.toDouble / total * 1e6
+    assert(math.abs(ppm - approx) < 1000)
+  }
+}
