@@ -2908,7 +2908,9 @@ object SparkEntry {
     // sides (each src's true counterpart sits in tgt at cos 1.0)
     "q_margin_pairs" -> { (s, dir) =>
       val e = embWithDupes(s, dir)
-      Similarity.marginPairs(
+      // the banded (sign-LSH candidate) plan — the 10⁹-scale shape; the
+      // all-pairs marginPairs stays as the spec's truth oracle only
+      Similarity.marginPairsBanded(
         e.where(col("vec_id") < 200),
         e.where(col("vec_id") >= 10000 && col("vec_id") < 10200),
         k = 4, minMarginPpm = 1020000L)
@@ -3249,8 +3251,16 @@ object SparkEntry {
         .join(top.select(col("source").as("b"), col("term")), Seq("term"))
         .where(col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
-      inter.select(col("a"), col("b"), col("n_common"),
-        expr("n_common * 1000000 div (100 - n_common)").as("jaccard_ppm"))
+      // union size from the ACTUAL top-list sizes (|A|+|B|−∩): a source
+      // with fewer than 50 distinct terms must not inflate the score via
+      // a hardcoded |A∪B| = 100 − ∩
+      val sz = top.groupBy("source").agg(count(lit(1)).as("sz"))
+      inter
+        .join(sz.select(col("source").as("a"), col("sz").as("sz_a")), Seq("a"))
+        .join(sz.select(col("source").as("b"), col("sz").as("sz_b")), Seq("b"))
+        .select(col("a"), col("b"), col("n_common"),
+          expr("n_common * 1000000 div (sz_a + sz_b - n_common)")
+            .as("jaccard_ppm"))
     },
 
     // hour-of-day traffic profile per type: share ppm + the peak hour
@@ -4201,11 +4211,12 @@ object SparkEntry {
         |  WHERE rn <= 50),
         |i AS (SELECT a.source AS a, b.source AS b, count(*) AS n_common
         |  FROM top a JOIN top b ON a.term = b.term AND a.source < b.source
-        |  GROUP BY 1, 2)
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT source, count(*) AS sz FROM top GROUP BY 1)
         |SELECT a, b, CAST(n_common AS BIGINT) AS n_common,
-        |  CAST(n_common * 1000000 // (100 - n_common) AS BIGINT)
+        |  CAST(n_common * 1000000 // (sa.sz + sb.sz - n_common) AS BIGINT)
         |    AS jaccard_ppm
-        |FROM i""".stripMargin,
+        |FROM i JOIN sz sa ON sa.source = i.a JOIN sz sb ON sb.source = i.b""".stripMargin,
 
     "q_hour_profile" ->
       """WITH c AS (SELECT event_type,
@@ -4761,7 +4772,7 @@ object SparkEntry {
         |b AS (
         |  SELECT conv_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |          OR epoch(ts) - epoch(lag(ts) OVER w) > 30 THEN 1 ELSE 0 END AS boundary
+        |          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30000000 THEN 1 ELSE 0 END AS boundary
         |  FROM e WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)
         |), g AS (
         |  SELECT conv_id, ts,
@@ -9258,17 +9269,32 @@ object SparkEntry {
 
     // double-rounded integer-micros cosines; top-4 sums exact BIGINT;
     // margin = 2k·c6·1e6 // (Σx + Σy), rank after the filter
-    "q_margin_pairs" ->
-      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    "q_margin_pairs" -> {
+      // joint-banding oracle: the SAME 4-table sign-LSH candidate set as
+      // marginPairsBanded (hyperplanes as 6-dp literals), then the margin
+      // arithmetic over that frame — the q_incremental_neardup discipline
+      val tb = (0 until 4).map(t => Similarity.hyperplanes(
+        planes = 6, dim = 64, seed = 1L + t * 7919L))
+      def bkts(v: String) =
+        tb.zipWithIndex.map { case (h, t) =>
+          Similarity.signBucketSql(v, h, s"$t:") }.mkString(",\n")
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |a AS (SELECT vec_id AS src_id, v AS av FROM e0 WHERE vec_id < 200),
         |b AS (SELECT vec_id + 10000 AS tgt_id, list_transform(v, x -> x * 0.5) AS bv
         |      FROM e0 WHERE vec_id + 10000 < 10200),
+        |a2 AS (SELECT src_id, av, list_dot_product(av, av) AS an, UNNEST([
+        |${bkts("av")}
+        |]) AS bucket FROM a),
+        |b2 AS (SELECT tgt_id, bv, list_dot_product(bv, bv) AS bn, UNNEST([
+        |${bkts("bv")}
+        |]) AS bucket FROM b),
         |sc AS (
-        |  SELECT src_id, tgt_id,
-        |    CAST(round(round(list_dot_product(av, bv)
-        |      / sqrt(list_dot_product(av, av) * list_dot_product(bv, bv)), 6)
-        |      * 1000000, 0) AS BIGINT) AS c6
-        |  FROM a CROSS JOIN b),
+        |  SELECT src_id, tgt_id, CAST(min(c6) AS BIGINT) AS c6 FROM (
+        |    SELECT src_id, tgt_id,
+        |      CAST(round(round(list_dot_product(av, bv)
+        |        / sqrt(an * bn), 6) * 1000000, 0) AS BIGINT) AS c6
+        |    FROM a2 JOIN b2 USING (bucket))
+        |  GROUP BY 1, 2),
         |sx AS (SELECT src_id, CAST(sum(c6) AS BIGINT) AS s_src FROM (
         |  SELECT src_id, c6,
         |    row_number() OVER (PARTITION BY src_id ORDER BY c6 DESC, tgt_id) AS r
@@ -9285,7 +9311,8 @@ object SparkEntry {
         |SELECT src_id, tgt_id, CAST(c6 AS DOUBLE) / 1000000 AS cos, margin_ppm,
         |  CAST(row_number() OVER (PARTITION BY src_id
         |    ORDER BY margin_ppm DESC, tgt_id) AS INTEGER) AS rank
-        |FROM m WHERE margin_ppm >= 1020000""".stripMargin,
+        |FROM m WHERE margin_ppm >= 1020000""".stripMargin
+    },
 
     // global rank by (prefix key, id) — the bucketed two-phase rank is
     // order-identical because the bucket is a PREFIX of the sort key

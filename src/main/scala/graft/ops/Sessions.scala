@@ -30,17 +30,19 @@ object Sessions {
     val order = col(tsCol) +: ordCol.map(col).toSeq
     val w = Window.partitionBy(keyCol).orderBy(order: _*)
     val prev = lag(col(tsCol), 1).over(w)
-    // Fractional-second gap: timestamp→double keeps microseconds, matching
-    // DuckDB's epoch() and the streaming twin's millisecond arithmetic.
-    // unix_timestamp() TRUNCATES to whole seconds and silently moves
-    // session boundaries whenever real timestamps carry sub-second parts.
-    // The intermediate cast("timestamp") lifts TIMESTAMP_NTZ inputs (the
-    // parquet fixtures' type, which cannot cast to double directly) via
-    // the session zone — pinned to UTC, so it matches DuckDB's naive
-    // epoch(); a no-op for TIMESTAMP inputs.
-    def secs(c: Column): Column = c.cast("timestamp").cast("double")
+    // INTEGER-microsecond gap: unix_micros deltas compared against
+    // gapSeconds·10⁶ — no floats anywhere. A timestamp→double rendering
+    // (the previous form) loses ulps near large epochs, and DuckDB's
+    // epoch() doubles round differently, so a gap of exactly 30 s with
+    // fractional timestamps could split sessions differently per engine
+    // (the r3 q_flow_sessions hash mismatch). unix_timestamp() is worse
+    // still — it TRUNCATES to whole seconds. The intermediate
+    // cast("timestamp") lifts TIMESTAMP_NTZ inputs (the parquet fixtures'
+    // type) via the session zone — pinned to UTC, matching DuckDB's naive
+    // epoch_us(); a no-op for TIMESTAMP inputs.
+    def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
     val boundary = prev.isNull ||
-      (secs(col(tsCol)) - secs(prev)) > gapSeconds
+      (micros(col(tsCol)) - micros(prev)) > gapSeconds * 1000000L
     df.withColumn("_b", boundary.cast("long"))
       .withColumn("session_id", sum(col("_b")).over(w) - 1)
       .groupBy(col(keyCol), col("session_id"))
@@ -229,9 +231,11 @@ object Sessions {
   /** IPv6 group expansion: full or '::'-zero-compressed textual address
     * → 8 hex-group strings (RFC 4291 §2.2, public). The '::' run is
     * rebuilt with array HOFs (split on '::', pad the middle with "0"
-    * groups) — a narrow projection, no UDF. Malformed inputs yield
-    * short/long arrays → NULL halves downstream, the usual error
-    * channel.
+    * groups) — a narrow projection, no UDF. Malformed inputs (no '::'
+    * but fewer than 8 groups, a second '::', or more than 8 groups
+    * total) yield a NULL array → NULL halves downstream, the usual
+    * error channel. The zero-fill only fires when a '::' is actually
+    * present — '1:2:3' is malformed, not 1:2:3:0:0:0:0:0.
     */
   def ipv6Groups(ip: Column): Column = {
     val two = split(ip, "::")
@@ -239,8 +243,12 @@ object Sessions {
     val r = when(size(two) > 1,
         filter(split(element_at(two, 2), ":"), p => p =!= ""))
       .otherwise(array().cast("array<string>"))
-    val mid = array_repeat(lit("0"), lit(8) - size(l) - size(r))
-    concat(l, mid, r)
+    val mid = when(size(two) === 2,
+        array_repeat(lit("0"), lit(8) - size(l) - size(r)))
+      .otherwise(array().cast("array<string>"))
+    val ok = (size(two) === 2 && size(l) + size(r) <= lit(8)) ||
+      (size(two) === 1 && size(l) === lit(8))
+    when(ok, concat(l, mid, r)).otherwise(lit(null).cast("array<string>"))
   }
 
   private def ipv6Half(groups: Column, offset: Int): Column = {

@@ -636,18 +636,16 @@ object Similarity {
     * positive denominators, and a non-positive neighborhood sum means
     * no meaningful margin anyway).
     *
-    * Scale shape: this is the SCORING stage; it consumes the all-pairs
-    * frame only at fixture scale. At 10⁹ vectors feed it the banded
-    * candidate set ([[lshTopK]]'s bucket join) instead of the cross
-    * join — the margin arithmetic is unchanged because avgTopK sums are
-    * computed from the candidate frame itself (retrieve-then-margin,
-    * standard practice). Both rank windows are per-vector, never
-    * global.
+    * Scale shape: this EXACT all-pairs form is the truth oracle for
+    * small fixtures and specs only. At 10⁹ vectors use
+    * [[marginPairsBanded]] — same margin arithmetic over the sign-LSH
+    * candidate frame (retrieve-then-margin, standard practice); the
+    * avgTopK sums are computed from whichever candidate frame feeds the
+    * scorer, so the scoring stage is shared verbatim.
     */
   def marginPairs(src: DataFrame, tgt: DataFrame, k: Int = 4,
       minMarginPpm: Long = 1050000L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val a = src.select(col(idCol).as("src_id"), asDouble(col(vecCol)).as("av"))
     val b = tgt.select(col(idCol).as("tgt_id"), asDouble(col(vecCol)).as("bv"))
     val scored = a.crossJoin(b)
@@ -655,6 +653,53 @@ object Similarity {
         round(round(cosine(col("av"), col("bv")), 6) * 1e6, 0).cast("long"))
       .select("src_id", "tgt_id", "c6")
       .localCheckpoint() // read 3×: both top-k sums + the pair emit
+    marginFromScored(scored, k, minMarginPpm)
+  }
+
+  /** The 10⁹-scale margin miner: candidates come from a multi-table
+    * sign-LSH bucket equi-join (the [[lshTopK]] banding — pairs collide
+    * in ≥1 of `tables` hyperplane tables) instead of a cross join, then
+    * the margin scoring stage runs unchanged over that candidate frame.
+    * The self-dot norms are hoisted onto the per-row sides (the
+    * [[bruteForceTopK]] lesson — array HOF lambdas are interpreted, so
+    * per-pair self-dots triple the lambda cost); cos =
+    * round(dot(a,b)/sqrt(an·bn), 6) in the same operation order, so the
+    * per-pair score is bit-identical to the all-pairs form. A pair
+    * colliding in several tables is scored identically each time — the
+    * (src, tgt) groupBy keeps one. No cartesian product anywhere
+    * (`ScalePlanSpec` asserts).
+    */
+  def marginPairsBanded(src: DataFrame, tgt: DataFrame, k: Int = 4,
+      minMarginPpm: Long = 1050000L,
+      planes: Int = 6, tables: Int = 4, dim: Int = 64, seed: Long = 1L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val hs = (0 until tables).map(t =>
+      t -> hyperplanes(planes, dim, seed + t * 7919L))
+    def buckets(v: Column): Column =
+      array(hs.map { case (t, h) => signBucket(v, h, s"$t:") }: _*)
+    val a = src.select(col(idCol).as("src_id"), asDouble(col(vecCol)).as("av"))
+      .withColumn("an", dot(col("av"), col("av")))
+      .withColumn("bucket", explode(buckets(col("av"))))
+    val b = tgt.select(col(idCol).as("tgt_id"), asDouble(col(vecCol)).as("bv"))
+      .withColumn("bn", dot(col("bv"), col("bv")))
+      .withColumn("bucket", explode(buckets(col("bv"))))
+    val scored = a.join(b, Seq("bucket"))
+      .withColumn("c6",
+        round(round(dot(col("av"), col("bv")) /
+          sqrt(col("an") * col("bn")), 6) * 1e6, 0).cast("long"))
+      .groupBy("src_id", "tgt_id").agg(first(col("c6")).as("c6"))
+      .localCheckpoint() // read 3×: both top-k sums + the pair emit
+    marginFromScored(scored, k, minMarginPpm)
+  }
+
+  /** Shared margin scoring stage over a (src_id, tgt_id, c6) candidate
+    * frame — see [[marginPairs]] for the exactness discipline.
+    */
+  private def marginFromScored(
+      scored: DataFrame, k: Int, minMarginPpm: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def topSum(side: String): DataFrame = {
       val other = if (side == "src_id") "tgt_id" else "src_id"
       val w = Window.partitionBy(side).orderBy(col("c6").desc, col(other))

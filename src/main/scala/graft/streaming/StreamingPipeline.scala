@@ -203,7 +203,13 @@ object StreamingPipeline {
             .map { case (_, id, ts) =>
               val tus = micros(ts)
               val prior = times.count(t => t >= tus - windowUs && t < tus)
-              times = (times :+ tus).filter(_ > tus - windowUs)
+              // Evict with the SAME >= predicate the count uses: an
+              // instant exactly at the window start (t == tus - windowUs)
+              // must survive for a second event at the same timestamp
+              // (higher id), or n_prior undercounts vs the batch RANGE
+              // [-windowUs, -1] frame. It falls out naturally for any
+              // strictly later event.
+              times = (times :+ tus).filter(_ >= tus - windowUs)
               CapOut(key, id, prior, prior >= cap)
             }
           state.update(CapState(times))

@@ -48,6 +48,47 @@ class MiningSpec extends AnyFunSuite {
     assert(Similarity.marginPairs(src, tgt, k = 1, minMarginPpm = 0L).count() == 0)
   }
 
+  // ---- marginPairsBanded --------------------------------------------------
+
+  test("marginPairsBanded: planes=0 degenerate banding is bit-identical to the all-pairs truth") {
+    // one empty hyperplane table ⇒ every row lands in one bucket ⇒ the
+    // candidate frame IS the cross product — this pins the hoisted-norm
+    // cosine (dot/sqrt(an·bn)) and the shared scoring stage to the
+    // all-pairs form exactly, including cos, margin_ppm and rank.
+    val rnd = new java.util.Random(42)
+    def vec() = Seq.fill(8)(math.rint((rnd.nextDouble() - 0.5) * 1e6) / 1e6)
+    val src = (0L until 30L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val tgt = (100L until 130L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"),
+        r.getAs[Double]("cos"), r.getAs[Long]("margin_ppm"), r.getAs[Int]("rank")))
+      .toSet
+    val truth = canon(Similarity.marginPairs(src, tgt, k = 3, minMarginPpm = 1000000L))
+    val banded = canon(Similarity.marginPairsBanded(src, tgt, k = 3,
+      minMarginPpm = 1000000L, planes = 0, tables = 1, dim = 8))
+    assert(truth.nonEmpty && banded == truth)
+  }
+
+  test("marginPairsBanded: an identical-direction pair always collides and mines at rank 1") {
+    // same-direction vectors share every sign bucket, so the planted
+    // counterpart survives any banding; noise pairs may or may not.
+    val src = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.2, 0.0)),
+      (2L, Seq(0.0, 0.2, 1.0, 0.0))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (100L, Seq(0.5, 0.0, 0.0, 0.0)), // 0.5× src 0: same direction
+      (101L, Seq(0.0, 0.8, 0.6, 0.0)),
+      (102L, Seq(0.0, 0.0, 0.0, 1.0))).toDF("vec_id", "embedding")
+    val got = Similarity.marginPairsBanded(src, tgt, k = 2,
+        minMarginPpm = 1050000L, planes = 3, tables = 4, dim = 4)
+      .collect().map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rank")))
+    val top = got.find(p => p._1 == 0L && p._2 == 100L)
+    assert(top.isDefined, s"planted pair missing from ${got.toSeq}")
+    assert(top.get._3 == 1.0 && top.get._4 == 1)
+  }
+
   // ---- sortedNeighborhood -------------------------------------------------
 
   test("sortedNeighborhood: id-distant exact copies sort adjacent and verify at J=1") {

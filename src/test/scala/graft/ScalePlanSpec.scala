@@ -199,6 +199,20 @@ class ScalePlanSpec extends AnyFunSuite {
       s"lags and rolling frames must share the (key, ts, ord) sort, got $exchanges")
   }
 
+  test("marginPairsBanded candidates come from the bucket equi-join — no cartesian") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val d = Similarity.marginPairsBanded(
+      emb.where(col("vec_id") < 40), emb.where(col("vec_id") >= 40 && col("vec_id") < 80),
+      k = 4, minMarginPpm = 1000000L)
+    d.collect()
+    val s = d.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"banded margin mining must never go all-pairs:\n$s")
+  }
+
   test("ringAssign compiles to a pure projection — no join, no exchange, no HOF") {
     import graft.route.Rendezvous
     import org.apache.spark.sql.functions.col
