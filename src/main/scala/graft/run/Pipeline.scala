@@ -268,44 +268,72 @@ object Pipeline {
         .map { case (b, xs) => b -> xs.map(_._2).sorted }
     }
 
+    // Fresh runs keep each wave's PERSISTED partial-agg slice alive so
+    // the final metrics merge aggregates from cache instead of
+    // re-reading aggDir — one less disk scan in the timed path. The
+    // partials stay distributed (they are windows × combos rows — far
+    // too many to collect to the driver; the collect form measured a
+    // 10 s constant at every parallelism level before this).
+    val freshPartials = scala.collection.mutable.ArrayBuffer.empty[(DataFrame, DataFrame)]
+
     // Per-wave bookkeeping after the data write: counts + windowed
     // partials from the *written* data (read-back validates the write),
     // then the per-bucket lineage commits.
     def commitWave(wave: Seq[Int]): Unit = {
       val written = spark.read.parquet(dataDir).where(col("bucket").isin(wave: _*))
 
-      // The two read-back aggregations are independent Spark jobs over the
-      // same written data — run them CONCURRENTLY (the counts job prunes
-      // to three tiny columns and otherwise just waits behind the
-      // countDistinct job's tasks).
-      val partial = written
-        .groupBy(col("bucket"), col("sink"),
+      // ONE read-back pass serves both bookkeeping aggregations: a
+      // grouping-sets job computes the windowed partials (set 1) and the
+      // per-sink/parse-error counts (set 2) in a single scan+shuffle of
+      // the written data, persisted and sliced per set. They used to be
+      // two independent jobs, each paying a full scan plus fixed job
+      // latency — a per-run constant the 4N-core level cannot amortize
+      // (the measured drag on N→4N scaling efficiency).
+      val g = written
+        .select(col("bucket"), col("sink"), col("parse_error"),
           window(col("ts"), cfg.windowPeriod).getField("start").as("window_start"),
-          col("role"))
-        .agg(count(lit(1)).as("rows"), countDistinct(col("conv_id")).as("convs"))
-      // co-locate each bucket's partial rows before the partitioned write:
-      // without this, every shuffle partition writes a file into every
-      // bucket dir (up to partitions × buckets tiny files).
-      // Serialized across waves: two appends into the SAME directory share
-      // one _temporary staging dir, and a job commit deletes it from under
-      // the other job's still-running tasks.
-      val aggJob = java.util.concurrent.CompletableFuture.runAsync(() =>
-        phase("agg_partial") {
-          aggWriteLock.synchronized {
-            partial.repartition(col("bucket"))
-              .write.mode(writeMode).partitionBy("bucket").parquet(aggDir)
-          }
-        })
-
+          col("role"), col("conv_id"))
+        .groupingSets(
+          Seq(Seq(col("bucket"), col("sink"), col("window_start"), col("role")),
+            Seq(col("bucket"), col("sink"), col("parse_error"))),
+          col("bucket"), col("sink"), col("window_start"), col("role"),
+          col("parse_error"))
+        .agg(count(lit(1)).as("rows"), countDistinct(col("conv_id")).as("convs"),
+          grouping_id().as("gid"))
+        .persist()
+      // grouping_id: one bit per grouping column (1 = aggregated away),
+      // ordered (bucket, sink, window_start, role, parse_error) — the
+      // windowed set drops parse_error → 1; the counts set drops
+      // window_start + role → 0b00110 = 6
+      val partial = g.where(col("gid") === 1)
+        .select(col("bucket"), col("sink"), col("window_start"), col("role"),
+          col("rows"), col("convs"))
       val countRows = phase("counts") {
-        written.groupBy("bucket", "sink", "parse_error").count().collect()
+        g.where(col("gid") === 6)
+          .select(col("bucket"), col("sink"), col("parse_error"), col("rows"))
+          .collect()
           .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
       }
       val counts = countRows.groupBy(r => (r._1, r._2)).toSeq
         .map { case ((b, sink), rs) => (b, sink, rs.map(_._4).sum) }
       val errs = countRows.filter(_._3).groupBy(_._1)
         .map { case (b, rs) => b -> rs.map(_._4).sum }
-      phase("agg_wait")(aggJob.join())
+      // co-locate each bucket's partial rows before the partitioned write:
+      // without this, every shuffle partition writes a file into every
+      // bucket dir (up to partitions × buckets tiny files).
+      // Serialized across waves: two appends into the SAME directory share
+      // one _temporary staging dir, and a job commit deletes it from under
+      // the other job's still-running tasks. Reads the persisted agg —
+      // no second scan of the written data.
+      phase("agg_partial") {
+        aggWriteLock.synchronized {
+          partial.repartition(col("bucket"))
+            .write.mode(writeMode).partitionBy("bucket").parquet(aggDir)
+        }
+      }
+      if (freshRun) freshPartials.synchronized {
+        freshPartials += ((g, partial)) // unpersisted after metrics_merge
+      } else g.unpersist(): Unit
 
       // per-bucket commits are independent files — write them in parallel
       // (128 sequential small-file creates were a measurable fixed cost
@@ -373,12 +401,20 @@ object Pipeline {
     if (staged)
       hadoopFs.delete(new org.apache.hadoop.fs.Path(stageDir), true): Unit
 
-    // merge partial aggregates into the final metrics table
+    // merge partial aggregates into the final metrics table. On a FRESH
+    // run the waves' partial slices are still persisted, so the merge
+    // aggregates from cache — no aggDir re-read, one less fixed-latency
+    // disk job in the hot path. Resumes (any prior commits/data) still
+    // merge from disk: earlier runs' partials only exist there.
     if (pending.nonEmpty || committed.nonEmpty) phase("metrics_merge") {
-      val partials = spark.read.parquet(aggDir)
+      val partials =
+        if (freshRun && freshPartials.nonEmpty)
+          freshPartials.map(_._2).reduce(_ unionAll _)
+        else spark.read.parquet(aggDir)
       partials.groupBy("sink", "window_start", "role")
         .agg(sum("rows").as("rows"), sum("convs").as("convs"))
         .write.mode("overwrite").parquet(s"$outDir/metrics")
+      freshPartials.foreach(_._1.unpersist(): Unit)
     }
 
     val records = phase("lineage_read")(lineage.readAll().filter(r => all.contains(r.bucket)))
