@@ -472,6 +472,24 @@ object SparkEntry {
           graft.route.Fnv32a.fnv32a(col("conv_id")).as("fnv"),
           graft.route.Fnv32a.fnvPartition(col("conv_id"), 16).as("partition"))),
 
+    // all three Beats Kafka partitioner modes (kafka/partition.go:63-65):
+    // hash = byte-exact FNV-1a, random = hash-deterministic uniform draw
+    // per event group (never rand()), round_robin = wrapping increment
+    // per group from an explicit start. Emitted as per-mode partition
+    // distributions; the oracle recomputes every assignment
+    // independently, so the equality is the determinism proof.
+    "q_kafka_partitioners" -> { (s, dir) =>
+      import graft.route.Fnv32a
+      events(s, dir)
+        .select(col("event_id"),
+          Fnv32a.fnvPartition(col("user_id").cast("string"), 12).as("p_hash"),
+          Fnv32a.randomPartition(col("event_id"), 12, groupEvents = 4).as("p_random"),
+          Fnv32a.roundRobinPartition(col("event_id"), 12, groupEvents = 4, start = 7).as("p_rr"))
+        .selectExpr("stack(3, 'hash', p_hash, 'random', p_random, 'round_robin', p_rr) AS (mode, partition)")
+        .groupBy("mode", "partition")
+        .agg(count(lit(1)).as("n_rows"))
+    },
+
     // output codecs (outputs/codec/json + codec/format): the wire bytes
     // each sink would receive — compact JSON (to_json over a fixed-order
     // struct) and a fmtstr-rendered line, both single codegen'd columns
@@ -673,6 +691,28 @@ object SparkEntry {
             .when(col("charset") === "UTF-16LE", decodeCharset(col("payload"), "UTF-16LE"))
             .otherwise(decodeCharset(col("payload"), "ISO-8859-1")))
         .select(col("doc_id"), col("charset"), col("decoded"),
+          octet_length(col("payload")).as("payload_bytes"))
+    },
+
+    // BOM-autodetect UTF-16 trio + GBK (encoding.go:34-60, utf16.go):
+    // BE-BOM and LE-BOM payloads decode via detection (BOM consumed), a
+    // BOM-less payload decodes via the configured fallback endianness,
+    // and under the BOM-REQUIRED mode it fails to NULL (ErrMissingBOM);
+    // gbk round-trips through the JVM codec. Oracle never touches any
+    // charset — the round-trip discipline.
+    "q_charset_bom" -> { (s, dir) =>
+      import graft.parse.FieldDecoders._
+      val m = pmod(col("doc_id"), lit(3))
+      val payload = when(m === 0, encodeUtf16Bom(col("text"), bigEndian = true))
+        .when(m === 1, encodeUtf16Bom(col("text"), bigEndian = false))
+        .otherwise(encodeCharset(col("text"), "UTF-16BE")) // no BOM
+      documents(s, dir)
+        .select(col("doc_id"), m.cast("int").as("variant"),
+          payload.as("payload"), col("text"))
+        .select(col("doc_id"), col("variant"),
+          decodeUtf16Bom(col("payload"), fallback = "be").as("decoded"),
+          decodeUtf16Bom(col("payload")).as("decoded_required"),
+          decodeCharset(encodeCharset(col("text"), "GBK"), "GBK").as("decoded_gbk"),
           octet_length(col("payload")).as("payload_bytes"))
     },
 
@@ -1275,6 +1315,15 @@ object SparkEntry {
     "q_ann_ivf" -> { (s, dir) =>
       val e = embeddings(s, dir)
       Similarity.ivfTopK(e, e.where(col("vec_id") < 50), k = 5, nprobe = 2)
+    },
+
+    // the 10¹²-row IVF path: centroid count decoupled from corpus size —
+    // md5-ordered bounded sample + one Lloyd refinement round, then the
+    // shared assign/probe/score machinery
+    "q_ann_ivf_sampled" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+      Similarity.ivfTopKSampled(e, e.where(col("vec_id") < 50), k = 5,
+        nprobe = 2, nCentroids = 16, sampleSize = 128, iters = 1)
     },
 
     "q_cosine_neardup" -> ((s, dir) =>
@@ -4959,6 +5008,16 @@ object SparkEntry {
          |  ${graft.route.Fnv32a.fnvPartitionSql("conv_id", 16)} AS partition
          |FROM (SELECT DISTINCT conv_id FROM transcripts)""".stripMargin,
 
+    "q_kafka_partitioners" ->
+      s"""WITH p AS (SELECT event_id,
+         |  ${graft.route.Fnv32a.fnvPartitionSql("CAST(user_id AS VARCHAR)", 12)} AS p_hash,
+         |  ${graft.route.Fnv32a.randomPartitionSql("event_id", 12, groupEvents = 4)} AS p_random,
+         |  ${graft.route.Fnv32a.roundRobinPartitionSql("event_id", 12, groupEvents = 4, start = 7)} AS p_rr
+         |FROM events)
+         |SELECT 'hash' AS mode, p_hash AS partition, count(*) AS n_rows FROM p GROUP BY 2
+         |UNION ALL SELECT 'random', p_random, count(*) FROM p GROUP BY 2
+         |UNION ALL SELECT 'round_robin', p_rr, count(*) FROM p GROUP BY 2""".stripMargin,
+
     "q_dedup_exact" ->
       s"""WITH $DocsDupesSql
          |SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dupes
@@ -5222,6 +5281,18 @@ object SparkEntry {
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'UTF-16BE' WHEN 1 THEN 'UTF-16LE' ELSE 'ISO-8859-1' END AS charset,
         |  text AS decoded,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN length(text) ELSE 2 * length(text) END AS INTEGER) AS payload_bytes
+        |FROM documents""".stripMargin,
+
+    // round-trip oracle: never touches UTF-16 or GBK — documents text is
+    // ASCII, so every decode must restore it byte-for-byte; only the
+    // BOM-required variant 2 (no BOM present) fails to NULL
+    "q_charset_bom" ->
+      """SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS variant,
+        |  text AS decoded,
+        |  CASE WHEN doc_id % 3 = 2 THEN NULL ELSE text END AS decoded_required,
+        |  text AS decoded_gbk,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 2 * length(text)
+        |       ELSE 2 * length(text) + 2 END AS INTEGER) AS payload_bytes
         |FROM documents""".stripMargin,
 
     "q_base64_decode" ->
@@ -6422,6 +6493,11 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+
+    "q_ann_ivf_sampled" -> Similarity.ivfSampledSql(
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+      k = 5, nprobe = 2, nCentroids = 16, sampleSize = 128, iters = 1,
+      queryPred = "vec_id < 50", dim = 64),
 
     "q_kmeans" -> Similarity.kmeansSql("embeddings", k = 8, iters = 2, dim = 64),
 

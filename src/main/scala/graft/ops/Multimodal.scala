@@ -57,21 +57,33 @@ object Multimodal {
     out
   }
 
+  /** The codec seam: any payload→features kernel drops in here — a real
+    * image/audio decoder implements this one method. The factory (not an
+    * instance) crosses the task boundary so EXPENSIVE INIT runs once per
+    * partition, the shape a native-library codec needs.
+    */
+  trait MediaCodec extends Serializable {
+    def decode(payload: Array[Byte]): Array[Float]
+  }
+
   /** Feature extraction over media rows: genuinely batched per partition
     * via mapPartitions (the Scala analog of mapInPandas batches) — the
     * codec is initialized ONCE per partition, then fed rows one at a
-    * time. The stub "codec" stands in for an image/audio decoder (not in
-    * this container); the partition-level batching, schema handling, and
-    * Row plumbing are the real operator.
+    * time. The default stub "codec" stands in for an image/audio decoder
+    * (not in this container); `MultimodalSpec` proves a non-trivial
+    * injected kernel rides the same plumbing unchanged — the
+    * partition-level batching, schema handling, and Row plumbing are the
+    * real operator.
     */
-  def extractFeatures(df: DataFrame, dim: Int = 8): DataFrame = {
+  def extractFeatures(df: DataFrame, dim: Int = 8,
+      codecFactory: Int => MediaCodec = d => new StubCodec(d)): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     val outSchema = df.schema.add(StructField("features", ArrayType(FloatType), nullable = true))
     val payloadIdx = df.schema.fieldIndex("payload")
     df.mapPartitions { rows =>
       // per-partition codec init happens HERE (one per task, not per row)
-      val codec = new StubCodec(dim)
+      val codec = codecFactory(dim)
       rows.map { row =>
         val payload = row.get(payloadIdx).asInstanceOf[Array[Byte]]
         val features = if (payload == null) null else codec.decode(payload)
@@ -81,7 +93,7 @@ object Multimodal {
   }
 
   /** Stand-in for a real (expensive-to-init) image/audio codec. */
-  final class StubCodec(dim: Int) extends Serializable {
+  final class StubCodec(dim: Int) extends MediaCodec {
     def decode(payload: Array[Byte]): Array[Float] = stubDecodeFeatures(payload, dim)
   }
 

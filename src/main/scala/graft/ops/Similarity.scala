@@ -223,6 +223,47 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
+    ivfFromCents(corpus, queries, cents, k, nprobe, idCol, vecCol,
+      literalMaxCentroids)
+  }
+
+  /** IVF with a SCALE-BOUNDED centroid build: `nCentroids` cells from a
+    * deterministic hash-sample of the corpus, refined with `iters`
+    * Lloyd rounds — the driver holds nCentroids·dim doubles with
+    * nCentroids fixed by the CALLER, independent of corpus size.
+    * ([[ivfTopK]]'s √n lowest-id build collects √n vectors: ~10⁶ rows
+    * on the driver at 10¹² corpus rows — this is the 10¹²-row path.)
+    *
+    * Determinism (oracle-reproducible): the sample is the `sampleSize`
+    * corpus rows with the LOWEST md5(id) rendering (ties by id) — a
+    * TakeOrdered, never sample()/rand(); Lloyd init is the nCentroids
+    * lowest-id sample rows; every distance and centroid coordinate
+    * snaps to 6 dp (the [[kmeans]] contract, shared code). Probe/assign
+    * /score reuse the exact ivfTopK machinery, so the literal/broadcast
+    * path-equality discipline carries over unchanged.
+    */
+  def ivfTopKSampled(
+      corpus: DataFrame, queries: DataFrame, k: Int = 10, nprobe: Int = 2,
+      nCentroids: Int = 16, sampleSize: Int = 128, iters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      literalMaxCentroids: Int = 1024): DataFrame = {
+    val sample = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(sampleSize)
+    val cents = lloydCentroids(sample, nCentroids, iters, idCol)
+      .map { case (cid, c) => (cid.toLong, c.toSeq) }.toArray
+    ivfFromCents(corpus, queries, cents, k, nprobe, idCol, vecCol,
+      literalMaxCentroids)
+  }
+
+  /** The shared IVF cell-assign / probe / score stage over an explicit
+    * centroid matrix — see [[ivfTopK]] for the dual physical forms.
+    */
+  private def ivfFromCents(
+      corpus: DataFrame, queries: DataFrame, cents: Array[(Long, Seq[Double])],
+      k: Int, nprobe: Int, idCol: String, vecCol: String,
+      literalMaxCentroids: Int): DataFrame = {
     // Cell assignment ranks by dot(v, c)/‖c‖ — the query vector's own norm
     // is constant across centroids, so dividing by it cannot change the
     // argmax/ordering; dropping it removes two 64-element folds per
@@ -327,33 +368,48 @@ object Similarity {
   def kmeans(df: DataFrame, k: Int, iters: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val e = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
-    val spark = df.sparkSession
+    val cents = lloydCentroids(e, k, iters, idCol)
+    lloydAssign(e, cents, idCol)
+      .select(col(idCol), col("_a.cid").as("cluster"), col("_a.dist").as("dist"))
+  }
+
+  /** Assignment = broadcast cross join against the k-row centroid table,
+    * then a map-side min(struct(dist, cid)) — the k candidate rows per
+    * vector collapse in the partial aggregate BEFORE any exchange, so
+    * the shuffle carries n rows, not n·k, and the per-row expression
+    * stays one small codegen'd fold. (A k-wide literal argmin expression
+    * is the narrow alternative, but its expression tree grows with k·dim
+    * and falls out of codegen — measured 2× slower at k=64 than k=8.)
+    * min over struct(dist, cid) = lexicographic (dist, cid) argmin, the
+    * exact tie-break the oracle's row_number(ORDER BY dist, cid) uses.
+    */
+  private def lloydAssign(e: DataFrame,
+      cents: Seq[(Int, Array[Double])], idCol: String): DataFrame = {
+    val spark = e.sparkSession
     import spark.implicits._
     def sqDist(v: Column, c: Column): Column =
       round(aggregate(zip_with(v, c, (p, q) => (p - q) * (p - q)),
         lit(0.0), (acc, x) => acc + x), 6)
-    // Assignment = broadcast cross join against the k-row centroid table,
-    // then a map-side min(struct(dist, cid)) — the k candidate rows per
-    // vector collapse in the partial aggregate BEFORE any exchange, so
-    // the shuffle carries n rows, not n·k, and the per-row expression
-    // stays one small codegen'd fold. (A k-wide literal argmin expression
-    // is the narrow alternative, but its expression tree grows with k·dim
-    // and falls out of codegen — measured 2× slower at k=64 than k=8.)
-    // min over struct(dist, cid) = lexicographic (dist, cid) argmin, the
-    // exact tie-break the oracle's row_number(ORDER BY dist, cid) uses.
-    def assign(cents: Seq[(Int, Array[Double])]): DataFrame =
-      e.crossJoin(broadcast(
-          cents.map { case (cid, c) => (cid, c.toSeq) }.toDF("_cid", "_c")))
-        .withColumn("_dist", sqDist(col("v"), col("_c")))
-        .groupBy(col(idCol))
-        .agg(min(struct(col("_dist").as("dist"), col("_cid").as("cid"))).as("_a"),
-          first(col("v")).as("v"))
+    e.crossJoin(broadcast(
+        cents.map { case (cid, c) => (cid, c.toSeq) }.toDF("_cid", "_c")))
+      .withColumn("_dist", sqDist(col("v"), col("_c")))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("_dist").as("dist"), col("_cid").as("cid"))).as("_a"),
+        first(col("v")).as("v"))
+  }
 
+  /** The Lloyd loop shared by [[kmeans]] and [[ivfTopKSampled]]:
+    * init = the k lowest-id rows of `e`, `iters` assign/recompute
+    * rounds with 6-dp snapping, returns the refined centroid matrix
+    * (non-empty clusters only — standard shrinking-k Lloyd).
+    */
+  private def lloydCentroids(e: DataFrame, k: Int, iters: Int,
+      idCol: String): Seq[(Int, Array[Double])] = {
     var cents: Seq[(Int, Array[Double])] = e.orderBy(idCol).limit(k)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
       .toSeq.zipWithIndex.map { case (c, i) => (i, c) }
     for (_ <- 1 to iters) {
-      val assigned = assign(cents)
+      val assigned = lloydAssign(e, cents, idCol)
         .select(col("_a.cid").as("cluster"), posexplode(col("v")).as(Seq("i", "x")))
       val dim = cents.head._2.length
       cents = assigned.groupBy("cluster", "i")
@@ -366,8 +422,7 @@ object Similarity {
           (cid, c)
         }.toSeq.sortBy(_._1)
     }
-    assign(cents)
-      .select(col(idCol), col("_a.cid").as("cluster"), col("_a.dist").as("dist"))
+    cents
   }
 
   /** The Lloyd recurrence as DuckDB CTEs: `eSql` must yield
@@ -411,6 +466,43 @@ object Similarity {
     val (ctes, fin) = lloydSql(
       s"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $table", k, iters, dim)
     s"$ctes\nSELECT vec_id, cluster, dist FROM $fin"
+  }
+
+  /** DuckDB twin of [[ivfTopKSampled]]: the md5-ordered bounded sample,
+    * the shared Lloyd CTE chain over it, then the exact q_ann_ivf
+    * assign/probe/score SQL against the refined centroids.
+    * `corpusSql` must yield (vec_id, v DOUBLE[]); `queryPred` selects
+    * the query rows (e.g. "vec_id < 50").
+    */
+  def ivfSampledSql(corpusSql: String, k: Int, nprobe: Int,
+      nCentroids: Int, sampleSize: Int, iters: Int,
+      queryPred: String, dim: Int): String = {
+    val sampleSql =
+      s"""SELECT vec_id, v FROM ($corpusSql)
+         |ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $sampleSize""".stripMargin
+    val (ctes, _) = lloydSql(sampleSql, nCentroids, iters, dim)
+    s"""$ctes,
+       |e0 AS ($corpusSql),
+       |cents AS (SELECT cid AS cent_id, c AS centv FROM c$iters),
+       |ranked AS (
+       |  SELECT e0.vec_id, e0.v, c.cent_id,
+       |    row_number() OVER (PARTITION BY e0.vec_id
+       |      ORDER BY round(list_dot_product(e0.v, c.centv)
+       |        / sqrt(list_dot_product(c.centv, c.centv)), 6) DESC,
+       |      c.cent_id) AS rk
+       |  FROM e0 CROSS JOIN cents c),
+       |ivf_corpus AS (SELECT vec_id, v, cent_id AS cell FROM ranked WHERE rk = 1),
+       |probes AS (SELECT vec_id, v, cent_id AS cell FROM ranked
+       |           WHERE rk <= $nprobe AND ($queryPred)),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.v, n.v)
+       |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(n.v, n.v)), 6) AS cos
+       |  FROM probes q JOIN ivf_corpus n ON q.cell = n.cell AND q.vec_id <> n.vec_id)
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
   }
 
   /** Per-cluster quality report over a [[kmeans]] assignment: member

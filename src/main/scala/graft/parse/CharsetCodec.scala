@@ -1,0 +1,103 @@
+package graft.parse
+
+import java.nio.charset.Charset
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Full-JVM-charset transcode expressions — the charset-table breadth of
+  * the reference's encoding layer (libbeat/reader/readfile/encoding/
+  * encoding.go:34-60: GBK, the ISO-8859 charmap family, …). Spark 4's
+  * `decode`/`encode` builtins accept only six charsets
+  * (US-ASCII/ISO-8859-1/UTF-8/UTF-16BE/UTF-16LE/UTF-16); these native
+  * codegen expressions route every other entry through
+  * `java.nio.charset` with REPLACE semantics for unmappable input — the
+  * same "replace, don't fail the event" behavior the reference's
+  * transcoder has (encoding.spec.whatwg.org replacement, mixed.go).
+  * Charset objects are cached per name; `new String(bytes, cs)` /
+  * `String.getBytes(cs)` already use replacement decoding/encoding.
+  */
+object CharsetCodec {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Charset]()
+
+  private def charsetFor(name: String): Charset = {
+    val c = cache.get(name)
+    if (c != null) c
+    else { val n = Charset.forName(name); cache.putIfAbsent(name, n); n }
+  }
+
+  /** bytes → string in `charset` (replacement on malformed input). */
+  def decodeBytes(b: Array[Byte], charset: String): UTF8String =
+    UTF8String.fromString(new String(b, charsetFor(charset)))
+
+  /** string → bytes in `charset` (replacement on unmappable chars). */
+  def encodeString(s: UTF8String, charset: String): Array[Byte] =
+    s.toString.getBytes(charsetFor(charset))
+
+  def decodeCol(raw: Column, charset: String): Column =
+    GraftColumnBridge.column(
+      DecodeCharsetExpr(GraftColumnBridge.expression(raw), charset))
+
+  def encodeCol(text: Column, charset: String): Column =
+    GraftColumnBridge.column(
+      EncodeCharsetExpr(GraftColumnBridge.expression(text), charset))
+}
+
+final case class DecodeCharsetExpr(child: Expression, charset: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"decode_charset requires a binary input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharsetCodec.decodeBytes(input.asInstanceOf[Array[Byte]], charset)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("charsetName", charset, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.parse.CharsetCodec.decodeBytes($c, $cs);")
+  }
+
+  override def prettyName: String = "decode_charset"
+
+  override protected def withNewChildInternal(newChild: Expression): DecodeCharsetExpr =
+    copy(child = newChild)
+}
+
+final case class EncodeCharsetExpr(child: Expression, charset: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"encode_charset requires a string input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharsetCodec.encodeString(input.asInstanceOf[UTF8String], charset)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("charsetName", charset, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.parse.CharsetCodec.encodeString($c, $cs);")
+  }
+
+  override def prettyName: String = "encode_charset"
+
+  override protected def withNewChildInternal(newChild: Expression): EncodeCharsetExpr =
+    copy(child = newChild)
+}

@@ -35,12 +35,61 @@ object FieldDecoders {
     * Charset must be a plan-time literal, exactly like the reference's
     * per-input `encoding:` config compiled at startup.
     */
+  /** Spark 4's decode/encode builtins accept only this fixed set; every
+    * other charset in the reference's table (GBK, ISO-8859-6/8, …)
+    * routes through the native [[CharsetCodec]] codegen expression over
+    * the full JVM charset registry — same replacement semantics, still
+    * a narrow codegen'd projection.
+    */
+  private val builtinCharsets = Set(
+    "US-ASCII", "ISO-8859-1", "UTF-8", "UTF-16BE", "UTF-16LE", "UTF-16")
+
   def decodeCharset(raw: Column, charset: String): Column =
-    decode(raw, charset)
+    if (builtinCharsets(charset.toUpperCase)) decode(raw, charset)
+    else CharsetCodec.decodeCol(raw, charset)
 
   /** The matching ingest-edge encoder (test/round-trip side). */
   def encodeCharset(text: Column, charset: String): Column =
-    encode(text, charset)
+    if (builtinCharsets(charset.toUpperCase)) encode(text, charset)
+    else CharsetCodec.encodeCol(text, charset)
+
+  /** BOM-driven UTF-16 decode — the reference's utf16 BOM codec trio
+    * (libbeat/reader/readfile/encoding/encoding.go:55-58, utf16.go:
+    * utf16BOMRequired / utf16BOMBigEndian / utf16BOMLittleEndian):
+    * a leading FE FF selects big-endian, FF FE little-endian, and the
+    * BOM itself is consumed; with no BOM the configured fallback
+    * endianness decodes the WHOLE payload (`fallback = "be" | "le"`),
+    * and the BOM-required mode (`fallback = ""`, the reference's
+    * `utf-16-bom`) yields NULL — the error channel, exactly the
+    * reference's ErrMissingBOM. Pure codegen'd builtins over the binary
+    * column — narrow, rides the scan.
+    *
+    * The full charset table otherwise goes through [[decodeCharset]],
+    * whose JVM charsets cover the reference's remaining entries: plain
+    * UTF-8, the ISO-8859 charmaps, and the CJK codecs (GBK — the
+    * reference's simplified-chinese entry, encoding.go:45).
+    */
+  def decodeUtf16Bom(raw: Column, fallback: String = ""): Column = {
+    val bom = hex(substring(raw, 1, 2))
+    val body = substring(raw, 3, Int.MaxValue)
+    val noBom = fallback match {
+      case "be" => decode(raw, "UTF-16BE")
+      case "le" => decode(raw, "UTF-16LE")
+      case _    => lit(null).cast("string")
+    }
+    when(bom === "FEFF", decode(body, "UTF-16BE"))
+      .when(bom === "FFFE", decode(body, "UTF-16LE"))
+      .otherwise(noBom)
+  }
+
+  /** The matching BOM-prefixing encoder (test/round-trip side):
+    * FE FF + UTF-16BE bytes, or FF FE + UTF-16LE bytes.
+    */
+  def encodeUtf16Bom(text: Column, bigEndian: Boolean): Column =
+    if (bigEndian)
+      concat(to_binary(lit("FEFF"), lit("hex")), encode(text, "UTF-16BE"))
+    else
+      concat(to_binary(lit("FFFE"), lit("hex")), encode(text, "UTF-16LE"))
 
   /** Epoch-second strings (10 digits) and epoch-milli strings (13
     * digits) — the reference's UNIX / UNIX_MS special layouts. */

@@ -100,4 +100,51 @@ object Fnv32a {
   def fnvPartitionSql(e: String, numPartitions: Int): String =
     s"""(SELECT CAST(CASE WHEN p = -2147483648 THEN p ELSE abs(p) END % $numPartitions AS INTEGER)
        | FROM (SELECT ${fnv32aSql(e)} AS p))""".stripMargin
+
+  /** Beats' `random` Kafka partitioner (kafka/partition.go:139-163):
+    * every `groupEvents` events the producer draws a uniform random
+    * partition. A distributed engine renders the draw
+    * HASH-DETERMINISTICALLY (the repo rule: never rand()): the group
+    * ordinal `ord div groupEvents` is md5-hashed (oracle-reproducible)
+    * and reduced mod numPartitions — uniform across partitions, stable
+    * across retries/replays (in-spec: Beats itself re-uses the
+    * previously assigned partition when an event is retried,
+    * partition.go:112-118). `ord` must be a non-negative event ordinal;
+    * the long cast of the double division truncates = floors for
+    * non-negative ordinals (exact below 2^53).
+    */
+  def randomPartition(ord: Column, numPartitions: Int,
+      groupEvents: Int = 1): Column =
+    pmod(
+      conv(substring(md5(concat(lit("rnd:"),
+        (ord.cast("long") / groupEvents).cast("long").cast("string"))), 1, 4),
+        16, 10).cast("long"),
+      lit(numPartitions.toLong)).cast("int")
+
+  /** DuckDB twin of [[randomPartition]] (the q_salt_bucket md5-nibble
+    * rendering of conv(hex, 16, 10)).
+    */
+  def randomPartitionSql(ordE: String, numPartitions: Int,
+      groupEvents: Int = 1): String =
+    s"""(SELECT CAST(((((strpos('0123456789abcdef', h[1]) - 1) * 16
+       |  + strpos('0123456789abcdef', h[2]) - 1) * 16
+       |  + strpos('0123456789abcdef', h[3]) - 1) * 16
+       |  + strpos('0123456789abcdef', h[4]) - 1) % $numPartitions AS INTEGER)
+       | FROM (SELECT md5('rnd:' || CAST(($ordE) // $groupEvents AS VARCHAR)) AS h))""".stripMargin
+
+  /** Beats' `round_robin` Kafka partitioner (kafka/partition.go:165-190):
+    * the partition advances by one every `groupEvents` events, wrapping
+    * at numPartitions. The reference seeds the starting partition with
+    * rand.Int31 — arbitrary by design — rendered here as the explicit
+    * `start` so assignments are reproducible.
+    */
+  def roundRobinPartition(ord: Column, numPartitions: Int,
+      groupEvents: Int = 1, start: Int = 0): Column =
+    pmod((ord.cast("long") / groupEvents).cast("long") + start,
+      lit(numPartitions.toLong)).cast("int")
+
+  /** DuckDB twin of [[roundRobinPartition]]. */
+  def roundRobinPartitionSql(ordE: String, numPartitions: Int,
+      groupEvents: Int = 1, start: Int = 0): String =
+    s"CAST((($ordE) // $groupEvents + $start) % $numPartitions AS INTEGER)"
 }

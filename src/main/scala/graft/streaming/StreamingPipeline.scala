@@ -67,6 +67,33 @@ object StreamingPipeline {
   def transform(spark: SparkSession, stream: DataFrame, cfg: PipelineConfig): DataFrame =
     Pipeline.transform(spark, stream, cfg)
 
+  /** Socket-source ingestion — the tcp/udp/stdin input analog
+    * (filebeat/input/tcp/input.go:37, udp/input.go:36,
+    * stdin/input.go:33): a line-oriented transport whose every line is
+    * one event. Spark's `socket` source delivers the lines; the decoder
+    * below turns them into typed turn columns, after which the batch
+    * transform (parse → enrich → route) runs on the stream UNCHANGED —
+    * the reference's input/processor separation, kept.
+    */
+  def socketTurns(spark: SparkSession, host: String, port: Int): DataFrame =
+    decodeTurnLines(
+      spark.readStream.format("socket")
+        .option("host", host).option("port", port).load())
+
+  /** Line → turn decoder shared by the socket demo and any line
+    * transport (value: STRING, one JSON turn per line — the json reader
+    * over a wire protocol). from_json is symmetric with to_json, so a
+    * producer emitting `to_json(struct(...))` round-trips exactly;
+    * undecodable lines yield all-null structs (PERMISSIVE mode), the
+    * usual error channel.
+    */
+  def decodeTurnLines(raw: DataFrame): DataFrame = {
+    val turnSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "conv_id STRING, turn_idx INT, role STRING, " +
+        "text STRING, tool STRING, ts TIMESTAMP")
+    raw.select(from_json(col("value"), turnSchema).as("t")).select("t.*")
+  }
+
   /** Watermarked per-sink windowed counters. `countDistinct` is not
     * streamable; `approx_count_distinct` is the scalable stand-in (exact
     * distincts stay a batch-side verification query).

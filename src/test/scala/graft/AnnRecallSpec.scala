@@ -69,6 +69,29 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 0.9, f"IVF recall@1 $recall%.3f < 0.9")
   }
 
+  test("sampled-centroid IVF (bounded k, Lloyd-refined) recall@1 >= 0.9") {
+    // the 10¹²-row path: centroid count fixed by the caller, never √n —
+    // the driver holds nCentroids·dim doubles regardless of corpus size
+    val got = top1(Similarity.ivfTopKSampled(corpus, queries, k = 1,
+      nprobe = 2, nCentroids = 16, sampleSize = 128, iters = 1))
+    val hits = exact.count { case (q, n) => got.get(q).contains(n) }
+    val recall = hits.toDouble / exact.size
+    info(f"sampled-IVF recall@1 = $recall%.3f (${exact.size} queries)")
+    assert(recall >= 0.9, f"sampled-IVF recall@1 $recall%.3f < 0.9")
+  }
+
+  test("sampled-centroid IVF: broadcast-join assignment equals the literal path") {
+    val literalPath = Similarity.ivfTopKSampled(corpus, queries, k = 5,
+        nprobe = 2, nCentroids = 16, sampleSize = 128, iters = 1)
+      .collect().map(_.toSeq).toSet
+    val joinedPath = Similarity.ivfTopKSampled(corpus, queries, k = 5,
+        nprobe = 2, nCentroids = 16, sampleSize = 128, iters = 1,
+        literalMaxCentroids = 1)
+      .collect().map(_.toSeq).toSet
+    assert(joinedPath == literalPath,
+      "sampled-IVF broadcast-join path diverged from the literal path")
+  }
+
   test("IVF broadcast-join assignment path (past literalMaxCentroids) equals the literal path") {
     // same corpus/queries, same centroid count — forcing literalMaxCentroids=1
     // routes through the broadcast cross-join + max(struct) assignment; the

@@ -1,0 +1,50 @@
+package graft
+
+import graft.route.Fnv32a
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Beats Kafka partitioner mode parity (kafka/partition.go:63-65):
+  * `hash` already has byte-exact FNV coverage; these pin the `random`
+  * and `round_robin` renderings.
+  */
+class KafkaPartitionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("round_robin: advances one partition every group_events events, wraps at n") {
+    val df = (0L until 24L).toDF("ord")
+      .select(col("ord"),
+        Fnv32a.roundRobinPartition(col("ord"), numPartitions = 5,
+          groupEvents = 2, start = 3).as("p"))
+    val got = df.orderBy("ord").collect().map(_.getInt(1)).toSeq
+    // groups of 2, starting at 3, wrapping at 5: 3,3,4,4,0,0,1,1,...
+    val expected = (0 until 24).map(i => (i / 2 + 3) % 5)
+    assert(got == expected)
+  }
+
+  test("random: in range, deterministic across evaluations, constant within a group") {
+    val df = (0L until 1000L).toDF("ord")
+      .select(col("ord"),
+        Fnv32a.randomPartition(col("ord"), numPartitions = 12, groupEvents = 4).as("p"))
+    val a = df.orderBy("ord").collect().map(_.getInt(1)).toSeq
+    val b = df.orderBy("ord").collect().map(_.getInt(1)).toSeq
+    assert(a == b, "assignment must be replay-stable")
+    assert(a.forall(p => p >= 0 && p < 12))
+    // all 4 events of a group share the group's draw
+    a.grouped(4).foreach(g => assert(g.distinct.size == 1))
+    // the draw varies across groups (not a constant column)
+    assert(a.grouped(4).map(_.head).toSeq.distinct.size > 6)
+  }
+
+  test("random: distribution is roughly uniform over many groups") {
+    val n = 12000L
+    val counts = (0L until n).toDF("ord")
+      .select(Fnv32a.randomPartition(col("ord"), 12, groupEvents = 1).as("p"))
+      .groupBy("p").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0 until 12).toSet)
+    val ideal = n / 12.0
+    counts.values.foreach(c => assert(math.abs(c - ideal) < ideal * 0.15,
+      s"partition count $c too far from uniform $ideal"))
+  }
+}

@@ -37,6 +37,38 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("codec seam: a non-trivial injected kernel rides the plumbing unchanged") {
+    // an "FFT-ish" fake decoder, deliberately different from the stub:
+    // per-feature alternating-sign byte fold + a magic-byte offset — if
+    // the plumbing hardcoded the stub anywhere, this diverges
+    final class FakeFft(dim: Int) extends Multimodal.MediaCodec {
+      def decode(p: Array[Byte]): Array[Float] = {
+        val acc = new Array[Long](dim)
+        var i = 0
+        while (i < p.length) {
+          val v = (p(i) & 0xff).toLong
+          acc(i % dim) += (if ((i / dim) % 2 == 0) v else -v)
+          i += 1
+        }
+        acc.map(a => (a + (if (p.nonEmpty) p(0) & 0xff else 0)).toFloat)
+      }
+    }
+    val media = Multimodal.asMedia(docs)
+    val got = Multimodal.extractFeatures(media.repartition(3), dim = 4,
+        codecFactory = d => new FakeFft(d))
+      .select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val expected = media.select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> new FakeFft(4).decode(r.getAs[Array[Byte]](1))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, v) => assert(v.sameElements(expected(k)), s"media $k") }
+    // and it actually computed something different from the stub
+    val stub = media.select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> Multimodal.stubDecodeFeatures(r.getAs[Array[Byte]](1), 4)).toMap
+    assert(got.exists { case (k, v) => !v.sameElements(stub(k)) },
+      "injected kernel must not coincide with the stub")
+  }
+
   test("resize: nearest-neighbor byte downsample to a fixed size") {
     val resized = Multimodal.resize(Multimodal.asMedia(docs), targetBytes = 8)
       .select("media_id", "resized", "resized_len").collect()

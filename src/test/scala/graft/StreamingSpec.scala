@@ -69,6 +69,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamCounts == batchCounts)
   }
 
+  test("socket source: parse→route over a TCP line stream matches the batch pipeline per-sink") {
+    // the tcp/udp/stdin input analog (filebeat/input/tcp/input.go:37):
+    // a real TCP server feeds JSON-encoded turn lines to Spark's socket
+    // source; the SAME batch transform runs on the stream, and per-sink
+    // routed counts must equal the batch pipeline on the same lines.
+    val turns = Transcripts.synthesize(spark, 500L).cache()
+    val lines = turns
+      .select(to_json(struct(col("conv_id"), col("turn_idx"), col("role"),
+        col("text"), col("tool"), col("ts"))).as("value"))
+      .collect().map(_.getString(0))
+
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val feeder = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val w = new java.io.PrintWriter(sock.getOutputStream, true)
+        lines.foreach(w.println)
+        w.flush()
+        // leave the connection open until the reader is done; closing
+        // early can drop buffered lines in the source's reader loop
+        Thread.sleep(20000)
+        sock.close()
+      } catch { case _: Throwable => () } finally server.close()
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+
+    val routed = StreamingPipeline.transform(spark,
+      StreamingPipeline.socketTurns(spark, "localhost", port), cfg)
+    val q = routed.writeStream.format("memory")
+      .queryName("socket_routed").outputMode("append").start()
+    // memory-sink row count reaches the input line count, then stop
+    val deadline = System.currentTimeMillis() + 60000
+    def seen(): Long = spark.sql("SELECT count(*) FROM socket_routed").head().getLong(0)
+    while (seen() < lines.length && System.currentTimeMillis() < deadline) {
+      q.processAllAvailable()
+      Thread.sleep(200)
+    }
+    q.stop()
+    assert(seen() == lines.length, s"socket stream delivered ${seen()} of ${lines.length} lines")
+
+    val streamCounts = spark.sql(
+      "SELECT sink, count(*) AS n FROM socket_routed GROUP BY sink")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchCounts = Pipeline.transform(spark, turns, cfg)
+      .groupBy("sink").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamCounts == batchCounts)
+    spark.sql("DROP TABLE IF EXISTS socket_routed")
+  }
+
   test("stateful session flows: inactivity gap via flatMapGroupsWithState matches batch sessionization") {
     import graft.ops.Sessions
     import graft.streaming.StreamingPipeline.sessionFlows

@@ -1,0 +1,87 @@
+package graft
+
+import graft.parse.FieldDecoders._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BOM-driven UTF-16 decode parity with the reference's utf16 codec trio
+  * (libbeat/reader/readfile/encoding/utf16.go): BOM detection consumes
+  * the marker and overrides the configured endianness; a missing BOM
+  * falls back to the configured endianness, or errors (NULL) in the
+  * BOM-required mode. Plus the GBK entry of the charset table
+  * (encoding.go:45) via the JVM codec.
+  */
+class Utf16BomSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val samples = Seq("hello", "Ångström µ", "中文日志行", "")
+
+  test("BOM detection: BE and LE payloads round-trip under every fallback config") {
+    val df = samples.toDF("text")
+    for (be <- Seq(true, false); fb <- Seq("", "be", "le")) {
+      val got = df.select(
+        decodeUtf16Bom(encodeUtf16Bom(col("text"), bigEndian = be), fb).as("d"))
+        .collect().map(_.getString(0)).toSeq
+      assert(got == samples, s"bigEndian=$be fallback='$fb'")
+    }
+  }
+
+  test("missing BOM: fallback endianness decodes the whole payload; required mode yields NULL") {
+    val df = samples.toDF("text")
+    val be = df.select(decodeUtf16Bom(encode(col("text"), "UTF-16BE"), "be").as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(be == samples)
+    val le = df.select(decodeUtf16Bom(encode(col("text"), "UTF-16LE"), "le").as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(le == samples)
+    // BOM-required (the reference's plain `utf-16-bom`): no BOM -> NULL,
+    // the ErrMissingBOM channel
+    val req = df.where(col("text") =!= "")
+      .select(decodeUtf16Bom(encode(col("text"), "UTF-16BE")).as("d"))
+      .collect().map(r => r.isNullAt(0))
+    assert(req.nonEmpty && req.forall(identity))
+  }
+
+  test("a wrong fallback never overrides a present BOM (detection wins)") {
+    val df = samples.toDF("text")
+    val got = df.select(
+      decodeUtf16Bom(encodeUtf16Bom(col("text"), bigEndian = true), "le").as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == samples)
+  }
+
+  test("GBK round-trips CJK text through the charset table") {
+    // ASCII + CJK only: GBK does not map every Latin diacritic
+    val cjk = Seq("hello", "中文日志行", "混合 mixed 行 123", "")
+    val got = cjk.toDF("text").select(
+      decodeCharset(encodeCharset(col("text"), "GBK"), "GBK").as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cjk)
+  }
+
+  test("ISO-8859 charmap family round-trips via the JVM-charset expression") {
+    // the reference's iso8859-6/8 entries (Arabic / Hebrew charmaps)
+    for ((cs, s) <- Seq("ISO-8859-6" -> "سجل الأحداث 123",
+        "ISO-8859-8" -> "יומן אירועים 123")) {
+      val got = Seq(s).toDF("text").select(
+        decodeCharset(encodeCharset(col("text"), cs), cs).as("d"))
+        .collect().map(_.getString(0)).toSeq
+      assert(got == Seq(s), cs)
+    }
+  }
+
+  test("charset expressions stay inside whole-stage codegen") {
+    // parquet-backed input: a LocalRelation fixture constant-folds the
+    // whole deterministic projection away (the session-8 lesson) and no
+    // codegen span remains to assert on
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = docs.select(
+      decodeCharset(encodeCharset(col("text"), "GBK"), "GBK").as("d"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the compact plan string marks whole-stage-codegen stages with "*(n)"
+    assert(plan.contains("*(1) Project [decode_charset(encode_charset("),
+      s"expected the charset projection inside a codegen stage:\n$plan")
+  }
+}
