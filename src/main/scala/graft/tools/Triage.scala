@@ -21,9 +21,12 @@ object Triage {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val targets = Seq("q_langid", "q_minhash", "q_simhash", "q_ann_lsh")
+    // target list from args(1) (comma-separated), default = the round-3 set
+    val targets =
+      if (args.length > 1) args(1).split(",").toSeq.map(_.trim)
+      else Seq("q_langid", "q_minhash", "q_simhash", "q_ann_lsh")
     // warmup (untimed)
-    graft.SparkEntry.queries("q_langid")(spark, sfDir)
+    graft.SparkEntry.queries(targets.head)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     for (q <- targets) {
       val noops = (1 to 3).map { _ =>
