@@ -565,6 +565,67 @@ object SparkEntry {
         n = 8, minShared = 3, maxDocFreq = 100)
     },
 
+    // FUZZY decontamination: MinHash-banded doc-level overlap between the
+    // training corpus and an EDITED benchmark rendering (prefix+suffix
+    // wrap) — the paraphrase/re-wrap leakage exact word-grams can miss;
+    // candidates from the bucket join, Jaccard estimated from matching
+    // signature components (exact integer ppm)
+    "q_fuzzy_decontam" -> { (s, dir) =>
+      val bench = documents(s, dir).where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(lit("bench set "), col("text"), lit(" eos")).as("text"))
+      Dedup.decontaminateFuzzy(docsWithDupes(s, dir), bench,
+        numHashes = 8, rowsPerBand = 2, k = 4, minEstPpm = 500000L)
+    },
+
+    // distributed-trace span-tree rollup: per span, self-time = duration
+    // − Σ direct-children durations (negative self-time = the clock-
+    // inconsistency signal). 3-level hierarchy derived deterministically
+    // from event ids; one aggregation + one keyed left join.
+    "q_span_selftime" -> { (s, dir) =>
+      val sp = events(s, dir).select(
+        expr("event_id div 16").as("trace_id"),
+        col("event_id").as("span_id"),
+        expr("(event_id % 997 + 10) * 1000").as("duration_us"),
+        expr("""CASE WHEN event_id % 16 = 0 THEN CAST(NULL AS BIGINT)
+                     WHEN event_id % 4 = 0 THEN (event_id div 16) * 16
+                     ELSE event_id - (event_id % 4) END""").as("parent_span"))
+      val ch = sp.where(col("parent_span").isNotNull)
+        .groupBy(col("parent_span").as("span_id"))
+        .agg(count(lit(1)).as("n_children"), sum("duration_us").as("_child_us"))
+      sp.join(ch, Seq("span_id"), "left")
+        .select(col("trace_id"), col("span_id"), col("duration_us"),
+          coalesce(col("n_children"), lit(0L)).as("n_children"),
+          (col("duration_us") - coalesce(col("_child_us"), lit(0L))).as("self_us"))
+    },
+
+    // NTP-style clock-skew estimation per host: offset estimate
+    // ((t2−t1)+(t3−t4)) div 2 over synthesized request/response
+    // four-timestamp exchanges (asymmetric up/down RTTs), lower-median
+    // per host in exact micros — the fleet time-sync audit
+    "q_clock_skew" -> { (s, dir) =>
+      val base = events(s, dir).select(
+          col("event_id"), (col("user_id") % 5).cast("int").as("host"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("t1"))
+        .withColumn("skew", expr("(host + 1) * 500000"))
+        .withColumn("up", expr("1000000 + (event_id % 7) * 100000"))
+        .withColumn("down", expr("1000000 + (event_id % 11) * 100000"))
+        .withColumn("t2", expr("t1 + up + skew"))
+        .withColumn("t3", expr("t2 + 50000"))
+        .withColumn("t4", expr("t1 + up + 50000 + down"))
+        .withColumn("est", expr("((t2 - t1) + (t3 - t4)) div 2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("host").orderBy(col("est"), col("event_id"))
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy("host")
+      base.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
+        .where(expr("rn = (n + 1) div 2"))
+        .select(col("host"), col("n").as("n_samples"),
+          col("est").as("median_offset_us"),
+          expr("CAST((host + 1) * 500000 AS BIGINT)").as("true_skew_us"),
+          expr("CAST(est - (host + 1) * 500000 AS BIGINT)").as("err_us"))
+    },
+
     // ExactSubstr span dedup (Lee et al. 2022): maximal token spans whose
     // word 8-grams occur in >=2 distinct docs — the substring-level dedup
     // the whole-doc operators miss (planted copies => whole-doc spans)
@@ -5114,6 +5175,82 @@ object SparkEntry {
          |WHERE train_id <> bench_id
          |GROUP BY 1, 2
          |HAVING count(*) >= 3""".stripMargin,
+
+    // joint-banding oracle: the SAME shared-parameter minhash pipeline
+    // over train ∪ (bench offset by 10⁶), band-bucket join across the
+    // id boundary, matching-component Jaccard estimate in exact ppm
+    "q_fuzzy_decontam" ->
+      s"""WITH $DocsDupesSql,
+         |benchd AS (
+         |  SELECT doc_id + 500000 AS doc_id, 'bench set ' || text || ' eos' AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |comb AS (
+         |  SELECT doc_id, text FROM docs2
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM benchd),
+         |sh AS (
+         |  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(length(text) - 3, 0)),
+         |    i -> substr(text, CAST(i AS INTEGER), 4))) AS shingle
+         |  FROM comb),
+         |${Dedup.minhashSql(8)},
+         |bands AS (
+         |  SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+         |    string_agg(CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR), '|'
+         |      ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(sig AS VARCHAR)) AS band_key
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT t.doc_id AS train_id, b.doc_id - 1000000 AS bench_id
+         |  FROM bands t JOIN bands b ON t.band = b.band AND t.band_key = b.band_key
+         |  WHERE t.doc_id < 1000000 AND b.doc_id >= 1000000),
+         |est AS (
+         |  SELECT c.train_id, c.bench_id, CAST(count(*) AS BIGINT) AS n_match_sigs
+         |  FROM cand c
+         |  JOIN mh t ON t.doc_id = c.train_id
+         |  JOIN mh b ON b.doc_id = c.bench_id + 1000000 AND b.seed = t.seed AND b.sig = t.sig
+         |  GROUP BY 1, 2)
+         |SELECT train_id, bench_id, n_match_sigs,
+         |  CAST(n_match_sigs * 1000000 // 8 AS BIGINT) AS est_ppm
+         |FROM est WHERE n_match_sigs * 1000000 // 8 >= 500000""".stripMargin,
+
+    "q_span_selftime" ->
+      """WITH sp AS (
+        |  SELECT event_id // 16 AS trace_id, event_id AS span_id,
+        |    (event_id % 997 + 10) * 1000 AS duration_us,
+        |    CASE WHEN event_id % 16 = 0 THEN NULL
+        |         WHEN event_id % 4 = 0 THEN (event_id // 16) * 16
+        |         ELSE event_id - (event_id % 4) END AS parent_span
+        |  FROM events),
+        |ch AS (
+        |  SELECT parent_span AS span_id, count(*) AS n_children,
+        |    CAST(sum(duration_us) AS BIGINT) AS child_us
+        |  FROM sp WHERE parent_span IS NOT NULL GROUP BY 1)
+        |SELECT trace_id, span_id, duration_us,
+        |  CAST(coalesce(n_children, 0) AS BIGINT) AS n_children,
+        |  CAST(duration_us - coalesce(child_us, 0) AS BIGINT) AS self_us
+        |FROM sp LEFT JOIN ch USING (span_id)""".stripMargin,
+
+    "q_clock_skew" ->
+      """WITH b AS (
+        |  SELECT event_id, CAST(user_id % 5 AS INTEGER) AS host,
+        |    epoch_us(ts) AS t1,
+        |    (CAST(user_id % 5 AS INTEGER) + 1) * 500000 AS skew,
+        |    1000000 + (event_id % 7) * 100000 AS up,
+        |    1000000 + (event_id % 11) * 100000 AS down
+        |  FROM events),
+        |e AS (
+        |  SELECT event_id, host, skew,
+        |    (((t1 + up + skew) - t1) + ((t1 + up + skew + 50000) - (t1 + up + 50000 + down))) // 2 AS est
+        |  FROM b),
+        |r AS (
+        |  SELECT host, skew, est, event_id,
+        |    row_number() OVER (PARTITION BY host ORDER BY est, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY host) AS n
+        |  FROM e)
+        |SELECT host, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(est AS BIGINT) AS median_offset_us,
+        |  CAST(skew AS BIGINT) AS true_skew_us,
+        |  CAST(est - skew AS BIGINT) AS err_us
+        |FROM r WHERE rn = (n + 1) // 2""".stripMargin,
 
     "q_dup_spans" ->
       s"""WITH $DocsDupesSql,

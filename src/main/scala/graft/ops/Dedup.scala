@@ -229,18 +229,22 @@ object Dedup {
     * path ([[lshCandidates]]) and the linear star-edge cluster path
     * ([[lshClusters]]).
     */
-  def lshBands(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
-      k: Int = 4, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val wide = minhashWide(df, numHashes, k, idCol, textCol)
-    val bandStructs = (0 until numHashes / rowsPerBand).map { bIdx =>
+  /** The per-band key structs over a wide signature row — shared by
+    * [[lshBands]] and [[decontaminateFuzzy]]. */
+  private def bandKeyStructs(numHashes: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until numHashes / rowsPerBand).map { bIdx =>
       val seeds = (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand)
         .sortBy(i => s"$i:")
       val key = concat_ws("|", seeds.map(i =>
         concat(lit(s"$i:"), col(s"sig$i"))): _*)
       struct(lit(bIdx).as("band"), key.as("band_key"))
     }
+
+  def lshBands(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
+      k: Int = 4, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wide = minhashWide(df, numHashes, k, idCol, textCol)
     wide
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), explode(array(bandKeyStructs(numHashes, rowsPerBand): _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
@@ -462,6 +466,44 @@ object Dedup {
       .groupBy("train_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+  }
+
+  /** FUZZY benchmark decontamination — the near-dup complement of
+    * [[decontaminate]]: exact word-grams catch verbatim leakage, but an
+    * edited / re-wrapped / re-tokenized benchmark item slips them. Here
+    * both sides get MinHash signatures over char-k shingles (shared
+    * params), banded buckets propose train×bench candidates (bucket
+    * equi-join — never all-pairs, the 100 TB shape), the full signature
+    * estimates Jaccard as matching-components ppm (exact integers:
+    * matches·10⁶ div numHashes), and pairs at/above `minEstPpm` are
+    * flagged for removal. The oracle replicates banding + estimate
+    * jointly (the q_incremental_neardup discipline), so the candidate
+    * set itself is verified, not just the scores.
+    */
+  def decontaminateFuzzy(train: DataFrame, bench: DataFrame,
+      numHashes: Int = 8, rowsPerBand: Int = 2, k: Int = 4,
+      minEstPpm: Long = 500000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tw = minhashWide(train, numHashes, k, idCol, textCol)
+    val bw = minhashWide(bench, numHashes, k, idCol, textCol)
+    def bands(wide: DataFrame, out: String): DataFrame =
+      wide.select(col(idCol).as(out),
+          explode(array(bandKeyStructs(numHashes, rowsPerBand): _*)).as("bk"))
+        .select(col(out), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val cand = bands(tw, "train_id")
+      .join(bands(bw, "bench_id"), Seq("band", "band_key"))
+      .select("train_id", "bench_id").distinct()
+    val tsig = tw.select(col(idCol).as("train_id") +:
+      (0 until numHashes).map(i => col(s"sig$i").as(s"_t$i")): _*)
+    val bsig = bw.select(col(idCol).as("bench_id") +:
+      (0 until numHashes).map(i => col(s"sig$i").as(s"_b$i")): _*)
+    cand.join(tsig, Seq("train_id")).join(bsig, Seq("bench_id"))
+      .withColumn("n_match_sigs",
+        (0 until numHashes).map(i =>
+          when(col(s"_t$i") === col(s"_b$i"), 1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("est_ppm", expr(s"n_match_sigs * 1000000 div $numHashes"))
+      .where(col("est_ppm") >= minEstPpm)
+      .select("train_id", "bench_id", "n_match_sigs", "est_ppm")
   }
 
   /** Exact-substring duplicate SPANS — the ExactSubstr operator of Lee

@@ -1,0 +1,93 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 batch: fuzzy (MinHash-banded) benchmark decontamination,
+  * span-tree self-time rollup, NTP-style clock-skew estimation.
+  */
+class RoundFourOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // ---- decontaminateFuzzy -------------------------------------------------
+
+  test("fuzzy decontam: an edited benchmark copy is flagged; unrelated text is not") {
+    val corpusText = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val train = Seq(
+      (1L, corpusText),
+      (2L, "completely different content about spark shuffle partitions and codegen stages"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      // re-wrapped rendering of train doc 1 — exact word-8-grams break at
+      // the edges, but the char-shingle Jaccard stays high
+      (100L, s"bench set $corpusText eos"))
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminateFuzzy(train, bench,
+        numHashes = 8, rowsPerBand = 2, minEstPpm = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("est_ppm")))
+    assert(got.exists(p => p._1 == 1L && p._2 == 100L && p._3 >= 500000L),
+      s"edited benchmark copy not flagged: ${got.toSeq}")
+    assert(!got.exists(_._1 == 2L), s"unrelated doc falsely flagged: ${got.toSeq}")
+  }
+
+  test("fuzzy decontam: an exact copy estimates Jaccard 1.0 (all signature components match)") {
+    val t = "identical payload shared verbatim between corpus and benchmark suites"
+    val got = Dedup.decontaminateFuzzy(
+        Seq((1L, t)).toDF("doc_id", "text"),
+        Seq((9L, t)).toDF("doc_id", "text"),
+        numHashes = 8, rowsPerBand = 2, minEstPpm = 500000L)
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("n_match_sigs") == 8L)
+    assert(got.head.getAs[Long]("est_ppm") == 1000000L)
+  }
+
+  // ---- q_span_selftime ----------------------------------------------------
+
+  test("span self-time: root/branch/leaf accounting matches the closed-form fixture") {
+    def dur(id: Long): Long = (id % 997 + 10) * 1000
+    val rows = SparkEntry.queries("q_span_selftime")(spark, sfDir)
+      .where(col("trace_id") === 0)
+      .collect()
+      .map(r => r.getAs[Long]("span_id") ->
+        (r.getAs[Long]("duration_us"), r.getAs[Long]("n_children"), r.getAs[Long]("self_us")))
+      .toMap
+    assert(rows.keySet == (0L until 16L).toSet)
+    // root 0: branch spans 4, 8, 12 plus the first quartet's leaves 1-3
+    // (the root doubles as their branch: parent = id − id%4 = 0)
+    assert(rows(0L)._2 == 6L)
+    assert(rows(0L)._3 == dur(0) -
+      (dur(1) + dur(2) + dur(3) + dur(4) + dur(8) + dur(12)))
+    // branch 4: children 5, 6, 7
+    assert(rows(4L)._2 == 3L)
+    assert(rows(4L)._3 == dur(4) - (dur(5) + dur(6) + dur(7)))
+    // leaves keep their full duration
+    for (leaf <- Seq(1L, 2L, 3L, 5L, 13L, 15L)) {
+      assert(rows(leaf)._2 == 0L)
+      assert(rows(leaf)._3 == dur(leaf), s"leaf $leaf")
+    }
+  }
+
+  // ---- q_clock_skew -------------------------------------------------------
+
+  test("clock skew: every host's planted skew is recovered within the RTT-asymmetry bound") {
+    val rows = SparkEntry.queries("q_clock_skew")(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("host") ->
+        (r.getAs[Long]("n_samples"), r.getAs[Long]("median_offset_us"),
+          r.getAs[Long]("true_skew_us"), r.getAs[Long]("err_us")))
+      .toMap
+    assert(rows.keySet == (0 until 5).toSet)
+    rows.foreach { case (h, (n, med, truth, err)) =>
+      assert(n > 0)
+      assert(truth == (h + 1) * 500000L)
+      assert(med - truth == err)
+      // per-sample error is (up−down)/2 ∈ [−500 ms, +300 ms]; the median
+      // sits well inside it
+      assert(math.abs(err) <= 300000L, s"host $h err $err")
+    }
+  }
+}
