@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.ipToIntFunction)
     ext.injectFunction(GraftExtensions.netDirectionFunction)
     ext.injectFunction(GraftExtensions.normalizeUnicodeFunction)
+    ext.injectFunction(GraftExtensions.syslogParseFunction)
+    ext.injectFunction(GraftExtensions.decodeCharsetFunction)
+    ext.injectFunction(GraftExtensions.encodeCharsetFunction)
+    ext.injectFunction(GraftExtensions.fnv32aFunction)
     // bounded levenshtein(a,b) <= k predicates → the Myers banded kernel
     ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshtein)
   }
@@ -95,6 +99,51 @@ object GraftExtensions {
       require(UnicodeNorm.Forms(form),
         s"unknown normalization form $form (want ${UnicodeNorm.Forms.mkString("/")})")
       UnicodeNormExpr(exprs.head, form)
+    }
+  )
+
+  /** `syslog_parse(text)` — the single-pass [[SyslogExpr]] kernel in SQL:
+    * a struct of the layered fields (pri, the bsd/iso timestamp parts,
+    * frac, zone, hostname, program, pid, msg). */
+  val syslogParseFunction: FnReg = (
+    FunctionIdentifier("syslog_parse"),
+    new ExpressionInfo(classOf[SyslogExpr].getName, "syslog_parse"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 1, "syslog_parse(text) takes exactly 1 argument")
+      SyslogExpr(exprs.head)
+    }
+  )
+
+  /** `decode_charset(bin, 'GBK')` — full-JVM-charset decode
+    * ([[DecodeCharsetExpr]]); the charset name is a plan-time literal,
+    * exactly like the reference's per-input `encoding:` config. */
+  val decodeCharsetFunction: FnReg = (
+    FunctionIdentifier("decode_charset"),
+    new ExpressionInfo(classOf[DecodeCharsetExpr].getName, "decode_charset"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 2, "decode_charset(bin, 'charset') takes exactly 2 arguments")
+      DecodeCharsetExpr(exprs.head, literalStringOf("decode_charset charset", exprs(1)))
+    }
+  )
+
+  /** `encode_charset(text, 'GBK')` — the matching encoder. */
+  val encodeCharsetFunction: FnReg = (
+    FunctionIdentifier("encode_charset"),
+    new ExpressionInfo(classOf[EncodeCharsetExpr].getName, "encode_charset"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 2, "encode_charset(text, 'charset') takes exactly 2 arguments")
+      EncodeCharsetExpr(exprs.head, literalStringOf("encode_charset charset", exprs(1)))
+    }
+  )
+
+  /** `fnv32a(key)` — the byte-exact Beats Kafka hash
+    * ([[graft.route.Fnv32aExpr]]) in SQL. */
+  val fnv32aFunction: FnReg = (
+    FunctionIdentifier("fnv32a"),
+    new ExpressionInfo(classOf[graft.route.Fnv32aExpr].getName, "fnv32a"),
+    { exprs: Seq[Expression] =>
+      require(exprs.length == 1, "fnv32a(key) takes exactly 1 argument")
+      graft.route.Fnv32aExpr(exprs.head)
     }
   )
 

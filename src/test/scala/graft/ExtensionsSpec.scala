@@ -43,6 +43,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getString(4) === "outbound")
   }
 
+  test("syslog_parse / charset codecs / fnv32a callable from SQL") {
+    for (fn <- Seq(GraftExtensions.syslogParseFunction,
+        GraftExtensions.decodeCharsetFunction, GraftExtensions.encodeCharsetFunction,
+        GraftExtensions.fnv32aFunction)) {
+      val (ident, info, builder) = fn
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+    val r = spark.sql(
+      """SELECT s.pri, s.hostname, s.program, s.pid, s.msg,
+        |  decode_charset(encode_charset('中文 log', 'GBK'), 'GBK') AS rt,
+        |  fnv32a('') AS f0, fnv32a('a') AS fa
+        |FROM (SELECT syslog_parse('<34>Oct 11 22:14:15 host1 sshd[42]: session opened') AS s)
+        |""".stripMargin).head()
+    assert(r.getInt(0) == 34)
+    assert(r.getString(1) == "host1" && r.getString(2) == "sshd" && r.getInt(3) == 42)
+    assert(r.getString(4) == "session opened")
+    assert(r.getString(5) == "中文 log")
+    // published FNV-1a 32 vectors: offset basis for "", 0xe40c292c for "a"
+    assert(r.getInt(6) == 0x811c9dc5)
+    assert(r.getInt(7) == 0xe40c292c)
+  }
+
   test("net_direction rejects a non-literal CIDR list at plan time") {
     val (ident, info, builder) = GraftExtensions.netDirectionFunction
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
