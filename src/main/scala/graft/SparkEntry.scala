@@ -1016,6 +1016,13 @@ object SparkEntry {
     "q_tool_transitions" -> ((s, dir) =>
       graft.ops.Conversations.toolTransitions(transcripts(s, dir))),
 
+    // per-tool round-trip latency: each tool turn's gap to the
+    // conversation's NEXT assistant turn, exact µs (reverse running-min
+    // of assistant timestamps over ONE conv_id exchange); per tool the
+    // call count, lower-median and max
+    "q_tool_latency" -> ((s, dir) =>
+      graft.ops.Conversations.toolLatency(transcripts(s, dir))),
+
     "q_log_templates" -> ((s, dir) =>
       TextAnalysis.logTemplates(transcripts(s, dir))),
 
@@ -6175,6 +6182,27 @@ object SparkEntry {
          |        lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_tool
          |      FROM transcripts WHERE tool IS NOT NULL)
          |WHERE next_tool IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "q_tool_latency" ->
+      s"""$T, tt AS (SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS tus FROM transcripts),
+         |wn AS (
+         |  SELECT conv_id, turn_idx, tool, tus,
+         |    min(CASE WHEN role = 'assistant' THEN tus END) OVER (
+         |      PARTITION BY conv_id ORDER BY turn_idx DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nx
+         |  FROM tt),
+         |lat AS (
+         |  SELECT tool, nx - tus AS lat_us, conv_id, turn_idx FROM wn
+         |  WHERE tool IS NOT NULL AND nx IS NOT NULL),
+         |r AS (
+         |  SELECT tool, lat_us,
+         |    row_number() OVER (PARTITION BY tool ORDER BY lat_us, conv_id, turn_idx) AS rn,
+         |    count(*) OVER (PARTITION BY tool) AS n,
+         |    max(lat_us) OVER (PARTITION BY tool) AS mx
+         |  FROM lat)
+         |SELECT tool, CAST(n AS BIGINT) AS n_calls,
+         |  CAST(lat_us AS BIGINT) AS p50_us, CAST(mx AS BIGINT) AS max_us
+         |FROM r WHERE rn = (n + 1) // 2""".stripMargin,
 
     "q_log_templates" ->
       s"""$T SELECT regexp_replace(text, '[0-9]+', '#', 'g') AS template,

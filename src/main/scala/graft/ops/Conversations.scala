@@ -107,6 +107,38 @@ object Conversations {
       .agg(count(lit(1)).cast("int").as("n"))
   }
 
+  /** Per-tool round-trip latency: each tool turn's gap to the
+    * conversation's NEXT assistant turn in exact µs — the agent-loop
+    * "how long until the model consumed this tool result" metric. The
+    * next-assistant timestamp is a reverse running-min per conversation
+    * (one conv_id exchange; the per-tool median windows repartition on
+    * the tiny tool key space). Tool turns with no following assistant
+    * (trailing calls) are excluded. Output per tool: call count,
+    * lower-median and max latency.
+    */
+  def toolLatency(df: DataFrame, convCol: String = "conv_id",
+      turnCol: String = "turn_idx", roleCol: String = "role",
+      toolCol: String = "tool", tsCol: String = "ts"): DataFrame = {
+    val t = df.select(col(convCol), col(turnCol), col(roleCol), col(toolCol),
+      expr(s"unix_micros(CAST($tsCol AS TIMESTAMP))").as("tus"))
+    val wDesc = Window.partitionBy(convCol).orderBy(col(turnCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1) // turns strictly AFTER
+    val lat = t.withColumn("nx",
+        min(when(col(roleCol) === "assistant", col("tus"))).over(wDesc))
+      .where(col(toolCol).isNotNull && col("nx").isNotNull)
+      .select(col(toolCol), (col("nx") - col("tus")).as("lat_us"),
+        col(convCol), col(turnCol))
+    val w = Window.partitionBy(toolCol)
+      .orderBy(col("lat_us"), col(convCol), col(turnCol))
+    val wc = Window.partitionBy(toolCol)
+    lat.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .withColumn("mx", max(col("lat_us")).over(wc))
+      .where(expr("rn = (n + 1) div 2"))
+      .select(col(toolCol), col("n").as("n_calls"),
+        col("lat_us").as("p50_us"), col("mx").as("max_us"))
+  }
+
   /** (prompt, response) extraction: adjacent user→assistant turn pairs,
     * the instruction-tuning pair miner. One lead() pass per conversation.
     */

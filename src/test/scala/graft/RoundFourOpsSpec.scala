@@ -72,6 +72,31 @@ class RoundFourOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q_tool_latency -----------------------------------------------------
+
+  test("tool latency: gap to the NEXT assistant turn; trailing tool calls drop") {
+    def ts(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val turns = Seq(
+      // conv A: assistant(0) tool-x(10) assistant(25) tool-y(30) [no assistant after]
+      ("A", 0, "assistant", "hi", null, ts(0)),
+      ("A", 1, "tool", "r1", "x", ts(10)),
+      ("A", 2, "assistant", "ok", null, ts(25)),
+      ("A", 3, "tool", "r2", "y", ts(30)),
+      // conv B: tool-x(5) assistant(6)
+      ("B", 0, "user", "q", null, ts(0)),
+      ("B", 1, "tool", "r", "x", ts(5)),
+      ("B", 2, "assistant", "a", null, ts(6)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = graft.ops.Conversations.toolLatency(turns).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_calls"), r.getAs[Long]("p50_us"), r.getAs[Long]("max_us")))
+      .toMap
+    // tool y has no following assistant -> excluded entirely
+    assert(got.keySet == Set("x"))
+    // x latencies: A 15 s, B 1 s -> n 2, lower median 1 s, max 15 s
+    assert(got("x") == ((2L, 1000000L, 15000000L)))
+  }
+
   // ---- q_clock_skew -------------------------------------------------------
 
   test("clock skew: every host's planted skew is recovered within the RTT-asymmetry bound") {
