@@ -199,6 +199,19 @@ class ScalePlanSpec extends AnyFunSuite {
       s"lags and rolling frames must share the (key, ts, ord) sort, got $exchanges")
   }
 
+  test("decontaminateFuzzy plans as band-bucket key joins — never train×bench all-pairs") {
+    import graft.ops.Dedup
+    val train = (0 until 50).map(i => (i.toLong, s"training document $i alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val bench = (0 until 10).map(i => (1000L + i, s"benchmark item $i epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val s = planNoBroadcast(Dedup.decontaminateFuzzy(train, bench))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy decontamination must stay a bucket equi-join:\n$s")
+    assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"),
+      s"expected key joins with broadcast off:\n$s")
+  }
+
   test("marginPairsBanded candidates come from the bucket equi-join — no cartesian") {
     import graft.ops.Similarity
     import org.apache.spark.sql.functions.col
