@@ -1013,6 +1013,28 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairStats(documents(s, dir), k = 40)),
 
+    // DPO-style preference-pair mining: responses grouped per prompt, a
+    // deterministic reward (length proxy) ranks them, (chosen, rejected)
+    // = (argmax, argmin) with the reward margin. Composite tie-break
+    // encoded as ONE integer (score·10⁶ + id — the arg_max struct-key
+    // lesson), so both engines agree exactly. One groupBy — no window.
+    "q_preference_pairs" -> { (s, dir) =>
+      val d = documents(s, dir).select(
+        (col("doc_id") % 100).as("prompt_id"), col("doc_id"),
+        length(col("text")).cast("long").as("score"))
+        .withColumn("k", col("score") * 1000000L + col("doc_id"))
+      d.groupBy("prompt_id")
+        .agg(count(lit(1)).as("n_responses"),
+          max(col("k")).as("ck"), min(col("k")).as("rk"))
+        .where(col("n_responses") >= 2)
+        .select(col("prompt_id"), col("n_responses"),
+          (col("ck") % 1000000L).as("chosen_id"),
+          (col("rk") % 1000000L).as("rejected_id"),
+          expr("ck div 1000000").as("chosen_score"),
+          expr("rk div 1000000").as("rejected_score"),
+          expr("ck div 1000000 - rk div 1000000").as("margin"))
+    },
+
     "q_tool_transitions" -> ((s, dir) =>
       graft.ops.Conversations.toolTransitions(transcripts(s, dir))),
 
@@ -6182,6 +6204,22 @@ object SparkEntry {
          |        lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_tool
          |      FROM transcripts WHERE tool IS NOT NULL)
          |WHERE next_tool IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "q_preference_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id % 100 AS prompt_id, doc_id,
+        |    CAST(length(text) AS BIGINT) AS score,
+        |    CAST(length(text) AS BIGINT) * 1000000 + doc_id AS k
+        |  FROM documents),
+        |a AS (
+        |  SELECT prompt_id, count(*) AS n_responses,
+        |    CAST(max(k) AS BIGINT) AS ck, CAST(min(k) AS BIGINT) AS rk
+        |  FROM d GROUP BY 1)
+        |SELECT prompt_id, n_responses,
+        |  ck % 1000000 AS chosen_id, rk % 1000000 AS rejected_id,
+        |  ck // 1000000 AS chosen_score, rk // 1000000 AS rejected_score,
+        |  ck // 1000000 - rk // 1000000 AS margin
+        |FROM a WHERE n_responses >= 2""".stripMargin,
 
     "q_tool_latency" ->
       s"""$T, tt AS (SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS tus FROM transcripts),

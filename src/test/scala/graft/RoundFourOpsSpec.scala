@@ -97,6 +97,29 @@ class RoundFourOpsSpec extends AnyFunSuite {
     assert(got("x") == ((2L, 1000000L, 15000000L)))
   }
 
+  // ---- q_preference_pairs -------------------------------------------------
+
+  test("preference pairs: chosen/rejected are the per-prompt score argmax/argmin with id tie-breaks") {
+    val rows = SparkEntry.queries("q_preference_pairs")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("prompt_id") -> r).toMap
+    assert(rows.nonEmpty)
+    // independent recomputation with a different physical shape
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select((col("doc_id") % 100).as("p"), col("doc_id"),
+        length(col("text")).cast("long").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { case (p, r) =>
+      val grp = docs(p)
+      assert(r.getAs[Long]("n_responses") == grp.length && grp.length >= 2)
+      val chosen = grp.maxBy(t => (t._3, t._2))
+      val rejected = grp.minBy(t => (t._3, t._2))
+      assert(r.getAs[Long]("chosen_id") == chosen._2, s"prompt $p chosen")
+      assert(r.getAs[Long]("rejected_id") == rejected._2, s"prompt $p rejected")
+      assert(r.getAs[Long]("margin") == chosen._3 - rejected._3)
+    }
+  }
+
   // ---- q_clock_skew -------------------------------------------------------
 
   test("clock skew: every host's planted skew is recovered within the RTT-asymmetry bound") {
