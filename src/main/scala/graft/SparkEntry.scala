@@ -4915,7 +4915,7 @@ object SparkEntry {
         |  FROM e WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)
         |), g AS (
         |  SELECT conv_id, ts,
-        |    SUM(boundary) OVER (PARTITION BY conv_id ORDER BY ts, event_id) - 1 AS session_id
+        |    CAST(SUM(boundary) OVER (PARTITION BY conv_id ORDER BY ts, event_id) - 1 AS BIGINT) AS session_id
         |  FROM b
         |)
         |SELECT conv_id, session_id, count(*) AS n_events,

@@ -9,6 +9,9 @@ import numpy as np
 
 verify_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
 sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+# optional 3rd arg: comma-separated query names (matches SPARK_GRAFT_ONLY
+# partial Verify dumps) — check only those oracle entries
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 oracle = json.load(open(f"{verify_dir}/oracle_sql.json"))
 con = duckdb.connect()
@@ -23,9 +26,13 @@ def canon(df):
         if pd.api.types.is_datetime64_any_dtype(s):
             s = pd.to_datetime(s, utc=True).dt.tz_localize(None)
         elif pd.api.types.is_float_dtype(s):
-            # int-valued floats print as ints so int64-vs-hugeint dtypes agree;
-            # 6 dp matches the repo's round(..., 6) parity rule on both sides
-            s = s.round(6).map(lambda v: v if pd.isna(v) else (int(v) if v == int(v) else v))
+            # 6 dp matches the repo's round(..., 6) parity rule on both sides.
+            # Round-4 lesson: do NOT collapse int-valued floats to ints here —
+            # that collapse hid a DuckDB HUGEINT-vs-int64 dtype artifact
+            # (q_flow_sessions) from the local gate for two rounds while the
+            # driver's hasher saw "0.0" vs "0" and failed every row. The local
+            # gate must render exactly what the driver renders.
+            s = s.round(6)
         elif pd.api.types.is_bool_dtype(s):
             s = s.astype(object)
         df[c] = s.map(lambda v: "NULL" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
@@ -37,6 +44,8 @@ def canon(df):
 # gate can't diverge from the driver's again (round-1 lesson: the permissive
 # dual-glob here masked a key mismatch that zeroed CORRECTNESS_r01).
 oracle = {k: v for k, v in oracle.items() if k.endswith(".parquet")}
+if only is not None:
+    oracle = {k: v for k, v in oracle.items() if k.removesuffix(".parquet") in only}
 
 fails = []
 for name, sql in sorted(oracle.items()):
@@ -55,6 +64,27 @@ for name, sql in sorted(oracle.items()):
         fails.append((name, f"rowcount {len(spark_df)} vs {len(duck_df)}")); continue
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         fails.append((name, f"cols {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}")); continue
+    # Driver-strictness dtype gate (round-4 VERDICT item 2): a DuckDB
+    # HUGEINT/DOUBLE column renders "0.0" through pandas where a Spark int64
+    # renders "0" — the driver's hasher fails on that alone. Fail loudly on
+    # any integral-vs-float dtype split so oracle-type artifacts can never
+    # hide from the local gate again (fix = CAST(... AS BIGINT) in the SQL).
+    dtype_bad = []
+    for c in spark_df.columns:
+        si = pd.api.types.is_integer_dtype(spark_df[c])
+        sf = pd.api.types.is_float_dtype(spark_df[c])
+        di = pd.api.types.is_integer_dtype(duck_df[c])
+        df_ = pd.api.types.is_float_dtype(duck_df[c])
+        # int-with-NULLs legitimately surfaces as float on either side; only
+        # flag when the float side has no NaNs (pure dtype artifact, exactly
+        # what the driver sees) — a NaN-carrying column differs in VALUES too
+        # if the other side lacks the nulls, which the value compare catches.
+        if si and df_ and not duck_df[c].isna().any():
+            dtype_bad.append(f"{c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype} (HUGEINT/DOUBLE oracle? CAST to BIGINT)")
+        elif di and sf and not spark_df[c].isna().any():
+            dtype_bad.append(f"{c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}")
+    if dtype_bad:
+        fails.append((name, "driver-visible dtype split: " + "; ".join(dtype_bad))); continue
     a, b = canon(spark_df.copy()), canon(duck_df.copy())
     try:
         eq = a.equals(b)
