@@ -571,8 +571,14 @@ object SparkEntry {
     // candidates from the bucket join, Jaccard estimated from matching
     // signature components (exact integer ppm)
     "q_fuzzy_decontam" -> { (s, dir) =>
+      // the +500000 bench-id namespace (and the oracle's +10⁶ union
+      // offset) needs doc_id < 5·10⁵ — fail LOUDLY if a bigger SF ever
+      // breaks the fixture contract instead of silently colliding ids
       val bench = documents(s, dir).where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 500000).as("doc_id"),
+        .select((when(col("doc_id") < 500000L, col("doc_id"))
+            .otherwise(raise_error(lit(
+              "q_fuzzy_decontam fixture: doc_id >= 5e5 collides with the +500000 bench-id namespace")))
+          + 500000L).as("doc_id"),
           concat(lit("bench set "), col("text"), lit(" eos")).as("text"))
       Dedup.decontaminateFuzzy(docsWithDupes(s, dir), bench,
         numHashes = 8, rowsPerBand = 2, k = 4, minEstPpm = 500000L)
@@ -1015,25 +1021,14 @@ object SparkEntry {
 
     // DPO-style preference-pair mining: responses grouped per prompt, a
     // deterministic reward (length proxy) ranks them, (chosen, rejected)
-    // = (argmax, argmin) with the reward margin. Composite tie-break
-    // encoded as ONE integer (score·10⁶ + id — the arg_max struct-key
-    // lesson), so both engines agree exactly. One groupBy — no window.
-    "q_preference_pairs" -> { (s, dir) =>
-      val d = documents(s, dir).select(
-        (col("doc_id") % 100).as("prompt_id"), col("doc_id"),
-        length(col("text")).cast("long").as("score"))
-        .withColumn("k", col("score") * 1000000L + col("doc_id"))
-      d.groupBy("prompt_id")
-        .agg(count(lit(1)).as("n_responses"),
-          max(col("k")).as("ck"), min(col("k")).as("rk"))
-        .where(col("n_responses") >= 2)
-        .select(col("prompt_id"), col("n_responses"),
-          (col("ck") % 1000000L).as("chosen_id"),
-          (col("rk") % 1000000L).as("rejected_id"),
-          expr("ck div 1000000").as("chosen_score"),
-          expr("rk div 1000000").as("rejected_score"),
-          expr("ck div 1000000 - rk div 1000000").as("margin"))
-    },
+    // = (argmax, argmin) with the reward margin. Tie-break is the full
+    // (score, doc_id) struct ordering — id-width-safe at any doc_id (the
+    // round-4 score·10⁶+id packing collided past 10⁶ ids); the DuckDB
+    // twin uses the zero-padded-string composite key (arg_max rejects
+    // struct keys). One groupBy — no window.
+    "q_preference_pairs" -> ((s, dir) =>
+      graft.ops.Curation.preferencePairs(documents(s, dir),
+        col("doc_id") % 100, col("doc_id"), length(col("text")))),
 
     "q_tool_transitions" -> ((s, dir) =>
       graft.ops.Conversations.toolTransitions(transcripts(s, dir))),
@@ -6209,29 +6204,32 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id % 100 AS prompt_id, doc_id,
         |    CAST(length(text) AS BIGINT) AS score,
-        |    CAST(length(text) AS BIGINT) * 1000000 + doc_id AS k
+        |    lpad(CAST(length(text) AS VARCHAR), 20, '0')
+        |      || lpad(CAST(doc_id AS VARCHAR), 20, '0') AS k
         |  FROM documents),
         |a AS (
         |  SELECT prompt_id, count(*) AS n_responses,
-        |    CAST(max(k) AS BIGINT) AS ck, CAST(min(k) AS BIGINT) AS rk
+        |    arg_max(doc_id, k) AS chosen_id, arg_min(doc_id, k) AS rejected_id,
+        |    arg_max(score, k) AS chosen_score, arg_min(score, k) AS rejected_score
         |  FROM d GROUP BY 1)
-        |SELECT prompt_id, n_responses,
-        |  ck % 1000000 AS chosen_id, rk % 1000000 AS rejected_id,
-        |  ck // 1000000 AS chosen_score, rk // 1000000 AS rejected_score,
-        |  ck // 1000000 - rk // 1000000 AS margin
+        |SELECT prompt_id, n_responses, chosen_id, rejected_id,
+        |  chosen_score, rejected_score,
+        |  chosen_score - rejected_score AS margin
         |FROM a WHERE n_responses >= 2""".stripMargin,
 
     "q_tool_latency" ->
       s"""$T, tt AS (SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS tus FROM transcripts),
          |wn AS (
          |  SELECT conv_id, turn_idx, tool, tus,
-         |    min(CASE WHEN role = 'assistant' THEN tus END) OVER (
+         |    min(CASE WHEN role = 'assistant' THEN
+         |          lpad(CAST(turn_idx AS VARCHAR), 10, '0') || lpad(CAST(tus AS VARCHAR), 20, '0')
+         |        END) OVER (
          |      PARTITION BY conv_id ORDER BY turn_idx DESC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nxk
          |  FROM tt),
          |lat AS (
-         |  SELECT tool, nx - tus AS lat_us, conv_id, turn_idx FROM wn
-         |  WHERE tool IS NOT NULL AND nx IS NOT NULL),
+         |  SELECT tool, CAST(substr(nxk, 11) AS BIGINT) - tus AS lat_us, conv_id, turn_idx FROM wn
+         |  WHERE tool IS NOT NULL AND nxk IS NOT NULL),
          |r AS (
          |  SELECT tool, lat_us,
          |    row_number() OVER (PARTITION BY tool ORDER BY lat_us, conv_id, turn_idx) AS rn,

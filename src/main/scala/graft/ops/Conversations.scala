@@ -109,12 +109,16 @@ object Conversations {
 
   /** Per-tool round-trip latency: each tool turn's gap to the
     * conversation's NEXT assistant turn in exact µs — the agent-loop
-    * "how long until the model consumed this tool result" metric. The
-    * next-assistant timestamp is a reverse running-min per conversation
-    * (one conv_id exchange; the per-tool median windows repartition on
-    * the tiny tool key space). Tool turns with no following assistant
-    * (trailing calls) are excluded. Output per tool: call count,
-    * lower-median and max latency.
+    * "how long until the model consumed this tool result" metric. "Next"
+    * is by TURN ORDER (reverse running-min over the (turn_idx, tus)
+    * struct — the earliest following turn_idx wins, not the smallest
+    * following timestamp), so a non-monotonic clock inside a
+    * conversation cannot attribute the gap to the wrong assistant turn;
+    * a negative latency then truthfully reports that the next assistant
+    * turn carries an earlier timestamp. One conv_id exchange; the
+    * per-tool median windows repartition on the tiny tool key space.
+    * Tool turns with no following assistant (trailing calls) are
+    * excluded. Output per tool: call count, lower-median and max.
     */
   def toolLatency(df: DataFrame, convCol: String = "conv_id",
       turnCol: String = "turn_idx", roleCol: String = "role",
@@ -124,7 +128,8 @@ object Conversations {
     val wDesc = Window.partitionBy(convCol).orderBy(col(turnCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1) // turns strictly AFTER
     val lat = t.withColumn("nx",
-        min(when(col(roleCol) === "assistant", col("tus"))).over(wDesc))
+        min(when(col(roleCol) === "assistant",
+          struct(col(turnCol), col("tus")))).over(wDesc).getField("tus"))
       .where(col(toolCol).isNotNull && col("nx").isNotNull)
       .select(col(toolCol), (col("nx") - col("tus")).as("lat_us"),
         col(convCol), col(turnCol))

@@ -1077,4 +1077,29 @@ object Curation {
       .select(col("uid"), col("n_events"), col("n_purchases"),
         col("recency_hours"), coalesce(col("label"), lit(0)).as("label"))
   }
+
+  /** DPO-style preference-pair mining: responses grouped per prompt, a
+    * deterministic reward (`scoreCol`) ranks them, (chosen, rejected) =
+    * (argmax, argmin) with the reward margin. The tie-break is the full
+    * (score, id) struct ordering — id-width-safe at any id magnitude
+    * (an earlier score·10⁶+id integer packing silently collided once
+    * ids crossed 10⁶; max over a struct never does). One map-side-
+    * combinable groupBy — no window, no shuffle beyond the prompt key.
+    * Reference shape: DPO (Rafailov et al. 2023) pair construction.
+    */
+  def preferencePairs(df: DataFrame, promptCol: Column, idCol: Column,
+      scoreCol: Column): DataFrame =
+    df.select(promptCol.as("prompt_id"), idCol.as("doc_id"),
+        scoreCol.cast("long").as("score"))
+      .groupBy("prompt_id")
+      .agg(count(lit(1)).as("n_responses"),
+        max(struct(col("score"), col("doc_id"))).as("c"),
+        min(struct(col("score"), col("doc_id"))).as("r"))
+      .where(col("n_responses") >= 2)
+      .select(col("prompt_id"), col("n_responses"),
+        col("c.doc_id").as("chosen_id"),
+        col("r.doc_id").as("rejected_id"),
+        col("c.score").as("chosen_score"),
+        col("r.score").as("rejected_score"),
+        (col("c.score") - col("r.score")).as("margin"))
 }

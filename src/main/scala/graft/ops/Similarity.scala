@@ -118,10 +118,27 @@ object Similarity {
 
   /** Sign-bit bucket of `vec` under hyperplane set `h`, prefixed with a
     * table id so multiple tables can share one join key column.
+    *
+    * Guards the vector length against the hyperplane dim: zip_with pads a
+    * length mismatch with nulls, every dot goes NULL, every sign test
+    * falls to the '0' branch — all rows collide in ONE bucket per table
+    * and the banded join silently degenerates to all-pairs (still an
+    * equi-join, so no plan assert catches it). A mismatched dim must
+    * ERROR, not go quadratic.
     */
-  def signBucket(vec: Column, h: Array[Array[Double]], prefix: String = ""): Column =
-    concat_ws("", lit(prefix) +:
-      h.toIndexedSeq.map(p => when(dotLit(vec, p) >= 0, lit("1")).otherwise(lit("0"))): _*)
+  def signBucket(vec: Column, h: Array[Array[Double]], prefix: String = ""): Column = {
+    // planes=0 (empty h) is the intentional degenerate-banding path — one
+    // bucket per table, used by the all-pairs-equivalence specs; there is
+    // no dim to guard
+    if (h.isEmpty) return lit(prefix)
+    val dim = h.head.length
+    when(size(vec) === dim,
+      concat_ws("", lit(prefix) +:
+        h.toIndexedSeq.map(p => when(dotLit(vec, p) >= 0, lit("1")).otherwise(lit("0"))): _*))
+      .otherwise(raise_error(concat(
+        lit("sign-LSH: embedding length "), size(vec).cast("string"),
+        lit(s" != hyperplane dim $dim"))))
+  }
 
   /** The matching DuckDB bucket expression (vExpr names a DOUBLE[] col). */
   def signBucketSql(vExpr: String, h: Array[Array[Double]], prefix: String = ""): String =
@@ -214,9 +231,17 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int = 10, nprobe: Int = 2,
       centroids: Option[Int] = None,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      literalMaxCentroids: Int = 1024): DataFrame = {
-    val nCents = centroids.getOrElse(
-      math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+      literalMaxCentroids: Int = 1024,
+      maxCentroids: Int = 4096): DataFrame = {
+    // the centroid collect is bounded by the CALLER constant maxCentroids,
+    // never by corpus size: an uncapped √n build collects ~10⁶ vectors to
+    // the driver at 10¹² rows. Past maxCentroids² corpus rows the cell
+    // count saturates (cells grow beyond √n — still correct, coarser
+    // recall/cost trade); the genuinely unbounded-scale path is
+    // [[ivfTopKSampled]], whose centroid count is caller-fixed outright.
+    val nCents = math.min(maxCentroids,
+      centroids.getOrElse(
+        math.ceil(math.sqrt(corpus.count().toDouble)).toInt))
     val cents: Array[(Long, Seq[Double])] = corpus
       .where(col(idCol) < nCents)
       .select(col(idCol).cast("long"), asDouble(col(vecCol)))

@@ -109,15 +109,19 @@ object Fnv32a {
     * and reduced mod numPartitions — uniform across partitions, stable
     * across retries/replays (in-spec: Beats itself re-uses the
     * previously assigned partition when an event is retried,
-    * partition.go:112-118). `ord` must be a non-negative event ordinal;
-    * the long cast of the double division truncates = floors for
-    * non-negative ordinals (exact below 2^53).
+    * partition.go:112-118). `ord` must be a non-negative event ordinal
+    * (Spark `div` truncates toward zero where DuckDB `//` floors — they
+    * agree only for non-negatives); the INTEGER division is exact at any
+    * int64 ordinal (the earlier double-division path silently lost
+    * precision past 2^53 — an advertised-10¹²-rows engine cannot carry
+    * that caveat in a partitioner).
     */
   def randomPartition(ord: Column, numPartitions: Int,
       groupEvents: Int = 1): Column =
     pmod(
       conv(substring(md5(concat(lit("rnd:"),
-        (ord.cast("long") / groupEvents).cast("long").cast("string"))), 1, 4),
+        call_function("div", ord.cast("long"), lit(groupEvents.toLong))
+          .cast("string"))), 1, 4),
         16, 10).cast("long"),
       lit(numPartitions.toLong)).cast("int")
 
@@ -140,7 +144,7 @@ object Fnv32a {
     */
   def roundRobinPartition(ord: Column, numPartitions: Int,
       groupEvents: Int = 1, start: Int = 0): Column =
-    pmod((ord.cast("long") / groupEvents).cast("long") + start,
+    pmod(call_function("div", ord.cast("long"), lit(groupEvents.toLong)) + start,
       lit(numPartitions.toLong)).cast("int")
 
   /** DuckDB twin of [[roundRobinPartition]]. */

@@ -300,7 +300,13 @@ object Pipeline {
           col("parse_error"))
         .agg(count(lit(1)).as("rows"), countDistinct(col("conv_id")).as("convs"),
           grouping_id().as("gid"))
-        .persist()
+        // explicit level: MEMORY_AND_DISK spills evicted slices to local
+        // disk instead of silently dropping them (a drop would recompute
+        // from dataDir at metrics_merge — correct but it reintroduces the
+        // per-run disk scan this cache exists to remove; metrics_merge
+        // logs if cached partitions went missing so a scaling-number
+        // regression stays attributable)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // grouping_id: one bit per grouping column (1 = aggregated away),
       // ordered (bucket, sink, window_start, role, parse_error) — the
       // windowed set drops parse_error → 1; the counts set drops
@@ -407,6 +413,18 @@ object Pipeline {
     // disk job in the hot path. Resumes (any prior commits/data) still
     // merge from disk: earlier runs' partials only exist there.
     if (pending.nonEmpty || committed.nonEmpty) phase("metrics_merge") {
+      if (freshRun && freshPartials.nonEmpty) {
+        // attribution signal (not a correctness gate): if any wave's
+        // persisted slice lost cached partitions, the merge silently
+        // recomputes those from dataDir — log it so a slower scaling
+        // number can be traced here instead of looking like host noise
+        val info = spark.sparkContext.getRDDStorageInfo
+        val missing = info.filter(i => i.numCachedPartitions < i.numPartitions)
+        if (missing.nonEmpty) System.err.println(
+          s"[pipeline] metrics_merge: ${missing.length} persisted wave slice(s) partially evicted " +
+            s"(${missing.map(i => s"${i.numCachedPartitions}/${i.numPartitions}").mkString(", ")}) - " +
+            "merge will recompute those partitions from the data dir")
+      }
       val partials =
         if (freshRun && freshPartials.nonEmpty)
           freshPartials.map(_._2).reduce(_ unionAll _)

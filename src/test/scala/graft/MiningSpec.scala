@@ -50,6 +50,21 @@ class MiningSpec extends AnyFunSuite {
 
   // ---- marginPairsBanded --------------------------------------------------
 
+  test("signBucket: a dim-mismatched embedding errors loudly instead of degenerating to one bucket") {
+    import org.apache.spark.sql.functions.col
+    // dim-2 vectors under dim-4 hyperplanes: zip_with would null-pad,
+    // every sign test would fall to '0' and the banded join would silently
+    // go all-pairs — the guard must raise instead
+    val bad = Seq((0L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    val h = Similarity.hyperplanes(planes = 2, dim = 4)
+    val e = intercept[Throwable] {
+      bad.select(Similarity.signBucket(col("embedding"), h)).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    assert(chain(e).contains("sign-LSH"), chain(e))
+  }
+
   test("marginPairsBanded: planes=0 degenerate banding is bit-identical to the all-pairs truth") {
     // one empty hyperplane table ⇒ every row lands in one bucket ⇒ the
     // candidate frame IS the cross product — this pins the hoisted-norm

@@ -97,6 +97,22 @@ class RoundFourOpsSpec extends AnyFunSuite {
     assert(got("x") == ((2L, 1000000L, 15000000L)))
   }
 
+  test("tool latency: 'next assistant' is by TURN ORDER, not smallest following timestamp") {
+    def ts(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    // non-monotonic clock: the assistant at turn 2 (ts 20) is the next
+    // turn; the assistant at turn 3 carries an EARLIER ts (5). A min over
+    // bare timestamps would attribute the gap to turn 3 (lat −5 s); the
+    // (turn_idx, tus) struct ordering must pick turn 2 (lat +10 s).
+    val turns = Seq(
+      ("C", 1, "tool", "r", "x", ts(10)),
+      ("C", 2, "assistant", "a", null, ts(20)),
+      ("C", 3, "assistant", "b", null, ts(5)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = graft.ops.Conversations.toolLatency(turns).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("p50_us") == 10000000L)
+  }
+
   // ---- q_preference_pairs -------------------------------------------------
 
   test("preference pairs: chosen/rejected are the per-prompt score argmax/argmin with id tie-breaks") {
@@ -118,6 +134,22 @@ class RoundFourOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("rejected_id") == rejected._2, s"prompt $p rejected")
       assert(r.getAs[Long]("margin") == chosen._3 - rejected._3)
     }
+  }
+
+  test("preference pairs: struct tie-break survives doc_id >= 1e6 (round-4 packing collided there)") {
+    // ids far past the 10^6 headroom of the retired score*1e6+id packing;
+    // score ties inside prompt 1 force the tie-break to decide
+    val docs = Seq(
+      (1L, 7_000_000_001L, 50L), (1L, 7_000_000_002L, 50L),
+      (1L, 3_000_000_000L, 10L),
+      (2L, 9_999_999_999L, 5L), (2L, 1L, 99L))
+      .toDF("p", "id", "sc")
+    val got = graft.ops.Curation.preferencePairs(docs, col("p"), col("id"), col("sc"))
+      .collect().map(r => r.getAs[Long]("prompt_id") ->
+        (r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"), r.getAs[Long]("margin")))
+      .toMap
+    assert(got(1L) == ((7_000_000_002L, 3_000_000_000L, 40L)))
+    assert(got(2L) == ((1L, 9_999_999_999L, 94L)))
   }
 
   // ---- q_clock_skew -------------------------------------------------------
