@@ -1942,6 +1942,22 @@ object SparkEntry {
         "negative_value" -> (col("value") >= 0)), "event_id")
     },
 
+    // ES bulk-response class report (elasticsearch/client.go:507-539):
+    // per-sink acked / duplicate(409) / dropped(other 4xx) /
+    // retryable(429+5xx) / too_many(429) counts over a deterministic
+    // per-row status fixture — the observer-gauge mapping made
+    // first-class next to q_dlq_report
+    "q_bulk_response" -> { (s, dir) =>
+      val r = routedTranscripts(s, dir)
+      val m = pmod(substring(col("conv_id"), 6, 12).cast("long") * 31
+        + col("turn_idx"), lit(20L))
+      val status = when(m <= 13, 200).when(m === 14, 201).when(m === 15, 409)
+        .when(m === 16, 400).when(m === 17, 404).when(m === 18, 429)
+        .otherwise(503)
+      graft.enrich.Processors.bulkResponseReport(
+        r.withColumn("_status", status), col("sink"), col("_status"))
+    },
+
     // backfill plan: missing-day ranges after dropping days 5, 12-13, 27
     "q_backfill_plan" -> ((s, dir) =>
       graft.ops.Lakehouse.backfillGaps(
@@ -7828,6 +7844,26 @@ object SparkEntry {
         |  FROM f)
         |SELECT reason, CAST(count(*) AS BIGINT) AS n_rows, min(event_id) AS min_id
         |FROM c GROUP BY 1""".stripMargin,
+
+    "q_bulk_response" ->
+      s"""$R, st AS (
+         |  SELECT sink,
+         |    (CAST(substr(conv_id, 6) AS BIGINT) * 31 + turn_idx) % 20 AS m
+         |  FROM routed),
+         |cl AS (
+         |  SELECT sink,
+         |    CASE WHEN m <= 13 THEN 200 WHEN m = 14 THEN 201
+         |         WHEN m = 15 THEN 409 WHEN m = 16 THEN 400
+         |         WHEN m = 17 THEN 404 WHEN m = 18 THEN 429
+         |         ELSE 503 END AS s
+         |  FROM st)
+         |SELECT sink,
+         |  CAST(sum(CASE WHEN s < 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_acked,
+         |  CAST(sum(CASE WHEN s = 409 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicate,
+         |  CAST(sum(CASE WHEN s >= 300 AND s < 500 AND s <> 409 AND s <> 429 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN s = 429 OR s >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_retryable,
+         |  CAST(sum(CASE WHEN s = 429 THEN 1 ELSE 0 END) AS BIGINT) AS n_too_many
+         |FROM cl GROUP BY 1""".stripMargin,
 
     "q_backfill_plan" ->
       """WITH d AS (

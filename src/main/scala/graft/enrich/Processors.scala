@@ -85,4 +85,34 @@ object Processors {
       .withColumn("reason", coalesce(col("dlq_reason"), lit("ok")))
       .groupBy("reason")
       .agg(count(lit(1)).as("n_rows"), min(idCol).as("min_id"))
+
+  /** ES bulk-response class report — the reference's per-item bulk
+    * partitioning made first-class
+    * (libbeat/outputs/elasticsearch/client.go:507-539,
+    * bulkCollectPublishFails): per sink,
+    *   - `n_acked`      status < 300,
+    *   - `n_duplicate`  status 409 (create op_type conflict — ok, kept),
+    *   - `n_dropped`    other 4xx except 429 (non-indexable hard fail,
+    *                    never retried),
+    *   - `n_retryable`  429 + all 5xx (returned to the retry loop),
+    *   - `n_too_many`   the 429 sub-count of retryable (client.go keeps
+    *                    ErrTooMany as its own gauge next to Failed).
+    * Spark's task retry replaces the reference's in-process retry loop;
+    * this report is the observability mapping (Acked/Failed/Dropped/
+    * Duplicate/ErrTooMany observer calls, client.go:343-353). One
+    * map-side-combinable hash aggregate on the sink key.
+    */
+  def bulkResponseReport(df: DataFrame, sinkCol: Column,
+      statusCol: Column): DataFrame =
+    df.select(sinkCol.as("sink"), statusCol.cast("int").as("_st"))
+      .groupBy("sink")
+      .agg(
+        sum(when(col("_st") < 300, 1L).otherwise(0L)).as("n_acked"),
+        sum(when(col("_st") === 409, 1L).otherwise(0L)).as("n_duplicate"),
+        sum(when(col("_st") >= 300 && col("_st") < 500
+          && col("_st") =!= 409 && col("_st") =!= 429, 1L).otherwise(0L))
+          .as("n_dropped"),
+        sum(when(col("_st") === 429 || col("_st") >= 500, 1L).otherwise(0L))
+          .as("n_retryable"),
+        sum(when(col("_st") === 429, 1L).otherwise(0L)).as("n_too_many"))
 }

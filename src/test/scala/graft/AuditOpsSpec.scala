@@ -240,6 +240,26 @@ class AuditOpsSpec extends AnyFunSuite {
       "unknown_type" -> (1L, 4L), "negative_value" -> (1L, 5L)))
   }
 
+  test("bulkResponseReport partitions statuses exactly like the ES bulk observer") {
+    import graft.enrich.Processors
+    // one row per interesting status: 2xx acked; 409 duplicate; 3xx/4xx
+    // (not 409/429) dropped; 429 retryable AND too_many; 5xx retryable
+    val df = Seq(
+      ("a", 200), ("a", 201), ("a", 299),   // acked
+      ("a", 409), ("a", 409),               // duplicates
+      ("a", 301), ("a", 400), ("a", 404),   // dropped (3xx counts too)
+      ("a", 429),                           // retryable + too_many
+      ("a", 500), ("a", 503),               // retryable
+      ("b", 200)).toDF("sink", "status")
+    val out = Processors.bulkResponseReport(df, col("sink"), col("status"))
+      .collect().map(r => r.getAs[String]("sink") ->
+        (r.getAs[Long]("n_acked"), r.getAs[Long]("n_duplicate"),
+          r.getAs[Long]("n_dropped"), r.getAs[Long]("n_retryable"),
+          r.getAs[Long]("n_too_many"))).toMap
+    assert(out("a") == ((3L, 2L, 3L, 3L, 1L)))
+    assert(out("b") == ((1L, 0L, 0L, 0L, 0L)))
+  }
+
   // ---- backfillGaps -------------------------------------------------------------------
 
   test("backfillGaps finds the missing-day runs between present days") {

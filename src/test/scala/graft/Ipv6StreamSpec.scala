@@ -45,7 +45,14 @@ class Ipv6StreamSpec extends AnyFunSuite {
     val rows = Seq(
       (1L, 1L, t(0)), (1L, 2L, t(10)), (1L, 3L, t(20)), (1L, 4L, t(30)),
       (1L, 5L, t(40)), (1L, 6L, t(5000)),
-      (2L, 7L, t(0)), (2L, 8L, t(4000)))
+      (2L, 7L, t(0)), (2L, 8L, t(4000)),
+      // equal-timestamp battery (the round-4 eviction boundary): ids 5/50
+      // are simultaneous — neither may count the other; ids 9/10 sit at
+      // t(60) where id 1 (t 0) is EXACTLY at the trailing-window start —
+      // a strict-> eviction would drop id 1 while folding id 9 and
+      // undercount id 10's n_prior vs the batch RANGE [-win, -1] frame
+      (1L, 50L, t(40)), (1L, 9L, t(60)), (1L, 10L, t(60)),
+      (2L, 70L, t(0)))
     val df = rows.toDF("key", "id", "ts")
     val winUs = 60000000L // 60 s
     val batch = Aggregates.freqCap(df, "key", "ts", "id", winUs, cap = 3L)
