@@ -28,17 +28,22 @@ object Triage {
     // warmup (untimed)
     graft.SparkEntry.queries(targets.head)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
+    // Construction is INSIDE the timed section: iterative operators
+    // (connected components' large-star/small-star rounds with per-round
+    // localCheckpoint) do their heavy lifting while the DataFrame is
+    // being BUILT — timing only the final action reads 0.2 s for a 5 s
+    // query. Non-iterative queries pay ~ms of plan building, so the
+    // r3/r4 triage numbers stay comparable.
     for (q <- targets) {
       val noops = (1 to 3).map { _ =>
-        val df = graft.SparkEntry.queries(q)(spark, sfDir)
         val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
+        graft.SparkEntry.queries(q)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       val counts = (1 to 3).map { _ =>
-        val df = graft.SparkEntry.queries(q)(spark, sfDir)
         val t0 = System.nanoTime()
-        df.count(): Unit
+        graft.SparkEntry.queries(q)(spark, sfDir).count(): Unit
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$q%-12s noop_min=${noops.min}%.3f s  count_min=${counts.min}%.3f s  " +
