@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass native kernel for [[TextAnalysis.charGini]]'s raw ratio
+  * (n² − Σcᵢ²)/n² over lowercase [a-z0-9] + "other" code-point classes.
+  *
+  * The composed-expression form evaluated 36 `length(replace(low, ch))`
+  * scans per row — O(36·len) string traversals that multiply again when
+  * the column appears on both sides of a self-join (q_curation_pipeline
+  * re-derives the quality gate on each side). This kernel counts every
+  * class in ONE byte scan of the lowercased string. Counts are identical
+  * by construction (code-point classes partition the string), so the
+  * rounded output and every oracle stay bit-for-bit unchanged — the
+  * outer `round(…, 6)` remains Spark's own Round, see
+  * [[TextAnalysis.charGini]]. NULL for the empty string (the composed
+  * form's `when(n > 0, …)` missing-otherwise branch).
+  *
+  * Same hot-path native-expression discipline as SyslogExpr (round 4):
+  * when a scalar falls out of single-scan shape, hand it one codegen
+  * kernel rather than a chain of built-ins the optimizer cannot fuse.
+  */
+final case class CharGiniExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_gini requires a string input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharGiniExpr.giniRaw(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val g = ctx.freshName("gini")
+      s"""java.lang.Double $g = graft.ops.CharGiniExpr.giniRaw($c);
+         |if ($g == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $g.doubleValue(); }""".stripMargin
+    })
+
+  override def prettyName: String = "char_gini_raw"
+
+  override protected def withNewChildInternal(newChild: Expression): CharGiniExpr =
+    copy(child = newChild)
+}
+
+object CharGiniExpr {
+
+  /** One pass over the lowercased bytes: code points are counted at their
+    * UTF-8 lead byte ((b & 0xC0) != 0x80 — exactly what
+    * `UTF8String.numChars` counts), ASCII [a-z0-9] into their 36 class
+    * buckets, every other code point into `other`. Returns the UNROUNDED
+    * ratio as exact-int arithmetic cast to double — the caller applies
+    * Spark's Round so the 6-dp value is produced by the identical code
+    * path as the composed form. Null when the string is empty.
+    */
+  def giniRaw(s: UTF8String): java.lang.Double = {
+    val b = s.toLowerCase.getBytes
+    var n = 0L
+    var other = 0L
+    val counts = new Array[Long](36)
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if ((c & 0xC0) != 0x80) {
+        n += 1L
+        if (c >= 'a' && c <= 'z') counts(c - 'a') += 1L
+        else if (c >= '0' && c <= '9') counts(26 + (c - '0')) += 1L
+        else other += 1L
+      }
+      i += 1
+    }
+    if (n == 0L) null
+    else {
+      var sumSq = other * other
+      var j = 0
+      while (j < 36) { sumSq += counts(j) * counts(j); j += 1 }
+      java.lang.Double.valueOf((n * n - sumSq).toDouble / (n * n).toDouble)
+    }
+  }
+}

@@ -241,12 +241,20 @@ object Dedup {
     }
 
   def lshBands(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
-      k: Int = 4, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val wide = minhashWide(df, numHashes, k, idCol, textCol)
+      k: Int = 4, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    lshBandsFromWide(minhashWide(df, numHashes, k, idCol, textCol),
+      numHashes, rowsPerBand, idCol)
+
+  /** Band rows off an ALREADY-COMPUTED wide signature frame — the reuse
+    * seam: shingle→minhash is the expensive pass, and a caller holding
+    * the wide frame (e.g. [[editVerify]]'s signature screen) must not pay
+    * it twice.
+    */
+  private def lshBandsFromWide(wide: DataFrame, numHashes: Int,
+      rowsPerBand: Int, idCol: String): DataFrame =
     wide
       .select(col(idCol), explode(array(bandKeyStructs(numHashes, rowsPerBand): _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-  }
 
   /** @param maxBucketWidth drop (band, band_key) buckets with more than
     *   this many members BEFORE pair emission. Pair output is quadratic
@@ -259,8 +267,21 @@ object Dedup {
     */
   def lshCandidates(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
       k: Int = 4, idCol: String = "doc_id", textCol: String = "text",
-      maxBucketWidth: Option[Int] = None): DataFrame = {
-    val bands = lshBands(df, numHashes, rowsPerBand, k, idCol, textCol)
+      maxBucketWidth: Option[Int] = None): DataFrame =
+    candidatesFromBands(
+      lshBands(df, numHashes, rowsPerBand, k, idCol, textCol),
+      idCol, maxBucketWidth)
+
+  /** Pair emission over a band frame. The bands are localCheckpoint'ed
+    * before the self-join: both join sides (and the width filter) would
+    * otherwise each re-run the whole shingle→minhash→band pipeline —
+    * measured as the dominant cost of the sf0.1 verify-stage queries.
+    * The checkpoint is |docs|·bands short rows, far smaller than the
+    * shingle intermediate it avoids recomputing.
+    */
+  private def candidatesFromBands(bandsIn: DataFrame, idCol: String,
+      maxBucketWidth: Option[Int]): DataFrame = {
+    val bands = bandsIn.localCheckpoint()
     val sized = maxBucketWidth match {
       case Some(w) =>
         val widths = bands.groupBy("band", "band_key")
@@ -531,10 +552,15 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = split(lower(trim(col(textCol))), "\\s+")
+    // checkpointed: the gram table feeds BOTH the df aggregate and the
+    // hot-gram join — without it each side re-runs the tokenize/explode/
+    // hash pass (one (id, pos, 8-byte hash) row per token position —
+    // far cheaper to hold than to recompute)
     val grams = df.select(
         col(idCol),
         posexplode(TextAnalysis.wordGrams(toks, n)).as(Seq("_i", "_gram")))
       .select(col(idCol), (col("_i") + 1).as("pos"), gramHash(col("_gram")).as("g"))
+      .localCheckpoint()
     val hot = grams.groupBy("g")
       .agg(countDistinct(col(idCol)).as("_gdf"))
       .where(col("_gdf") >= minDocFreq)
@@ -565,10 +591,12 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = split(lower(trim(col(textCol))), "\\s+")
+    // checkpointed — see dupSpans: two consumers, one tokenize/hash pass
     val grams = df.select(
         col(idCol),
         posexplode(TextAnalysis.wordGrams(toks, n)).as(Seq("_i", "_gram")))
       .select(col(idCol), (col("_i") + 1).as("pos"), gramHash(col("_gram")).as("g"))
+      .localCheckpoint()
     val hot = grams.groupBy("g")
       .agg(countDistinct(col(idCol)).as("_gdf"), min(col(idCol)).as("_keeper"))
       .where(col("_gdf") >= minDocFreq)
@@ -692,8 +720,11 @@ object Dedup {
     */
   def minhashJaccardEst(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 4,
       k: Int = 4, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val wide = minhashWide(df, numHashes, k, idCol, textCol)
-    val cands = lshCandidates(df, numHashes, rowsPerBand, k, idCol, textCol)
+    // one checkpointed shingle→minhash pass feeds banding AND the
+    // signature compare (the editVerify reuse seam)
+    val wide = minhashWide(df, numHashes, k, idCol, textCol).localCheckpoint()
+    val cands = candidatesFromBands(
+      lshBandsFromWide(wide, numHashes, rowsPerBand, idCol), idCol, None)
     val wa = wide.select(col(idCol).as("a") +:
       (0 until numHashes).map(i => col(s"sig$i").as(s"_a$i")): _*)
     val wb = wide.select(col(idCol).as("b") +:
@@ -873,9 +904,18 @@ object Dedup {
     require(simFloorPpm >= 0L && simFloorPpm <= 1000000L, "floor is a ppm")
     require(screenMinMatches >= 0 && screenMinMatches <= numHashes,
       "screen is a count of matching signature values")
-    val candAll = lshCandidates(df, numHashes, rowsPerBand, k, idCol, textCol)
-    val cand = if (screenMinMatches == 0) candAll else {
-      val wide = minhashWide(df, numHashes, k, idCol, textCol)
+    // ONE shingle→minhash pass serves both the banding and the signature
+    // screen: the wide frame is checkpointed (|docs| rows × numHashes
+    // longs) and every downstream stage — band self-join sides, screen
+    // joins — reads it instead of re-deriving signatures from text
+    // (measured: the recomputation was the bulk of the sf0.1
+    // edit_verify/entity_resolution wall time)
+    val cand = if (screenMinMatches == 0)
+      lshCandidates(df, numHashes, rowsPerBand, k, idCol, textCol)
+    else {
+      val wide = minhashWide(df, numHashes, k, idCol, textCol).localCheckpoint()
+      val candAll = candidatesFromBands(
+        lshBandsFromWide(wide, numHashes, rowsPerBand, idCol), idCol, None)
       val wa = wide.select(col(idCol).as("a") +:
         (0 until numHashes).map(i => col(s"sig$i").as(s"_a$i")): _*)
       val wb = wide.select(col(idCol).as("b") +:
@@ -997,6 +1037,10 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       shingleK: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOT checkpointed: a measured attempt (tk + pref localCheckpoint)
+    // moved the sf0.1 fixture only 8.4→8.0 s — exchange reuse already
+    // serves the repeated consumers here; the cost is the candidate join
+    // + verify aggregate themselves. Keep the fully declarative plan.
     val tk = shingleK match {
       case Some(kk) =>
         shingled(df, kk, idCol, textCol).select(col(idCol), col("shingle").as("token")).distinct()

@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native dot product over two `array<double>` columns — the hot scalar
+  * of every similarity operator, single-pass and codegen'd.
+  *
+  * The composed form `aggregate(zip_with(x, y, p·q), 0.0, acc+v)` runs
+  * INTERPRETED lambda trees (array higher-order functions never enter
+  * whole-stage codegen) and allocates the zipped intermediate per row —
+  * measured repeatedly in this repo as the dominant cost of pair-scoring
+  * stages (BASELINE.md session-8: hoisting just the self-dot out of a
+  * pair join was 3–6×). This kernel is one fused loop.
+  *
+  * Bit-identical by construction: the sum folds LEFT-TO-RIGHT over
+  * x(i)·y(i) exactly like the `aggregate` fold (same IEEE-754 op order,
+  * matching DuckDB's `list_dot_product`), so every rounded score and
+  * oracle hash is unchanged. Null semantics replicate the HOF chain:
+  * null array → null (BinaryExpression null-safety), length mismatch →
+  * null (zip_with pads with null, the products poison the fold), null
+  * element → null.
+  */
+final case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires two array<double> inputs, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotProductExpr.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val d = ctx.freshName("dot")
+      s"""java.lang.Double $d = graft.ops.DotProductExpr.dot($a, $b);
+         |if ($d == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $d.doubleValue(); }""".stripMargin
+    })
+
+  override def prettyName: String = "dot_product"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared euclidean distance Σ (x(i)−y(i))² — the k-means assignment
+  * scalar, same single-pass/bit-identical discipline as
+  * [[DotProductExpr]] (left-to-right fold, null on mismatch/null
+  * element).
+  */
+final case class SqDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sq_dist requires two array<double> inputs, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SqDistExpr.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val d = ctx.freshName("sqd")
+      s"""java.lang.Double $d = graft.ops.SqDistExpr.sqDist($a, $b);
+         |if ($d == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $d.doubleValue(); }""".stripMargin
+    })
+
+  override def prettyName: String = "sq_dist"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqDistExpr {
+
+  def sqDist(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  def column(x: Column, y: Column): Column =
+    GraftColumnBridge.column(SqDistExpr(
+      GraftColumnBridge.expression(x), GraftColumnBridge.expression(y)))
+}
+
+object DotProductExpr {
+
+  /** Left-to-right Σ x(i)·y(i); null on length mismatch or any null
+    * element (the zip_with-pad semantics of the composed form).
+    */
+  def dot(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** `dot(x, y)` as a Column over array<double> columns. */
+  def column(x: Column, y: Column): Column =
+    GraftColumnBridge.column(DotProductExpr(
+      GraftColumnBridge.expression(x), GraftColumnBridge.expression(y)))
+}

@@ -29,12 +29,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** cosine(a, b) over array<double> columns (cast floats first). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
-  }
+  /** cosine(a, b) over array<double> columns (cast floats first).
+    * Dots run in the [[DotProductExpr]] codegen kernel — same
+    * left-to-right fold as the retired aggregate(zip_with(…)) chain,
+    * bit-identical scores, no interpreted lambdas in the pair hot path.
+    */
+  def cosine(a: Column, b: Column): Column =
+    DotProductExpr.column(a, b) /
+      sqrt(DotProductExpr.column(a, a) * DotProductExpr.column(b, b))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -94,8 +96,7 @@ object Similarity {
   }
 
   private def dotLit(vec: Column, h: Array[Double]): Column =
-    aggregate(zip_with(vec, array(h.map(lit): _*), (p, q) => p * q),
-      lit(0.0), (acc, v) => acc + v)
+    DotProductExpr.column(vec, array(h.map(lit): _*))
 
   /** Seeded pseudo-random hyperplanes in [-0.5, 0.5), rounded to 6 dp.
     * Generated by java.util.Random(seed) — an ITERATED LCG whose
@@ -162,8 +163,7 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    def dot(x: Column, y: Column): Column = DotProductExpr.column(x, y)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", dot(col("qv"), col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
@@ -299,8 +299,7 @@ object Similarity {
     val centNorms = cents.map { case (id, v) =>
       (id, v, math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x)))
     }
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    def dot(x: Column, y: Column): Column = DotProductExpr.column(x, y)
 
     val (c, q) = if (cents.length <= literalMaxCentroids) {
       val centsLit = array(centNorms.map { case (id, v, norm) =>
@@ -413,8 +412,7 @@ object Similarity {
     val spark = e.sparkSession
     import spark.implicits._
     def sqDist(v: Column, c: Column): Column =
-      round(aggregate(zip_with(v, c, (p, q) => (p - q) * (p - q)),
-        lit(0.0), (acc, x) => acc + x), 6)
+      round(SqDistExpr.column(v, c), 6)
     e.crossJoin(broadcast(
         cents.map { case (cid, c) => (cid, c.toSeq) }.toDF("_cid", "_c")))
       .withColumn("_dist", sqDist(col("v"), col("_c")))
@@ -556,7 +554,7 @@ object Similarity {
     * (the snap is the cross-engine determinism contract — see [[kmeans]]).
     */
   private def normalizeL2(c: Column): Column = {
-    val n = sqrt(aggregate(zip_with(c, c, (p, q) => p * q), lit(0.0), (acc, x) => acc + x))
+    val n = sqrt(DotProductExpr.column(c, c))
     transform(c, x => round(x / n, 6))
   }
 
@@ -669,8 +667,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(m >= 1 && ks >= 1, "need at least one subspace and centroid")
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    def dot(x: Column, y: Column): Column = DotProductExpr.column(x, y)
     // (id, sub_id, subv): subspace s covers elements [s·(dim div m)+1 ..]
     def subVecs(df: DataFrame, outId: String): DataFrame =
       df.select(col(idCol).as(outId), asDouble(col(vecCol)).as("_v"))
@@ -790,8 +787,7 @@ object Similarity {
       minMarginPpm: Long = 1050000L,
       planes: Int = 6, tables: Int = 4, dim: Int = 64, seed: Long = 1L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    def dot(x: Column, y: Column): Column = DotProductExpr.column(x, y)
     val hs = (0 until tables).map(t =>
       t -> hyperplanes(planes, dim, seed + t * 7919L))
     def buckets(v: Column): Column =

@@ -731,17 +731,17 @@ object TextAnalysis {
     df.withColumn("n_chars", length(lower(col(textCol))).cast("int"))
       .withColumn("char_gini", charGini(col(textCol)))
 
-  /** The scalar heart of [[charDiversity]], reusable as a SQL function. */
-  def charGini(text: Column): Column = {
-    val low = lower(text)
-    val n = length(low)
-    val counts = diversityChars.map(ch =>
-      n - length(replace(low, lit(ch), lit(""))))
-    val other = n - counts.reduce(_ + _)
-    val sumSq = (counts :+ other).map(c => c.cast("long") * c.cast("long")).reduce(_ + _)
-    when(n > 0, round((n.cast("long") * n.cast("long") - sumSq).cast("double") /
-      (n.cast("long") * n.cast("long")).cast("double"), 6))
-  }
+  /** The scalar heart of [[charDiversity]], reusable as a SQL function.
+    * Counting runs in the single-pass [[CharGiniExpr]] codegen kernel
+    * (the composed 36×`length(replace(…))` chain scanned the string 36
+    * times per evaluation — and per PLAN OCCURRENCE: q_curation_pipeline
+    * evaluates the gate on both sides of its dedup semi-join). The
+    * 6-dp rounding stays Spark's own Round, so output and oracles are
+    * bit-identical to the composed form.
+    */
+  def charGini(text: Column): Column =
+    round(org.apache.spark.sql.GraftColumnBridge.column(
+      CharGiniExpr(org.apache.spark.sql.GraftColumnBridge.expression(text))), 6)
 
   /** Content-defined chunking (the Rabin-boundary scheme of LBFS/rsync,
     * applied to text): a chunk boundary falls after position i+k−1

@@ -112,6 +112,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(4L) === None)
   }
 
+  test("charGini kernel: bit-identical to the composed 36-replace expression, incl. unicode") {
+    // the retired composed form, rebuilt inline as the truth twin
+    def composed(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val low = lower(text)
+      val n = length(low)
+      val counts = (('a' to 'z') ++ ('0' to '9')).map(ch =>
+        n - length(replace(low, lit(ch.toString), lit(""))))
+      val other = n - counts.reduce(_ + _)
+      val sumSq = (counts :+ other).map(c => c.cast("long") * c.cast("long")).reduce(_ + _)
+      when(n > 0, round((n.cast("long") * n.cast("long") - sumSq).cast("double") /
+        (n.cast("long") * n.cast("long")).cast("double"), 6))
+    }
+    val rnd = new scala.util.Random(7)
+    val pool = "abcXYZ0189 !?é世界😀" // é, CJK, emoji (4-byte)
+    val strs = (1 to 300).map(_ =>
+      (1 to rnd.nextInt(40)).map(_ => pool(rnd.nextInt(pool.length))).mkString) ++
+      Seq("", "AAAA", "ÉÉ", "0123456789", "😀😀")
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+    val out = df.select(col("id"),
+        graft.ops.TextAnalysis.charGini(col("text")).as("kernel"),
+        composed(col("text")).as("composed"))
+      .collect()
+    out.foreach { r =>
+      val k = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      val c = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(k === c, s"row ${r.getLong(0)}: '${strs(r.getLong(0).toInt)}'")
+    }
+  }
+
   test("stableIds: dense 0..n-1 permutation, deterministic, bucket-ordered") {
     val df = (0 until 500).map(i => i.toLong * 7).toDF("doc_id")
     def run() = Curation.stableIds(df, "doc_id", buckets = 16)

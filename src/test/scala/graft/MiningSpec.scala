@@ -50,6 +50,32 @@ class MiningSpec extends AnyFunSuite {
 
   // ---- marginPairsBanded --------------------------------------------------
 
+  test("DotProduct/SqDist kernels: bit-identical to the aggregate(zip_with) fold, null on mismatch") {
+    import org.apache.spark.sql.functions._
+    val rnd = new java.util.Random(11)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(8)(rnd.nextDouble() * 2 - 1), Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    }.toDF("id", "x", "y")
+    val out = rows.select(
+        graft.ops.DotProductExpr.column(col("x"), col("y")).as("kd"),
+        aggregate(zip_with(col("x"), col("y"), (p, q) => p * q),
+          lit(0.0), (acc, v) => acc + v).as("cd"),
+        graft.ops.SqDistExpr.column(col("x"), col("y")).as("ks"),
+        aggregate(zip_with(col("x"), col("y"), (p, q) => (p - q) * (p - q)),
+          lit(0.0), (acc, v) => acc + v).as("cs"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // bit-identical, no tolerance
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+    // length mismatch → null (the zip_with-pad poisoning semantics)
+    val mm = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("x", "y")
+      .select(graft.ops.DotProductExpr.column(col("x"), col("y")).as("d"),
+        graft.ops.SqDistExpr.column(col("x"), col("y")).as("s"))
+      .collect().head
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+  }
+
   test("signBucket: a dim-mismatched embedding errors loudly instead of degenerating to one bucket") {
     import org.apache.spark.sql.functions.col
     // dim-2 vectors under dim-4 hyperplanes: zip_with would null-pad,
