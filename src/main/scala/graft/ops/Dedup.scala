@@ -373,7 +373,11 @@ object Dedup {
       maxDocFreq: Long = 1000, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = shingled(df, k, idCol, textCol).distinct()
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // checkpointed: the df-capped shingle table feeds the size aggregate
+    // and BOTH sides of the inverted-index pair join — three consumers
+    // that would each re-run the shingle explode + distinct + df join
     val filtered = sh.join(freq.where(col("df") <= maxDocFreq), Seq("shingle"))
+      .localCheckpoint()
     // sizes over the SAME df-capped universe as the intersection — mixing
     // unfiltered sizes with filtered intersections systematically deflates
     // Jaccard (round 1: every planted near-dup scored below threshold and
@@ -414,7 +418,9 @@ object Dedup {
       maxDocFreq: Long = 1000, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = shingled(df, k, idCol, textCol).distinct()
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // checkpointed — see ngramJaccard: three consumers, one shingle pass
     val filtered = sh.join(freq.where(col("df") <= maxDocFreq), Seq("shingle"))
+      .localCheckpoint()
     val sizes = filtered.groupBy(idCol).agg(count(lit(1)).as("sz"))
     // Prefilter (see ngramJaccard): |A∩B| ≤ min(|A|,|B|) so containment
     // |A∩B|/|A| ≤ |B|/|A| — pairs with |B| below the threshold ratio of
