@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.config.Autodiscover
 import graft.data.Transcripts
 import graft.enrich.Enrich
 import graft.ops.{Dedup, Graph, Multiline, Multimodal, Similarity, Sketches, StarQueries, TextAnalysis}
@@ -127,6 +128,43 @@ object SparkEntry {
 
   private val Tok = "%{level} [%{component}] %{body}"
 
+  /** Autodiscover fixture: provider start/stop events derived
+    * deterministically from the events table. Containers = user_id %% 40;
+    * every 7th event is a stop (tearing down ALL of that container's
+    * configs), every 13th has a missing id (reference: ignored,
+    * autodiscover.go:253-265); the image tag flips with event parity so
+    * one epoch can hold TWO distinct instantiated configs at once while
+    * repeat starts with the same tag exercise the already-running no-op.
+    */
+  private def discoveryFixture(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("event_id"), col("ts"),
+      lit("docker").as("provider"),
+      when(col("event_id") % 13 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("c"), (col("user_id") % 40).cast("string"))).as("id"),
+      when(col("event_id") % 7 === 0, lit("stop")).otherwise(lit("start")).as("action"),
+      when(col("user_id") % 4 === 0,
+          concat(lit("nginx:1."), (col("event_id") % 2).cast("string")))
+        .otherwise(concat(lit("redis:7."), (col("event_id") % 2).cast("string"))).as("image"),
+      (col("user_id") % 3).cast("string").as("zone"))
+
+  /** Template mapper for the fixture: a conditioned template, an
+    * unconditioned match-all template (reference: empty condition matches
+    * everything), and an and/not combinator template.
+    */
+  private val autoTemplates = Seq(
+    Autodiscover.AutoTemplate("t_nginx", Some(Cond.Contains("image", "nginx")),
+      "input=log path=/var/lib/docker/${data.id}/${data.image}.log"),
+    Autodiscover.AutoTemplate("t_container", None,
+      "input=container id=${data.id} zone=${data.zone}"),
+    Autodiscover.AutoTemplate("t_redis",
+      Some(Cond.And(Seq(Cond.Equals("zone", "2"),
+        Cond.Not(Cond.Contains("image", "nginx"))))),
+      "module=redis hosts=${data.id}:6379"))
+
+  private def autoLifecycle(s: SparkSession, dir: String): DataFrame =
+    Autodiscover.lifecycle(discoveryFixture(s, dir), autoTemplates)
+
   /** The FIXTURES.md §3 router (same as Pipeline.defaultRouter). */
   private def routedTranscripts(s: SparkSession, dir: String): DataFrame = {
     val parsed = Pipeline.parse(transcripts(s, dir), Tok)
@@ -211,6 +249,28 @@ object SparkEntry {
         "role_meta" -> Enrich.roleMeta(s), "tool_meta" -> Enrich.toolMeta(s))
       graft.config.ConfigCompiler.compile(conf, lookups)(transcripts(s, dir))
         .groupBy("sink").agg(count(lit(1)).as("n_rows"))
+    },
+
+    // autodiscover watch-and-spawn (autodiscover.go:119-235): the config
+    // lifecycle table — per (container, epoch) every spawned config with
+    // its hash, spawn time, teardown time, and already-running dedup count
+    "q_autodiscover" -> ((s, dir) =>
+      autoLifecycle(s, dir).select(
+        col("event_key"), col("epoch"), col("template_name"),
+        col("config_hash"), col("config"), col("start_ts"), col("stop_ts"),
+        col("n_spawn_events"))),
+
+    // autodiscover runners at work: every log row routed to the configs
+    // active at its timestamp (equi-join on (event_key, epoch) — never an
+    // interval join), rolled up per running config instance
+    "q_autodiscover_route" -> { (s, dir) =>
+      val logs = events(s, dir).select(
+        col("event_id"), col("ts"),
+        concat(lit("docker:c"), (col("user_id") % 40).cast("string")).as("ckey"))
+      Autodiscover.route(autoLifecycle(s, dir), discoveryFixture(s, dir),
+          logs, "ckey", "ts", "event_id")
+        .groupBy("event_key", "epoch", "template_name", "config_hash")
+        .agg(count(lit(1)).as("n_rows"), max(col("ts")).as("last_log_ts"))
     },
 
     // Metricbeat-style windowed counters
@@ -3994,6 +4054,49 @@ object SparkEntry {
        |  FROM parsed
        |)""".stripMargin
 
+  /** DuckDB twin of `discoveryFixture` + `Autodiscover.lifecycle` over
+    * `autoTemplates` (epochs = running stop-count; spawn dedup by
+    * (event_key, epoch, md5(config)); stop tears down the whole epoch).
+    */
+  private val AutoSql =
+    """WITH disc AS (
+      |  SELECT event_id, ts,
+      |    'docker' AS provider,
+      |    CASE WHEN event_id % 13 = 0 THEN NULL
+      |         ELSE 'c' || CAST(user_id % 40 AS VARCHAR) END AS id,
+      |    CASE WHEN event_id % 7 = 0 THEN 'stop' ELSE 'start' END AS action,
+      |    CASE WHEN user_id % 4 = 0 THEN 'nginx:1.' || CAST(event_id % 2 AS VARCHAR)
+      |         ELSE 'redis:7.' || CAST(event_id % 2 AS VARCHAR) END AS image,
+      |    CAST(user_id % 3 AS VARCHAR) AS zone
+      |  FROM events
+      |), k AS (
+      |  SELECT *, provider || ':' || id AS event_key,
+      |    CAST(SUM(CASE WHEN action = 'stop' THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY provider || ':' || id ORDER BY ts, event_id)
+      |         - CASE WHEN action = 'stop' THEN 1 ELSE 0 END AS BIGINT) AS epoch
+      |  FROM disc WHERE id IS NOT NULL
+      |), spawned AS (
+      |  SELECT event_key, epoch, ts, 't_nginx' AS template_name,
+      |    'input=log path=/var/lib/docker/' || id || '/' || image || '.log' AS config
+      |  FROM k WHERE action = 'start' AND contains(image, 'nginx')
+      |  UNION ALL
+      |  SELECT event_key, epoch, ts, 't_container',
+      |    'input=container id=' || id || ' zone=' || zone
+      |  FROM k WHERE action = 'start'
+      |  UNION ALL
+      |  SELECT event_key, epoch, ts, 't_redis', 'module=redis hosts=' || id || ':6379'
+      |  FROM k WHERE action = 'start' AND zone = '2' AND NOT contains(image, 'nginx')
+      |), iv AS (
+      |  SELECT event_key, epoch, template_name, md5(config) AS config_hash, config,
+      |    min(ts) AS start_ts, CAST(count(*) AS BIGINT) AS n_spawn_events
+      |  FROM spawned GROUP BY 1, 2, 3, 4, 5
+      |), lc AS (
+      |  SELECT iv.*, st.stop_ts
+      |  FROM iv LEFT JOIN (
+      |    SELECT event_key, epoch, ts AS stop_ts FROM k WHERE action = 'stop') st
+      |    USING (event_key, epoch)
+      |)""".stripMargin
+
   private val RoleMetaSql =
     "(VALUES ('user','human',true),('assistant','model',true),('system','control',false),('tool','machine',false)) AS role_meta(role, role_kind, billable)"
   private val ToolMetaSql = {
@@ -4911,6 +5014,32 @@ object SparkEntry {
 
     // the config-compiled pipeline must hit the identical routed counts
     "q_config_pipeline" -> s"$R SELECT sink, count(*) AS n_rows FROM routed GROUP BY sink",
+
+    "q_autodiscover" ->
+      s"""$AutoSql
+         |SELECT event_key, epoch, template_name, config_hash, config,
+         |  start_ts, stop_ts, n_spawn_events
+         |FROM lc""".stripMargin,
+
+    "q_autodiscover_route" ->
+      s"""$AutoSql, marks AS (
+         |  SELECT event_key, ts AS mts, 0 AS kind, event_id AS ord
+         |  FROM k WHERE action = 'stop'
+         |  UNION ALL
+         |  SELECT 'docker:c' || CAST(user_id % 40 AS VARCHAR), ts, 1, event_id
+         |  FROM events
+         |), le AS (
+         |  SELECT event_key, ord, mts, kind,
+         |    CAST(SUM(CASE WHEN kind = 0 THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY event_key ORDER BY mts, kind, ord) AS BIGINT) AS epoch
+         |  FROM marks
+         |)
+         |SELECT l.event_key, l.epoch, template_name, config_hash,
+         |  CAST(count(*) AS BIGINT) AS n_rows, max(l.mts) AS last_log_ts
+         |FROM (SELECT event_key, ord, mts, epoch FROM le WHERE kind = 1) l
+         |JOIN lc ON l.event_key = lc.event_key AND l.epoch = lc.epoch
+         |       AND l.mts >= lc.start_ts
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q_windowed_counters" ->
       s"""$R SELECT sink, date_trunc('hour', ts) AS window_start, role,

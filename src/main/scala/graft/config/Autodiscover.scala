@@ -1,0 +1,213 @@
+package graft.config
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.route.{Cond, Conditions}
+
+/** Beats autodiscover re-expressed as a declarative fold.
+  *
+  * The reference (libbeat/autodiscover/autodiscover.go:119-235) subscribes
+  * to provider start/stop events and maintains `configs[eventID][hash]`:
+  * a start event runs every template whose condition matches the event
+  * metadata (template/config.go:74-90), expands `${data.*}` variables from
+  * the event (template/config.go:93-130), and registers the instantiated
+  * config under its hash — an already-registered hash is a no-op
+  * (autodiscover.go:202-205); a stop event deletes ALL configs for that
+  * eventID (autodiscover.go:217-235). Events without provider or id are
+  * ignored (autodiscover.go:253-265).
+  *
+  * Spark-first shape: the mutable `configs` map never exists. Stops split
+  * each event_key's timeline into epochs (a running stop-count window —
+  * one narrow shuffle on event_key); template match + variable expansion
+  * are stateless codegen'd column expressions; "already running" dedup is
+  * a groupBy over (event_key, epoch, config_hash). Routing log rows to the
+  * configs active at their timestamp is an equi-join on (event_key, epoch)
+  * — the log row's epoch comes from the same window trick over the
+  * union of logs and stop markers, so no interval/range join is needed at
+  * 10^12-row scale.
+  */
+object Autodiscover {
+
+  /** One template mapper entry (template/config.go:30-42): an optional
+    * condition (None matches everything, config.go:78-80) plus a config
+    * template with `${data.field}` variables.
+    */
+  final case class AutoTemplate(name: String, cond: Option[Cond], template: String)
+
+  /** A template instantiated against one discovery event (pre-stateful,
+    * fully columnar): `matched` carries the condition verdict.
+    */
+  final case class TplInst(name: String, config: String, matched: Boolean)
+  final case class DiscPrep(event_key: String, ts: java.sql.Timestamp, ord: Long,
+      action: String, tpl: Seq[TplInst])
+
+  /** One config lifecycle transition from the streaming watcher:
+    * action = "start" (spawned: hash not yet running for this key) or
+    * "stop" (torn down by a stop event for the key).
+    */
+  final case class ConfigEvent(event_key: String, ts: java.sql.Timestamp,
+      action: String, template_name: String, config_hash: String, config: String)
+
+  /** One running config in the watcher's GroupState registry. */
+  final case class RunningCfg(hash: String, name: String, config: String)
+  final case class AutoState(running: Seq[RunningCfg])
+
+  private val VarPattern = raw"\$$\{data\.([A-Za-z0-9_]+)\}".r
+
+  /** Compile a `${data.field}` template into a concat of literals and
+    * string-cast column references (the ucfg VarExp expansion of
+    * template/config.go:93-107, as a codegen expression).
+    */
+  private[config] def instantiate(template: String): Column = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var last = 0
+    for (m <- VarPattern.findAllMatchIn(template)) {
+      if (m.start > last) parts += lit(template.substring(last, m.start))
+      parts += col(m.group(1)).cast("string")
+      last = m.end
+    }
+    if (last < template.length) parts += lit(template.substring(last))
+    if (parts.isEmpty) lit("") else concat(parts.toSeq: _*)
+  }
+
+  /** epoch = number of stop events strictly before this row, per
+    * event_key, ordered by (ts, ordCol). A stop therefore carries the
+    * index of the epoch it closes.
+    */
+  private def withEpoch(d: DataFrame, ordCol: String): DataFrame = {
+    val isStop = when(col("action") === "stop", lit(1L)).otherwise(lit(0L))
+    val w = Window.partitionBy("event_key").orderBy(col("ts"), col(ordCol))
+    d.withColumn("epoch", sum(isStop).over(w) - isStop)
+  }
+
+  private def keyed(discovery: DataFrame): DataFrame =
+    discovery
+      .where(col("provider").isNotNull && col("id").isNotNull)
+      .withColumn("event_key", concat(col("provider"), lit(":"), col("id")))
+
+  /** The full config lifecycle table: one row per (event_key, epoch,
+    * template, config_hash) with the spawn time (first matching start —
+    * later identical starts are the reference's "already running" no-op,
+    * counted in n_spawn_events), and the stop time that tore the config
+    * down (NULL while still running).
+    *
+    * Columns: event_key, epoch, template_name, config_hash, config,
+    * start_ts, stop_ts, n_spawn_events.
+    */
+  def lifecycle(discovery: DataFrame, templates: Seq[AutoTemplate],
+      ordCol: String = "event_id"): DataFrame = {
+    val d = withEpoch(keyed(discovery), ordCol)
+    val starts = d.where(col("action") === "start")
+    val spawned = templates.map { t =>
+      val matched = t.cond.map(c => Conditions.toColumn(c, starts)).getOrElse(lit(true))
+      starts.where(matched).select(
+        col("event_key"), col("epoch"), col("ts"),
+        lit(t.name).as("template_name"),
+        instantiate(t.template).as("config"))
+    }.reduce(_ unionAll _)
+      .withColumn("config_hash", md5(col("config")))
+    val intervals = spawned
+      .groupBy("event_key", "epoch", "template_name", "config_hash", "config")
+      .agg(min(col("ts")).as("start_ts"), count(lit(1)).as("n_spawn_events"))
+    val stops = d.where(col("action") === "stop")
+      .select(col("event_key"), col("epoch"), col("ts").as("stop_ts"))
+    intervals.join(stops, Seq("event_key", "epoch"), "left")
+  }
+
+  /** Route log rows to the configs active at their timestamp, scalably:
+    * instead of an interval join, re-derive each log row's epoch by
+    * window-counting stop markers unioned into the log stream (stops sort
+    * BEFORE logs at equal timestamps — a row at exactly the stop time is
+    * already outside the torn-down config, matching `ts < stop_ts`), then
+    * equi-join (event_key, epoch) against [[lifecycle]] with the single
+    * residual `log_ts >= start_ts`.
+    *
+    * Returns one row per (log row × active config): all log columns plus
+    * template_name / config_hash / config.
+    */
+  def route(lifecycleDf: DataFrame, discovery: DataFrame, logs: DataFrame,
+      keyCol: String, tsCol: String, ordCol: String): DataFrame = {
+    val stopMarks = keyed(discovery).where(col("action") === "stop")
+      .select(col("event_key"), col("ts").as("__ts"), lit(0).as("__kind"),
+        col(ordCol).cast("long").as("__ord"))
+    val logMarks = logs.select(
+      col(keyCol).as("event_key"), col(tsCol).as("__ts"), lit(1).as("__kind"),
+      col(ordCol).cast("long").as("__ord"))
+    val w = Window.partitionBy("event_key")
+      .orderBy(col("__ts"), col("__kind"), col("__ord"))
+    val epochs = stopMarks.unionAll(logMarks)
+      .withColumn("epoch",
+        sum(when(col("__kind") === 0, lit(1L)).otherwise(lit(0L))).over(w))
+      .where(col("__kind") === 1)
+      .select(col("event_key"), col("__ord").as("__log_ord"), col("epoch"))
+    logs
+      .join(epochs,
+        logs(keyCol) === epochs("event_key") &&
+          logs(ordCol).cast("long") === epochs("__log_ord"))
+      .join(lifecycleDf.select(col("event_key").as("__lk"), col("epoch").as("__le"),
+          col("template_name"), col("config_hash"), col("config"), col("start_ts")),
+        col("event_key") === col("__lk") && col("epoch") === col("__le") &&
+          logs(tsCol) >= col("start_ts"))
+      .drop("__lk", "__le", "__log_ord", "start_ts")
+  }
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map("%02x".format(_)).mkString
+  }
+
+  /** The STREAMING watch-and-spawn form — the actual reference shape
+    * (autodiscover.go:119-160 is a worker loop over a live event bus):
+    * template match + `${data.*}` expansion stay stateless columnar; the
+    * `configs[eventID][hash]` registry is the GroupState. Emits one
+    * [[ConfigEvent]] per lifecycle transition: "start" when a hash not
+    * currently running spawns (duplicate starts are no-ops,
+    * autodiscover.go:202-205), "stop" for every running config when the
+    * key's stop event arrives (autodiscover.go:217-235). Works unchanged
+    * on a batch DataFrame. Assumes per-key in-order delivery across
+    * micro-batches (rows within a batch are sorted by (ts, ord)).
+    */
+  def watch(discovery: DataFrame, templates: Seq[AutoTemplate],
+      ordCol: String = "event_id"): org.apache.spark.sql.Dataset[ConfigEvent] = {
+    val d = keyed(discovery)
+    val spark = discovery.sparkSession
+    import spark.implicits._
+    val tstructs = templates.map { t =>
+      val m = t.cond.map(c => Conditions.toColumn(c, d)).getOrElse(lit(true))
+      struct(lit(t.name).as("name"), instantiate(t.template).as("config"),
+        m.as("matched"))
+    }
+    d.select(col("event_key"), col("ts"), col(ordCol).cast("long").as("ord"),
+        col("action"), array(tstructs: _*).as("tpl"))
+      .as[DiscPrep]
+      .groupByKey(_.event_key)
+      .flatMapGroupsWithState[AutoState, ConfigEvent](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[DiscPrep],
+            state: org.apache.spark.sql.streaming.GroupState[AutoState]) =>
+          var running = state.getOption.map(_.running.toVector).getOrElse(Vector.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[ConfigEvent]
+          for (r <- rows.toSeq.sortBy(x => (x.ts.getTime, x.ord))) {
+            if (r.action == "stop") {
+              for (rc <- running.sortBy(_.hash))
+                out += ConfigEvent(key, r.ts, "stop", rc.name, rc.hash, rc.config)
+              running = Vector.empty
+            } else {
+              for (t <- r.tpl if t.matched) {
+                val h = md5Hex(t.config)
+                if (!running.exists(_.hash == h)) {
+                  running :+= RunningCfg(h, t.name, t.config)
+                  out += ConfigEvent(key, r.ts, "start", t.name, h, t.config)
+                }
+              }
+            }
+          }
+          state.update(AutoState(running))
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import graft.config.Autodiscover
+import graft.config.Autodiscover.{AutoTemplate, ConfigEvent}
+import graft.route.Cond
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Autodiscover watch-and-spawn semantics vs the reference
+  * (libbeat/autodiscover/autodiscover.go, template/config.go):
+  * condition-gated template spawn with `${data.*}` expansion, duplicate
+  * starts as no-ops, stop tearing down every config of the instance,
+  * restart opening a new epoch, missing-id events ignored, and the
+  * streaming GroupState twin emitting exactly the batch lifecycle.
+  */
+class AutodiscoverSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // (event_id, ts, provider, id, action, image, zone)
+  private def disc(rows: (Long, String, String, String, String, String, String)*) =
+    rows.toSeq.toDF("event_id", "tss", "provider", "id", "action", "image", "zone")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+
+  private val templates = Seq(
+    AutoTemplate("t_nginx", Some(Cond.Contains("image", "nginx")),
+      "path=/var/log/${data.id}/${data.image}.log"),
+    AutoTemplate("t_all", None, "id=${data.id} zone=${data.zone}"))
+
+  private val fixture = disc(
+    (1L, "2024-01-01 10:00:00", "docker", "c1", "start", "nginx:1.0", "0"),
+    (2L, "2024-01-01 10:00:10", "docker", "c1", "start", "nginx:1.0", "0"), // dup: no-op
+    (3L, "2024-01-01 10:00:20", "docker", "c1", "start", "nginx:1.1", "0"), // 2nd config joins
+    (4L, "2024-01-01 10:01:00", "docker", "c1", "stop", "nginx:1.0", "0"),  // tears down ALL
+    (5L, "2024-01-01 10:02:00", "docker", "c1", "start", "nginx:1.0", "0"), // new epoch
+    (6L, "2024-01-01 10:00:00", "docker", "c2", "start", "redis:7", "1"),   // no nginx match
+    (7L, "2024-01-01 10:00:00", "docker", null, "start", "nginx:1.0", "0")) // ignored
+
+  test("lifecycle: spawn dedup, stop-all teardown, restart epoch, missing id ignored") {
+    val lc = Autodiscover.lifecycle(fixture, templates).cache()
+
+    // c1 epoch 0: t_nginx spawned twice for nginx:1.0 (deduped, n=2), once for 1.1;
+    // t_all spawned 3x but all identical config -> one row n=3
+    val c1e0 = lc.where($"event_key" === "docker:c1" && $"epoch" === 0)
+      .select("template_name", "config", "n_spawn_events", "start_ts", "stop_ts")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4))).toSet
+    assert(c1e0 === Set(
+      ("t_nginx", "path=/var/log/c1/nginx:1.0.log", 2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:01:00")),
+      ("t_nginx", "path=/var/log/c1/nginx:1.1.log", 1L, ts("2024-01-01 10:00:20"), ts("2024-01-01 10:01:00")),
+      ("t_all", "id=c1 zone=0", 3L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:01:00"))))
+
+    // c1 epoch 1: restart re-spawns with NULL stop_ts (still running)
+    val c1e1 = lc.where($"event_key" === "docker:c1" && $"epoch" === 1)
+      .select("template_name", "stop_ts").collect()
+    assert(c1e1.length === 2 && c1e1.forall(_.isNullAt(1)))
+
+    // c2: condition-gated — only the unconditioned template matches redis
+    assert(lc.where($"event_key" === "docker:c2").select("template_name")
+      .collect().map(_.getString(0)).toSeq === Seq("t_all"))
+
+    // missing id ignored entirely
+    assert(lc.where($"event_key".contains("null")).count() === 0)
+    assert(lc.count() === 6)
+  }
+
+  test("route: log at spawn ts included, log at stop ts excluded") {
+    val lc = Autodiscover.lifecycle(fixture, templates)
+    val logs = Seq(
+      (100L, "2024-01-01 10:00:00", "docker:c1"), // == start_ts: inside
+      (101L, "2024-01-01 10:00:30", "docker:c1"), // mid-epoch
+      (102L, "2024-01-01 10:01:00", "docker:c1"), // == stop_ts: OUTSIDE (epoch 1, before restart)
+      (103L, "2024-01-01 10:03:00", "docker:c1")  // epoch 1, after restart
+    ).toDF("event_id", "tss", "ckey")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val routed = Autodiscover.route(lc, fixture, logs, "ckey", "ts", "event_id")
+      .select($"event_id", $"template_name", $"config")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    // log 100: t_all + t_nginx(1.0) active (nginx:1.1 spawns later)
+    assert(routed.count(_._1 == 100L) === 2)
+    // log 101: all three epoch-0 configs active
+    assert(routed.count(_._1 == 101L) === 3)
+    // log 102: at the stop instant — nothing active (restart is at 10:02)
+    assert(routed.count(_._1 == 102L) === 0)
+    // log 103: epoch-1 configs (t_nginx 1.0 + t_all)
+    assert(routed.count(_._1 == 103L) === 2)
+  }
+
+  test("streaming watch twin emits exactly the batch lifecycle transitions") {
+    val watchDir = TestSpark.tmpDir("ad-watch")
+    val ckpt = TestSpark.tmpDir("ad-ckpt")
+    // two micro-batches, split mid-stream per key
+    val (b1, b2) = (fixture.where($"event_id" <= 3), fixture.where($"event_id" > 3))
+    b1.write.mode("overwrite").parquet(watchDir)
+    val stream = spark.readStream.schema(fixture.schema).parquet(watchDir)
+    val q = Autodiscover.watch(stream, templates).writeStream
+      .format("memory").queryName("ad_watch").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      b2.write.mode("append").parquet(watchDir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("ad_watch").as[ConfigEvent].collect()
+      .map(e => (e.event_key, e.ts, e.action, e.template_name, e.config_hash)).toSet
+
+    val lc = Autodiscover.lifecycle(fixture, templates)
+    val starts = lc.select($"event_key", $"start_ts".as("ts"), lit("start").as("action"),
+      $"template_name", $"config_hash")
+    val stops = lc.where($"stop_ts".isNotNull)
+      .select($"event_key", $"stop_ts".as("ts"), lit("stop").as("action"),
+        $"template_name", $"config_hash")
+    val want = starts.unionAll(stops).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(got === want)
+  }
+
+  test("config hash matches Spark md5 (oracle twin contract)") {
+    val lc = Autodiscover.lifecycle(fixture, templates)
+    assert(lc.where(md5($"config") =!= $"config_hash").count() === 0)
+  }
+}
