@@ -1648,6 +1648,28 @@ object SparkEntry {
         iters = 5, srcCol = "tool", dstCol = "next_tool",
         weightCol = Some("n"))),
 
+    // synchronous label propagation (3 deterministic rounds, most-
+    // frequent neighbor label, min-label ties) over the order–part
+    // co-purchase graph — the bounded community-detection sweep
+    "q_label_prop" -> ((s, dir) =>
+      Graph.labelPropagation(
+        tpch(s, dir, "lineitem").where(col("l_orderkey") % 40 === 0)
+          .select((col("l_orderkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst")),
+        rounds = 3)),
+
+    // EXACT heavy hitters (share > 1/20) over a key space dominated by
+    // singletons — Misra-Gries per-partition pruning + exact recount;
+    // the estimates never reach the output, so the oracle is plain SQL
+    "q_heavy_hitters" -> ((s, dir) =>
+      Sketches.heavyHitters(
+        events(s, dir).select(
+          when(col("event_id") % 3 === 0,
+              concat(lit("hot-"), (col("user_id") % 5).cast("string")))
+            .otherwise(concat(lit("cold-"), col("event_id").cast("string")))
+            .as("key")),
+        keyCol = "key", k = 20)),
+
     // edit-distance verify over the banded candidates (propose →
     // dispose) at a 0.8 similarity floor — the scale path: length-ratio
     // prefilter + banded-threshold DP, result-identical to
@@ -7091,6 +7113,40 @@ object SparkEntry {
         |  WHERE c.label < s.v)
         |SELECT node, CAST(MIN(label) AS BIGINT) AS component
         |FROM cc GROUP BY 1""".stripMargin,
+
+    // unrolled 3-round twin of Graph.labelPropagation: per round, the
+    // two-stage argmax (max neighbor-label count, then min label among
+    // the maxima) — the composite-tie-break idiom without id packing
+    "q_label_prop" -> {
+      val rounds = (1 to 3).map { i =>
+        val prev = s"l${i - 1}"
+        s"""n$i AS (
+           |  SELECT e.u, l.label, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM und e JOIN $prev l ON l.node = e.v GROUP BY 1, 2),
+           |m$i AS (SELECT u, max(cnt) AS mc FROM n$i GROUP BY 1),
+           |l$i AS (
+           |  SELECT n.u AS node, CAST(min(n.label) AS BIGINT) AS label
+           |  FROM n$i n JOIN m$i m ON m.u = n.u AND n.cnt = m.mc GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ed AS (
+         |  SELECT DISTINCT CAST(l_orderkey * 2 AS BIGINT) AS u,
+         |    CAST(l_partkey * 2 + 1 AS BIGINT) AS v
+         |  FROM lineitem WHERE l_orderkey % 40 = 0),
+         |und AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+         |$rounds
+         |SELECT node, label FROM l3""".stripMargin
+    },
+
+    // the MG candidate pass never reaches the output: plain threshold SQL
+    "q_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN event_id % 3 = 0 THEN 'hot-' || CAST(user_id % 5 AS VARCHAR)
+        |              ELSE 'cold-' || CAST(event_id AS VARCHAR) END AS key
+        |  FROM events),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t)
+        |SELECT key, CAST(count(*) AS BIGINT) AS cnt, (SELECT n_total FROM tot) AS n_total
+        |FROM t GROUP BY 1 HAVING count(*) * 20 > (SELECT n_total FROM tot)""".stripMargin,
 
     // unrolled 5-iteration twin of Graph.pagerank: identical integer
     // floor-division sequence, so the micro-unit ranks match exactly

@@ -323,4 +323,47 @@ object Graph {
             (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
           .as("assortativity"))
   }
+
+  /** Synchronous label propagation (community detection) for a FIXED
+    * number of rounds. Deterministic by construction so a SQL oracle can
+    * unroll it exactly: every node starts labeled with its own id; each
+    * round every node adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — expressed as the
+    * two-stage argmax (max count, then min label among the maxima), the
+    * repo's composite-tie-break idiom that never packs ids into a
+    * multiplier (no overflow at 10¹²-node id ranges).
+    *
+    * Scale shape per round: one key-partitioned join edge⋈labels + two
+    * map-side-combinable groupBys — no windows, no driver state; the
+    * label frame is localCheckpoint'ed each round so round k's plan
+    * doesn't re-execute rounds 1..k-1 (the CC/pagerank truncation
+    * pattern). Bounded rounds, not convergence: at 10¹² edges you run
+    * R ≈ 3–5 sweeps and read community structure from the label
+    * histogram, exactly like the CC round bound.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val und = sym.unionAll(sym.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = und.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val neigh = und
+        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy("u", "label").agg(count(lit(1)).as("cnt"))
+      val best = neigh.groupBy("u").agg(max(col("cnt")).as("mc"))
+      labels = neigh.join(best, Seq("u"))
+        .where(col("cnt") === col("mc"))
+        .groupBy("u").agg(min(col("label")).as("label"))
+        .select(col("u").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

@@ -476,4 +476,56 @@ object Sketches {
         expr("coalesce(n_common, CAST(0 AS BIGINT)) * union_est div n_min")
           .as("inter_est"))
   }
+
+  /** EXACT heavy hitters (count·k > n) without a key-space-sized
+    * shuffle — the two-pass shape for 10¹²-row streams whose key
+    * cardinality dwarfs memory:
+    *
+    * Pass 1 is a per-partition Misra–Gries summary of m = summaryFactor·k
+    * counters (narrow `mapPartitions`, zero shuffle). The superset
+    * guarantee survives partitioning: an item evicted from EVERY
+    * partition summary has global count ≤ Σ nₚ/(m+1) < n/k for m ≥ k,
+    * so every true heavy hitter appears in at least one summary.
+    * Pass 2 recounts ONLY the candidate union — a broadcast semi-join
+    * (candidates are bounded by partitions·m, then distinct'd) followed
+    * by a map-side-combinable groupBy over a key set that now fits
+    * anywhere — and applies the exact threshold against the 1-row total
+    * (broadcast cross join, never collected).
+    *
+    * Output is EXACT (key, cnt, n_total) — the MG estimates are used
+    * only for pruning, never reported, so the result is engine-neutral:
+    * the oracle is the plain HAVING count(*)·k > n query.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int,
+      summaryFactor: Int = 4): DataFrame = {
+    require(k >= 1 && summaryFactor >= 2, "need k >= 1 and summaryFactor >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = k * summaryFactor
+    val cands = df.select(col(keyCol).cast("string").as("key")).as[String]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        for (x <- it) {
+          counters.get(x) match {
+            case Some(c) => counters(x) = c + 1
+            case None if counters.size < m => counters(x) = 1L
+            case None => // full: decrement-all, drop zeros (MG eviction)
+              val dead = List.newBuilder[String]
+              for ((kk, c) <- counters)
+                if (c == 1L) dead += kk else counters(kk) = c - 1
+              dead.result().foreach(counters.remove)
+          }
+        }
+        counters.keysIterator
+      }
+      .toDF("key").distinct()
+    val exact = df
+      .join(broadcast(cands), df(keyCol).cast("string") === cands("key"), "left_semi")
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .select(col(keyCol).cast("string").as("key"), col("cnt"))
+    val total = df.agg(count(lit(1)).as("n_total"))
+    exact.crossJoin(broadcast(total))
+      .where(col("cnt") * k > col("n_total"))
+      .select(col("key"), col("cnt"), col("n_total"))
+  }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import graft.ops.{Graph, Sketches}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 operators: exact heavy hitters (Misra-Gries candidate pruning
+  * + exact recount) and bounded-round label propagation — both checked
+  * against independent recomputations, not against themselves.
+  */
+class RoundFiveOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("heavyHitters equals the direct groupBy threshold, including a cross-partition spread key") {
+    // 167 copies of "spread" (16.7% > 1/k=10%) deliberately interleaved
+    // so every partition sees only ~24 copies, ~740 singletons drowning
+    // the summaries (m = 2k = 20 counters per partition); "second" sits
+    // just UNDER the threshold (9.1%) and must be excluded exactly
+    val rows = (0 until 1000).map { i =>
+      if (i % 6 == 0) "spread"
+      else if (i % 11 == 5) "second"
+      else s"uniq-$i"
+    }
+    val df = rows.toDF("key").repartition(7)
+    val got = Sketches.heavyHitters(df, "key", k = 10, summaryFactor = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val n = rows.size.toLong
+    val want = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 10 > n }
+      .map { case (k2, c) => (k2, c, n) }.toSet
+    assert(want.nonEmpty, "fixture must contain a true heavy hitter")
+    assert(got === want)
+  }
+
+  test("heavyHitters is empty when no key crosses the threshold, and exact at k=2") {
+    val df = (0 until 400).map(i => s"k${i % 100}").toDF("key").repartition(5)
+    assert(Sketches.heavyHitters(df, "key", k = 50).count() === 0)
+    val skew = ((0 until 300).map(_ => "dom") ++ (0 until 100).map(i => s"t$i"))
+      .toDF("key").repartition(5)
+    val hh = Sketches.heavyHitters(skew, "key", k = 2).collect()
+    assert(hh.map(r => (r.getString(0), r.getLong(1))).toSet === Set(("dom", 300L)))
+  }
+
+  test("heavyHitters recount pass broadcasts the candidate set") {
+    val df = (0 until 200).map(i => s"k${i % 3}").toDF("key")
+    val plan = Sketches.heavyHitters(df, "key", k = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"expected broadcast semi-join in plan:\n$plan")
+  }
+
+  test("labelPropagation matches an independent in-memory reference on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = (0 until 120)
+      .map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (u, v) => u != v }.toSet
+    val got = Graph.labelPropagation(
+        edges.toSeq.toDF("src", "dst"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // naive reference: same rules (distinct undirected neighbors, most
+    // frequent neighbor label, min-label ties, 3 synchronous rounds)
+    val und = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.distinct).toMap
+    var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lab = adj.map { case (n, nbrs) =>
+        val cnt = nbrs.groupBy(lab).view.mapValues(_.size).toMap
+        val mx = cnt.values.max
+        n -> cnt.collect { case (l, c) if c == mx => l }.min
+      }
+    }
+    assert(got === lab)
+  }
+
+  test("labelPropagation collapses a clique to its min node label in one round") {
+    val clique = for { u <- 0L to 4L; v <- 0L to 4L if u < v } yield (u, v)
+    val got = Graph.labelPropagation(clique.toDF("src", "dst"), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: every node sees labels {0..4}\{self}, all count 1 -> min;
+    // node 0 adopts 1, everyone else adopts 0; round 2 re-converges to 0
+    // for all but node 1 (whose neighbors then mostly hold 0)
+    assert(got.values.forall(l => l == 0L || l == 1L))
+    assert(got.count(_._2 == 0L) >= 4)
+  }
+}
