@@ -1670,6 +1670,66 @@ object SparkEntry {
             .as("key")),
         keyCol = "key", k = 20)),
 
+    // eval-harness pass@k (Chen et al. 2021, the unbiased estimator
+    // 1 - C(n-c,k)/C(n,k)) in EXACT integer ppm — the falling-factorial
+    // product form; a zero factor (c > n-k) lands before any negative
+    // one, so the plain product is the combinatorial zero
+    "q_pass_at_k" -> { (s, dir) =>
+      events(s, dir).select(
+          (col("user_id") % 200).as("task_id"),
+          (col("event_id") % 10).as("sample_id"),
+          when((col("event_id") + col("user_id")) % 3 === 0, 1L).otherwise(0L).as("p"))
+        .groupBy("task_id", "sample_id").agg(max(col("p")).as("passed"))
+        .groupBy("task_id").agg(count(lit(1)).as("n"), sum(col("passed")).as("c"))
+        .where(col("n") >= 5)
+        .select(col("task_id"), col("n"), col("c"),
+          expr("1000000 - (1000000 * (n - c)) div n").as("pass1_ppm"),
+          expr("""1000000 - (1000000 * (n-c) * (n-c-1) * (n-c-2) * (n-c-3) * (n-c-4))
+                 div (n * (n-1) * (n-2) * (n-3) * (n-4))""").as("pass5_ppm"))
+    },
+
+    // self-consistency majority vote: per task, the winning sampled
+    // answer (two-stage argmax: max votes, then min answer) + exact share
+    "q_majority_vote" -> { (s, dir) =>
+      val votes = events(s, dir).select(
+          (col("user_id") % 200).as("task_id"),
+          (col("event_id") % 4).as("answer"))
+        .groupBy("task_id", "answer").agg(count(lit(1)).as("votes"))
+      val tot = votes.groupBy("task_id").agg(
+        sum(col("votes")).as("total"), max(col("votes")).as("mv"))
+      votes.join(tot, Seq("task_id")).where(col("votes") === col("mv"))
+        .groupBy(col("task_id"), col("votes"), col("total"))
+        .agg(min(col("answer")).as("answer"))
+        .select(col("task_id"), col("answer"), col("votes"), col("total"),
+          expr("(1000000 * votes) div total").as("share_ppm"))
+    },
+
+    // Copeland pairwise-preference ranking over model head-to-heads
+    // (the no-logistic Bradley-Terry stand-in: 2·wins + ties, exact)
+    "q_copeland" -> { (s, dir) =>
+      val games = events(s, dir).select(
+          (col("user_id") % 8).as("a"), expr("(user_id div 8) % 8").as("b"),
+          col("event_id"))
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("lo"),
+          greatest(col("a"), col("b")).as("hi"),
+          when((col("event_id") + least(col("a"), col("b")) * 3 +
+              greatest(col("a"), col("b")) * 5) % 7 < 4, 1L).otherwise(0L).as("w_lo"))
+      val duels = games.groupBy("lo", "hi").agg(
+        sum(col("w_lo")).as("wl"), count(lit(1)).as("ng"))
+      val verdicts = duels.select(col("lo").as("model"),
+          when(col("wl") * 2 > col("ng"), lit(2L))
+            .when(col("wl") * 2 === col("ng"), lit(1L)).otherwise(lit(0L)).as("pts"))
+        .unionAll(duels.select(col("hi").as("model"),
+          when(col("wl") * 2 < col("ng"), lit(2L))
+            .when(col("wl") * 2 === col("ng"), lit(1L)).otherwise(lit(0L)).as("pts")))
+      verdicts.groupBy("model").agg(
+        sum(when(col("pts") === 2L, 1L).otherwise(0L)).as("wins"),
+        sum(when(col("pts") === 1L, 1L).otherwise(0L)).as("ties"),
+        sum(when(col("pts") === 0L, 1L).otherwise(0L)).as("losses"),
+        sum(col("pts")).as("copeland"))
+    },
+
     // edit-distance verify over the banded candidates (propose →
     // dispose) at a 0.8 similarity floor — the scale path: length-ratio
     // prefilter + banded-threshold DP, result-identical to
@@ -7147,6 +7207,57 @@ object SparkEntry {
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t)
         |SELECT key, CAST(count(*) AS BIGINT) AS cnt, (SELECT n_total FROM tot) AS n_total
         |FROM t GROUP BY 1 HAVING count(*) * 20 > (SELECT n_total FROM tot)""".stripMargin,
+
+    // falling-factorial pass@k twin — identical integer product/divide
+    "q_pass_at_k" ->
+      """WITH s AS (
+        |  SELECT user_id % 200 AS task_id, event_id % 10 AS sample_id,
+        |    max(CASE WHEN (event_id + user_id) % 3 = 0 THEN 1 ELSE 0 END) AS passed
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT task_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(passed) AS BIGINT) AS c
+        |  FROM s GROUP BY 1)
+        |SELECT task_id, n, c,
+        |  1000000 - (1000000 * (n - c)) // n AS pass1_ppm,
+        |  1000000 - (1000000 * (n-c) * (n-c-1) * (n-c-2) * (n-c-3) * (n-c-4))
+        |    // (n * (n-1) * (n-2) * (n-3) * (n-4)) AS pass5_ppm
+        |FROM a WHERE n >= 5""".stripMargin,
+
+    "q_majority_vote" ->
+      """WITH v AS (
+        |  SELECT user_id % 200 AS task_id, event_id % 4 AS answer,
+        |    CAST(count(*) AS BIGINT) AS votes
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT task_id, CAST(sum(votes) AS BIGINT) AS total, max(votes) AS mv
+        |  FROM v GROUP BY 1)
+        |SELECT v.task_id, CAST(min(v.answer) AS BIGINT) AS answer, v.votes, t.total,
+        |  (1000000 * v.votes) // t.total AS share_ppm
+        |FROM v JOIN t ON v.task_id = t.task_id AND v.votes = t.mv
+        |GROUP BY 1, 3, 4""".stripMargin,
+
+    "q_copeland" ->
+      """WITH g AS (
+        |  SELECT least(user_id % 8, (user_id // 8) % 8) AS lo,
+        |    greatest(user_id % 8, (user_id // 8) % 8) AS hi,
+        |    CASE WHEN (event_id + least(user_id % 8, (user_id // 8) % 8) * 3
+        |               + greatest(user_id % 8, (user_id // 8) % 8) * 5) % 7 < 4
+        |         THEN 1 ELSE 0 END AS w_lo
+        |  FROM events WHERE user_id % 8 <> (user_id // 8) % 8),
+        |d AS (SELECT lo, hi, CAST(sum(w_lo) AS BIGINT) AS wl,
+        |        CAST(count(*) AS BIGINT) AS ng FROM g GROUP BY 1, 2),
+        |p AS (
+        |  SELECT lo AS model,
+        |    CASE WHEN wl*2 > ng THEN 2 WHEN wl*2 = ng THEN 1 ELSE 0 END AS pts FROM d
+        |  UNION ALL
+        |  SELECT hi,
+        |    CASE WHEN wl*2 < ng THEN 2 WHEN wl*2 = ng THEN 1 ELSE 0 END FROM d)
+        |SELECT model,
+        |  CAST(sum(CASE WHEN pts = 2 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+        |  CAST(sum(CASE WHEN pts = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+        |  CAST(sum(CASE WHEN pts = 0 THEN 1 ELSE 0 END) AS BIGINT) AS losses,
+        |  CAST(sum(pts) AS BIGINT) AS copeland
+        |FROM p GROUP BY 1""".stripMargin,
 
     // unrolled 5-iteration twin of Graph.pagerank: identical integer
     // floor-division sequence, so the micro-unit ranks match exactly

@@ -74,6 +74,65 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     assert(got === lab)
   }
 
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("pass@k matches the binomial-coefficient definition exactly (BigInt recomputation)") {
+    def choose(n: Long, k: Long): BigInt =
+      if (k < 0 || k > n) BigInt(0)
+      else (0L until k).map(i => BigInt(n - i)).product / (1L to k).map(BigInt(_)).product
+    val rows = SparkEntry.queries("q_pass_at_k")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, c) = (r.getLong(1), r.getLong(2))
+      def ppm(k: Long): Long =
+        (BigInt(1000000) - BigInt(1000000) * choose(n - c, k) / choose(n, k)).toLong
+      assert(r.getLong(3) === ppm(1), s"pass@1 n=$n c=$c")
+      assert(r.getLong(4) === ppm(5), s"pass@5 n=$n c=$c")
+    }
+    // a task with every sample passing must report exactly 1e6 at both k
+    val full = rows.filter(r => r.getLong(1) === r.getLong(2))
+    full.foreach(r => assert(r.getLong(3) === 1000000L && r.getLong(4) === 1000000L))
+  }
+
+  test("copeland scores: wins+ties+losses = opponents, points recomputed independently") {
+    val rows = SparkEntry.queries("q_copeland")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length === 8)
+    for ((_, w, t, l, cp) <- rows) {
+      assert(cp === 2 * w + t)
+      assert(w + t + l <= 7) // at most 7 opponents in an 8-model league
+    }
+    // independent recount from the raw parquet
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val duels = ev.flatMap { case (eid, uid) =>
+      val (a, b) = (uid % 8, (uid / 8) % 8)
+      if (a == b) None
+      else {
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        Some(((lo, hi), if ((eid + lo * 3 + hi * 5) % 7 < 4) 1L else 0L))
+      }
+    }.groupBy(_._1).view.mapValues(v => (v.map(_._2).sum, v.size.toLong)).toMap
+    val pts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (((lo, hi), (wl, ng)) <- duels) {
+      val (plo, phi) =
+        if (wl * 2 > ng) (2L, 0L) else if (wl * 2 == ng) (1L, 1L) else (0L, 2L)
+      pts(lo) += plo; pts(hi) += phi
+    }
+    assert(rows.map(r => r._1 -> r._5).toMap === pts.toMap)
+  }
+
+  test("majority vote: winner really holds the max vote count and exact ppm share") {
+    val rows = SparkEntry.queries("q_majority_vote")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (votes, total, share) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(votes <= total && share === 1000000L * votes / total)
+      assert(votes * 4 >= total, "winner of 4 candidates must hold >= total/4")
+    }
+  }
+
   test("labelPropagation collapses a clique to its min node label in one round") {
     val clique = for { u <- 0L to 4L; v <- 0L to 4L if u < v } yield (u, v)
     val got = Graph.labelPropagation(clique.toDF("src", "dst"), rounds = 2)
