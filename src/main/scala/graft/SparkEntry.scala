@@ -128,6 +128,14 @@ object SparkEntry {
 
   private val Tok = "%{level} [%{component}] %{body}"
 
+  /** The order–part co-purchase graph behind the LPA/modularity queries
+    * (even ids = orders, odd ids = parts).
+    */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    tpch(s, dir, "lineitem").where(col("l_orderkey") % 40 === 0)
+      .select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+
   /** Autodiscover fixture: provider start/stop events derived
     * deterministically from the events table. Containers = user_id %% 40;
     * every 7th event is a stop (tearing down ALL of that container's
@@ -1652,11 +1660,14 @@ object SparkEntry {
     // frequent neighbor label, min-label ties) over the order–part
     // co-purchase graph — the bounded community-detection sweep
     "q_label_prop" -> ((s, dir) =>
-      Graph.labelPropagation(
-        tpch(s, dir, "lineitem").where(col("l_orderkey") % 40 === 0)
-          .select((col("l_orderkey") * 2).as("src"),
-            (col("l_partkey") * 2 + 1).as("dst")),
-        rounds = 3)),
+      Graph.labelPropagation(copurchaseEdges(s, dir), rounds = 3)),
+
+    // Newman modularity of that LPA partition, exact integer ppm over
+    // the common 4m² denominator (one shift-positive division)
+    "q_modularity" -> { (s, dir) =>
+      val edges = copurchaseEdges(s, dir)
+      Graph.modularityPpm(edges, Graph.labelPropagation(edges, rounds = 3))
+    },
 
     // EXACT heavy hitters (share > 1/20) over a key space dominated by
     // singletons — Misra-Gries per-partition pruning + exact recount;
@@ -4135,6 +4146,30 @@ object SparkEntry {
        |         ELSE 'events' END AS sink
        |  FROM parsed
        |)""".stripMargin
+
+  /** DuckDB twin of `Graph.labelPropagation` over the order–part
+    * co-purchase graph: 3 unrolled synchronous rounds ending in CTE `l3`
+    * (also reused by the modularity oracle).
+    */
+  private val LpaSql: String = {
+    val rounds = (1 to 3).map { i =>
+      val prev = s"l${i - 1}"
+      s"""n$i AS (
+         |  SELECT e.u, l.label, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM und e JOIN $prev l ON l.node = e.v GROUP BY 1, 2),
+         |m$i AS (SELECT u, max(cnt) AS mc FROM n$i GROUP BY 1),
+         |l$i AS (
+         |  SELECT n.u AS node, CAST(min(n.label) AS BIGINT) AS label
+         |  FROM n$i n JOIN m$i m ON m.u = n.u AND n.cnt = m.mc GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (
+       |  SELECT DISTINCT CAST(l_orderkey * 2 AS BIGINT) AS u,
+       |    CAST(l_partkey * 2 + 1 AS BIGINT) AS v
+       |  FROM lineitem WHERE l_orderkey % 40 = 0),
+       |und AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+       |l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+       |$rounds""".stripMargin
+  }
 
   /** DuckDB twin of `discoveryFixture` + `Autodiscover.lifecycle` over
     * `autoTemplates` (epochs = running stop-count; spawn dedup by
@@ -7177,26 +7212,37 @@ object SparkEntry {
     // unrolled 3-round twin of Graph.labelPropagation: per round, the
     // two-stage argmax (max neighbor-label count, then min label among
     // the maxima) — the composite-tie-break idiom without id packing
-    "q_label_prop" -> {
-      val rounds = (1 to 3).map { i =>
-        val prev = s"l${i - 1}"
-        s"""n$i AS (
-           |  SELECT e.u, l.label, CAST(count(*) AS BIGINT) AS cnt
-           |  FROM und e JOIN $prev l ON l.node = e.v GROUP BY 1, 2),
-           |m$i AS (SELECT u, max(cnt) AS mc FROM n$i GROUP BY 1),
-           |l$i AS (
-           |  SELECT n.u AS node, CAST(min(n.label) AS BIGINT) AS label
-           |  FROM n$i n JOIN m$i m ON m.u = n.u AND n.cnt = m.mc GROUP BY 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH ed AS (
-         |  SELECT DISTINCT CAST(l_orderkey * 2 AS BIGINT) AS u,
-         |    CAST(l_partkey * 2 + 1 AS BIGINT) AS v
-         |  FROM lineitem WHERE l_orderkey % 40 = 0),
-         |und AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
-         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
-         |$rounds
-         |SELECT node, label FROM l3""".stripMargin
-    },
+    "q_label_prop" -> s"$LpaSql\nSELECT node, label FROM l3",
+
+    // Newman modularity of the LPA partition over the common 4m²
+    // denominator — single shift-positive division (Q can be negative;
+    // Spark div truncates, DuckDB // floors, they agree only shifted)
+    "q_modularity" ->
+      s"""$LpaSql,
+         |canon AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM ed),
+         |deg AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+         |    (SELECT u AS node FROM canon UNION ALL SELECT v FROM canon)
+         |  GROUP BY 1),
+         |dcom AS (
+         |  SELECT l.label, CAST(sum(d.d) AS BIGINT) AS dc
+         |  FROM deg d JOIN l3 l ON l.node = d.node GROUP BY 1),
+         |lcom AS (
+         |  SELECT lu.label, CAST(count(*) AS BIGINT) AS lc
+         |  FROM canon c JOIN l3 lu ON lu.node = c.u JOIN l3 lv ON lv.node = c.v
+         |  WHERE lu.label = lv.label GROUP BY 1),
+         |com AS (
+         |  SELECT dcom.label, dc, COALESCE(lc, 0) AS lc
+         |  FROM dcom LEFT JOIN lcom ON dcom.label = lcom.label),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM canon),
+         |agg AS (
+         |  SELECT max(m) AS m_edges, CAST(count(*) AS BIGINT) AS n_communities,
+         |    CAST(sum(4 * m * lc - dc * dc) AS BIGINT) AS num
+         |  FROM com, mm)
+         |SELECT m_edges, n_communities,
+         |  (1000000 * num + 4 * m_edges * m_edges * 10000000)
+         |    // (4 * m_edges * m_edges) - 10000000 AS modularity_ppm
+         |FROM agg""".stripMargin,
 
     // the MG candidate pass never reaches the output: plain threshold SQL
     "q_heavy_hitters" ->

@@ -341,6 +341,52 @@ object Graph {
     * R ≈ 3–5 sweeps and read community structure from the label
     * histogram, exactly like the CC round bound.
     */
+  /** Newman modularity of a node partition, in exact integer ppm over
+    * the common denominator 4m²:
+    *   Q = Σ_c [L_c/m − (D_c/2m)²] = Σ_c (4·m·L_c − D_c²) / (4m²)
+    * where L_c = intra-community undirected edges and D_c = total degree
+    * of community c — both exact integer aggregates, summed BEFORE the
+    * single division (order-independent, engine-exact). Q can be
+    * negative, so the division uses the shift-positive idiom
+    * ((x + n·10⁷) div n − 10⁷): Spark's truncating `div` and DuckDB's
+    * flooring `//` agree only on non-negative operands.
+    *
+    * Scale shape: two key-partitioned joins edge⋈labels + bounded
+    * groupBys on community id + a 1-row total broadcast; D_c² caps the
+    * exact path at D_c < 3·10⁹ per community (int64), noted here rather
+    * than silently wrong.
+    */
+  def modularityPpm(edges: DataFrame, labels: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val canon = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val lab = labels.select(col("node"), col("label"))
+    val deg = canon.select(col("u").as("node"))
+      .unionAll(canon.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val dc = deg.join(lab, Seq("node")).groupBy("label").agg(sum(col("d")).as("dc"))
+    val lc = canon
+      .join(lab.select(col("node").as("u"), col("label").as("lu")), Seq("u"))
+      .join(lab.select(col("node").as("v"), col("label").as("lv")), Seq("v"))
+      .where(col("lu") === col("lv"))
+      .groupBy(col("lu")).agg(count(lit(1)).as("lc"))
+      .select(col("lu").as("label"), col("lc"))
+    val comm = dc.join(lc, Seq("label"), "left")
+      .select(col("label"), col("dc"), coalesce(col("lc"), lit(0L)).as("lc"))
+    val mRow = canon.agg(count(lit(1)).as("m"))
+    comm.crossJoin(broadcast(mRow))
+      .agg(max(col("m")).as("m_edges"),
+        count(lit(1)).as("n_communities"),
+        sum(expr("4 * m * lc - dc * dc")).as("num"))
+      .select(col("m_edges"), col("n_communities"),
+        expr("""(1000000 * num + 4 * m_edges * m_edges * 10000000)
+               div (4 * m_edges * m_edges) - 10000000""").as("modularity_ppm"))
+  }
+
   def labelPropagation(edges: DataFrame, rounds: Int = 3,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     val sym = edges

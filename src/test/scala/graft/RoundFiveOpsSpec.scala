@@ -133,6 +133,24 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("modularityPpm: two perfect triangle communities score exactly +0.5") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "label")
+    val r = graft.ops.Graph.modularityPpm(edges, labels).collect()(0)
+    // m=6, per community L=3, D=6: Q = 2*(3/6 - (6/12)^2) = 0.5
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((6L, 2L, 500000L)))
+  }
+
+  test("modularityPpm: a cut edge scores exactly -0.5 (negative path, shift-positive div)") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 2L)).toDF("node", "label")
+    val r = graft.ops.Graph.modularityPpm(edges, labels).collect()(0)
+    // m=1, both communities: L=0, D=1: Q = 2*(0 - (1/2)^2) = -0.5
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 2L, -500000L)))
+  }
+
   test("labelPropagation collapses a clique to its min node label in one round") {
     val clique = for { u <- 0L to 4L; v <- 0L to 4L if u < v } yield (u, v)
     val got = Graph.labelPropagation(clique.toDF("src", "dst"), rounds = 2)
