@@ -1741,6 +1741,81 @@ object SparkEntry {
         sum(col("pts")).as("copeland"))
     },
 
+    // extractive-QA span F1 in exact ppm (2·overlap/(|pred|+|gold|)):
+    // pred/gold are token-position ranges clamped to the doc's real
+    // length, so the metric is counted, never assumed
+    "q_span_f1" -> { (s, dir) =>
+      val toks = documents(s, dir).select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      val ps = col("doc_id") % 5
+      toks.groupBy("doc_id").agg(
+          sum(when(col("pos") >= ps && col("pos") < ps + 8, 1L).otherwise(0L)).as("np"),
+          sum(when(col("pos") >= 3 && col("pos") < 13, 1L).otherwise(0L)).as("ng"),
+          sum(when(col("pos") >= greatest(ps, lit(3)) &&
+              col("pos") < least(ps + 8, lit(13)), 1L).otherwise(0L)).as("overlap"))
+        .where(col("np") + col("ng") > 0)
+        .select(col("doc_id"), col("np"), col("ng"), col("overlap"),
+          expr("(2000000 * overlap) div (np + ng)").as("f1_ppm"))
+    },
+
+    // BLEU-style modified (clipped) n-gram precision of each near-dup
+    // candidate against its source doc — exact integer ppm, no exp/log
+    // (brevity reported as a length ratio instead of the exponential)
+    "q_bleu_precision" -> { (s, dir) =>
+      val d = documents(s, dir)
+      val tok = (c: Column) => split(lower(trim(c)), "\\s+")
+      val cand = d.select(col("doc_id"),
+        posexplode(tok(concat(col("text"), lit(" extra extra")))).as(Seq("pos", "tok")))
+      val ref = d.select(col("doc_id"),
+        posexplode(tok(col("text"))).as(Seq("pos", "tok")))
+      def grams(t: DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        t.withColumn("w2", lead(col("tok"), 1).over(w))
+          .select(col("doc_id"), col("tok").as("g1"),
+            when(col("w2").isNotNull, concat(col("tok"), lit(" "), col("w2"))).as("g2"))
+      }
+      def prec(gramCol: String) = {
+        val cc = grams(cand).where(col(gramCol).isNotNull)
+          .select(col("doc_id"), col(gramCol).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        val rc = grams(ref).where(col(gramCol).isNotNull)
+          .select(col("doc_id"), col(gramCol).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("r"))
+        cc.join(rc, Seq("doc_id", "g"), "left")
+          .groupBy("doc_id").agg(
+            sum(least(col("c"), coalesce(col("r"), lit(0L)))).as(s"clip$gramCol"),
+            sum(col("c")).as(s"tot$gramCol"))
+      }
+      prec("g1").join(prec("g2"), Seq("doc_id"))
+        .join(cand.groupBy("doc_id").agg(count(lit(1)).as("len_c"))
+          .join(ref.groupBy("doc_id").agg(count(lit(1)).as("len_r")), Seq("doc_id")),
+          Seq("doc_id"))
+        .select(col("doc_id"),
+          expr("(1000000 * clipg1) div totg1").as("p1_ppm"),
+          expr("(1000000 * clipg2) div totg2").as("p2_ppm"),
+          expr("(1000000 * len_r) div len_c").as("brevity_ppm"))
+    },
+
+    // distinct-1 / distinct-2 generation-diversity ratios, exact ppm
+    "q_distinct_n" -> { (s, dir) =>
+      val toks = documents(s, dir).select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val uni = toks.groupBy("doc_id").agg(
+        count(lit(1)).as("n_uni"), countDistinct(col("tok")).as("d_uni"))
+      val bi = toks.withColumn("w2", lead(col("tok"), 1).over(w))
+        .where(col("w2").isNotNull)
+        .select(col("doc_id"), concat(col("tok"), lit(" "), col("w2")).as("bg"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_bi"), countDistinct(col("bg")).as("d_bi"))
+      uni.join(bi, Seq("doc_id"))
+        .select(col("doc_id"), col("n_uni"), col("d_uni"), col("n_bi"), col("d_bi"),
+          expr("(1000000 * d_uni) div n_uni").as("distinct1_ppm"),
+          expr("(1000000 * d_bi) div n_bi").as("distinct2_ppm"))
+    },
+
     // edit-distance verify over the banded candidates (propose →
     // dispose) at a 0.8 similarity floor — the scale path: length-ratio
     // prefilter + banded-threshold DP, result-identical to
@@ -7304,6 +7379,76 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN pts = 0 THEN 1 ELSE 0 END) AS BIGINT) AS losses,
         |  CAST(sum(pts) AS BIGINT) AS copeland
         |FROM p GROUP BY 1""".stripMargin,
+
+    // 0-based positions (generate_subscripts is 1-based; Spark
+    // posexplode is 0-based — subtract 1 so the ranges line up)
+    "q_span_f1" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok,
+        |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) - 1 AS pos
+        |  FROM documents)
+        |SELECT doc_id, np, ng, overlap, (2000000 * overlap) // (np + ng) AS f1_ppm
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN pos >= doc_id % 5 AND pos < doc_id % 5 + 8
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN pos >= 3 AND pos < 13 THEN 1 ELSE 0 END) AS BIGINT) AS ng,
+        |    CAST(sum(CASE WHEN pos >= greatest(doc_id % 5, 3)
+        |              AND pos < least(doc_id % 5 + 8, 13)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS overlap
+        |  FROM toks GROUP BY 1)
+        |WHERE np + ng > 0""".stripMargin,
+
+    "q_bleu_precision" ->
+      """WITH cd AS (SELECT doc_id, lower(trim(text || ' extra extra')) AS t FROM documents),
+        |rf AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        |ct AS (SELECT doc_id, unnest(regexp_split_to_array(t, '\s+')) AS tok,
+        |         generate_subscripts(regexp_split_to_array(t, '\s+'), 1) AS pos FROM cd),
+        |rt AS (SELECT doc_id, unnest(regexp_split_to_array(t, '\s+')) AS tok,
+        |         generate_subscripts(regexp_split_to_array(t, '\s+'), 1) AS pos FROM rf),
+        |cb AS (SELECT doc_id, tok AS g1,
+        |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nx FROM ct),
+        |rb AS (SELECT doc_id, tok AS g1,
+        |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nx FROM rt),
+        |c1 AS (SELECT doc_id, g1 AS g, CAST(count(*) AS BIGINT) AS c FROM cb GROUP BY 1, 2),
+        |r1 AS (SELECT doc_id, g1 AS g, CAST(count(*) AS BIGINT) AS r FROM rb GROUP BY 1, 2),
+        |p1 AS (SELECT c1.doc_id, CAST(sum(least(c, COALESCE(r, 0))) AS BIGINT) AS clip1,
+        |         CAST(sum(c) AS BIGINT) AS tot1
+        |       FROM c1 LEFT JOIN r1 ON c1.doc_id = r1.doc_id AND c1.g = r1.g GROUP BY 1),
+        |c2 AS (SELECT doc_id, g1 || ' ' || nx AS g, CAST(count(*) AS BIGINT) AS c
+        |       FROM cb WHERE nx IS NOT NULL GROUP BY 1, 2),
+        |r2 AS (SELECT doc_id, g1 || ' ' || nx AS g, CAST(count(*) AS BIGINT) AS r
+        |       FROM rb WHERE nx IS NOT NULL GROUP BY 1, 2),
+        |p2 AS (SELECT c2.doc_id, CAST(sum(least(c, COALESCE(r, 0))) AS BIGINT) AS clip2,
+        |         CAST(sum(c) AS BIGINT) AS tot2
+        |       FROM c2 LEFT JOIN r2 ON c2.doc_id = r2.doc_id AND c2.g = r2.g GROUP BY 1),
+        |lc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len_c FROM ct GROUP BY 1),
+        |lr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len_r FROM rt GROUP BY 1)
+        |SELECT p1.doc_id,
+        |  (1000000 * clip1) // tot1 AS p1_ppm,
+        |  (1000000 * clip2) // tot2 AS p2_ppm,
+        |  (1000000 * len_r) // len_c AS brevity_ppm
+        |FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+        |JOIN lc ON lc.doc_id = p1.doc_id JOIN lr ON lr.doc_id = p1.doc_id""".stripMargin,
+
+    "q_distinct_n" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok,
+        |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS pos
+        |  FROM documents),
+        |b AS (SELECT doc_id, tok,
+        |        lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks),
+        |uni AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_uni,
+        |          CAST(count(DISTINCT tok) AS BIGINT) AS d_uni FROM toks GROUP BY 1),
+        |bi AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bi,
+        |         CAST(count(DISTINCT tok || ' ' || w2) AS BIGINT) AS d_bi
+        |       FROM b WHERE w2 IS NOT NULL GROUP BY 1)
+        |SELECT doc_id, n_uni, d_uni, n_bi, d_bi,
+        |  (1000000 * d_uni) // n_uni AS distinct1_ppm,
+        |  (1000000 * d_bi) // n_bi AS distinct2_ppm
+        |FROM uni JOIN bi USING (doc_id)""".stripMargin,
 
     // unrolled 5-iteration twin of Graph.pagerank: identical integer
     // floor-division sequence, so the micro-unit ranks match exactly

@@ -133,6 +133,61 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     }
   }
 
+  private def docTokens(): Map[Long, Array[String]] =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+"))
+      .toMap
+
+  test("span F1 matches a plain-Scala recomputation over every doc") {
+    val got = SparkEntry.queries("q_span_f1")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val want = docTokens().flatMap { case (id, toks) =>
+      val ps = id % 5
+      val np = toks.indices.count(p => p >= ps && p < ps + 8).toLong
+      val ng = toks.indices.count(p => p >= 3 && p < 13).toLong
+      val ov = toks.indices.count(p => p >= math.max(ps, 3) && p < math.min(ps + 8, 13)).toLong
+      if (np + ng > 0) Some(id -> ((np, ng, ov, 2000000L * ov / (np + ng)))) else None
+    }
+    assert(got === want)
+  }
+
+  test("BLEU clipped precision matches a plain-Scala recomputation") {
+    val got = SparkEntry.queries("q_bleu_precision")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def counts(xs: Seq[String]) = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = docTokens().map { case (id, ref) =>
+      val cand = (ref.mkString(" ") + " extra extra").trim.split("\\s+").toSeq
+      def prec(c: Seq[String], r: Seq[String]): Long = {
+        val (cc, rc) = (counts(c), counts(r))
+        val clip = cc.map { case (g, n) => math.min(n, rc.getOrElse(g, 0L)) }.sum
+        1000000L * clip / cc.values.sum
+      }
+      def bigrams(t: Seq[String]) = t.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      id -> ((prec(cand, ref.toSeq),
+        prec(bigrams(cand), bigrams(ref.toSeq)),
+        1000000L * ref.length / cand.size))
+    }
+    assert(got === want)
+  }
+
+  test("distinct-n diversity matches a plain-Scala recomputation") {
+    val got = SparkEntry.queries("q_distinct_n")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))).toMap
+    val want = docTokens().flatMap { case (id, toks) =>
+      val bgs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      if (bgs.isEmpty) None
+      else {
+        val (nu, du) = (toks.length.toLong, toks.distinct.length.toLong)
+        val (nb, db) = (bgs.size.toLong, bgs.distinct.size.toLong)
+        Some(id -> ((nu, du, nb, db, 1000000L * du / nu, 1000000L * db / nb)))
+      }
+    }
+    assert(got === want)
+  }
+
   test("modularityPpm: two perfect triangle communities score exactly +0.5") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
       .toDF("src", "dst")
