@@ -1797,6 +1797,50 @@ object SparkEntry {
           expr("(1000000 * len_r) div len_c").as("brevity_ppm"))
     },
 
+    // Fleiss' kappa multi-rater agreement in exact integer ppm: with the
+    // rater count fixed at 5 and the item space capped at 200, every
+    // quantity is a ratio of bounded integer sums — κ = (AD − CB)/(B(D−C))
+    // over Po = A/B, Pe = C/D, computed with ONE shift-positive division
+    // (κ can be negative); D == C (all raters one category) reports NULL
+    "q_fleiss_kappa" -> { (s, dir) =>
+      val votes = events(s, dir).select(
+          (col("user_id") % 200).as("item"),
+          (col("event_id") % 5).as("rater"),
+          (col("event_id") * 4 + expr("(event_id div 7) % 4")).as("packed"))
+        .groupBy("item", "rater").agg(min(col("packed")).as("p"))
+        .select(col("item"), col("rater"), (col("p") % 4).as("cat"))
+      val full = votes.groupBy("item").agg(count(lit(1)).as("nr"))
+        .where(col("nr") === 5).select("item")
+      val vv = votes.join(full, Seq("item"))
+      val po = vv.groupBy("item", "cat").agg(count(lit(1)).as("n_ic"))
+        .agg(sum(expr("n_ic * (n_ic - 1)")).as("a"))
+      val nItems = full.agg(count(lit(1)).as("n_items"))
+      val pe = vv.groupBy("cat").agg(count(lit(1)).as("tc"))
+        .agg(sum(expr("tc * tc")).as("c"))
+      po.crossJoin(broadcast(nItems)).crossJoin(broadcast(pe))
+        .select(col("n_items"),
+          expr("n_items * 20").as("b"), col("a"), col("c"),
+          expr("(5 * n_items) * (5 * n_items)").as("d"))
+        .select(col("n_items"),
+          expr("(1000000 * a) div b").as("po_ppm"),
+          expr("(1000000 * c) div d").as("pe_ppm"),
+          when(col("d") === col("c"), lit(null).cast("long"))
+            .otherwise(expr(
+              """(1000000 * (a * d - c * b) + b * (d - c) * 10000000)
+                 div (b * (d - c)) - 10000000""")).as("kappa_ppm"))
+    },
+
+    // per-feature-value Gini impurity of a boolean label split — the
+    // decision-tree split audit, exact ppm (single division per row)
+    "q_gini_split" -> ((s, dir) =>
+      events(s, dir).select(col("event_type"),
+          when(col("event_id") % 3 === 0, 1L).otherwise(0L).as("pos"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+        .select(col("event_type"), col("n"), col("n_pos"),
+          expr("1000000 - (1000000 * (n_pos * n_pos + (n - n_pos) * (n - n_pos))) div (n * n)")
+            .as("gini_ppm"))),
+
     // distinct-1 / distinct-2 generation-diversity ratios, exact ppm
     "q_distinct_n" -> { (s, dir) =>
       val toks = documents(s, dir).select(col("doc_id"),
@@ -7431,6 +7475,45 @@ object SparkEntry {
         |  (1000000 * len_r) // len_c AS brevity_ppm
         |FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
         |JOIN lc ON lc.doc_id = p1.doc_id JOIN lr ON lr.doc_id = p1.doc_id""".stripMargin,
+
+    "q_fleiss_kappa" ->
+      """WITH v0 AS (
+        |  SELECT user_id % 200 AS item, event_id % 5 AS rater,
+        |    min(event_id * 4 + (event_id // 7) % 4) AS p
+        |  FROM events GROUP BY 1, 2),
+        |v AS (SELECT item, rater, p % 4 AS cat FROM v0),
+        |full_items AS (
+        |  SELECT item FROM v GROUP BY 1 HAVING count(*) = 5),
+        |vv AS (SELECT v.* FROM v JOIN full_items USING (item)),
+        |po AS (
+        |  SELECT CAST(sum(n_ic * (n_ic - 1)) AS BIGINT) AS a FROM (
+        |    SELECT item, cat, CAST(count(*) AS BIGINT) AS n_ic
+        |    FROM vv GROUP BY 1, 2)),
+        |ni AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM full_items),
+        |pe AS (
+        |  SELECT CAST(sum(tc * tc) AS BIGINT) AS c FROM (
+        |    SELECT cat, CAST(count(*) AS BIGINT) AS tc FROM vv GROUP BY 1)),
+        |k AS (
+        |  SELECT n_items, n_items * 20 AS b, a, c,
+        |    (5 * n_items) * (5 * n_items) AS d
+        |  FROM po, ni, pe)
+        |SELECT n_items,
+        |  (1000000 * a) // b AS po_ppm,
+        |  (1000000 * c) // d AS pe_ppm,
+        |  CASE WHEN d = c THEN NULL
+        |       ELSE (1000000 * (a * d - c * b) + b * (d - c) * 10000000)
+        |            // (b * (d - c)) - 10000000 END AS kappa_ppm
+        |FROM k""".stripMargin,
+
+    "q_gini_split" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n, n_pos,
+        |  1000000 - (1000000 * (n_pos * n_pos + (n - n_pos) * (n - n_pos))) // (n * n)
+        |    AS gini_ppm
+        |FROM g""".stripMargin,
 
     "q_distinct_n" ->
       """WITH toks AS (

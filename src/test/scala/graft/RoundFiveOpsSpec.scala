@@ -188,6 +188,44 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("Fleiss kappa matches an exact BigInt recomputation from the raw parquet") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val votes = ev.groupBy { case (eid, uid) => (uid % 200, eid % 5) }
+      .map { case (k, rows) => k -> (rows.map { case (eid, _) => eid * 4 + (eid / 7) % 4 }.min % 4) }
+    val byItem = votes.groupBy(_._1._1).filter(_._2.size == 5)
+    val n = BigInt(byItem.size)
+    val a = BigInt(byItem.values.flatMap(_.groupBy(_._2).values.map(_.size))
+      .map(c => c.toLong * (c - 1)).sum)
+    val b = n * 20
+    val c = byItem.values.flatten.groupBy(_._2).values
+      .map(g => BigInt(g.size) * g.size).sum
+    val d = (n * 5) * (n * 5)
+    val r = SparkEntry.queries("q_fleiss_kappa")(spark, sfDir).collect()(0)
+    assert(r.getLong(0) === n.toLong)
+    assert(r.getLong(1) === (BigInt(1000000) * a / b).toLong)
+    assert(r.getLong(2) === (BigInt(1000000) * c / d).toLong)
+    val den = b * (d - c)
+    val kExpect = ((BigInt(1000000) * (a * d - c * b) + den * 10000000) / den
+      - 10000000).toLong
+    assert(r.getLong(3) === kExpect)
+    // near-random votes: kappa lands close to 0 — and NEGATIVE here,
+    // which is exactly what exercises the shift-positive division
+    assert(math.abs(r.getLong(3)) < 100000L)
+  }
+
+  test("Gini split impurity matches the direct definition per feature value") {
+    val rows = SparkEntry.queries("q_gini_split")(spark, sfDir).collect()
+    assert(rows.length === 5)
+    for (r <- rows) {
+      val (n, p) = (r.getLong(1), r.getLong(2))
+      val expect = 1000000L - (1000000L * (p * p + (n - p) * (n - p))) / (n * n)
+      assert(r.getLong(3) === expect)
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 500000L) // two-class Gini <= 1/2
+    }
+  }
+
   test("modularityPpm: two perfect triangle communities score exactly +0.5") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
       .toDF("src", "dst")
