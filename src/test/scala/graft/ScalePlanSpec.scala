@@ -226,6 +226,29 @@ class ScalePlanSpec extends AnyFunSuite {
       s"banded margin mining must never go all-pairs:\n$s")
   }
 
+  test("autodiscover route plans as equi-joins — never an interval/nested-loop join") {
+    import graft.config.Autodiscover
+    import graft.config.Autodiscover.AutoTemplate
+    import graft.route.Cond
+    import org.apache.spark.sql.functions.col
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val disc = (0 until 200).map { i =>
+      (i.toLong, ts(f"10:${i % 60}%02d:00"), "docker", s"c${i % 10}",
+        if (i % 7 == 0) "stop" else "start", s"img:${i % 3}", s"${i % 2}")
+    }.toDF("event_id", "ts", "provider", "id", "action", "image", "zone")
+    val logs = (0 until 500).map { i =>
+      (1000L + i, ts(f"10:${i % 60}%02d:30"), s"docker:c${i % 10}")
+    }.toDF("event_id", "ts", "ckey")
+    val tpls = Seq(
+      AutoTemplate("t_img", Some(Cond.Contains("image", "img")), "path=${data.id}"),
+      AutoTemplate("t_all", None, "id=${data.id}"))
+    val s = planNoBroadcast(
+      Autodiscover.route(Autodiscover.lifecycle(disc, tpls), disc, logs,
+        "ckey", "ts", "event_id"))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"autodiscover routing must stay an (event_key, epoch) equi-join:\n$s")
+  }
+
   test("ringAssign compiles to a pure projection — no join, no exchange, no HOF") {
     import graft.route.Rendezvous
     import org.apache.spark.sql.functions.col
