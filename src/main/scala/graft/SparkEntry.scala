@@ -1797,6 +1797,59 @@ object SparkEntry {
           expr("(1000000 * len_r) div len_c").as("brevity_ppm"))
     },
 
+    // RLHF length-bias audit: among per-group preference pairs (two-stage
+    // argmax/argmin — the scale-safe idiom, no id packing), how often the
+    // CHOSEN side is simply the longer one; a high longer_ppm flags
+    // length-hacking reward models. One exact-integer summary row.
+    "q_length_bias" -> { (s, dir) =>
+      val d = documents(s, dir).select(col("doc_id"),
+        (col("doc_id") % 100).as("grp"),
+        ((col("n_chars") * 7 + col("doc_id") * 3) % 1000).as("score"),
+        col("n_chars"))
+      def pick(best: Boolean) = {
+        val m = d.groupBy("grp").agg(
+          (if (best) max(col("score")) else min(col("score"))).as("ms"))
+        d.join(m, Seq("grp")).where(col("score") === col("ms"))
+          .groupBy("grp").agg(min(col("doc_id")).as(if (best) "c_id" else "r_id"))
+      }
+      val pairs = pick(best = true).join(pick(best = false), Seq("grp"))
+        .where(col("c_id") =!= col("r_id"))
+        .join(d.select(col("doc_id").as("c_id"), col("n_chars").as("c_len")), Seq("c_id"))
+        .join(d.select(col("doc_id").as("r_id"), col("n_chars").as("r_len")), Seq("r_id"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("c_len") > col("r_len"), 1L).otherwise(0L)).as("chosen_longer"),
+          sum(col("c_len") - col("r_len")).as("sum_len_delta"))
+        .select(col("n_pairs"), col("chosen_longer"), col("sum_len_delta"),
+          expr("(1000000 * chosen_longer) div n_pairs").as("longer_ppm"))
+    },
+
+    // agent tool-error cascades: P(error | previous turn errored) vs
+    // P(error | previous turn clean) and their lift — the "is the agent
+    // spiralling" diagnostic, exact ppm with zero-guards
+    "q_error_cascade" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("conv_id").orderBy("turn_idx")
+      Pipeline.parse(transcripts(s, dir), Tok)
+        .select(col("conv_id"), col("turn_idx"),
+          coalesce(col("level").rlike("^ERR"), lit(false)).as("err"))
+        .withColumn("prev_err", lag(col("err"), 1).over(w))
+        .where(col("prev_err").isNotNull)
+        .agg(sum(when(col("prev_err"), 1L).otherwise(0L)).as("n_after_err"),
+          sum(when(!col("prev_err"), 1L).otherwise(0L)).as("n_after_ok"),
+          sum(when(col("prev_err") && col("err"), 1L).otherwise(0L)).as("err_after_err"),
+          sum(when(!col("prev_err") && col("err"), 1L).otherwise(0L)).as("err_after_ok"))
+        .select(col("n_after_err"), col("n_after_ok"),
+          col("err_after_err"), col("err_after_ok"),
+          when(col("n_after_err") === 0L, lit(null).cast("long"))
+            .otherwise(expr("(1000000 * err_after_err) div n_after_err")).as("p_cascade_ppm"),
+          when(col("n_after_ok") === 0L, lit(null).cast("long"))
+            .otherwise(expr("(1000000 * err_after_ok) div n_after_ok")).as("p_base_ppm"),
+          when(col("err_after_ok") === 0L || col("n_after_err") === 0L,
+              lit(null).cast("long"))
+            .otherwise(expr("(1000000 * err_after_err * n_after_ok) div (err_after_ok * n_after_err)"))
+            .as("lift_ppm"))
+    },
+
     // Fleiss' kappa multi-rater agreement in exact integer ppm: with the
     // rater count fixed at 5 and the item space capped at 200, every
     // quantity is a ratio of bounded integer sums — κ = (AD − CB)/(B(D−C))
@@ -7475,6 +7528,60 @@ object SparkEntry {
         |  (1000000 * len_r) // len_c AS brevity_ppm
         |FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
         |JOIN lc ON lc.doc_id = p1.doc_id JOIN lr ON lr.doc_id = p1.doc_id""".stripMargin,
+
+    "q_length_bias" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 100 AS grp,
+        |    (n_chars * 7 + doc_id * 3) % 1000 AS score, n_chars
+        |  FROM documents),
+        |mx AS (SELECT grp, max(score) AS ms FROM d GROUP BY 1),
+        |mn AS (SELECT grp, min(score) AS ms FROM d GROUP BY 1),
+        |cid AS (SELECT d.grp, CAST(min(doc_id) AS BIGINT) AS c_id
+        |        FROM d JOIN mx ON d.grp = mx.grp AND d.score = mx.ms GROUP BY 1),
+        |rid AS (SELECT d.grp, CAST(min(doc_id) AS BIGINT) AS r_id
+        |        FROM d JOIN mn ON d.grp = mn.grp AND d.score = mn.ms GROUP BY 1),
+        |p AS (SELECT cid.grp, c_id, r_id FROM cid JOIN rid ON cid.grp = rid.grp
+        |      WHERE c_id <> r_id),
+        |pl AS (SELECT p.grp, dc.n_chars AS c_len, dr.n_chars AS r_len FROM p
+        |       JOIN d dc ON dc.doc_id = p.c_id JOIN d dr ON dr.doc_id = p.r_id)
+        |SELECT n_pairs, chosen_longer, sum_len_delta,
+        |  (1000000 * chosen_longer) // n_pairs AS longer_ppm
+        |FROM (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN c_len > r_len THEN 1 ELSE 0 END) AS BIGINT) AS chosen_longer,
+        |    CAST(sum(c_len - r_len) AS BIGINT) AS sum_len_delta
+        |  FROM pl)""".stripMargin,
+
+    "q_error_cascade" ->
+      s"""$T, parsed AS (
+         |  SELECT conv_id, turn_idx,
+         |    CASE WHEN strpos(text, ' [') > 0
+         |          AND strpos(substr(text, strpos(text, ' [') + 2), '] ') > 0
+         |         THEN substr(text, 1, strpos(text, ' [') - 1) END AS level
+         |  FROM transcripts),
+         |e AS (
+         |  SELECT conv_id, turn_idx,
+         |    COALESCE(level IS NOT NULL AND regexp_matches(level, '^ERR'), FALSE) AS err
+         |  FROM parsed),
+         |l AS (
+         |  SELECT err, lag(err) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_err
+         |  FROM e),
+         |a AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN prev_err THEN 1 ELSE 0 END) AS BIGINT) AS n_after_err,
+         |    CAST(sum(CASE WHEN NOT prev_err THEN 1 ELSE 0 END) AS BIGINT) AS n_after_ok,
+         |    CAST(sum(CASE WHEN prev_err AND err THEN 1 ELSE 0 END) AS BIGINT) AS err_after_err,
+         |    CAST(sum(CASE WHEN NOT prev_err AND err THEN 1 ELSE 0 END) AS BIGINT) AS err_after_ok
+         |  FROM l WHERE prev_err IS NOT NULL)
+         |SELECT n_after_err, n_after_ok, err_after_err, err_after_ok,
+         |  CASE WHEN n_after_err = 0 THEN NULL
+         |       ELSE (1000000 * err_after_err) // n_after_err END AS p_cascade_ppm,
+         |  CASE WHEN n_after_ok = 0 THEN NULL
+         |       ELSE (1000000 * err_after_ok) // n_after_ok END AS p_base_ppm,
+         |  CASE WHEN err_after_ok = 0 OR n_after_err = 0 THEN NULL
+         |       ELSE (1000000 * err_after_err * n_after_ok)
+         |            // (err_after_ok * n_after_err) END AS lift_ppm
+         |FROM a""".stripMargin,
 
     "q_fleiss_kappa" ->
       """WITH v0 AS (

@@ -188,6 +188,46 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("length-bias audit matches a plain-Scala pair mining from the raw parquet") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // .values.toSeq first: flatMap over a Map with a pair-valued function
+    // would rebuild a Map and silently dedup by key
+    val pairs = docs.groupBy(_._1 % 100).values.toSeq.flatMap { ds =>
+      def score(d: (Long, Long)) = (d._2 * 7 + d._1 * 3) % 1000
+      val ms = ds.map(score).max
+      val mn = ds.map(score).min
+      val c = ds.filter(score(_) == ms).map(_._1).min
+      val r = ds.filter(score(_) == mn).map(_._1).min
+      if (c == r) None
+      else {
+        val cl = ds.find(_._1 == c).get._2
+        val rl = ds.find(_._1 == r).get._2
+        Some((cl, rl))
+      }
+    }.toSeq
+    val row = SparkEntry.queries("q_length_bias")(spark, sfDir).collect()(0)
+    assert(row.getLong(0) === pairs.size.toLong)
+    assert(row.getLong(1) === pairs.count { case (c, r) => c > r }.toLong)
+    assert(row.getLong(2) === pairs.map { case (c, r) => c - r }.sum)
+    assert(row.getLong(3) === 1000000L * row.getLong(1) / row.getLong(0))
+  }
+
+  test("error cascade: counts partition the lagged rows, ppm fields are the stated ratios") {
+    val r = SparkEntry.queries("q_error_cascade")(spark, sfDir).collect()(0)
+    val (n1, n0, e1, e0) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n1 > 0 && n0 > 0 && e1 <= n1 && e0 <= n0)
+    assert(r.getLong(4) === 1000000L * e1 / n1)
+    assert(r.getLong(5) === 1000000L * e0 / n0)
+    assert(r.getLong(6) === 1000000L * e1 * n0 / (e0 * n1))
+    // every conversation contributes (turns - 1) lagged rows
+    val t = graft.data.Transcripts.fromEvents(spark, sfDir)
+    val total = t.count()
+    val nConvs = t.select("conv_id").distinct().count()
+    assert(n1 + n0 === total - nConvs)
+  }
+
   test("Fleiss kappa matches an exact BigInt recomputation from the raw parquet") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select("event_id", "user_id").collect()
