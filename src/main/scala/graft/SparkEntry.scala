@@ -1797,6 +1797,40 @@ object SparkEntry {
           expr("(1000000 * len_r) div len_c").as("brevity_ppm"))
     },
 
+    // model-score lift by VALUE bucket (score div 100) — never a global
+    // ntile (a single-partition sort at 10¹² rows); per-bucket response
+    // rate vs overall in exact ppm
+    "q_score_lift" -> { (s, dir) =>
+      val scored = events(s, dir).select(
+        ((col("event_id") * 37 + col("user_id") * 13) % 1000).as("score"),
+        when((col("event_id") * 37 + col("user_id") * 13) % 1000 * 2
+            + col("event_id") % 400 >= 1600, 1L).otherwise(0L).as("label"))
+      val buckets = scored.groupBy(expr("score div 100").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"))
+      val tot = scored.agg(count(lit(1)).as("n_all"), sum(col("label")).as("pos_all"))
+      buckets.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n"), col("pos"),
+          expr("(1000000 * pos) div n").as("rate_ppm"),
+          when(col("pos_all") === 0L, lit(null).cast("long"))
+            .otherwise(expr("(1000000 * pos * n_all) div (n * pos_all)")).as("lift_ppm"))
+    },
+
+    // champion/challenger shadow evaluation: agreement matrix of two
+    // deterministic classifiers per event_type + disagreement rate
+    "q_shadow_eval" -> ((s, dir) =>
+      events(s, dir).select(col("event_type"),
+          (col("event_id") % 7 < 3).as("a"),
+          ((col("user_id") + col("event_id")) % 5 < 2).as("b"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("both_pos"),
+          sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("both_neg"),
+          sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("only_a"),
+          sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("only_b"))
+        .select(col("event_type"), col("n"), col("both_pos"), col("both_neg"),
+          col("only_a"), col("only_b"),
+          expr("(1000000 * (only_a + only_b)) div n").as("disagree_ppm"))),
+
     // RLHF length-bias audit: among per-group preference pairs (two-stage
     // argmax/argmin — the scale-safe idiom, no id packing), how often the
     // CHOSEN side is simply the longer one; a high longer_ppm flags
@@ -7528,6 +7562,40 @@ object SparkEntry {
         |  (1000000 * len_r) // len_c AS brevity_ppm
         |FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
         |JOIN lc ON lc.doc_id = p1.doc_id JOIN lr ON lr.doc_id = p1.doc_id""".stripMargin,
+
+    "q_score_lift" ->
+      """WITH s AS (
+        |  SELECT (event_id * 37 + user_id * 13) % 1000 AS score,
+        |    CASE WHEN (event_id * 37 + user_id * 13) % 1000 * 2
+        |              + event_id % 400 >= 1600 THEN 1 ELSE 0 END AS label
+        |  FROM events),
+        |b AS (
+        |  SELECT score // 100 AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(label) AS BIGINT) AS pos
+        |  FROM s GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+        |        CAST(sum(label) AS BIGINT) AS pos_all FROM s)
+        |SELECT bucket, n, pos,
+        |  (1000000 * pos) // n AS rate_ppm,
+        |  CASE WHEN pos_all = 0 THEN NULL
+        |       ELSE (1000000 * pos * n_all) // (n * pos_all) END AS lift_ppm
+        |FROM b, t""".stripMargin,
+
+    "q_shadow_eval" ->
+      """WITH c AS (
+        |  SELECT event_type, event_id % 7 < 3 AS a,
+        |    (user_id + event_id) % 5 < 2 AS b
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS both_pos,
+        |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS both_neg,
+        |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+        |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS only_b
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n, both_pos, both_neg, only_a, only_b,
+        |  (1000000 * (only_a + only_b)) // n AS disagree_ppm
+        |FROM g""".stripMargin,
 
     "q_length_bias" ->
       """WITH d AS (

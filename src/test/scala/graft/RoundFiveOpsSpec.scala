@@ -188,6 +188,51 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("score lift: bucket rates follow the planted threshold and identities hold") {
+    val rows = SparkEntry.queries("q_score_lift")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0L to 9L))
+    // label = score*2 + (event_id%400) >= 1600: buckets 0-5 never fire,
+    // buckets 8-9 always fire, 6-7 are the partial band
+    for ((b, _, pos, rate, _) <- rows) {
+      if (b <= 5) assert(pos === 0L && rate === 0L, s"bucket $b")
+      if (b >= 8) assert(rate === 1000000L, s"bucket $b")
+    }
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nAll = ev.length.toLong
+    val posAll = ev.count { case (e, u) =>
+      val sc = (e * 37 + u * 13) % 1000
+      sc * 2 + e % 400 >= 1600
+    }.toLong
+    assert(rows.map(_._2).sum === nAll && rows.map(_._3).sum === posAll)
+    for ((_, n, pos, rate, lift) <- rows) {
+      assert(rate === 1000000L * pos / n)
+      assert(lift === 1000000L * pos * nAll / (n * posAll))
+    }
+  }
+
+  test("shadow eval: agreement matrix partitions every row, recounted independently") {
+    val rows = SparkEntry.queries("q_shadow_eval")(spark, sfDir).collect()
+    assert(rows.length === 5)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_type", "event_id", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for (r <- rows) {
+      val (et, n, bp, bn, oa, ob) = (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(bp + bn + oa + ob === n)
+      val mine = ev.filter(_._1 == et).map { case (_, e, u) =>
+        (e % 7 < 3, (u + e) % 5 < 2)
+      }
+      assert(mine.length.toLong === n)
+      assert(mine.count(t => t._1 && t._2).toLong === bp)
+      assert(mine.count(t => t._1 && !t._2).toLong === oa)
+      assert(r.getLong(6) === 1000000L * (oa + ob) / n)
+    }
+  }
+
   test("length-bias audit matches a plain-Scala pair mining from the raw parquet") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "n_chars").collect()
